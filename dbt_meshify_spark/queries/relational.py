@@ -1,0 +1,693 @@
+"""Relational query corpus Q01–Q22 + Q-G4 + Q-L1 (SURVEY.md §2.7).
+
+Every function is the DataFrame-API expression of a semantic observed in the
+reference's governed model corpus (citations in each docstring point into
+/root/reference). The paired oracle SQL (validated against DuckDB 1.x during
+the survey) lives in ``ORACLES``.
+
+Scale notes applying corpus-wide:
+- Dim tables (region/nation/customer at small SF) are joined without hints;
+  ``spark.sql.autoBroadcastJoinThreshold`` + AQE pick broadcast when the dim
+  fits, sort-merge when it doesn't. Explicit ``F.broadcast`` is used only
+  where the small side is known-bounded at ANY scale factor (scalar
+  aggregates, literal frames).
+- Aggregations are expressed as ``groupBy().agg()`` so Catalyst plans partial
+  (map-side) aggregation before the shuffle.
+- Final ORDER BYs exist to mirror the declared oracle corpus (total orders,
+  NULLS FIRST per the dialect rules); they are TakeOrderedAndProject where a
+  LIMIT follows, else a range-partitioned sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_meshify_spark.sources import load_table
+
+
+def _asc(c: str):
+    return F.col(c).asc_nulls_first()
+
+
+def _desc(c: str):
+    return F.col(c).desc_nulls_first()
+
+
+# --------------------------------------------------------------------------
+# Q01–Q09: scans, projections, filters, joins, aggregates, set ops, top-k
+# --------------------------------------------------------------------------
+
+
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S1,P1,P2,S3] projection + rename + cast.
+
+    stg_orders semantics: reference
+    test-projects/split/split_proj/models/staging/stg_orders.sql:15-27
+    (rename block) and :23-24 (``(order_total / 100.0)::float``).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        (F.col("o_totalprice") / F.lit(100.0)).cast("double").alias("order_total_dollars"),
+        F.col("o_orderdate").cast("date").alias("ordered_on"),
+    ).orderBy(_asc("order_id"))
+
+
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P3,P4] CASE + boolean derivation.
+
+    stg_products.sql:24-33 (CASE) and orders.sql:135-138 (boolean predicate
+    projection) in the reference's split_proj corpus.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.when(F.col("p_type").like("%BRASS%"), F.lit(1)).otherwise(F.lit(0)).alias("is_brass"),
+        (F.col("p_size") > F.lit(25)).alias("is_large"),
+    ).orderBy(_asc("p_partkey"))
+
+
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F1,F2] timestamp + string equality filters.
+
+    stg_orders.sql:9 (timestamp <= var filter), downstream_model.sql:8
+    (string equality). Both predicates push to the parquet scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate").cast("date") <= F.lit("1997-06-30").cast("date"))
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy(_asc("o_orderkey"))
+    )
+
+
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1,J2] inner + left equi-join then aggregate.
+
+    orders.sql:80-128 join block shape. nation is a bounded dim => broadcast
+    via threshold; orders side stays shuffle-partitioned on the group key.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey, "inner")
+        .join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .orderBy(_asc("c_custkey"))
+    )
+
+
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1,A2,A3] hash aggregate with conditional sum + derived boolean.
+
+    customers.sql:22-38 and orders.sql:57-86 aggregate shapes; partial
+    aggregation happens map-side before the single shuffle on l_orderkey.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("count_items"),
+            F.round(
+                F.sum(
+                    F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                2,
+            ).alias("returned_value"),
+            F.round(F.min("l_discount"), 2).alias("min_disc"),
+            F.round(F.max("l_discount"), 2).alias("max_disc"),
+            (F.count("*") > 3).alias("is_big_order"),
+        )
+        .orderBy(_asc("l_orderkey"))
+    )
+
+
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S2,P5,J3] multi-way join of a derived aggregate onto the fact.
+
+    orders.sql:104-130 joins derived aggregates + dims onto the orders fact.
+    item_summary shares the join key with its own group key, so AQE can plan
+    the orders<->item_summary join without a second shuffle of the summary.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    item_summary = lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("count_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("subtotal"),
+    )
+    return (
+        orders.join(item_summary, orders.o_orderkey == item_summary.l_orderkey, "left")
+        .join(customer, orders.o_custkey == customer.c_custkey, "left")
+        .select("o_orderkey", "o_orderstatus", "count_items", "subtotal", "c_mktsegment")
+        .orderBy(_asc("o_orderkey"))
+    )
+
+
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4,D1] exact distinct count + dbt `unique` test compiled form.
+
+    dbt `unique` compiles to group-by-having-count>1
+    (models/staging/__models.yml:9-11). Both aggregates reduce to single
+    rows, so the final combine is a broadcast-able 1x1 cross join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    n_customers = orders.agg(F.countDistinct("o_custkey").alias("n_customers"))
+    dup_keys = (
+        orders.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count("*").alias("dup_keys"))
+    )
+    return n_customers.crossJoin(F.broadcast(dup_keys))
+
+
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U1,U2,X1] literal relation + UNION ALL.
+
+    shared_model.sql:1-13 is a literal UNION ALL in the reference corpus;
+    X1 literal relations at models/marts/leaf_node.sql:1.
+    """
+    rows = spark.createDataFrame(
+        [(1, "grace"), (2, "dave"), (2, "dave")], "id int, colleague string"
+    )
+    return rows.orderBy(_asc("id"), _asc("colleague"))
+
+
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O1] top-k => TakeOrderedAndProject (no global sort materialized)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(_desc("o_totalprice"), _asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10–Q16: window functions, rollup, time spine, incremental watermark
+# --------------------------------------------------------------------------
+
+
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W1] lag/lead per partition.
+
+    The reference's Python model does exactly this via pandas
+    ``groupby().shift(±1)`` (customer_status_histories.py:16-17); native
+    window functions keep it JVM-side with one shuffle on o_custkey.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    ).orderBy(_asc("o_custkey"), _asc("o_orderkey"))
+
+
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W2,N1] ranking keep-first dedup (incremental unique_key semantics).
+
+    orders.sql:4 declares ``unique_key``; upsert dedup compiles to
+    row_number()=1 with a deterministic tie-break.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+        .orderBy(_asc("event_id"))
+    )
+
+
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W3,N6,N7] gap-based sessionization via running sum.
+
+    Batch equivalent of ``session_window(ts, '30 minutes')``; both windows
+    share the user_id partitioning, so Spark plans one shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session").over(run).alias("session_id"),
+    ).orderBy(_asc("user_id"), _asc("event_id"))
+
+
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[GS1] rollup — semantic-model multi-grain aggregation
+    (__semantic_models.yml:15-40 declares measures over multiple grains)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy(_asc("status"), _asc("priority"))
+    )
+
+
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T1] date spine (metricflow_time_spine.sql:9-15 semantics).
+
+    The spine here derives from observed dates (portable oracle form); the
+    generator form is ``sequence(start, stop, interval 1 day)`` + explode —
+    see operators.timespine.date_spine for the production generator.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(F.col("o_orderdate").cast("date").alias("date_day")).distinct()
+    o = orders.select(
+        F.col("o_orderdate").cast("date").alias("od"), "o_orderkey"
+    )
+    return (
+        d.join(o, d.date_day == o.od, "left")
+        .groupBy("date_day")
+        .agg(F.count("o_orderkey").alias("orders_that_day"))
+        .orderBy(_asc("date_day"))
+    )
+
+
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2,M1,N6] time-grain measure query (semantic model at month grain)."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    return (
+        orders.groupBy(month)
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("order_total"),
+            F.count("*").alias("order_count"),
+        )
+        .orderBy(_asc("month"))
+    )
+
+
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F3] incremental watermark predicate (is_incremental() max-subquery,
+    orders.sql:23-29).
+
+    Expressed as a broadcast cross join of the 1-row watermark aggregate —
+    exactly what Catalyst rewrites a scalar subquery into; no driver collect.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wm = orders.agg(F.date_trunc("year", F.max("o_orderdate")).alias("wm"))
+    return (
+        orders.crossJoin(F.broadcast(wm))
+        .filter(F.col("o_orderdate") >= F.col("wm"))
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("d"))
+        .orderBy(_asc("o_orderkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17–Q19: data-test operators (zero-row/zero-count = pass)
+# --------------------------------------------------------------------------
+
+
+def q17_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[D2] `not_null` compiled test (__models.yml:9-11)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_custkey").isNull()).agg(
+        F.count("*").alias("null_custkeys")
+    )
+
+
+def q17_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[D3] `accepted_values` compiled test (__models.yml:34-37)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(~F.col("o_orderstatus").isin("O", "F", "P")).agg(
+        F.count("*").alias("bad_status")
+    )
+
+
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[D4] `relationships` test — left anti join child->parent
+    (__models.yml:56-59)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphans"))
+    )
+
+
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[D5,D6] expression test (dbt_utils.expression_is_true,
+    __models.yml:43-47)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        ~((F.col("l_extendedprice") >= 0) & (F.col("l_quantity") > 0))
+    ).agg(F.count("*").alias("violations"))
+
+
+# --------------------------------------------------------------------------
+# Q20–Q22: similarity arithmetic, text facets, tumbling windows
+# --------------------------------------------------------------------------
+
+
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3] exact cosine similarity, explicit arithmetic (small-N oracle
+    variant; the scale path is operators.similarity)."""
+    nation = load_table(spark, sf_dir, "nation")
+    v = nation.select(
+        F.col("n_nationkey").cast("double").alias("a"),
+        F.col("n_regionkey").cast("double").alias("b"),
+        "n_name",
+    )
+    x = v.alias("x")
+    y = v.alias("y")
+    dot = F.col("x.a") * F.col("y.a") + F.col("x.b") * F.col("y.b")
+    nx = F.sqrt(F.col("x.a") * F.col("x.a") + F.col("x.b") * F.col("x.b"))
+    ny = F.sqrt(F.col("y.a") * F.col("y.a") + F.col("y.b") * F.col("y.b"))
+    return (
+        x.join(y, F.col("x.n_name") < F.col("y.n_name"))
+        .select(
+            F.col("x.n_name").alias("n1"),
+            F.col("y.n_name").alias("n2"),
+            F.round(dot / (nx * ny + F.lit(1e-9)), 2).alias("cos_sim"),
+        )
+        .orderBy(_asc("n1"), _asc("n2"))
+    )
+
+
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] text facet analysis over documents."""
+    documents = load_table(spark, sf_dir, "documents")
+    return (
+        documents.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy(_asc("lang"), _asc("source"))
+    )
+
+
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N7] tumbling-window aggregation, batch equivalent of
+    ``window(ts, '1 day')`` (streaming form in streaming/events.py)."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    return (
+        events.groupBy(day, "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy(_asc("day"), _asc("event_type"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q-G4 / Q-L1: metadata-plane semantics expressed relationally
+# --------------------------------------------------------------------------
+
+
+def q_g4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[G4,G5] graph boundary classification.
+
+    Mirrors /root/reference/dbt_meshify/utilities/grouper.py:30-55 and its
+    golden test tests/unit/test_resource_grouper_classification.py:28-37:
+    interface = edge_boundary(selected) ∪ leaf nodes => 'protected'.
+    """
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("b", "d"), ("d", "e")], "src string, dst string"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "id string")
+    boundary = (
+        edges.join(F.broadcast(nodes), edges.src == nodes.id, "left_semi")
+        .join(F.broadcast(nodes), F.col("dst") == nodes.id, "left_anti")
+        .select(F.col("src").alias("id"))
+        .distinct()
+    )
+    leaves = nodes.join(edges, nodes.id == edges.src, "left_anti").select("id")
+    interface = boundary.union(leaves).distinct().withColumn("is_if", F.lit(True))
+    return (
+        nodes.join(interface, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("is_if"), F.lit("protected"))
+            .otherwise(F.lit("private"))
+            .alias("access"),
+        )
+        .orderBy(_asc("id"))
+    )
+
+
+def q_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[L1] source-hack dependency detection as case-insensitive
+    relation-name intersection (linker.py:53-122; integration test
+    tests/integration/test_dependency_detection.py:54-84)."""
+    my_models = spark.createDataFrame(
+        [
+            ("db.main.shared_model", "model.src_proj_a.shared_model"),
+            ("db.main.new_model", "model.src_proj_a.new_model"),
+        ],
+        "relation_name string, unique_id string",
+    )
+    their_sources = spark.createDataFrame(
+        [("db.main.SHARED_MODEL", "source.src_proj_b.src_proj_a.shared_model")],
+        "relation_name string, unique_id string",
+    )
+    m = my_models.alias("m")
+    s = their_sources.alias("s")
+    return (
+        m.join(s, F.lower(F.col("m.relation_name")) == F.lower(F.col("s.relation_name")))
+        .select(
+            F.col("m.unique_id").alias("upstream_resource"),
+            F.col("s.unique_id").alias("downstream_resource"),
+        )
+        .orderBy(_asc("upstream_resource"))
+    )
+
+
+QUERIES = {
+    "q01_projection_cast": q01,
+    "q02_case_boolean": q02,
+    "q03_filters": q03,
+    "q04_join_agg": q04,
+    "q05_conditional_agg": q05,
+    "q06_multiway_join": q06,
+    "q07_distinct_unique": q07,
+    "q08_union_literal": q08,
+    "q09_topk": q09,
+    "q10_lag_lead": q10,
+    "q11_dedup_rank": q11,
+    "q12_sessionize": q12,
+    "q13_rollup": q13,
+    "q14_date_spine": q14,
+    "q15_time_grain": q15,
+    "q16_incremental_watermark": q16,
+    "q17_not_null": q17_not_null,
+    "q17_accepted_values": q17_accepted_values,
+    "q18_relationships": q18,
+    "q19_expression_test": q19,
+    "q20_cosine_exact": q20,
+    "q21_text_facets": q21,
+    "q22_tumbling_window": q22,
+    "q_g4_boundary_access": q_g4,
+    "q_l1_dependency_detection": q_l1,
+}
+
+
+ORACLES = {
+    "q01_projection_cast": """
+SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+       CAST(o_totalprice / 100.0 AS DOUBLE) AS order_total_dollars,
+       CAST(o_orderdate AS DATE) AS ordered_on
+FROM orders ORDER BY order_id NULLS FIRST
+""",
+    "q02_case_boolean": """
+SELECT p_partkey,
+       CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS is_brass,
+       (p_size > 25) AS is_large
+FROM part ORDER BY p_partkey NULLS FIRST
+""",
+    "q03_filters": """
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE CAST(o_orderdate AS DATE) <= DATE '1997-06-30' AND o_orderpriority = '1-URGENT'
+ORDER BY o_orderkey NULLS FIRST
+""",
+    "q04_join_agg": """
+SELECT c.c_custkey, n.n_name, ROUND(SUM(o.o_totalprice), 2) AS total_spend
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, n.n_name
+ORDER BY c.c_custkey NULLS FIRST
+""",
+    "q05_conditional_agg": """
+SELECT l_orderkey,
+       COUNT(*) AS count_items,
+       ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END), 2) AS returned_value,
+       ROUND(MIN(l_discount), 2) AS min_disc,
+       ROUND(MAX(l_discount), 2) AS max_disc,
+       (COUNT(*) > 3) AS is_big_order
+FROM lineitem GROUP BY l_orderkey
+ORDER BY l_orderkey NULLS FIRST
+""",
+    "q06_multiway_join": """
+WITH item_summary AS (
+  SELECT l_orderkey, COUNT(*) AS count_items, ROUND(SUM(l_extendedprice), 2) AS subtotal
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, o.o_orderstatus, i.count_items, i.subtotal, c.c_mktsegment
+FROM orders o
+LEFT JOIN item_summary i ON o.o_orderkey = i.l_orderkey
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey NULLS FIRST
+""",
+    "q07_distinct_unique": """
+SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+       (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1) d) AS dup_keys
+FROM orders
+""",
+    "q08_union_literal": """
+SELECT id, colleague FROM (
+  SELECT 1 AS id, 'grace' AS colleague UNION ALL SELECT 2, 'dave' UNION ALL SELECT 2, 'dave'
+) u ORDER BY id NULLS FIRST, colleague NULLS FIRST
+""",
+    "q09_topk": """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC NULLS FIRST, o_orderkey NULLS FIRST LIMIT 10
+""",
+    "q10_lag_lead": """
+SELECT o_custkey, o_orderkey,
+       LAG(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+       LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+FROM orders ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST
+""",
+    "q11_dedup_rank": """
+SELECT event_id, user_id, event_type FROM (
+  SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events e
+) t WHERE rn = 1 ORDER BY event_id NULLS FIRST
+""",
+    "q12_sessionize": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, event_id,
+       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+FROM flagged ORDER BY user_id NULLS FIRST, event_id NULLS FIRST
+""",
+    "q13_rollup": """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status NULLS FIRST, priority NULLS FIRST
+""",
+    "q14_date_spine": """
+SELECT CAST(d.date_day AS DATE) AS date_day, COUNT(o.o_orderkey) AS orders_that_day
+FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_day FROM orders) d
+LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = d.date_day
+GROUP BY d.date_day ORDER BY date_day NULLS FIRST
+""",
+    "q15_time_grain": """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       ROUND(SUM(o_totalprice), 2) AS order_total, COUNT(*) AS order_count
+FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+ORDER BY month NULLS FIRST
+""",
+    "q16_incremental_watermark": """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+FROM orders
+WHERE o_orderdate >= (SELECT date_trunc('year', MAX(o_orderdate)) FROM orders)
+ORDER BY o_orderkey NULLS FIRST
+""",
+    "q17_not_null": """
+SELECT COUNT(*) AS null_custkeys FROM orders WHERE o_custkey IS NULL
+""",
+    "q17_accepted_values": """
+SELECT COUNT(*) AS bad_status FROM orders WHERE o_orderstatus NOT IN ('O','F','P')
+""",
+    "q18_relationships": """
+SELECT COUNT(*) AS orphans
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+""",
+    "q19_expression_test": """
+SELECT COUNT(*) AS violations
+FROM lineitem WHERE NOT (l_extendedprice >= 0 AND l_quantity > 0)
+""",
+    "q20_cosine_exact": """
+WITH v AS (
+  SELECT CAST(n_nationkey AS DOUBLE) AS a, CAST(n_regionkey AS DOUBLE) AS b, n_name FROM nation
+)
+SELECT x.n_name AS n1, y.n_name AS n2,
+       ROUND((x.a*y.a + x.b*y.b) /
+             (SQRT(x.a*x.a + x.b*x.b) * SQRT(y.a*y.a + y.b*y.b) + 1e-9), 2) AS cos_sim
+FROM v x JOIN v y ON x.n_name < y.n_name
+ORDER BY n1 NULLS FIRST, n2 NULLS FIRST
+""",
+    "q21_text_facets": """
+SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang, source
+ORDER BY lang NULLS FIRST, source NULLS FIRST
+""",
+    "q22_tumbling_window": """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
+ORDER BY day NULLS FIRST, event_type NULLS FIRST
+""",
+    "q_g4_boundary_access": """
+WITH edges(src, dst) AS (
+  SELECT 'a','b' UNION ALL SELECT 'b','c' UNION ALL SELECT 'b','d' UNION ALL SELECT 'd','e'
+),
+nodes(id) AS (SELECT 'a' UNION ALL SELECT 'b' UNION ALL SELECT 'c' UNION ALL SELECT 'd'),
+boundary AS (
+  SELECT DISTINCT e.src AS id FROM edges e
+  WHERE e.src IN (SELECT id FROM nodes) AND e.dst NOT IN (SELECT id FROM nodes)
+),
+leaves AS (
+  SELECT n.id FROM nodes n WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = n.id)
+)
+SELECT n.id,
+       CASE WHEN n.id IN (SELECT id FROM boundary) OR n.id IN (SELECT id FROM leaves)
+            THEN 'protected' ELSE 'private' END AS access
+FROM nodes n ORDER BY n.id NULLS FIRST
+""",
+    "q_l1_dependency_detection": """
+WITH my_models(relation_name, unique_id) AS (
+  SELECT 'db.main.shared_model', 'model.src_proj_a.shared_model'
+  UNION ALL SELECT 'db.main.new_model', 'model.src_proj_a.new_model'
+),
+their_sources(relation_name, unique_id) AS (
+  SELECT 'db.main.SHARED_MODEL', 'source.src_proj_b.src_proj_a.shared_model'
+)
+SELECT m.unique_id AS upstream_resource, s.unique_id AS downstream_resource
+FROM my_models m JOIN their_sources s
+  ON LOWER(m.relation_name) = LOWER(s.relation_name)
+ORDER BY upstream_resource NULLS FIRST
+""",
+}

@@ -1,0 +1,77 @@
+"""SparkSession factory + per-session preparation.
+
+Design notes (100 TB posture):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting, and
+  dynamic join-strategy demotion are the main levers that let one logical plan
+  survive a 1000x scale-up without re-tuning.
+- ``spark.sql.session.timeZone=UTC`` pinned so timestamp->date casts are
+  deterministic regardless of host TZ (the DuckDB oracle is TZ-naive).
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` because the driver testdata's
+  ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized parquet
+  reader otherwise rejects (SURVEY.md §2.7 validation note). The loader
+  converts the raw long nanoseconds to a proper timestamp JVM-side
+  (``sources.registry``), keeping the read fully distributed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf we need on every session that touches the driver testdata. Split into
+# "must be set before first use of the parquet source" (runtime-settable) vs
+# builder-time conf.
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Idempotently apply runtime conf to an externally-provided session.
+
+    The correctness driver hands us its own SparkSession; these configs are all
+    runtime-settable and required for deterministic, scale-safe behavior.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Immutable in this deployment -> trust the existing value.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "dbt-meshify-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local session sized from the environment.
+
+    On a real cluster the master/deploy conf comes from spark-submit; only the
+    SQL-level conf below travels with the app.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 32)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Dim tables (region/nation/supplier/part at test SF) broadcast freely;
+        # at 100 TB the fact side never broadcasts because the threshold is
+        # per-relation size, not per-job.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return prepare(builder.getOrCreate())
