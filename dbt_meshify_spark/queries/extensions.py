@@ -1,9 +1,339 @@
-"""Extension operator queries (SURVEY.md §2.6, north-star additions).
+"""Extension operator queries (SURVEY.md §2.6) — the LLM-data-pipeline
+surface: dedup families, similarity search, text analysis, multimodal
+plumbing.
 
-Populated incrementally; see operators/ for the underlying implementations.
+Oracle-checked where the semantics are deterministic ANSI SQL; approximate /
+hash-family operators (MinHash, SimHash, LSH ANN) get rows-only entries here
+and containment/recall assertions in tests/test_operators.py.
+
+Cross-engine parity rules used throughout (beyond SURVEY §2.7's):
+- occurrence counting via replace-and-measure, never split-and-count (Spark
+  drops trailing empty splits);
+- counts cast to BIGINT (DuckDB ``len``/``count`` are BIGINT, Spark ``size``
+  is INT);
+- float expressions written with identical operation order on both sides so
+  IEEE evaluation is bit-identical.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_meshify_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+)
+from dbt_meshify_spark.operators.multimodal import extract_features, synthesize_media
+from dbt_meshify_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from dbt_meshify_spark.operators.text import (
+    LANG_MARKERS,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from dbt_meshify_spark.sources import load_table
+
+
+def _asc(c: str):
+    return F.col(c).asc_nulls_first()
+
+
+# --------------------------------------------------------------------------
+# Deduplication (N1, N2)
+# --------------------------------------------------------------------------
+
+
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1] exact dedup on text with deterministic keep-first."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exact_dedup(docs, ["text"], order_by=["doc_id"])
+        .select("doc_id", "lang", "source")
+        .orderBy(_asc("doc_id"))
+    )
+
+
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] content fingerprint (normalized md5) per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_fingerprint(docs).select("doc_id", "fingerprint").orderBy(_asc("doc_id"))
+
+
+def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N2] exact trigram-Jaccard near-dup pairs (inverted-index join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5).orderBy(
+        _asc("id_a"), _asc("id_b")
+    )
+
+
+def ext_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N2] MinHash+LSH candidate near-dup pairs (rows-only check; recall
+    asserted against exact Jaccard in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs, min_jaccard_est=0.5).orderBy(
+        _asc("id_a"), _asc("id_b")
+    )
+
+
+def ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N2] SimHash near-dup pairs within hamming<=3 (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs, max_hamming=3).orderBy(
+        _asc("id_a"), _asc("id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search (N3)
+# --------------------------------------------------------------------------
+
+
+def ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3] exact brute-force cosine top-3 for query vectors vec_id<5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return (
+        cosine_topk(q, emb, k=3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy(_asc("query_id"), _asc("rank"))
+    )
+
+
+def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3] LSH-bucketed approximate top-3 (scale path; rows-only check,
+    recall vs brute force asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return (
+        lsh_bucketed_topk(q, emb, k=3, num_planes=16, bands=8)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy(_asc("query_id"), _asc("rank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (N4)
+# --------------------------------------------------------------------------
+
+
+def ext_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        token_stats(docs)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_alpha_tokens").cast("bigint").alias("n_alpha_tokens"),
+            F.col("n_chars_obs").cast("bigint").alias("n_chars_obs"),
+        )
+        .orderBy(_asc("doc_id"))
+    )
+
+
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred").orderBy(_asc("doc_id"))
+
+
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        quality_score(docs)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("punct_chars").cast("bigint").alias("punct_chars"),
+            F.col("stopword_hits").cast("bigint").alias("stopword_hits"),
+            "quality",
+        )
+        .orderBy(_asc("doc_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (N5) — rows-only (payload digests have no SQL oracle)
+# --------------------------------------------------------------------------
+
+
+def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N5] binary payload column + Arrow-batched feature extraction.
+
+    Media synthesized deterministically from documents (no codecs in this
+    container); the mapInPandas plumbing is the real scale path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    return (
+        extract_features(media)
+        .select("media_id", "n_bytes", "payload_digest")
+        .orderBy(_asc("media_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect on its side is allowed — the driver runs these
+# through DuckDB only)
+# --------------------------------------------------------------------------
+
+
+def _occ_sql(word: str) -> str:
+    """Replace-and-measure occurrence count of a padded marker word."""
+    needle = f" {word} "
+    return (
+        f"CAST((length(' ' || lower(text) || ' ') - "
+        f"length(replace(' ' || lower(text) || ' ', '{needle}', ''))) / {len(needle)} AS INT)"
+    )
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = {
+        lang: " + ".join(_occ_sql(w) for w in LANG_MARKERS[lang]) for lang in langs
+    }
+    selects = ",\n       ".join(f"({e}) AS s_{lang}" for lang, e in score_exprs.items())
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = "\n            ".join(
+        f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs[:-1]
+    )
+    return f"""
+WITH occ AS (
+  SELECT doc_id,
+       {selects}
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN {greatest} <= 0 THEN 'und'
+            {cases}
+            ELSE '{langs[-1]}' END AS lang_pred
+FROM occ ORDER BY doc_id NULLS FIRST
+"""
+
+
+def _quality_sql() -> str:
+    stop = " + ".join(_occ_sql(w) for w in ("the", "a", "and", "of"))
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct_chars,
+         CAST({stop} AS BIGINT) AS stopword_hits
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_tokens, punct_chars, stopword_hits,
+         LEAST(n_chars / 500.0, 1.0) AS len_score,
+         1.0 - LEAST(punct_chars / GREATEST(n_chars, 1) * 10.0, 1.0) AS punct_score,
+         LEAST(stopword_hits / GREATEST(n_tokens, 1) * 5.0, 1.0) AS stop_score,
+         CASE WHEN (n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1) >= 3
+               AND (n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1) <= 10
+              THEN 1.0 ELSE 0.5 END AS tok_score
+  FROM feat
+)
+SELECT doc_id, n_tokens, punct_chars, stopword_hits,
+       ROUND((len_score + punct_score + stop_score + tok_score) / 4.0, 4) AS quality
+FROM scored ORDER BY doc_id NULLS FIRST
+"""
+
+
+_TRIGRAMS_CTE = r"""
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS gram
+  FROM toks
+)
+"""
+
+
+QUERIES = {
+    "ext_dedup_exact": ext_dedup_exact,
+    "ext_fingerprint": ext_fingerprint,
+    "ext_ngram_jaccard": ext_ngram_jaccard,
+    "ext_minhash_neardup": ext_minhash_neardup,
+    "ext_simhash_neardup": ext_simhash_neardup,
+    "ext_cosine_topk": ext_cosine_topk,
+    "ext_ann_lsh_topk": ext_ann_lsh_topk,
+    "ext_token_stats": ext_token_stats,
+    "ext_lang_id": ext_lang_id,
+    "ext_quality_score": ext_quality_score,
+    "ext_multimodal_features": ext_multimodal_features,
+}
+
+
+ORACLES = {
+    "ext_dedup_exact": """
+SELECT doc_id, lang, source FROM (
+  SELECT d.*, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents d
+) t WHERE rn = 1 ORDER BY doc_id NULLS FIRST
+""",
+    "ext_fingerprint": r"""
+SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents ORDER BY doc_id NULLS FIRST
+""",
+    "ext_ngram_jaccard": f"""
+WITH {_TRIGRAMS_CTE},
+counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(inter / (ca.n_grams + cb.n_grams - inter), 4) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE inter / (ca.n_grams + cb.n_grams - inter) >= 0.5
+ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+""",
+    "ext_cosine_topk": """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, c.e) /
+         (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)) + 1e-12) AS cs
+  FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= 3
+ORDER BY query_id NULLS FIRST, rank NULLS FIRST
+""",
+    "ext_token_stats": r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                t -> regexp_full_match(t, '[A-Za-z]+'))) AS BIGINT) AS n_alpha_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_obs
+FROM documents ORDER BY doc_id NULLS FIRST
+""",
+    "ext_lang_id": _lang_id_sql(),
+    "ext_quality_score": _quality_sql(),
+}

@@ -177,8 +177,9 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared_model.sql:1-13 is a literal UNION ALL in the reference corpus;
     X1 literal relations at models/marts/leaf_node.sql:1.
     """
-    rows = spark.createDataFrame(
-        [(1, "grace"), (2, "dave"), (2, "dave")], "id int, colleague string"
+    rows = spark.sql(
+        "SELECT id, colleague FROM VALUES (1, 'grace'), (2, 'dave'), (2, 'dave')"
+        " AS t(id, colleague)"
     )
     return rows.orderBy(_asc("id"), _asc("colleague"))
 
@@ -433,10 +434,11 @@ def q_g4(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden test tests/unit/test_resource_grouper_classification.py:28-37:
     interface = edge_boundary(selected) ∪ leaf nodes => 'protected'.
     """
-    edges = spark.createDataFrame(
-        [("a", "b"), ("b", "c"), ("b", "d"), ("d", "e")], "src string, dst string"
+    edges = spark.sql(
+        "SELECT src, dst FROM VALUES ('a','b'),('b','c'),('b','d'),('d','e')"
+        " AS t(src, dst)"
     )
-    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "id string")
+    nodes = spark.sql("SELECT id FROM VALUES ('a'),('b'),('c'),('d') AS t(id)")
     boundary = (
         edges.join(F.broadcast(nodes), edges.src == nodes.id, "left_semi")
         .join(F.broadcast(nodes), F.col("dst") == nodes.id, "left_anti")
@@ -461,16 +463,16 @@ def q_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[L1] source-hack dependency detection as case-insensitive
     relation-name intersection (linker.py:53-122; integration test
     tests/integration/test_dependency_detection.py:54-84)."""
-    my_models = spark.createDataFrame(
-        [
-            ("db.main.shared_model", "model.src_proj_a.shared_model"),
-            ("db.main.new_model", "model.src_proj_a.new_model"),
-        ],
-        "relation_name string, unique_id string",
+    my_models = spark.sql(
+        "SELECT relation_name, unique_id FROM VALUES"
+        " ('db.main.shared_model', 'model.src_proj_a.shared_model'),"
+        " ('db.main.new_model', 'model.src_proj_a.new_model')"
+        " AS t(relation_name, unique_id)"
     )
-    their_sources = spark.createDataFrame(
-        [("db.main.SHARED_MODEL", "source.src_proj_b.src_proj_a.shared_model")],
-        "relation_name string, unique_id string",
+    their_sources = spark.sql(
+        "SELECT relation_name, unique_id FROM VALUES"
+        " ('db.main.SHARED_MODEL', 'source.src_proj_b.src_proj_a.shared_model')"
+        " AS t(relation_name, unique_id)"
     )
     m = my_models.alias("m")
     s = their_sources.alias("s")

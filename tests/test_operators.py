@@ -1,0 +1,136 @@
+"""Operator-level tests for the approximate/extension operators that have no
+SQL oracle: containment and recall assertions (SURVEY.md §2.6 N2/N3/N5)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """Documents plus planted exact and near duplicates."""
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    exact = docs.filter(F.col("doc_id") < 3).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    near = (
+        docs.filter((F.col("doc_id") >= 3) & (F.col("doc_id") < 6))
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail tweak")))
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup_removes_planted_dups(spark, docs_with_dups):
+    from dbt_meshify_spark.operators import exact_dedup
+
+    total = docs_with_dups.count()
+    deduped = exact_dedup(docs_with_dups, ["text"], order_by=["doc_id"])
+    assert deduped.count() == total - 3  # the 3 exact copies fold away
+    # keep-first: surviving ids for duplicated texts are the originals
+    kept = {r.doc_id for r in deduped.filter(F.col("doc_id") < 100).collect()}
+    assert {0, 1, 2} <= kept
+
+
+def test_minhash_finds_planted_near_dups(spark, docs_with_dups):
+    from dbt_meshify_spark.operators import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(
+        docs_with_dups, min_jaccard_est=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # exact copies estimate at jaccard ~1.0; near copies well above 0.5
+    for orig, copy in [(0, 1_000_000), (1, 1_000_001), (2, 1_000_002),
+                       (3, 2_000_003), (4, 2_000_004), (5, 2_000_005)]:
+        assert (orig, copy) in found, f"missing planted pair {(orig, copy)}"
+    ests = {(r.id_a, r.id_b): r.jaccard_est for r in pairs}
+    assert ests[(0, 1_000_000)] == 1.0
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    """On the real corpus, MinHash candidates must contain every pair whose
+    exact trigram jaccard >= 0.8 (estimator error margin over the 0.5 cut)."""
+    from dbt_meshify_spark.operators import minhash_candidate_pairs, ngram_jaccard_pairs
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, n=3, min_jaccard=0.8).collect()
+    }
+    assert exact, "corpus should contain planted near-dups"
+    est = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(docs, min_jaccard_est=0.5).collect()
+    }
+    missing = exact - est
+    assert not missing, f"minhash missed high-jaccard pairs: {missing}"
+
+
+def test_simhash_zero_distance_for_exact_dups(spark, docs_with_dups):
+    from dbt_meshify_spark.operators import simhash_candidate_pairs
+
+    pairs = simhash_candidate_pairs(docs_with_dups, max_hamming=3)
+    zero = {
+        (r.id_a, r.id_b) for r in pairs.filter(F.col("hamming") == 0).collect()
+    }
+    for orig, copy in [(0, 1_000_000), (1, 1_000_001), (2, 1_000_002)]:
+        assert (orig, copy) in zero
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    from dbt_meshify_spark.operators import cosine_topk, lsh_bucketed_topk
+    from dbt_meshify_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(q, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_bucketed_topk(q, emb, k=5, num_planes=16, bands=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random 64-dim gaussian vectors are the hardest case for sign-LSH;
+    # 8 bands of 2 bits must still recover a solid fraction of true top-5
+    assert recall >= 0.4, f"ANN recall too low: {recall}"
+
+
+def test_multimodal_feature_extraction(spark):
+    from dbt_meshify_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    media = synthesize_media(docs, "doc_id", "text")
+    feats = extract_features(media, feature_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 20
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for r in rows:
+        payload = src[r.media_id].encode()
+        assert r.n_bytes == len(payload)
+        assert r.payload_digest == hashlib.md5(payload).hexdigest()
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-5  # normalized histogram
+
+
+def test_date_spine_bounds(spark):
+    from dbt_meshify_spark.operators import date_spine
+
+    spine = date_spine(spark, "2024-01-01", "2024-03-01")
+    rows = spine.collect()
+    assert len(rows) == 60  # jan 31 + feb 29 (2024 leap), end-exclusive
+    vals = sorted(str(r.date_day) for r in rows)
+    assert vals[0] == "2024-01-01" and vals[-1] == "2024-02-29"
