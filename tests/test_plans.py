@@ -1,0 +1,570 @@
+"""Governance-plane tests (SURVEY.md §2.1–§2.2).
+
+Golden expectations mirror the reference's unit tests:
+- grouper classification: tests/unit/test_resource_grouper_classification.py:9-41
+- ref rewrites: tests/unit/test_update_ref_functions.py
+- dependency detection: tests/integration/test_dependency_detection.py:54-114
+- YAML editing: tests/unit/test_resource_file_editor.py + sql_and_yml_fixtures.py
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from dbt_meshify_spark.plans import (
+    Change,
+    ChangeSet,
+    ChangeSetProcessor,
+    EntityType,
+    Manifest,
+    Operation,
+    Resource,
+)
+from dbt_meshify_spark.plans import graph as G
+from dbt_meshify_spark.plans import linker as L
+from dbt_meshify_spark.plans import references as R
+from dbt_meshify_spark.plans import versions as V
+from dbt_meshify_spark.plans.changes import (
+    ResourceFileEditor,
+    named_list_to_dict,
+    read_yaml,
+    safe_update,
+)
+from dbt_meshify_spark.plans.contracts import (
+    ContractViolation,
+    enforce_contract,
+    normalize_type,
+)
+from dbt_meshify_spark.plans.grouper import GroupingError, create_group
+from dbt_meshify_spark.plans.jinja_blocks import find_block_span, find_doc_references
+
+
+def _mk(uid: str, deps: list[str] | None = None, **kw) -> Resource:
+    return Resource(
+        unique_id=uid, name=uid.split(".")[-1], depends_on=deps or [], **kw
+    )
+
+
+@pytest.fixture()
+def chain_manifest() -> Manifest:
+    """a -> b -> {c, d}; d -> e (the reference classification fixture,
+    test_resource_grouper_classification.py:9-27)."""
+    return Manifest(
+        [
+            _mk("model.proj.a"),
+            _mk("model.proj.b", ["model.proj.a"]),
+            _mk("model.proj.c", ["model.proj.b"]),
+            _mk("model.proj.d", ["model.proj.b"]),
+            _mk("model.proj.e", ["model.proj.d"]),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Manifest basics
+# ---------------------------------------------------------------------------
+
+
+def test_unique_id_parsing():
+    r = Resource(unique_id="model.jaffle.orders", name="orders")
+    assert r.resource_type == "model"
+    assert r.package == "jaffle"
+
+
+def test_adjacency_maps(chain_manifest):
+    assert chain_manifest.parent_map()["model.proj.b"] == ["model.proj.a"]
+    assert chain_manifest.child_map()["model.proj.b"] == [
+        "model.proj.c",
+        "model.proj.d",
+    ]
+    assert ("model.proj.a", "model.proj.b") in chain_manifest.edges()
+
+
+# ---------------------------------------------------------------------------
+# G1 selection grammar
+# ---------------------------------------------------------------------------
+
+
+def test_select_bare_name(chain_manifest):
+    assert G.select_resources(chain_manifest, "b") == {"model.proj.b"}
+
+
+def test_select_ancestors_descendants(chain_manifest):
+    assert G.select_resources(chain_manifest, "+b") == {
+        "model.proj.a",
+        "model.proj.b",
+    }
+    assert G.select_resources(chain_manifest, "b+") == {
+        "model.proj.b",
+        "model.proj.c",
+        "model.proj.d",
+        "model.proj.e",
+    }
+    assert G.select_resources(chain_manifest, "+b+") == {
+        "model.proj.a",
+        "model.proj.b",
+        "model.proj.c",
+        "model.proj.d",
+        "model.proj.e",
+    }
+
+
+def test_select_depth_bounded(chain_manifest):
+    assert G.select_resources(chain_manifest, "b+") != G.select_resources(
+        chain_manifest, "b"
+    )
+    assert G.select_resources(chain_manifest, "1+e") == {
+        "model.proj.d",
+        "model.proj.e",
+    }
+
+
+def test_select_union_exclude_intersection(chain_manifest):
+    assert G.select_resources(chain_manifest, ["a", "c"]) == {
+        "model.proj.a",
+        "model.proj.c",
+    }
+    assert G.select_resources(chain_manifest, "b+", exclude="e") == {
+        "model.proj.b",
+        "model.proj.c",
+        "model.proj.d",
+    }
+    # intersection: descendants-of-b AND ancestors-of-e
+    assert G.select_resources(chain_manifest, "b+,+e") == {
+        "model.proj.b",
+        "model.proj.d",
+        "model.proj.e",
+    }
+
+
+def test_select_methods():
+    m = Manifest(
+        [
+            _mk("model.proj.x", tags=["nightly"], path="models/staging/x.sql"),
+            _mk("model.proj.y", config={"materialized": "table"}),
+            _mk("source.proj.raw.t"),
+        ]
+    )
+    assert G.select_resources(m, "tag:nightly") == {"model.proj.x"}
+    assert G.select_resources(m, "path:models/staging") == {"model.proj.x"}
+    assert G.select_resources(m, "config.materialized:table") == {"model.proj.y"}
+    assert G.select_resources(m, "resource_type:source") == {"source.proj.raw.t"}
+
+
+# ---------------------------------------------------------------------------
+# G4–G8 boundary, access, cycles (reference golden:
+# test_resource_grouper_classification.py:28-41)
+# ---------------------------------------------------------------------------
+
+
+def test_classification_golden(chain_manifest):
+    selected = {"model.proj.a", "model.proj.b", "model.proj.c", "model.proj.d"}
+    access = G.classify_access(chain_manifest, selected)
+    # b feeds nothing outside? c is in set (leaf), d feeds e outside -> protected;
+    # c is a leaf -> protected; a interior -> private; b interior -> private.
+    assert access == {
+        "model.proj.a": "private",
+        "model.proj.b": "private",
+        "model.proj.c": "protected",
+        "model.proj.d": "protected",
+    }
+
+
+def test_test_nodes_excluded(chain_manifest):
+    chain_manifest.add(_mk("test.proj.t_on_c", ["model.proj.c"]))
+    selected = {"model.proj.a", "model.proj.b", "model.proj.c", "model.proj.d"}
+    access = G.classify_access(chain_manifest, selected | {"test.proj.t_on_c"})
+    assert "test.proj.t_on_c" not in access
+    assert access["model.proj.c"] == "protected"
+
+
+def test_project_cycle(chain_manifest):
+    # {b} has parent a outside and children c,d outside => cycle
+    assert G.is_project_cycle(chain_manifest, {"model.proj.b"})
+    # {a, b} has no outside parents => no cycle
+    assert not G.is_project_cycle(chain_manifest, {"model.proj.a", "model.proj.b"})
+
+
+def test_closures():
+    m = Manifest(
+        [
+            _mk("macro.proj.cents", []),
+            _mk("macro.proj.helper", []),
+            _mk("doc.proj.orders_doc"),
+            _mk("group.proj.finance"),
+            _mk(
+                "model.proj.orders",
+                ["macro.proj.cents"],
+                raw_code="select {{ doc('orders_doc') }}",
+                group="finance",
+            ),
+        ]
+    )
+    m.get("macro.proj.cents").depends_on = ["macro.proj.helper"]
+    sel = {"model.proj.orders"}
+    macros = G.macro_closure(m, sel, "proj")
+    assert macros == {"macro.proj.cents", "macro.proj.helper"}
+    assert G.docs_closure(m, sel) == {"doc.proj.orders_doc"}
+    assert G.group_closure(m, sel) == {"group.proj.finance"}
+
+
+# ---------------------------------------------------------------------------
+# C1–C4: ChangeSet + YAML editing
+# ---------------------------------------------------------------------------
+
+
+def test_safe_update_none_deletes():
+    doc = {"a": 1, "b": {"c": 2, "d": 3}}
+    safe_update(doc, {"b": {"c": None, "e": 4}, "f": 5})
+    assert doc == {"a": 1, "b": {"d": 3, "e": 4}, "f": 5}
+
+
+def test_named_list_round_trip():
+    items = [
+        {"name": "m1", "columns": [{"name": "id", "tests": ["unique"]}]},
+        {"name": "m2"},
+    ]
+    d = named_list_to_dict(items)
+    assert d["m1"]["columns"]["id"]["tests"] == ["unique"]
+
+
+def test_resource_editor_contract_merge(tmp_path: Path):
+    """Mirrors the reference contract golden (sql_and_yml_fixtures.py:71-195):
+    merging a contract patch preserves other entries + existing keys."""
+    p = tmp_path / "_models.yml"
+    p.write_text(
+        "version: 2\nmodels:\n  - name: shared_model\n    description: a model\n"
+        "  - name: other\n"
+    )
+    editor = ResourceFileEditor(EntityType.Model)
+    editor.update(
+        p,
+        "shared_model",
+        {
+            "config": {"contract": {"enforced": True}},
+            "columns": [{"name": "id", "data_type": "integer"}],
+        },
+    )
+    doc = read_yaml(p)
+    entries = {e["name"]: e for e in doc["models"]}
+    assert entries["shared_model"]["config"]["contract"]["enforced"] is True
+    assert entries["shared_model"]["columns"] == [
+        {"name": "id", "data_type": "integer"}
+    ]
+    assert entries["shared_model"]["description"] == "a model"
+    assert "other" in entries
+    # canonical ordering: name first, description before config
+    keys = list(entries["shared_model"].keys())
+    assert keys.index("name") == 0
+    assert keys.index("description") < keys.index("config")
+
+
+def test_resource_editor_source_table_nesting(tmp_path: Path):
+    p = tmp_path / "_sources.yml"
+    p.write_text(
+        "version: 2\nsources:\n  - name: raw\n    tables:\n      - name: orders\n"
+        "      - name: items\n"
+    )
+    editor = ResourceFileEditor(EntityType.Source)
+    editor.remove(p, "raw.orders")
+    doc = read_yaml(p)
+    assert doc["sources"][0]["tables"] == [{"name": "items"}]
+    editor.remove(p, "raw.items")
+    assert not p.exists()  # delete-file-when-empty (file_content_editors.py:226-231)
+
+
+def test_changeset_processor_dry_run(tmp_path: Path):
+    logs: list[str] = []
+    cs = ChangeSet()
+    target = tmp_path / "new.sql"
+    cs.add(
+        Change(
+            operation=Operation.Add,
+            entity_type=EntityType.Code,
+            identifier="new",
+            path=target,
+            data="select 1",
+        )
+    )
+    ChangeSetProcessor(dry_run=True, log=logs.append).process([cs])
+    assert not target.exists() and len(logs) == 1
+    ChangeSetProcessor(log=logs.append).process([cs])
+    assert target.read_text() == "select 1"
+
+
+def test_changeset_move_and_latest_for(tmp_path: Path):
+    src = tmp_path / "m.sql"
+    src.write_text("select * from {{ ref('upstream') }}")
+    cs = ChangeSet()
+    cs.add(
+        Change(
+            operation=Operation.Update,
+            entity_type=EntityType.Code,
+            identifier="m",
+            path=src,
+            data="select * from {{ ref('other', 'upstream') }}",
+        )
+    )
+    # stacking starts from the pending edit, not disk
+    assert "other" in R.stack_code_change(cs, src, src.read_text())
+    moved = tmp_path / "sub" / "m.sql"
+    cs.add(
+        Change(
+            operation=Operation.Move,
+            entity_type=EntityType.Code,
+            identifier="m",
+            path=moved,
+            source=src,
+        )
+    )
+    # apply only the move (second change) to check file ops work
+    ChangeSetProcessor(log=lambda _s: None).process([cs])
+    assert moved.exists() and not src.exists()
+
+
+# ---------------------------------------------------------------------------
+# R1–R4 rewrites (reference tests/unit/test_update_ref_functions.py)
+# ---------------------------------------------------------------------------
+
+
+def test_rewrite_ref_sql_basic_and_versioned():
+    code = "select * from {{ ref('orders') }} join {{ ref('orders', v=2) }}"
+    out = R.rewrite_ref_sql(code, "orders", "core")
+    assert out == (
+        "select * from {{ ref('core', 'orders') }} "
+        "join {{ ref('core', 'orders', v=2) }}"
+    )
+
+
+def test_rewrite_ref_leaves_other_models():
+    code = "select * from {{ ref('customers') }}"
+    assert R.rewrite_ref_sql(code, "orders", "core") == code
+
+
+def test_rewrite_ref_python():
+    code = "df = dbt.ref('orders')"
+    assert R.rewrite_ref_python(code, "orders", "core") == (
+        'df = dbt.ref("core", "orders")'
+    )
+
+
+def test_rewrite_source_to_ref():
+    code = "select * from {{ source('raw', 'orders') }}"
+    assert R.rewrite_source_to_ref_sql(code, "raw", "orders", "core", "orders") == (
+        "select * from {{ ref('core', 'orders') }}"
+    )
+    py = "df = dbt.source('raw', 'orders')"
+    assert R.rewrite_source_to_ref_python(py, "raw", "orders", "core", "orders") == (
+        'df = dbt.ref("core", "orders")'
+    )
+
+
+def test_rewrite_yaml_refs():
+    doc = {
+        "exposures": [
+            {"name": "dash", "depends_on": ["ref('orders')", "{{ ref('orders') }}"]}
+        ]
+    }
+    out = R.rewrite_yaml_refs(doc, "orders", "core")
+    assert out["exposures"][0]["depends_on"][1] == "{{ ref('core', 'orders') }}"
+
+
+# ---------------------------------------------------------------------------
+# V5–V7 versions (reference versioner.py:79-212 behaviors)
+# ---------------------------------------------------------------------------
+
+
+def test_add_version(tmp_path: Path):
+    m = _mk("model.proj.orders", path="models/orders.sql")
+    cs = V.add_version(m, tmp_path / "_models.yml", tmp_path)
+    patch, move = cs.changes
+    assert patch.data == {"latest_version": 1, "versions": [{"v": 1}]}
+    assert move.operation == Operation.Move
+    assert move.path.name == "orders_v1.sql"
+
+
+def test_bump_version_behaviors(tmp_path: Path):
+    m = _mk("model.proj.orders", path="models/orders_v2.sql")
+    m.version, m.latest_version = 2, 2
+    inc = V.bump_version(m, tmp_path / "y.yml", tmp_path, V.BumpBehavior.Increment)
+    assert inc.changes[0].data["latest_version"] == 3
+    assert inc.changes[0].data["versions"] == [{"v": 2}, {"v": 3}]
+    assert inc.changes[1].operation == Operation.Copy
+    assert inc.changes[1].path.name == "orders_v3.sql"
+    pre = V.bump_version(m, tmp_path / "y.yml", tmp_path, V.BumpBehavior.Prerelease)
+    assert pre.changes[0].data["latest_version"] == 2
+
+
+def test_versioned_ref_resolution():
+    assert V.resolve_versioned_relation("orders", 2, 3) == "orders_v2"
+    assert V.resolve_versioned_relation("orders", None, 3) == "orders_v3"
+    assert V.resolve_versioned_relation("orders", None, None) == "orders"
+
+
+# ---------------------------------------------------------------------------
+# Grouper V2–V3
+# ---------------------------------------------------------------------------
+
+
+def test_create_group(tmp_path: Path, chain_manifest):
+    selected = {"model.proj.a", "model.proj.b", "model.proj.c", "model.proj.d"}
+    cs = create_group(
+        chain_manifest,
+        "finance",
+        {"name": "data team"},
+        selected,
+        tmp_path / "_groups.yml",
+        patch_path_for=lambda r: tmp_path / "_models.yml",
+    )
+    ops = [(c.entity_type, c.identifier, (c.data or {}).get("access")) for c in cs]
+    assert (EntityType.Group, "finance", None) == ops[0][:3]
+    accesses = {ident: acc for et, ident, acc in ops[1:]}
+    assert accesses == {"a": "private", "b": "private", "c": "protected", "d": "protected"}
+
+
+def test_create_group_rejects_foreign_members(tmp_path: Path, chain_manifest):
+    chain_manifest.get("model.proj.a").group = "other_team"
+    with pytest.raises(GroupingError):
+        create_group(
+            chain_manifest,
+            "finance",
+            {},
+            {"model.proj.a"},
+            tmp_path / "g.yml",
+            patch_path_for=lambda r: tmp_path / "m.yml",
+        )
+
+
+# ---------------------------------------------------------------------------
+# L1–L3 linker (reference test_dependency_detection.py:54-114)
+# ---------------------------------------------------------------------------
+
+
+def _source_hack_pair() -> tuple[Manifest, Manifest]:
+    a = Manifest(
+        [
+            _mk("model.src_proj_a.shared_model", relation_name="db.main.shared_model"),
+            _mk("model.src_proj_a.new_model", relation_name="db.main.new_model"),
+        ]
+    )
+    b = Manifest(
+        [
+            Resource(
+                unique_id="source.src_proj_b.src_proj_a.shared_model",
+                name="shared_model",
+                resource_type="source",
+                relation_name="db.main.SHARED_MODEL",  # case-insensitive match
+                patch_path="models/_sources.yml",
+            ),
+            _mk(
+                "model.src_proj_b.downstream_model",
+                ["source.src_proj_b.src_proj_a.shared_model"],
+                raw_code="select * from {{ source('src_proj_a', 'shared_model') }}",
+                path="models/downstream_model.sql",
+            ),
+        ]
+    )
+    return a, b
+
+
+def test_source_dependency_detection():
+    a, b = _source_hack_pair()
+    deps = L.dependencies(a, "src_proj_a", b, "src_proj_b")
+    assert deps == {
+        L.ProjectDependency(
+            upstream_resource="model.src_proj_a.shared_model",
+            upstream_project_name="src_proj_a",
+            downstream_resource="source.src_proj_b.src_proj_a.shared_model",
+            downstream_project_name="src_proj_b",
+            type=L.DependencyType.Source,
+        )
+    }
+    # symmetric call order finds the same dependency
+    assert L.dependencies(b, "src_proj_b", a, "src_proj_a") == deps
+
+
+def test_resolve_source_dependency(tmp_path: Path):
+    a, b = _source_hack_pair()
+    (dep,) = L.dependencies(a, "src_proj_a", b, "src_proj_b")
+    cs = L.resolve_dependency(
+        dep, a, b, tmp_path, upstream_patch_path=tmp_path / "up.yml"
+    )
+    kinds = [(c.operation, c.entity_type) for c in cs]
+    # access patch, child code rewrite, source yml removal, dependencies.yml
+    assert (Operation.Update, EntityType.Model) in kinds
+    assert (Operation.Remove, EntityType.Source) in kinds
+    assert (Operation.Append, EntityType.Project) in kinds
+    code_change = next(c for c in cs if c.entity_type == EntityType.Code)
+    assert "{{ ref('src_proj_a', 'shared_model') }}" in code_change.data
+
+
+# ---------------------------------------------------------------------------
+# C5 jinja blocks
+# ---------------------------------------------------------------------------
+
+
+def test_find_block_span():
+    text = "-- header\n{% docs orders_doc %}\nThe orders table.\n{% enddocs %}\n"
+    span = find_block_span(text, "docs", "orders_doc")
+    assert span is not None
+    s, e = span
+    assert text[s:e].startswith("{% docs") and text[s:e].endswith("{% enddocs %}")
+
+
+def test_find_macro_block_with_args():
+    text = "{% macro cents_to_dollars(col, precision=2) %}x{% endmacro %}"
+    assert find_block_span(text, "macro", "cents_to_dollars") == (0, len(text))
+
+
+def test_find_doc_references():
+    assert find_doc_references("a {{ doc('x') }} b {{doc(\"y.z\")}}") == {"x", "y.z"}
+
+
+# ---------------------------------------------------------------------------
+# V1 contracts (spark-backed)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_type():
+    assert normalize_type("INTEGER") == "int"
+    assert normalize_type("character varying") == "varchar"
+    assert normalize_type("NUMERIC(16,2)") == "decimal(16,2)"
+
+
+def test_enforce_contract(spark):
+    df = spark.range(3).selectExpr("id as order_id", "cast(id as double) as total")
+    enforce_contract(
+        "m", df, [{"name": "order_id", "data_type": "bigint"}, {"name": "total", "data_type": "double"}]
+    )
+    with pytest.raises(ContractViolation):
+        enforce_contract("m", df, [{"name": "order_id", "data_type": "bigint"}])
+    with pytest.raises(ContractViolation):
+        enforce_contract(
+            "m",
+            df,
+            [
+                {"name": "order_id", "data_type": "varchar"},
+                {"name": "total", "data_type": "double"},
+            ],
+        )
+
+
+# ---------------------------------------------------------------------------
+# Scale path: DataFrame reachability
+# ---------------------------------------------------------------------------
+
+
+def test_reachable_frame(spark, chain_manifest):
+    nodes, edges = chain_manifest.to_frames(spark)
+    seeds = spark.createDataFrame([("model.proj.b",)], ["unique_id"])
+    down = {
+        r.unique_id
+        for r in G.reachable_frame(edges, seeds, "downstream").collect()
+    }
+    assert down == {"model.proj.b", "model.proj.c", "model.proj.d", "model.proj.e"}
+    up = {
+        r.unique_id for r in G.reachable_frame(edges, seeds, "upstream").collect()
+    }
+    assert up == {"model.proj.a", "model.proj.b"}
