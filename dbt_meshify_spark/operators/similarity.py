@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dbt_meshify_spark.operators.util import spread
+
 _SEED = 42
 
 
@@ -125,7 +127,7 @@ def lsh_bucketed_topk(
     width = num_planes // bands
 
     def banded(df: DataFrame, prefix: str) -> DataFrame:
-        base = df.select(
+        base = spread(df).select(
             F.col(id_col).alias(f"{prefix}_id"),
             _as_double(F.col(vec_col)).alias(f"{prefix}_vec"),
         )
