@@ -1,0 +1,343 @@
+"""Topo-order project execution on Spark (SURVEY.md §3.1 stages 3-6 restated;
+the reference shells into ``dbt run`` — /root/reference/dbt_meshify/dbt.py:36-65
+— and the warehouse executes; here Spark IS the warehouse).
+
+Materializations (§1.2):
+- view/ephemeral -> temp view (no data movement; Catalyst inlines on use)
+- table          -> parquet write under the warehouse dir + view over it
+- incremental    -> first run like table; later runs compile with
+  ``is_incremental()=true``, union the increment with existing rows
+  (anti-join upsert on ``unique_key``), and write a NEW versioned directory
+  (write-then-swap: never reads and overwrites the same files, and at scale
+  maps onto Delta/Iceberg MERGE with no semantic change)
+- seed           -> CSV load -> table
+
+Enforcement at compile/materialize time:
+- access: ref() to a ``private`` model from outside its group is a
+  CompileError (mirrors dbt-core parse behavior; the reference only labels —
+  grouper.py:41-55).
+- contract: declared columns/types must match the produced schema before any
+  write (plans.contracts.enforce_contract).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbt_meshify_spark.plans.contracts import enforce_contract
+from dbt_meshify_spark.plans.graph import select_resources
+from dbt_meshify_spark.plans.manifest import Resource
+from dbt_meshify_spark.project.compiler import CompileError
+from dbt_meshify_spark.project.loader import SparkProject, TestSpec
+from dbt_meshify_spark.project.testing import compile_test
+
+
+class AccessViolation(CompileError):
+    pass
+
+
+@dataclass
+class RunResult:
+    statuses: dict[str, str] = field(default_factory=dict)   # name -> ok|error:<msg>
+    relations: dict[str, str] = field(default_factory=dict)  # name -> view name
+
+    @property
+    def ok(self) -> bool:
+        return all(s == "ok" for s in self.statuses.values())
+
+
+@dataclass
+class TestResult:
+    name: str
+    passed: bool
+    failures: int
+
+
+def default_source_loader(
+    spark: SparkSession, project: SparkProject, resource: Resource
+) -> DataFrame:
+    """Bind a source table to data. ``meta.path`` (vars-interpolated,
+    project-relative or absolute) names a parquet/csv location; otherwise the
+    identifier must already be a registered table/view."""
+    meta_path = resource.meta.get("path")
+    if meta_path:
+        interpolated = re.sub(
+            r"{{\s*var\s*\(\s*['\"](\w+)['\"]\s*\)\s*}}",
+            lambda m: str(project.vars.get(m.group(1), "")),
+            str(meta_path),
+        )
+        p = Path(interpolated)
+        if not p.is_absolute():
+            p = project.root / p
+        if p.suffix == ".csv":
+            return spark.read.csv(str(p), header=True, inferSchema=True)
+        return spark.read.parquet(str(p))
+    return spark.table(resource.relation_name or resource.name)
+
+
+class ProjectRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        project: SparkProject,
+        warehouse_dir: str | Path | None = None,
+        source_loader: Callable[..., DataFrame] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.project = project
+        self.warehouse_dir = Path(warehouse_dir) if warehouse_dir else None
+        self.source_loader = source_loader or default_source_loader
+        self._table_versions: dict[str, int] = {}
+        self._registered: set[str] = set()
+
+    # -- naming ------------------------------------------------------------
+
+    def relation_for(self, resource: Resource) -> str:
+        return resource.name
+
+    def _resolve_ref(
+        self, *args: str, version: int | None = None, consumer: Resource | None = None
+    ) -> str:
+        name = args[-1]
+        manifest = self.project.manifest
+        target = manifest.get(f"model.{self.project.name}.{name}") or manifest.get(
+            f"seed.{self.project.name}.{name}"
+        )
+        if target is None and version is None:
+            raise CompileError(f"ref to unknown model {name!r}")
+        if version is not None:
+            vname = f"{name}_v{version}"
+            vtarget = manifest.get(f"model.{self.project.name}.{vname}")
+            if vtarget is None:
+                raise CompileError(f"ref to unknown version {name!r} v={version}")
+            target = vtarget
+        elif target is None:
+            raise CompileError(f"ref to unknown model {name!r}")
+        if (
+            consumer is not None
+            and target.access == "private"
+            and (target.group or consumer.group)
+            and target.group != consumer.group
+        ):
+            raise AccessViolation(
+                f"{consumer.name} cannot ref private model {target.name} "
+                f"(group {target.group!r})"
+            )
+        return self.relation_for(target)
+
+    def _resolve_source(self, source_name: str, table_name: str) -> str:
+        sid = f"source.{self.project.name}.{source_name}.{table_name}"
+        r = self.project.manifest.get(sid)
+        if r is None:
+            raise CompileError(f"unknown source {source_name}.{table_name}")
+        self._ensure_source(r)
+        return self.relation_for(r)
+
+    # -- materialization ---------------------------------------------------
+
+    def _ensure_source(self, resource: Resource) -> None:
+        rel = self.relation_for(resource)
+        if rel in self._registered:
+            return
+        df = self.source_loader(self.spark, self.project, resource)
+        df.createOrReplaceTempView(rel)
+        self._registered.add(rel)
+
+    def _write_table(self, name: str, df: DataFrame) -> str:
+        """Write-then-swap parquet materialization; returns the view name."""
+        if self.warehouse_dir is None:
+            # no warehouse: fall back to an eagerly-registered view
+            df.createOrReplaceTempView(name)
+            return name
+        version = self._table_versions.get(name, 0) + 1
+        path = self.warehouse_dir / name / f"v{version}"
+        df.write.mode("overwrite").parquet(str(path))
+        self._table_versions[name] = version
+        out = self.spark.read.parquet(str(path))
+        out.createOrReplaceTempView(name)
+        return name
+
+    def _table_exists(self, name: str) -> bool:
+        return name in self._table_versions
+
+    def _current_table(self, name: str) -> DataFrame:
+        version = self._table_versions[name]
+        return self.spark.read.parquet(
+            str(self.warehouse_dir / name / f"v{version}")
+        )
+
+    def _materialize_model(self, r: Resource, full_refresh: bool) -> None:
+        name = self.relation_for(r)
+        materialized = r.config.get("materialized", "view")
+        incremental_run = (
+            materialized == "incremental"
+            and self._table_exists(name)
+            and not full_refresh
+            and self.warehouse_dir is not None
+        )
+        if r.language == "python":
+            df, cfg = self._run_python_model(r)
+            materialized = cfg.get("materialized", materialized)
+        else:
+            compiled = self.project.compiler.compile(
+                r.raw_code,
+                r.name,
+                resolve_ref=lambda *a, **k: self._resolve_ref(
+                    *a, version=k.get("version"), consumer=r
+                ),
+                resolve_source=self._resolve_source,
+                this_relation=name,
+                is_incremental=incremental_run,
+            )
+            r.config = {**r.config, **compiled.config}
+            materialized = r.config.get("materialized", "view")
+            df = self.spark.sql(compiled.sql)
+
+        contract = (r.config.get("contract") or {}).get("enforced")
+        if contract and r.columns:
+            enforce_contract(
+                r.name,
+                df,
+                [{"name": c, "data_type": t} for c, t in r.columns.items()],
+            )
+
+        if materialized in ("view", "ephemeral"):
+            df.createOrReplaceTempView(name)
+        elif materialized == "incremental" and incremental_run:
+            unique_key = r.config.get("unique_key")
+            existing = self._current_table(name)
+            if unique_key:
+                keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
+                survivors = existing.join(
+                    df.select(*keys).distinct(), on=keys, how="left_anti"
+                )
+                combined = df.unionByName(survivors)
+            else:
+                combined = existing.unionByName(df)
+            self._write_table(name, combined)
+        else:  # table, or first incremental run
+            self._write_table(name, df)
+        self._registered.add(name)
+
+    def _run_python_model(self, r: Resource) -> tuple[DataFrame, dict[str, Any]]:
+        """UD1: ``def model(dbt, session)`` with dbt.ref/source/config.
+
+        pandas return values convert via Arrow; at scale a Python model
+        should use the session to stay distributed (applyInPandas et al.).
+        """
+        cfg: dict[str, Any] = {}
+        runner = self
+
+        class _Dbt:
+            @staticmethod
+            def ref(*args: str, **kw: Any) -> DataFrame:
+                rel = runner._resolve_ref(
+                    *args, version=kw.get("v", kw.get("version")), consumer=r
+                )
+                return runner.spark.table(rel)
+
+            @staticmethod
+            def source(s: str, t: str) -> DataFrame:
+                return runner.spark.table(runner._resolve_source(s, t))
+
+            @staticmethod
+            def config(**kw: Any) -> None:
+                cfg.update(kw)
+
+        namespace: dict[str, Any] = {}
+        exec(compile(r.raw_code, r.path or r.name, "exec"), namespace)
+        fn = namespace.get("model")
+        if fn is None:
+            raise CompileError(f"python model {r.name} defines no model()")
+        out = fn(_Dbt(), self.spark)
+        if not isinstance(out, DataFrame):
+            out = self.spark.createDataFrame(out)  # pandas -> Spark via Arrow
+        return out, cfg
+
+    # -- entry points ------------------------------------------------------
+
+    def _execution_order(self, selected: set[str] | None) -> list[Resource]:
+        manifest = self.project.manifest
+        runnable = {
+            uid
+            for uid, r in manifest.resources.items()
+            if r.resource_type in ("model", "seed")
+        }
+        want = runnable if selected is None else (selected & runnable)
+        # materialize upstream models/seeds of the selection too — they are
+        # execution prerequisites even when not selected
+        parents = manifest.parent_map()
+        closure = set(want)
+        frontier = set(want)
+        while frontier:
+            frontier = {
+                p
+                for u in frontier
+                for p in parents.get(u, [])
+                if p in runnable and p not in closure
+            }
+            closure |= frontier
+        import networkx as nx
+
+        g = manifest.graph()
+        order = [u for u in nx.topological_sort(g) if u in closure]
+        return [manifest.get(u) for u in order]
+
+    def run(
+        self, select: str | list[str] | None = None, full_refresh: bool = False
+    ) -> RunResult:
+        selected = (
+            select_resources(self.project.manifest, select) if select else None
+        )
+        result = RunResult()
+        for r in self._execution_order(selected):
+            try:
+                if r.resource_type == "seed":
+                    path = self.project.root / r.path
+                    df = self.spark.read.csv(
+                        str(path), header=True, inferSchema=True
+                    )
+                    self._write_table(self.relation_for(r), df)
+                else:
+                    self._materialize_model(r, full_refresh)
+                result.statuses[r.name] = "ok"
+                result.relations[r.name] = self.relation_for(r)
+            except Exception as e:  # keep going; report per-model
+                result.statuses[r.name] = f"error: {e}"
+        return result
+
+    def test(self, select: str | list[str] | None = None) -> list[TestResult]:
+        specs: list[TestSpec] = self.project.tests
+        if select:
+            selected = select_resources(self.project.manifest, select)
+            names = {
+                self.project.manifest.get(u).name
+                for u in selected
+                if self.project.manifest.get(u)
+            }
+            specs = [s for s in specs if s.model_name in names]
+        out: list[TestResult] = []
+        for spec in specs:
+            sql = compile_test(
+                spec,
+                spec.model_name,
+                self.project.compiler,
+                resolve_ref=lambda *a, **k: self._resolve_ref(
+                    *a, version=k.get("version")
+                ),
+                custom_sources=self.project.custom_test_sources,
+            )
+            failures = self.spark.sql(sql).limit(1000).count()
+            out.append(
+                TestResult(
+                    name=spec.unique_id.split(".", 2)[2],
+                    passed=failures == 0,
+                    failures=failures,
+                )
+            )
+        return out

@@ -1,0 +1,285 @@
+"""End-to-end project-plane tests: load -> compile -> run -> test, mirroring
+the reference's integration strategy (fixture project + real warehouse runs,
+tests/dbt_project_utils.py:9-25) with Spark as the warehouse."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from dbt_meshify_spark.project import ProjectRunner, SparkProject
+from dbt_meshify_spark.project.compiler import CompileError, JinjaCompiler
+from dbt_meshify_spark.project.runner import AccessViolation
+
+FIXTURE = Path(__file__).parent / "fixtures" / "tpch_proj"
+
+
+@pytest.fixture(scope="module")
+def project() -> SparkProject:
+    return SparkProject.load(FIXTURE)
+
+
+@pytest.fixture(scope="module")
+def run_ctx(spark, project, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    runner = ProjectRunner(spark, project, warehouse_dir=wh)
+    result = runner.run()
+    return runner, result
+
+
+# -- loader ----------------------------------------------------------------
+
+
+def test_loader_inventory(project):
+    m = project.manifest
+    assert set(m.models) == {
+        f"model.tpch_mart.{n}"
+        for n in (
+            "stg_orders",
+            "stg_lineitems",
+            "stg_customers",
+            "order_items_summary",
+            "orders_mart",
+            "customers_mart",
+            "order_gaps",
+            "status_names",
+        )
+    }
+    assert "source.tpch_mart.tpch.orders" in m.sources
+    assert "seed.tpch_mart.status_labels" in m.resources
+    assert "macro.tpch_mart.cents_to_dollars" in m.resources
+    assert "group.tpch_mart.marts" in m.resources
+    assert "exposure.tpch_mart.orders_dashboard" in m.resources
+    assert "semantic_model.tpch_mart.orders_semantics" in m.resources
+
+
+def test_loader_edges(project):
+    m = project.manifest
+    om = m.get("model.tpch_mart.orders_mart")
+    assert "model.tpch_mart.stg_orders" in om.depends_on
+    assert "model.tpch_mart.order_items_summary" in om.depends_on
+    stg = m.get("model.tpch_mart.stg_orders")
+    assert "source.tpch_mart.tpch.orders" in stg.depends_on
+    assert "macro.tpch_mart.cents_to_dollars" in stg.depends_on
+    gaps = m.get("model.tpch_mart.order_gaps")
+    assert gaps.language == "python"
+    assert "model.tpch_mart.orders_mart" in gaps.depends_on
+    names = m.get("model.tpch_mart.status_names")
+    assert "seed.tpch_mart.status_labels" in names.depends_on
+    exp = m.get("exposure.tpch_mart.orders_dashboard")
+    assert exp.depends_on == ["model.tpch_mart.orders_mart"]
+
+
+def test_loader_config_precedence(project):
+    m = project.manifest
+    # project tree: marts are tables; in-file config() wins for orders_mart
+    assert m.get("model.tpch_mart.customers_mart").config["materialized"] == "table"
+    assert m.get("model.tpch_mart.orders_mart").config["materialized"] == "incremental"
+    assert m.get("model.tpch_mart.orders_mart").config["unique_key"] == "order_id"
+    assert m.get("model.tpch_mart.stg_orders").config["materialized"] == "view"
+    # property-file config: contract enforcement flag
+    assert m.get("model.tpch_mart.orders_mart").config["contract"]["enforced"]
+    # access/group from property file
+    assert m.get("model.tpch_mart.order_items_summary").access == "protected"
+    assert m.get("model.tpch_mart.orders_mart").group == "marts"
+
+
+def test_tests_collected(project):
+    kinds = {(t.test_type, t.model_name, t.column_name) for t in project.tests}
+    assert ("unique", "stg_orders", "order_id") in kinds
+    assert ("accepted_values", "stg_orders", "status") in kinds
+    assert ("relationships", "stg_lineitems", "order_id") in kinds
+    assert ("expression_is_true", "orders_mart", None) in kinds
+    assert ("positive_total", "customers_mart", "lifetime_value") in kinds
+    assert "positive_total" in project.custom_test_sources
+
+
+# -- compiler --------------------------------------------------------------
+
+
+def test_macro_expansion(project):
+    r = project.manifest.get("model.tpch_mart.stg_orders")
+    out = project.compiler.compile(
+        r.raw_code,
+        "stg_orders",
+        resolve_ref=lambda *a, **k: a[-1],
+        resolve_source=lambda s, t: f"{s}_{t}",
+    )
+    # macro-in-macro: cents_to_dollars -> type_numeric
+    assert "cast(o_totalprice / 100.0 as decimal(16, 2))" in out.sql.lower()
+    assert "{{" not in out.sql
+    assert out.sources == [("tpch", "orders")]
+    # var() resolved from dbt_project.yml
+    assert "2002-12-31" in out.sql
+
+
+def test_is_incremental_branch(project):
+    r = project.manifest.get("model.tpch_mart.orders_mart")
+    cold = project.compiler.compile(
+        r.raw_code, "orders_mart",
+        resolve_ref=lambda *a, **k: a[-1], resolve_source=lambda s, t: t,
+        this_relation="orders_mart", is_incremental=False,
+    )
+    warm = project.compiler.compile(
+        r.raw_code, "orders_mart",
+        resolve_ref=lambda *a, **k: a[-1], resolve_source=lambda s, t: t,
+        this_relation="orders_mart", is_incremental=True,
+    )
+    assert "max(ordered_on)" not in cold.sql
+    assert "max(ordered_on) from orders_mart" in warm.sql
+    assert cold.config["materialized"] == "incremental"
+
+
+def test_surrogate_key_macro():
+    c = JinjaCompiler("p")
+    out = c.compile(
+        "select {{ generate_surrogate_key(['a', 'b']) }} as sk",
+        "m", resolve_ref=lambda *a, **k: a[-1], resolve_source=lambda s, t: t,
+    )
+    assert out.sql == (
+        "select md5(concat_ws('-',coalesce(cast(a as string), '_null_'), "
+        "coalesce(cast(b as string), '_null_'))) as sk"
+    )
+
+
+def test_compile_error_on_unknown_jinja():
+    c = JinjaCompiler("p")
+    with pytest.raises(CompileError):
+        c.compile("{% bad syntax %}", "m",
+                  resolve_ref=lambda *a, **k: a[-1],
+                  resolve_source=lambda s, t: t)
+
+
+# -- runner ----------------------------------------------------------------
+
+
+def test_run_all_green(run_ctx):
+    _, result = run_ctx
+    assert result.ok, result.statuses
+    assert set(result.relations) >= {
+        "stg_orders", "orders_mart", "customers_mart", "order_gaps",
+        "status_labels", "status_names",
+    }
+
+
+def test_materialized_outputs(spark, run_ctx):
+    orders = spark.table("orders_mart")
+    assert orders.count() > 0
+    assert [f.name for f in orders.schema.fields] == [
+        "order_id", "customer_id", "status", "ordered_on",
+        "order_total_dollars", "count_items", "subtotal",
+    ]
+    # python model output
+    gaps = spark.table("order_gaps")
+    assert {"prev_order_id", "next_order_id"} <= set(gaps.columns)
+    # seed joined model
+    labels = {r.status: r.status_label for r in spark.table("status_names").collect()}
+    assert labels.get("O") == "Open" and labels.get("F") == "Finished"
+
+
+def test_model_matches_direct_sql(spark, run_ctx):
+    """The compiled pipeline must equal hand-written SQL over the source."""
+    direct = spark.sql(
+        """
+        select o.o_orderkey as order_id, count(l.l_orderkey) as n
+        from parquet.`/root/testdata/sf0.001/orders.parquet` o
+        left join parquet.`/root/testdata/sf0.001/lineitem.parquet` l
+          on l.l_orderkey = o.o_orderkey
+        group by o.o_orderkey
+        """
+    )
+    mart = spark.table("orders_mart").selectExpr("order_id", "count_items")
+    joined = direct.join(mart, "order_id", "full")
+    mismatches = joined.filter(
+        "n <> count_items or n is null or count_items is null"
+    ).count()
+    assert mismatches == 0
+
+
+def test_incremental_idempotent(spark, project, run_ctx, tmp_path_factory):
+    runner, _ = run_ctx
+    before = spark.table("orders_mart").count()
+    # re-run: takes the is_incremental() branch and upserts on unique_key
+    result2 = runner.run(select="orders_mart")
+    assert result2.ok, result2.statuses
+    after = spark.table("orders_mart").count()
+    assert after == before
+    # still unique on the key
+    dupes = (
+        spark.table("orders_mart").groupBy("order_id").count().filter("count > 1")
+    ).count()
+    assert dupes == 0
+
+
+def test_data_tests_pass(run_ctx):
+    runner, _ = run_ctx
+    results = runner.test()
+    failing = [t.name for t in results if not t.passed]
+    assert not failing, failing
+    names = {t.name for t in results}
+    assert any(n.startswith("positive_total_customers_mart") for n in names)
+
+
+def test_failing_test_detected(spark, run_ctx):
+    runner, _ = run_ctx
+    # accepted_values violation: inject a bogus status via a shadow view
+    spark.sql(
+        "select 'X' as status union all select 'O' as status"
+    ).createOrReplaceTempView("stg_orders_bad")
+    from dbt_meshify_spark.project.loader import TestSpec
+    from dbt_meshify_spark.project.testing import compile_test
+
+    sql = compile_test(
+        TestSpec(
+            unique_id="test.x.accepted_values_bad",
+            test_type="accepted_values",
+            model_name="stg_orders_bad",
+            column_name="status",
+            kwargs={"values": ["O", "F", "P"]},
+        ),
+        "stg_orders_bad",
+        runner.project.compiler,
+        resolve_ref=lambda *a, **k: a[-1],
+    )
+    assert spark.sql(sql).count() == 1
+
+
+def test_contract_violation_detected(spark, project, tmp_path_factory):
+    import copy
+
+    bad = copy.deepcopy(project)
+    r = bad.manifest.get("model.tpch_mart.orders_mart")
+    r.columns["order_id"] = "string"  # wrong type vs produced bigint
+    runner = ProjectRunner(
+        spark, bad, warehouse_dir=tmp_path_factory.mktemp("wh_bad")
+    )
+    result = runner.run(select="+orders_mart")
+    assert "error" in result.statuses["orders_mart"]
+    assert "order_id" in result.statuses["orders_mart"]
+
+
+def test_access_enforcement(spark, project, tmp_path_factory):
+    import copy
+
+    bad = copy.deepcopy(project)
+    target = bad.manifest.get("model.tpch_mart.order_items_summary")
+    target.access, target.group = "private", "other_group"
+    runner = ProjectRunner(
+        spark, bad, warehouse_dir=tmp_path_factory.mktemp("wh_acc")
+    )
+    result = runner.run(select="+orders_mart")
+    assert "cannot ref private model" in result.statuses["orders_mart"]
+
+
+def test_select_subset_runs_prerequisites(spark, project, tmp_path_factory):
+    runner = ProjectRunner(
+        spark, SparkProject.load(FIXTURE),
+        warehouse_dir=tmp_path_factory.mktemp("wh_sel"),
+    )
+    result = runner.run(select="order_items_summary")
+    assert result.ok, result.statuses
+    # upstream staging view materialized as a prerequisite
+    assert "stg_lineitems" in result.statuses
+    # but unrelated models were not run
+    assert "customers_mart" not in result.statuses
