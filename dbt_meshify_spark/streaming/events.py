@@ -1,0 +1,197 @@
+"""Structured Streaming over the events table (N6-N8).
+
+Design (100 TB posture):
+- ``readStream`` over a parquet directory: each file is an input split; the
+  same code ingests a Kafka topic by swapping the reader, since everything
+  downstream is event-time-based, not source-based.
+- Watermarks bound state: every aggregation here carries
+  ``withWatermark`` so state for closed windows is dropped — without it a
+  30-day stream of 15M users would accumulate unbounded window state.
+- The custom stateful operator uses ``applyInPandasWithState`` (Arrow-batched,
+  grouped state) — the Spark-native form of a per-key streaming accumulator.
+
+Batch equivalence: every aggregation has a batch twin (SURVEY.md §2.7 Q12/
+Q15/Q22) checked in tests, which is how the DuckDB oracle can gate a surface
+it cannot execute natively.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA_NANOS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+EVENT_SCHEMA_MICROS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    nanos: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based event stream with a proper event-time ``ts`` column.
+
+    ``nanos=True`` reads TIMESTAMP(NANOS) parquet under the
+    ``nanosAsLong`` legacy conf and converts ns->us JVM-side (same
+    truncation as the batch loader, sources/registry.py).
+    """
+    from dbt_meshify_spark.session import prepare
+
+    prepare(spark)
+    reader = spark.readStream.schema(
+        EVENT_SCHEMA_NANOS if nanos else EVENT_SCHEMA_MICROS
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    if nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def with_watermark(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """N8: late-data policy — events older than max(ts)-delay are dropped
+    from stateful operators downstream; batch oracle = a ts filter."""
+    return events.withWatermark("ts", delay)
+
+
+def tumbling_window_counts(
+    events: DataFrame, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """N7 tumbling: batch twin is Q22 (date_trunc day when window='1 day')."""
+    return (
+        with_watermark(events, watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """N7 sliding: each event lands in window/slide overlapping windows."""
+    return (
+        with_watermark(events, watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """N7 session windows: gap-based per-user sessions; batch twin is the
+    lag/cumsum sessionization of Q12."""
+    return (
+        with_watermark(events, watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals across micro-batches
+    (applyInPandasWithState; Arrow-batched per group).
+
+    Emits the updated running total for each user touched by a micro-batch —
+    the streaming form of ``groupBy(user_id).agg(count, sum)`` with state
+    persisted in the state store, not in executor memory.
+    """
+    import pandas as pd
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain all available input into an in-memory sink; returns the result
+    table. Test harness — production sinks are parquet/Delta/Kafka writers."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,152 @@
+"""Streaming semantics (N6-N8) checked batch-equivalently: every streaming
+aggregation must reproduce its batch twin over the same events data."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_meshify_spark.sources import load_table
+from dbt_meshify_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    session_window_stats,
+    sliding_window_counts,
+    stateful_user_totals,
+    tumbling_window_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory) -> str:
+    """The single events.parquet staged into a streaming source directory."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(Path(SF_SMOKE) / "events.parquet", d / "events.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_matches_batch(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir)
+    result = run_to_memory(
+        tumbling_window_counts(stream, "1 day"), "t_tumbling", "complete"
+    )
+    expected = (
+        events_batch.groupBy(
+            F.date_trunc("day", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    assert _rows(result, "window_start", "event_type", "n", "total_value") == _rows(
+        expected, "window_start", "event_type", "n", "total_value"
+    )
+
+
+def test_sliding_windows_cover_events(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir)
+    result = run_to_memory(
+        sliding_window_counts(stream, "1 hour", "30 minutes"), "t_sliding", "complete"
+    )
+    # every event lands in exactly window/slide = 2 windows
+    assert result.agg(F.sum("n")).collect()[0][0] == 2 * events_batch.count()
+    # and each sliding bucket matches a direct batch computation
+    expected = (
+        events_batch.select(
+            F.explode(
+                F.array(
+                    F.date_trunc("hour", "ts"),
+                    F.to_timestamp(
+                        F.unix_timestamp(F.date_trunc("hour", "ts"))
+                        + F.when(F.minute("ts") >= 30, 1800).otherwise(-1800)
+                    ),
+                )
+            ).alias("window_start")
+        )
+        .groupBy("window_start")
+        .count()
+    )
+    assert _rows(result, "window_start", "n") == _rows(expected, "window_start", "count")
+
+
+def test_session_windows_match_batch_sessionization(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir)
+    result = run_to_memory(
+        session_window_stats(stream, "30 minutes"), "t_session", "complete"
+    )
+    # batch twin: Q12-style gap sessionization
+    events_batch.createOrReplaceTempView("events_batch_tmp")
+    expected = spark.sql(
+        """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events_batch_tmp
+        ),
+        sessions AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+        """
+    )
+    assert _rows(result, "user_id", "session_start", "n_events") == _rows(
+        expected, "user_id", "session_start", "n_events"
+    )
+
+
+def test_stateful_totals_across_microbatches(spark, events_batch, tmp_path_factory):
+    """State must persist across micro-batches: two files, one per trigger."""
+    d = tmp_path_factory.mktemp("events_two_batches")
+    half1 = events_batch.filter(F.dayofmonth("ts") <= 15)
+    half2 = events_batch.filter(F.dayofmonth("ts") > 15)
+    half1.coalesce(1).write.parquet(str(d / "f1"))
+    half2.coalesce(1).write.parquet(str(d / "f2"))
+
+    stream = read_events_stream(
+        spark, str(d) + "/*/", nanos=False, max_files_per_trigger=1
+    )
+    result = run_to_memory(stateful_user_totals(stream), "t_stateful", "update")
+    # last emission per user = final running total
+    final = (
+        result.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    expected = events_batch.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    assert _rows(final, "user_id", "n_events") == _rows(expected, "user_id", "n_events")
+    # with maxFilesPerTrigger=1 some users must have emitted twice
+    assert result.count() > final.count()
+
+
+def test_watermark_bounds_state(spark, events_dir):
+    """Append mode + watermark: only windows the final watermark closed are
+    emitted — the late-data policy in action."""
+    stream = read_events_stream(spark, events_dir)
+    appended = run_to_memory(
+        tumbling_window_counts(stream, "1 day", watermark="1 hour"),
+        "t_append",
+        "append",
+    )
+    completed = spark.table("t_tumbling")
+    # the final (unclosed) day is withheld in append mode
+    assert appended.count() < completed.count()
+    max_day = completed.agg(F.max("window_start")).collect()[0][0]
+    assert appended.filter(F.col("window_start") == max_day).count() == 0
