@@ -1,0 +1,390 @@
+"""CLI — the reference's command surface re-hosted on the Spark engine.
+
+Command-for-command parity with dbt-meshify's click app (reference
+main.py:77-687): ``split``, ``connect``, ``group``, ``version``, and the
+``operation`` subgroup (``add-contract``, ``add-version``, ``bump-version``,
+``create-group``), plus the engine-side ``run`` and ``test`` commands that
+the reference delegates to dbt (dbt.py:36-65) — here Spark IS the warehouse.
+
+All governance commands are plan-then-execute: they build ChangeSets and
+hand them to ChangeSetProcessor, honoring the group-level ``--dry-run``
+(reference main.py:99-110 result callback).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import click
+
+from dbt_meshify_spark.plans.changes import ChangeSet, ChangeSetProcessor
+from dbt_meshify_spark.plans.contracts import generate_contract
+from dbt_meshify_spark.plans.graph import select_resources
+from dbt_meshify_spark.plans.grouper import create_group as plan_create_group
+from dbt_meshify_spark.plans.grouper import group_and_contract
+from dbt_meshify_spark.plans.linker import dependencies, resolve_dependency
+from dbt_meshify_spark.plans.splitter import (
+    SplitError,
+    SubprojectCreator,
+    build_subproject,
+)
+from dbt_meshify_spark.plans.versions import BumpBehavior, add_version, bump_version
+from dbt_meshify_spark.project.loader import SparkProject
+from dbt_meshify_spark.project.runner import ProjectRunner
+
+
+def _patch_path(project: SparkProject, r) -> Path:
+    """Resource's property file, synthesized next to the model when absent
+    (reference dbt_projects.py:237-254)."""
+    if r.patch_path:
+        return project.root / r.patch_path
+    parent_dir = Path(r.path).parent if r.path else Path("models")
+    return project.root / parent_dir / f"_{r.resource_type}s.yml"
+
+
+def _selected_models(project: SparkProject, select: tuple[str, ...], exclude: tuple[str, ...]):
+    selected = select_resources(
+        project.manifest, list(select) or ["*"], exclude=list(exclude) or None
+    )
+    return [
+        project.manifest.get(uid)
+        for uid in sorted(selected)
+        if uid.startswith("model.")
+    ]
+
+
+def _lazy_schemas(project: SparkProject):
+    """model name -> DataFrame with the model's schema, computed WITHOUT
+    executing jobs: every materialization degrades to a lazy temp view when
+    the runner has no warehouse (Python models are the exception — they run)."""
+    from dbt_meshify_spark.session import get_spark
+
+    runner = ProjectRunner(get_spark(app_name="meshify-catalog"), project)
+    runner.run()
+    out = {}
+    for uid, r in project.manifest.models.items():
+        try:
+            out[r.name] = runner.spark.table(runner.relation_for(r))
+        except Exception:
+            pass
+    return out
+
+
+def _process(ctx: click.Context, *change_sets: ChangeSet) -> None:
+    ChangeSetProcessor(dry_run=ctx.obj["dry_run"]).process(list(change_sets))
+
+
+@click.group()
+@click.option("--dry-run", is_flag=True, help="print the plan without applying it")
+@click.pass_context
+def cli(ctx: click.Context, dry_run: bool) -> None:
+    ctx.ensure_object(dict)
+    ctx.obj["dry_run"] = dry_run
+
+
+# -- split -------------------------------------------------------------------
+
+
+@cli.command()
+@click.argument("project_name")
+@click.option("--select", "-s", multiple=True, required=True)
+@click.option("--exclude", "-e", multiple=True)
+@click.option("--project-path", default=".", type=click.Path(exists=True))
+@click.option("--create-path", default=None, type=click.Path())
+@click.pass_context
+def split(ctx, project_name, select, exclude, project_path, create_path) -> None:
+    """Split SELECTed resources into a new subproject (reference
+    main.py:213-267)."""
+    project = SparkProject.load(project_path)
+    try:
+        sub = build_subproject(
+            project, project_name, list(select), list(exclude) or None, create_path
+        )
+    except SplitError as e:
+        raise click.ClickException(str(e))
+    catalog = {
+        name: [
+            {"name": f.name, "data_type": f.dataType.simpleString()}
+            for f in df.schema.fields
+        ]
+        for name, df in _lazy_schemas(project).items()
+    }
+    _process(ctx, SubprojectCreator(sub, catalog).initialize())
+
+
+# -- connect -----------------------------------------------------------------
+
+
+@cli.command()
+@click.option("--project-paths", multiple=True, required=True, type=click.Path(exists=True))
+@click.pass_context
+def connect(ctx, project_paths) -> None:
+    """Convert implicit cross-project dependencies (source-hack / package
+    import) into explicit cross-project refs (reference main.py:121-210)."""
+    import itertools
+
+    projects = [SparkProject.load(p) for p in project_paths]
+    change_sets = []
+    for a, b in itertools.combinations(projects, 2):
+        for dep in sorted(
+            dependencies(a.manifest, a.name, b.manifest, b.name),
+            key=lambda d: (d.upstream_resource, d.downstream_resource),
+        ):
+            upstream, downstream = (
+                (a, b) if dep.upstream_project_name == a.name else (b, a)
+            )
+            up_model = upstream.manifest.get(dep.upstream_resource)
+            change_sets.append(
+                resolve_dependency(
+                    dep,
+                    upstream.manifest,
+                    downstream.manifest,
+                    downstream.root,
+                    upstream_patch_path=_patch_path(upstream, up_model),
+                )
+            )
+    if not change_sets:
+        click.echo("no cross-project dependencies detected")
+        return
+    _process(ctx, *change_sets)
+
+
+# -- operation subgroup --------------------------------------------------------
+
+
+@cli.group()
+def operation() -> None:
+    """Individual mesh operations (reference main.py:113-118)."""
+
+
+@operation.command(name="add-contract")
+@click.option("--select", "-s", multiple=True, required=True)
+@click.option("--exclude", "-e", multiple=True)
+@click.option("--project-path", default=".", type=click.Path(exists=True))
+@click.pass_context
+def add_contract(ctx, select, exclude, project_path) -> None:
+    """Generate enforced column contracts from live Spark schemas
+    (reference main.py:268-316, contractor.py:14-47)."""
+    project = SparkProject.load(project_path)
+    models = _selected_models(project, select, exclude)
+    if not models:
+        raise click.ClickException("selection matched no models")
+    schemas = _lazy_schemas(project)
+    changes = ChangeSet()
+    for r in models:
+        df = schemas.get(r.name)
+        if df is None:
+            raise click.ClickException(f"could not derive schema for {r.name}")
+        changes.add(generate_contract(r.name, df, _patch_path(project, r)))
+    _process(ctx, changes)
+
+
+@operation.command(name="add-version")
+@click.option("--select", "-s", multiple=True, required=True)
+@click.option("--exclude", "-e", multiple=True)
+@click.option("--project-path", default=".", type=click.Path(exists=True))
+@click.pass_context
+def op_add_version(ctx, select, exclude, project_path) -> None:
+    """First version (v=1) for unversioned models (reference
+    main.py:318-368, versioner.py:79-134)."""
+    project = SparkProject.load(project_path)
+    sets = []
+    for r in _selected_models(project, select, exclude):
+        sets.append(
+            add_version(r, _patch_path(project, r), (project.root / r.path).parent)
+        )
+    _process(ctx, *sets)
+
+
+@operation.command(name="bump-version")
+@click.option("--select", "-s", multiple=True, required=True)
+@click.option("--exclude", "-e", multiple=True)
+@click.option("--project-path", default=".", type=click.Path(exists=True))
+@click.option("--prerelease", is_flag=True)
+@click.pass_context
+def op_bump_version(ctx, select, exclude, project_path, prerelease) -> None:
+    """Next version = max+1; --prerelease keeps latest_version pinned
+    (reference main.py:370-440, versioner.py:136-212)."""
+    project = SparkProject.load(project_path)
+    behavior = BumpBehavior.Prerelease if prerelease else BumpBehavior.Increment
+    sets = []
+    for r in _selected_models(project, select, exclude):
+        sets.append(
+            bump_version(
+                r,
+                _patch_path(project, r),
+                (project.root / r.path).parent,
+                behavior=behavior,
+                existing_versions=r.meta.get("versions"),
+            )
+        )
+    _process(ctx, *sets)
+
+
+@operation.command(name="create-group")
+@click.argument("name")
+@click.option("--select", "-s", multiple=True, required=True)
+@click.option("--exclude", "-e", multiple=True)
+@click.option("--project-path", default=".", type=click.Path(exists=True))
+@click.option("--owner-name", default=None)
+@click.option("--owner-email", default=None)
+@click.option("--group-yml-path", default=None, type=click.Path())
+@click.pass_context
+def op_create_group(
+    ctx, name, select, exclude, project_path, owner_name, owner_email, group_yml_path
+) -> None:
+    """Group YAML + member access patches (reference main.py:556-629)."""
+    project = SparkProject.load(project_path)
+    owner = {
+        k: v for k, v in (("name", owner_name), ("email", owner_email)) if v
+    }
+    if not owner:
+        raise click.ClickException("an owner (--owner-name/--owner-email) is required")
+    selected = select_resources(
+        project.manifest, list(select), exclude=list(exclude) or None
+    )
+    path = Path(group_yml_path) if group_yml_path else project.root / "models/_groups.yml"
+    changes = plan_create_group(
+        project.manifest,
+        name,
+        owner,
+        selected,
+        path,
+        lambda r: _patch_path(project, r),
+    )
+    _process(ctx, changes)
+
+
+# -- composites ----------------------------------------------------------------
+
+
+@cli.command()
+@click.argument("name")
+@click.option("--select", "-s", multiple=True, required=True)
+@click.option("--exclude", "-e", multiple=True)
+@click.option("--project-path", default=".", type=click.Path(exists=True))
+@click.option("--owner-name", default=None)
+@click.option("--owner-email", default=None)
+@click.option("--group-yml-path", default=None, type=click.Path())
+@click.pass_context
+def group(
+    ctx, name, select, exclude, project_path, owner_name, owner_email, group_yml_path
+) -> None:
+    """create-group + contracts on every protected boundary member
+    (reference main.py:632-687)."""
+    project = SparkProject.load(project_path)
+    owner = {k: v for k, v in (("name", owner_name), ("email", owner_email)) if v}
+    if not owner:
+        raise click.ClickException("an owner (--owner-name/--owner-email) is required")
+    selected = select_resources(
+        project.manifest, list(select), exclude=list(exclude) or None
+    )
+    schemas = _lazy_schemas(project)
+    path = Path(group_yml_path) if group_yml_path else project.root / "models/_groups.yml"
+
+    def contract_for(r):
+        df = schemas.get(r.name)
+        if df is None:
+            return None
+        return generate_contract(r.name, df, _patch_path(project, r))
+
+    changes = group_and_contract(
+        project.manifest,
+        name,
+        owner,
+        selected,
+        path,
+        lambda r: _patch_path(project, r),
+        contract_for,
+    )
+    _process(ctx, changes)
+
+
+@cli.command()
+@click.option("--select", "-s", multiple=True, required=True)
+@click.option("--exclude", "-e", multiple=True)
+@click.option("--project-path", default=".", type=click.Path(exists=True))
+@click.option("--prerelease", is_flag=True)
+@click.pass_context
+def version(ctx, select, exclude, project_path, prerelease) -> None:
+    """Add a version when unversioned, else bump (reference
+    main.py:442-553: chains add + bump so the copy source is the moved _v1
+    file)."""
+    project = SparkProject.load(project_path)
+    behavior = BumpBehavior.Prerelease if prerelease else BumpBehavior.Increment
+    sets = []
+    for r in _selected_models(project, select, exclude):
+        model_dir = (project.root / r.path).parent
+        patch = _patch_path(project, r)
+        if r.meta.get("versions") or r.version is not None:
+            sets.append(
+                bump_version(
+                    r, patch, model_dir,
+                    behavior=behavior, existing_versions=r.meta.get("versions"),
+                )
+            )
+        else:
+            first = add_version(r, patch, model_dir)
+            sets.append(first)
+            r.version = 1
+            sets.append(
+                bump_version(r, patch, model_dir, behavior=behavior,
+                             existing_versions=[1])
+            )
+    _process(ctx, *sets)
+
+
+# -- engine-side execution -------------------------------------------------------
+
+
+@cli.command()
+@click.option("--select", "-s", multiple=True)
+@click.option("--exclude", "-e", multiple=True)
+@click.option("--project-path", default=".", type=click.Path(exists=True))
+@click.option("--warehouse-dir", default=None, type=click.Path())
+@click.option("--full-refresh", is_flag=True)
+@click.option("--vars", "vars_", default=None, help="YAML dict of vars")
+def run(select, exclude, project_path, warehouse_dir, full_refresh, vars_) -> None:
+    """Materialize models on Spark in DAG order (the reference shells into
+    `dbt run`, dbt.py:36-65; here the engine executes directly)."""
+    import yaml as _yaml
+
+    from dbt_meshify_spark.session import get_spark
+
+    project = SparkProject.load(
+        project_path, vars=_yaml.safe_load(vars_) if vars_ else None
+    )
+    runner = ProjectRunner(get_spark(app_name="meshify-run"), project, warehouse_dir)
+    result = runner.run(
+        select=list(select) or None, full_refresh=full_refresh
+    )
+    failed = 0
+    for name, status in result.statuses.items():
+        click.echo(f"{name}: {status}")
+        failed += 0 if status == "ok" else 1
+    if failed:
+        raise click.ClickException(f"{failed} model(s) failed")
+
+
+@cli.command()
+@click.option("--select", "-s", multiple=True)
+@click.option("--project-path", default=".", type=click.Path(exists=True))
+def test(select, project_path) -> None:
+    """Run data tests (zero-row = pass) on Spark (reference delegates to
+    `dbt test`; compiled semantics in SURVEY.md §2.4)."""
+    from dbt_meshify_spark.session import get_spark
+
+    project = SparkProject.load(project_path)
+    runner = ProjectRunner(get_spark(app_name="meshify-test"), project)
+    runner.run(select=list(select) or None)
+    results = runner.test(select=list(select) or None)
+    failed = 0
+    for res in results:
+        click.echo(f"{res.name}: {'PASS' if res.passed else f'FAIL ({res.failures})'}")
+        failed += 0 if res.passed else 1
+    if failed:
+        raise click.ClickException(f"{failed} test(s) failed")
+
+
+if __name__ == "__main__":
+    cli()

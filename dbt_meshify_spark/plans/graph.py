@@ -138,6 +138,13 @@ def select_resources(
             ex_tokens.extend(part.split())
         for t in ex_tokens:
             selected -= eval_token(t)
+    # dbt-style eager indirect selection: a test rides along when any of its
+    # parents is selected (the `dbt ls` default the reference free-rides on
+    # at dbt.py:40-57) — without this, a model's own tests read as
+    # cross-project children and fake split cycles.
+    for uid, r in manifest.resources.items():
+        if r.resource_type == "test" and any(d in selected for d in r.depends_on):
+            selected.add(uid)
     return selected
 
 
@@ -196,12 +203,15 @@ def is_project_cycle(manifest: Manifest, selected: set[str]) -> bool:
     """G8: a split creates a cycle iff the subproject is both upstream and
     downstream of the remainder (dbt_projects.py:97-108, enforced
     main.py:250-255)."""
-    nontest = {
-        u for u in selected
-        if manifest.get(u) and manifest.get(u).resource_type not in ("test",)
-    }
-    return bool(xproj_children(manifest, nontest)) and bool(
-        xproj_parents(manifest, nontest)
+    def nontest(ids: set[str]) -> set[str]:
+        return {
+            u for u in ids
+            if not (manifest.get(u) and manifest.get(u).resource_type == "test")
+        }
+
+    sel = nontest(selected)
+    return bool(nontest(xproj_children(manifest, sel))) and bool(
+        nontest(xproj_parents(manifest, sel))
     )
 
 

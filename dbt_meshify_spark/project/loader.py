@@ -115,6 +115,9 @@ class SparkProject:
                         language="python" if f.suffix == ".py" else "sql",
                         raw_code=f.read_text(),
                         config=self._tree_config(f),
+                        # physical identifier for source-hack detection (L1):
+                        # in this engine a model materializes under its name
+                        relation_name=name,
                     )
                 )
 
@@ -175,6 +178,32 @@ class SparkProject:
         for entry in entries:
             name = entry.get("name")
             r = self.manifest.get(f"model.{self.name}.{name}")
+            if r is None and "versions" in entry:
+                # versioned model: files live as name_v{n}.sql; synthesize
+                # the logical resource from the latest version so plain
+                # ref('name') and selection by name keep working (V5–V7;
+                # reference versioner.py:79-134 moves the file on v1).
+                versions = [v.get("v") for v in entry["versions"]]
+                latest = entry.get("latest_version", max(versions))
+                vr = self.manifest.get(f"model.{self.name}.{name}_v{latest}")
+                if vr is not None:
+                    r = Resource(
+                        unique_id=f"model.{self.name}.{name}",
+                        name=name,
+                        resource_type="model",
+                        package=self.name,
+                        path=vr.path,
+                        language=vr.language,
+                        raw_code=vr.raw_code,
+                        config=dict(vr.config),
+                    )
+                    r.version = latest
+                    self.manifest.add(r)
+                    for v in versions:
+                        vres = self.manifest.get(f"model.{self.name}.{name}_v{v}")
+                        if vres is not None:
+                            vres.version = v
+                            vres.latest_version = latest
             if r is None:
                 continue
             r.patch_path = patch_path

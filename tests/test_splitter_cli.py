@@ -1,0 +1,262 @@
+"""Split composition + CLI tests.
+
+Assertions mirror the reference's integration suite:
+- tests/integration/test_split_command.py:23-57 (moved SQL gains x-proj ref
+  strings, yml entries move, dependencies.yml appears)
+- tests/integration/test_split_command.py:198-218 (cycle split aborts)
+- tests/integration/test_contract_command.py:36-60 (contract YAML golden)
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+import yaml
+from click.testing import CliRunner
+
+from dbt_meshify_spark.cli import cli
+from dbt_meshify_spark.plans.changes import ChangeSetProcessor
+from dbt_meshify_spark.plans.splitter import (
+    SplitError,
+    SubprojectCreator,
+    build_subproject,
+)
+from dbt_meshify_spark.project.loader import SparkProject
+
+FIXTURE = Path(__file__).parent / "fixtures" / "tpch_proj"
+
+
+@pytest.fixture()
+def proj_dir(tmp_path):
+    dst = tmp_path / "tpch_proj"
+    shutil.copytree(FIXTURE, dst)
+    return dst
+
+
+def _quiet_process(changes):
+    ChangeSetProcessor(log=lambda m: None).process([changes])
+
+
+# -- subproject construction -------------------------------------------------
+
+
+def test_build_subproject_closures(proj_dir):
+    project = SparkProject.load(proj_dir)
+    sub = build_subproject(project, "staging_proj", "+stg_orders")
+    assert f"model.{project.name}.stg_orders" in sub.resources
+    # ancestors closure pulled the source in
+    assert any(u.startswith("source.") for u in sub.resources)
+    # stg_orders feeds marts outside the selection -> boundary
+    assert f"model.{project.name}.stg_orders" in sub.boundary_models
+    assert sub.xproj_children_of_resources  # marts depend on the selection
+    assert not sub.xproj_parents_of_resources
+
+
+def test_build_subproject_empty_selection_raises(proj_dir):
+    project = SparkProject.load(proj_dir)
+    with pytest.raises(SplitError):
+        build_subproject(project, "nope", "no_such_model")
+
+
+def test_build_subproject_cycle_raises(proj_dir):
+    # orders_mart (middle of the DAG) both reads from and feeds the
+    # remainder -> cycle (reference test_split_command.py:198-218)
+    project = SparkProject.load(proj_dir)
+    with pytest.raises(SplitError):
+        build_subproject(project, "cyclic", "orders_mart")
+
+
+# -- split plan execution ----------------------------------------------------
+
+
+def test_split_staging_end_to_end(proj_dir):
+    project = SparkProject.load(proj_dir)
+    sub = build_subproject(project, "staging_proj", "+stg_orders")
+    _quiet_process(SubprojectCreator(sub).initialize())
+
+    sub_root = proj_dir / "staging_proj"
+    # scaffold + project file
+    cfg = yaml.safe_load((sub_root / "dbt_project.yml").read_text())
+    assert cfg["name"] == "staging_proj"
+    # model file moved
+    assert (sub_root / "models/staging/stg_orders.sql").exists()
+    assert not (proj_dir / "models/staging/stg_orders.sql").exists()
+    # children remaining in the parent now use a cross-project ref
+    mart = (proj_dir / "models/marts/orders_mart.sql").read_text()
+    assert "{{ ref('staging_proj', 'stg_orders') }}" in mart
+    # boundary model got public access + an enforced contract in the moved yml
+    props = yaml.safe_load(
+        (sub_root / "models/staging/__models.yml").read_text()
+    )
+    entry = {m["name"]: m for m in props["models"]}["stg_orders"]
+    assert entry["access"] == "public"
+    assert entry["config"]["contract"]["enforced"] is True
+    # parent property file no longer lists the moved model
+    parent_props = yaml.safe_load(
+        (proj_dir / "models/staging/__models.yml").read_text()
+    )
+    assert "stg_orders" not in {
+        m["name"] for m in (parent_props or {}).get("models", [])
+    }
+    # source yml entry moved into the subproject
+    sub_sources = yaml.safe_load(
+        (sub_root / "models/staging/__sources.yml").read_text()
+    )
+    assert sub_sources["sources"]
+    # the parent (downstream) project now declares the dependency
+    deps = yaml.safe_load((proj_dir / "dependencies.yml").read_text())
+    assert {"name": "staging_proj"} in deps["projects"]
+
+
+def test_split_marts_rewrites_parent_refs(proj_dir):
+    project = SparkProject.load(proj_dir)
+    sub = build_subproject(project, "marts_proj", "customers_mart")
+    _quiet_process(SubprojectCreator(sub).initialize())
+    moved = (proj_dir / "marts_proj/models/marts/customers_mart.sql").read_text()
+    # refs to models that stayed behind are project-qualified now
+    assert "{{ ref('tpch_mart', 'stg_customers') }}" in moved
+    # the subproject (downstream) declares its dependency on the parent
+    deps = yaml.safe_load((proj_dir / "marts_proj/dependencies.yml").read_text())
+    assert {"name": "tpch_mart"} in deps["projects"]
+    # parents the moved model reads became public + contracted in the parent
+    parent_props = yaml.safe_load(
+        (proj_dir / "models/staging/__models.yml").read_text()
+    )
+    stg = {m["name"]: m for m in parent_props["models"]}["stg_customers"]
+    assert stg["access"] == "public"
+    assert stg["config"]["contract"]["enforced"] is True
+
+
+def test_split_copies_used_macros(proj_dir):
+    # stg_orders calls the project-owned cents_to_dollars macro
+    project = SparkProject.load(proj_dir)
+    sub = build_subproject(project, "staging_proj", "+stg_orders")
+    assert any(u.startswith("macro.") for u in sub.custom_macros)
+    _quiet_process(SubprojectCreator(sub).initialize())
+    macro_file = proj_dir / "staging_proj/macros/cents_to_dollars.sql"
+    assert macro_file.exists()
+    assert "{% macro cents_to_dollars" in macro_file.read_text()
+
+
+# -- CLI ---------------------------------------------------------------------
+
+
+def test_cli_split_dry_run_leaves_disk_untouched(proj_dir):
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        ["--dry-run", "split", "staging_proj", "--select", "+stg_orders",
+         "--project-path", str(proj_dir)],
+    )
+    assert result.exit_code == 0, result.output
+    assert not (proj_dir / "staging_proj").exists()
+    assert "stg_orders" in result.output
+
+
+def test_cli_split_cycle_fails_cleanly(proj_dir):
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        ["split", "cyclic", "--select", "orders_mart",
+         "--project-path", str(proj_dir)],
+    )
+    assert result.exit_code != 0
+    assert "cycle" in result.output.lower()
+
+
+def test_cli_version_add_then_bump(proj_dir):
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        ["operation", "add-version", "--select", "status_names",
+         "--project-path", str(proj_dir)],
+    )
+    assert result.exit_code == 0, result.output
+    assert (proj_dir / "models/marts/status_names_v1.sql").exists()
+    assert not (proj_dir / "models/marts/status_names.sql").exists()
+    props = yaml.safe_load((proj_dir / "models/marts/__models.yml").read_text())
+    entry = {m["name"]: m for m in props["models"]}["status_names"]
+    assert entry["latest_version"] == 1
+    assert entry["versions"] == [{"v": 1}]
+
+    result = runner.invoke(
+        cli,
+        ["operation", "bump-version", "--select", "status_names",
+         "--project-path", str(proj_dir)],
+    )
+    assert result.exit_code == 0, result.output
+    assert (proj_dir / "models/marts/status_names_v2.sql").exists()
+    props = yaml.safe_load((proj_dir / "models/marts/__models.yml").read_text())
+    entry = {m["name"]: m for m in props["models"]}["status_names"]
+    assert entry["latest_version"] == 2
+
+
+def test_cli_create_group(proj_dir):
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        ["operation", "create-group", "staging", "--select", "+stg_customers",
+         "--owner-name", "data-eng", "--project-path", str(proj_dir)],
+    )
+    assert result.exit_code == 0, result.output
+    groups = yaml.safe_load((proj_dir / "models/_groups.yml").read_text())
+    entry = {g["name"]: g for g in groups["groups"]}["staging"]
+    assert entry["owner"] == {"name": "data-eng"}
+    props = yaml.safe_load((proj_dir / "models/staging/__models.yml").read_text())
+    stg = {m["name"]: m for m in props["models"]}["stg_customers"]
+    assert stg["group"] == "staging"
+    assert stg["access"] in ("protected", "private")
+
+
+# -- connect -----------------------------------------------------------------
+
+
+@pytest.fixture()
+def source_hack_pair(tmp_path):
+    """Two projects wired by the source hack (reference
+    test-projects/source-hack/src_proj_{a,b})."""
+    a = tmp_path / "proj_a"
+    (a / "models").mkdir(parents=True)
+    (a / "dbt_project.yml").write_text("name: proj_a\nmodel-paths: ['models']\n")
+    (a / "models/shared_model.sql").write_text(
+        "select 1 as id, 'grace' as colleague\n"
+    )
+    b = tmp_path / "proj_b"
+    (b / "models").mkdir(parents=True)
+    (b / "dbt_project.yml").write_text("name: proj_b\nmodel-paths: ['models']\n")
+    (b / "models/__sources.yml").write_text(
+        "version: 2\n"
+        "sources:\n"
+        "  - name: proj_a\n"
+        "    tables:\n"
+        "      - name: shared_model\n"
+        "        identifier: SHARED_MODEL\n"
+    )
+    (b / "models/downstream_model.sql").write_text(
+        "select * from {{ source('proj_a', 'shared_model') }} where colleague = 'grace'\n"
+    )
+    return a, b
+
+
+def test_cli_connect_source_hack(source_hack_pair):
+    a, b = source_hack_pair
+    runner = CliRunner()
+    result = runner.invoke(
+        cli, ["connect", "--project-paths", str(a), "--project-paths", str(b)]
+    )
+    assert result.exit_code == 0, result.output
+    # downstream model now uses an explicit cross-project ref (R3)
+    code = (b / "models/downstream_model.sql").read_text()
+    assert "{{ ref('proj_a', 'shared_model') }}" in code
+    assert "source(" not in code
+    # the hacked source entry is gone; file deleted when empty (C3)
+    assert not (b / "models/__sources.yml").exists()
+    # downstream project declares the dependency
+    deps = yaml.safe_load((b / "dependencies.yml").read_text())
+    assert {"name": "proj_a"} in deps["projects"]
+    # upstream model is now public
+    props = yaml.safe_load((a / "models/_models.yml").read_text())
+    entry = {m["name"]: m for m in props["models"]}["shared_model"]
+    assert entry["access"] == "public"
