@@ -311,6 +311,34 @@ class ProjectRunner:
                 result.statuses[r.name] = f"error: {e}"
         return result
 
+    def semantic_query(
+        self,
+        name: str,
+        grain: str | None = None,
+        measures: list[str] | None = None,
+        dimensions: list[str] | None = None,
+    ) -> DataFrame:
+        """M1: compile + run a declared semantic model's measure query over
+        the materialized bound model (project/semantic.py)."""
+        from dbt_meshify_spark.project.semantic import (
+            compile_measure_query,
+            model_name_of,
+        )
+
+        r = self.project.manifest.get(f"semantic_model.{self.project.name}.{name}")
+        if r is None:
+            raise CompileError(f"unknown semantic model {name!r}")
+        spec = r.meta.get("spec") or {}
+        model = self.project.manifest.get(
+            f"model.{self.project.name}.{model_name_of(spec)}"
+        )
+        if model is None:
+            raise CompileError(f"semantic model {name!r} binds an unknown model")
+        df = self.spark.table(self.relation_for(model))
+        return compile_measure_query(
+            df, spec, grain=grain, measures=measures, dimensions=dimensions
+        )
+
     def test(self, select: str | list[str] | None = None) -> list[TestResult]:
         specs: list[TestSpec] = self.project.tests
         if select:

@@ -283,3 +283,31 @@ def test_select_subset_runs_prerequisites(spark, project, tmp_path_factory):
     assert "stg_lineitems" in result.statuses
     # but unrelated models were not run
     assert "customers_mart" not in result.statuses
+
+
+# -- semantic models (M1) ----------------------------------------------------
+
+
+def test_semantic_query_matches_direct_agg(spark, run_ctx):
+    runner, _ = run_ctx
+    out = runner.semantic_query("orders_semantics", grain="month")
+    direct = spark.sql(
+        """
+        select cast(date_trunc('month', ordered_on) as date) as ordered_on,
+               sum(subtotal) as order_total
+        from orders_mart group by 1
+        """
+    )
+    diff = out.exceptAll(direct).count() + direct.exceptAll(out).count()
+    assert diff == 0
+    assert out.columns == ["ordered_on", "order_total"]
+
+
+def test_semantic_query_rejects_finer_grain(run_ctx):
+    from dbt_meshify_spark.project.semantic import SemanticCompileError
+
+    runner, _ = run_ctx
+    # declared granularity is day -> month ok (above), but nothing finer than
+    # declared exists; asking for an unknown grain must fail loudly
+    with pytest.raises(SemanticCompileError):
+        runner.semantic_query("orders_semantics", grain="hour")
