@@ -80,6 +80,76 @@ def decode_image(payload: bytes) -> object:
     raise NotImplementedError("image codecs not present in this environment")
 
 
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize pass over binary payloads (Arrow-batched; stub kernel).
+
+    The STUB kernel deterministically re-buckets payload bytes to a
+    width*height buffer (real implementation: PIL/libvips resample replaces
+    ``_resize_bytes`` only). Everything around it — batch iteration, schema
+    preservation, metadata rewrite without touching unrelated columns — is
+    the production shape.
+    """
+    target = width * height
+
+    def _resize_bytes(b: bytes | None) -> bytes:
+        if not b:
+            return b""
+        # deterministic fake: cycle the source bytes into the target size
+        reps = (target // len(b)) + 1
+        return (b * reps)[:target]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(_resize_bytes)
+            out["meta"] = out["meta"].map(
+                lambda m: {**(m or {}), "width": width, "height": height}
+            )
+            yield out
+
+    from dbt_meshify_spark.operators.util import spread
+
+    return spread(media).mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64, stride: int = 2) -> DataFrame:
+    """One-to-many frame sampling over video payloads (stub kernel).
+
+    Emits every ``stride``-th fixed-size chunk of the payload as a 'frame' —
+    the deterministic stand-in for a real keyframe decoder. The one-row-in /
+    many-rows-out mapInPandas shape (batch explosion without driver
+    involvement) is exactly what a production frame sampler uses; swap the
+    chunker for an ffmpeg/PyAV call and nothing else changes.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = payload or b""
+                n_chunks = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_chunks, stride):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    from dbt_meshify_spark.operators.util import spread
+
+    return spread(media).mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

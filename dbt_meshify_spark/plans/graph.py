@@ -116,6 +116,14 @@ def select_resources(
     def eval_token(token: str) -> set[str]:
         subsets = []
         for piece in token.split(","):
+            # @node: the node, its descendants, and all ancestors of those
+            # descendants (dbt's at-operator — needed to relocate a model
+            # with everything its consumers also read)
+            if piece.startswith("@"):
+                base = _match_body(manifest, piece[1:])
+                down = _walk(children, base, None)
+                subsets.append(down | _walk(parents, down, None))
+                continue
             sel = _parse_one(piece)
             base = _match_body(manifest, sel.body)
             out = set(base)
@@ -318,3 +326,34 @@ def reachable_frame(
         seen = seen.union(step).distinct()
         frontier = step
     return seen
+
+
+def boundary_frame(edges: DataFrame, selected: DataFrame) -> DataFrame:
+    """G4/G5 scale path: classify a selection entirely as DataFrame joins.
+
+    interface = nodes with an out-edge leaving the selection (semi-join on
+    src, anti-join on dst) ∪ selection leaves (no out-edge at all); access =
+    'protected' for interface nodes else 'private' — the same truth table as
+    ``classify_access`` (reference grouper.py:30-55), but it never collects
+    the graph to the driver, so it holds at manifest sizes where networkx
+    can't. ``selected`` must have column ``unique_id``.
+
+    Two hash joins + one union; both join keys are unique_id (high
+    cardinality, no skew). Returns (unique_id, access).
+    """
+    sel = selected.select("unique_id").distinct()
+    crossing = (
+        edges.join(sel, edges.src == sel.unique_id, "left_semi")
+        .join(sel, edges.dst == sel.unique_id, "left_anti")
+        .select(F.col("src").alias("unique_id"))
+        .distinct()
+    )
+    leaves = sel.join(edges, sel.unique_id == edges.src, "left_anti").select(
+        "unique_id"
+    )
+    interface = crossing.union(leaves).distinct().withColumn(
+        "access", F.lit("protected")
+    )
+    return sel.join(interface.select("unique_id"), "unique_id", "left_anti").withColumn(
+        "access", F.lit("private")
+    ).union(interface)

@@ -134,3 +134,37 @@ def test_date_spine_bounds(spark):
     assert len(rows) == 60  # jan 31 + feb 29 (2024 leap), end-exclusive
     vals = sorted(str(r.date_day) for r in rows)
     assert vals[0] == "2024-01-01" and vals[-1] == "2024-02-29"
+
+
+def test_multimodal_resize_rewrites_meta_and_payload(spark):
+    from dbt_meshify_spark.operators.multimodal import resize_media, synthesize_media
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    media = synthesize_media(docs, "doc_id", "text")
+    out = resize_media(media, width=16, height=8).collect()
+    assert len(out) == 20
+    for row in out:
+        assert len(row.payload) == 16 * 8
+        assert row.meta.width == 16 and row.meta.height == 8
+
+
+def test_multimodal_frame_sampling_explodes_rows(spark):
+    from dbt_meshify_spark.operators.multimodal import sample_frames, synthesize_media
+    from dbt_meshify_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(10)
+    media = synthesize_media(docs, "doc_id", "text")
+    frames = sample_frames(media, frame_bytes=32, stride=2)
+    # every media row yields ceil(n/32) chunks sampled at stride 2
+    per_media = frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    sizes = {r.media_id: r.n for r in per_media}
+    for row in media.select("media_id", F.length("payload").alias("len")).collect():
+        n_chunks = (row.len + 31) // 32
+        expected = (n_chunks + 1) // 2
+        assert sizes.get(row.media_id) == expected
+    # frames are deterministic slices
+    f0 = frames.filter("frame_idx = 0").first()
+    payloads = {r.media_id: r.payload for r in media.collect()}
+    assert bytes(f0.frame) == bytes(payloads[f0.media_id])[:32]

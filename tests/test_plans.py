@@ -568,3 +568,61 @@ def test_reachable_frame(spark, chain_manifest):
         r.unique_id for r in G.reachable_frame(edges, seeds, "upstream").collect()
     }
     assert up == {"model.proj.a", "model.proj.b"}
+
+
+def test_at_selector_includes_descendant_ancestors():
+    # @b = b, its descendants (c), and ancestors of those (a via c? no — a->b->c, x->c)
+    m = Manifest(
+        [
+            Resource(unique_id="model.p.a", name="a"),
+            Resource(unique_id="model.p.b", name="b", depends_on=["model.p.a"]),
+            Resource(unique_id="model.p.x", name="x"),
+            Resource(
+                unique_id="model.p.c", name="c",
+                depends_on=["model.p.b", "model.p.x"],
+            ),
+        ]
+    )
+    out = G.select_resources(m, "@b")
+    # b + descendant c + c's other ancestor x + b's own ancestry via closure
+    assert out == {"model.p.b", "model.p.c", "model.p.x", "model.p.a"}
+
+
+def test_boundary_frame_matches_driver_classification(spark):
+    # same topology as the golden grouper test (reference
+    # tests/unit/test_resource_grouper_classification.py:28-37)
+    m = Manifest(
+        [
+            Resource(unique_id="model.p.a", name="a"),
+            Resource(unique_id="model.p.b", name="b", depends_on=["model.p.a"]),
+            Resource(unique_id="model.p.c", name="c", depends_on=["model.p.b"]),
+            Resource(unique_id="model.p.d", name="d", depends_on=["model.p.b"]),
+            Resource(unique_id="model.p.e", name="e", depends_on=["model.p.d"]),
+        ]
+    )
+    selected = {"model.p.a", "model.p.b", "model.p.c", "model.p.d"}
+    driver = G.classify_access(m, selected)
+    nodes, edges = m.to_frames(spark)
+    sel = nodes.filter(nodes.unique_id.isin(list(selected)))
+    frame = {
+        r.unique_id: r.access
+        for r in G.boundary_frame(edges, sel).collect()
+    }
+    assert frame == driver
+
+
+def test_reachable_frame_matches_driver_walk(spark):
+    m = Manifest(
+        [
+            Resource(unique_id="model.p.a", name="a"),
+            Resource(unique_id="model.p.b", name="b", depends_on=["model.p.a"]),
+            Resource(unique_id="model.p.c", name="c", depends_on=["model.p.b"]),
+            Resource(unique_id="model.p.d", name="d"),
+        ]
+    )
+    nodes, edges = m.to_frames(spark)
+    seeds = nodes.filter(nodes.unique_id == "model.p.a")
+    down = {
+        r.unique_id for r in G.reachable_frame(edges, seeds, "downstream").collect()
+    }
+    assert down == {"model.p.a", "model.p.b", "model.p.c"}
