@@ -148,19 +148,36 @@ class ProjectRunner:
         df.createOrReplaceTempView(rel)
         self._registered.add(rel)
 
-    def _write_table(self, name: str, df: DataFrame) -> str:
-        """Write-then-swap parquet materialization; returns the view name."""
+    def _write_table(
+        self, name: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> str:
+        """Write-then-swap parquet materialization; returns the view name.
+
+        ``partition_by`` maps dbt-spark's model config to physical layout:
+        downstream filters on partition columns become partition pruning at
+        the scan (the 100 TB lever for time-partitioned marts).
+        """
         if self.warehouse_dir is None:
             # no warehouse: fall back to an eagerly-registered view
             df.createOrReplaceTempView(name)
             return name
         version = self._table_versions.get(name, 0) + 1
         path = self.warehouse_dir / name / f"v{version}"
-        df.write.mode("overwrite").parquet(str(path))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(path))
         self._table_versions[name] = version
         out = self.spark.read.parquet(str(path))
         out.createOrReplaceTempView(name)
         return name
+
+    @staticmethod
+    def _partition_cols(r: Resource) -> list[str] | None:
+        p = r.config.get("partition_by")
+        if not p:
+            return None
+        return [p] if isinstance(p, str) else list(p)
 
     def _table_exists(self, name: str) -> bool:
         return name in self._table_versions
@@ -209,19 +226,32 @@ class ProjectRunner:
         if materialized in ("view", "ephemeral"):
             df.createOrReplaceTempView(name)
         elif materialized == "incremental" and incremental_run:
-            unique_key = r.config.get("unique_key")
+            # dbt-spark incremental strategies:
+            #   merge (default w/ unique_key): new rows win over same-key old
+            #   insert_overwrite: replace whole partitions the batch touches
+            #   append: blind union
+            strategy = r.config.get("incremental_strategy") or (
+                "merge" if r.config.get("unique_key") else "append"
+            )
             existing = self._current_table(name)
-            if unique_key:
+            pcols = self._partition_cols(r)
+            if strategy == "merge" and r.config.get("unique_key"):
+                unique_key = r.config.get("unique_key")
                 keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
                 survivors = existing.join(
                     df.select(*keys).distinct(), on=keys, how="left_anti"
                 )
                 combined = df.unionByName(survivors)
-            else:
+            elif strategy == "insert_overwrite" and pcols:
+                survivors = existing.join(
+                    df.select(*pcols).distinct(), on=pcols, how="left_anti"
+                )
+                combined = df.unionByName(survivors)
+            else:  # append
                 combined = existing.unionByName(df)
-            self._write_table(name, combined)
+            self._write_table(name, combined, pcols)
         else:  # table, or first incremental run
-            self._write_table(name, df)
+            self._write_table(name, df, self._partition_cols(r))
         self._registered.add(name)
 
     def _run_python_model(self, r: Resource) -> tuple[DataFrame, dict[str, Any]]:

@@ -311,3 +311,48 @@ def test_semantic_query_rejects_finer_grain(run_ctx):
     # declared exists; asking for an unknown grain must fail loudly
     with pytest.raises(SemanticCompileError):
         runner.semantic_query("orders_semantics", grain="hour")
+
+
+def test_incremental_insert_overwrite_replaces_partitions(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("io_proj")
+    (root / "models").mkdir()
+    (root / "dbt_project.yml").write_text("name: io_proj\nmodel-paths: ['models']\n")
+    (root / "models/__sources.yml").write_text(
+        "version: 2\n"
+        "sources:\n"
+        "  - name: raw\n"
+        "    tables:\n"
+        "      - name: orders\n"
+        "        meta: {path: \"/root/testdata/sf0.001/orders.parquet\"}\n"
+    )
+    (root / "models/daily.sql").write_text(
+        "{{ config(materialized='incremental', incremental_strategy='insert_overwrite',"
+        " partition_by='d') }}\n"
+        "select cast(o_orderdate as date) as d, o_orderkey,\n"
+        "       o_totalprice {{ '* 2' if var('double', false) else '' }} as price\n"
+        "from {{ source('raw', 'orders') }}\n"
+        "{% if is_incremental() %}\n"
+        "where cast(o_orderdate as date) >= (select max(d) from {{ this }})\n"
+        "{% endif %}\n"
+    )
+    wh = tmp_path_factory.mktemp("io_wh")
+
+    project = SparkProject.load(root)
+    runner = ProjectRunner(spark, project, warehouse_dir=wh)
+    assert runner.run().ok
+    first = spark.table("daily")
+    base_count = first.count()
+    max_d = first.agg({"d": "max"}).first()[0]
+
+    # second run recomputes only partitions >= max(d) with doubled price;
+    # those partitions must be REPLACED (not appended), everything else kept
+    project2 = SparkProject.load(root, vars={"double": True})
+    runner2 = ProjectRunner(spark, project2, warehouse_dir=wh)
+    runner2._table_versions = dict(runner._table_versions)
+    runner2._registered = set(runner._registered)
+    assert runner2.run().ok
+    second = spark.table("daily")
+    assert second.count() == base_count  # replaced, not duplicated
+    doubled = second.filter(f"d = '{max_d}'").selectExpr("min(price)").first()[0]
+    orig = first.filter(f"d = '{max_d}'").selectExpr("min(price)").first()[0]
+    assert abs(doubled - 2 * orig) < 1e-6
