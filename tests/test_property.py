@@ -1,0 +1,156 @@
+"""Property-based tests (hypothesis) — a verification layer the reference
+lacks entirely (SURVEY.md §5.1 'Absent'): randomized round-trip, algebraic,
+and invariant checks over the governance primitives and selector grammar.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dbt_meshify_spark.plans import graph as G
+from dbt_meshify_spark.plans.changes import (
+    dict_to_named_list,
+    named_list_to_dict,
+    safe_update,
+)
+from dbt_meshify_spark.plans.manifest import Manifest, Resource
+
+_name = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+_scalar = st.one_of(st.integers(), st.booleans(), _name)
+
+
+# -- NamedList round-trip (C2) ------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {"name": _name},
+            optional={"description": _name, "priority": st.integers()},
+        ),
+        max_size=8,
+        unique_by=lambda d: d["name"],
+    )
+)
+def test_named_list_round_trip(entries):
+    assert dict_to_named_list(named_list_to_dict(entries)) == entries
+
+
+# -- safe_update algebra (C2) -------------------------------------------------
+
+
+_doc = st.recursive(
+    st.dictionaries(_name, _scalar, max_size=4),
+    lambda children: st.dictionaries(_name, children | _scalar, max_size=4),
+    max_leaves=10,
+)
+
+
+@given(_doc, _doc)
+def test_safe_update_idempotent(a, b):
+    once = safe_update(dict(a), b)
+    twice = safe_update(dict(once), b)
+    assert once == twice
+
+
+@given(_doc)
+def test_safe_update_identity(a):
+    assert safe_update(dict(a), {}) == a
+
+
+@given(_doc, _name)
+def test_safe_update_none_deletes(a, key):
+    out = safe_update(dict(a), {key: None})
+    assert key not in out
+
+
+# -- selector algebra (G1) ----------------------------------------------------
+
+
+@st.composite
+def _manifests(draw):
+    n = draw(st.integers(min_value=1, max_value=10))
+    names = [f"m{i}" for i in range(n)]
+    resources = []
+    for i, name in enumerate(names):
+        # edges only to earlier nodes -> guaranteed acyclic
+        deps = draw(
+            st.lists(
+                st.sampled_from([f"model.p.{names[j]}" for j in range(i)])
+                if i
+                else st.nothing(),
+                max_size=3,
+                unique=True,
+            )
+        ) if i else []
+        resources.append(
+            Resource(unique_id=f"model.p.{name}", name=name, depends_on=deps)
+        )
+    return Manifest(resources)
+
+
+@given(_manifests(), st.integers(min_value=0, max_value=9))
+@settings(max_examples=50)
+def test_selection_contains_seed_and_closures_nest(manifest, idx):
+    names = sorted(r.name for r in manifest.resources.values())
+    seed = names[idx % len(names)]
+    plain = G.select_resources(manifest, seed)
+    up = G.select_resources(manifest, f"+{seed}")
+    down = G.select_resources(manifest, f"{seed}+")
+    both = G.select_resources(manifest, f"+{seed}+")
+    assert f"model.p.{seed}" in plain
+    assert plain <= up and plain <= down
+    assert up | down <= both
+    # bounded depth never selects more than unbounded
+    assert G.select_resources(manifest, f"1+{seed}") <= up
+
+
+@given(_manifests(), st.integers(min_value=0, max_value=9))
+@settings(max_examples=50)
+def test_exclusion_removes_exactly(manifest, idx):
+    names = sorted(r.name for r in manifest.resources.values())
+    seed = names[idx % len(names)]
+    everything = G.select_resources(manifest, "*")
+    without = G.select_resources(manifest, "*", exclude=seed)
+    assert f"model.p.{seed}" not in without
+    assert without <= everything
+
+
+@given(_manifests())
+@settings(max_examples=50)
+def test_access_classification_total_and_valid(manifest):
+    selected = set(manifest.resources)
+    access = G.classify_access(manifest, selected)
+    assert set(access) == selected
+    assert set(access.values()) <= {"protected", "private"}
+    # a full-graph selection has no crossing edges: protected == leaves
+    leaves = {
+        u for u in selected if not manifest.child_map().get(u)
+    }
+    assert {u for u, a in access.items() if a == "protected"} == leaves
+
+
+# -- version arithmetic (V5/V6) ----------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=6, unique=True)
+)
+def test_bump_version_always_advances(versions):
+    from pathlib import Path
+
+    from dbt_meshify_spark.plans.versions import BumpBehavior, bump_version
+
+    model = Resource(unique_id="model.p.m", name="m", path="models/m.sql")
+    model.version = max(versions)
+    cs = bump_version(
+        model, Path("x.yml"), Path("models"),
+        behavior=BumpBehavior.Increment, existing_versions=versions,
+    )
+    patch = cs.changes[0].data
+    assert patch["latest_version"] == max(versions) + 1
+    vs = [v["v"] for v in patch["versions"]]
+    assert vs == sorted(versions) + [max(versions) + 1]
