@@ -27,7 +27,12 @@ from dbt_meshify_spark.operators.dedup import (
     simhash_candidate_pairs,
 )
 from dbt_meshify_spark.operators.multimodal import extract_features, synthesize_media
-from dbt_meshify_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from dbt_meshify_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_exact,
+    embedding_neardup_pairs,
+    lsh_bucketed_topk,
+)
 from dbt_meshify_spark.operators.text import (
     LANG_MARKERS,
     doc_fingerprint,
@@ -124,6 +129,25 @@ def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(_asc("query_id"), _asc("rank"))
     )
+
+
+def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N2/N3] exact all-pairs embedding near-dup at cosine>=0.4 (the
+    synthetic embeddings top out at ~0.51, so 0.4 exercises a real result
+    set). Oracle-checked; the LSH-blocked variant below is the scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_exact(emb, threshold=0.4).orderBy(
+        _asc("id_a"), _asc("id_b")
+    )
+
+
+def ext_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N2/N3] LSH-blocked embedding near-dup (rows-only; recall vs the
+    exact variant asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, threshold=0.4, num_planes=16, bands=8
+    ).orderBy(_asc("id_a"), _asc("id_b"))
 
 
 # --------------------------------------------------------------------------
@@ -272,6 +296,8 @@ QUERIES = {
     "ext_simhash_neardup": ext_simhash_neardup,
     "ext_cosine_topk": ext_cosine_topk,
     "ext_ann_lsh_topk": ext_ann_lsh_topk,
+    "ext_embedding_neardup": ext_embedding_neardup,
+    "ext_embedding_neardup_lsh": ext_embedding_neardup_lsh,
     "ext_token_stats": ext_token_stats,
     "ext_lang_id": ext_lang_id,
     "ext_quality_score": ext_quality_score,
@@ -336,4 +362,19 @@ FROM documents ORDER BY doc_id NULLS FIRST
 """,
     "ext_lang_id": _lang_id_sql(),
     "ext_quality_score": _quality_sql(),
+    "ext_embedding_neardup": """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) + 1e-12) AS cs
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cs, 4) AS cos_sim
+FROM sims WHERE cs >= 0.4
+ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+""",
 }

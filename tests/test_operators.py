@@ -168,3 +168,28 @@ def test_multimodal_frame_sampling_explodes_rows(spark):
     f0 = frames.filter("frame_idx = 0").first()
     payloads = {r.media_id: r.payload for r in media.collect()}
     assert bytes(f0.frame) == bytes(payloads[f0.media_id])[:32]
+
+
+def test_embedding_neardup_lsh_recall_vs_exact(spark):
+    from dbt_meshify_spark.operators.similarity import (
+        embedding_neardup_exact,
+        embedding_neardup_pairs,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_exact(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.4, num_planes=16, bands=8
+        ).collect()
+    }
+    assert exact, "threshold produced no pairs — fixture changed?"
+    # LSH candidates are verified with exact cosine, so no false positives
+    assert lsh <= exact
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} below bound"
