@@ -369,6 +369,28 @@ def run(select, exclude, project_path, warehouse_dir, full_refresh, vars_) -> No
 @cli.command()
 @click.option("--select", "-s", multiple=True)
 @click.option("--project-path", default=".", type=click.Path(exists=True))
+@click.option("--warehouse-dir", default=None, type=click.Path())
+def snapshot(select, project_path, warehouse_dir) -> None:
+    """Run SCD2 snapshots (the `dbt snapshot` analog)."""
+    from dbt_meshify_spark.session import get_spark
+
+    project = SparkProject.load(project_path)
+    runner = ProjectRunner(
+        get_spark(app_name="meshify-snapshot"), project, warehouse_dir
+    )
+    runner.run()  # snapshots may ref models/sources
+    result = runner.snapshot(select=list(select) or None)
+    failed = 0
+    for name, status in result.statuses.items():
+        click.echo(f"{name}: {status}")
+        failed += 0 if status == "ok" else 1
+    if failed:
+        raise click.ClickException(f"{failed} snapshot(s) failed")
+
+
+@cli.command()
+@click.option("--select", "-s", multiple=True)
+@click.option("--project-path", default=".", type=click.Path(exists=True))
 def test(select, project_path) -> None:
     """Run data tests (zero-row = pass) on Spark (reference delegates to
     `dbt test`; compiled semantics in SURVEY.md §2.4)."""

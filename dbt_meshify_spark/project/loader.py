@@ -60,6 +60,7 @@ class SparkProject:
         project._load_custom_tests()
         project.compiler = JinjaCompiler(project.name, project.macro_sources, project.vars)
         project._load_models()
+        project._load_snapshots()
         project._load_seeds()
         project._load_property_files()
         project._derive_edges()
@@ -120,6 +121,33 @@ class SparkProject:
                         relation_name=name,
                     )
                 )
+
+    def _load_snapshots(self) -> None:
+        """SCD2 snapshots: ``{% snapshot name %} select ... {% endsnapshot %}``
+        blocks under snapshot-paths. The block body compiles like a model;
+        snapshot config (strategy/unique_key/updated_at/check_cols) comes
+        from the block's ``config()`` call at compile time."""
+        block_re = re.compile(
+            r"{%-?\s*snapshot\s+(\w+)\s*-?%}(.*?){%-?\s*endsnapshot\s*-?%}",
+            re.DOTALL,
+        )
+        for sdir in self._paths("snapshot-paths", "snapshots"):
+            if not sdir.is_dir():
+                continue
+            for f in sorted(sdir.rglob("*.sql")):
+                for m in block_re.finditer(f.read_text()):
+                    name, body = m.group(1), m.group(2).strip()
+                    self.manifest.add(
+                        Resource(
+                            unique_id=f"snapshot.{self.name}.{name}",
+                            name=name,
+                            resource_type="snapshot",
+                            package=self.name,
+                            path=str(f.relative_to(self.root)),
+                            raw_code=body,
+                            relation_name=name,
+                        )
+                    )
 
     def _load_seeds(self) -> None:
         for sdir in self._paths("seed-paths", "seeds"):
@@ -319,7 +347,7 @@ class SparkProject:
             if r.resource_type == "source"
         }
         for uid, r in list(self.manifest.resources.items()):
-            if r.resource_type != "model":
+            if r.resource_type not in ("model", "snapshot"):
                 continue
             deps: set[str] = set()
             if r.language == "python":

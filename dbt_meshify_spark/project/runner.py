@@ -28,6 +28,7 @@ from pathlib import Path
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dbt_meshify_spark.plans.contracts import enforce_contract
 from dbt_meshify_spark.plans.graph import select_resources
@@ -94,6 +95,7 @@ class ProjectRunner:
         self.source_loader = source_loader or default_source_loader
         self._table_versions: dict[str, int] = {}
         self._registered: set[str] = set()
+        self._run_started_at = None
 
     # -- naming ------------------------------------------------------------
 
@@ -105,8 +107,10 @@ class ProjectRunner:
     ) -> str:
         name = args[-1]
         manifest = self.project.manifest
-        target = manifest.get(f"model.{self.project.name}.{name}") or manifest.get(
-            f"seed.{self.project.name}.{name}"
+        target = (
+            manifest.get(f"model.{self.project.name}.{name}")
+            or manifest.get(f"seed.{self.project.name}.{name}")
+            or manifest.get(f"snapshot.{self.project.name}.{name}")
         )
         if target is None and version is None:
             raise CompileError(f"ref to unknown model {name!r}")
@@ -253,6 +257,129 @@ class ProjectRunner:
         else:  # table, or first incremental run
             self._write_table(name, df, self._partition_cols(r))
         self._registered.add(name)
+
+    def _materialize_snapshot(self, r: Resource) -> None:
+        """SCD2 snapshot (dbt `snapshot` semantics, Spark-native).
+
+        timestamp strategy: a key's row is superseded when a new row with a
+        later ``updated_at`` arrives — the open row closes at that instant.
+        check strategy: superseded when any of ``check_cols`` changes; the
+        transition timestamp is the (pinned) run start.
+
+        Plan shape: one join of current-source vs open-rows on unique_key;
+        closed history is untouched (append-only) — at scale pair this with
+        partitioning on dbt_valid_to IS NULL so the open set stays a small
+        scan.
+        """
+        name = self.relation_for(r)
+        compiled = self.project.compiler.compile(
+            r.raw_code,
+            r.name,
+            resolve_ref=lambda *a, **k: self._resolve_ref(
+                *a, version=k.get("version"), consumer=r
+            ),
+            resolve_source=self._resolve_source,
+            this_relation=name,
+        )
+        r.config = {**r.config, **compiled.config}
+        src = self.spark.sql(compiled.sql)
+
+        strategy = r.config.get("strategy", "timestamp")
+        unique_key = r.config.get("unique_key")
+        if not unique_key:
+            raise CompileError(f"snapshot {r.name} needs a unique_key")
+        keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
+        if strategy == "timestamp":
+            updated_at = r.config.get("updated_at")
+            if not updated_at:
+                raise CompileError(f"timestamp snapshot {r.name} needs updated_at")
+            valid_from = F.col(updated_at).cast("timestamp")
+        else:  # check strategy: pin one run timestamp for determinism (UD4)
+            if self._run_started_at is None:
+                self._run_started_at = self.spark.sql(
+                    "select current_timestamp()"
+                ).first()[0]
+            valid_from = F.lit(self._run_started_at).cast("timestamp")
+
+        def with_meta(df: DataFrame) -> DataFrame:
+            scd_id = F.md5(
+                F.concat_ws(
+                    "|", *[F.col(k).cast("string") for k in keys],
+                    valid_from.cast("string"),
+                )
+            )
+            return df.withColumn("dbt_valid_from", valid_from).withColumn(
+                "dbt_valid_to", F.lit(None).cast("timestamp")
+            ).withColumn("dbt_scd_id", scd_id)
+
+        if not self._table_exists(name):
+            self._write_table(name, with_meta(src))
+            self._registered.add(name)
+            return
+
+        existing = self._current_table(name)
+        closed = existing.filter(F.col("dbt_valid_to").isNotNull())
+        open_rows = existing.filter(F.col("dbt_valid_to").isNull())
+        new = with_meta(src)
+
+        if strategy == "timestamp":
+            changed_pred = F.col("n.dbt_valid_from") > F.col("o.dbt_valid_from")
+        else:
+            check_cols = r.config.get("check_cols")
+            cols = (
+                [c for c in src.columns if c not in keys]
+                if check_cols in (None, "all")
+                else list(check_cols)
+            )
+            changed_pred = F.lit(False)
+            for c in cols:
+                changed_pred = changed_pred | ~F.col(f"n.{c}").eqNullSafe(
+                    F.col(f"o.{c}")
+                )
+
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        j = open_rows.alias("o").join(new.alias("n"), on=cond, how="full_outer")
+        # rows whose key vanished from the source stay open (dbt behavior
+        # without invalidate_hard_deletes)
+        still_open = j.filter(
+            F.col("n.dbt_scd_id").isNull() | ~changed_pred
+        ).select("o.*").filter(F.col("dbt_scd_id").isNotNull())
+        newly_closed = (
+            j.filter(F.col("o.dbt_scd_id").isNotNull() & changed_pred)
+            .select("o.*", F.col("n.dbt_valid_from").alias("__close_at"))
+            .withColumn("dbt_valid_to", F.col("__close_at"))
+            .drop("__close_at")
+        )
+        inserts = j.filter(
+            F.col("n.dbt_scd_id").isNotNull()
+            & (F.col("o.dbt_scd_id").isNull() | changed_pred)
+        ).select("n.*")
+        combined = closed.unionByName(still_open).unionByName(
+            newly_closed
+        ).unionByName(inserts)
+        self._write_table(name, combined)
+        self._registered.add(name)
+
+    def snapshot(self, select: str | list[str] | None = None) -> "RunResult":
+        """Run all (or selected) snapshots — the `dbt snapshot` analog."""
+        selected = (
+            select_resources(self.project.manifest, select) if select else None
+        )
+        result = RunResult()
+        for uid, r in sorted(self.project.manifest.resources.items()):
+            if r.resource_type != "snapshot":
+                continue
+            if selected is not None and uid not in selected:
+                continue
+            try:
+                self._materialize_snapshot(r)
+                result.statuses[r.name] = "ok"
+                result.relations[r.name] = self.relation_for(r)
+            except Exception as e:
+                result.statuses[r.name] = f"error: {e}"
+        return result
 
     def _run_python_model(self, r: Resource) -> tuple[DataFrame, dict[str, Any]]:
         """UD1: ``def model(dbt, session)`` with dbt.ref/source/config.

@@ -356,3 +356,73 @@ def test_incremental_insert_overwrite_replaces_partitions(spark, tmp_path_factor
     doubled = second.filter(f"d = '{max_d}'").selectExpr("min(price)").first()[0]
     orig = first.filter(f"d = '{max_d}'").selectExpr("min(price)").first()[0]
     assert abs(doubled - 2 * orig) < 1e-6
+
+
+# -- snapshots (SCD2) --------------------------------------------------------
+
+
+@pytest.fixture()
+def snapshot_proj(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("snap_proj")
+    (root / "snapshots").mkdir()
+    (root / "models").mkdir()
+    (root / "dbt_project.yml").write_text(
+        "name: snap_proj\nmodel-paths: ['models']\nsnapshot-paths: ['snapshots']\n"
+    )
+    src = tmp_path_factory.mktemp("snap_src")
+    (root / "models/__sources.yml").write_text(
+        "version: 2\n"
+        "sources:\n"
+        "  - name: raw\n"
+        "    tables:\n"
+        f"      - name: customers\n        meta: {{path: \"{src}/customers\"}}\n"
+    )
+    (root / "snapshots/customers_snapshot.sql").write_text(
+        "{% snapshot customers_snapshot %}\n"
+        "{{ config(strategy='timestamp', unique_key='id', updated_at='updated_at') }}\n"
+        "select * from {{ source('raw', 'customers') }}\n"
+        "{% endsnapshot %}\n"
+    )
+    def write_source(rows):
+        spark.createDataFrame(
+            rows, "id bigint, status string, updated_at timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/customers")
+    return root, write_source
+
+
+def test_snapshot_scd2_timestamp(spark, snapshot_proj, tmp_path_factory):
+    import datetime as dt
+
+    root, write_source = snapshot_proj
+    t1 = dt.datetime(2020, 1, 1)
+    t2 = dt.datetime(2020, 2, 1)
+    write_source([(1, "new", t1), (2, "new", t1)])
+    wh = tmp_path_factory.mktemp("snap_wh")
+
+    runner = ProjectRunner(spark, SparkProject.load(root), warehouse_dir=wh)
+    res1 = runner.snapshot()
+    assert res1.ok, res1.statuses
+    # second run with an unchanged source must be a no-op (idempotent)
+    res1b = runner.snapshot()
+    assert res1b.ok, res1b.statuses
+    first = spark.table("customers_snapshot")
+    assert first.count() == 2
+    assert first.filter("dbt_valid_to is not null").count() == 0
+
+    # customer 1 changes at t2; customer 2 unchanged; customer 3 appears
+    write_source([(1, "active", t2), (2, "new", t1), (3, "new", t2)])
+    runner2 = ProjectRunner(spark, SparkProject.load(root), warehouse_dir=wh)
+    runner2._table_versions = dict(runner._table_versions)
+    res = runner2.snapshot()
+    assert res.ok, res.statuses
+    snap = spark.table("customers_snapshot")
+    rows = {(r.id, r.status): r for r in snap.collect()}
+    assert len(rows) == 4  # 2 original + 1 closed-superseding + 1 brand new
+    closed = rows[(1, "new")]
+    assert closed.dbt_valid_to == t2
+    current = rows[(1, "active")]
+    assert current.dbt_valid_from == t2 and current.dbt_valid_to is None
+    unchanged = rows[(2, "new")]
+    assert unchanged.dbt_valid_to is None
+    fresh = rows[(3, "new")]
+    assert fresh.dbt_valid_from == t2 and fresh.dbt_valid_to is None
