@@ -60,7 +60,10 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
+    # spread the streamed side: a broadcast join's output inherits its
+    # partitioning, and the per-pair cosine (interpreted HOF arithmetic) is
+    # the dominant cost — it must run on every core
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     sims = (
@@ -133,12 +136,16 @@ def lsh_bucketed_topk(
     width = num_planes // bands
 
     def banded(df: DataFrame, prefix: str) -> DataFrame:
+        # ids + band keys ONLY: the banding shuffle and candidate dedup must
+        # not carry vector payloads (at 64 dims that's ~0.5 KB/row through
+        # two shuffles — measured 3x the whole job's cost); vectors re-join
+        # after dedup instead.
         base = spread(df).select(
             F.col(id_col).alias(f"{prefix}_id"),
-            _as_double(F.col(vec_col)).alias(f"{prefix}_vec"),
+            _as_double(F.col(vec_col)).alias("__vec"),
         )
         staged = base.withColumn(
-            "__sig", _hyperplane_signs(F.col(f"{prefix}_vec"), num_planes, dims, seed)
+            "__sig", _hyperplane_signs(F.col("__vec"), num_planes, dims, seed)
         )
         band_keys = F.array(
             *[
@@ -148,7 +155,6 @@ def lsh_bucketed_topk(
         )
         return staged.select(
             f"{prefix}_id",
-            f"{prefix}_vec",
             F.posexplode(band_keys).alias("band_idx", "band_key"),
         )
 
@@ -161,10 +167,19 @@ def lsh_bucketed_topk(
             & (qb.band_key == cb.band_key)
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sims = cand.withColumn(
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("query_vec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("neighbor_vec"),
+    )
+    # no broadcast hints: the query side broadcasts naturally under the
+    # threshold; a 100 TB corpus side must be allowed to shuffle-join
+    sims = cand.join(qv, "query_id").join(cv, "neighbor_id").withColumn(
         "cos_sim",
         _dot(F.col("query_vec"), F.col("neighbor_vec"))
         / (_norm(F.col("query_vec")) * _norm(F.col("neighbor_vec")) + F.lit(1e-12)),
@@ -188,10 +203,15 @@ def embedding_neardup_exact(
     """All pairs with cosine >= threshold, exact O(n^2) — the verification
     baseline for the LSH-blocked path. Returns id_a, id_b (id_a < id_b),
     cos_sim (4dp)."""
-    a = df.select(
+    # spread BOTH sides: the nested-loop join broadcasts one (its pick is
+    # stats-driven and unstable) and the O(n^2) per-pair cosine runs on the
+    # streamed side's partitioning — whichever side streams must be parallel
+    # (measured 50s single-partition vs 5s spread at sf0.1)
+    spread_df = spread(df)
+    a = spread_df.select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
     )
-    b = df.select(
+    b = spread_df.select(
         F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
     )
     return (
