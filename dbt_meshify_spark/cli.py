@@ -70,6 +70,31 @@ def _lazy_schemas(project: SparkProject):
     return out
 
 
+def _catalog_columns(project: SparkProject, read_catalog: bool) -> dict[str, list[dict]]:
+    """model name -> [{name, data_type}] — from target/catalog.json when
+    ``--read-catalog`` (reference cli.py:98-104, dbt_projects.py:279-290:
+    skip docs-generate and trust the cached artifact), else from live Spark
+    schema analysis."""
+    import json
+
+    cat_path = project.root / "target" / "catalog.json"
+    if read_catalog and cat_path.exists():
+        doc = json.loads(cat_path.read_text())
+        return {
+            name: [
+                {"name": c, "data_type": t} for c, t in entry["columns"].items()
+            ]
+            for name, entry in doc.get("nodes", {}).items()
+        }
+    return {
+        name: [
+            {"name": f.name, "data_type": f.dataType.simpleString()}
+            for f in df.schema.fields
+        ]
+        for name, df in _lazy_schemas(project).items()
+    }
+
+
 def _process(ctx: click.Context, *change_sets: ChangeSet) -> None:
     ChangeSetProcessor(dry_run=ctx.obj["dry_run"]).process(list(change_sets))
 
@@ -91,8 +116,9 @@ def cli(ctx: click.Context, dry_run: bool) -> None:
 @click.option("--exclude", "-e", multiple=True)
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--create-path", default=None, type=click.Path())
+@click.option("--read-catalog", is_flag=True, help="trust target/catalog.json instead of live schema analysis")
 @click.pass_context
-def split(ctx, project_name, select, exclude, project_path, create_path) -> None:
+def split(ctx, project_name, select, exclude, project_path, create_path, read_catalog) -> None:
     """Split SELECTed resources into a new subproject (reference
     main.py:213-267)."""
     project = SparkProject.load(project_path)
@@ -102,13 +128,7 @@ def split(ctx, project_name, select, exclude, project_path, create_path) -> None
         )
     except SplitError as e:
         raise click.ClickException(str(e))
-    catalog = {
-        name: [
-            {"name": f.name, "data_type": f.dataType.simpleString()}
-            for f in df.schema.fields
-        ]
-        for name, df in _lazy_schemas(project).items()
-    }
+    catalog = _catalog_columns(project, read_catalog)
     _process(ctx, SubprojectCreator(sub, catalog).initialize())
 
 
@@ -332,6 +352,26 @@ def version(ctx, select, exclude, project_path, prerelease) -> None:
                              existing_versions=[1])
             )
     _process(ctx, *sets)
+
+
+@cli.command()
+@click.option("--project-path", default=".", type=click.Path(exists=True))
+def docs(project_path) -> None:
+    """Generate target/catalog.json (the `dbt docs generate` analog; later
+    runs can pass --read-catalog to skip live schema analysis — reference
+    docs/examples.md:8)."""
+    import json
+
+    project = SparkProject.load(project_path)
+    nodes = {}
+    for name, df in _lazy_schemas(project).items():
+        nodes[name] = {
+            "columns": {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        }
+    out = Path(project_path) / "target"
+    out.mkdir(exist_ok=True)
+    (out / "catalog.json").write_text(json.dumps({"nodes": nodes}, indent=1))
+    click.echo(f"wrote {out / 'catalog.json'} ({len(nodes)} relations)")
 
 
 # -- engine-side execution -------------------------------------------------------

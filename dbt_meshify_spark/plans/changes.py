@@ -245,6 +245,15 @@ class ResourceFileEditor:
         doc.setdefault("version", 2)
         section = doc.get(self._section()) or []
         entries = named_list_to_dict(section)
+        # the stored entries are NamedList-ified (lists of named dicts keyed
+        # by name); the patch must be too, or a list-valued patch key (e.g.
+        # columns) would clobber a named-merged dict instead of deep-merging
+        # per entry (reference file_content_editors.py:14-49 round-trips
+        # everything through NamedList before safe_update)
+        patch = {
+            k: (named_list_to_dict(v) if _is_named_list(v) else v)
+            for k, v in patch.items()
+        }
         if self.entity_type == EntityType.Source and "." in identifier:
             src_name, table_name = identifier.split(".", 1)
             src = entries.setdefault(src_name, {"name": src_name})

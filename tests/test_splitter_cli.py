@@ -260,3 +260,29 @@ def test_cli_connect_source_hack(source_hack_pair):
     props = yaml.safe_load((a / "models/_models.yml").read_text())
     entry = {m["name"]: m for m in props["models"]}["shared_model"]
     assert entry["access"] == "public"
+
+
+def test_cli_docs_then_split_read_catalog(proj_dir):
+    runner = CliRunner()
+    result = runner.invoke(cli, ["docs", "--project-path", str(proj_dir)])
+    assert result.exit_code == 0, result.output
+    cat = proj_dir / "target/catalog.json"
+    assert cat.exists()
+    import json
+
+    nodes = json.loads(cat.read_text())["nodes"]
+    assert nodes["orders_mart"]["columns"]["order_id"] == "bigint"
+
+    # split with --read-catalog must not need a Spark session for contracts
+    result = runner.invoke(
+        cli,
+        ["split", "staging_proj", "--select", "+stg_orders", "--read-catalog",
+         "--project-path", str(proj_dir)],
+    )
+    assert result.exit_code == 0, result.output
+    props = yaml.safe_load(
+        (proj_dir / "staging_proj/models/staging/__models.yml").read_text()
+    )
+    entry = {m["name"]: m for m in props["models"]}["stg_orders"]
+    cols = {c["name"]: c.get("data_type") for c in entry["columns"]}
+    assert cols.get("order_id") == "bigint"
