@@ -190,6 +190,39 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Streaming (N6/N7) — REAL Structured Streaming execution, oracle-checked:
+# the 1-day tumbling windows align to UTC midnight, so the drained stream
+# must equal Q22's batch date_trunc aggregation exactly.
+# --------------------------------------------------------------------------
+
+_STREAM_COUNTER = [0]
+
+
+def ext_stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6,N7] readStream over the events parquet -> event-time tumbling
+    window aggregation -> memory sink, drained with availableNow. This runs
+    the actual streaming engine (state store, micro-batches), not a batch
+    rewrite — the DuckDB oracle gates it because day windows are
+    deterministic."""
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_window_counts,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    agg = tumbling_window_counts(stream, window="1 day", watermark="1 hour")
+    out = run_to_memory(agg, f"stream_tumbling_{_STREAM_COUNTER[0]}")
+    return out.select(
+        F.col("window_start").cast("date").alias("day"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "total_value",
+    ).orderBy(_asc("day"), _asc("event_type"))
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (N5) — rows-only (payload digests have no SQL oracle)
 # --------------------------------------------------------------------------
 
@@ -302,6 +335,7 @@ QUERIES = {
     "ext_lang_id": ext_lang_id,
     "ext_quality_score": ext_quality_score,
     "ext_multimodal_features": ext_multimodal_features,
+    "ext_stream_tumbling_daily": ext_stream_tumbling_daily,
 }
 
 
@@ -362,6 +396,12 @@ FROM documents ORDER BY doc_id NULLS FIRST
 """,
     "ext_lang_id": _lang_id_sql(),
     "ext_quality_score": _quality_sql(),
+    "ext_stream_tumbling_daily": """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
+ORDER BY day NULLS FIRST, event_type NULLS FIRST
+""",
     "ext_embedding_neardup": """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

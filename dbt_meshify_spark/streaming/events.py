@@ -66,6 +66,14 @@ def read_events_stream(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if path.endswith(".parquet"):
+        # FileStreamSource refuses a bare file (its inferred basePath must be
+        # a directory); a glob sidesteps the check and keeps basePath at the
+        # parent dir, so a single-file table streams like a directory would
+        import os
+
+        d, base = os.path.split(path)
+        path = f"{d}/{os.path.splitext(base)[0]}.*"
     df = reader.parquet(path)
     if nanos:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
