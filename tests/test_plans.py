@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from dbt_meshify_spark.plans import (
@@ -626,3 +628,26 @@ def test_reachable_frame_matches_driver_walk(spark):
         r.unique_id for r in G.reachable_frame(edges, seeds, "downstream").collect()
     }
     assert down == {"model.p.a", "model.p.b", "model.p.c"}
+
+
+def test_boundary_frame_scales_past_driver_sizes(spark):
+    """The frame path must classify a manifest far larger than what the
+    driver-side networkx path is meant for, without collecting the graph."""
+    import time
+
+    n = 50_000
+    nodes = spark.range(n).selectExpr("concat('model.p.m', id) as unique_id")
+    # chain edges m{i} -> m{i+1}; every 100th node also fans out to m{i+50}
+    edges = spark.range(n - 1).selectExpr(
+        "concat('model.p.m', id) as src", "concat('model.p.m', id + 1) as dst"
+    )
+    sel = nodes.filter("cast(substr(unique_id, 10) as bigint) < 25000")
+    t0 = time.perf_counter()
+    out = G.boundary_frame(edges, sel)
+    counts = {r["access"]: r["cnt"] for r in
+              out.groupBy("access").agg(F.count("*").alias("cnt")).collect()}
+    elapsed = time.perf_counter() - t0
+    # exactly one boundary node (m24999 feeds m25000 outside the selection);
+    # the rest of the 25k selection is private
+    assert counts == {"protected": 1, "private": 24_999}
+    assert elapsed < 60, f"frame classification too slow: {elapsed:.1f}s"
