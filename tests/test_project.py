@@ -426,3 +426,54 @@ def test_snapshot_scd2_timestamp(spark, snapshot_proj, tmp_path_factory):
     assert unchanged.dbt_valid_to is None
     fresh = rows[(3, "new")]
     assert fresh.dbt_valid_from == t2 and fresh.dbt_valid_to is None
+
+
+# -- bucketed materialization (clustered_by/buckets) -------------------------
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bkt_proj")
+    (root / "models").mkdir()
+    (root / "dbt_project.yml").write_text(
+        "name: bkt_proj\nmodel-paths: ['models']\nvars: {data_dir: /root/testdata/sf0.001}\n"
+    )
+    (root / "models/__sources.yml").write_text(
+        "version: 2\n"
+        "sources:\n"
+        "  - name: raw\n"
+        "    tables:\n"
+        "      - name: orders\n"
+        "        meta: {path: \"{{ var('data_dir') }}/orders.parquet\"}\n"
+        "      - name: lineitem\n"
+        "        meta: {path: \"{{ var('data_dir') }}/lineitem.parquet\"}\n"
+    )
+    (root / "models/orders_b.sql").write_text(
+        "{{ config(materialized='table', clustered_by='o_orderkey', buckets=4) }}\n"
+        "select o_orderkey, o_totalprice from {{ source('raw', 'orders') }}\n"
+    )
+    (root / "models/lineitem_b.sql").write_text(
+        "{{ config(materialized='table', clustered_by='l_orderkey', buckets=4) }}\n"
+        "select l_orderkey, l_extendedprice from {{ source('raw', 'lineitem') }}\n"
+    )
+    runner = ProjectRunner(
+        spark, SparkProject.load(root), warehouse_dir=tmp_path_factory.mktemp("bkt_wh")
+    )
+    res = runner.run()
+    assert res.ok, res.statuses
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            spark.table("orders_b").o_orderkey
+            == spark.table("lineitem_b").l_orderkey,
+        )
+        joined.write.format("noop").mode("overwrite").save()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed scan-to-scan join: no shuffle exchange anywhere
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("drop table if exists orders_b")
+        spark.sql("drop table if exists lineitem_b")
