@@ -486,6 +486,39 @@ def q_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1 extension] exact percentiles + sample stddev per group — the
+    statistical-aggregate surface a semantic layer's distribution measures
+    need. Exact ``percentile`` (sort-based within groups); at 100 TB swap to
+    ``percentile_approx`` (t-digest sketch, one pass, mergeable partials) —
+    excluded from the oracle because sketches differ per engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+        )
+        .orderBy(_asc("o_orderpriority"))
+    )
+
+
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1 extension] correlation / covariance aggregates over lineitem —
+    single-pass co-moment accumulation, partial-aggregated map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_cov"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+        .orderBy(_asc("l_returnflag"))
+    )
+
+
 QUERIES = {
     "q01_projection_cast": q01,
     "q02_case_boolean": q02,
@@ -510,6 +543,8 @@ QUERIES = {
     "q20_cosine_exact": q20,
     "q21_text_facets": q21,
     "q22_tumbling_window": q22,
+    "q23_percentile_stats": q23,
+    "q24_corr_cov": q24,
     "q_g4_boundary_access": q_g4,
     "q_l1_dependency_detection": q_l1,
 }
@@ -661,6 +696,22 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
 FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
 ORDER BY day NULLS FIRST, event_type NULLS FIRST
+""",
+    "q23_percentile_stats": """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+       ROUND(stddev_samp(o_totalprice), 2) AS sd_price
+FROM orders GROUP BY o_orderpriority
+ORDER BY o_orderpriority NULLS FIRST
+""",
+    "q24_corr_cov": """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_discount), 4) AS qty_disc_cov,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price
+FROM lineitem GROUP BY l_returnflag
+ORDER BY l_returnflag NULLS FIRST
 """,
     "q_g4_boundary_access": """
 WITH edges(src, dst) AS (
