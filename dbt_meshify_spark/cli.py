@@ -355,6 +355,31 @@ def version(ctx, select, exclude, project_path, prerelease) -> None:
 
 
 @cli.command()
+@click.option("--select", "-s", multiple=True)
+@click.option("--exclude", "-e", multiple=True)
+@click.option("--project-path", default=".", type=click.Path(exists=True))
+@click.option("--resource-type", default=None)
+@click.option("--state", default=None, type=click.Path(exists=True),
+              help="prior target/manifest.json for state:modified selection")
+def ls(select, exclude, project_path, resource_type, state) -> None:
+    """List selected resources (the `dbt ls` analog the reference shells
+    into — dbt.py:40-57). Supports state:modified against a prior manifest
+    artifact (slim CI)."""
+    project = SparkProject.load(project_path)
+    selected = select_resources(
+        project.manifest,
+        list(select) or ["*"],
+        exclude=list(exclude) or None,
+        state_artifact=state,
+    )
+    for uid in sorted(selected):
+        r = project.manifest.get(uid)
+        if resource_type and (not r or r.resource_type != resource_type):
+            continue
+        click.echo(uid)
+
+
+@cli.command()
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 def docs(project_path) -> None:
     """Generate target/catalog.json (the `dbt docs generate` analog; later
@@ -384,9 +409,12 @@ def docs(project_path) -> None:
 @click.option("--warehouse-dir", default=None, type=click.Path())
 @click.option("--full-refresh", is_flag=True)
 @click.option("--vars", "vars_", default=None, help="YAML dict of vars")
-def run(select, exclude, project_path, warehouse_dir, full_refresh, vars_) -> None:
+@click.option("--state", default=None, type=click.Path(exists=True),
+              help="prior target/manifest.json for state:modified selection")
+def run(select, exclude, project_path, warehouse_dir, full_refresh, vars_, state) -> None:
     """Materialize models on Spark in DAG order (the reference shells into
-    `dbt run`, dbt.py:36-65; here the engine executes directly)."""
+    `dbt run`, dbt.py:36-65; here the engine executes directly). Writes
+    target/manifest.json for later state:modified runs."""
     import yaml as _yaml
 
     from dbt_meshify_spark.session import get_spark
@@ -394,10 +422,17 @@ def run(select, exclude, project_path, warehouse_dir, full_refresh, vars_) -> No
     project = SparkProject.load(
         project_path, vars=_yaml.safe_load(vars_) if vars_ else None
     )
+    sel: list[str] | None = list(select) or None
+    if sel and state:
+        sel = sorted(
+            select_resources(
+                project.manifest, sel, exclude=list(exclude) or None,
+                state_artifact=state,
+            )
+        )
     runner = ProjectRunner(get_spark(app_name="meshify-run"), project, warehouse_dir)
-    result = runner.run(
-        select=list(select) or None, full_refresh=full_refresh
-    )
+    result = runner.run(select=sel, full_refresh=full_refresh)
+    project.manifest.write_artifact(Path(project_path) / "target" / "manifest.json")
     failed = 0
     for name, status in result.statuses.items():
         click.echo(f"{name}: {status}")

@@ -47,7 +47,9 @@ def _parse_one(token: str) -> _Sel:
     )
 
 
-def _match_body(manifest: Manifest, body: str) -> set[str]:
+def _match_body(
+    manifest: Manifest, body: str, state: set[str] | None = None
+) -> set[str]:
     """Resolve the selector body to node ids.
 
     Methods: bare name, ``tag:``, ``path:``, ``package:``,
@@ -57,6 +59,15 @@ def _match_body(manifest: Manifest, body: str) -> set[str]:
     """
     if ":" in body:
         method, _, value = body.partition(":")
+        if method == "state":
+            if state is None:
+                raise ValueError(
+                    "state:* selection needs a prior manifest artifact "
+                    "(pass state_artifact / --state)"
+                )
+            if value in ("modified", "new"):
+                return set(state)
+            raise ValueError(f"unsupported state selector {value!r}")
         if method == "tag":
             return {u for u, r in manifest.resources.items() if value in r.tags}
         if method == "path":
@@ -99,6 +110,7 @@ def select_resources(
     manifest: Manifest,
     select: str | list[str],
     exclude: str | list[str] | None = None,
+    state_artifact=None,
 ) -> set[str]:
     """G1: evaluate dbt graph-selection syntax to a set of unique_ids.
 
@@ -112,6 +124,7 @@ def select_resources(
         tokens.extend(part.split())
     parents = manifest.parent_map()
     children = manifest.child_map()
+    state = manifest.modified_since(state_artifact) if state_artifact else None
 
     def eval_token(token: str) -> set[str]:
         subsets = []
@@ -120,12 +133,12 @@ def select_resources(
             # descendants (dbt's at-operator — needed to relocate a model
             # with everything its consumers also read)
             if piece.startswith("@"):
-                base = _match_body(manifest, piece[1:])
+                base = _match_body(manifest, piece[1:], state)
                 down = _walk(children, base, None)
                 subsets.append(down | _walk(parents, down, None))
                 continue
             sel = _parse_one(piece)
-            base = _match_body(manifest, sel.body)
+            base = _match_body(manifest, sel.body, state)
             out = set(base)
             if sel.ancestors:
                 out |= _walk(parents, base, sel.adepth)

@@ -55,6 +55,29 @@ class Resource:
             self.package = parts[1] if len(parts) > 1 else ""
 
 
+def _resource_fingerprint(r: "Resource") -> str:
+    """Stable content hash for state comparison (state:modified): raw code +
+    config + contract-relevant properties. Excludes paths so a pure file
+    move doesn't read as modified."""
+    import hashlib
+    import json
+
+    payload = json.dumps(
+        {
+            "raw_code": r.raw_code,
+            "config": r.config,
+            "columns": r.columns,
+            "access": r.access,
+            "group": r.group,
+            "version": r.version,
+            "depends_on": sorted(r.depends_on),
+        },
+        sort_keys=True,
+        default=str,
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
 class Manifest:
     """Registry of resources keyed by unique_id, with derived adjacency."""
 
@@ -85,6 +108,42 @@ class Manifest:
     @property
     def sources(self) -> dict[str, Resource]:
         return self.by_type("source")
+
+    # -- state artifact (slim-CI) ------------------------------------------
+
+    def write_artifact(self, path) -> None:
+        """Persist unique_id -> content fingerprint as manifest.json — the
+        state artifact `state:modified` selection compares against (the
+        dbt `--state` slim-CI workflow)."""
+        import json
+        from pathlib import Path
+
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(
+            json.dumps(
+                {
+                    "fingerprints": {
+                        uid: _resource_fingerprint(r)
+                        for uid, r in self.resources.items()
+                    }
+                },
+                indent=1,
+                sort_keys=True,
+            )
+        )
+
+    def modified_since(self, artifact_path) -> set[str]:
+        """unique_ids that are new or content-changed vs a prior artifact."""
+        import json
+        from pathlib import Path
+
+        old = json.loads(Path(artifact_path).read_text()).get("fingerprints", {})
+        return {
+            uid
+            for uid, r in self.resources.items()
+            if old.get(uid) != _resource_fingerprint(r)
+        }
 
     # -- graph -------------------------------------------------------------
 

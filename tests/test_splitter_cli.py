@@ -286,3 +286,39 @@ def test_cli_docs_then_split_read_catalog(proj_dir):
     entry = {m["name"]: m for m in props["models"]}["stg_orders"]
     cols = {c["name"]: c.get("data_type") for c in entry["columns"]}
     assert cols.get("order_id") == "bigint"
+
+
+def test_cli_ls_and_state_modified(proj_dir):
+    runner = CliRunner()
+    out = runner.invoke(
+        cli, ["ls", "--select", "+orders_mart", "--project-path", str(proj_dir)]
+    )
+    assert out.exit_code == 0, out.output
+    assert "model.tpch_mart.orders_mart" in out.output
+    assert "model.tpch_mart.stg_orders" in out.output
+
+    # write a state artifact, then modify one model; state:modified+ must
+    # select exactly that model and its downstream closure
+    from dbt_meshify_spark.project.loader import SparkProject
+
+    project = SparkProject.load(proj_dir)
+    art = proj_dir / "target/manifest.json"
+    project.manifest.write_artifact(art)
+    stg = proj_dir / "models/staging/stg_customers.sql"
+    stg.write_text(stg.read_text() + "\n-- touched\n")
+    out = runner.invoke(
+        cli,
+        ["ls", "--select", "state:modified+", "--project-path", str(proj_dir),
+         "--state", str(art), "--resource-type", "model"],
+    )
+    assert out.exit_code == 0, out.output
+    listed = set(out.output.split())
+    assert "model.tpch_mart.stg_customers" in listed
+    assert "model.tpch_mart.customers_mart" in listed  # downstream
+    assert "model.tpch_mart.stg_orders" not in listed  # untouched
+
+    # without --state the selector must fail loudly
+    out = runner.invoke(
+        cli, ["ls", "--select", "state:modified", "--project-path", str(proj_dir)]
+    )
+    assert out.exit_code != 0
