@@ -527,6 +527,30 @@ class ProjectRunner:
             df, spec, grain=grain, measures=measures, dimensions=dimensions
         )
 
+    def metric_query(self, name: str, grain: str | None = None) -> DataFrame:
+        """Compile + run a declared metric (simple/ratio) over its semantic
+        model (project/semantic.py::compile_metric_query)."""
+        from dbt_meshify_spark.project.semantic import (
+            compile_metric_query,
+            model_name_of,
+        )
+
+        m = self.project.manifest.get(f"metric.{self.project.name}.{name}")
+        if m is None:
+            raise CompileError(f"unknown metric {name!r}")
+        spec = m.meta.get("spec") or {}
+        sm = self.project.manifest.get(
+            f"semantic_model.{self.project.name}.{spec.get('semantic_model')}"
+        )
+        if sm is None:
+            raise CompileError(f"metric {name!r} names an unknown semantic model")
+        sm_spec = sm.meta.get("spec") or {}
+        model = self.project.manifest.get(
+            f"model.{self.project.name}.{model_name_of(sm_spec)}"
+        )
+        df = self.spark.table(self.relation_for(model))
+        return compile_metric_query(df, spec, sm_spec, grain=grain)
+
     def test(self, select: str | list[str] | None = None) -> list[TestResult]:
         specs: list[TestSpec] = self.project.tests
         if select:

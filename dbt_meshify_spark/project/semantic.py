@@ -101,3 +101,32 @@ def compile_measure_query(
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)
+
+
+def compile_metric_query(
+    df: DataFrame,
+    metric: dict[str, Any],
+    semantic_spec: dict[str, Any],
+    grain: str | None = None,
+) -> DataFrame:
+    """Metric over a semantic model: ``simple`` (one measure, renamed) or
+    ``ratio`` (numerator / denominator measure). Both reduce to one
+    aggregate pass — the ratio divides the two aggregated columns, never
+    row-level values, so partial aggregation still applies."""
+    mtype = metric.get("type", "simple")
+    name = metric["name"]
+    if mtype == "simple":
+        out = compile_measure_query(
+            df, semantic_spec, grain=grain, measures=[metric["measure"]]
+        )
+        return out.withColumnRenamed(metric["measure"], name)
+    if mtype == "ratio":
+        num, den = metric["numerator"], metric["denominator"]
+        out = compile_measure_query(
+            df, semantic_spec, grain=grain, measures=[num, den]
+        )
+        keep = [c for c in out.columns if c not in (num, den)]
+        return out.select(
+            *keep, (F.col(num) / F.col(den)).alias(name)
+        )
+    raise SemanticCompileError(f"unsupported metric type {mtype!r}")

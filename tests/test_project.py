@@ -290,7 +290,9 @@ def test_select_subset_runs_prerequisites(spark, project, tmp_path_factory):
 
 def test_semantic_query_matches_direct_agg(spark, run_ctx):
     runner, _ = run_ctx
-    out = runner.semantic_query("orders_semantics", grain="month")
+    out = runner.semantic_query(
+        "orders_semantics", grain="month", measures=["order_total"]
+    )
     direct = spark.sql(
         """
         select cast(date_trunc('month', ordered_on) as date) as ordered_on,
@@ -477,3 +479,19 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("drop table if exists orders_b")
         spark.sql("drop table if exists lineitem_b")
+
+
+def test_metric_queries_match_direct_sql(spark, run_ctx):
+    runner, _ = run_ctx
+    simple = runner.metric_query("total_order_value", grain="month")
+    assert simple.columns == ["ordered_on", "total_order_value"]
+    ratio = runner.metric_query("avg_order_value", grain="month")
+    direct = spark.sql(
+        """
+        select cast(date_trunc('month', ordered_on) as date) as ordered_on,
+               sum(subtotal) / count(order_id) as avg_order_value
+        from orders_mart group by 1
+        """
+    )
+    diff = ratio.exceptAll(direct).count() + direct.exceptAll(ratio).count()
+    assert diff == 0
