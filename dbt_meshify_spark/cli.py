@@ -483,5 +483,24 @@ def test(select, project_path) -> None:
         raise click.ClickException(f"{failed} test(s) failed")
 
 
+@cli.command()
+@click.argument("name")
+@click.option("--grain", default=None, help="time grain override (day..year)")
+@click.option("--project-path", default=".", type=click.Path(exists=True))
+@click.option("--limit", default=20, type=int)
+def metric(name, grain, project_path, limit) -> None:
+    """Compile + run a declared metric (simple/ratio/derived) over its
+    semantic model (SURVEY.md §2.3 M1; the reference only carries metric
+    nodes through splits — here the engine executes them)."""
+    from dbt_meshify_spark.session import get_spark
+
+    project = SparkProject.load(project_path)
+    runner = ProjectRunner(get_spark(app_name="meshify-metric"), project)
+    runner.run()  # metrics read materialized models
+    df = runner.metric_query(name, grain=grain)
+    for row in df.orderBy(df.columns[0]).limit(limit).collect():
+        click.echo("\t".join(str(v) for v in row))
+
+
 if __name__ == "__main__":
     cli()

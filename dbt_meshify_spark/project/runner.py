@@ -527,20 +527,43 @@ class ProjectRunner:
             df, spec, grain=grain, measures=measures, dimensions=dimensions
         )
 
+    def _metric_spec(self, name: str) -> dict:
+        m = self.project.manifest.get(f"metric.{self.project.name}.{name}")
+        if m is None:
+            raise CompileError(f"unknown metric {name!r}")
+        return m.meta.get("spec") or {}
+
     def metric_query(self, name: str, grain: str | None = None) -> DataFrame:
-        """Compile + run a declared metric (simple/ratio) over its semantic
-        model (project/semantic.py::compile_metric_query)."""
+        """Compile + run a declared metric (simple/ratio/derived) over its
+        semantic model (project/semantic.py::compile_metric_query). A derived
+        metric's inputs must all bind one semantic model so the whole thing
+        stays a single aggregate pass."""
         from dbt_meshify_spark.project.semantic import (
+            compile_derived_metric,
             compile_metric_query,
             model_name_of,
         )
 
-        m = self.project.manifest.get(f"metric.{self.project.name}.{name}")
-        if m is None:
-            raise CompileError(f"unknown metric {name!r}")
-        spec = m.meta.get("spec") or {}
+        spec = self._metric_spec(name)
+        inputs: list[dict] = []
+        if spec.get("type") == "derived":
+            inputs = [self._metric_spec(n) for n in spec.get("metrics", [])]
+            if not inputs:
+                raise CompileError(f"derived metric {name!r} lists no inputs")
+            if any(i.get("type") == "derived" for i in inputs):
+                raise CompileError(
+                    f"derived metric {name!r} may not nest derived inputs"
+                )
+            sm_names = {i.get("semantic_model") for i in inputs}
+            if len(sm_names) != 1:
+                raise CompileError(
+                    f"derived metric {name!r} spans semantic models {sm_names}"
+                )
+            sm_name = sm_names.pop()
+        else:
+            sm_name = spec.get("semantic_model")
         sm = self.project.manifest.get(
-            f"semantic_model.{self.project.name}.{spec.get('semantic_model')}"
+            f"semantic_model.{self.project.name}.{sm_name}"
         )
         if sm is None:
             raise CompileError(f"metric {name!r} names an unknown semantic model")
@@ -549,6 +572,8 @@ class ProjectRunner:
             f"model.{self.project.name}.{model_name_of(sm_spec)}"
         )
         df = self.spark.table(self.relation_for(model))
+        if inputs:
+            return compile_derived_metric(df, spec, inputs, sm_spec, grain=grain)
         return compile_metric_query(df, spec, sm_spec, grain=grain)
 
     def test(self, select: str | list[str] | None = None) -> list[TestResult]:

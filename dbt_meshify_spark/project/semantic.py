@@ -103,6 +103,24 @@ def compile_measure_query(
     return df.agg(*aggs)
 
 
+def metric_input_measures(metric: dict[str, Any]) -> list[str]:
+    """Measure names a (non-derived) metric aggregates over."""
+    mtype = metric.get("type", "simple")
+    if mtype == "simple":
+        return [metric["measure"]]
+    if mtype == "ratio":
+        return [metric["numerator"], metric["denominator"]]
+    raise SemanticCompileError(f"unsupported metric type {mtype!r}")
+
+
+def _metric_column(metric: dict[str, Any]):
+    """Post-aggregation column expression for a simple/ratio metric, in
+    terms of its already-aggregated measure columns."""
+    if metric.get("type", "simple") == "simple":
+        return F.col(metric["measure"])
+    return F.col(metric["numerator"]) / F.col(metric["denominator"])
+
+
 def compile_metric_query(
     df: DataFrame,
     metric: dict[str, Any],
@@ -113,20 +131,34 @@ def compile_metric_query(
     ``ratio`` (numerator / denominator measure). Both reduce to one
     aggregate pass — the ratio divides the two aggregated columns, never
     row-level values, so partial aggregation still applies."""
-    mtype = metric.get("type", "simple")
-    name = metric["name"]
-    if mtype == "simple":
-        out = compile_measure_query(
-            df, semantic_spec, grain=grain, measures=[metric["measure"]]
-        )
-        return out.withColumnRenamed(metric["measure"], name)
-    if mtype == "ratio":
-        num, den = metric["numerator"], metric["denominator"]
-        out = compile_measure_query(
-            df, semantic_spec, grain=grain, measures=[num, den]
-        )
-        keep = [c for c in out.columns if c not in (num, den)]
-        return out.select(
-            *keep, (F.col(num) / F.col(den)).alias(name)
-        )
-    raise SemanticCompileError(f"unsupported metric type {mtype!r}")
+    measures = metric_input_measures(metric)
+    out = compile_measure_query(df, semantic_spec, grain=grain, measures=measures)
+    keep = [c for c in out.columns if c not in measures]
+    return out.select(*keep, _metric_column(metric).alias(metric["name"]))
+
+
+def compile_derived_metric(
+    df: DataFrame,
+    metric: dict[str, Any],
+    input_metrics: list[dict[str, Any]],
+    semantic_spec: dict[str, Any],
+    grain: str | None = None,
+) -> DataFrame:
+    """``derived`` metric: an expression over other metrics
+    (``expr: "a - b"`` with ``metrics: [a, b]``). All inputs must bind the
+    same semantic model; the plan is STILL one aggregate pass — the union
+    of every input's measures aggregates once, each input metric becomes a
+    post-aggregation column, and the expression evaluates over those.
+    No joins, no second shuffle."""
+    measures: list[str] = []
+    for im in input_metrics:
+        for m in metric_input_measures(im):
+            if m not in measures:
+                measures.append(m)
+    out = compile_measure_query(df, semantic_spec, grain=grain, measures=measures)
+    group_cols = [c for c in out.columns if c not in measures]
+    for im in input_metrics:
+        out = out.withColumn(im["name"], _metric_column(im))
+    return out.select(
+        *group_cols, F.expr(str(metric["expr"])).alias(metric["name"])
+    )

@@ -519,6 +519,43 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[M1 metrics] ratio + derived metric compiled by the semantic layer
+    (project/semantic.py::compile_derived_metric) over an inline semantic
+    spec bound to orders. The reference carries metric nodes through splits
+    (dbt_projects.py manifest `metrics` dict); here the engine executes
+    them: one aggregate pass computes every input measure, the metric
+    expressions evaluate post-aggregation — no second shuffle."""
+    from dbt_meshify_spark.project.semantic import compile_derived_metric
+
+    sm_spec = {
+        "model": "ref('orders')",
+        "measures": [
+            {"name": "order_total", "agg": "sum", "expr": "o_totalprice"},
+            {"name": "order_count", "agg": "count", "expr": "o_orderkey"},
+        ],
+        "dimensions": [
+            {"name": "o_orderdate", "type": "time", "time_granularity": "day"}
+        ],
+    }
+    derived = {
+        "name": "avg_order_value",
+        "type": "derived",
+        "expr": "total_order_value / n_orders",
+        "metrics": ["total_order_value", "n_orders"],
+    }
+    inputs = [
+        {"name": "total_order_value", "type": "simple", "measure": "order_total"},
+        {"name": "n_orders", "type": "simple", "measure": "order_count"},
+    ]
+    orders = load_table(spark, sf_dir, "orders")
+    out = compile_derived_metric(orders, derived, inputs, sm_spec, grain="month")
+    return out.select(
+        F.col("o_orderdate").alias("month"),
+        F.round("avg_order_value", 2).alias("avg_order_value"),
+    ).orderBy(_asc("month"))
+
+
 QUERIES = {
     "q01_projection_cast": q01,
     "q02_case_boolean": q02,
@@ -545,6 +582,7 @@ QUERIES = {
     "q22_tumbling_window": q22,
     "q23_percentile_stats": q23,
     "q24_corr_cov": q24,
+    "q25_metric_derived": q25,
     "q_g4_boundary_access": q_g4,
     "q_l1_dependency_detection": q_l1,
 }
@@ -712,6 +750,12 @@ SELECT l_returnflag,
        ROUND(AVG(l_extendedprice), 2) AS avg_price
 FROM lineitem GROUP BY l_returnflag
 ORDER BY l_returnflag NULLS FIRST
+""",
+    "q25_metric_derived": """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       ROUND(SUM(o_totalprice) / COUNT(o_orderkey), 2) AS avg_order_value
+FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+ORDER BY month NULLS FIRST
 """,
     "q_g4_boundary_access": """
 WITH edges(src, dst) AS (

@@ -495,3 +495,24 @@ def test_metric_queries_match_direct_sql(spark, run_ctx):
     )
     diff = ratio.exceptAll(direct).count() + direct.exceptAll(ratio).count()
     assert diff == 0
+
+
+def test_derived_metric_single_pass(spark, run_ctx):
+    runner, _ = run_ctx
+    derived = runner.metric_query("value_above_average", grain="month")
+    assert derived.columns == ["ordered_on", "value_above_average"]
+    direct = spark.sql(
+        """
+        select cast(date_trunc('month', ordered_on) as date) as ordered_on,
+               sum(subtotal) - sum(subtotal) / count(order_id)
+                 as value_above_average
+        from orders_mart group by 1
+        """
+    )
+    diff = derived.exceptAll(direct).count() + direct.exceptAll(derived).count()
+    assert diff == 0
+    # the derived expression must NOT introduce a join or extra shuffle:
+    # one aggregate pass means exactly one Exchange in the physical plan
+    plan = derived._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
