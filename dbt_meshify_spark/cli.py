@@ -466,7 +466,9 @@ def snapshot(select, project_path, warehouse_dir) -> None:
 @cli.command()
 @click.option("--select", "-s", multiple=True)
 @click.option("--project-path", default=".", type=click.Path(exists=True))
-def test(select, project_path) -> None:
+@click.option("--store-failures", is_flag=True,
+              help="persist failing rows to dbt_test__audit_<test> tables")
+def test(select, project_path, store_failures) -> None:
     """Run data tests (zero-row = pass) on Spark (reference delegates to
     `dbt test`; compiled semantics in SURVEY.md §2.4)."""
     from dbt_meshify_spark.session import get_spark
@@ -474,10 +476,16 @@ def test(select, project_path) -> None:
     project = SparkProject.load(project_path)
     runner = ProjectRunner(get_spark(app_name="meshify-test"), project)
     runner.run(select=list(select) or None)
-    results = runner.test(select=list(select) or None)
+    results = runner.test(
+        select=list(select) or None, store_failures=store_failures
+    )
     failed = 0
     for res in results:
-        click.echo(f"{res.name}: {'PASS' if res.passed else f'FAIL ({res.failures})'}")
+        where = f" -> {res.relation}" if res.relation else ""
+        click.echo(
+            f"{res.name}: "
+            f"{'PASS' if res.passed else f'FAIL ({res.failures})'}{where}"
+        )
         failed += 0 if res.passed else 1
     if failed:
         raise click.ClickException(f"{failed} test(s) failed")

@@ -194,6 +194,9 @@ class SparkProject:
                 doc = yaml.safe_load(f.read_text()) or {}
                 rel = str(f.relative_to(self.root))
                 self._apply_model_patches(doc.get("models") or [], rel)
+                self._apply_model_patches(
+                    doc.get("seeds") or [], rel, prefix="seed"
+                )
                 self._load_sources(doc.get("sources") or [], rel)
                 self._load_named(doc.get("exposures") or [], "exposure", rel)
                 self._load_named(doc.get("groups") or [], "group", rel)
@@ -202,10 +205,15 @@ class SparkProject:
                 )
                 self._load_named(doc.get("metrics") or [], "metric", rel)
 
-    def _apply_model_patches(self, entries: list[dict], patch_path: str) -> None:
+    def _apply_model_patches(
+        self, entries: list[dict], patch_path: str, prefix: str = "model"
+    ) -> None:
+        """Patch resources from property-file entries; ``prefix`` selects the
+        resource family (``models:`` vs ``seeds:`` blocks share the schema —
+        dbt seed properties carry config.column_types and tests too)."""
         for entry in entries:
             name = entry.get("name")
-            r = self.manifest.get(f"model.{self.name}.{name}")
+            r = self.manifest.get(f"{prefix}.{self.name}.{name}")
             if r is None and "versions" in entry:
                 # versioned model: files live as name_v{n}.sql; synthesize
                 # the logical resource from the latest version so plain

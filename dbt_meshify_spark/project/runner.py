@@ -57,6 +57,7 @@ class TestResult:
     name: str
     passed: bool
     failures: int
+    relation: str | None = None  # set when failures were stored (audit table)
 
 
 def default_source_loader(
@@ -490,6 +491,12 @@ class ProjectRunner:
                     df = self.spark.read.csv(
                         str(path), header=True, inferSchema=True
                     )
+                    # dbt seed config.column_types: declared physical types
+                    # win over CSV inference (dbt-core seeds docs; patched in
+                    # from the property file's seeds: block).
+                    for c, t in (r.config.get("column_types") or {}).items():
+                        if c in df.columns:
+                            df = df.withColumn(c, F.col(c).cast(t))
                     self._write_table(self.relation_for(r), df)
                 else:
                     self._materialize_model(r, full_refresh)
@@ -576,7 +583,15 @@ class ProjectRunner:
             return compile_derived_metric(df, spec, inputs, sm_spec, grain=grain)
         return compile_metric_query(df, spec, sm_spec, grain=grain)
 
-    def test(self, select: str | list[str] | None = None) -> list[TestResult]:
+    def test(
+        self,
+        select: str | list[str] | None = None,
+        store_failures: bool = False,
+    ) -> list[TestResult]:
+        """Run data tests (zero-row = pass). ``store_failures`` (global flag
+        or per-test ``config: {store_failures: true}``) persists the failing
+        rows as ``dbt_test__audit_<test>`` — dbt's audit-table behavior; the
+        write is a normal distributed materialization, never a collect."""
         specs: list[TestSpec] = self.project.tests
         if select:
             selected = select_resources(self.project.manifest, select)
@@ -597,12 +612,24 @@ class ProjectRunner:
                 ),
                 custom_sources=self.project.custom_test_sources,
             )
-            failures = self.spark.sql(sql).limit(1000).count()
+            test_name = spec.unique_id.split(".", 2)[2]
+            cfg = spec.kwargs.get("config") or {}
+            store = store_failures or bool(cfg.get("store_failures"))
+            relation = None
+            if store:
+                relation = "dbt_test__audit_" + re.sub(
+                    r"[^A-Za-z0-9_]", "_", test_name
+                )
+                self._write_table(relation, self.spark.sql(sql))
+                failures = self.spark.table(relation).count()
+            else:
+                failures = self.spark.sql(sql).limit(1000).count()
             out.append(
                 TestResult(
-                    name=spec.unique_id.split(".", 2)[2],
+                    name=test_name,
                     passed=failures == 0,
                     failures=failures,
+                    relation=relation,
                 )
             )
         return out

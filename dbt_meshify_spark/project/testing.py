@@ -61,7 +61,9 @@ def compile_test(
     template = (custom_sources or {}).get(t)
     if template is None:
         raise CompileError(f"unknown generic test {t!r}")
-    return compiler.render_test(template, t, relation, col, spec.kwargs)
+    # `config:` is test metadata (store_failures etc.), not a template arg
+    kwargs = {k: v for k, v in spec.kwargs.items() if k != "config"}
+    return compiler.render_test(template, t, relation, col, kwargs)
 
 
 def _render_relation(

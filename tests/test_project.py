@@ -497,6 +497,44 @@ def test_metric_queries_match_direct_sql(spark, run_ctx):
     assert diff == 0
 
 
+def test_seed_column_types_and_tests(spark, project, run_ctx):
+    # config.column_types from the seeds: property block beats CSV inference
+    schema = {f.name: f.dataType.simpleString()
+              for f in spark.table("status_labels").schema.fields}
+    assert schema["sort_order"] == "double"
+    # data tests declared on the seed are collected and runnable
+    seed_tests = [t for t in project.tests if t.model_name == "status_labels"]
+    assert {t.test_type for t in seed_tests} == {"unique", "not_null"}
+
+
+def test_store_failures_writes_audit_table(spark, run_ctx):
+    runner, _ = run_ctx
+    from dbt_meshify_spark.project.loader import TestSpec
+
+    spark.sql(
+        "select 'X' as status union all select 'O' as status"
+    ).createOrReplaceTempView("stg_orders_bad")
+    spec = TestSpec(
+        unique_id="test.tpch_mart.accepted_values_stg_orders_bad_status",
+        test_type="accepted_values",
+        model_name="stg_orders_bad",
+        column_name="status",
+        kwargs={"values": ["O", "F", "P"], "config": {"store_failures": True}},
+    )
+    runner.project.tests.append(spec)
+    try:
+        results = {r.name: r for r in runner.test()}
+    finally:
+        runner.project.tests.remove(spec)
+    res = results["accepted_values_stg_orders_bad_status"]
+    assert not res.passed and res.failures == 1
+    assert res.relation == "dbt_test__audit_accepted_values_stg_orders_bad_status"
+    stored = spark.table(res.relation).collect()
+    assert [r.status for r in stored] == ["X"]
+    # tests without the flag don't store anything
+    assert all(r.relation is None for n, r in results.items() if n != res.name)
+
+
 def test_derived_metric_single_pass(spark, run_ctx):
     runner, _ = run_ctx
     derived = runner.metric_query("value_above_average", grain="month")
