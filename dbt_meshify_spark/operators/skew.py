@@ -1,0 +1,78 @@
+"""Skew-resistant per-key operators: salted top-k and salted count-distinct.
+
+Why these exist: a plain ``row_number() OVER (PARTITION BY key ...)`` or
+``COUNT(DISTINCT x) GROUP BY key`` shuffles EVERY row of a key into one task.
+At 100 TB a hot key (one event_type carrying half the events, one user behind
+a bot) turns that task into the job's critical path, or an OOM. Both
+operators here bound the per-task input instead:
+
+- ``topk_per_key``: combiner-style. Each input partition keeps its own local
+  top-k per key first, so the final per-key shuffle moves at most
+  ``k * num_input_partitions`` rows per key — independent of the key's row
+  count. Algebraically exact: a row outside some partition's local top-k
+  cannot be in the global top-k.
+- ``count_distinct_salted``: the first shuffle keys on ``(key,
+  hash(value) % buckets)``, splitting a hot key across ``buckets`` tasks;
+  distinct values land in exactly one bucket, so summing per-bucket distinct
+  counts is exact.
+
+The reference has no analog (it never executes data-plane queries); these
+extend SURVEY.md §2.6's 100 TB posture (BASELINE.json north star), same
+family as operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "_skew_pid"
+_RN = "_skew_rn"
+
+
+def topk_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Exact top-k rows per key, skew-safe.
+
+    ``order_cols`` must define a TOTAL order (include a unique tie-break
+    column) or the result is nondeterministic — same contract as a bare
+    ``row_number``. Two window passes: local per (key, input-partition),
+    then global per key over the pruned ≤ k·P survivors.
+    """
+    local = Window.partitionBy(*keys, _PID).orderBy(*order_cols)
+    pruned = (
+        df.withColumn(_PID, F.spark_partition_id())
+        .withColumn(_RN, F.row_number().over(local))
+        .filter(F.col(_RN) <= k)
+        .drop(_PID, _RN)
+    )
+    final = Window.partitionBy(*keys).orderBy(*order_cols)
+    return pruned.withColumn(rank_col, F.row_number().over(final)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def count_distinct_salted(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    buckets: int = 64,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact ``COUNT(DISTINCT value_col)`` per key, skew-safe.
+
+    NULLs are excluded, matching SQL COUNT(DISTINCT) semantics.
+    """
+    out = out_col or f"n_distinct_{value_col}"
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(buckets)).alias("_salt")
+    per_bucket = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, salt)
+        .agg(F.countDistinct(value_col).alias("_pcd"))
+    )
+    return per_bucket.groupBy(*keys).agg(F.sum("_pcd").alias(out))

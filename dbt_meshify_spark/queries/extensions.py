@@ -321,6 +321,42 @@ grams AS (
 """
 
 
+def ext_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N-skew] skew-safe exact top-k per key (operators/skew.py): local
+    per-partition top-k prunes before the per-key shuffle, so a hot
+    event_type moves at most k·P rows instead of all of them."""
+    from dbt_meshify_spark.operators.skew import topk_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    out = topk_per_key(
+        ev.select("event_type", "event_id", "value"),
+        keys=["event_type"],
+        order_cols=[F.col("value").desc(), F.col("event_id").asc()],
+        k=3,
+    )
+    return out.select(
+        "event_type",
+        F.col("rn").cast("int").alias("rn"),
+        "event_id",
+        F.round("value", 2).alias("value_r"),
+    ).orderBy(F.asc_nulls_first("event_type"), F.asc_nulls_first("rn"))
+
+
+def ext_count_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N-skew] skew-safe exact COUNT(DISTINCT user_id) per event_type: the
+    first shuffle keys on (event_type, hash(user) % 64) so one hot key
+    spreads over 64 tasks; bucket counts sum exactly."""
+    from dbt_meshify_spark.operators.skew import count_distinct_salted
+
+    ev = load_table(spark, sf_dir, "events")
+    out = count_distinct_salted(
+        ev, keys=["event_type"], value_col="user_id", out_col="n_users"
+    )
+    return out.select("event_type", "n_users").orderBy(
+        F.asc_nulls_first("event_type")
+    )
+
+
 QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_fingerprint": ext_fingerprint,
@@ -336,10 +372,27 @@ QUERIES = {
     "ext_quality_score": ext_quality_score,
     "ext_multimodal_features": ext_multimodal_features,
     "ext_stream_tumbling_daily": ext_stream_tumbling_daily,
+    "ext_topk_per_key": ext_topk_per_key,
+    "ext_count_distinct_salted": ext_count_distinct_salted,
 }
 
 
 ORACLES = {
+    "ext_topk_per_key": """
+SELECT event_type, CAST(rn AS INT) AS rn, event_id, ROUND(value, 2) AS value_r
+FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) t WHERE rn <= 3
+ORDER BY event_type NULLS FIRST, rn NULLS FIRST
+""",
+    "ext_count_distinct_salted": """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+ORDER BY event_type NULLS FIRST
+""",
     "ext_dedup_exact": """
 SELECT doc_id, lang, source FROM (
   SELECT d.*, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn

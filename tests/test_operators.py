@@ -193,3 +193,53 @@ def test_embedding_neardup_lsh_recall_vs_exact(spark):
     assert lsh <= exact
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall:.2f} below bound"
+
+
+def test_salted_topk_matches_naive_on_hot_key(spark):
+    """90% of rows share one key — the exact case plain row_number
+    serializes. The salted two-pass plan must return identical rows."""
+    from pyspark.sql import Window
+
+    from dbt_meshify_spark.operators.skew import topk_per_key
+
+    df = (
+        spark.range(0, 20_000, 1, 16)
+        .select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.concat(F.lit("cold_"), (F.col("id") % 7).cast("string")))
+            .alias("k"),
+            F.col("id").alias("row_id"),
+            (F.hash("id") % 1000).cast("double").alias("v"),
+        )
+    )
+    order = [F.col("v").desc(), F.col("row_id").asc()]
+    salted = topk_per_key(df, ["k"], order, k=5)
+    naive = (
+        df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("k").orderBy(*order))
+        ).filter(F.col("rn") <= 5)
+    )
+    assert sorted(
+        (r.k, r.rn, r.row_id) for r in salted.collect()
+    ) == sorted((r.k, r.rn, r.row_id) for r in naive.collect())
+
+
+def test_salted_count_distinct_matches_naive(spark):
+    from dbt_meshify_spark.operators.skew import count_distinct_salted
+
+    df = spark.range(0, 50_000, 1, 16).select(
+        (F.col("id") % 3).alias("k"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise(F.col("id") % 997)
+        .alias("v"),
+    )
+    salted = {
+        r.k: r.n for r in count_distinct_salted(
+            df, ["k"], "v", buckets=8, out_col="n"
+        ).collect()
+    }
+    naive = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert salted == naive
