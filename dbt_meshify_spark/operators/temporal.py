@@ -1,0 +1,157 @@
+"""Temporal joins Spark lacks as primitives: as-of join and range join.
+
+The reference has no analog (its corpus is batch relational SQL only); these
+are §2.6-family extension operators for event/feature pipelines at 100 TB.
+
+Scale design notes:
+
+- ``asof_join`` is the union-and-window formulation, NOT an inequality
+  join: tag both sides, union, one shuffle on the key, and carry the most
+  recent right-side values forward with ``last(..., ignorenulls=True)`` over
+  an unbounded-preceding frame. Cost is one sort-shuffle of |L|+|R| rows —
+  an inequality theta-join would either broadcast-nested-loop (O(|L|·|R|)
+  per key) or force a range-partitioned custom exchange. The window frame is
+  running (unbounded preceding → current), which Spark evaluates
+  incrementally, never buffering a partition.
+- ``range_join`` with equi ``keys`` compiles to a plain hash/sort-merge
+  join plus a range filter — Catalyst already does the right thing. With NO
+  equi key it explodes the interval side into fixed-width time buckets
+  (``sequence`` + ``explode``) and equi-joins on the bucket, turning a
+  nested-loop into a shuffle join; exact containment is re-checked after.
+  Bucket width should approximate the typical interval length so each
+  interval lands in O(1) buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "_asof_side"
+_TS = "_asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the right row with the
+    greatest ``right_ts`` <= ``left_ts`` (``backward``, inclusive) or the
+    smallest ``right_ts`` >= ``left_ts`` (``forward``) sharing ``keys``.
+
+    Determinism: the right side must be unique per ``(keys, right_ts)`` —
+    pre-aggregate it otherwise (same contract as pandas ``merge_asof``).
+    ``value_cols`` must not collide with left column names. ``tolerance``
+    (an INTERVAL literal like ``'1 hour'``) nulls matches further away than
+    the interval; the matched timestamp is exposed as ``_matched_ts``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+
+    l_tagged = left.withColumn(_SIDE, F.lit(1)).withColumn(_TS, F.col(left_ts))
+    r_tagged = (
+        right.select(
+            *keys, F.col(right_ts).alias(_TS), *[F.col(v) for v in value_cols]
+        )
+        .withColumn(_SIDE, F.lit(0))
+        # matched-ts travels like any other value column
+        .withColumn("_matched_ts", F.col(_TS))
+    )
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    if direction == "backward":
+        # right rows sort before left rows at an equal timestamp, so an
+        # exact-ts right row IS visible to the left row (inclusive).
+        order = [F.col(_TS).asc(), F.col(_SIDE).asc()]
+    else:
+        order = [F.col(_TS).desc(), F.col(_SIDE).asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ["_matched_ts", *value_cols]
+    for v in carried:
+        merged = merged.withColumn(v, F.last(v, ignorenulls=True).over(w))
+    out = merged.filter(F.col(_SIDE) == 1).drop(_SIDE, _TS)
+    if tolerance is not None:
+        lt, mt = F.col(left_ts), F.col("_matched_ts")
+        # materialize the predicate BEFORE nulling _matched_ts — the value
+        # columns' when() must see the original matched timestamp
+        out = out.withColumn(
+            "_asof_far",
+            (F.greatest(lt, mt) - F.least(lt, mt)) > F.expr(
+                f"INTERVAL {tolerance}"
+            ),
+        )
+        for v in carried:
+            out = out.withColumn(
+                v, F.when(F.col("_asof_far"), F.lit(None)).otherwise(F.col(v))
+            )
+        out = out.drop("_asof_far")
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    keys: list[str] | None = None,
+    bucket: str = "1 day",
+    how: str = "inner",
+) -> DataFrame:
+    """Join left rows whose ``left_point`` falls in ``[right_start,
+    right_end)``. With ``keys``, Catalyst plans an equi-join + filter. With
+    no keys, both sides bucket on fixed-width time windows and equi-join on
+    the bucket (the interval side explodes across every bucket it covers),
+    then exact containment filters — no nested loop at any size.
+    """
+    cond = (F.col(left_point) >= F.col(right_start)) & (
+        F.col(left_point) < F.col(right_end)
+    )
+    if keys:
+        on = cond
+        for k in keys:
+            on = on & (left[k] == right[k])
+        joined = left.join(right, on, how)
+        for k in keys:
+            joined = joined.drop(right[k])
+        return joined
+
+    import pandas as pd
+
+    width = int(pd.Timedelta(bucket).total_seconds())
+    if width <= 0:
+        raise ValueError(f"bucket must be a positive duration, got {bucket!r}")
+
+    def _bucket(c: Column) -> Column:
+        return F.floor(F.unix_timestamp(c) / width).cast("long")
+
+    l_b = left.withColumn("_rj_bucket", _bucket(F.col(left_point)))
+    r_b = right.withColumn(
+        "_rj_bucket",
+        # the interval side explodes across every bucket it touches;
+        # sequence() is end-inclusive, the containment filter re-checks
+        # exactly, so a right_end on a bucket boundary is harmless.
+        F.explode(
+            F.sequence(
+                _bucket(F.col(right_start)),
+                _bucket(F.col(right_end)),
+                F.lit(1).cast("long"),
+            )
+        ),
+    )
+    return (
+        l_b.join(r_b, on="_rj_bucket", how=how).filter(cond).drop("_rj_bucket")
+    )

@@ -357,6 +357,76 @@ def ext_count_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N-temporal] as-of join (operators/temporal.py): each click gets the
+    user's most recent prior-or-equal purchase timestamp. Union+window — one
+    shuffle on user_id, never an inequality join."""
+    from dbt_meshify_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # unique per (user_id, ts): determinism contract of asof_join
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_id"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("_matched_ts").alias("last_purchase_ts"),
+        "purchase_id",
+    ).orderBy(F.asc_nulls_first("event_id"))
+
+
+def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N-temporal] keyed range join: clicks within 1 hour after each
+    purchase, per user. Equi-join on user_id + range filter — Catalyst
+    plans a plain shuffle join, the range never nested-loops."""
+    from dbt_meshify_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    hits = range_join(
+        clicks,
+        purchases,
+        left_point="ts",
+        right_start="p_start",
+        right_end="p_end",
+        keys=["user_id"],
+        how="inner",
+    )
+    counts = hits.groupBy("purchase_id").agg(
+        F.count("click_id").alias("_n")
+    )
+    return (
+        purchases.select("purchase_id")
+        .join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce("_n", F.lit(0)).alias("clicks_within_1h"),
+        )
+        .orderBy(F.asc_nulls_first("purchase_id"))
+    )
+
+
 QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_fingerprint": ext_fingerprint,
@@ -374,6 +444,8 @@ QUERIES = {
     "ext_stream_tumbling_daily": ext_stream_tumbling_daily,
     "ext_topk_per_key": ext_topk_per_key,
     "ext_count_distinct_salted": ext_count_distinct_salted,
+    "ext_asof_join": ext_asof_join,
+    "ext_range_join": ext_range_join,
 }
 
 
@@ -392,6 +464,32 @@ ORDER BY event_type NULLS FIRST, rn NULLS FIRST
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 ORDER BY event_type NULLS FIRST
+""",
+    "ext_asof_join": """
+WITH purch AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       (SELECT MAX(p.ts) FROM purch p
+        WHERE p.user_id = c.user_id AND p.ts <= c.ts) AS last_purchase_ts,
+       (SELECT p.purchase_id FROM purch p
+        WHERE p.user_id = c.user_id AND p.ts <= c.ts
+        ORDER BY p.ts DESC LIMIT 1) AS purchase_id
+FROM events c WHERE c.event_type = 'click'
+ORDER BY c.event_id NULLS FIRST
+""",
+    "ext_range_join": """
+WITH purch AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_start,
+         ts + INTERVAL 1 HOUR AS p_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id,
+       (SELECT COUNT(*) FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts >= p.p_start AND c.ts < p.p_end) AS clicks_within_1h
+FROM purch p ORDER BY p.purchase_id NULLS FIRST
 """,
     "ext_dedup_exact": """
 SELECT doc_id, lang, source FROM (

@@ -243,3 +243,82 @@ def test_salted_count_distinct_matches_naive(spark):
         for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
     }
     assert salted == naive
+
+
+def _ts(s):
+    from datetime import datetime
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from dbt_meshify_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01 10:00:00")),
+         (2, "a", _ts("2024-01-01 12:00:00")),
+         (3, "b", _ts("2024-01-01 09:00:00"))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01 10:30:00"), 7.0),
+         ("a", _ts("2024-01-01 18:00:00"), 9.0),
+         ("b", _ts("2024-01-01 08:00:00"), 5.0)],
+        "k string, rts timestamp, px double",
+    )
+    fwd = {r.id: r.px for r in asof_join(
+        left, right, ["k"], "ts", "rts", ["px"], direction="forward"
+    ).collect()}
+    # id=1 -> next right at 10:30 (7.0); id=2 -> 18:00 (9.0); id=3 none ahead
+    assert fwd == {1: 7.0, 2: 9.0, 3: None}
+
+    tol = {r.id: r.px for r in asof_join(
+        left, right, ["k"], "ts", "rts", ["px"],
+        direction="forward", tolerance="1 HOUR",
+    ).collect()}
+    # id=2's next purchase is 6h away -> nulled by tolerance
+    assert tol == {1: 7.0, 2: None, 3: None}
+
+
+def test_asof_join_backward_inclusive(spark):
+    from dbt_meshify_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01 10:30:00"))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01 10:30:00"), 1.0),
+         ("a", _ts("2024-01-01 10:00:00"), 2.0)],
+        "k string, rts timestamp, px double",
+    )
+    out = asof_join(left, right, ["k"], "ts", "rts", ["px"]).collect()
+    assert out[0].px == 1.0  # equal timestamp matches (inclusive backward)
+
+
+def test_bucketed_range_join_matches_naive(spark):
+    """No equi key: bucketed explode+equi-join must equal the nested-loop
+    cross-join filter."""
+    from dbt_meshify_spark.operators.temporal import range_join
+
+    points = spark.range(0, 500).select(
+        F.col("id").alias("pid"),
+        (F.lit(_ts("2024-01-01 00:00:00")).cast("timestamp")
+         + F.make_interval(mins=(F.col("id") * 17) % 10080)).alias("ts"),
+    )
+    intervals = spark.range(0, 40).select(
+        F.col("id").alias("iid"),
+        (F.lit(_ts("2024-01-01 00:00:00")).cast("timestamp")
+         + F.make_interval(hours=F.col("id") * 4)).alias("s"),
+        (F.lit(_ts("2024-01-01 00:00:00")).cast("timestamp")
+         + F.make_interval(hours=F.col("id") * 4 + 9)).alias("e"),
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(points, intervals, "ts", "s", "e").collect()
+    )
+    want = sorted(
+        (r.pid, r.iid)
+        for r in points.crossJoin(intervals)
+        .filter((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .collect()
+    )
+    assert got == want and len(got) > 0
