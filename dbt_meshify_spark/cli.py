@@ -492,6 +492,41 @@ def test(select, project_path, store_failures) -> None:
 
 
 @cli.command()
+@click.option("--select", "-s", multiple=True)
+@click.option("--project-path", default=".", type=click.Path(exists=True))
+@click.option("--warehouse-dir", default=None, type=click.Path())
+@click.option("--full-refresh", is_flag=True)
+@click.option("--store-failures", is_flag=True)
+def build(select, project_path, warehouse_dir, full_refresh, store_failures) -> None:
+    """Materialize + test interleaved in DAG order (`dbt build` semantics:
+    a failing test skips everything downstream of its model)."""
+    from dbt_meshify_spark.session import get_spark
+
+    project = SparkProject.load(project_path)
+    runner = ProjectRunner(
+        get_spark(app_name="meshify-build"), project, warehouse_dir
+    )
+    result, tests = runner.build(
+        select=list(select) or None,
+        full_refresh=full_refresh,
+        store_failures=store_failures,
+    )
+    failed = 0
+    for name, status in result.statuses.items():
+        click.echo(f"{name}: {status}")
+        failed += 0 if status == "ok" else 1
+    for res in tests:
+        where = f" -> {res.relation}" if res.relation else ""
+        click.echo(
+            f"{res.name}: "
+            f"{'PASS' if res.passed else f'FAIL ({res.failures})'}{where}"
+        )
+        failed += 0 if res.passed else 1
+    if failed:
+        raise click.ClickException(f"{failed} step(s) failed")
+
+
+@cli.command()
 @click.argument("name")
 @click.option("--grain", default=None, help="time grain override (day..year)")
 @click.option("--project-path", default=".", type=click.Path(exists=True))

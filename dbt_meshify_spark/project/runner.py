@@ -266,6 +266,9 @@ class ProjectRunner:
                 "merge" if r.config.get("unique_key") else "append"
             )
             existing = self._current_table(name)
+            existing, df = self._align_incremental_schemas(
+                name, existing, df, r.config.get("on_schema_change", "ignore")
+            )
             pcols = self._partition_cols(r)
             if strategy == "merge" and r.config.get("unique_key"):
                 unique_key = r.config.get("unique_key")
@@ -289,6 +292,51 @@ class ProjectRunner:
             else:
                 self._write_table(name, df, self._partition_cols(r))
         self._registered.add(name)
+
+    def _align_incremental_schemas(
+        self, name: str, existing: DataFrame, df: DataFrame, policy: str
+    ) -> tuple[DataFrame, DataFrame]:
+        """dbt ``on_schema_change`` for incremental models when the new
+        batch's schema drifts from the target's:
+
+        - ``ignore`` (default): target schema wins — new columns dropped,
+          removed columns null-filled in the batch;
+        - ``fail``: raise;
+        - ``append_new_columns``: target gains the batch's new columns
+          (null for historic rows); removed columns stay;
+        - ``sync_all_columns``: batch schema wins — adds and removes.
+        """
+        if existing.columns == df.columns:
+            return existing, df
+        old, new = existing.columns, df.columns
+        if set(old) == set(new):  # pure reorder: align to target order
+            return existing, df.select(*old)
+        if policy == "fail":
+            raise CompileError(
+                f"schema change on incremental model {name!r} "
+                f"(on_schema_change=fail): target has {old}, batch has {new}"
+            )
+        if policy == "append_new_columns":
+            target = old + [c for c in new if c not in old]
+        elif policy == "sync_all_columns":
+            target = new
+        else:  # ignore
+            target = old
+        types = {f.name: f.dataType for f in df.schema.fields}
+        for f in existing.schema.fields:
+            types.setdefault(f.name, f.dataType)
+
+        def _project(d: DataFrame) -> DataFrame:
+            have = set(d.columns)
+            return d.select(
+                *[
+                    F.col(c) if c in have
+                    else F.lit(None).cast(types[c]).alias(c)
+                    for c in target
+                ]
+            )
+
+        return _project(existing), _project(df)
 
     def _materialize_snapshot(self, r: Resource) -> None:
         """SCD2 snapshot (dbt `snapshot` semantics, Spark-native).
@@ -486,25 +534,68 @@ class ProjectRunner:
         result = RunResult()
         for r in self._execution_order(selected):
             try:
-                if r.resource_type == "seed":
-                    path = self.project.root / r.path
-                    df = self.spark.read.csv(
-                        str(path), header=True, inferSchema=True
-                    )
-                    # dbt seed config.column_types: declared physical types
-                    # win over CSV inference (dbt-core seeds docs; patched in
-                    # from the property file's seeds: block).
-                    for c, t in (r.config.get("column_types") or {}).items():
-                        if c in df.columns:
-                            df = df.withColumn(c, F.col(c).cast(t))
-                    self._write_table(self.relation_for(r), df)
-                else:
-                    self._materialize_model(r, full_refresh)
+                self._materialize_resource(r, full_refresh)
                 result.statuses[r.name] = "ok"
                 result.relations[r.name] = self.relation_for(r)
             except Exception as e:  # keep going; report per-model
                 result.statuses[r.name] = f"error: {e}"
         return result
+
+    def _materialize_resource(self, r: Resource, full_refresh: bool) -> None:
+        if r.resource_type == "seed":
+            path = self.project.root / r.path
+            df = self.spark.read.csv(str(path), header=True, inferSchema=True)
+            # dbt seed config.column_types: declared physical types win over
+            # CSV inference (dbt-core seeds docs; patched in from the
+            # property file's seeds: block).
+            for c, t in (r.config.get("column_types") or {}).items():
+                if c in df.columns:
+                    df = df.withColumn(c, F.col(c).cast(t))
+            self._write_table(self.relation_for(r), df)
+        else:
+            self._materialize_model(r, full_refresh)
+
+    def build(
+        self,
+        select: str | list[str] | None = None,
+        full_refresh: bool = False,
+        store_failures: bool = False,
+    ) -> tuple[RunResult, list[TestResult]]:
+        """dbt ``build``: materialize and test interleaved in DAG order. A
+        model whose own tests fail poisons its descendants — they are
+        skipped, not built on bad data (dbt build's core guarantee)."""
+        selected = (
+            select_resources(self.project.manifest, select) if select else None
+        )
+        tests_by_model: dict[str, list[TestSpec]] = {}
+        for s in self.project.tests:
+            tests_by_model.setdefault(s.model_name, []).append(s)
+        result = RunResult()
+        test_results: list[TestResult] = []
+        bad: set[str] = set()
+        manifest = self.project.manifest
+        for r in self._execution_order(selected):
+            dep_names = {
+                manifest.get(d).name for d in r.depends_on if manifest.get(d)
+            }
+            if dep_names & bad:
+                result.statuses[r.name] = "skipped (upstream failure)"
+                bad.add(r.name)
+                continue
+            try:
+                self._materialize_resource(r, full_refresh)
+                result.statuses[r.name] = "ok"
+                result.relations[r.name] = self.relation_for(r)
+            except Exception as e:
+                result.statuses[r.name] = f"error: {e}"
+                bad.add(r.name)
+                continue
+            for spec in tests_by_model.get(r.name, []):
+                res = self._run_test_spec(spec, store_failures)
+                test_results.append(res)
+                if not res.passed:
+                    bad.add(r.name)
+        return result, test_results
 
     def semantic_query(
         self,
@@ -601,35 +692,35 @@ class ProjectRunner:
                 if self.project.manifest.get(u)
             }
             specs = [s for s in specs if s.model_name in names]
-        out: list[TestResult] = []
-        for spec in specs:
-            sql = compile_test(
-                spec,
-                spec.model_name,
-                self.project.compiler,
-                resolve_ref=lambda *a, **k: self._resolve_ref(
-                    *a, version=k.get("version")
-                ),
-                custom_sources=self.project.custom_test_sources,
+        return [self._run_test_spec(spec, store_failures) for spec in specs]
+
+    def _run_test_spec(
+        self, spec: TestSpec, store_failures: bool = False
+    ) -> TestResult:
+        sql = compile_test(
+            spec,
+            spec.model_name,
+            self.project.compiler,
+            resolve_ref=lambda *a, **k: self._resolve_ref(
+                *a, version=k.get("version")
+            ),
+            custom_sources=self.project.custom_test_sources,
+        )
+        test_name = spec.unique_id.split(".", 2)[2]
+        cfg = spec.kwargs.get("config") or {}
+        store = store_failures or bool(cfg.get("store_failures"))
+        relation = None
+        if store:
+            relation = "dbt_test__audit_" + re.sub(
+                r"[^A-Za-z0-9_]", "_", test_name
             )
-            test_name = spec.unique_id.split(".", 2)[2]
-            cfg = spec.kwargs.get("config") or {}
-            store = store_failures or bool(cfg.get("store_failures"))
-            relation = None
-            if store:
-                relation = "dbt_test__audit_" + re.sub(
-                    r"[^A-Za-z0-9_]", "_", test_name
-                )
-                self._write_table(relation, self.spark.sql(sql))
-                failures = self.spark.table(relation).count()
-            else:
-                failures = self.spark.sql(sql).limit(1000).count()
-            out.append(
-                TestResult(
-                    name=test_name,
-                    passed=failures == 0,
-                    failures=failures,
-                    relation=relation,
-                )
-            )
-        return out
+            self._write_table(relation, self.spark.sql(sql))
+            failures = self.spark.table(relation).count()
+        else:
+            failures = self.spark.sql(sql).limit(1000).count()
+        return TestResult(
+            name=test_name,
+            passed=failures == 0,
+            failures=failures,
+            relation=relation,
+        )

@@ -554,3 +554,51 @@ def test_derived_metric_single_pass(spark, run_ctx):
     plan = derived._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1
     assert "Join" not in plan
+
+
+def test_build_interleaves_and_skips_downstream(spark, tmp_path_factory):
+    """dbt build semantics: a failing test on a model skips its
+    descendants; siblings still build."""
+    import copy
+
+    proj = SparkProject.load(FIXTURE)
+    for t in proj.tests:
+        if t.model_name == "stg_orders" and t.test_type == "accepted_values":
+            t.kwargs = copy.deepcopy(t.kwargs)
+            t.kwargs["values"] = ["O"]  # sabotage: F/P now "unexpected"
+    wh = tmp_path_factory.mktemp("wh_build")
+    runner = ProjectRunner(spark, proj, warehouse_dir=wh)
+    result, tests = runner.build()
+    by_name = {t.name: t for t in tests}
+    assert not by_name["accepted_values_stg_orders_status"].passed
+    assert result.statuses["stg_orders"] == "ok"  # model itself built
+    # everything downstream of stg_orders skipped
+    assert result.statuses["orders_mart"] == "skipped (upstream failure)"
+    assert result.statuses["status_names"] == "skipped (upstream failure)"
+    # independent branches still built and tested
+    assert result.statuses["stg_customers"] == "ok"
+    assert by_name["unique_stg_customers_customer_id"].passed
+    # tests of skipped models never ran
+    assert "unique_orders_mart_order_id" not in by_name
+
+
+def test_incremental_on_schema_change_policies(spark, run_ctx):
+    runner, _ = run_ctx
+    old = spark.createDataFrame([(1, "a")], "id long, x string")
+    new = spark.createDataFrame([(2, "b", 1.5)], "id long, x string, y double")
+
+    ex, df = runner._align_incremental_schemas("m", old, new, "ignore")
+    assert ex.columns == df.columns == ["id", "x"]
+
+    ex, df = runner._align_incremental_schemas("m", old, new, "append_new_columns")
+    assert ex.columns == df.columns == ["id", "x", "y"]
+    assert ex.collect()[0].y is None and df.collect()[0].y == 1.5
+
+    dropped = spark.createDataFrame([(3,)], "id long")
+    ex, df = runner._align_incremental_schemas("m", old, dropped, "sync_all_columns")
+    assert ex.columns == df.columns == ["id"]
+
+    from dbt_meshify_spark.project.compiler import CompileError
+
+    with pytest.raises(CompileError, match="on_schema_change=fail"):
+        runner._align_incremental_schemas("m", old, new, "fail")
