@@ -357,6 +357,26 @@ def ext_count_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3] IVF approximate top-3 (the other ANN scale path next to LSH):
+    spherical-k-means cells, nprobe probing, exact scoring inside cells.
+    Rows-only check; recall vs brute force asserted in tests."""
+    from dbt_meshify_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return (
+        ivf_topk(q, emb, k=3, nlist=16, nprobe=4)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy(_asc("query_id"), _asc("rank"))
+    )
+
+
 def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N-temporal] as-of join (operators/temporal.py): each click gets the
     user's most recent prior-or-equal purchase timestamp. Union+window — one
@@ -435,6 +455,7 @@ QUERIES = {
     "ext_simhash_neardup": ext_simhash_neardup,
     "ext_cosine_topk": ext_cosine_topk,
     "ext_ann_lsh_topk": ext_ann_lsh_topk,
+    "ext_ann_ivf_topk": ext_ann_ivf_topk,
     "ext_embedding_neardup": ext_embedding_neardup,
     "ext_embedding_neardup_lsh": ext_embedding_neardup_lsh,
     "ext_token_stats": ext_token_stats,

@@ -322,3 +322,25 @@ def test_bucketed_range_join_matches_naive(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from dbt_meshify_spark.operators.similarity import cosine_topk, ivf_topk
+    from dbt_meshify_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(q, emb, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(q, emb, k=5, nlist=16, nprobe=4).collect()}
+    # probing 4/16 cells of near-uniform synthetic vectors: measured 0.61
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+    # every returned neighbor must be scored exactly (a subset of the true
+    # similarity ordering): spot-check scores against the exact run
+    exact_scores = {(r.query_id, r.neighbor_id): r.cos_sim
+                    for r in cosine_topk(q, emb, k=500).collect()}
+    for r in ivf_topk(q, emb, k=5, nlist=16, nprobe=4).collect():
+        want = exact_scores.get((r.query_id, r.neighbor_id))
+        assert want is not None and abs(r.cos_sim - want) < 1e-3
