@@ -526,6 +526,25 @@ def build(select, project_path, warehouse_dir, full_refresh, store_failures) -> 
         raise click.ClickException(f"{failed} step(s) failed")
 
 
+@cli.command("unit-test")
+@click.option("--select", "-s", multiple=True)
+@click.option("--project-path", default=".", type=click.Path(exists=True))
+def unit_test(select, project_path) -> None:
+    """Run dbt unit tests (unit_tests: blocks — fixture rows in, expected
+    rows out, refs/sources mocked)."""
+    from dbt_meshify_spark.session import get_spark
+
+    project = SparkProject.load(project_path)
+    runner = ProjectRunner(get_spark(app_name="meshify-unit-test"), project)
+    results = runner.unit_test(select=list(select) or None)
+    failed = 0
+    for res in results:
+        click.echo(f"{res.name}: {'PASS' if res.passed else f'FAIL ({res.failures})'}")
+        failed += 0 if res.passed else 1
+    if failed:
+        raise click.ClickException(f"{failed} unit test(s) failed")
+
+
 @cli.command()
 @click.argument("name")
 @click.option("--grain", default=None, help="time grain override (day..year)")

@@ -204,6 +204,7 @@ class SparkProject:
                     doc.get("semantic_models") or [], "semantic_model", rel
                 )
                 self._load_named(doc.get("metrics") or [], "metric", rel)
+                self._load_named(doc.get("unit_tests") or [], "unit_test", rel)
 
     def _apply_model_patches(
         self, entries: list[dict], patch_path: str, prefix: str = "model"

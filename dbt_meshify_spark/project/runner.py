@@ -694,6 +694,103 @@ class ProjectRunner:
             specs = [s for s in specs if s.model_name in names]
         return [self._run_test_spec(spec, store_failures) for spec in specs]
 
+    def unit_test(self, select: str | list[str] | None = None) -> list[TestResult]:
+        """dbt unit tests (``unit_tests:`` blocks): compile the model with
+        its refs/sources swapped for fixture rows, run on Spark, compare to
+        the expected rows (only the columns the expectation names, as a
+        multiset — dbt's semantics). Incremental models compile their
+        full-refresh branch, like dbt."""
+        out: list[TestResult] = []
+        wanted = None
+        if select:
+            sel = [select] if isinstance(select, str) else list(select)
+            wanted = set(sel)
+        for uid, r in self.project.manifest.resources.items():
+            if r.resource_type != "unit_test":
+                continue
+            spec = r.meta.get("spec") or {}
+            if wanted and r.name not in wanted and spec.get("model") not in wanted:
+                continue
+            out.append(self._run_unit_test(r.name, spec))
+        return out
+
+    def _fixture_frame(self, relation: str | None, rows: list[dict]) -> DataFrame:
+        keys = list(rows[0].keys())
+        df = self.spark.createDataFrame(
+            [tuple(r.get(k) for k in keys) for r in rows], keys
+        )
+        if relation is None:
+            return df
+        try:
+            target = self.spark.table(relation).schema
+        except Exception:
+            return df  # upstream not materialized: inferred types stand
+        # dbt semantics: cast given columns to the relation's types and
+        # null-fill every column the fixture omits
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+        )
+
+    def _run_unit_test(self, name: str, spec: dict) -> TestResult:
+        model = self.project.manifest.get(
+            f"model.{self.project.name}.{spec.get('model')}"
+        )
+        if model is None:
+            return TestResult(name=name, passed=False, failures=-1)
+        ref_over: dict[str, str] = {}
+        src_over: dict[tuple[str, str], str] = {}
+        for i, giv in enumerate(spec.get("given", []) or []):
+            inp = str(giv.get("input", ""))
+            rows = giv.get("rows") or []
+            if not rows:
+                continue
+            view = f"_ut_{name}_{i}"
+            m_ref = re.search(r"ref\s*\(\s*['\"](\w+)['\"]\s*\)", inp)
+            m_src = re.search(
+                r"source\s*\(\s*['\"](\w+)['\"]\s*,\s*['\"](\w+)['\"]\s*\)", inp
+            )
+            real = None
+            if m_ref:
+                try:
+                    real = self._resolve_ref(m_ref.group(1))
+                except Exception:
+                    real = None
+            self._fixture_frame(real, rows).createOrReplaceTempView(view)
+            if m_ref:
+                ref_over[m_ref.group(1)] = view
+            elif m_src:
+                src_over[(m_src.group(1), m_src.group(2))] = view
+        compiled = self.project.compiler.compile(
+            model.raw_code,
+            model.name,
+            resolve_ref=lambda *a, **k: ref_over.get(a[-1])
+            or self._resolve_ref(*a, version=k.get("version")),
+            resolve_source=lambda s, t: src_over.get((s, t))
+            or self._resolve_source(s, t),
+            this_relation=self.relation_for(model),
+            is_incremental=False,
+        )
+        actual = self.spark.sql(compiled.sql)
+        expect_rows = (spec.get("expect") or {}).get("rows") or []
+        if not expect_rows:
+            return TestResult(name=name, passed=actual.count() == 0, failures=0)
+        cols = list(expect_rows[0].keys())
+        got = actual.select(*cols)
+        want = self._fixture_frame(None, expect_rows)
+        want = want.select(
+            *[
+                F.col(c).cast(f.dataType).alias(c)
+                for c, f in zip(cols, got.schema.fields)
+            ]
+        )
+        diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+        return TestResult(name=name, passed=diff == 0, failures=diff)
+
     def _run_test_spec(
         self, spec: TestSpec, store_failures: bool = False
     ) -> TestResult:

@@ -222,6 +222,29 @@ def ext_stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(_asc("day"), _asc("event_type"))
 
 
+def ext_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N7] readStream -> event-time session windows (30 min gap) -> memory
+    sink drained with availableNow: the REAL streaming session-window
+    operator (state store merges windows as events arrive). Oracle: the
+    lag/cumsum island SQL — Spark's session end is last event + gap."""
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        session_window_stats,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    agg = session_window_stats(stream, gap="30 minutes", watermark="1 hour")
+    out = run_to_memory(agg, f"stream_sessions_{_STREAM_COUNTER[0]}")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    ).orderBy(_asc("user_id"), _asc("session_start"))
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (N5) — rows-only (payload digests have no SQL oracle)
 # --------------------------------------------------------------------------
@@ -463,6 +486,7 @@ QUERIES = {
     "ext_quality_score": ext_quality_score,
     "ext_multimodal_features": ext_multimodal_features,
     "ext_stream_tumbling_daily": ext_stream_tumbling_daily,
+    "ext_stream_session_windows": ext_stream_session_windows,
     "ext_topk_per_key": ext_topk_per_key,
     "ext_count_distinct_salted": ext_count_distinct_salted,
     "ext_asof_join": ext_asof_join,
@@ -485,6 +509,27 @@ ORDER BY event_type NULLS FIRST, rn NULLS FIRST
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 ORDER BY event_type NULLS FIRST
+""",
+    "ext_stream_session_windows": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id NULLS FIRST, session_start NULLS FIRST
 """,
     "ext_asof_join": """
 WITH purch AS (

@@ -602,3 +602,22 @@ def test_incremental_on_schema_change_policies(spark, run_ctx):
 
     with pytest.raises(CompileError, match="on_schema_change=fail"):
         runner._align_incremental_schemas("m", old, new, "fail")
+
+
+def test_unit_tests_mock_refs_and_compare_rows(spark, run_ctx):
+    runner, _ = run_ctx
+    results = runner.unit_test()
+    assert [r.name for r in results] == ["orders_mart_join_fills_missing_items"]
+    assert results[0].passed, results[0]
+    # select by model name also finds it
+    assert runner.unit_test(select="orders_mart")[0].passed
+    # a wrong expectation must fail, not silently pass
+    ut = runner.project.manifest.get(
+        "unit_test.tpch_mart.orders_mart_join_fills_missing_items"
+    )
+    import copy
+
+    bad = copy.deepcopy(ut.meta["spec"])
+    bad["expect"]["rows"][1]["count_items"] = 99
+    res = runner._run_unit_test("bad_variant", bad)
+    assert not res.passed and res.failures == 2  # one row wrong on each side
