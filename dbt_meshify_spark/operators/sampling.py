@@ -1,0 +1,161 @@
+"""Deterministic sampling, dataset mixing, and training-shard assignment.
+
+The operators a large-scale training-data pipeline needs between "corpus" and
+"training run": reproducible sampling (no RNG state — membership is a pure
+function of the row key), per-stratum rates, weighted source mixing with
+up/down-sampling, and shard assignment for writing a globally-shuffled
+training set. No analog exists in the reference (dbt-meshify governs models,
+it never samples data) — these extend the data plane per SURVEY.md §2.6.
+
+Scale design (100 TB posture):
+- Membership tests are narrow JVM-side projections over ``md5`` — no shuffle,
+  no RNG seeds to coordinate across executors, and re-running the job on the
+  same corpus selects the same rows (critical for reproducible training sets
+  and for incremental top-ups: a rate increase strictly grows the sample, see
+  ``deterministic_sample``).
+- Hash-mod shard assignment (``shard_assignment``) is shuffle-free; the
+  sorted-shard writer (``write_training_shards``) uses ``repartitionByRange``
+  on the hash key — Spark samples range boundaries and does ONE shuffle, the
+  same machinery as a distributed sort, then writes one file per shard. The
+  hash key makes the "sort" a global shuffle of the corpus, which is exactly
+  what a training reader wants (no curriculum bias from source locality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_WIDTH = 8  # threshold resolution: 16^-8 ~ 6e-10 rate granularity
+
+
+def _rate_threshold(rate: float) -> str:
+    """Hex threshold t such that P[md5(key) < t] = rate for uniform md5."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(int(rate * (16**_HEX_WIDTH)), f"0{_HEX_WIDTH}x")
+
+
+def _sample_key(key_cols: list[str], seed: str) -> Column:
+    """md5 over the seed-prefixed row key; lowercase hex in [0, 16^32)."""
+    parts = [F.lit(f"{seed}|")] + [F.col(c).cast("string") for c in key_cols]
+    return F.md5(F.concat_ws("", *parts))
+
+
+def deterministic_sample(
+    df: DataFrame, key_cols: list[str], rate: float, seed: str = "s0"
+) -> DataFrame:
+    """Keep rows whose md5(seed|key) falls below the rate threshold.
+
+    Membership is a pure function of (seed, key): re-runs are identical, and
+    samples NEST — the rate-0.1 sample is a strict subset of the rate-0.5
+    sample for the same seed, so growing a training set never discards
+    already-selected (and possibly already-tokenized) documents.
+    """
+    if rate >= 1.0:
+        return df
+    return df.filter(_sample_key(key_cols, seed) < _rate_threshold(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_cols: list[str],
+    default_rate: float = 0.0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language rates).
+
+    One narrow filter — no groupBy, no shuffle: the per-stratum threshold is
+    a CASE expression folded into the scan, so Catalyst pushes the whole
+    predicate down and strata never need to be co-located.
+    """
+    thresh: Column = F.lit(_rate_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(stratum_col) == value, F.lit(_rate_threshold(rate))
+        ).otherwise(thresh)
+    return df.filter(_sample_key(key_cols, seed) < thresh)
+
+
+def mixture_copies(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    key_cols: list[str],
+    seed: str = "s0",
+) -> DataFrame:
+    """Weighted dataset mixture: adds ``n_copies`` — how many epochs of this
+    row the mixture takes (0 drops it, >1 up-samples).
+
+    weight w -> n_copies = floor(w) + (md5(seed|key) < frac(w)), so the
+    EXPECTED copy count equals w exactly while staying deterministic per row.
+    Down-weighting (w < 1) is the stratified sample above; up-weighting
+    (w > 1, e.g. a small high-quality source repeated 2.5x per epoch) never
+    duplicates rows physically here — the training writer explodes
+    ``n_copies`` at shard-write time so the duplication cost lands in the
+    final shuffle, not in every intermediate stage.
+    """
+    base: Column = F.lit(0)
+    frac_thresh: Column = F.lit(_rate_threshold(0.0))
+    for value, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for {value!r}")
+        whole, frac = int(w), w - int(w)
+        base = F.when(F.col(source_col) == value, F.lit(whole)).otherwise(base)
+        frac_thresh = F.when(
+            F.col(source_col) == value, F.lit(_rate_threshold(frac))
+        ).otherwise(frac_thresh)
+    extra = (_sample_key(key_cols, seed) < frac_thresh).cast("int")
+    return df.withColumn("n_copies", (base + extra).cast("int")).filter(
+        F.col("n_copies") > 0
+    )
+
+
+def shard_assignment(
+    df: DataFrame, key_cols: list[str], n_shards: int, seed: str = "s0"
+) -> DataFrame:
+    """Adds ``shard_id`` in [0, n_shards): fold of the md5 key's first 4 hex
+    digits, mod n_shards. Pure projection — shuffle-free; rows land in a
+    pseudo-random shard independent of their source/order (a global shuffle
+    when the shards are later read in any order).
+    """
+    h = F.conv(F.substring(_sample_key(key_cols, seed), 1, 4), 16, 10).cast("int")
+    return df.withColumn("shard_id", (h % n_shards).cast("int"))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_cols: list[str],
+    seed: str = "s0",
+    copies_col: str | None = None,
+) -> None:
+    """Write a globally-shuffled training set as ``n_shards`` sorted shards.
+
+    ``repartitionByRange`` on the md5 sort key = Spark's distributed-sort
+    shuffle (sampled range boundaries, one Exchange); each output partition
+    is one contiguous hash range, so concatenating shards 0..n-1 replays the
+    corpus in md5 order — a deterministic global shuffle. When ``copies_col``
+    is given (from ``mixture_copies``), rows are exploded to that many copies
+    here, each copy re-keyed so duplicates spread across different shards
+    instead of clumping adjacently.
+    """
+    key = _sample_key(key_cols, seed)
+    if copies_col is not None:
+        df = df.withColumn(
+            "_copy", F.explode(F.sequence(F.lit(1), F.col(copies_col)))
+        )
+        key = F.md5(F.concat_ws("", key, F.col("_copy").cast("string")))
+        df = df.withColumn("_shuffle_key", key).drop("_copy")
+    else:
+        df = df.withColumn("_shuffle_key", key)
+    (
+        df.repartitionByRange(n_shards, F.col("_shuffle_key"))
+        .sortWithinPartitions("_shuffle_key")
+        .drop("_shuffle_key")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -470,6 +470,93 @@ def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Training-data pipeline: sampling / mixture / sharding / PII (N9, NEW)
+# --------------------------------------------------------------------------
+
+_STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.1}
+_MIX_WEIGHTS = {
+    **{s: 2.5 for s in ("src0", "src1")},
+    **{f"src{i}": 0.5 for i in range(10, 20)},
+    **{f"src{i}": 0.25 for i in range(2, 10)},
+}
+
+
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9] deterministic per-language stratified sample: membership is a
+    pure function of md5('s0'|doc_id) vs a per-stratum hex threshold — one
+    narrow pushed-down filter, no shuffle, reproducible across runs, and
+    nested across rates (rate bump = strict superset)."""
+    from dbt_meshify_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "lang", _STRATA_RATES, ["doc_id"], seed="s0")
+        .select("doc_id", "lang", "source")
+        .orderBy(_asc("doc_id"))
+    )
+
+
+def ext_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9] weighted source mixture: n_copies per row (floor(w) + Bernoulli
+    on the fractional part, derandomized via the md5 key) so expected copy
+    count equals the weight exactly; up-sampled sources (w=2.5) and
+    down-sampled ones (w=0.25) in one pass."""
+    from dbt_meshify_spark.operators.sampling import mixture_copies
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        mixture_copies(docs, "source", _MIX_WEIGHTS, ["doc_id"], seed="s0")
+        .select("doc_id", "source", "n_copies")
+        .orderBy(_asc("doc_id"))
+    )
+
+
+def ext_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9] hash-mod training-shard assignment (16 shards) + per-shard
+    volume stats: the shuffle-free membership half of the shard writer
+    (write_training_shards does the ranged write); shard sizes concentrate
+    at n/16 by md5 uniformity — the balance the stats exhibit."""
+    from dbt_meshify_spark.operators.sampling import shard_assignment
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        shard_assignment(docs, ["doc_id"], 16, seed="s0")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy(_asc("shard_id"))
+    )
+
+
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9] PII redaction: chained RE2-safe regexp_replace (email/SSN/
+    phone/IP -> tokens), codegen'd at scan speed. The corpus has no real
+    PII, so the query synthesizes a contact note per customer from stable
+    keys, then redacts it — the oracle replays both halves."""
+    from dbt_meshify_spark.operators.text import redact_pii
+
+    cust = load_table(spark, sf_dir, "customer")
+    note = F.concat(
+        F.lit("call ("),
+        F.lpad((F.col("c_custkey") % 800 + 200).cast("string"), 3, "0"),
+        F.lit(") "),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("c_custkey") * 7919) % 10000).cast("string"), 4, "0"),
+        F.lit(" or mail "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com"),
+    )
+    return (
+        redact_pii(cust.withColumn("note", note), ["note"])
+        .select("c_custkey", "note", "note_redacted")
+        .orderBy(_asc("c_custkey"))
+    )
+
+
 QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_fingerprint": ext_fingerprint,
@@ -491,10 +578,85 @@ QUERIES = {
     "ext_count_distinct_salted": ext_count_distinct_salted,
     "ext_asof_join": ext_asof_join,
     "ext_range_join": ext_range_join,
+    "ext_stratified_sample": ext_stratified_sample,
+    "ext_dataset_mixture": ext_dataset_mixture,
+    "ext_shard_assign": ext_shard_assign,
+    "ext_pii_redact": ext_pii_redact,
 }
 
 
 ORACLES = {
+    "ext_stratified_sample": """
+SELECT doc_id, lang, source
+FROM documents
+WHERE md5('s0|' || CAST(doc_id AS VARCHAR)) <
+      CASE lang WHEN 'en' THEN '80000000'
+                WHEN 'de' THEN '40000000'
+                WHEN 'fr' THEN '40000000'
+                WHEN 'es' THEN '19999999'
+                WHEN 'zh' THEN '19999999'
+                ELSE '00000000' END
+ORDER BY doc_id NULLS FIRST
+""",
+    "ext_dataset_mixture": """
+WITH m AS (
+  SELECT doc_id, source,
+         CASE WHEN source IN ('src0','src1') THEN 2 ELSE 0 END
+         + CASE WHEN md5('s0|' || CAST(doc_id AS VARCHAR)) <
+                CASE WHEN source IN ('src0','src1') THEN '80000000'
+                     WHEN source IN ('src10','src11','src12','src13','src14',
+                                     'src15','src16','src17','src18','src19')
+                       THEN '80000000'
+                     ELSE '40000000' END
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_copies AS INT) AS n_copies
+FROM m WHERE n_copies > 0
+ORDER BY doc_id NULLS FIRST
+""",
+    "ext_shard_assign": """
+WITH h AS (
+  SELECT doc_id, n_chars, md5('s0|' || CAST(doc_id AS VARCHAR)) AS m
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars,
+         ((instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        + (instr('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        + (instr('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        + (instr('0123456789abcdef', substr(m, 4, 1)) - 1)) % 16 AS shard_id
+  FROM h
+)
+SELECT CAST(shard_id AS INT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY shard_id
+ORDER BY shard_id NULLS FIRST
+""",
+    "ext_pii_redact": """
+WITH c AS (
+  SELECT c_custkey,
+         'call (' || lpad(CAST(c_custkey % 800 + 200 AS VARCHAR), 3, '0')
+         || ') ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+         || '-' || lpad(CAST((c_custkey * 7919) % 10000 AS VARCHAR), 4, '0')
+         || ' or mail ' || lower(replace(c_name, '#', '.')) || '@example.com'
+         AS note
+  FROM customer
+)
+SELECT c_custkey, note,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(note,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+           '(?:\\+?\\d{1,3}[-. ])?(?:\\(\\d{3}\\) ?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b',
+           '[PHONE]', 'g'),
+         '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS note_redacted
+FROM c
+ORDER BY c_custkey NULLS FIRST
+""",
     "ext_topk_per_key": """
 SELECT event_type, CAST(rn AS INT) AS rn, event_id, ROUND(value, 2) AS value_r
 FROM (

@@ -8,7 +8,7 @@ import hashlib
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 @pytest.fixture(scope="module")
@@ -344,3 +344,120 @@ def test_ivf_recall_vs_brute_force(spark):
     for r in ivf_topk(q, emb, k=5, nlist=16, nprobe=4).collect():
         want = exact_scores.get((r.query_id, r.neighbor_id))
         assert want is not None and abs(r.cos_sim - want) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Sampling / mixture / sharding (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_sample_nests_and_repeats(spark):
+    from dbt_meshify_spark.operators.sampling import deterministic_sample
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    small = {r.doc_id for r in deterministic_sample(docs, ["doc_id"], 0.1).collect()}
+    big = {r.doc_id for r in deterministic_sample(docs, ["doc_id"], 0.5).collect()}
+    again = {r.doc_id for r in deterministic_sample(docs, ["doc_id"], 0.1).collect()}
+    n = docs.count()
+    assert small == again  # pure function of the key: re-runs identical
+    assert small <= big  # thresholds nest: growing the rate never drops rows
+    assert abs(len(small) / n - 0.1) < 0.03 and abs(len(big) / n - 0.5) < 0.05
+    # a different seed draws a different (but equally sized) sample
+    other = {r.doc_id for r in
+             deterministic_sample(docs, ["doc_id"], 0.5, seed="s1").collect()}
+    assert other != big and abs(len(other) / n - 0.5) < 0.05
+
+
+def test_mixture_copies_matches_weights(spark):
+    from dbt_meshify_spark.operators.sampling import mixture_copies
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    weights = {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+    sub = docs.filter(F.col("source").isin(*weights))
+    out = mixture_copies(sub, "source", weights, ["doc_id"]).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.n_copies)
+    assert set(by_src["src0"]) <= {2, 3}  # floor(2.5) + Bernoulli(0.5)
+    assert set(by_src["src1"]) == {1}  # w=1.0: exactly one copy, none dropped
+    assert set(by_src["src2"]) == {1}  # survivors of the 0.25 downsample
+    n_src2 = sub.filter(F.col("source") == "src2").count()
+    assert 0 < len(by_src["src2"]) < n_src2  # genuinely downsampled
+    # unlisted sources default to weight 0 (dropped entirely)
+    assert mixture_copies(docs, "source", weights, ["doc_id"]) \
+        .filter(~F.col("source").isin(*weights)).count() == 0
+
+
+def test_shard_assignment_balanced_and_complete(spark):
+    from dbt_meshify_spark.operators.sampling import shard_assignment
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n = docs.count()
+    sharded = shard_assignment(docs, ["doc_id"], 16)
+    stats = {r.shard_id: r["count"] for r in sharded.groupBy("shard_id").count().collect()}
+    assert set(stats) == set(range(16))  # every shard occupied
+    assert sum(stats.values()) == n  # partition of the corpus
+    assert max(stats.values()) < 2.1 * n / 16  # md5-uniform balance
+
+
+def test_write_training_shards_globally_shuffled(spark, tmp_path):
+    from dbt_meshify_spark.operators.sampling import write_training_shards
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "source")
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, 8, ["doc_id"])
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert {r.doc_id for r in back.collect()} == {r.doc_id for r in docs.collect()}
+    # range-partitioned on the hash key => within any shard file, sources mix
+    # (no source-locality curriculum bias): check the first file holds >1 source
+    import glob
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 8
+    one = spark.read.parquet(files[0])
+    assert one.select("source").distinct().count() > 1
+
+
+def test_write_training_shards_explodes_mixture_copies(spark, tmp_path):
+    from dbt_meshify_spark.operators.sampling import (
+        mixture_copies,
+        write_training_shards,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "source")
+    weights = {"src0": 2.0, "src1": 1.0}
+    mixed = mixture_copies(
+        docs.filter(F.col("source").isin(*weights)), "source", weights, ["doc_id"]
+    )
+    path = str(tmp_path / "mixshards")
+    write_training_shards(mixed, path, 4, ["doc_id"], copies_col="n_copies")
+    back = spark.read.parquet(path)
+    want = mixed.select(F.sum("n_copies")).collect()[0][0]
+    assert back.count() == want  # every copy written
+    two = back.groupBy("doc_id").count().filter("count = 2")
+    assert two.count() == mixed.filter("source = 'src0'").count()
+
+
+def test_redact_pii_masks_all_pattern_families(spark):
+    from dbt_meshify_spark.operators.text import redact_pii
+
+    rows = [
+        ("mail bob.smith+x@corp.example.co.uk now", "mail [EMAIL] now"),
+        ("ssn 123-45-6789 on file", "ssn [SSN] on file"),
+        ("call (415) 555-0133 today", "call [PHONE] today"),
+        ("call 415-555-0133 today", "call [PHONE] today"),
+        ("intl +1 415 555 0133 ok", "intl [PHONE] ok"),
+        ("host 10.0.200.13 up", "host [IP] up"),
+        ("no pii here 1234", "no pii here 1234"),
+        ("a@b.io and 127.0.0.1 and 999-88-7777", "[EMAIL] and [IP] and [SSN]"),
+    ]
+    df = spark.createDataFrame(rows, "txt string, want string")
+    out = redact_pii(df, ["txt"]).collect()
+    for r in out:
+        assert r.txt_redacted == r.want, (r.txt, r.txt_redacted, r.want)
