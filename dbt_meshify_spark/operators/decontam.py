@@ -1,0 +1,102 @@
+"""Benchmark decontamination: word n-gram overlap between a training corpus
+and an evaluation set.
+
+The reference (dbt-meshify) has no decontamination surface — this is a
+north-star extension per BASELINE.json ("LLM-data-pipeline operators ...
+designed for 100 TB scale"), following the published n-gram decontamination
+recipe (GPT-3 appendix C / Gopher appendix A): a training document is
+*contaminated* when at least ``min_overlap`` of its distinct word n-grams
+also appear anywhere in the evaluation set.
+
+Scale design (100 TB posture):
+- The eval side is a benchmark suite — thousands of documents, at most a few
+  million distinct grams — so its distinct-gram set is **broadcast**; the
+  100 TB train side is never shuffled on text. Each train partition streams
+  once through shingle -> explode -> broadcast hash join.
+- The only shuffle is the per-document (id) count aggregation, which is
+  partial-aggregated map-side (counts, not grams, cross the wire).
+- Shingling is the same pure-array JVM path as dedup (no Python per row);
+  token arrays are staged as real columns first (see
+  ``dedup.shingles_of_tokens`` for the lambda-CSE pitfall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbt_meshify_spark.operators.dedup import _with_tokens, shingles_of_tokens
+
+
+def eval_gram_set(eval_df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-grams of the evaluation set (one column ``gram``).
+
+    Small by construction (benchmarks, not corpora); callers broadcast it.
+    """
+    return (
+        _with_tokens(eval_df.select(text_col), text_col)
+        .select(F.explode(shingles_of_tokens(F.col("__toks"), n)).alias("gram"))
+        .distinct()
+    )
+
+
+def ngram_overlap(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: float = 0.2,
+) -> DataFrame:
+    """Per-train-document eval-overlap fraction and contamination flag.
+
+    Returns ``id_col, n_grams, matched, overlap, contaminated`` where
+    ``overlap = matched / n_grams`` over the document's *distinct* n-grams
+    (distinctness makes the metric insensitive to within-doc repetition).
+    Documents with fewer than ``n`` tokens have ``n_grams = 0`` and count as
+    clean (overlap 0.0).
+    """
+    evals = F.broadcast(eval_gram_set(eval_df, text_col, n).withColumn("__hit", F.lit(1)))
+    grams = (
+        _with_tokens(train_df.select(id_col, text_col), text_col)
+        .withColumn("__grams", shingles_of_tokens(F.col("__toks"), n))
+        .select(
+            F.col(id_col),
+            F.size("__grams").cast("long").alias("n_grams"),
+            F.explode_outer("__grams").alias("gram"),
+        )
+    )
+    agg = (
+        grams.join(evals, "gram", "left")
+        .groupBy(id_col, "n_grams")
+        .agg(F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("matched"))
+    )
+    overlap = F.when(
+        F.col("n_grams") > 0, F.col("matched").cast("double") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col(id_col),
+        "n_grams",
+        "matched",
+        F.round(overlap, 4).alias("overlap"),
+        (overlap >= F.lit(min_overlap)).alias("contaminated"),
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: float = 0.2,
+) -> DataFrame:
+    """Drop contaminated training documents; schema of ``train_df`` kept.
+
+    Implemented as an anti-join on the contaminated id set (ids only cross
+    the shuffle, never text payloads).
+    """
+    bad = ngram_overlap(train_df, eval_df, id_col, text_col, n, min_overlap).filter(
+        F.col("contaminated")
+    )
+    return train_df.join(bad.select(id_col), id_col, "left_anti")

@@ -51,8 +51,8 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
-def shingles_of_tokens(toks: Column, n: int) -> Column:
-    """Distinct word n-grams from an (already staged) token-array column.
+def shingles_of_tokens(toks: Column, n: int, distinct: bool = True) -> Column:
+    """Word n-grams from an (already staged) token-array column.
 
     Pure array expression: sequence over start positions + transform, no
     explode, no UDF. ``toks`` MUST be a bound column attribute (staged via
@@ -60,6 +60,10 @@ def shingles_of_tokens(toks: Column, n: int) -> Column:
     common-subexpression elimination inside higher-order-function lambdas, so
     an inline token expression is re-split once per reference — measured 11s
     vs 0.8s for the trigram stage over 5k docs at sf0.1.
+
+    ``distinct=True`` (the dedup/decontam default) dedupes grams within the
+    doc; ``distinct=False`` keeps every occurrence in order (needed by
+    repetition metrics, where multiplicity IS the signal).
     """
     grams = F.when(
         F.size(toks) >= n,
@@ -70,7 +74,7 @@ def shingles_of_tokens(toks: Column, n: int) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def word_shingles(text: Column, n: int) -> Column:

@@ -141,3 +141,106 @@ def redact_pii(
             col = F.regexp_replace(col, pattern, token)
         out[c + "_redacted"] = col
     return df.withColumns(out)
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_frac_threshold: float = 0.18,
+    dup_frac_threshold: float = 0.30,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Emits, per doc: ``n_bigrams`` (occurrence count), ``top_bigram_count``
+    (multiplicity of the most frequent word 2-gram), ``top_bigram_frac``
+    (that multiplicity / total 2-grams — Gopher's "top n-gram fraction"
+    family, 2-gram threshold 0.18 in the paper), ``dup_trigram_frac``
+    (1 - distinct/total 3-grams — the "duplicate n-gram fraction" family),
+    and ``is_repetitive`` (either threshold tripped).
+
+    Scale design: trigram duplicate fraction is a pure array projection
+    (size vs size-of-distinct — no shuffle at all). The top-bigram count
+    needs a per-(doc, gram) multiplicity, done the distributed way: explode
+    the non-distinct bigrams and aggregate twice — shuffle 1 on
+    (id, gram), shuffle 2 on id, both map-side partial-aggregated and both
+    on high-cardinality keys (no skew: a doc's grams land in one partition
+    group only for that doc). The trigram columns are computed BEFORE the
+    explode and ride the group-by keys (functionally dependent on id), so
+    no re-join of the text is ever needed.
+    """
+    from dbt_meshify_spark.operators.dedup import _with_tokens, shingles_of_tokens
+
+    staged = (
+        _with_tokens(df.select(F.col(id_col), F.col(text_col)), text_col)
+        .withColumn("__tri", shingles_of_tokens(F.col("__toks"), 3, distinct=False))
+        .withColumn("__bi", shingles_of_tokens(F.col("__toks"), 2, distinct=False))
+    )
+    exploded = staged.select(
+        F.col(id_col),
+        F.size("__tri").cast("long").alias("n_tri"),
+        F.size(F.array_distinct("__tri")).cast("long").alias("n_tri_d"),
+        F.explode_outer("__bi").alias("gram"),
+    )
+    per_gram = exploded.groupBy(id_col, "n_tri", "n_tri_d", "gram").agg(
+        F.count("gram").alias("c")
+    )
+    agg = per_gram.groupBy(id_col, "n_tri", "n_tri_d").agg(
+        F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("top_c"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_bi"),
+    )
+    top_frac = F.when(
+        F.col("n_bi") > 0, F.col("top_c").cast("double") / F.col("n_bi")
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.col("n_tri") > 0,
+        F.lit(1.0) - F.col("n_tri_d").cast("double") / F.col("n_tri"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col(id_col),
+        F.col("n_bi").alias("n_bigrams"),
+        F.col("top_c").alias("top_bigram_count"),
+        F.round(top_frac, 4).alias("top_bigram_frac"),
+        F.round(dup_frac, 4).alias("dup_trigram_frac"),
+        (
+            (top_frac >= F.lit(top_frac_threshold))
+            | (dup_frac >= F.lit(dup_frac_threshold))
+        ).alias("is_repetitive"),
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bucket_width: float,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram + CDF of ``value_col``, optionally per group.
+
+    Returns ``*by, bucket, n, cdf`` where ``bucket = floor(v / width)`` and
+    ``cdf`` is the cumulative row fraction at the bucket (1.0 at the last
+    bucket of each group).
+
+    Scale design: one shuffle on (by, bucket) with map-side combine reduces
+    100 TB to at most a few thousand bucket rows; the CDF window then runs
+    over that tiny aggregate, so the unbounded-frame window is cheap (never
+    apply running windows to raw rows at scale — aggregate first).
+    """
+    from pyspark.sql import Window
+
+    keys = list(by or [])
+    bucket = F.floor(F.col(value_col) / F.lit(float(bucket_width))).cast("long")
+    counts = (
+        df.select(*keys, bucket.alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    cum = F.sum("n").over(w.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0))
+    tot = F.sum("n").over(w)
+    return counts.select(
+        *keys,
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.round(cum.cast("double") / tot, 4).alias("cdf"),
+    )

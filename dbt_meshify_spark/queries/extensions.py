@@ -33,11 +33,14 @@ from dbt_meshify_spark.operators.similarity import (
     embedding_neardup_pairs,
     lsh_bucketed_topk,
 )
+from dbt_meshify_spark.operators.decontam import ngram_overlap
 from dbt_meshify_spark.operators.text import (
     LANG_MARKERS,
     doc_fingerprint,
+    histogram,
     language_id,
     quality_score,
+    repetition_stats,
     token_stats,
 )
 from dbt_meshify_spark.sources import load_table
@@ -186,6 +189,32 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
         )
         .orderBy(_asc("doc_id"))
+    )
+
+
+def ext_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] Gopher-style repetition filters: top-bigram fraction +
+    duplicate-trigram fraction per document (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).orderBy(_asc("doc_id"))
+
+
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N-decontam] benchmark decontamination: trigram overlap of each
+    training doc against a broadcast eval-set gram set (operators/decontam.py).
+    Eval set = every 20th doc_id, train = the rest (deterministic split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_overlap(train, eval_df, n=3, min_overlap=0.2).orderBy(_asc("doc_id"))
+
+
+def ext_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] per-source equi-width histogram + CDF of document length
+    (operators/text.py::histogram — aggregate first, window over buckets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return histogram(docs, "n_chars", 50.0, by=["source"]).orderBy(
+        _asc("source"), _asc("bucket")
     )
 
 
@@ -571,6 +600,9 @@ QUERIES = {
     "ext_token_stats": ext_token_stats,
     "ext_lang_id": ext_lang_id,
     "ext_quality_score": ext_quality_score,
+    "ext_repetition_quality": ext_repetition_quality,
+    "ext_decontaminate": ext_decontaminate,
+    "ext_length_histogram": ext_length_histogram,
     "ext_multimodal_features": ext_multimodal_features,
     "ext_stream_tumbling_daily": ext_stream_tumbling_daily,
     "ext_stream_session_windows": ext_stream_session_windows,
@@ -775,6 +807,68 @@ FROM documents ORDER BY doc_id NULLS FIRST
 """,
     "ext_lang_id": _lang_id_sql(),
     "ext_quality_score": _quality_sql(),
+    "ext_repetition_quality": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= 3 THEN list_transform(range(1, len(l) - 1),
+              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) ELSE [] END AS tri,
+         CASE WHEN len(l) >= 2 THEN list_transform(range(1, len(l)),
+              i -> l[i] || ' ' || l[i+1]) ELSE [] END AS bi
+  FROM toks
+),
+bg AS (
+  SELECT doc_id, CAST(len(tri) AS BIGINT) AS n_tri,
+         CAST(len(list_distinct(tri)) AS BIGINT) AS n_tri_d,
+         unnest(bi) AS gram
+  FROM base
+),
+pg AS (
+  SELECT doc_id, n_tri, n_tri_d, gram, COUNT(*) AS c
+  FROM bg GROUP BY doc_id, n_tri, n_tri_d, gram
+),
+agg AS (
+  SELECT doc_id, n_tri, n_tri_d, MAX(c) AS top_c, SUM(c) AS n_bi
+  FROM pg GROUP BY doc_id, n_tri, n_tri_d
+)
+SELECT doc_id,
+       CAST(n_bi AS BIGINT) AS n_bigrams,
+       CAST(top_c AS BIGINT) AS top_bigram_count,
+       ROUND(CAST(top_c AS DOUBLE) / n_bi, 4) AS top_bigram_frac,
+       ROUND(1.0 - CAST(n_tri_d AS DOUBLE) / n_tri, 4) AS dup_trigram_frac,
+       (CAST(top_c AS DOUBLE) / n_bi >= 0.18
+        OR 1.0 - CAST(n_tri_d AS DOUBLE) / n_tri >= 0.3) AS is_repetitive
+FROM agg ORDER BY doc_id NULLS FIRST
+""",
+    "ext_decontaminate": f"""
+WITH {_TRIGRAMS_CTE},
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % 20 <> 0),
+agg AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched
+  FROM tr t LEFT JOIN ev e ON t.gram = e.gram
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_grams, matched,
+       ROUND(CAST(matched AS DOUBLE) / n_grams, 4) AS overlap,
+       (CAST(matched AS DOUBLE) / n_grams >= 0.2) AS contaminated
+FROM agg ORDER BY doc_id NULLS FIRST
+""",
+    "ext_length_histogram": """
+WITH b AS (
+  SELECT source, CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket FROM documents
+),
+c AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY source, bucket)
+SELECT source, bucket, n,
+       ROUND(CAST(SUM(n) OVER (PARTITION BY source ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY source), 4) AS cdf
+FROM c ORDER BY source NULLS FIRST, bucket NULLS FIRST
+""",
     "ext_stream_tumbling_daily": """
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value

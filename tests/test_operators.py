@@ -461,3 +461,61 @@ def test_redact_pii_masks_all_pattern_families(spark):
     out = redact_pii(df, ["txt"]).collect()
     for r in out:
         assert r.txt_redacted == r.want, (r.txt, r.txt_redacted, r.want)
+
+
+def test_decontaminate_flags_and_drops_overlapping_docs(spark):
+    from dbt_meshify_spark.operators.decontam import decontaminate, ngram_overlap
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # == eval doc
+            (2, "completely different words appear in this training sample"),
+            (3, "the quick brown fox sat still today ok fine"),  # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    stats = {
+        r.doc_id: r for r in ngram_overlap(train, eval_df, n=3, min_overlap=0.5).collect()
+    }
+    assert stats[1].overlap == 1.0 and stats[1].contaminated
+    assert stats[2].overlap == 0.0 and not stats[2].contaminated
+    # doc 3 shares exactly 'the quick brown' + 'quick brown fox' of its 7 grams
+    assert 0.0 < stats[3].overlap < 0.5 and not stats[3].contaminated
+    kept = decontaminate(train, eval_df, n=3, min_overlap=0.5)
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {2, 3}
+
+
+def test_repetition_stats_separates_loops_from_prose(spark):
+    from dbt_meshify_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # maximal repetition
+            (2, "one two three four five six seven eight nine ten"),  # all unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].n_bigrams == 5 and rows[1].top_bigram_count == 5
+    assert rows[1].top_bigram_frac == 1.0 and rows[1].dup_trigram_frac == 0.75
+    assert rows[1].is_repetitive
+    assert rows[2].top_bigram_count == 1 and rows[2].dup_trigram_frac == 0.0
+    assert not rows[2].is_repetitive
+
+
+def test_histogram_buckets_and_cdf(spark):
+    from dbt_meshify_spark.operators.text import histogram
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 15), ("a", 17), ("b", 25)], "grp string, v long"
+    )
+    rows = histogram(df, "v", 10.0, by=["grp"]).orderBy("grp", "bucket").collect()
+    assert [(r.grp, r.bucket, r.n, r.cdf) for r in rows] == [
+        ("a", 0, 1, 0.3333),
+        ("a", 1, 2, 1.0),
+        ("b", 2, 1, 1.0),
+    ]
