@@ -274,6 +274,31 @@ def ext_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(_asc("user_id"), _asc("session_start"))
 
 
+def ext_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6,N8] stream-stream inner join with watermark-bounded state: two
+    readStreams over the events parquet (clicks / purchases), joined per
+    user on a 1-hour time-range condition, drained with availableNow. The
+    oracle is the equivalent batch self-join — deterministic because the
+    single-file source lands in one micro-batch (no mid-stream eviction)."""
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_join_clicks_to_purchases,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    clicks = read_events_stream(spark, path).filter(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    pairs = stream_stream_join_clicks_to_purchases(clicks, purchases)
+    out = run_to_memory(
+        pairs, f"stream_attrib_{_STREAM_COUNTER[0]}", output_mode="append"
+    )
+    return out.orderBy(_asc("purchase_id"), _asc("click_id"))
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (N5) — rows-only (payload digests have no SQL oracle)
 # --------------------------------------------------------------------------
@@ -606,6 +631,7 @@ QUERIES = {
     "ext_multimodal_features": ext_multimodal_features,
     "ext_stream_tumbling_daily": ext_stream_tumbling_daily,
     "ext_stream_session_windows": ext_stream_session_windows,
+    "ext_stream_click_attribution": ext_stream_click_attribution,
     "ext_topk_per_key": ext_topk_per_key,
     "ext_count_distinct_salted": ext_count_distinct_salted,
     "ext_asof_join": ext_asof_join,
@@ -874,6 +900,14 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
 FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
 ORDER BY day NULLS FIRST, event_type NULLS FIRST
+""",
+    "ext_stream_click_attribution": """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts <= p.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST
 """,
     "ext_embedding_neardup": """
 WITH v AS (

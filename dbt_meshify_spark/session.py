@@ -53,6 +53,17 @@ def prepare(spark: SparkSession) -> SparkSession:
         except Exception:
             # Immutable in this deployment -> trust the existing value.
             pass
+    try:
+        # Right-size shuffles for externally-provided sessions, but only when
+        # the conf is Spark's untouched 200 default: a deliberate setting
+        # (ours or a cluster operator's) always wins. Matters doubly for
+        # stateful streaming, where the value pins state-store partition
+        # count and AQE cannot coalesce it afterwards.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus, 32)))
+    except Exception:
+        pass
     return spark
 
 

@@ -13,6 +13,7 @@ from dbt_meshify_spark.streaming.events import (
     session_window_stats,
     sliding_window_counts,
     stateful_user_totals,
+    stream_stream_join_clicks_to_purchases,
     tumbling_window_counts,
     with_watermark,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "sliding_window_counts",
     "session_window_stats",
     "stateful_user_totals",
+    "stream_stream_join_clicks_to_purchases",
     "with_watermark",
     "run_to_memory",
 ]

@@ -187,6 +187,43 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_join_clicks_to_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """N6/N8 stream-stream inner join: (purchase, click) pairs where the same
+    user clicked within ``horizon`` before the purchase.
+
+    Both sides are watermarked and the join carries a time-range condition —
+    the two things Spark needs to bound join state: a click's state row is
+    evicted once the watermark passes ``click.ts + horizon``, so state is
+    O(events within the horizon), not O(stream). Inner-join matches emit
+    eagerly (append mode); the watermark governs state cleanup, not emission.
+
+    Batch twin: a plain self-join of events with the same predicate (the
+    oracle SQL of ext_stream_click_attribution).
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND c_ts <= p_ts AND p_ts < c_ts + INTERVAL {horizon}"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

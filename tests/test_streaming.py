@@ -150,3 +150,77 @@ def test_watermark_bounds_state(spark, events_dir):
     assert appended.count() < completed.count()
     max_day = completed.agg(F.max("window_start")).collect()[0][0]
     assert appended.filter(F.col("window_start") == max_day).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir, events_batch):
+    from dbt_meshify_spark.streaming import stream_stream_join_clicks_to_purchases
+
+    clicks = read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = run_to_memory(
+        stream_stream_join_clicks_to_purchases(clicks, purchases),
+        "t_ssjoin",
+        "append",
+    )
+    c = events_batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = events_batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    batch = c.join(p, "user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    assert _rows(joined, "purchase_id", "click_id") == _rows(
+        batch, "purchase_id", "click_id"
+    )
+
+
+def test_stream_stream_join_evicts_state_past_watermark(spark, tmp_path_factory):
+    """N8: a click whose state was evicted (watermark passed click.ts +
+    horizon) cannot match a purchase arriving in a later micro-batch — the
+    bounded-state contract at 100 TB: join state is O(horizon), not O(stream).
+    """
+    import datetime as dt
+
+    from dbt_meshify_spark.streaming import stream_stream_join_clicks_to_purchases
+
+    d = tmp_path_factory.mktemp("ssjoin_evict")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def _write(rows, name):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).coalesce(1).write.parquet(str(d / name))
+
+    # batch 1: the click, plus a clock-pusher event 3h later -> final
+    # watermark (max ts - 1h) = t0+2h, past the click's t0+1h eviction bound
+    _write(
+        [
+            (1, t0, 7, "click", 1.0, ""),
+            (2, t0 + dt.timedelta(hours=3), 99, "click", 1.0, ""),
+        ],
+        "f1",
+    )
+    # batch 2: a purchase 30min after the click — predicate-matching, but the
+    # click's state is gone and the purchase itself is below the watermark
+    _write([(3, t0 + dt.timedelta(minutes=30), 7, "purchase", 5.0, "")], "f2")
+
+    def _read(etype):
+        return (
+            read_events_stream(
+                spark, str(d), nanos=False, max_files_per_trigger=1
+            ).filter(F.col("event_type") == etype)
+        )
+
+    joined = run_to_memory(
+        stream_stream_join_clicks_to_purchases(_read("click"), _read("purchase")),
+        "t_ssjoin_evict",
+        "append",
+    )
+    assert joined.count() == 0  # dropped-late, by design
