@@ -32,6 +32,7 @@ from dbt_meshify_spark.operators.similarity import (
     embedding_neardup_exact,
     embedding_neardup_pairs,
     lsh_bucketed_topk,
+    quantize_embeddings,
 )
 from dbt_meshify_spark.operators.decontam import ngram_overlap
 from dbt_meshify_spark.operators.text import (
@@ -156,6 +157,16 @@ def ext_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Text analysis (N4)
 # --------------------------------------------------------------------------
+
+
+def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3] per-vector int8 quantization of the embedding column — the
+    memory-reduction scale path for ANN serving (operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id", F.round("scale", 6).alias("scale"), "q"
+    ).orderBy(_asc("vec_id"))
 
 
 def ext_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,6 +633,7 @@ QUERIES = {
     "ext_ann_ivf_topk": ext_ann_ivf_topk,
     "ext_embedding_neardup": ext_embedding_neardup,
     "ext_embedding_neardup_lsh": ext_embedding_neardup_lsh,
+    "ext_embedding_quantize": ext_embedding_quantize,
     "ext_token_stats": ext_token_stats,
     "ext_lang_id": ext_lang_id,
     "ext_quality_score": ext_quality_score,
@@ -822,6 +834,19 @@ ranked AS (
 SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, rank
 FROM ranked WHERE rank <= 3
 ORDER BY query_id NULLS FIRST, rank NULLS FIRST
+""",
+    "ext_embedding_quantize": """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) / 127.0 AS scale
+  FROM v
+)
+SELECT vec_id, ROUND(scale, 6) AS scale,
+       list_transform(e, x -> CAST(floor(x / scale + 0.5) AS TINYINT)) AS q
+FROM s ORDER BY vec_id NULLS FIRST
 """,
     "ext_token_stats": r"""
 SELECT doc_id,

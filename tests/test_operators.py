@@ -519,3 +519,46 @@ def test_histogram_buckets_and_cdf(spark):
         ("a", 1, 2, 1.0),
         ("b", 2, 1, 1.0),
     ]
+
+
+def test_quantization_error_bound_and_recall(spark):
+    from dbt_meshify_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = quantize_embeddings(emb)
+    # per-element reconstruction error <= scale/2 and q within int8 range
+    recon = dequantize_embeddings(q, out_col="approx").join(
+        emb.select("vec_id", F.col("embedding").alias("orig")), "vec_id"
+    )
+    bad = recon.select(
+        F.exists(
+            F.zip_with(
+                F.col("approx"),
+                F.col("orig"),
+                lambda a, o: F.abs(a - o.cast("double")) > F.col("scale") / 2 + 1e-9,
+            ),
+            lambda x: x,
+        ).alias("violated")
+    ).filter(F.col("violated"))
+    assert bad.count() == 0
+    rng = q.select(
+        F.array_max("q").alias("hi"), F.array_min("q").alias("lo")
+    ).agg(F.max("hi").alias("hi"), F.min("lo").alias("lo")).collect()[0]
+    assert rng.hi <= 127 and rng.lo >= -127
+    # search on dequantized vectors preserves the exact top-3 well
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(queries, emb, k=3)
+    approx_corpus = dequantize_embeddings(q).select("vec_id", "embedding")
+    approx = cosine_topk(
+        dequantize_embeddings(q).filter(F.col("vec_id") < 10).select("vec_id", "embedding"),
+        approx_corpus,
+        k=3,
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.9
