@@ -125,6 +125,78 @@ def shard_assignment(
     return df.withColumn("shard_id", (h % n_shards).cast("int"))
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    n_shards: int = 64,
+    seed: str = "s0",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-token-budget packs
+    (training sequences), preserving document boundaries.
+
+    Docs are sharded by md5 hash (shuffle key), then packed greedily in
+    md5-key order within each shard: a doc joins the current pack unless
+    that would exceed ``budget``, in which case it opens a new pack. A doc
+    larger than the budget gets a pack alone, flagged ``oversize`` (callers
+    split or truncate those upstream). Deterministic: same corpus + seed =>
+    same packs.
+
+    Returns one row per doc: ``id_col, tokens, shard_id, pack_id, pack_pos,
+    oversize`` (``pack_id`` is shard-local; (shard_id, pack_id) is global).
+
+    Scale design: packing is inherently sequential, so it is parallelized by
+    sharding — one shuffle on shard_id, then an Arrow-batched applyInPandas
+    runs the per-shard greedy scan (each shard is 1/n_shards of the corpus
+    METADATA: id + token count only, never text — at 100 TB with 1e11 docs
+    and n_shards=1e5, a shard's metadata is a few MB of Arrow). The packed
+    assignment joins back to payloads by id afterwards.
+    """
+    import pandas as pd
+
+    meta = shard_assignment(
+        df.select(
+            F.col(id_col), F.col(token_col).cast("long").alias("__tokens")
+        ),
+        [id_col],
+        n_shards,
+        seed,
+    ).withColumn("__key", _sample_key([id_col], seed))
+
+    out_schema = (
+        f"{id_col} long, tokens long, shard_id int, pack_id long, "
+        "pack_pos int, oversize boolean"
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__key", kind="mergesort").reset_index(drop=True)
+        pack_ids, positions, oversize = [], [], []
+        cur_pack, cur_tokens, cur_pos = 0, 0, 0
+        for t in pdf["__tokens"]:
+            t = int(t)
+            if cur_pos > 0 and cur_tokens + t > budget:
+                cur_pack += 1
+                cur_tokens, cur_pos = 0, 0
+            pack_ids.append(cur_pack)
+            positions.append(cur_pos)
+            oversize.append(t > budget)
+            cur_tokens += t
+            cur_pos += 1
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "tokens": pdf["__tokens"],
+                "shard_id": pdf["shard_id"],
+                "pack_id": pack_ids,
+                "pack_pos": positions,
+                "oversize": oversize,
+            }
+        )
+
+    return meta.groupBy("shard_id").applyInPandas(pack, out_schema)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -596,6 +596,28 @@ def ext_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9] greedy sequence packing into 256-token training sequences
+    (operators/sampling.py::pack_sequences). Rows-only: the greedy scan is
+    order-dependent and not SQL-expressible; invariants (exactly-once,
+    budget bound, utilization, determinism) are asserted in tests."""
+    from dbt_meshify_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    packed = pack_sequences(with_tokens, budget=256, n_shards=8)
+    return (
+        packed.groupBy("shard_id", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tokens").alias("pack_tokens"),
+        )
+        .orderBy(_asc("shard_id"), _asc("pack_id"))
+    )
+
+
 def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N9] PII redaction: chained RE2-safe regexp_replace (email/SSN/
     phone/IP -> tokens), codegen'd at scan speed. The corpus has no real
@@ -651,6 +673,7 @@ QUERIES = {
     "ext_stratified_sample": ext_stratified_sample,
     "ext_dataset_mixture": ext_dataset_mixture,
     "ext_shard_assign": ext_shard_assign,
+    "ext_pack_sequences": ext_pack_sequences,
     "ext_pii_redact": ext_pii_redact,
 }
 

@@ -562,3 +562,37 @@ def test_quantization_error_bound_and_recall(spark):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     assert len(e & a) / len(e) >= 0.9
+
+
+def test_pack_sequences_invariants(spark):
+    from dbt_meshify_spark.operators.sampling import pack_sequences
+    from dbt_meshify_spark.sources import load_table
+
+    budget = 256
+    docs = load_table(spark, SF_ORACLE, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    packed = pack_sequences(docs, budget=budget, n_shards=8).cache()
+    n_docs = docs.count()
+    # exactly-once: every doc appears once
+    assert packed.count() == n_docs
+    assert packed.select("doc_id").distinct().count() == n_docs
+    packs = packed.groupBy("shard_id", "pack_id").agg(
+        F.sum("tokens").alias("pack_tokens"),
+        F.max("oversize").alias("has_oversize"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # budget bound holds for every pack without an oversize doc
+    assert packs.filter(~F.col("has_oversize") & (F.col("pack_tokens") > budget)).count() == 0
+    # oversize docs sit alone in their pack
+    assert packs.filter(F.col("has_oversize") & (F.col("n") > 1)).count() == 0
+    # greedy utilization: mean fill >= half the budget
+    mean_fill = packs.agg(F.avg("pack_tokens")).collect()[0][0]
+    assert mean_fill >= budget / 2
+    # deterministic: identical assignment on a second run
+    again = pack_sequences(docs, budget=budget, n_shards=8)
+    diff = packed.select("doc_id", "shard_id", "pack_id").exceptAll(
+        again.select("doc_id", "shard_id", "pack_id")
+    )
+    assert diff.count() == 0
+    packed.unpersist()
