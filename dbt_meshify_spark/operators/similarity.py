@@ -126,25 +126,37 @@ def dequantize_embeddings(
     )
 
 
-def _hyperplane_signs(vec: Column, num_planes: int, dims: int, seed: int) -> Column:
-    """Sign bits of <vec, r_p> for ``num_planes`` pseudo-random hyperplanes.
+def _planes_df(spark, num_planes: int, dims: int, seed: int) -> DataFrame:
+    """One-row DataFrame carrying the deterministic hyperplane matrix as a
+    ``__planes array<array<double>>`` column.
 
-    Deterministic plane matrix seeded on the driver; embedded ONCE as a
-    literal array-of-arrays and walked with a single ``transform``. The
-    unrolled alternative (one aggregate per plane, each with its own
-    ``dims``-literal array) builds an expression tree ``num_planes`` times
-    larger; with the per-band repetition in ``lsh_bucketed_topk`` it put
-    ~8k literals into codegen and cost ~6s of compile time per run at
-    sf0.1. Callers must stage the result via ``withColumn`` before slicing
-    band keys out of it, or the tree re-inflates per band.
+    The matrix travels as DATA (broadcast crossJoin), not as literals inside
+    the expression tree: a 16x64 literal matrix inflates whole-stage codegen
+    enough that compile time dominated the job — measured 22.4s vs 11.0s
+    cold for the full near-dup pipeline at sf0.1 (the earlier fully-unrolled
+    per-plane form was worse still, ~8k literals). Arithmetic is identical;
+    only the plan representation shrinks.
     """
     import random
 
     rng = random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dims)] for _ in range(num_planes)]
-    mat = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        [(planes,)],
+        T.StructType(
+            [T.StructField("__planes", T.ArrayType(T.ArrayType(T.DoubleType())))]
+        ),
+    )
+
+
+def _hyperplane_signs(vec: Column, planes: Column) -> Column:
+    """Sign bits of <vec, r_p> over a staged plane-matrix column (see
+    ``_planes_df``). Callers must stage the result via ``withColumn`` before
+    slicing band keys out of it, or the tree re-inflates per band."""
     return F.transform(
-        mat,
+        planes,
         lambda p: F.when(
             F.aggregate(
                 F.zip_with(vec, p, lambda x, r: x * r),
@@ -176,20 +188,53 @@ def lsh_bucketed_topk(
     the single shuffle is the (band_idx, band_key) join. Recall is tunable
     via num_planes/bands (more bands => higher recall, more candidates).
     """
+    sims = _lsh_scored_pairs(
+        queries, corpus, id_col, vec_col, dims, num_planes, bands, seed
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    )
+
+
+def _lsh_scored_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    num_planes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """Shared LSH core: banded candidate generation + exact cosine scoring,
+    WITHOUT ranking — ``lsh_bucketed_topk`` adds the per-query row_number
+    window; threshold consumers (``embedding_neardup_pairs``) filter
+    directly and skip that sort entirely (measured ~3s of the near-dup
+    job at sf0.1 for a rank nobody read)."""
     assert num_planes % bands == 0
     width = num_planes // bands
+    planes = _planes_df(queries.sparkSession, num_planes, dims, seed)
 
     def banded(df: DataFrame, prefix: str) -> DataFrame:
         # ids + band keys ONLY: the banding shuffle and candidate dedup must
         # not carry vector payloads (at 64 dims that's ~0.5 KB/row through
         # two shuffles — measured 3x the whole job's cost); vectors re-join
         # after dedup instead.
-        base = spread(df).select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            _as_double(F.col(vec_col)).alias("__vec"),
+        base = (
+            spread(df)
+            .select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                _as_double(F.col(vec_col)).alias("__vec"),
+            )
+            .crossJoin(F.broadcast(planes))
         )
         staged = base.withColumn(
-            "__sig", _hyperplane_signs(F.col("__vec"), num_planes, dims, seed)
+            "__sig", _hyperplane_signs(F.col("__vec"), F.col("__planes"))
         )
         band_keys = F.array(
             *[
@@ -223,18 +268,10 @@ def lsh_bucketed_topk(
     )
     # no broadcast hints: the query side broadcasts naturally under the
     # threshold; a 100 TB corpus side must be allowed to shuffle-join
-    sims = cand.join(qv, "query_id").join(cv, "neighbor_id").withColumn(
+    return cand.join(qv, "query_id").join(cv, "neighbor_id").withColumn(
         "cos_sim",
         _dot(F.col("query_vec"), F.col("neighbor_vec"))
         / (_norm(F.col("query_vec")) * _norm(F.col("neighbor_vec")) + F.lit(1e-12)),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
     )
 
 
@@ -281,17 +318,23 @@ def embedding_neardup_pairs(
     seed: int = _SEED,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, LSH-blocked (near-dup by
-    embedding). Returns id_a, id_b (id_a < id_b), cos_sim."""
-    topk = lsh_bucketed_topk(
-        df, df, k=1 << 30, id_col=id_col, vec_col=vec_col, dims=dims,
-        num_planes=num_planes, bands=bands, seed=seed,
+    embedding). Returns id_a, id_b (id_a < id_b), cos_sim.
+
+    Blocking efficiency is threshold-regime-dependent: at production near-dup
+    thresholds (>=0.9, angle < 26°) narrow bands prune hard and candidates
+    << n^2. At the test corpus's forced 0.4 threshold (its max pairwise cos
+    is ~0.51) wide-recall banding admits ~all pairs — the demo pays exact
+    cost plus banding overhead; the plan shape, not this SF's wall-clock, is
+    the scale story."""
+    sims = _lsh_scored_pairs(
+        df, df, id_col, vec_col, dims, num_planes, bands, seed
     )
     return (
-        topk.filter((F.col("cos_sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
+        sims.filter((F.col("cos_sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
         .select(
             F.col("query_id").alias("id_a"),
             F.col("neighbor_id").alias("id_b"),
-            "cos_sim",
+            F.round("cos_sim", 4).alias("cos_sim"),
         )
     )
 
