@@ -121,19 +121,45 @@ def minhash_signatures(
     """Append an array<bigint> MinHash signature of the text's word shingles.
 
     sig[i] = min over shingles s of (a_i * h(s) + b_i) mod P, with
-    h = xxhash64 reduced mod P. Entirely a projection — no shuffle,
-    codegen'd end to end.
+    h = xxhash64 reduced mod P. A projection plus one broadcast crossJoin —
+    no shuffle, codegen'd end to end.
 
-    Structure matters enormously here: the shingle hashes are staged ONCE
-    into an intermediate array column, and each signature slot is a sibling
-    ``array_min(transform(...))`` with its (a_i, b_i) coefficients folded in
-    as literals. The obvious alternative — one outer
-    ``transform(sequence(1,128), i -> ...)`` with ``element_at(array(...), i)``
-    coefficient lookups — re-hashes every shingle 128x and re-allocates the
-    128-element literal arrays per lambda evaluation; measured 97s for 500
-    docs vs <1s for this formulation.
+    Structure matters enormously here, in two ways:
+    1. The shingle hashes are staged ONCE into an intermediate array column.
+       A formulation whose lambda recomputes the shingle expression per slot
+       re-hashes every shingle 128x — measured 97s for 500 docs vs <1s.
+    2. The (a_i, b_i) coefficients arrive as DATA — a one-row broadcast
+       ``__params array<struct<a,b>>`` walked by a single ``transform`` —
+       not as 128 unrolled sibling ``array_min`` expressions with literal
+       coefficients. Unrolled siblings are marginally faster warm (~0.9s vs
+       1.7s at sf0.1) but cost ~4s of whole-stage-codegen compile cold
+       (13.1s vs 9.4s for the full near-dup job); per-round cold runs are
+       what the bench measures, and on a cluster a 4s one-time compile is
+       noise either way. The crossJoin is also what keeps (1) safe: it
+       blocks CollapseProject from inlining the staged hash array into the
+       lambda (verified: xxhash64 appears once in the optimized plan).
     """
+    from pyspark.sql import types as T
+
     params = _hash_params(num_hashes, seed)
+    params_df = df.sparkSession.createDataFrame(
+        [([{"a": a, "b": b} for a, b in params],)],
+        T.StructType(
+            [
+                T.StructField(
+                    "__params",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("a", T.LongType()),
+                                T.StructField("b", T.LongType()),
+                            ]
+                        )
+                    ),
+                )
+            ]
+        ),
+    )
     staged = (
         _with_tokens(df, text_col)
         .withColumn(
@@ -144,21 +170,18 @@ def minhash_signatures(
             ),
         )
         .drop("__toks")
+        .crossJoin(F.broadcast(params_df))
     )
-
-    def _slot(a: int, b: int) -> Column:
-        return F.array_min(
+    sig = F.transform(
+        F.col("__params"),
+        lambda p: F.array_min(
             F.transform(
                 F.col("__mh_h"),
-                lambda h: F.pmod(
-                    F.lit(a).cast("long") * h + F.lit(b).cast("long"),
-                    F.lit(_P).cast("long"),
-                ),
+                lambda h: F.pmod(p["a"] * h + p["b"], F.lit(_P).cast("long")),
             )
-        )
-
-    sig = F.array(*[_slot(a, b) for a, b in params])
-    return staged.withColumn(out_col, sig).drop("__mh_h")
+        ),
+    )
+    return staged.withColumn(out_col, sig).drop("__mh_h", "__params")
 
 
 def minhash_candidate_pairs(
