@@ -1,0 +1,75 @@
+"""JSONL / CSV source formats for training-data corpora.
+
+The reference's only file source is CSV seeds
+(/root/reference/test-projects/split/split_proj/dbt_project.yml:17); web-scale
+corpora additionally arrive as JSONL shards. Both are thin wrappers over
+Spark's readers with two scale rules baked in:
+
+- **Explicit schema always.** Schema inference is a full extra pass over the
+  data (and for JSON, a driver-side merge of per-partition schemas) — at
+  100 TB that is a second job before the first byte of real work. Callers
+  pass a DDL string or StructType; ``infer=True`` exists for exploration
+  only.
+- **Writers emit one file per partition** — shard count is controlled by the
+  upstream partitioning (``repartition``/``repartitionByRange``), not by the
+  writer, so a write never introduces its own shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from dbt_meshify_spark.session import prepare
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | T.StructType | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """Read newline-delimited JSON. ``schema`` is required unless
+    ``infer=True`` (exploration only — inference is an extra full scan)."""
+    prepare(spark)
+    if schema is None and not infer:
+        raise ValueError(
+            "read_jsonl requires an explicit schema at scale; pass infer=True "
+            "only for exploration"
+        )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write as JSONL, one file per partition (Spark's native json sink)."""
+    df.write.mode(mode).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | T.StructType | None = None,
+    header: bool = True,
+    infer: bool = False,
+) -> DataFrame:
+    """Read CSV (the reference's seed format) with an explicit schema."""
+    prepare(spark)
+    if schema is None and not infer:
+        raise ValueError(
+            "read_csv requires an explicit schema at scale; pass infer=True "
+            "only for exploration"
+        )
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """Write CSV, one file per partition."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)

@@ -596,3 +596,31 @@ def test_pack_sequences_invariants(spark):
     )
     assert diff.count() == 0
     packed.unpersist()
+
+
+def test_jsonl_csv_round_trip(spark, tmp_path):
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.sources.text_formats import (
+        read_csv,
+        read_jsonl,
+        write_csv,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    jp = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, jp)
+    back = read_jsonl(spark, jp, schema)
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs.select(*back.columns)).count() == 0
+
+    cp = str(tmp_path / "docs_csv")
+    simple = docs.select("doc_id", "lang", "source", "n_chars")
+    write_csv(simple, cp)
+    back_csv = read_csv(spark, cp, "doc_id long, lang string, source string, n_chars long")
+    assert back_csv.exceptAll(simple).count() == 0
+
+    with pytest.raises(ValueError):
+        read_jsonl(spark, jp)

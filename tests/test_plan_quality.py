@@ -1,0 +1,46 @@
+"""Physical-plan guardrails: the properties that make these plans survive a
+100x scale-up, asserted against the actual executed plans so a refactor that
+silently loses pushdown/broadcast/pruning fails CI."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_meshify_spark.queries import QUERIES
+from tests.conftest import SF_ORACLE
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q03's filters must reach the parquet scan, not run post-scan."""
+    plan = _physical(QUERIES["q03_filters"](spark, SF_ORACLE))
+    pushed = plan.split("PushedFilters: [", 1)
+    assert len(pushed) == 2, "no PushedFilters section in scan"
+    head = pushed[1].split("]", 1)[0]
+    assert "o_orderpriority" in head and "o_orderdate" in head
+
+
+def test_projection_prunes_scan_columns(spark):
+    """q01 projects 4 columns; the scan must not read the rest (ReadSchema)."""
+    plan = _physical(QUERIES["q01_projection_cast"](spark, SF_ORACLE))
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "o_comment" not in read_schema and "o_clerk" not in read_schema
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+
+
+def test_dim_join_broadcasts(spark):
+    """q04 joins customer to the nation dim: must be a broadcast join, not a
+    shuffle (sort-merge) join."""
+    plan = _physical(QUERIES["q04_join_agg"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_is_projection_only(spark):
+    """ext_fingerprint is a pure projection: no Exchange may appear before
+    the (ordering) sort the query adds for determinism."""
+    plan = _physical(QUERIES["ext_fingerprint"](spark, SF_ORACLE))
+    body = plan.split("Sort", 1)[-1]
+    assert "Exchange hashpartitioning" not in body
