@@ -8,7 +8,7 @@ no shuffle, no UDF, fully codegen'd. Each has an ANSI-SQL-expressible form
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker-word sets for the n-gram language heuristic. Deliberately tiny and
@@ -206,6 +206,101 @@ def repetition_stats(
             (top_frac >= F.lit(top_frac_threshold))
             | (dup_frac >= F.lit(dup_frac_threshold))
         ).alias("is_repetitive"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows (RAG / context
+    chunking). Chunk c covers tokens [c*stride, c*stride + chunk_tokens);
+    the last chunk may be short; a doc shorter than one chunk yields itself.
+
+    Pure projection + explode — no shuffle, no UDF: token array staged once,
+    chunk starts from ``sequence``, each chunk re-joined with spaces. At
+    100 TB this runs at scan speed; the output inherits the input
+    partitioning (chunks of a doc stay co-located, which downstream
+    embedding batching wants).
+
+    Returns ``id_col, chunk_id, n_chunk_tokens, chunk_text``.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    staged = df.select(F.col(id_col), F.col(text_col)).withColumn("__toks", toks)
+    n = F.size("__toks")
+    # number of chunks: 1 + ceil(max(0, n - chunk_tokens) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunked = staged.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1)))
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k terms per document by tf-idf (keyword extraction).
+
+    ``tf`` = in-doc occurrences; ``idf = ln((N+1)/(df+1))`` (smoothed);
+    ties break by term asc for determinism.
+
+    Scale design: three aggregations, all partial-aggregated map-side —
+    (1) term counts per (doc, term): shuffle on high-cardinality key;
+    (2) document frequency per term: aggregates (1)'s output, NOT a second
+    text pass, and ships (term, df) only;
+    (3) the corpus size N is a scalar broadcast, not a driver collect —
+    a 1-row count frame crossJoined in.
+    The per-doc top-k window runs over (1)'s counts, already grouped.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    terms = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.explode("__toks").alias("term"))
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).cast("double").alias("__n")
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log((F.col("__n") + 1.0) / (F.col("df").cast("double") + 1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("tfidf", 4).alias("tfidf"),
+        )
     )
 
 

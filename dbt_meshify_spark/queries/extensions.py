@@ -37,11 +37,13 @@ from dbt_meshify_spark.operators.similarity import (
 from dbt_meshify_spark.operators.decontam import ngram_overlap
 from dbt_meshify_spark.operators.text import (
     LANG_MARKERS,
+    chunk_documents,
     doc_fingerprint,
     histogram,
     language_id,
     quality_score,
     repetition_stats,
+    tfidf_top_terms,
     token_stats,
 )
 from dbt_meshify_spark.sources import load_table
@@ -218,6 +220,21 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
     return ngram_overlap(train, eval_df, n=3, min_overlap=0.2).orderBy(_asc("doc_id"))
+
+
+def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] overlapping fixed-token chunking (64-token windows, stride 48) —
+    RAG/context windowing as a pure explode projection (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, stride=48).orderBy(
+        _asc("doc_id"), _asc("chunk_id")
+    )
+
+
+def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] per-document top-3 tf-idf keywords (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3).orderBy(_asc("doc_id"), _asc("rank"))
 
 
 def ext_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,6 +679,8 @@ QUERIES = {
     "ext_repetition_quality": ext_repetition_quality,
     "ext_decontaminate": ext_decontaminate,
     "ext_length_histogram": ext_length_histogram,
+    "ext_chunk_documents": ext_chunk_documents,
+    "ext_tfidf_top_terms": ext_tfidf_top_terms,
     "ext_multimodal_features": ext_multimodal_features,
     "ext_stream_tumbling_daily": ext_stream_tumbling_daily,
     "ext_stream_session_windows": ext_stream_session_windows,
@@ -931,6 +950,43 @@ SELECT doc_id, n_grams, matched,
        ROUND(CAST(matched AS DOUBLE) / n_grams, 4) AS overlap,
        (CAST(matched AS DOUBLE) / n_grams >= 0.2) AS contaminated
 FROM agg ORDER BY doc_id NULLS FIRST
+""",
+    "ext_chunk_documents": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+),
+c AS (
+  SELECT doc_id, l,
+         unnest(range(0, 1 + CAST(ceil(greatest(len(l) - 64, 0) / 48.0) AS INT))) AS chunk_id
+  FROM toks
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(l[chunk_id*48 + 1 : chunk_id*48 + 64]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(l[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk_text
+FROM c ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST
+""",
+    "ext_tfidf_top_terms": r"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE) * ln((n.nd + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0)) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, ROUND(tfidf, 4) AS tfidf
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id NULLS FIRST, rank NULLS FIRST
 """,
     "ext_length_histogram": """
 WITH b AS (

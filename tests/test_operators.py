@@ -624,3 +624,50 @@ def test_jsonl_csv_round_trip(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_jsonl(spark, jp)
+
+
+def test_chunk_documents_boundaries(spark):
+    from dbt_meshify_spark.operators.text import chunk_documents
+
+    def words(n, prefix="w"):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [(1, words(64)), (2, words(65)), (3, words(10)), (4, words(112))],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tokens == 64
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_chunk_tokens == 10
+    assert len(by_doc[2]) == 2
+    c2 = sorted(by_doc[2], key=lambda r: r.chunk_id)
+    assert c2[1].n_chunk_tokens == 17  # tokens 49..65
+    # stride overlap: chunk1 of doc 4 starts at token 49
+    c4 = sorted(by_doc[4], key=lambda r: r.chunk_id)
+    assert len(c4) == 2 and c4[1].chunk_text.startswith("w48 ")
+    # consecutive chunks overlap by chunk_tokens - stride = 16 tokens
+    tail0 = c4[0].chunk_text.split()[-16:]
+    head1 = c4[1].chunk_text.split()[:16]
+    assert tail0 == head1
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    from dbt_meshify_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common rare1 rare1 rare1"),
+            (2, "common shared"),
+            (3, "common shared"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {
+        r.doc_id: r.term
+        for r in tfidf_top_terms(df, k=1).collect()
+    }
+    assert top[1] == "rare1"  # doc-unique beats the everywhere-term
+    assert top[2] == "shared" and top[3] == "shared"
