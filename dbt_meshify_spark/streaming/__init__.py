@@ -14,6 +14,7 @@ from dbt_meshify_spark.streaming.events import (
     sliding_window_counts,
     stateful_user_totals,
     stream_stream_join_clicks_to_purchases,
+    stream_to_incremental,
     tumbling_window_counts,
     with_watermark,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "session_window_stats",
     "stateful_user_totals",
     "stream_stream_join_clicks_to_purchases",
+    "stream_to_incremental",
     "with_watermark",
     "run_to_memory",
 ]

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -222,6 +222,62 @@ def stream_stream_join_clicks_to_purchases(
         ),
         "inner",
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+
+def stream_to_incremental(
+    stream_df: DataFrame,
+    target_dir: str,
+    unique_key: str | list[str],
+    order_by: str = "ts",
+) -> DataFrame:
+    """Streaming incremental materialization: ``foreachBatch`` upsert with
+    dbt-spark 'merge' semantics (same-key batch rows replace stored rows —
+    the streaming twin of ``project/runner.py::_materialize_model``'s
+    incremental path; reference analog: `unique_key` merge,
+    /root/reference/test-projects/split/split_proj/models/marts/orders.sql:1-6).
+
+    Per micro-batch: (1) within-batch dedup keeps the latest row per key by
+    ``order_by`` (deterministic row_number, not dropDuplicates — whose pick
+    is partition-order-dependent); (2) stored survivors = keys NOT in the
+    batch (left_anti on keys only — key columns, not payloads, drive the
+    shuffle); (3) write-then-swap to a fresh ``v{n}`` dir, mirroring the
+    runner's versioned parquet so the batch can read v{n-1} while writing
+    v{n}. Returns the final table.
+
+    At scale the swap becomes a real lakehouse MERGE (Delta/Iceberg, not in
+    this container); the micro-batch algebra is identical.
+    """
+    spark = stream_df.sparkSession
+    keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
+    state = {"version": 0}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*keys).orderBy(F.col(order_by).desc())
+        b = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        prev = state["version"]
+        if prev:
+            existing = spark.read.parquet(f"{target_dir}/v{prev}")
+            survivors = existing.join(b.select(*keys).distinct(), keys, "left_anti")
+            combined = b.unionByName(survivors)
+        else:
+            combined = b
+        state["version"] = prev + 1
+        combined.write.mode("overwrite").parquet(f"{target_dir}/v{state['version']}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{target_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not state["version"]:
+        return spark.createDataFrame([], stream_df.schema)
+    return spark.read.parquet(f"{target_dir}/v{state['version']}")
 
 
 def run_to_memory(

@@ -198,23 +198,36 @@ def test_stream_stream_join_evicts_state_past_watermark(spark, tmp_path_factory)
             rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
         ).coalesce(1).write.parquet(str(d / name))
 
-    # batch 1: the click, plus a clock-pusher event 3h later -> final
-    # watermark (max ts - 1h) = t0+2h, past the click's t0+1h eviction bound
+    # The query watermark is the MIN over all inputs, so BOTH streams need
+    # clock-pusher events (on users that never pair: clicks on 98, purchases
+    # on 99, 2h+ apart) to advance it to t0+2h, past the click's t0+1h join
+    # bound. Watermarks apply one batch late (computed at batch end, used
+    # next batch) and join-state eviction runs at batch end — batch 2 exists
+    # purely to let the t0+2h watermark evict the click's state row.
+    push = dt.timedelta(hours=3)
     _write(
         [
             (1, t0, 7, "click", 1.0, ""),
-            (2, t0 + dt.timedelta(hours=3), 99, "click", 1.0, ""),
+            (2, t0 + push, 98, "click", 1.0, ""),
+            (3, t0 + push, 99, "purchase", 1.0, ""),
         ],
         "f1",
     )
-    # batch 2: a purchase 30min after the click — predicate-matching, but the
+    _write(
+        [
+            (4, t0 + push + dt.timedelta(minutes=5), 98, "click", 1.0, ""),
+            (5, t0 + push + dt.timedelta(minutes=5), 99, "purchase", 1.0, ""),
+        ],
+        "f2",
+    )
+    # batch 3: a purchase 30min after the click — predicate-matching, but the
     # click's state is gone and the purchase itself is below the watermark
-    _write([(3, t0 + dt.timedelta(minutes=30), 7, "purchase", 5.0, "")], "f2")
+    _write([(6, t0 + dt.timedelta(minutes=30), 7, "purchase", 5.0, "")], "f3")
 
     def _read(etype):
         return (
             read_events_stream(
-                spark, str(d), nanos=False, max_files_per_trigger=1
+                spark, str(d) + "/*/", nanos=False, max_files_per_trigger=1
             ).filter(F.col("event_type") == etype)
         )
 
@@ -224,3 +237,73 @@ def test_stream_stream_join_evicts_state_past_watermark(spark, tmp_path_factory)
         "append",
     )
     assert joined.count() == 0  # dropped-late, by design
+    # positive control — same data in ONE file (single micro-batch, no
+    # eviction between click and purchase) DOES join, so the zero above is
+    # the watermark's doing, not a silent empty source
+    d2 = tmp_path_factory.mktemp("ssjoin_onebatch")
+    spark.createDataFrame(
+        [
+            (1, t0, 7, "click", 1.0, ""),
+            (2, t0 + dt.timedelta(hours=3), 99, "click", 1.0, ""),
+            (3, t0 + dt.timedelta(minutes=30), 7, "purchase", 5.0, ""),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(d2 / "f1"))
+
+    def _read2(etype):
+        return read_events_stream(spark, str(d2) + "/*/", nanos=False).filter(
+            F.col("event_type") == etype
+        )
+
+    joined2 = run_to_memory(
+        stream_stream_join_clicks_to_purchases(_read2("click"), _read2("purchase")),
+        "t_ssjoin_onebatch",
+        "append",
+    )
+    assert joined2.count() == 1
+
+
+def test_stream_to_incremental_merges_like_batch_dedup(spark, tmp_path_factory):
+    """Streaming foreachBatch upsert == batch keep-latest dedup when files
+    arrive in event-time order (the dbt-spark 'merge' strategy, streamed)."""
+    import datetime as dt
+
+    from dbt_meshify_spark.streaming import stream_to_incremental
+
+    src = tmp_path_factory.mktemp("inc_src")
+    tgt = str(tmp_path_factory.mktemp("inc_tgt") / "tbl")
+    t0 = dt.datetime(2024, 3, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batch1 = [
+        (1, t0, 1, "click", 1.0, ""),
+        (2, t0 + dt.timedelta(minutes=1), 2, "click", 2.0, ""),
+    ]
+    batch2 = [
+        (3, t0 + dt.timedelta(minutes=5), 1, "click", 9.0, ""),  # upserts user 1
+        (4, t0 + dt.timedelta(minutes=6), 3, "view", 4.0, ""),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = read_events_stream(
+        spark, str(src) + "/*/", nanos=False, max_files_per_trigger=1
+    )
+    final = stream_to_incremental(
+        stream, tgt, unique_key=["user_id", "event_type"], order_by="ts"
+    )
+    got = {(r.user_id, r.event_type): (r.event_id, r.value) for r in final.collect()}
+    assert got == {
+        (1, "click"): (3, 9.0),  # batch2 row replaced batch1's same-key row
+        (2, "click"): (2, 2.0),
+        (3, "view"): (4, 4.0),
+    }
+    # idempotent replay from scratch gives the same table
+    tgt2 = tgt + "_replay"
+    stream2 = read_events_stream(spark, str(src) + "/*/", nanos=False)
+    final2 = stream_to_incremental(
+        stream2, tgt2, unique_key=["user_id", "event_type"], order_by="ts"
+    )
+    assert {tuple(r) for r in final2.collect()} == {tuple(r) for r in final.collect()}
