@@ -388,3 +388,81 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve candidate pairs into clusters: ``id -> component`` where
+    ``component`` is the minimum id reachable through the pair graph.
+
+    This is the step a real dedup pipeline runs AFTER pair generation
+    (MinHash/Jaccard/embedding pairs are edges; a duplicate *group* is a
+    connected component, and the kept representative is its min id).
+
+    Algorithm: min-label propagation — each round every node takes the min
+    label among itself and its neighbors; converges in O(graph diameter)
+    rounds. Near-dup graphs are piles of small cliques (diameter 2-3), so
+    3-4 rounds typically suffice; ``max_iter`` bounds pathological chains.
+    Each round is one shuffle (groupBy id). ``localCheckpoint`` truncates
+    the lineage each round — without it the plan doubles per iteration and
+    the driver, not the data, becomes the bottleneck. For graphs with
+    whale components at 100 TB scale the two-phase large-star/small-star
+    variant halves round count; the per-round dataflow is the same shape.
+
+    Returns: ``id, component``. Raises if not converged within max_iter.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    undirected = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        undirected.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_labels = undirected.join(
+            labels, undirected.src == labels.id
+        ).select(F.col("dst").alias("id"), "label")
+        new_labels = (
+            labels.select("id", "label")
+            .union(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Attach near-dup cluster ids to every row: ``cluster_id`` = component
+    min-id (rows in no pair are their own cluster), ``is_representative`` =
+    the row dedup would keep. Keys-only joins; payloads never shuffle."""
+    comp = connected_components(pairs)
+    return (
+        df.join(comp, df[id_col] == comp.id, "left")
+        .drop("id")
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+        .withColumn("is_representative", F.col("cluster_id") == F.col(id_col))
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_meshify_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
@@ -79,6 +80,20 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5).orderBy(
         _asc("id_a"), _asc("id_b")
+    )
+
+
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N2] near-dup cluster resolution: trigram-Jaccard pairs (>=0.5)
+    -> connected components (min-label propagation) -> every doc labeled
+    with its cluster and keep/drop decision. Oracle: a recursive-CTE
+    transitive closure over the identical pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
+    return (
+        dedup_clusters(docs, pairs)
+        .select("doc_id", "cluster_id", "is_representative")
+        .orderBy(_asc("doc_id"))
     )
 
 
@@ -663,6 +678,7 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
+    "ext_dedup_clusters": ext_dedup_clusters,
     "ext_fingerprint": ext_fingerprint,
     "ext_ngram_jaccard": ext_ngram_jaccard,
     "ext_minhash_neardup": ext_minhash_neardup,
@@ -840,6 +856,36 @@ SELECT doc_id, lang, source FROM (
     "ext_fingerprint": r"""
 SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
 FROM documents ORDER BY doc_id NULLS FIRST
+""",
+    "ext_dedup_clusters": f"""
+WITH RECURSIVE {_TRIGRAMS_CTE},
+counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN counts ca ON ca.doc_id = id_a
+  JOIN counts cb ON cb.doc_id = id_b
+  WHERE inter / (ca.n_grams + cb.n_grams - inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS id, dst AS peer FROM edges
+  UNION
+  SELECT r.id, e.dst AS peer FROM reach r JOIN edges e ON r.peer = e.src
+),
+comp AS (SELECT id, least(id, MIN(peer)) AS component FROM reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS cluster_id,
+       (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_representative
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+ORDER BY d.doc_id NULLS FIRST
 """,
     "ext_ngram_jaccard": f"""
 WITH {_TRIGRAMS_CTE},

@@ -671,3 +671,25 @@ def test_tfidf_prefers_rare_terms(spark):
     }
     assert top[1] == "rare1"  # doc-unique beats the everywhere-term
     assert top[2] == "shared" and top[3] == "shared"
+
+
+def test_connected_components_chain_and_islands(spark):
+    from dbt_meshify_spark.operators.dedup import connected_components, dedup_clusters
+
+    # a 10-node chain (diameter 9 — exercises multi-round propagation),
+    # a triangle, and an isolated pair
+    chain = [(i, i + 1) for i in range(10, 19)]
+    pairs = spark.createDataFrame(
+        chain + [(30, 31), (31, 32), (30, 32), (50, 51)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert all(comp[i] == 10 for i in range(10, 20))
+    assert comp[30] == comp[31] == comp[32] == 30
+    assert comp[50] == comp[51] == 50
+    # dedup_clusters: unpaired rows are their own representative
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [10, 11, 50, 51, 99]], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.cluster_id, r.is_representative) for r in dedup_clusters(docs, pairs).collect()}
+    assert out[10] == (10, True) and out[11] == (10, False)
+    assert out[99] == (99, True)
