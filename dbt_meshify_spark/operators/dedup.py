@@ -390,6 +390,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated passages: ``passage_tokens``-token spans
+    appearing verbatim in >= ``min_docs`` distinct documents — the
+    boilerplate/template detector (the cheap tier of substring-level dedup:
+    a hit here means those docs share a >=20-token exact span).
+
+    One shingle projection + one count shuffle keyed by the passage hash.
+    Grouping on the 8-byte hash (text resolved per group via ``min``) keeps
+    the map-side partial aggregate small: the shuffle carries one passage
+    string per (hash, mapper) pair, not one per occurrence — the dominant
+    dedupe happens before the wire at 100 TB.
+
+    Returns: ``passage, n_docs, sample_doc_id`` (min id containing it).
+    """
+    grams = (
+        _with_tokens(df.select(id_col, text_col), text_col)
+        .withColumn("__grams", shingles_of_tokens(F.col("__toks"), passage_tokens))
+        .select(F.col(id_col), F.explode("__grams").alias("passage"))
+        .select(
+            F.col(id_col),
+            F.xxhash64("passage").alias("__ph"),
+            "passage",
+        )
+    )
+    hits = (
+        grams.groupBy("__ph")
+        .agg(
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.min(id_col).alias("sample_doc_id"),
+            F.min("passage").alias("passage"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return hits.select("passage", "n_docs", "sample_doc_id")
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",

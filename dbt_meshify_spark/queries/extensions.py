@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from dbt_meshify_spark.operators.dedup import (
     dedup_clusters,
+    duplicated_passages,
     exact_dedup,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
@@ -94,6 +95,15 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_clusters(docs, pairs)
         .select("doc_id", "cluster_id", "is_representative")
         .orderBy(_asc("doc_id"))
+    )
+
+
+def ext_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N2] cross-document duplicated 20-token passages (boilerplate
+    detector — the cheap tier of substring-level dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_passages(docs, passage_tokens=20, min_docs=2).orderBy(
+        _asc("passage")
     )
 
 
@@ -679,6 +689,7 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_clusters": ext_dedup_clusters,
+    "ext_dup_passages": ext_dup_passages,
     "ext_fingerprint": ext_fingerprint,
     "ext_ngram_jaccard": ext_ngram_jaccard,
     "ext_minhash_neardup": ext_minhash_neardup,
@@ -856,6 +867,21 @@ SELECT doc_id, lang, source FROM (
     "ext_fingerprint": r"""
 SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
 FROM documents ORDER BY doc_id NULLS FIRST
+""",
+    "ext_dup_passages": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(l) - 18),
+                i -> array_to_string(l[i:i+19], ' ')))) AS passage
+  FROM toks
+)
+SELECT passage, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS sample_doc_id
+FROM grams GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY passage NULLS FIRST
 """,
     "ext_dedup_clusters": f"""
 WITH RECURSIVE {_TRIGRAMS_CTE},

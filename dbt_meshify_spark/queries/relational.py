@@ -556,6 +556,55 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(_asc("month"))
 
 
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[GS1 extension] pivot: months x order-status matrix via
+    ``groupBy().pivot()`` with explicit pivot values — explicit values keep
+    the plan a single aggregate pass (no values-discovery pre-query) and
+    make the output schema stable, which a 100 TB job needs anyway.
+    Oracle: the equivalent CASE-WHEN conditional aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "month", F.date_trunc("month", F.col("o_orderdate")).cast("date")
+        )
+        .groupBy("month")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .select(
+            "month",
+            F.coalesce("O", F.lit(0.0)).alias("open_total"),
+            F.coalesce("F", F.lit(0.0)).alias("filled_total"),
+            F.coalesce("P", F.lit(0.0)).alias("partial_total"),
+        )
+        .orderBy(_asc("month"))
+    )
+
+
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W2 extension] rank-family window functions: rank, dense_rank,
+    percent_rank, ntile(4), cume_dist per partition — the remaining
+    analytic-window surface beyond row_number (q11) and lag/lead (q10)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.round(F.percent_rank().over(w), 4).alias("prnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.cume_dist().over(w), 4).alias("cdist"),
+        )
+        .filter(F.col("rnk") <= 5)
+        .orderBy(_asc("o_orderpriority"), _asc("rnk"), _asc("o_orderkey"))
+    )
+
+
 QUERIES = {
     "q01_projection_cast": q01,
     "q02_case_boolean": q02,
@@ -583,12 +632,35 @@ QUERIES = {
     "q23_percentile_stats": q23,
     "q24_corr_cov": q24,
     "q25_metric_derived": q25,
+    "q26_pivot": q26,
+    "q27_rank_windows": q27,
     "q_g4_boundary_access": q_g4,
     "q_l1_dependency_detection": q_l1,
 }
 
 
 ORACLES = {
+    "q26_pivot": """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0.0) AS open_total,
+       COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0.0) AS filled_total,
+       COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0.0) AS partial_total
+FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+ORDER BY month NULLS FIRST
+""",
+    "q27_rank_windows": """
+SELECT o_orderpriority, o_orderkey, rnk, drnk, prnk, quartile, cdist FROM (
+  SELECT o_orderpriority, o_orderkey,
+         RANK() OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk,
+         ROUND(PERCENT_RANK() OVER w, 4) AS prnk,
+         NTILE(4) OVER w AS quartile,
+         ROUND(CUME_DIST() OVER w, 4) AS cdist
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+) t WHERE rnk <= 5
+ORDER BY o_orderpriority NULLS FIRST, rnk NULLS FIRST, o_orderkey NULLS FIRST
+""",
     "q01_projection_cast": """
 SELECT o_orderkey AS order_id, o_custkey AS customer_id,
        CAST(o_totalprice / 100.0 AS DOUBLE) AS order_total_dollars,
