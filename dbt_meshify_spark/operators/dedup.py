@@ -410,9 +410,14 @@ def duplicated_passages(
 
     Returns: ``passage, n_docs, sample_doc_id`` (min id containing it).
     """
+    # distinct=False: COUNT(DISTINCT id) is already insensitive to within-doc
+    # repeats, and array_distinct over arrays of ~150-char strings is the
+    # single most expensive expression in the naive plan.
     grams = (
         _with_tokens(df.select(id_col, text_col), text_col)
-        .withColumn("__grams", shingles_of_tokens(F.col("__toks"), passage_tokens))
+        .withColumn(
+            "__grams", shingles_of_tokens(F.col("__toks"), passage_tokens, distinct=False)
+        )
         .select(F.col(id_col), F.explode("__grams").alias("passage"))
         .select(
             F.col(id_col),
