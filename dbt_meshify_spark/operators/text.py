@@ -304,6 +304,73 @@ def tfidf_top_terms(
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequency-ranked vocabulary: ``term, term_id, count`` with id 1 = most
+    frequent (ties broken by term asc); terms under ``min_count`` dropped
+    (they become OOV id 0 at encode time).
+
+    The corpus-wide term count is one combiner-friendly shuffle. The global
+    rank then runs on the AGGREGATED vocab — bounded by distinct-term count
+    (a few million even at 100 TB corpora), so the single-partition window
+    sort is driver-scale-safe; never rank raw occurrences.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    counts = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("term").asc())
+    return counts.select(
+        "term",
+        F.row_number().over(w).cast("long").alias("term_id"),
+        F.col("count").cast("long").alias("count"),
+    )
+
+
+def encode_docs(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents as token-id arrays using ``build_vocab``'s output
+    (OOV terms -> 0). Returns ``id_col, n_tokens, token_ids``.
+
+    Plan: posexplode positions, broadcast-join the vocab (vocabularies fit
+    comfortably in a broadcast; the corpus side never shuffles on text),
+    then reassemble per doc ordered by position — ``sort_array`` over
+    (pos, id) structs, a deterministic rebuild that needs only the one
+    groupBy-id shuffle of (pos, id) ints, not strings.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    exploded = df.select(F.col(id_col), toks.alias("__toks")).select(
+        F.col(id_col), F.posexplode("__toks").alias("pos", "term")
+    )
+    joined = exploded.join(
+        F.broadcast(vocab.select("term", "term_id")), "term", "left"
+    ).select(
+        F.col(id_col),
+        F.struct(F.col("pos"), F.coalesce("term_id", F.lit(0)).alias("tid")).alias(
+            "__pt"
+        ),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__pt")).alias("__pts"))
+        .select(
+            F.col(id_col),
+            F.size("__pts").cast("long").alias("n_tokens"),
+            F.transform("__pts", lambda s: s["tid"]).alias("token_ids"),
+        )
+    )
+
+
 def histogram(
     df: DataFrame,
     value_col: str,

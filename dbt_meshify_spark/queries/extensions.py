@@ -39,8 +39,10 @@ from dbt_meshify_spark.operators.similarity import (
 from dbt_meshify_spark.operators.decontam import ngram_overlap
 from dbt_meshify_spark.operators.text import (
     LANG_MARKERS,
+    build_vocab,
     chunk_documents,
     doc_fingerprint,
+    encode_docs,
     histogram,
     language_id,
     quality_score,
@@ -260,6 +262,14 @@ def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N4] per-document top-3 tf-idf keywords (operators/text.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, k=3).orderBy(_asc("doc_id"), _asc("rank"))
+
+
+def ext_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] vocabulary build (freq-ranked term ids, min_count=2) +
+    document encoding to token-id arrays, OOV->0 (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, min_count=2)
+    return encode_docs(docs, vocab).orderBy(_asc("doc_id"))
 
 
 def ext_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,6 +718,7 @@ QUERIES = {
     "ext_length_histogram": ext_length_histogram,
     "ext_chunk_documents": ext_chunk_documents,
     "ext_tfidf_top_terms": ext_tfidf_top_terms,
+    "ext_vocab_encode": ext_vocab_encode,
     "ext_multimodal_features": ext_multimodal_features,
     "ext_stream_tumbling_daily": ext_stream_tumbling_daily,
     "ext_stream_session_windows": ext_stream_session_windows,
@@ -1022,6 +1033,33 @@ SELECT doc_id, n_grams, matched,
        ROUND(CAST(matched AS DOUBLE) / n_grams, 4) AS overlap,
        (CAST(matched AS DOUBLE) / n_grams >= 0.2) AS contaminated
 FROM agg ORDER BY doc_id NULLS FIRST
+""",
+    "ext_vocab_encode": r"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term HAVING COUNT(*) >= 2
+),
+vocab AS (
+  SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS term_id
+  FROM counts
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+pos AS (
+  SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS p FROM toks
+),
+ids AS (
+  SELECT pos.doc_id, pos.p, COALESCE(v.term_id, 0) AS tid
+  FROM pos LEFT JOIN vocab v ON pos.l[p] = v.term
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       list(tid ORDER BY p) AS token_ids
+FROM ids GROUP BY doc_id
+ORDER BY doc_id NULLS FIRST
 """,
     "ext_chunk_documents": r"""
 WITH toks AS (

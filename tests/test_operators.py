@@ -693,3 +693,16 @@ def test_connected_components_chain_and_islands(spark):
     out = {r.doc_id: (r.cluster_id, r.is_representative) for r in dedup_clusters(docs, pairs).collect()}
     assert out[10] == (10, True) and out[11] == (10, False)
     assert out[99] == (99, True)
+
+
+def test_vocab_build_and_encode(spark):
+    from dbt_meshify_spark.operators.text import build_vocab, encode_docs
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    vocab = build_vocab(docs, min_count=2)
+    v = {r.term: r.term_id for r in vocab.collect()}
+    assert v == {"a": 1, "b": 2}  # freq rank; c/d dropped at min_count=2
+    enc = {r.doc_id: r.token_ids for r in encode_docs(docs, vocab).collect()}
+    assert enc[1] == [1, 1, 2, 0] and enc[2] == [1, 2, 0]  # OOV -> 0, in order
