@@ -17,7 +17,7 @@ Cross-engine parity rules used throughout (beyond SURVEY §2.7's):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_meshify_spark.operators.dedup import (
@@ -335,6 +335,58 @@ def ext_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_end",
         F.col("n_events").cast("bigint").alias("n_events"),
     ).orderBy(_asc("user_id"), _asc("session_start"))
+
+
+def ext_stream_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N7] readStream -> sliding windows (1h window, 30min slide) -> memory
+    sink (complete mode, availableNow). Real streaming execution; each event
+    lands in exactly window/slide = 2 windows, so the batch oracle explodes
+    each event into its two half-hour-aligned window starts."""
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        sliding_window_counts,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    agg = sliding_window_counts(stream, window="1 hour", slide="30 minutes")
+    out = run_to_memory(agg, f"stream_sliding_{_STREAM_COUNTER[0]}")
+    return out.select(
+        "window_start", F.col("n").cast("bigint").alias("n")
+    ).orderBy(_asc("window_start"))
+
+
+def ext_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6/UD5] readStream -> applyInPandasWithState per-user running totals
+    (Arrow-batched custom stateful operator, update mode) -> memory sink.
+    The sink accumulates one row per (user, update); the final state per
+    user equals the batch groupBy — totals are monotone, so max(n_events)
+    picks each user's last emission."""
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        stateful_user_totals,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    out = run_to_memory(
+        stateful_user_totals(stream),
+        f"stream_stateful_{_STREAM_COUNTER[0]}",
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round("total_value", 2).alias("total_value"),
+        )
+        .orderBy(_asc("user_id"))
+    )
 
 
 def ext_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,6 +775,8 @@ QUERIES = {
     "ext_stream_tumbling_daily": ext_stream_tumbling_daily,
     "ext_stream_session_windows": ext_stream_session_windows,
     "ext_stream_click_attribution": ext_stream_click_attribution,
+    "ext_stream_sliding_halfhour": ext_stream_sliding_halfhour,
+    "ext_stream_stateful_totals": ext_stream_stateful_totals,
     "ext_topk_per_key": ext_topk_per_key,
     "ext_count_distinct_salted": ext_count_distinct_salted,
     "ext_asof_join": ext_asof_join,
@@ -1114,6 +1168,20 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
 FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
 ORDER BY day NULLS FIRST, event_type NULLS FIRST
+""",
+    "ext_stream_sliding_halfhour": """
+WITH w AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - (i * INTERVAL 30 MINUTE) AS window_start
+  FROM events CROSS JOIN unnest([0, 1]) AS t(i)
+)
+SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY window_start
+ORDER BY window_start NULLS FIRST
+""",
+    "ext_stream_stateful_totals": """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY user_id
+ORDER BY user_id NULLS FIRST
 """,
     "ext_stream_click_attribution": """
 SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
