@@ -44,3 +44,24 @@ def test_dedup_is_projection_only(spark):
     plan = _physical(QUERIES["ext_fingerprint"](spark, SF_ORACLE))
     body = plan.split("Sort", 1)[-1]
     assert "Exchange hashpartitioning" not in body
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """The runner's partition_by layout must turn partition-column filters
+    into pruned scans (PartitionFilters), not full reads — the 100 TB lever
+    for time-partitioned marts."""
+    from dbt_meshify_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    events.write.partitionBy("day").parquet(path)
+    read = spark.read.parquet(path).filter(F.col("day") == "2024-01-02")
+    plan = _physical(read)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in pf
+    # and the data filter list does NOT re-apply the partition predicate scan-wide
+    assert read.count() == events.filter(F.col("day") == "2024-01-02").count()
