@@ -513,6 +513,25 @@ grams AS (
 """
 
 
+def ext_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4 approx tier] HLL++ approx_count_distinct + t-digest
+    approx_percentile per event_type — the one-pass mergeable-sketch
+    versions of q07/q23's exact aggregates. Rows-only by design: sketch
+    internals differ per engine, so the DuckDB oracle cannot hash-match
+    them; tests/test_operators.py asserts relative error vs the exact
+    aggregates instead (2% rsd configured, 5% asserted)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+            F.percentile_approx("value", 0.99, 10000).alias("approx_p99_value"),
+        )
+        .orderBy(_asc("event_type"))
+    )
+
+
 def ext_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N-skew] skew-safe exact top-k per key (operators/skew.py): local
     per-partition top-k prunes before the per-key shuffle, so a hot
@@ -779,6 +798,7 @@ QUERIES = {
     "ext_stream_stateful_totals": ext_stream_stateful_totals,
     "ext_topk_per_key": ext_topk_per_key,
     "ext_count_distinct_salted": ext_count_distinct_salted,
+    "ext_approx_sketches": ext_approx_sketches,
     "ext_asof_join": ext_asof_join,
     "ext_range_join": ext_range_join,
     "ext_stratified_sample": ext_stratified_sample,

@@ -706,3 +706,27 @@ def test_vocab_build_and_encode(spark):
     assert v == {"a": 1, "b": 2}  # freq rank; c/d dropped at min_count=2
     enc = {r.doc_id: r.token_ids for r in encode_docs(docs, vocab).collect()}
     assert enc[1] == [1, 1, 2, 0] and enc[2] == [1, 2, 0]  # OOV -> 0, in order
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    from dbt_meshify_spark.queries.extensions import ext_approx_sketches
+    from dbt_meshify_spark.sources import load_table
+
+    approx = {r.event_type: r for r in ext_approx_sketches(spark, SF_ORACLE).collect()}
+    events = load_table(spark, SF_ORACLE, "events")
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("median"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.users) / e.users <= 0.05, (et, a, e)
+        assert abs(a.approx_median_value - e.median) <= max(0.05 * abs(e.median), 1e-6)
+        assert abs(a.approx_p99_value - e.p99) <= max(0.05 * abs(e.p99), 1e-6)
