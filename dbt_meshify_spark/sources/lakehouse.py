@@ -1,0 +1,96 @@
+"""Lakehouse upsert adapter: real MERGE when a table format is installed,
+write-then-swap parquet otherwise.
+
+The incremental algebra everywhere in this engine (runner merge strategy,
+``streaming.stream_to_incremental``) is "same-key new rows replace old" — at
+cluster scale that should execute as a transactional ``MERGE INTO`` on
+Delta/Iceberg (file-level pruning + conflict-safe commits) instead of
+rewriting the table. Neither format ships in this container, so the adapter
+resolves at runtime:
+
+- Delta importable -> ``DeltaTable.merge`` (whenMatched update-all /
+  whenNotMatched insert-all, i.e. dbt-spark's merge strategy verbatim).
+- Otherwise -> the deterministic anti-join + union + versioned-parquet swap
+  used by the runner (correct, but rewrites; the 100 TB upgrade path is
+  "install Delta", not "change callers").
+
+Reference semantics: dbt incremental ``unique_key`` merge
+(/root/reference/test-projects/split/split_proj/models/marts/orders.sql:1-6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_dir: str,
+    source: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Upsert ``source`` into the table at ``target_dir`` by ``keys``;
+    creates the table on first call. Returns the post-merge table."""
+    if delta_available():
+        return _merge_delta(spark, target_dir, source, keys)
+    return _merge_parquet_swap(spark, target_dir, source, keys)
+
+
+def _merge_delta(
+    spark: SparkSession, target_dir: str, source: DataFrame, keys: list[str]
+) -> DataFrame:
+    from delta.tables import DeltaTable
+
+    if not DeltaTable.isDeltaTable(spark, target_dir):
+        source.write.format("delta").mode("overwrite").save(target_dir)
+        return spark.read.format("delta").load(target_dir)
+    target = DeltaTable.forPath(spark, target_dir)
+    cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+    (
+        target.alias("t")
+        .merge(source.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    return spark.read.format("delta").load(target_dir)
+
+
+def _merge_parquet_swap(
+    spark: SparkSession, target_dir: str, source: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Versioned-parquet fallback: read v{n}, anti-join survivors, write
+    v{n+1}. The version marker lives in ``_VERSION`` so repeated calls (and
+    separate processes) agree on the current table."""
+    import os
+
+    marker = os.path.join(target_dir, "_VERSION")
+    version = 0
+    if os.path.exists(marker):
+        with open(marker) as f:
+            version = int(f.read().strip())
+    if version:
+        existing = spark.read.parquet(os.path.join(target_dir, f"v{version}"))
+        survivors = existing.join(
+            source.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        combined = source.unionByName(survivors)
+    else:
+        combined = source
+    version += 1
+    out_path = os.path.join(target_dir, f"v{version}")
+    combined.write.mode("overwrite").parquet(out_path)
+    os.makedirs(target_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(str(version))
+    return spark.read.parquet(out_path)

@@ -730,3 +730,21 @@ def test_approx_sketches_within_error_bounds(spark):
         assert abs(a.approx_users - e.users) / e.users <= 0.05, (et, a, e)
         assert abs(a.approx_median_value - e.median) <= max(0.05 * abs(e.median), 1e-6)
         assert abs(a.approx_p99_value - e.p99) <= max(0.05 * abs(e.p99), 1e-6)
+
+
+def test_merge_upsert_fallback_round_trips(spark, tmp_path):
+    from dbt_meshify_spark.sources.lakehouse import delta_available, merge_upsert
+
+    tgt = str(tmp_path / "merged")
+    first = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, k string, v long"
+    )
+    out1 = merge_upsert(spark, tgt, first, ["id"])
+    assert {(r.id, r.v) for r in out1.collect()} == {(1, 10), (2, 20)}
+    second = spark.createDataFrame(
+        [(2, "b", 99), (3, "c", 30)], "id long, k string, v long"
+    )
+    out2 = merge_upsert(spark, tgt, second, ["id"])
+    assert {(r.id, r.v) for r in out2.collect()} == {(1, 10), (2, 99), (3, 30)}
+    # this container has no Delta; the fallback path is what just ran
+    assert not delta_available()
