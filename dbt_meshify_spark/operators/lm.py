@@ -1,0 +1,94 @@
+"""Bigram language-model perplexity scoring (N4 quality tier).
+
+CCNet-style corpus filtering ranks documents by LM perplexity; the cheap
+deterministic tier is a bigram model with add-one smoothing trained on the
+corpus itself. Everything is expressible as aggregates + equi-joins, so the
+whole pipeline is shuffle-efficient and fully oracle-checkable:
+
+- bigrams are derived INSIDE the tokens array (``zip_with`` over two slices),
+  a pure projection — no positional self-join, no extra shuffle;
+- the corpus is tokenized ONCE: per-doc bigram term frequencies feed both the
+  global count tables (sum of tf — a combiner-friendly second aggregate over
+  the already-small tf frame) and the scoring join;
+- count tables scale with the corpus (they are NOT broadcast-hinted): the
+  scoring join is equi-keyed on the bigram / context word, so at 100 TB both
+  sides shuffle-partition on the same key and AQE may still choose broadcast
+  when the model is small.
+
+No reference analog (dbt-meshify has no text plane); the operator follows the
+published CCNet recipe shape (Wenzek et al., 2020) re-expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bigrams(tokens_col: str) -> F.Column:
+    """``array<string>`` of space-joined adjacent token pairs.
+
+    Built from two slices of the SAME staged array column: callers must
+    materialize the split once via ``withColumn`` first (HOF lambdas get no
+    common-subexpression elimination — see operators/dedup.py).
+    """
+    t = F.col(tokens_col)
+    n = F.size(t) - 1
+    return F.zip_with(
+        F.slice(t, 1, n), F.slice(t, 2, n), lambda a, b: F.concat_ws(" ", a, b)
+    )
+
+
+def bigram_perplexity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document bigram NLL and perplexity under an add-one-smoothed
+    bigram LM trained on ``df`` itself.
+
+    P(w2|w1) = (C(w1 w2) + 1) / (C(w1 ·) + V) where C(w1 ·) counts w1 in
+    non-final positions and V is the distinct-token vocabulary size.
+    Returns ``id_col, n_bigrams, avg_nll, ppl`` (docs with < 2 tokens have no
+    bigrams and are excluded). Low-perplexity docs are LM-typical; the high
+    tail is the quality-filter drop candidate.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
+    ).filter(F.size("__t") >= 2)
+
+    # one tokenize pass: per-doc bigram tf is the base relation for training
+    # counts AND scoring
+    tf = (
+        toks.select(F.col(id_col), F.explode(_bigrams("__t")).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("tf"))
+    )
+    bigram_counts = tf.groupBy("bigram").agg(F.sum("tf").alias("c_bi"))
+    context_counts = (
+        bigram_counts.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c_bi").alias("c_w1"))
+    )
+    vocab = toks.select(F.explode("__t").alias("term")).agg(
+        F.countDistinct("term").cast("double").alias("__v")
+    )
+
+    scored = (
+        tf.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(bigram_counts, "bigram")
+        .join(context_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.col("c_bi").cast("double") + F.lit(1.0))
+                / (F.col("c_w1").cast("double") + F.col("__v"))
+            ),
+        )
+    )
+    avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.round(avg_nll, 4).alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).alias("ppl"),
+    )

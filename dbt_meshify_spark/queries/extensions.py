@@ -767,6 +767,32 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] CCNet-style LM quality tier: per-document NLL + perplexity under
+    an add-one-smoothed bigram model trained on the corpus itself
+    (operators/lm.py). One tokenize pass; scoring is equi-joins over
+    pre-aggregated count tables."""
+    from dbt_meshify_spark.operators.lm import bigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_perplexity(docs).orderBy(_asc("doc_id"))
+
+
+def ext_domain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] C4/RefinedWeb-style domain curation: rank domains (`source`)
+    by mean doc quality, keep documents from the top 10 domains
+    (operators/domains.py). Corpus is never shuffled — the keep-set joins
+    back as a broadcast."""
+    from dbt_meshify_spark.operators.domains import filter_top_domains
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        filter_top_domains(docs, top_k=10)
+        .select("doc_id", "source", "domain_rank", "avg_quality")
+        .orderBy(_asc("doc_id"))
+    )
+
+
 QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_clusters": ext_dedup_clusters,
@@ -806,6 +832,8 @@ QUERIES = {
     "ext_shard_assign": ext_shard_assign,
     "ext_pack_sequences": ext_pack_sequences,
     "ext_pii_redact": ext_pii_redact,
+    "ext_lm_perplexity": ext_lm_perplexity,
+    "ext_domain_quality_filter": ext_domain_quality_filter,
 }
 
 
@@ -1210,6 +1238,73 @@ FROM events p JOIN events c
  AND c.user_id = p.user_id
  AND c.ts <= p.ts AND p.ts < c.ts + INTERVAL 1 HOUR
 ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST
+""",
+    "ext_lm_perplexity": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+t2 AS (SELECT doc_id, l FROM toks WHERE len(l) >= 2),
+pos AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t2),
+tf AS (
+  SELECT doc_id, l[i] || ' ' || l[i+1] AS bigram, COUNT(*) AS tf
+  FROM pos GROUP BY doc_id, bigram
+),
+cb AS (SELECT bigram, SUM(tf) AS c_bi FROM tf GROUP BY bigram),
+ctx AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, SUM(c_bi) AS c_w1
+  FROM cb GROUP BY split_part(bigram, ' ', 1)
+),
+v AS (
+  SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vs
+  FROM (SELECT unnest(l) AS term FROM t2)
+),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+         -ln((CAST(cb.c_bi AS DOUBLE) + 1.0) / (CAST(ctx.c_w1 AS DOUBLE) + v.vs)) AS nll
+  FROM tf
+  JOIN cb USING (bigram)
+  JOIN ctx ON split_part(tf.bigram, ' ', 1) = ctx.w1
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(tf * nll) / SUM(tf), 4) AS avg_nll,
+       ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
+FROM scored GROUP BY doc_id
+ORDER BY doc_id NULLS FIRST
+""",
+    "ext_domain_quality_filter": r"""
+WITH feat AS (
+  SELECT doc_id, source,
+         length(text) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct_chars,
+         CAST(CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS INT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3 AS INT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5 AS INT) + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4 AS INT) AS BIGINT) AS stopword_hits
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         ROUND((LEAST(n_chars / 500.0, 1.0)
+              + (1.0 - LEAST(punct_chars / GREATEST(n_chars, 1) * 10.0, 1.0))
+              + LEAST(stopword_hits / GREATEST(n_tokens, 1) * 5.0, 1.0)
+              + CASE WHEN (n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1) >= 3
+                      AND (n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1) <= 10
+                     THEN 1.0 ELSE 0.5 END) / 4.0, 4) AS quality
+  FROM feat
+),
+dom AS (
+  SELECT source, ROUND(AVG(quality), 4) AS avg_quality
+  FROM scored GROUP BY source
+),
+ranked AS (
+  SELECT source, avg_quality,
+         ROW_NUMBER() OVER (ORDER BY avg_quality DESC, source ASC) AS domain_rank
+  FROM dom
+)
+SELECT d.doc_id, d.source, CAST(r.domain_rank AS INT) AS domain_rank, r.avg_quality
+FROM documents d JOIN ranked r USING (source)
+WHERE r.domain_rank <= 10
+ORDER BY doc_id NULLS FIRST
 """,
     "ext_embedding_neardup": """
 WITH v AS (

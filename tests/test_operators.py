@@ -748,3 +748,40 @@ def test_merge_upsert_fallback_round_trips(spark, tmp_path):
     assert {(r.id, r.v) for r in out2.collect()} == {(1, 10), (2, 99), (3, 30)}
     # this container has no Delta; the fallback path is what just ran
     assert not delta_available()
+
+
+def test_bigram_perplexity_ranks_typical_below_atypical(spark):
+    from dbt_meshify_spark.operators.lm import bigram_perplexity
+
+    # 10 copies of a formulaic doc + 1 doc of the same words scrambled into
+    # bigrams the LM has barely seen: the formulaic docs must score lower ppl
+    typical = "the cat sat on the mat"
+    atypical = "mat the on sat cat the"
+    rows = [(i, typical) for i in range(10)] + [(99, atypical), (100, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bigram_perplexity(df).collect()}
+    assert 100 not in out  # <2 tokens => no bigrams => excluded
+    assert out[0].n_bigrams == 5
+    assert out[0].ppl < out[99].ppl
+    # all copies of the same text score identically
+    assert out[0].ppl == out[5].ppl
+    assert out[0].avg_nll > 0
+
+
+def test_filter_top_domains_keeps_highest_quality_sources(spark):
+    from dbt_meshify_spark.operators.domains import domain_stats, filter_top_domains
+
+    good = "the order was shipped, and the customer paid in full. " * 5
+    bad = ";;;;; !!!! ??? ;;;"
+    rows = [(i, good, "good_src") for i in range(5)] + [
+        (10 + i, bad, "bad_src") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    stats = {r.source: r for r in domain_stats(df).collect()}
+    assert stats["good_src"].avg_quality > stats["bad_src"].avg_quality
+    assert stats["good_src"].n_docs == 5
+    kept = filter_top_domains(df, top_k=1)
+    assert {r.source for r in kept.collect()} == {"good_src"}
+    assert kept.count() == 5
+    # rank attached and deterministic
+    assert kept.select("domain_rank").distinct().collect()[0][0] == 1
