@@ -419,6 +419,32 @@ def ext_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6/N1] streaming exact dedup: the events feed unioned with itself
+    (every event delivered twice — the at-least-once ingest shape) flows
+    through ``dropDuplicatesWithinWatermark``; a real streaming run (state
+    store, append mode) must reproduce exactly the batch-distinct relation.
+    State is bounded by the watermark horizon, not the stream length."""
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        stream_dedup,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    doubled = read_events_stream(spark, path).unionByName(
+        read_events_stream(spark, path)
+    )
+    deduped = stream_dedup(doubled, keys=["event_id"], watermark="1 hour")
+    out = run_to_memory(
+        deduped, f"stream_dedup_{_STREAM_COUNTER[0]}", output_mode="append"
+    )
+    return out.select("event_id", "user_id", "event_type", "value").orderBy(
+        _asc("event_id")
+    )
+
+
 def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N5] binary payload column + Arrow-batched feature extraction.
 
@@ -822,6 +848,7 @@ QUERIES = {
     "ext_stream_click_attribution": ext_stream_click_attribution,
     "ext_stream_sliding_halfhour": ext_stream_sliding_halfhour,
     "ext_stream_stateful_totals": ext_stream_stateful_totals,
+    "ext_stream_dedup": ext_stream_dedup,
     "ext_topk_per_key": ext_topk_per_key,
     "ext_count_distinct_salted": ext_count_distinct_salted,
     "ext_approx_sketches": ext_approx_sketches,
@@ -1230,6 +1257,11 @@ ORDER BY window_start NULLS FIRST
 SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
 FROM events GROUP BY user_id
 ORDER BY user_id NULLS FIRST
+""",
+    "ext_stream_dedup": """
+SELECT event_id, user_id, event_type, value
+FROM events
+ORDER BY event_id NULLS FIRST
 """,
     "ext_stream_click_attribution": """
 SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id

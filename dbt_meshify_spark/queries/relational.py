@@ -605,6 +605,52 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J2 extension] EXISTS semi-join: customers with at least one open
+    order, written as a correlated EXISTS so Catalyst's subquery
+    decorrelation rewrites it to a LeftSemi hash join (the DataFrame twin is
+    ``join(..., "left_semi")`` — same physical plan). One shuffle on the
+    join key; no row duplication however many orders match."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__q28_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__q28_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM __q28_customer
+        WHERE EXISTS (
+          SELECT 1 FROM __q28_orders
+          WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+        )
+        ORDER BY c_custkey NULLS FIRST
+        """
+    )
+
+
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F3 extension] correlated scalar aggregate subquery: each January-1995
+    order paired with its lineitem net value. Catalyst decorrelates to an
+    aggregate + left outer equi-join — the filter on orders prunes BEFORE
+    the join under pushdown, so the lineitem aggregate only shuffles keys
+    that survive."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__q29_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__q29_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               -- decimal, not double: float summation order differs across
+               -- engines and lands on ROUND half-way boundaries; decimal
+               -- addition is exact and order-independent
+               (SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                                      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                            AS DOUBLE)
+                  FROM __q29_lineitem WHERE l_orderkey = o_orderkey) AS net_value
+        FROM __q29_orders
+        WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+        ORDER BY o_orderkey NULLS FIRST
+        """
+    )
+
+
 QUERIES = {
     "q01_projection_cast": q01,
     "q02_case_boolean": q02,
@@ -634,12 +680,33 @@ QUERIES = {
     "q25_metric_derived": q25,
     "q26_pivot": q26,
     "q27_rank_windows": q27,
+    "q28_exists_semijoin": q28,
+    "q29_correlated_scalar": q29,
     "q_g4_boundary_access": q_g4,
     "q_l1_dependency_detection": q_l1,
 }
 
 
 ORACLES = {
+    "q28_exists_semijoin": """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+)
+ORDER BY c_custkey NULLS FIRST
+""",
+    "q29_correlated_scalar": """
+SELECT o_orderkey, o_totalprice,
+       (SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE)
+          FROM lineitem WHERE l_orderkey = o_orderkey) AS net_value
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+ORDER BY o_orderkey NULLS FIRST
+""",
     "q26_pivot": """
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
        COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0.0) AS open_total,

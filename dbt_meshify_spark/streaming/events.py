@@ -157,6 +157,24 @@ _TOTALS_SCHEMA = T.StructType(
 )
 
 
+def stream_dedup(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """N6/N1: streaming exact deduplication via
+    ``dropDuplicatesWithinWatermark`` — the streaming twin of
+    ``operators.dedup.exact_dedup``.
+
+    Per-key state lives only within the watermark horizon, so dedup state is
+    O(events per horizon), not O(stream lifetime) — the property that makes
+    exact dedup feasible on an unbounded ingest feed (duplicate deliveries
+    from at-least-once sources arrive close together in event time). Not an
+    aggregation: rows emit in append mode as soon as they are first seen.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running totals across micro-batches
     (applyInPandasWithState; Arrow-batched per group).
