@@ -65,3 +65,36 @@ def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
     assert "day" in pf
     # and the data filter list does NOT re-apply the partition predicate scan-wide
     assert read.count() == events.filter(F.col("day") == "2024-01-02").count()
+
+
+def test_exists_decorrelates_to_semi_join(spark):
+    """q28's EXISTS must become a semi join (one pass, no row duplication),
+    not a per-row subquery."""
+    plan = _physical(QUERIES["q28_exists_semijoin"](spark, SF_ORACLE))
+    assert "LeftSemi" in plan
+    assert "InSubqueryExec" not in plan
+
+
+def test_correlated_scalar_decorrelates_to_one_aggregate(spark):
+    """q29's correlated scalar aggregate must decorrelate: exactly one
+    HashAggregate pair over lineitem feeding an outer join, never a
+    re-executed per-order subquery."""
+    plan = _physical(QUERIES["q29_correlated_scalar"](spark, SF_ORACLE))
+    assert "LeftOuter" in plan
+    # partial + final aggregate = 2 HashAggregate mentions for the one agg
+    assert plan.count("HashAggregate") == 2
+
+
+def test_domain_filter_never_shuffles_corpus(spark):
+    """ext_domain_quality_filter: the documents relation must reach its join
+    via broadcast of the tiny domain stats frame — any Exchange of the
+    corpus itself would shuffle 100 TB to apply a 20-row filter."""
+    plan = _physical(QUERIES["ext_domain_quality_filter"](spark, SF_ORACLE))
+    joins = plan.count("BroadcastHashJoin")
+    assert joins >= 1
+    # the corpus-side scan feeds the broadcast join with no hash repartition
+    # in between: every Exchange in the plan is on the stats/rank side, which
+    # only ever holds one row per domain
+    corpus_side = plan.split("BroadcastHashJoin", 1)[1]
+    scan_tail = corpus_side.split("Scan parquet", 1)[0]
+    assert "Exchange hashpartitioning(doc_id" not in scan_tail
