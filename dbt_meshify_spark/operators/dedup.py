@@ -437,6 +437,154 @@ def duplicated_passages(
     return hits.select("passage", "n_docs", "sample_doc_id")
 
 
+def _dup_shingle_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passage_tokens: int,
+    min_docs: int,
+) -> DataFrame:
+    """Shingle start positions (1-based token index) whose shingle occurs in
+    >= ``min_docs`` distinct documents, with the canonical (min) doc id.
+
+    The duplicate test groups on the 8-byte ``xxhash64`` of the shingle, so
+    the shuffle carries (hash, doc_id) — never passage text. Returns
+    ``id_col, start_tok, canonical_doc``.
+    """
+    pos = (
+        _with_tokens(df.select(id_col, text_col), text_col)
+        .withColumn(
+            "__grams",
+            shingles_of_tokens(F.col("__toks"), passage_tokens, distinct=False),
+        )
+        .select(F.col(id_col), F.posexplode("__grams").alias("__p", "__gram"))
+        .select(
+            F.col(id_col),
+            (F.col("__p") + 1).cast("bigint").alias("start_tok"),
+            F.xxhash64("__gram").alias("__gh"),
+        )
+    )
+    dup = (
+        pos.groupBy("__gh")
+        .agg(
+            F.countDistinct(id_col).alias("__nd"),
+            F.min(id_col).alias("canonical_doc"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .drop("__nd")
+    )
+    return pos.join(dup, "__gh").select(id_col, "start_tok", "canonical_doc")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 20,
+    min_docs: int = 2,
+    drop_canonical: bool = False,
+) -> DataFrame:
+    """Maximal duplicated token spans per document — the substring-dedup
+    tier above ``duplicated_passages`` (which reports the shingles; this
+    reports the merged REGIONS they cover, the unit a removal pass cuts).
+
+    Overlapping/adjacent duplicated-shingle intervals [start, start+n) merge
+    via the classic sorted-interval walk: with fixed length n and positions
+    sorted ascending, a new span starts exactly when ``start > lag(start)+n``;
+    a running sum of the new-span flags labels the groups. The window runs
+    per-document over dup positions only (a small fraction of token grain).
+
+    ``drop_canonical=True`` excludes positions in the shingle's canonical
+    (min-id) document — the keep-one-copy policy of removal passes.
+    Returns ``id_col, span_start, span_end (exclusive), n_shingles``.
+    """
+    hits = _dup_shingle_positions(df, id_col, text_col, passage_tokens, min_docs)
+    if drop_canonical:
+        hits = hits.filter(F.col(id_col) != F.col("canonical_doc"))
+    w = Window.partitionBy(id_col).orderBy("start_tok")
+    marked = hits.select(id_col, "start_tok").withColumn(
+        "__new",
+        F.when(
+            F.col("start_tok")
+            > F.lag("start_tok").over(w) + F.lit(passage_tokens),
+            1,
+        )
+        .when(F.lag("start_tok").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    grp = F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        marked.withColumn("__grp", grp)
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("start_tok").alias("span_start"),
+            (F.max("start_tok") + F.lit(passage_tokens)).alias("span_end"),
+            F.count("*").cast("bigint").alias("n_shingles"),
+        )
+        .drop("__grp")
+    )
+
+
+def remove_duplicated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level dedup rewrite (the Lee et al. 2021 ExactSubstr shape,
+    keep-one-copy): cut every maximal duplicated span from all but the
+    shingle's canonical (min-id) document, and rebuild the text from the
+    surviving tokens.
+
+    The cut itself never shuffles the corpus: merged spans aggregate to one
+    array per affected doc (tiny — dup regions only), join back on the doc
+    key, and an index-aware ``filter`` lambda drops covered tokens inside the
+    row. Output text is token-normalized (lower-cased, single-spaced) for
+    affected AND unaffected docs, so the rewrite is uniform and the operation
+    is idempotent. Returns ``id_col, clean_text, n_tokens_kept,
+    n_tokens_removed``.
+    """
+    spans = (
+        duplicated_spans(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            passage_tokens=passage_tokens,
+            min_docs=min_docs,
+            drop_canonical=True,
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+        )
+    )
+    toks = _with_tokens(df.select(id_col, text_col), text_col)
+    # spans exist only for docs hosting non-canonical duplicates; everyone
+    # else passes through with an empty span list
+    joined = toks.join(spans, id_col, "left").withColumn(
+        "__spans",
+        F.coalesce(F.col("__spans"), F.array().cast(
+            "array<struct<span_start:bigint,span_end:bigint>>"
+        )),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 < s["span_end"]),
+        ),
+    )
+    # stage the filtered array once: HOF expressions get no CSE, so three
+    # direct references would run the filter three times per row
+    return joined.withColumn("__kept", kept).select(
+        F.col(id_col),
+        F.concat_ws(" ", "__kept").alias("clean_text"),
+        F.size("__kept").cast("bigint").alias("n_tokens_kept"),
+        (F.size("__toks") - F.size("__kept")).cast("bigint").alias("n_tokens_removed"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",

@@ -109,6 +109,31 @@ def ext_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N2] maximal duplicated token spans per doc: overlapping duplicated
+    20-token shingles merged into regions by the sorted-interval walk
+    (operators/dedup.py::duplicated_spans)."""
+    from dbt_meshify_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, passage_tokens=20, min_docs=2).orderBy(
+        _asc("doc_id"), _asc("span_start")
+    )
+
+
+def ext_remove_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N2] substring-level dedup rewrite (ExactSubstr keep-one-copy):
+    duplicated spans cut from non-canonical docs, text rebuilt from the
+    surviving tokens without shuffling the corpus
+    (operators/dedup.py::remove_duplicated_passages)."""
+    from dbt_meshify_spark.operators.dedup import remove_duplicated_passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_passages(docs, passage_tokens=20, min_docs=2).orderBy(
+        _asc("doc_id")
+    )
+
+
 def ext_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N2] MinHash+LSH candidate near-dup pairs (rows-only check; recall
     asserted against exact Jaccard in tests)."""
@@ -823,6 +848,8 @@ QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_clusters": ext_dedup_clusters,
     "ext_dup_passages": ext_dup_passages,
+    "ext_dup_spans": ext_dup_spans,
+    "ext_remove_dup_passages": ext_remove_dup_passages,
     "ext_fingerprint": ext_fingerprint,
     "ext_ngram_jaccard": ext_ngram_jaccard,
     "ext_minhash_neardup": ext_minhash_neardup,
@@ -1270,6 +1297,91 @@ FROM events p JOIN events c
  AND c.user_id = p.user_id
  AND c.ts <= p.ts AND p.ts < c.ts + INTERVAL 1 HOUR
 ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST
+""",
+    "ext_dup_spans": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+pos AS (SELECT doc_id, unnest(range(1, len(l) - 18)) AS i, l FROM toks WHERE len(l) >= 20),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS start_tok, array_to_string(l[i:i+19], ' ') AS gram
+  FROM pos
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT g.doc_id, g.start_tok FROM grams g JOIN dup USING (gram)),
+marked AS (
+  SELECT doc_id, start_tok,
+         CASE WHEN lag(start_tok) OVER w IS NULL
+                OR start_tok > lag(start_tok) OVER w + 20 THEN 1 ELSE 0 END AS new_grp
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY start_tok)
+),
+grps AS (
+  SELECT doc_id, start_tok,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY start_tok
+                            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
+)
+SELECT doc_id, MIN(start_tok) AS span_start, MAX(start_tok) + 20 AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles
+FROM grps GROUP BY doc_id, grp
+ORDER BY doc_id NULLS FIRST, span_start NULLS FIRST
+""",
+    "ext_remove_dup_passages": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+pos AS (SELECT doc_id, unnest(range(1, len(l) - 18)) AS i, l FROM toks WHERE len(l) >= 20),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS start_tok, array_to_string(l[i:i+19], ' ') AS gram
+  FROM pos
+),
+dup AS (
+  SELECT gram, MIN(doc_id) AS canonical_doc
+  FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT g.doc_id, g.start_tok FROM grams g JOIN dup d USING (gram)
+  WHERE g.doc_id <> d.canonical_doc
+),
+marked AS (
+  SELECT doc_id, start_tok,
+         CASE WHEN lag(start_tok) OVER w IS NULL
+                OR start_tok > lag(start_tok) OVER w + 20 THEN 1 ELSE 0 END AS new_grp
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY start_tok)
+),
+grps AS (
+  SELECT doc_id, start_tok,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY start_tok
+                            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, MIN(start_tok) AS s, MAX(start_tok) + 20 AS e
+  FROM grps GROUP BY doc_id, grp
+),
+cov AS (SELECT DISTINCT doc_id, unnest(range(s, e)) AS idx FROM spans),
+tokpos AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS idx FROM toks
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.term
+  FROM tokpos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = t.idx
+  WHERE c.idx IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY idx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+orig AS (SELECT doc_id, len(l) AS n FROM toks)
+SELECT o.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(o.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM orig o LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id NULLS FIRST
 """,
     "ext_lm_perplexity": r"""
 WITH toks AS (

@@ -785,3 +785,36 @@ def test_filter_top_domains_keeps_highest_quality_sources(spark):
     assert kept.count() == 5
     # rank attached and deterministic
     assert kept.select("domain_rank").distinct().collect()[0][0] == 1
+
+
+def test_remove_duplicated_passages_keeps_one_copy(spark):
+    from dbt_meshify_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_passages,
+    )
+
+    passage = " ".join(f"w{i}" for i in range(25))  # 25-token shared passage
+    rows = [
+        (1, f"alpha beta {passage} gamma"),
+        (2, f"delta {passage} epsilon zeta"),
+        (3, "totally unrelated text with enough words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicated_spans(df, passage_tokens=20, min_docs=2).collect()
+    # overlapping 20-token shingles of the 25-token passage merge into ONE
+    # span per doc covering exactly the passage
+    by_doc = {r.doc_id: r for r in spans}
+    assert set(by_doc) == {1, 2}
+    assert by_doc[1].span_start == 3 and by_doc[1].span_end == 28
+    assert by_doc[2].span_start == 2 and by_doc[2].span_end == 27
+
+    out = {r.doc_id: r for r in remove_duplicated_passages(
+        df, passage_tokens=20, min_docs=2).collect()}
+    # doc 1 is canonical (min id): keeps everything
+    assert out[1].clean_text == f"alpha beta {passage} gamma"
+    assert out[1].n_tokens_removed == 0
+    # doc 2 loses exactly the passage
+    assert out[2].clean_text == "delta epsilon zeta"
+    assert out[2].n_tokens_removed == 25
+    # untouched doc passes through normalized
+    assert out[3].n_tokens_removed == 0
