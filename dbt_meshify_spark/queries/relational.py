@@ -651,6 +651,51 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[GS1 extension] explicit GROUPING SETS with grouping() flags — the
+    remaining grouping surface beyond rollup (q13) and pivot (q26). One
+    Expand + one aggregate pass; gid is derived from per-column grouping()
+    bits, which both engines expose identically."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__q30_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        FROM __q30_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid NULLS FIRST, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W3 extension] RANGE-frame trailing window: per-customer 90-day
+    trailing spend. The frame is value-based (all orders within 90 days),
+    not row-based — orders on the same day all see the same trailing sum.
+    Date arithmetic runs on an epoch-day ordinal so the numeric range frame
+    is portable; the sum is decimal so accumulation order cannot move ROUND
+    boundaries."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_ord = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_ord)
+        .rangeBetween(-90, 0)
+    )
+    trailing = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.round(trailing, 2).cast("double").alias("trailing_90d_spend"),
+        )
+        .orderBy(_asc("o_orderkey"))
+    )
+
+
 QUERIES = {
     "q01_projection_cast": q01,
     "q02_case_boolean": q02,
@@ -682,12 +727,33 @@ QUERIES = {
     "q27_rank_windows": q27,
     "q28_exists_semijoin": q28,
     "q29_correlated_scalar": q29,
+    "q30_grouping_sets": q30,
+    "q31_range_frame": q31,
     "q_g4_boundary_access": q_g4,
     "q_l1_dependency_detection": q_l1,
 }
 
 
 ORACLES = {
+    "q30_grouping_sets": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY gid NULLS FIRST, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+    "q31_range_frame": """
+SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+       ), 2) AS DOUBLE) AS trailing_90d_spend
+FROM orders
+ORDER BY o_orderkey NULLS FIRST
+""",
     "q28_exists_semijoin": """
 SELECT c_custkey, c_name
 FROM customer
