@@ -406,3 +406,82 @@ def histogram(
         F.col("n").cast("long").alias("n"),
         F.round(cum.cast("double") / tot, 4).alias("cdf"),
     )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus cleaning pass (C4/RefinedWeb-style normalization tier):
+    lowercase, strip control characters, collapse whitespace runs, trim.
+
+    Pure chained ``regexp_replace`` projection — codegen'd, scan-speed, no
+    shuffle, no UDF; at 100 TB this runs at parquet-read throughput and
+    composes with any downstream dedup/quality operator (normalized text is
+    the canonical form the hash-family dedup keys on).
+
+    Output columns: every input column, plus ``text_norm`` and
+    ``n_chars_norm``.
+    """
+    ctrl_stripped = F.regexp_replace(
+        F.lower(F.col(text_col)), r"[\x00-\x1f\x7f]", " "
+    )
+    collapsed = F.trim(F.regexp_replace(ctrl_stripped, r"\s+", " "))
+    return df.withColumn("text_norm", collapsed).withColumn(
+        "n_chars_norm", F.length("text_norm").cast("long")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query terms —
+    the lexical-retrieval baseline a RAG corpus pipeline scores with.
+
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` (Lucene form, always
+    positive); per-term ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``; document
+    score is the sum over query terms.
+
+    Scale design: the term explode is filtered to the query bag BEFORE the
+    (doc, term) aggregation, so the only high-cardinality shuffle carries
+    |docs|x|query| rows at most, never the full token stream. Document
+    length is a ``size(split(...))`` projection computed in the same scan
+    (no second text pass), and N/avgdl ride a 1-row broadcast crossJoin —
+    no driver collect anywhere.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__toks")).select(
+        F.col(id_col), "__toks", F.size("__toks").cast("double").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select(F.col(id_col), "dl", F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    per_term = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", idf * F.col("tf") * F.lit(k1 + 1.0) / denom)
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(
+            F.round(F.sum("score"), 4).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
+        )
+    )

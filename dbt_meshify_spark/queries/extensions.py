@@ -39,7 +39,9 @@ from dbt_meshify_spark.operators.similarity import (
 from dbt_meshify_spark.operators.decontam import ngram_overlap
 from dbt_meshify_spark.operators.text import (
     LANG_MARKERS,
+    bm25_scores,
     build_vocab,
+    normalize_text,
     chunk_documents,
     doc_fingerprint,
     encode_docs,
@@ -844,6 +846,28 @@ def ext_domain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] corpus normalization: lowercase + control-char strip + whitespace
+    collapse as a pure chained-regexp projection (operators/text.py::
+    normalize_text) — the canonical form the dedup hash family keys on.
+    Codegen'd, scan-speed, zero shuffle beyond the presentation sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        normalize_text(docs)
+        .select("doc_id", "text_norm", "n_chars_norm")
+        .orderBy(_asc("doc_id"))
+    )
+
+
+def ext_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3/N4] Okapi BM25 lexical retrieval over documents for a fixed query
+    bag (operators/text.py::bm25_scores). The explode is filtered to the
+    query terms before any shuffle, so the aggregate carries |docs|x|query|
+    rows at most; N/avgdl ride a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["spark", "query", "merge"]).orderBy(_asc("doc_id"))
+
+
 QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_clusters": ext_dedup_clusters,
@@ -888,10 +912,45 @@ QUERIES = {
     "ext_pii_redact": ext_pii_redact,
     "ext_lm_perplexity": ext_lm_perplexity,
     "ext_domain_quality_filter": ext_domain_quality_filter,
+    "ext_text_normalize": ext_text_normalize,
+    "ext_bm25_retrieval": ext_bm25_retrieval,
 }
 
 
 ORACLES = {
+    "ext_text_normalize": r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+                           '\s+', ' ', 'g')) AS text_norm,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+                                       '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM documents
+ORDER BY doc_id NULLS FIRST
+""",
+    "ext_bm25_retrieval": r"""
+WITH b2 AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS dl,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM b2),
+tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b2) t
+  WHERE term IN ('spark', 'query', 'merge')
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       ROUND(SUM(ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 4) AS bm25,
+       CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+GROUP BY tf.doc_id
+ORDER BY doc_id NULLS FIRST
+""",
     "ext_stratified_sample": """
 SELECT doc_id, lang, source
 FROM documents

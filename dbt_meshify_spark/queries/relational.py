@@ -696,6 +696,92 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U2] INTERSECT / EXCEPT with distinct set semantics — the remaining
+    set-operator surface beyond q08's UNION ALL (SURVEY §2.3 U2 mirrors the
+    reference's selection set algebra, dbt_projects.py:362-366). Customers
+    with both open and finished orders vs. open-only. Each leg is a
+    groupBy-free distinct projection; Catalyst plans both set ops as
+    aggregate + hash join on the same key, so the three scans share one
+    shuffle key and AQE coalesces the post-shuffle partitions."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = open_keys.intersect(done_keys).select(
+        F.lit("both").alias("tag"), "o_custkey"
+    )
+    only_open = open_keys.subtract(done_keys).select(
+        F.lit("only_open").alias("tag"), "o_custkey"
+    )
+    return both.unionByName(only_open).orderBy(_asc("tag"), _asc("o_custkey"))
+
+
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1 extension] FULL OUTER equi-join of two date-grain aggregates —
+    order activity vs. ship activity per day. The date ranges only partly
+    overlap (shipdate trails orderdate), so both null sides are exercised.
+    Aggregating BEFORE the join keeps the full-outer input at date
+    cardinality (~2.4k rows at any SF) instead of fact cardinality — the
+    join itself is then trivially broadcastable at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    od = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    sd = (
+        lineitem.groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.count("*").alias("n_ships"))
+    )
+    return (
+        od.join(sd, on="d", how="full_outer")
+        .select(F.col("d").alias("day"), "n_orders", "n_ships")
+        .orderBy(_asc("day"))
+    )
+
+
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[UD5 generator surface] posexplode: leading tokens of each document
+    with their position. The generator runs inside whole-stage codegen as a
+    Generate node co-located with the scan — zero shuffle; the only exchange
+    is the final presentation sort. Position is 1-based to match SQL
+    ordinality conventions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+        )
+        .filter(F.col("pos0") < 3)
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+        .orderBy(_asc("doc_id"), _asc("pos"))
+    )
+
+
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P-family] UNPIVOT (melt) of lineitem measures into long form, then
+    aggregate per measure. ``stack`` is a codegen'd generator — the wide→long
+    reshape happens at scan speed with no shuffle; the only exchange is the
+    4-group aggregate. Decimal accumulation keeps the sums order-independent
+    across engines."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    long = lineitem.selectExpr(
+        """stack(4,
+             'discount',      CAST(l_discount      AS DECIMAL(18,4)),
+             'extendedprice', CAST(l_extendedprice AS DECIMAL(18,4)),
+             'quantity',      CAST(l_quantity      AS DECIMAL(18,4)),
+             'tax',           CAST(l_tax           AS DECIMAL(18,4))
+           ) AS (measure, value)"""
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.round(F.sum("value"), 2).cast("double").alias("total"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(_asc("measure"))
+    )
+
+
 QUERIES = {
     "q01_projection_cast": q01,
     "q02_case_boolean": q02,
@@ -729,12 +815,67 @@ QUERIES = {
     "q29_correlated_scalar": q29,
     "q30_grouping_sets": q30,
     "q31_range_frame": q31,
+    "q32_set_ops": q32,
+    "q33_full_outer_join": q33,
+    "q34_posexplode_tokens": q34,
+    "q35_unpivot": q35,
     "q_g4_boundary_access": q_g4,
     "q_l1_dependency_detection": q_l1,
 }
 
 
 ORACLES = {
+    "q32_set_ops": """
+SELECT 'both' AS tag, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT 'only_open' AS tag, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+ORDER BY tag NULLS FIRST, o_custkey NULLS FIRST
+""",
+    "q33_full_outer_join": """
+WITH od AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+sd AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ships
+  FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+)
+SELECT COALESCE(od.d, sd.d) AS day, od.n_orders, sd.n_ships
+FROM od FULL OUTER JOIN sd ON od.d = sd.d
+ORDER BY day NULLS FIRST
+""",
+    "q34_posexplode_tokens": """
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok FROM (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+) t WHERE pos <= 3
+ORDER BY doc_id NULLS FIRST, pos NULLS FIRST
+""",
+    "q35_unpivot": """
+SELECT measure,
+       CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total,
+       COUNT(*) AS n
+FROM (
+  SELECT 'discount' AS measure, CAST(l_discount AS DECIMAL(18,4)) AS value FROM lineitem
+  UNION ALL
+  SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,4)) FROM lineitem
+  UNION ALL
+  SELECT 'quantity', CAST(l_quantity AS DECIMAL(18,4)) FROM lineitem
+  UNION ALL
+  SELECT 'tax', CAST(l_tax AS DECIMAL(18,4)) FROM lineitem
+) GROUP BY measure
+ORDER BY measure NULLS FIRST
+""",
     "q30_grouping_sets": """
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,

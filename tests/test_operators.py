@@ -818,3 +818,41 @@ def test_remove_duplicated_passages_keeps_one_copy(spark):
     assert out[2].n_tokens_removed == 25
     # untouched doc passes through normalized
     assert out[3].n_tokens_removed == 0
+
+
+def test_normalize_text_cleans_control_and_whitespace(spark):
+    from dbt_meshify_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello\tWorld\x00\x01  MiXeD   case\n\nend  "),
+            (2, "already clean"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert rows[1].text_norm == "hello world mixed case end"
+    assert rows[1].n_chars_norm == len("hello world mixed case end")
+    assert rows[2].text_norm == "already clean"
+
+
+def test_bm25_prefers_rare_terms_and_rewards_coverage(spark):
+    from dbt_meshify_spark.operators.text import bm25_scores
+
+    # 'rare' appears in one doc, 'common' in all four; doc 4 matches nothing.
+    df = spark.createDataFrame(
+        [
+            (1, "rare common filler filler"),
+            (2, "common filler filler filler"),
+            (3, "common common filler filler"),
+            (4, "filler filler filler filler"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in bm25_scores(df, ["rare", "common"]).collect()}
+    assert 4 not in out  # no query term -> no row
+    # rare-term doc dominates any common-only doc
+    assert out[1].bm25 > out[3].bm25 > 0
+    assert out[1].n_matched_terms == 2 and out[2].n_matched_terms == 1
+    # higher tf of the same term scores higher at equal length
+    assert out[3].bm25 > out[2].bm25
