@@ -73,3 +73,42 @@ def read_csv(
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """Write CSV, one file per partition."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC (columnar, self-describing — schema travels with the file,
+    so no explicit-schema rule applies). Spark's vectorized ORC reader gives
+    the same pushdown/pruning surface as parquet; useful when the corpus
+    arrives from a Hive/Trino estate that standardized on ORC."""
+    prepare(spark)
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write ORC, one file per partition (shard count owned upstream)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Read raw text. ``whole=False`` → one row per line (``value`` column,
+    splittable, parallel). ``whole=True`` → one row per FILE — required when
+    a document spans lines; not splittable, so pair it with many small-ish
+    files, never one giant blob."""
+    prepare(spark)
+    return spark.read.text(path, wholetext=whole)
+
+
+def read_binary(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Read opaque media blobs via Spark's ``binaryFile`` source:
+    ``path, modificationTime, length, content(binary)`` — the ingest edge of
+    the multimodal column pipeline (operators/multimodal.py consumes the
+    ``content`` column). Non-splittable per file by design; the parallel unit
+    is the file, so shard media into object-store-sized blobs (~100 MB)
+    upstream."""
+    prepare(spark)
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -856,3 +856,45 @@ def test_bm25_prefers_rare_terms_and_rewards_coverage(spark):
     assert out[1].n_matched_terms == 2 and out[2].n_matched_terms == 1
     # higher tf of the same term scores higher at equal length
     assert out[3].bm25 > out[2].bm25
+
+
+def test_orc_text_binary_sources(spark, tmp_path):
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.sources.text_formats import (
+        read_binary,
+        read_orc,
+        read_text,
+        write_orc,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    # ORC round-trips schema + values (self-describing columnar format)
+    op = str(tmp_path / "docs_orc")
+    write_orc(docs, op)
+    back = read_orc(spark, op)
+    assert back.schema == docs.schema
+    assert back.exceptAll(docs).count() == 0
+
+    # line-mode text: one row per line; whole-file mode: one row per file
+    tp = tmp_path / "raw"
+    tp.mkdir()
+    (tp / "a.txt").write_text("line one\nline two\n")
+    (tp / "b.txt").write_text("single doc spanning\ntwo lines\n")
+    lines = read_text(spark, str(tp))
+    assert lines.count() == 4
+    whole = read_text(spark, str(tp), whole=True)
+    assert whole.count() == 2
+    texts = {r.value for r in whole.collect()}
+    assert "single doc spanning\ntwo lines\n" in texts
+
+    # binaryFile: content bytes + length metadata, glob filtering
+    bp = tmp_path / "media"
+    bp.mkdir()
+    (bp / "x.bin").write_bytes(b"\x00\x01\x02payload")
+    (bp / "skip.dat").write_bytes(b"nope")
+    blobs = read_binary(spark, str(bp), glob="*.bin")
+    rows = blobs.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0].content) == b"\x00\x01\x02payload"
+    assert rows[0].length == 10
