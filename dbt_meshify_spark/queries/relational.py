@@ -744,14 +744,19 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[UD5 generator surface] posexplode: leading tokens of each document
     with their position. The generator runs inside whole-stage codegen as a
     Generate node co-located with the scan — zero shuffle; the only exchange
-    is the final presentation sort. Position is 1-based to match SQL
+    is the final presentation sort. The array is ``slice``d to the leading
+    tokens BEFORE the explode, so the generator never materializes the full
+    token stream (at 100 TB that is the difference between 3 rows/doc and
+    ~100 rows/doc entering the Generate). Position is 1-based to match SQL
     ordinality conventions."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(
-            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+            "doc_id",
+            F.posexplode(F.slice(F.split(F.col("text"), " "), 1, 3)).alias(
+                "pos0", "tok"
+            ),
         )
-        .filter(F.col("pos0") < 3)
         .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
         .orderBy(_asc("doc_id"), _asc("pos"))
     )

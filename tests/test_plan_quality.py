@@ -98,3 +98,46 @@ def test_domain_filter_never_shuffles_corpus(spark):
     corpus_side = plan.split("BroadcastHashJoin", 1)[1]
     scan_tail = corpus_side.split("Scan parquet", 1)[0]
     assert "Exchange hashpartitioning(doc_id" not in scan_tail
+
+
+def test_full_outer_joins_aggregates_not_facts(spark):
+    """q33 must aggregate to date grain BEFORE the full-outer join — the join
+    input is ~2.4k rows per side at any SF, never fact cardinality. Guard:
+    both join children contain a HashAggregate below the join node."""
+    plan = _physical(QUERIES["q33_full_outer_join"](spark, SF_ORACLE))
+    assert "FullOuter" in plan
+    join_pos = plan.find("FullOuter")
+    below = plan[join_pos:]
+    assert below.count("HashAggregate") >= 2, (
+        "full-outer join must consume pre-aggregated date-grain inputs"
+    )
+
+
+def test_posexplode_slices_before_generate(spark):
+    """q34's Generate must consume a slice()d array — the full token stream
+    must never enter the generator (3 rows/doc, not ~100)."""
+    plan = _physical(QUERIES["q34_posexplode_tokens"](spark, SF_ORACLE))
+    gen = plan.split("Generate", 1)
+    assert len(gen) == 2, "no Generate node in plan"
+    assert "slice(" in gen[1].split("\n", 1)[0]
+
+
+def test_unpivot_aggregates_without_extra_exchange(spark):
+    """q35: stack() reshape happens scan-side; exactly one hash-partitioned
+    Exchange (the 4-group aggregate) before the presentation sort."""
+    plan = _physical(QUERIES["q35_unpivot"](spark, SF_ORACLE))
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_bm25_filters_before_aggregation(spark):
+    """ext_bm25_retrieval: the query-bag membership filter must sit below the
+    first aggregate so the (doc, term) shuffle carries only query-term rows —
+    never the full token stream."""
+    plan = _physical(QUERIES["ext_bm25_retrieval"](spark, SF_ORACLE))
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1, "no HashAggregate in plan"
+    below = plan[first_agg:]
+    assert "Filter" in below, "query-bag filter must run below the aggregate"
+    assert ("INSET" in below) or (" IN (" in below), (
+        "membership predicate missing from the pre-aggregate section"
+    )
