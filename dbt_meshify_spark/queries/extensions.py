@@ -846,6 +846,46 @@ def ext_domain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[G-scale] 2-iteration damped PageRank over the supplier→customer
+    ships-to graph (operators/graph_rank.py). Oracle: the same two rounds
+    unrolled as CTEs — join-based iteration is exactly reproducible in SQL
+    when the iteration count is fixed."""
+    from dbt_meshify_spark.operators.graph_rank import pagerank
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+    )
+    return (
+        pagerank(edges, iters=2)
+        .select("id", F.round("pagerank", 6).alias("pagerank"))
+        .orderBy(_asc("id"))
+    )
+
+
+def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] BPE tokenizer tier (operators/bpe.py): merges learned
+    driver-side from a bounded hash-mod sample (one scan), encoding applied
+    corpus-wide via an Arrow-batched pandas UDF with the merge table in the
+    task closure. Rows-only by design: greedy iterative merge learning has
+    no SQL form; losslessness/determinism are asserted in unit tests."""
+    from dbt_meshify_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=30, sample_max=2048)
+    return (
+        apply_bpe(docs, merges)
+        .select("doc_id", "n_bpe_tokens", F.slice("bpe_tokens", 1, 5).alias("head"))
+        .orderBy(_asc("doc_id"))
+    )
+
+
 def ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N4] corpus normalization: lowercase + control-char strip + whitespace
     collapse as a pure chained-regexp projection (operators/text.py::
@@ -914,10 +954,42 @@ QUERIES = {
     "ext_domain_quality_filter": ext_domain_quality_filter,
     "ext_text_normalize": ext_text_normalize,
     "ext_bm25_retrieval": ext_bm25_retrieval,
+    "ext_bpe_encode": ext_bpe_encode,
+    "ext_pagerank": ext_pagerank,
 }
 
 
 ORACLES = {
+    "ext_pagerank": """
+WITH edges AS (
+  SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+c1 AS (
+  SELECT e.dst AS id, SUM(r.rank / d.deg) AS c
+  FROM edges e JOIN r0 r ON e.src = r.id JOIN outdeg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT nd.id, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(c1.c, 0) AS rank
+  FROM nodes nd LEFT JOIN c1 ON nd.id = c1.id
+),
+c2 AS (
+  SELECT e.dst AS id, SUM(r.rank / d.deg) AS c
+  FROM edges e JOIN r1 r ON e.src = r.id JOIN outdeg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT nd.id, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(c2.c, 0) AS rank
+  FROM nodes nd LEFT JOIN c2 ON nd.id = c2.id
+)
+SELECT id, ROUND(rank, 6) AS pagerank FROM r2
+ORDER BY id NULLS FIRST
+""",
     "ext_text_normalize": r"""
 SELECT doc_id,
        trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),

@@ -898,3 +898,41 @@ def test_orc_text_binary_sources(spark, tmp_path):
     assert len(rows) == 1
     assert bytes(rows[0].content) == b"\x00\x01\x02payload"
     assert rows[0].length == 10
+
+
+def test_bpe_train_apply_roundtrip_and_determinism(spark):
+    from dbt_meshify_spark.operators.bpe import EOW, apply_bpe, train_bpe
+
+    df = spark.createDataFrame(
+        [(i, "low low low low lower lower newest newest newest widest") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    merges = train_bpe(df, n_merges=20, sample_max=1000)
+    assert merges and merges == train_bpe(df, n_merges=20, sample_max=1000)
+
+    out = apply_bpe(df, merges).collect()
+    row = out[0]
+    # tokens reassemble the original text exactly (lossless segmentation)
+    rebuilt = "".join(t for t in row.bpe_tokens).replace(EOW, " ").strip()
+    assert rebuilt == "low low low low lower lower newest newest newest widest"
+    # the most frequent word collapses to a single learned token
+    assert f"low{EOW}" in row.bpe_tokens
+    assert row.n_bpe_tokens == len(row.bpe_tokens)
+    # a word with characters never adjacent in training stays multi-token
+    unseen = apply_bpe(
+        spark.createDataFrame([(1, "zq")], ["doc_id", "text"]), merges
+    ).collect()[0]
+    assert len(unseen.bpe_tokens) >= 2
+
+
+def test_pagerank_sink_outranks_sources_and_sums_bounded(spark):
+    from dbt_meshify_spark.operators.graph_rank import pagerank
+
+    # star: everyone links to 'hub'; 'a' also links to 'b'
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("a", "b")], ["src", "dst"]
+    )
+    ranks = {r.id: r.pagerank for r in pagerank(edges, iters=10).collect()}
+    assert ranks["hub"] > ranks["b"] > ranks["a"] == ranks["c"]
+    # total mass stays <= 1 (dangling mass decays, never grows)
+    assert 0 < sum(ranks.values()) <= 1.0 + 1e-9
