@@ -846,6 +846,24 @@ def ext_domain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N4/N-decontam composed] the full curation pipeline as ONE
+    DataFrame program (operators/pipeline.py): normalize → language-ID →
+    quality filter → exact dedup → decontaminate, oracle-checked
+    END-TO-END (every stage is SQL-expressible, so the composition is too).
+    Train = doc_id % 20 != 0; eval = the held-out twentieths."""
+    from dbt_meshify_spark.operators.pipeline import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    return (
+        curate_corpus(train, eval_df, quality_min=0.5)
+        .select("doc_id", "lang_pred", "quality", "n_chars_norm")
+        .orderBy(_asc("doc_id"))
+    )
+
+
 def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[G-scale] 2-iteration damped PageRank over the supplier→customer
     ships-to graph (operators/graph_rank.py). Oracle: the same two rounds
@@ -956,10 +974,90 @@ QUERIES = {
     "ext_bm25_retrieval": ext_bm25_retrieval,
     "ext_bpe_encode": ext_bpe_encode,
     "ext_pagerank": ext_pagerank,
+    "ext_curation_pipeline": ext_curation_pipeline,
 }
 
 
+def _curation_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_sel = ",\n         ".join(
+        f"({' + '.join(_occ_sql(w) for w in LANG_MARKERS[lang])}) AS s_{lang}"
+        for lang in langs
+    )
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = "\n              ".join(
+        f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs[:-1]
+    )
+    stop = " + ".join(_occ_sql(w) for w in ("the", "a", "and", "of"))
+    return f"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+normed AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS text_norm,
+         {score_sel},
+         length(text) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct_chars,
+         CAST({stop} AS BIGINT) AS stopword_hits
+  FROM train
+),
+staged AS (
+  SELECT doc_id, text, text_norm,
+         CASE WHEN {greatest} <= 0 THEN 'und'
+              {cases}
+              ELSE '{langs[-1]}' END AS lang_pred,
+         ROUND((LEAST(n_chars / 500.0, 1.0)
+                + (1.0 - LEAST(punct_chars / GREATEST(n_chars, 1) * 10.0, 1.0))
+                + LEAST(stopword_hits / GREATEST(n_tokens, 1) * 5.0, 1.0)
+                + CASE WHEN (n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1) >= 3
+                        AND (n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1) <= 10
+                       THEN 1.0 ELSE 0.5 END) / 4.0, 4) AS quality,
+         CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                                         '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+  FROM normed
+),
+kept AS (
+  SELECT * FROM staged WHERE lang_pred <> 'und' AND quality >= 0.5
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT k.*, ROW_NUMBER() OVER (PARTITION BY text_norm ORDER BY doc_id) AS rn
+    FROM kept k
+  ) WHERE rn = 1
+),
+ev AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest(list_distinct(list_transform(range(1, len(l) - 1),
+                  i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS gram
+    FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS l
+          FROM documents WHERE doc_id % 20 = 0)
+  )
+),
+tr_grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l FROM deduped)
+),
+contaminated AS (
+  SELECT doc_id FROM (
+    SELECT t.doc_id, t.n_grams,
+           SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS matched
+    FROM (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM tr_grams) t
+    LEFT JOIN ev e ON t.gram = e.gram
+    GROUP BY t.doc_id, t.n_grams
+  ) WHERE CAST(matched AS DOUBLE) >= 0.2 * n_grams
+)
+SELECT doc_id, lang_pred, quality, n_chars_norm
+FROM deduped
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+ORDER BY doc_id NULLS FIRST
+"""
+
+
 ORACLES = {
+    "ext_curation_pipeline": _curation_sql(),
     "ext_pagerank": """
 WITH edges AS (
   SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst

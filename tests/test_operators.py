@@ -936,3 +936,29 @@ def test_pagerank_sink_outranks_sources_and_sums_bounded(spark):
     assert ranks["hub"] > ranks["b"] > ranks["a"] == ranks["c"]
     # total mass stays <= 1 (dangling mass decays, never grows)
     assert 0 < sum(ranks.values()) <= 1.0 + 1e-9
+
+
+def test_curation_pipeline_drops_each_junk_class(spark):
+    from dbt_meshify_spark.operators.pipeline import curate_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs far away today "
+        "the weather is fine and the road is long and the journey continues"
+    )
+    tail = "extra tail of unique text here to dodge the dedup key"
+    rows = [
+        (1, good),                                  # survives
+        (2, good),                                  # exact dup of 1 -> dropped
+        (3, "zzz qqq xxx"),                         # no markers -> 'und' -> dropped
+        # gibberish long tokens + punct run + one marker: quality < 0.5
+        (4, "the zzzzzzzzzzzzzzzz qqqqqqqqqqqqqqqq !!!!!!!!!!"),
+        (5, good + " " + tail),                     # contaminated vs eval
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # eval doc shares doc 5's tail trigrams (>20% of its distinct grams)
+    eval_df = spark.createDataFrame([(100, tail)], ["doc_id", "text"])
+    out = curate_corpus(docs, eval_df, quality_min=0.5)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1]
+    row = out.collect()[0]
+    assert row.lang_pred == "en" and row.quality >= 0.5
