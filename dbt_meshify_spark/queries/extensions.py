@@ -846,6 +846,27 @@ def ext_domain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4 model tier] distilled logistic quality classifier
+    (operators/classifier.py): weights learned driver-side from a bounded
+    hash-mod sample against the heuristic teacher, then applied corpus-wide
+    as a codegen'd sigmoid over literal weights — no UDF, no shuffle.
+    Rows-only by design (gradient-descent training has no SQL form);
+    separation/determinism asserted in unit tests."""
+    from dbt_meshify_spark.operators.classifier import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = train_quality_classifier(docs, sample_max=2048)
+    return (
+        score_quality_classifier(docs, w)
+        .select("doc_id", F.round("clf_score", 4).alias("clf_score"))
+        .orderBy(_asc("doc_id"))
+    )
+
+
 def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N1/N4/N-decontam composed] the full curation pipeline as ONE
     DataFrame program (operators/pipeline.py): normalize → language-ID →
@@ -975,6 +996,7 @@ QUERIES = {
     "ext_bpe_encode": ext_bpe_encode,
     "ext_pagerank": ext_pagerank,
     "ext_curation_pipeline": ext_curation_pipeline,
+    "ext_quality_classifier": ext_quality_classifier,
 }
 
 

@@ -962,3 +962,29 @@ def test_curation_pipeline_drops_each_junk_class(spark):
     assert kept == [1]
     row = out.collect()[0]
     assert row.lang_pred == "en" and row.quality >= 0.5
+
+
+def test_quality_classifier_separates_teacher_classes(spark):
+    from dbt_meshify_spark.operators.classifier import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+    from dbt_meshify_spark.operators.text import quality_score
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    w = train_quality_classifier(docs, sample_max=400)
+    assert len(w) == 5
+    # deterministic training
+    assert w == train_quality_classifier(docs, sample_max=400)
+
+    scored = score_quality_classifier(quality_score(docs), w)
+    agg = scored.select(
+        F.avg(F.when(F.col("quality") >= 0.6, F.col("clf_score"))).alias("pos"),
+        F.avg(F.when(F.col("quality") < 0.6, F.col("clf_score"))).alias("neg"),
+    ).collect()[0]
+    # the distilled model must rank teacher-positive docs above negative ones
+    assert agg.pos is not None and agg.neg is not None and agg.pos > agg.neg
+    # scores are proper probabilities
+    mn, mx = scored.select(F.min("clf_score"), F.max("clf_score")).first()
+    assert 0.0 <= mn <= mx <= 1.0
