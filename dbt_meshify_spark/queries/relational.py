@@ -787,6 +787,44 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A-nested] array-building aggregation: per customer, the sorted list
+    of order keys + a count. ``collect_list`` is partition-order-dependent,
+    so ``sort_array`` canonicalizes before anything downstream hashes it —
+    the rule every nested-agg pipeline at scale needs (shuffle order is
+    nondeterministic under AQE). One shuffle, map-side partial aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(_asc("o_custkey"))
+    )
+
+
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[HOF] higher-order array functions on the embedding column: L2 norm
+    via transform + aggregate (fold), plus dimension count. Runs entirely
+    inside the projection — no explode, no shuffle; the fold is
+    left-to-right on both engines so float accumulation order is identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("dims"),
+            F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        )
+        .orderBy(_asc("vec_id"))
+    )
+
+
 QUERIES = {
     "q01_projection_cast": q01,
     "q02_case_boolean": q02,
@@ -824,12 +862,29 @@ QUERIES = {
     "q33_full_outer_join": q33,
     "q34_posexplode_tokens": q34,
     "q35_unpivot": q35,
+    "q36_nested_agg": q36,
+    "q37_hof_vector_norm": q37,
     "q_g4_boundary_access": q_g4,
     "q_l1_dependency_detection": q_l1,
 }
 
 
 ORACLES = {
+    "q36_nested_agg": """
+SELECT o_custkey,
+       list_sort(list(o_orderkey)) AS order_keys,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY o_custkey NULLS FIRST
+""",
+    "q37_hof_vector_norm": """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dims,
+       ROUND(sqrt(list_aggregate(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm
+FROM embeddings
+ORDER BY vec_id NULLS FIRST
+""",
     "q32_set_ops": """
 SELECT 'both' AS tag, o_custkey FROM (
   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
