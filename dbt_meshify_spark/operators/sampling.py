@@ -231,3 +231,26 @@ def write_training_shards(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    by: list[str],
+    key_cols: list[str],
+    seed: str = "s0",
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` rows per group, deterministically.
+
+    The fraction-based samplers above cannot promise exact counts; this is
+    the quota path (k eval docs per language, k examples per source). Rows
+    rank by ``md5(seed|key)`` — a pure function of the row, so re-runs and
+    different partitionings pick the SAME rows, and changing ``seed`` draws
+    an independent quota. Skew-safe via skew.py::topk_per_key (local prune
+    to ≤ k per input partition before the per-group window ranks survivors —
+    a hot group never funnels its full membership through one task).
+    """
+    from dbt_meshify_spark.operators.skew import topk_per_key
+
+    rank_key = _sample_key(key_cols, seed)
+    return topk_per_key(df, by, [rank_key.asc()] + [F.col(c).asc() for c in key_cols], k).drop("rn")

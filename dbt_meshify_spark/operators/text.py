@@ -485,3 +485,35 @@ def bm25_scores(
             F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy of each document's token distribution (nats) — the
+    information-density quality signal (low entropy ⇒ repetitive/templated
+    text; complements repetition_stats' fixed-gram fractions).
+
+    ``H = ln(n) - Σ tf·ln(tf) / n`` over per-(doc, term) counts — one
+    tokenize pass, one high-cardinality shuffle with map-side partial
+    aggregation, then a per-doc aggregate of the already-grouped counts.
+    Returns ``id_col, n_tokens, n_distinct_tokens, entropy``.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    return (
+        tf.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            F.round(
+                F.log(F.sum("tf"))
+                - F.sum(F.col("tf") * F.log("tf")) / F.sum("tf"),
+                4,
+            ).alias("entropy"),
+        )
+    )

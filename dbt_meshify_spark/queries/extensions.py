@@ -846,6 +846,30 @@ def ext_domain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] per-document token-distribution Shannon entropy
+    (operators/text.py::token_entropy) — information-density quality signal."""
+    from dbt_meshify_spark.operators.text import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs).orderBy(_asc("doc_id"))
+
+
+def ext_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9] deterministic exact-k quota sampling: 5 docs per (lang, source)
+    cell ranked by md5(seed|doc_id) (operators/sampling.py::sample_exact_k,
+    skew-safe via the local-prune window). Fully deterministic, so
+    oracle-checked — DuckDB replays the same md5 ranking."""
+    from dbt_meshify_spark.operators.sampling import sample_exact_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sample_exact_k(docs, k=5, by=["lang", "source"], key_cols=["doc_id"])
+        .select("doc_id", "lang", "source")
+        .orderBy(_asc("lang"), _asc("source"), _asc("doc_id"))
+    )
+
+
 def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N4 model tier] distilled logistic quality classifier
     (operators/classifier.py): weights learned driver-side from a bounded
@@ -997,6 +1021,8 @@ QUERIES = {
     "ext_pagerank": ext_pagerank,
     "ext_curation_pipeline": ext_curation_pipeline,
     "ext_quality_classifier": ext_quality_classifier,
+    "ext_token_entropy": ext_token_entropy,
+    "ext_sample_exact_k": ext_sample_exact_k,
 }
 
 
@@ -1079,6 +1105,31 @@ ORDER BY doc_id NULLS FIRST
 
 
 ORACLES = {
+    "ext_token_entropy": r"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents) t
+  GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       ROUND(ln(SUM(tf)) - SUM(tf * ln(tf)) / SUM(tf), 4) AS entropy
+FROM tf GROUP BY doc_id
+ORDER BY doc_id NULLS FIRST
+""",
+    "ext_sample_exact_k": """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5('s0|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
+ORDER BY lang NULLS FIRST, source NULLS FIRST, doc_id NULLS FIRST
+""",
     "ext_curation_pipeline": _curation_sql(),
     "ext_pagerank": """
 WITH edges AS (

@@ -988,3 +988,38 @@ def test_quality_classifier_separates_teacher_classes(spark):
     # scores are proper probabilities
     mn, mx = scored.select(F.min("clf_score"), F.max("clf_score")).first()
     assert 0.0 <= mn <= mx <= 1.0
+
+
+def test_token_entropy_orders_diversity(spark):
+    from dbt_meshify_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a"),          # zero entropy
+            (2, "a b c d e f g h"),          # max entropy: ln(8)
+            (3, "a a b b c c d d"),          # uniform over 4: ln(4)
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in token_entropy(df).collect()}
+    assert rows[1].entropy == 0.0
+    assert abs(rows[2].entropy - 2.0794) < 1e-4
+    assert abs(rows[3].entropy - 1.3863) < 1e-4
+    assert rows[2].n_distinct_tokens == 8 and rows[3].n_tokens == 8
+
+
+def test_sample_exact_k_quota_and_determinism(spark):
+    from dbt_meshify_spark.operators.sampling import sample_exact_k
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = sample_exact_k(docs, k=3, by=["lang"], key_cols=["doc_id"])
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(3, totals[lang])
+    # identical draw on re-run; different seed draws a different quota
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in sample_exact_k(docs, k=3, by=["lang"], key_cols=["doc_id"]).collect()}
+    c = {r.doc_id for r in sample_exact_k(docs, k=3, by=["lang"], key_cols=["doc_id"], seed="s1").collect()}
+    assert a == b and a != c
