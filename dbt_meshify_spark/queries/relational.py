@@ -825,6 +825,32 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F-fuzzy] edit-distance matching: supplier names against customer
+    names within distance 4 (entity-resolution shape). Both sides are
+    blocked on a cheap equi-key FIRST (same name length band) so the
+    quadratic levenshtein only runs inside blocks — the same
+    block-then-verify pattern as the LSH dedup family; an unblocked
+    name×name cross join would be the classic 100 TB mistake."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    s = supplier.select(
+        F.col("s_suppkey"), F.col("s_name"),
+        F.floor(F.length("s_name") / 4).cast("int").alias("band"),
+    )
+    c = customer.select(
+        F.col("c_custkey"), F.col("c_name"),
+        F.floor(F.length("c_name") / 4).cast("int").alias("band"),
+    )
+    return (
+        s.join(c, "band")
+        .withColumn("dist", F.levenshtein("s_name", "c_name"))
+        .filter(F.col("dist") <= 4)
+        .select("s_suppkey", "c_custkey", "s_name", "c_name", "dist")
+        .orderBy(_asc("s_suppkey"), _asc("c_custkey"))
+    )
+
+
 QUERIES = {
     "q01_projection_cast": q01,
     "q02_case_boolean": q02,
@@ -864,12 +890,24 @@ QUERIES = {
     "q35_unpivot": q35,
     "q36_nested_agg": q36,
     "q37_hof_vector_norm": q37,
+    "q38_fuzzy_match": q38,
     "q_g4_boundary_access": q_g4,
     "q_l1_dependency_detection": q_l1,
 }
 
 
 ORACLES = {
+    "q38_fuzzy_match": """
+SELECT s_suppkey, c_custkey, s_name, c_name, CAST(dist AS INT) AS dist
+FROM (
+  SELECT s.s_suppkey, c.c_custkey, s.s_name, c.c_name,
+         levenshtein(s.s_name, c.c_name) AS dist
+  FROM supplier s
+  JOIN customer c
+    ON CAST(floor(length(s.s_name) / 4) AS INT) = CAST(floor(length(c.c_name) / 4) AS INT)
+) WHERE dist <= 4
+ORDER BY s_suppkey NULLS FIRST, c_custkey NULLS FIRST
+""",
     "q36_nested_agg": """
 SELECT o_custkey,
        list_sort(list(o_orderkey)) AS order_keys,
