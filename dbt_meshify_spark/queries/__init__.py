@@ -19,6 +19,39 @@ from dbt_meshify_spark.queries.extensions import (
 )
 
 QUERIES = {**_REL_QUERIES, **_EXT_QUERIES}
-ORACLES = {**_REL_ORACLES, **_EXT_ORACLES}
+
+# The events table has shipped as TIMESTAMP(NANOS) in some driver snapshots
+# and TIMESTAMP(MICROS) in others. Spark truncates to µs either way (it has
+# no ns type), but DuckDB would happily compare at ns — a session gap that is
+# exactly 30 min at µs and >30 min at ns flips a sessionize boundary and
+# hash-fails the comparison. Pin every events-reading oracle to µs by
+# rewriting table references to a CTE that casts ts to TIMESTAMP (µs in
+# DuckDB): a no-op on µs data, the same truncation Spark performs on ns
+# data. (A shadowing CTE named `events` is a DuckDB circular reference, so
+# the CTE gets its own name and `\bevents\b` references are rewritten —
+# `n_events`-style identifiers are untouched by the word boundary.)
+import re as _re
+
+_EVENTS_US_CTE = (
+    "events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+)
+
+
+def _ns_robust(sql: str) -> str:
+    s = sql.lstrip()
+    if not _re.search(r"\bevents\b", s):
+        return sql
+    s = _re.sub(r"\bevents\b", "events_us", s)
+    if s[:14].upper() == "WITH RECURSIVE":
+        return "WITH RECURSIVE " + _EVENTS_US_CTE + ", " + s[14:].lstrip()
+    if s[:4].upper() == "WITH":
+        return "WITH " + _EVENTS_US_CTE + ", " + s[4:].lstrip()
+    return "WITH " + _EVENTS_US_CTE + "\n" + s
+
+
+ORACLES = {
+    name: _ns_robust(sql)
+    for name, sql in {**_REL_ORACLES, **_EXT_ORACLES}.items()
+}
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -792,7 +792,28 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     of order keys + a count. ``collect_list`` is partition-order-dependent,
     so ``sort_array`` canonicalizes before anything downstream hashes it —
     the rule every nested-agg pipeline at scale needs (shuffle order is
-    nondeterministic under AQE). One shuffle, map-side partial aggregation."""
+    nondeterministic under AQE). One shuffle, map-side partial aggregation.
+
+    The checked output serializes the array with ``concat_ws`` so every
+    comparator (including pandas-based canonicalizers that cannot sort list
+    columns) can hash it; the array-typed variant stays covered in unit
+    tests (tests/test_operators.py::test_q36_array_variant)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("o_orderkey"))
+            ).alias("order_keys"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(_asc("o_custkey"))
+    )
+
+
+def q36_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed variant of q36 (unit-test surface; the driver-checked
+    q36 emits the concat_ws serialization of the same array)."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_custkey")
@@ -827,25 +848,29 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[F-fuzzy] edit-distance matching: supplier names against customer
-    names within distance 4 (entity-resolution shape). Both sides are
-    blocked on a cheap equi-key FIRST (same name length band) so the
-    quadratic levenshtein only runs inside blocks — the same
-    block-then-verify pattern as the LSH dedup family; an unblocked
-    name×name cross join would be the classic 100 TB mistake."""
+    names within distance 4 (entity-resolution shape), via the aligned-chunk
+    pigeonhole blocking of ``operators.fuzzy.edit_distance_join``.
+
+    Round 1 blocked on a name-length band — degenerate on fixed-format
+    TPC-H names (every row one band => a single-key cross join, 70 s at
+    sf0.1). Chunk blocking distributes over many (chunk_index, chunk_text)
+    keys, and the deterministic hot-bucket cap excises the ``...#000...``
+    zero-padding pathology on both engines identically."""
+    from dbt_meshify_spark.operators.fuzzy import edit_distance_join
+
     supplier = load_table(spark, sf_dir, "supplier")
     customer = load_table(spark, sf_dir, "customer")
-    s = supplier.select(
-        F.col("s_suppkey"), F.col("s_name"),
-        F.floor(F.length("s_name") / 4).cast("int").alias("band"),
-    )
-    c = customer.select(
-        F.col("c_custkey"), F.col("c_name"),
-        F.floor(F.length("c_name") / 4).cast("int").alias("band"),
-    )
     return (
-        s.join(c, "band")
-        .withColumn("dist", F.levenshtein("s_name", "c_name"))
-        .filter(F.col("dist") <= 4)
+        edit_distance_join(
+            supplier.select("s_suppkey", "s_name"),
+            customer.select("c_custkey", "c_name"),
+            "s_suppkey",
+            "s_name",
+            "c_custkey",
+            "c_name",
+            k=4,
+            max_bucket_pairs=100_000,
+        )
         .select("s_suppkey", "c_custkey", "s_name", "c_name", "dist")
         .orderBy(_asc("s_suppkey"), _asc("c_custkey"))
     )
@@ -898,19 +923,43 @@ QUERIES = {
 
 ORACLES = {
     "q38_fuzzy_match": """
-SELECT s_suppkey, c_custkey, s_name, c_name, CAST(dist AS INT) AS dist
-FROM (
-  SELECT s.s_suppkey, c.c_custkey, s.s_name, c.c_name,
-         levenshtein(s.s_name, c.c_name) AS dist
-  FROM supplier s
-  JOIN customer c
-    ON CAST(floor(length(s.s_name) / 4) AS INT) = CAST(floor(length(c.c_name) / 4) AS INT)
-) WHERE dist <= 4
+WITH lk AS (
+  SELECT s_suppkey, s_name, i,
+         substring(s_name,
+                   CAST(i * (length(s_name) // 5) + least(i, length(s_name) % 5) + 1 AS INT),
+                   CAST((length(s_name) // 5) + CASE WHEN i < length(s_name) % 5 THEN 1 ELSE 0 END AS INT)) AS chunk
+  FROM supplier, range(0, 5) t(i)
+),
+rk AS (
+  SELECT c_custkey, c_name, i,
+         substring(c_name,
+                   CAST(i * (length(c_name) // 5) + least(i, length(c_name) % 5) + 1 AS INT),
+                   CAST((length(c_name) // 5) + CASE WHEN i < length(c_name) % 5 THEN 1 ELSE 0 END AS INT)) AS chunk
+  FROM customer, range(0, 5) t(i)
+),
+ok AS (
+  SELECT lc.i, lc.chunk
+  FROM (SELECT i, chunk, COUNT(*) AS n_l FROM lk GROUP BY i, chunk) lc
+  JOIN (SELECT i, chunk, COUNT(*) AS n_r FROM rk GROUP BY i, chunk) rc
+    ON lc.i = rc.i AND lc.chunk = rc.chunk
+  WHERE lc.n_l * rc.n_r <= 100000
+),
+cand AS (
+  SELECT DISTINCT lk.s_suppkey, lk.s_name, rk.c_custkey, rk.c_name
+  FROM lk
+  JOIN ok ON lk.i = ok.i AND lk.chunk = ok.chunk
+  JOIN rk ON rk.i = ok.i AND rk.chunk = ok.chunk
+  WHERE abs(length(lk.s_name) - length(rk.c_name)) <= 4
+)
+SELECT s_suppkey, c_custkey, s_name, c_name,
+       CAST(levenshtein(s_name, c_name) AS INT) AS dist
+FROM cand
+WHERE levenshtein(s_name, c_name) <= 4
 ORDER BY s_suppkey NULLS FIRST, c_custkey NULLS FIRST
 """,
     "q36_nested_agg": """
 SELECT o_custkey,
-       list_sort(list(o_orderkey)) AS order_keys,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
        COUNT(*) AS n_orders
 FROM orders GROUP BY o_custkey
 ORDER BY o_custkey NULLS FIRST

@@ -46,26 +46,58 @@ EVENT_SCHEMA_MICROS = T.StructType(
 )
 
 
+def _stored_ts_unit(path: str) -> str:
+    """Sniff the stored ``ts`` unit ('ns'/'us'/'ms'/'s') from one parquet
+    footer, driver-side (an O(KB) metadata read — no data scan).
+
+    A file stream is given an *explicit* schema, so unlike the batch loader
+    (sources/registry.py, which branches on the materialized type) the read
+    itself cannot tell us whether the raw long is nanoseconds or
+    microseconds. The footer is authoritative and checking it once per
+    stream start is free even on a 100 TB directory: only the first file's
+    metadata is touched.
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        candidates = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    elif any(ch in path for ch in "*?["):
+        candidates = sorted(_glob.glob(path))
+    else:
+        candidates = [path]
+    for f in candidates:
+        try:
+            t = str(pq.read_schema(f).field("ts").type)
+        except Exception:
+            continue
+        if t.startswith("timestamp["):
+            return t[len("timestamp[") :].split(",")[0].rstrip("]")
+        if t == "int64":
+            return "ns"  # raw-long convention used by the round-1 testdata
+    return "us"
+
+
 def read_events_stream(
     spark: SparkSession,
     path: str,
-    nanos: bool = True,
+    nanos: bool | None = None,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-based event stream with a proper event-time ``ts`` column.
 
-    ``nanos=True`` reads TIMESTAMP(NANOS) parquet under the
-    ``nanosAsLong`` legacy conf and converts ns->us JVM-side (same
-    truncation as the batch loader, sources/registry.py).
+    ``nanos=None`` (default) sniffs the stored unit from the parquet footer
+    and converts raw longs to microsecond timestamps JVM-side — the same
+    truncation as the batch loader (sources/registry.py), but made explicit
+    because a stream's user-supplied schema hides the stored logical type.
+    ``nanos=False`` forces the TimestampType schema (caller-written µs
+    parquet); ``nanos=True`` forces the raw-long ns interpretation.
     """
     from dbt_meshify_spark.session import prepare
 
     prepare(spark)
-    reader = spark.readStream.schema(
-        EVENT_SCHEMA_NANOS if nanos else EVENT_SCHEMA_MICROS
-    )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if path.endswith(".parquet"):
         # FileStreamSource refuses a bare file (its inferred basePath must be
         # a directory); a glob sidesteps the check and keeps basePath at the
@@ -73,10 +105,29 @@ def read_events_stream(
         import os
 
         d, base = os.path.split(path)
-        path = f"{d}/{os.path.splitext(base)[0]}.*"
-    df = reader.parquet(path)
-    if nanos:
+        glob_path = f"{d}/{os.path.splitext(base)[0]}.*"
+    else:
+        glob_path = path
+    if nanos is None:
+        unit = _stored_ts_unit(path)
+    else:
+        unit = "ns" if nanos else "tstype"
+    reader = spark.readStream.schema(
+        EVENT_SCHEMA_MICROS if unit == "tstype" else EVENT_SCHEMA_NANOS
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(glob_path)
+    # Raw long -> µs timestamp. Division happens JVM-side per-split; the
+    # stream stays fully distributed regardless of unit.
+    if unit == "ns":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif unit == "us":
+        df = df.withColumn("ts", F.timestamp_micros(F.col("ts")))
+    elif unit == "ms":
+        df = df.withColumn("ts", F.timestamp_millis(F.col("ts")))
+    elif unit == "s":
+        df = df.withColumn("ts", F.timestamp_seconds(F.col("ts")))
     return df
 
 

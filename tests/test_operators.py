@@ -1023,3 +1023,69 @@ def test_sample_exact_k_quota_and_determinism(spark):
     b = {r.doc_id for r in sample_exact_k(docs, k=3, by=["lang"], key_cols=["doc_id"]).collect()}
     c = {r.doc_id for r in sample_exact_k(docs, k=3, by=["lang"], key_cols=["doc_id"], seed="s1").collect()}
     assert a == b and a != c
+
+
+def test_q36_array_variant(spark):
+    # Driver-checked q36 serializes with concat_ws (pandas canonicalizers
+    # can't hash list cells); the array-typed variant must stay equivalent.
+    from dbt_meshify_spark.queries.relational import q36, q36_arrays
+
+    arr = q36_arrays(spark, SF_ORACLE).limit(20).collect()
+    ser = {r.o_custkey: r.order_keys for r in q36(spark, SF_ORACLE).limit(20).collect()}
+    for r in arr:
+        assert list(r.order_keys) == sorted(r.order_keys)
+        assert ser[r.o_custkey] == ",".join(str(k) for k in r.order_keys)
+
+
+def test_edit_distance_join_finds_true_matches(spark):
+    from dbt_meshify_spark.operators.fuzzy import (
+        edit_distance_join,
+        fuzzy_join_capped_buckets,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "alphabet soup"), (2, "distinctive"), (3, "zzzzzz")],
+        ["lid", "lname"],
+    )
+    right = spark.createDataFrame(
+        [(10, "alphabet soup!"), (11, "distinktive"), (12, "unrelated str")],
+        ["rid", "rname"],
+    )
+    got = {
+        (r.lid, r.rid, r.dist)
+        for r in edit_distance_join(
+            left, right, "lid", "lname", "rid", "rname", k=4
+        ).collect()
+    }
+    assert (1, 10, 1) in got  # one insertion
+    assert (2, 11, 1) in got  # one substitution
+    assert not any(l == 3 for l, _, _ in got)
+    assert fuzzy_join_capped_buckets(
+        left, right, "lname", "rname", k=4
+    ).count() == 0
+
+
+def test_edit_distance_join_caps_hot_buckets(spark):
+    from dbt_meshify_spark.operators.fuzzy import (
+        edit_distance_join,
+        fuzzy_join_capped_buckets,
+    )
+
+    # 40x40 identical-chunk rows: every (i, chunk) bucket is hot under a
+    # 100-pair cap, so the join must return nothing AND report the capping.
+    left = spark.createDataFrame(
+        [(i, "Supplier#%09d" % 1) for i in range(40)], ["lid", "lname"]
+    )
+    right = spark.createDataFrame(
+        [(i, "Supplier#%09d" % 1) for i in range(40)], ["rid", "rname"]
+    )
+    joined = edit_distance_join(
+        left, right, "lid", "lname", "rid", "rname", k=4, max_bucket_pairs=100
+    )
+    assert joined.count() == 0
+    assert (
+        fuzzy_join_capped_buckets(
+            left, right, "lname", "rname", k=4, max_bucket_pairs=100
+        ).count()
+        == 5
+    )
