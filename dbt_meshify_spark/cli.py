@@ -42,10 +42,37 @@ def _patch_path(project: SparkProject, r) -> Path:
     return project.root / parent_dir / f"_{r.resource_type}s.yml"
 
 
-def _selected_models(project: SparkProject, select: tuple[str, ...], exclude: tuple[str, ...]):
-    selected = select_resources(
-        project.manifest, list(select) or ["*"], exclude=list(exclude) or None
-    )
+def _select(
+    project: SparkProject,
+    select: tuple[str, ...],
+    exclude: tuple[str, ...],
+    selector: tuple[str, ...] = (),
+    state=None,
+) -> set[str]:
+    """--select tokens + --selector names (selectors.yml) - --exclude; the
+    reference forwards all three to dbt ls (cli.py:74-80)."""
+    from dbt_meshify_spark.plans.selectors import SelectorError, resolve_selection
+
+    try:
+        return resolve_selection(
+            project.manifest,
+            project.root,
+            select=list(select) or None,
+            exclude=list(exclude) or None,
+            selector=list(selector) or None,
+            state=state,
+        )
+    except SelectorError as e:
+        raise click.ClickException(str(e))
+
+
+def _selected_models(
+    project: SparkProject,
+    select: tuple[str, ...],
+    exclude: tuple[str, ...],
+    selector: tuple[str, ...] = (),
+):
+    selected = _select(project, select, exclude, selector)
     return [
         project.manifest.get(uid)
         for uid in sorted(selected)
@@ -112,19 +139,23 @@ def cli(ctx: click.Context, dry_run: bool) -> None:
 
 @cli.command()
 @click.argument("project_name")
-@click.option("--select", "-s", multiple=True, required=True)
+@click.option("--select", "-s", multiple=True)
 @click.option("--exclude", "-e", multiple=True)
+@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--create-path", default=None, type=click.Path())
 @click.option("--read-catalog", is_flag=True, help="trust target/catalog.json instead of live schema analysis")
 @click.pass_context
-def split(ctx, project_name, select, exclude, project_path, create_path, read_catalog) -> None:
+def split(ctx, project_name, select, exclude, selector, project_path, create_path, read_catalog) -> None:
     """Split SELECTed resources into a new subproject (reference
     main.py:213-267)."""
+    if not select and not selector:
+        raise click.ClickException("one of --select/--selector is required")
     project = SparkProject.load(project_path)
     try:
         sub = build_subproject(
-            project, project_name, list(select), list(exclude) or None, create_path
+            project, project_name, list(select) or None, list(exclude) or None,
+            create_path, selector=list(selector) or None,
         )
     except SplitError as e:
         raise click.ClickException(str(e))
@@ -178,15 +209,18 @@ def operation() -> None:
 
 
 @operation.command(name="add-contract")
-@click.option("--select", "-s", multiple=True, required=True)
+@click.option("--select", "-s", multiple=True)
 @click.option("--exclude", "-e", multiple=True)
+@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.pass_context
-def add_contract(ctx, select, exclude, project_path) -> None:
+def add_contract(ctx, select, exclude, selector, project_path) -> None:
     """Generate enforced column contracts from live Spark schemas
     (reference main.py:268-316, contractor.py:14-47)."""
+    if not select and not selector:
+        raise click.ClickException("one of --select/--selector is required")
     project = SparkProject.load(project_path)
-    models = _selected_models(project, select, exclude)
+    models = _selected_models(project, select, exclude, selector)
     if not models:
         raise click.ClickException("selection matched no models")
     schemas = _lazy_schemas(project)
@@ -200,16 +234,19 @@ def add_contract(ctx, select, exclude, project_path) -> None:
 
 
 @operation.command(name="add-version")
-@click.option("--select", "-s", multiple=True, required=True)
+@click.option("--select", "-s", multiple=True)
 @click.option("--exclude", "-e", multiple=True)
+@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.pass_context
-def op_add_version(ctx, select, exclude, project_path) -> None:
+def op_add_version(ctx, select, exclude, selector, project_path) -> None:
     """First version (v=1) for unversioned models (reference
     main.py:318-368, versioner.py:79-134)."""
+    if not select and not selector:
+        raise click.ClickException("one of --select/--selector is required")
     project = SparkProject.load(project_path)
     sets = []
-    for r in _selected_models(project, select, exclude):
+    for r in _selected_models(project, select, exclude, selector):
         sets.append(
             add_version(r, _patch_path(project, r), (project.root / r.path).parent)
         )
@@ -217,18 +254,21 @@ def op_add_version(ctx, select, exclude, project_path) -> None:
 
 
 @operation.command(name="bump-version")
-@click.option("--select", "-s", multiple=True, required=True)
+@click.option("--select", "-s", multiple=True)
 @click.option("--exclude", "-e", multiple=True)
+@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--prerelease", is_flag=True)
 @click.pass_context
-def op_bump_version(ctx, select, exclude, project_path, prerelease) -> None:
+def op_bump_version(ctx, select, exclude, selector, project_path, prerelease) -> None:
     """Next version = max+1; --prerelease keeps latest_version pinned
     (reference main.py:370-440, versioner.py:136-212)."""
+    if not select and not selector:
+        raise click.ClickException("one of --select/--selector is required")
     project = SparkProject.load(project_path)
     behavior = BumpBehavior.Prerelease if prerelease else BumpBehavior.Increment
     sets = []
-    for r in _selected_models(project, select, exclude):
+    for r in _selected_models(project, select, exclude, selector):
         sets.append(
             bump_version(
                 r,
@@ -243,26 +283,28 @@ def op_bump_version(ctx, select, exclude, project_path, prerelease) -> None:
 
 @operation.command(name="create-group")
 @click.argument("name")
-@click.option("--select", "-s", multiple=True, required=True)
+@click.option("--select", "-s", multiple=True)
 @click.option("--exclude", "-e", multiple=True)
+@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--owner-name", default=None)
 @click.option("--owner-email", default=None)
 @click.option("--group-yml-path", default=None, type=click.Path())
 @click.pass_context
 def op_create_group(
-    ctx, name, select, exclude, project_path, owner_name, owner_email, group_yml_path
+    ctx, name, select, exclude, selector, project_path, owner_name, owner_email,
+    group_yml_path
 ) -> None:
     """Group YAML + member access patches (reference main.py:556-629)."""
+    if not select and not selector:
+        raise click.ClickException("one of --select/--selector is required")
     project = SparkProject.load(project_path)
     owner = {
         k: v for k, v in (("name", owner_name), ("email", owner_email)) if v
     }
     if not owner:
         raise click.ClickException("an owner (--owner-name/--owner-email) is required")
-    selected = select_resources(
-        project.manifest, list(select), exclude=list(exclude) or None
-    )
+    selected = _select(project, select, exclude, selector)
     path = Path(group_yml_path) if group_yml_path else project.root / "models/_groups.yml"
     changes = plan_create_group(
         project.manifest,
@@ -280,25 +322,27 @@ def op_create_group(
 
 @cli.command()
 @click.argument("name")
-@click.option("--select", "-s", multiple=True, required=True)
+@click.option("--select", "-s", multiple=True)
 @click.option("--exclude", "-e", multiple=True)
+@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--owner-name", default=None)
 @click.option("--owner-email", default=None)
 @click.option("--group-yml-path", default=None, type=click.Path())
 @click.pass_context
 def group(
-    ctx, name, select, exclude, project_path, owner_name, owner_email, group_yml_path
+    ctx, name, select, exclude, selector, project_path, owner_name, owner_email,
+    group_yml_path
 ) -> None:
     """create-group + contracts on every protected boundary member
     (reference main.py:632-687)."""
+    if not select and not selector:
+        raise click.ClickException("one of --select/--selector is required")
     project = SparkProject.load(project_path)
     owner = {k: v for k, v in (("name", owner_name), ("email", owner_email)) if v}
     if not owner:
         raise click.ClickException("an owner (--owner-name/--owner-email) is required")
-    selected = select_resources(
-        project.manifest, list(select), exclude=list(exclude) or None
-    )
+    selected = _select(project, select, exclude, selector)
     schemas = _lazy_schemas(project)
     path = Path(group_yml_path) if group_yml_path else project.root / "models/_groups.yml"
 
@@ -321,19 +365,22 @@ def group(
 
 
 @cli.command()
-@click.option("--select", "-s", multiple=True, required=True)
+@click.option("--select", "-s", multiple=True)
 @click.option("--exclude", "-e", multiple=True)
+@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--prerelease", is_flag=True)
 @click.pass_context
-def version(ctx, select, exclude, project_path, prerelease) -> None:
+def version(ctx, select, exclude, selector, project_path, prerelease) -> None:
     """Add a version when unversioned, else bump (reference
     main.py:442-553: chains add + bump so the copy source is the moved _v1
     file)."""
+    if not select and not selector:
+        raise click.ClickException("one of --select/--selector is required")
     project = SparkProject.load(project_path)
     behavior = BumpBehavior.Prerelease if prerelease else BumpBehavior.Increment
     sets = []
-    for r in _selected_models(project, select, exclude):
+    for r in _selected_models(project, select, exclude, selector):
         model_dir = (project.root / r.path).parent
         patch = _patch_path(project, r)
         if r.meta.get("versions") or r.version is not None:
@@ -357,21 +404,17 @@ def version(ctx, select, exclude, project_path, prerelease) -> None:
 @cli.command()
 @click.option("--select", "-s", multiple=True)
 @click.option("--exclude", "-e", multiple=True)
+@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--resource-type", default=None)
 @click.option("--state", default=None, type=click.Path(exists=True),
               help="prior target/manifest.json for state:modified selection")
-def ls(select, exclude, project_path, resource_type, state) -> None:
+def ls(select, exclude, selector, project_path, resource_type, state) -> None:
     """List selected resources (the `dbt ls` analog the reference shells
     into — dbt.py:40-57). Supports state:modified against a prior manifest
     artifact (slim CI)."""
     project = SparkProject.load(project_path)
-    selected = select_resources(
-        project.manifest,
-        list(select) or ["*"],
-        exclude=list(exclude) or None,
-        state_artifact=state,
-    )
+    selected = _select(project, select, exclude, selector, state=state)
     for uid in sorted(selected):
         r = project.manifest.get(uid)
         if resource_type and (not r or r.resource_type != resource_type):

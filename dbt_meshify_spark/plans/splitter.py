@@ -93,20 +93,34 @@ class SubProject:
 def build_subproject(
     parent: SparkProject,
     name: str,
-    select: str | list[str],
+    select: str | list[str] | None,
     exclude: str | list[str] | None = None,
     create_path: str | Path | None = None,
+    selector: str | list[str] | None = None,
 ) -> SubProject:
     """Select resources and derive every closure the creator needs.
 
-    Raises SplitError on an empty selection or a project cycle (the
-    subproject being both parent and child of the remainder — reference
-    dbt_projects.py:97-108, enforced main.py:250-255).
+    ``selector`` resolves named selectors from the parent project's
+    selectors.yml (reference forwards --selector to dbt ls,
+    dbt_projects.py:351-376). Raises SplitError on an empty selection or a
+    project cycle (the subproject being both parent and child of the
+    remainder — reference dbt_projects.py:97-108, enforced main.py:250-255).
     """
     manifest = parent.manifest
-    selected = select_resources(manifest, select, exclude=exclude)
+    if selector:
+        from dbt_meshify_spark.plans.selectors import resolve_selection
+
+        selected = resolve_selection(
+            manifest,
+            parent.root,
+            select=[select] if isinstance(select, str) else select,
+            exclude=[exclude] if isinstance(exclude, str) else exclude,
+            selector=[selector] if isinstance(selector, str) else selector,
+        )
+    else:
+        selected = select_resources(manifest, select or ["*"], exclude=exclude)
     if not selected:
-        raise SplitError(f"selection {select!r} matched no resources")
+        raise SplitError(f"selection {select or selector!r} matched no resources")
     if is_project_cycle(manifest, selected):
         raise SplitError(
             "subproject would be both a parent and child of the remaining "

@@ -322,3 +322,137 @@ def test_cli_ls_and_state_modified(proj_dir):
         cli, ["ls", "--select", "state:modified", "--project-path", str(proj_dir)]
     )
     assert out.exit_code != 0
+
+
+# -- named YAML selectors (--selector) ---------------------------------------
+
+
+SELECTORS_YML = """
+selectors:
+  - name: staging_plus
+    definition: "+stg_orders"
+  - name: orders_atom
+    definition:
+      method: fqn
+      value: stg_orders
+      parents: true
+  - name: staging_no_lineitems
+    definition:
+      union:
+        - method: path
+          value: models/staging
+        - exclude:
+            - method: fqn
+              value: stg_lineitems
+  - name: both_ways
+    default: true
+    definition:
+      intersection:
+        - "+orders_mart"
+        - method: path
+          value: models/staging
+"""
+
+
+@pytest.fixture()
+def proj_with_selectors(proj_dir):
+    (proj_dir / "selectors.yml").write_text(SELECTORS_YML)
+    return proj_dir
+
+
+def test_load_selectors_and_default(proj_with_selectors):
+    from dbt_meshify_spark.plans.selectors import load_selectors
+
+    sels = load_selectors(proj_with_selectors)
+    assert set(sels) == {
+        "staging_plus", "orders_atom", "staging_no_lineitems", "both_ways",
+        "__default__",
+    }
+    assert sels["__default__"] == "both_ways"
+
+
+def test_selector_string_matches_select(proj_with_selectors):
+    from dbt_meshify_spark.plans.graph import select_resources
+    from dbt_meshify_spark.plans.selectors import evaluate_selector, load_selectors
+
+    project = SparkProject.load(proj_with_selectors)
+    sels = load_selectors(proj_with_selectors)
+    # a string definition is plain selection syntax; dict atom with
+    # parents: true is the "+name" spelling of the same thing
+    want = select_resources(project.manifest, "+stg_orders")
+    assert evaluate_selector(project.manifest, "staging_plus", sels) == want
+    assert evaluate_selector(project.manifest, "orders_atom", sels) == want
+
+
+def test_selector_union_exclude(proj_with_selectors):
+    from dbt_meshify_spark.plans.selectors import evaluate_selector, load_selectors
+
+    project = SparkProject.load(proj_with_selectors)
+    sels = load_selectors(proj_with_selectors)
+    got = evaluate_selector(project.manifest, "staging_no_lineitems", sels)
+    names = {u.split(".")[-1] for u in got if u.startswith("model.")}
+    assert "stg_orders" in names and "stg_customers" in names
+    assert "stg_lineitems" not in names
+
+
+def test_selector_intersection(proj_with_selectors):
+    from dbt_meshify_spark.plans.selectors import evaluate_selector, load_selectors
+
+    project = SparkProject.load(proj_with_selectors)
+    sels = load_selectors(proj_with_selectors)
+    from dbt_meshify_spark.plans.graph import select_resources
+
+    got = evaluate_selector(project.manifest, "both_ways", sels)
+    # ancestors of orders_mart that live under models/staging
+    want = select_resources(
+        project.manifest, "+orders_mart"
+    ) & select_resources(project.manifest, "path:models/staging")
+    assert got == want
+    names = {u.split(".")[-1] for u in got if u.startswith("model.")}
+    assert "stg_orders" in names
+    assert "orders_mart" not in names
+
+
+def test_unknown_selector_raises(proj_with_selectors):
+    from dbt_meshify_spark.plans.selectors import SelectorError, evaluate_selector
+
+    project = SparkProject.load(proj_with_selectors)
+    with pytest.raises(SelectorError):
+        evaluate_selector(project.manifest, "nope", {})
+
+
+def test_split_via_named_selector_cli(proj_with_selectors):
+    # reference parity: every command takes --selector and resolves it like
+    # dbt ls (reference cli.py:74-80, dbt_projects.py:351-376)
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        [
+            "split", "staging_proj",
+            "--selector", "staging_plus",
+            "--project-path", str(proj_with_selectors),
+            "--read-catalog",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    sub_root = proj_with_selectors / "staging_proj"
+    assert (sub_root / "dbt_project.yml").exists()
+    assert (sub_root / "models" / "staging" / "stg_orders.sql").exists()
+
+
+def test_ls_selector_and_select_required(proj_with_selectors):
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        ["ls", "--selector", "staging_no_lineitems",
+         "--project-path", str(proj_with_selectors)],
+    )
+    assert result.exit_code == 0, result.output
+    assert "stg_orders" in result.output
+    assert "stg_lineitems" not in result.output
+    # governance commands demand an explicit selection
+    result = runner.invoke(
+        cli, ["operation", "add-contract", "--project-path", str(proj_with_selectors)]
+    )
+    assert result.exit_code != 0
+    assert "--select/--selector" in result.output
