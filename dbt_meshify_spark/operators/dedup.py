@@ -339,7 +339,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.5,
-    max_gram_df: int | None = None,
+    max_gram_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via an inverted-index join (N2).
 
@@ -349,11 +349,18 @@ def ngram_jaccard_pairs(
     recomputation (the naive counts-as-separate-aggregate plan re-ran the
     shingle pipeline three times). Shuffles: gram (index join), then
     (id_a, id_b) (pair agg). Both keys are high-cardinality, so no skew
-    beyond stop-grams — which ``max_gram_df`` removes (grams occurring in
-    more than that many docs carry no discriminative signal and
-    quadratically inflate the join).
+    beyond stop-grams.
 
-    Returns: id_a, id_b, jaccard (exact, rounded to 4dp).
+    ``max_gram_df`` (default 10k — capped by default so a naive caller
+    cannot detonate the index join on boilerplate) drops grams occurring in
+    more docs than that: they carry no discriminative signal and inflate
+    the join quadratically (one gram in b docs => b^2 index pairs). The
+    jaccard is then computed over the surviving-gram vocabulary on BOTH
+    sides (numerator and denominators), so the reported similarity stays
+    self-consistent; per-doc gram counts are re-derived post-filter with a
+    window over the already-shuffled id partitioning.
+
+    Returns: id_a, id_b, jaccard (exact over the kept vocabulary, 4dp).
     """
     grams = (
         _with_tokens(df.select(id_col, text_col), text_col)
@@ -368,7 +375,9 @@ def ngram_jaccard_pairs(
         keep = grams.groupBy("gram").agg(F.count("*").alias("gdf")).filter(
             F.col("gdf") <= max_gram_df
         )
-        grams = grams.join(keep.select("gram"), "gram")
+        grams = grams.join(keep.select("gram"), "gram").withColumn(
+            "n_grams", F.count("*").over(Window.partitionBy("id"))
+        )
     g1 = grams.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"), "gram")
     g2 = grams.select(
         F.col("id").alias("id_b"),

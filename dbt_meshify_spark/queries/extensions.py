@@ -210,6 +210,37 @@ def ext_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(_asc("id_a"), _asc("id_b"))
 
 
+def ext_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3] block-GEMM exact top-3 — same result set as ext_cosine_topk
+    (shares its oracle); partial per-block top-k then global merge."""
+    from dbt_meshify_spark.operators.similarity import cosine_topk_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return (
+        cosine_topk_gemm(q, emb, k=3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy(_asc("query_id"), _asc("rank"))
+    )
+
+
+def ext_embedding_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N2/N3] block-GEMM exact near-dup — same result set as
+    ext_embedding_neardup, BLAS execution (the engine the LSH/IVF tiers run
+    inside their candidate blocks at scale). Shares that query's oracle."""
+    from dbt_meshify_spark.operators.similarity import embedding_neardup_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_gemm(emb, threshold=0.4).orderBy(
+        _asc("id_a"), _asc("id_b")
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis (N4)
 # --------------------------------------------------------------------------
@@ -986,6 +1017,8 @@ QUERIES = {
     "ext_ann_ivf_topk": ext_ann_ivf_topk,
     "ext_embedding_neardup": ext_embedding_neardup,
     "ext_embedding_neardup_lsh": ext_embedding_neardup_lsh,
+    "ext_embedding_neardup_gemm": ext_embedding_neardup_gemm,
+    "ext_cosine_topk_gemm": ext_cosine_topk_gemm,
     "ext_embedding_quantize": ext_embedding_quantize,
     "ext_token_stats": ext_token_stats,
     "ext_lang_id": ext_lang_id,
@@ -1768,3 +1801,7 @@ FROM sims WHERE cs >= 0.4
 ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
 """,
 }
+
+# block-GEMM twin computes the identical result set
+ORACLES["ext_embedding_neardup_gemm"] = ORACLES["ext_embedding_neardup"]
+ORACLES["ext_cosine_topk_gemm"] = ORACLES["ext_cosine_topk"]
