@@ -123,7 +123,15 @@ def _catalog_columns(project: SparkProject, read_catalog: bool) -> dict[str, lis
 
 
 def _process(ctx: click.Context, *change_sets: ChangeSet) -> None:
-    ChangeSetProcessor(dry_run=ctx.obj["dry_run"]).process(list(change_sets))
+    from dbt_meshify_spark.exceptions import FatalMeshifyException
+    from dbt_meshify_spark.plans.changes import ChangeSetProcessorException
+
+    try:
+        ChangeSetProcessor(dry_run=ctx.obj["dry_run"]).process(list(change_sets))
+    except ChangeSetProcessorException as e:
+        # reference main.py raises FatalMeshifyException around every
+        # command body; the CLI exits nonzero with the change + cause logged
+        raise FatalMeshifyException(f"{e} (cause: {e.exception!r})")
 
 
 @click.group()

@@ -360,6 +360,17 @@ class DirectoryEditor:
             raise ValueError(f"unsupported dir op {change.operation}")
 
 
+class ChangeSetProcessorException(Exception):
+    """A Change failed mid-ChangeSet; carries the change and its cause
+    (reference change_set_processor.py:17-21 — catchable Exception here,
+    not BaseException)."""
+
+    def __init__(self, change: Change, exception: BaseException) -> None:
+        self.change = change
+        self.exception = exception
+        super().__init__(f"Error processing change {change.describe()}")
+
+
 class ChangeSetProcessor:
     """Ordered, logged, dry-run-able execution (reference
     change_set_processor.py:24-61)."""
@@ -377,7 +388,10 @@ class ChangeSetProcessor:
                 self.log(f"[{step}/{total}] {change.describe()}")
                 if self.dry_run:
                     continue
-                self._apply(change)
+                try:
+                    self._apply(change)
+                except Exception as e:
+                    raise ChangeSetProcessorException(change, e) from e
 
     def _apply(self, change: Change) -> None:
         if change.entity_type == EntityType.Directory:

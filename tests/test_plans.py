@@ -651,3 +651,41 @@ def test_boundary_frame_scales_past_driver_sizes(spark):
     # the rest of the 25k selection is private
     assert counts == {"protected": 1, "private": 24_999}
     assert elapsed < 60, f"frame classification too slow: {elapsed:.1f}s"
+
+
+def test_exception_taxonomy_surface():
+    # reference parity: dbt_meshify/exceptions.py (FileEditorException,
+    # ModelFileNotFoundError, FatalMeshifyException) + processor wrapping
+    # (change_set_processor.py:17-21)
+    import click
+
+    from dbt_meshify_spark import exceptions as X
+
+    assert issubclass(X.ModelFileNotFoundError, X.FileEditorException)
+    assert issubclass(X.FatalMeshifyException, click.ClickException)
+    for name in X.__all__:
+        assert isinstance(getattr(X, name), type)
+
+
+def test_changeset_failure_wraps_cause(tmp_path):
+    from dbt_meshify_spark.plans.changes import (
+        Change,
+        ChangeSet,
+        ChangeSetProcessor,
+        ChangeSetProcessorException,
+        EntityType,
+        Operation,
+    )
+
+    bad = Change(
+        operation=Operation.Copy,
+        entity_type=EntityType.Code,
+        identifier="broken_copy",
+        path=tmp_path / "out.sql",
+        source=tmp_path / "does-not-exist.sql",
+    )
+    cs = ChangeSet([bad])
+    with pytest.raises(ChangeSetProcessorException) as exc:
+        ChangeSetProcessor(log=lambda m: None).process([cs])
+    assert exc.value.change is bad
+    assert isinstance(exc.value.exception, Exception)
