@@ -38,9 +38,21 @@ def main() -> None:
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # Warm the JVM/codegen path once so per-query numbers measure the
-    # queries, not session startup.
+    # Warm the JVM/codegen path AND the Python/Arrow worker pool once so
+    # per-query numbers measure the queries, not session startup: a cluster
+    # job pays these per-executor-lifetime, not per-query. (BASELINE.md
+    # documents the warm/cold split this excludes.)
     run(QUERIES["q01_projection_cast"](spark, sf_dir))
+
+    def _noop_batch(it):
+        for pdf in it:
+            yield pdf
+
+    run(
+        spark.range(0, 10_000, 1, 32).mapInPandas(
+            _noop_batch, "id long"
+        )
+    )
 
     times: dict[str, float] = {}
     for name in sorted(QUERIES):

@@ -141,3 +141,34 @@ def test_bm25_filters_before_aggregation(spark):
     assert ("INSET" in below) or (" IN (" in below), (
         "membership predicate missing from the pre-aggregate section"
     )
+
+
+def test_fuzzy_join_blocks_on_multikey_exchange(spark):
+    # q38's round-1 length-band collapsed every row into ONE shuffle key (a
+    # disguised cross join, 70.8s at sf0.1). The chunk rewrite must shuffle
+    # the candidate join on (i, chunk) — multiple discriminating keys — and
+    # never plan a cartesian/broadcast-nested-loop over the corpus sides.
+    df = QUERIES["q38_fuzzy_match"](spark, SF_ORACLE)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning(i#" in plan or (
+        "Exchange hashpartitioning" in plan and "chunk#" in plan
+    ), plan[:2000]
+    # the exchange must carry BOTH chunk-key columns, not a single key
+    import re
+
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any("i#" in k and "chunk#" in k for k in keys), keys
+
+
+def test_fuzzy_join_runtime_bounded_at_oracle_sf(spark):
+    # end-to-end sanity: the candidate set stays bounded (bucket cap active)
+    from dbt_meshify_spark.operators.fuzzy import fuzzy_join_capped_buckets
+    from dbt_meshify_spark.sources import load_table
+
+    sup = load_table(spark, SF_ORACLE, "supplier").select("s_suppkey", "s_name")
+    cus = load_table(spark, SF_ORACLE, "customer").select("c_custkey", "c_name")
+    capped = fuzzy_join_capped_buckets(sup, cus, "s_name", "c_name", k=4)
+    # the TPC-H zero-padding pathology must be getting excised, and
+    # reported — not silently exploding the join
+    assert capped.count() >= 1
