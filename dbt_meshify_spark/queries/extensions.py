@@ -180,7 +180,7 @@ def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return (
-        lsh_bucketed_topk(q, emb, k=3, num_planes=16, bands=8)
+        lsh_bucketed_topk(q, emb, k=3, num_planes=64, bands=16)
         .select(
             "query_id",
             "neighbor_id",
@@ -206,7 +206,7 @@ def ext_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact variant asserted in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(
-        emb, threshold=0.4, num_planes=16, bands=8
+        emb, threshold=0.4, num_planes=64, bands=16
     ).orderBy(_asc("id_a"), _asc("id_b"))
 
 

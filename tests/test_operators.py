@@ -97,11 +97,11 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in lsh_bucketed_topk(q, emb, k=5, num_planes=16, bands=8).collect()
+        for r in lsh_bucketed_topk(q, emb, k=5, num_planes=64, bands=16).collect()
     }
     recall = len(exact & approx) / len(exact)
     # random 64-dim gaussian vectors are the hardest case for sign-LSH;
-    # 8 bands of 2 bits must still recover a solid fraction of true top-5
+    # 16 bands of 4 bits must still recover a solid fraction of true top-5
     assert recall >= 0.4, f"ANN recall too low: {recall}"
 
 
@@ -185,7 +185,7 @@ def test_embedding_neardup_lsh_recall_vs_exact(spark):
     lsh = {
         (r.id_a, r.id_b)
         for r in embedding_neardup_pairs(
-            emb, threshold=0.4, num_planes=16, bands=8
+            emb, threshold=0.4, num_planes=64, bands=16
         ).collect()
     }
     assert exact, "threshold produced no pairs — fixture changed?"
