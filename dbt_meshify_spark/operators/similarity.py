@@ -504,6 +504,90 @@ def cosine_topk_gemm(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication: k-means-cluster the embedding
+    space, find near-identical groups (cosine >= threshold) WITHIN each
+    cluster, keep the minimum id per group.
+
+    Composition of the engine's own tiers: ``train_ivf_centroids`` (bounded
+    driver-side Lloyd — the faiss posture), Arrow-batched cluster
+    assignment, per-cluster block GEMM (the dgemm tier of
+    ``embedding_neardup_gemm``, keyed by cluster instead of hash), and
+    ``operators.dedup.connected_components`` min-label resolution. The
+    quadratic pair search never crosses a cluster boundary — the property
+    that turns O(n^2) into O(sum cluster^2) and makes semantic dedup
+    tractable at corpus scale (SemDeDup, Abbas et al. 2023, public method).
+
+    Returns ``df`` minus dropped duplicates, plus ``sem_cluster``.
+    Rows-only check (k-means has no SQL form); invariants are unit-tested:
+    every dropped id has a kept same-cluster witness at >= threshold.
+    """
+    from dbt_meshify_spark.operators.dedup import connected_components
+
+    centroids = train_ivf_centroids(
+        df, nlist=n_clusters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = df.withColumn("sem_cluster", _assign_udf(centroids)(F.col(vec_col)))
+
+    # per-cluster matrix pack -> same-block matmul only (pairs cannot cross
+    # clusters by construction)
+    tagged = assigned.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.col("sem_cluster").alias("blk"),
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.array(pdf["v"].tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+        return pd.DataFrame(
+            {
+                "blk": [key[0]],
+                "ids": [pdf["id"].tolist()],
+                "mat": [m.ravel().tolist()],
+                "nrow": [len(pdf)],
+            }
+        )
+
+    blocks = tagged.groupBy("blk").applyInPandas(
+        pack, "blk long, ids array<long>, mat array<double>, nrow int"
+    )
+
+    def pairs_in_cluster(it):
+        for pdf in it:
+            outs = []
+            for r in pdf.itertuples():
+                m = np.asarray(r.mat).reshape(r.nrow, -1)
+                sims = m @ m.T
+                ii, jj = np.nonzero(sims >= threshold)
+                keep = ii < jj
+                if not keep.any():
+                    continue
+                ids = np.asarray(r.ids)
+                outs.append(
+                    pd.DataFrame(
+                        {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]]}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    dup_pairs = blocks.mapInPandas(pairs_in_cluster, "id_a long, id_b long")
+    comps = connected_components(dup_pairs)
+    dropped = (
+        comps.filter(F.col("id") != F.col("component")).select(F.col("id"))
+    )
+    return assigned.join(
+        dropped.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

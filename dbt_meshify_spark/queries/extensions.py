@@ -963,6 +963,93 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N2/N3 composed] SemDeDup-shape semantic dedup: IVF k-means clusters
+    -> per-cluster block-GEMM near-identical pairs -> connected-components
+    keep-min (operators/similarity.py::semantic_dedup). Rows-only by design
+    (k-means); dropped-witness invariants unit-tested."""
+    from dbt_meshify_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(emb, threshold=0.45, n_clusters=8)
+        .select("vec_id", F.col("sem_cluster").cast("bigint").alias("sem_cluster"))
+        .orderBy(_asc("vec_id"))
+    )
+
+
+def ext_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O-funnel] ordered 3-stage conversion funnel (view -> click ->
+    purchase): a user advances a stage only with an event strictly after
+    their previous stage's first event. Per-stage user counts.
+
+    Plan: three tiny per-user min-aggregates chained by equi-joins on
+    user_id — each stage's frame shrinks, all shuffles share the user_id
+    key so Catalyst plans one partitioning. The classic product-analytics
+    operator (no reference analog; data-plane extension like the rest of
+    §2.6)."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    rows = [
+        v.select(F.lit("1_view").alias("stage"), "user_id"),
+        c.select(F.lit("2_click").alias("stage"), "user_id"),
+        p.select(F.lit("3_purchase").alias("stage"), "user_id"),
+    ]
+    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return (
+        out.groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(_asc("stage"))
+    )
+
+
+def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O-cohort] weekly cohort retention: users grouped by the week of
+    their first event; for each later week-offset, how many were active.
+
+    Two shuffles (first-seen per user, then (cohort, offset) count); the
+    cohort frame is per-user-small and joins back on user_id. date_trunc
+    'week' is Monday-start on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("bigint").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(_asc("cohort_week"), _asc("week_offset"))
+    )
+
+
 def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N4/N9] BPE tokenizer tier (operators/bpe.py): merges learned
     driver-side from a bounded hash-mod sample (one scan), encoding applied
@@ -1019,6 +1106,9 @@ QUERIES = {
     "ext_embedding_neardup_lsh": ext_embedding_neardup_lsh,
     "ext_embedding_neardup_gemm": ext_embedding_neardup_gemm,
     "ext_cosine_topk_gemm": ext_cosine_topk_gemm,
+    "ext_semantic_dedup": ext_semantic_dedup,
+    "ext_funnel_conversion": ext_funnel_conversion,
+    "ext_cohort_retention": ext_cohort_retention,
     "ext_embedding_quantize": ext_embedding_quantize,
     "ext_token_stats": ext_token_stats,
     "ext_lang_id": ext_lang_id,
@@ -1803,5 +1893,47 @@ ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
 }
 
 # block-GEMM twin computes the identical result set
+ORACLES["ext_funnel_conversion"] = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+),
+stages AS (
+  SELECT '1_view' AS stage, user_id FROM v
+  UNION ALL SELECT '2_click', user_id FROM c
+  UNION ALL SELECT '3_purchase', user_id FROM p
+)
+SELECT stage, COUNT(*) AS n_users FROM stages
+GROUP BY stage ORDER BY stage NULLS FIRST
+"""
+
+ORACLES["ext_cohort_retention"] = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT) AS week_offset,
+       COUNT(*) AS n_users
+FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, week_offset
+ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST
+"""
+
 ORACLES["ext_embedding_neardup_gemm"] = ORACLES["ext_embedding_neardup"]
 ORACLES["ext_cosine_topk_gemm"] = ORACLES["ext_cosine_topk"]

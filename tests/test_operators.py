@@ -1089,3 +1089,46 @@ def test_edit_distance_join_caps_hot_buckets(spark):
         ).count()
         == 5
     )
+
+
+def test_semantic_dedup_invariants(spark):
+    from dbt_meshify_spark.operators.similarity import (
+        cosine_similarity,
+        semantic_dedup,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    kept = semantic_dedup(emb, threshold=0.45, n_clusters=8)
+    kept_rows = kept.select("vec_id", "sem_cluster").collect()
+    kept_ids = {r.vec_id for r in kept_rows}
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert kept_ids <= all_ids and kept_ids
+    dropped = all_ids - kept_ids
+    if dropped:
+        # every dropped vector must have a same-cluster witness at >= thr
+        assigned = semantic_dedup(emb, threshold=2.0, n_clusters=8)  # drops nothing
+        assert {r.vec_id for r in assigned.select("vec_id").collect()} == all_ids
+        cl = {r.vec_id: r.sem_cluster for r in assigned.select("vec_id", "sem_cluster").collect()}
+        a = emb.alias("a")
+        b = emb.alias("b")
+        sims = (
+            a.crossJoin(b)
+            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("x"),
+                F.col("b.vec_id").alias("y"),
+                cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("cs"),
+            )
+            .filter(F.col("cs") >= 0.45)
+            .collect()
+        )
+        witnesses = {}
+        for r in sims:
+            witnesses.setdefault(r.x, set()).add(r.y)
+        for d in dropped:
+            same_cluster = {y for y in witnesses.get(d, set()) if cl[y] == cl[d]}
+            assert same_cluster, f"dropped {d} has no same-cluster witness"
+    # determinism
+    again = {r.vec_id for r in semantic_dedup(emb, threshold=0.45, n_clusters=8).select("vec_id").collect()}
+    assert again == kept_ids
