@@ -307,3 +307,46 @@ def test_stream_to_incremental_merges_like_batch_dedup(spark, tmp_path_factory):
         stream2, tgt2, unique_key=["user_id", "event_type"], order_by="ts"
     )
     assert {tuple(r) for r in final2.collect()} == {tuple(r) for r in final.collect()}
+
+
+def test_stateful_totals_survive_restart(spark, tmp_path):
+    """Exactly-once resume: kill the query, append new input, restart on the
+    SAME checkpoint — per-user state must carry over (run 2 emits cumulative
+    A+B totals, not B-only), and batch-A files must not be reprocessed."""
+    import datetime as dt
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out: list = []
+    t0 = dt.datetime(2024, 1, 1)
+
+    def _write(rows, name):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.parquet(str(src / name))
+
+    def _drain():
+        stream = read_events_stream(spark, str(src) + "/*/", nanos=False)
+        q = (
+            stateful_user_totals(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _bid: out.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write([(1, t0, 7, "click", 1.0, ""), (2, t0, 7, "click", 2.0, "")], "a")
+    _drain()
+    run1 = {(r.user_id, r.n_events, r.total_value) for r in out}
+    assert (7, 2, 3.0) in run1
+
+    out.clear()
+    _write([(3, t0 + dt.timedelta(hours=1), 7, "click", 4.0, "")], "b")
+    _drain()
+    run2 = {(r.user_id, r.n_events, r.total_value) for r in out}
+    # state recovered: 2 prior events + 1 new = 3, total 7.0 (not 1/4.0)
+    assert run2 == {(7, 3, 7.0)}
