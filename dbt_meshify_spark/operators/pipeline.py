@@ -52,4 +52,15 @@ def curate_corpus(
     deduped = exact_dedup(kept, ["text_norm"], order_by=[id_col])
     if eval_df is None:
         return deduped
-    return decontaminate(deduped, eval_df, id_col=id_col, text_col=text_col)
+    # Contamination is a per-document verdict (a doc's eval-gram overlap
+    # does not depend on other docs), so compute it on the PRE-dedup
+    # lineage: the expensive dedup window then appears exactly once in the
+    # final plan (the anti-join's left side) instead of twice — Spark would
+    # otherwise recompute the window for the overlap branch, since branch
+    # reuse only kicks in at identical exchanges.
+    from dbt_meshify_spark.operators.decontam import ngram_overlap
+
+    bad = ngram_overlap(kept, eval_df, id_col=id_col, text_col=text_col).filter(
+        F.col("contaminated")
+    )
+    return deduped.join(bad.select(id_col), id_col, "left_anti")

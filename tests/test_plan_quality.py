@@ -172,3 +172,23 @@ def test_fuzzy_join_runtime_bounded_at_oracle_sf(spark):
     # the TPC-H zero-padding pathology must be getting excised, and
     # reported — not silently exploding the join
     assert capped.count() >= 1
+
+
+def test_funnel_stage_frames_broadcast(spark):
+    # per-stage user frames are per-user aggregates: tiny at any SF relative
+    # to events, so the chained stage joins must broadcast (threshold-driven,
+    # no hints — a whale user table would demote to shuffle join safely)
+    plan = _physical(QUERIES["ext_funnel_conversion"](spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_bounded_exchanges(spark):
+    # first-seen agg + distinct-activity agg + final (cohort, offset) agg +
+    # presentation sort; the user-level join broadcasts
+    plan = _physical(QUERIES["ext_cohort_retention"](spark, SF_ORACLE))
+    import re
+
+    assert len(re.findall(r"Exchange (?:hash|range)partitioning", plan)) <= 5
+    assert "CartesianProduct" not in plan
