@@ -112,3 +112,44 @@ def read_binary(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+class DataSourceUnavailable(ImportError):
+    """A Spark datasource module is not deployed in this runtime."""
+
+
+def _gate_missing_datasource(fmt: str, package: str, exc: Exception) -> None:
+    """Re-raise a missing-datasource AnalysisException as a clear,
+    deployment-actionable error; re-raise everything else untouched."""
+    if "Failed to find data source" in str(exc):
+        raise DataSourceUnavailable(
+            f"Spark datasource '{fmt}' is not deployed in this runtime "
+            f"(needs --packages {package}). The call path is the production "
+            "code; deploy the connector to activate it."
+        ) from exc
+    raise exc
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro container files (row-oriented, schema-evolving ingest format).
+
+    Gated: the spark-avro SQL module is a separate deployment artifact
+    (core avro jars alone don't register the datasource). Raises
+    DataSourceUnavailable with deployment guidance when absent.
+    """
+    prepare(spark)
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:
+        _gate_missing_datasource(
+            "avro", "org.apache.spark:spark-avro_2.13:<spark-version>", e
+        )
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as e:
+        _gate_missing_datasource(
+            "avro", "org.apache.spark:spark-avro_2.13:<spark-version>", e
+        )

@@ -365,3 +365,40 @@ def run_to_memory(
     )
     query.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def read_events_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka twin of ``read_events_stream``: same downstream schema, so every
+    windowed/stateful operator in this module runs unchanged on a live topic.
+
+    The value payload is JSON with the events-table fields; event time comes
+    from the payload ``ts`` (µs epoch), NOT Kafka's broker-side timestamp —
+    watermarks must track event time or late data is silently on-time.
+    Gated: the spark-sql-kafka connector is a separate deployment artifact;
+    raises with deployment guidance when absent (this container has none).
+    """
+    from dbt_meshify_spark.session import prepare
+    from dbt_meshify_spark.sources.text_formats import _gate_missing_datasource
+
+    prepare(spark)
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:
+        _gate_missing_datasource(
+            "kafka", "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>", e
+        )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), EVENT_SCHEMA_NANOS).alias("e")
+    ).select("e.*")
+    return parsed.withColumn("ts", F.timestamp_micros(F.col("ts")))

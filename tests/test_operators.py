@@ -1132,3 +1132,21 @@ def test_semantic_dedup_invariants(spark):
     # determinism
     again = {r.vec_id for r in semantic_dedup(emb, threshold=0.45, n_clusters=8).select("vec_id").collect()}
     assert again == kept_ids
+
+
+def test_gated_datasources_raise_clear_errors(spark):
+    # avro/kafka connector modules are deployment artifacts absent from this
+    # container; the gated paths must fail fast with deployment guidance,
+    # not with an opaque ClassNotFoundException mid-job
+    import pytest as _pytest
+
+    from dbt_meshify_spark.sources.text_formats import (
+        DataSourceUnavailable,
+        read_avro,
+    )
+    from dbt_meshify_spark.streaming.events import read_events_kafka
+
+    with _pytest.raises(DataSourceUnavailable, match="avro"):
+        read_avro(spark, "/tmp/nonexistent")
+    with _pytest.raises(DataSourceUnavailable, match="kafka"):
+        read_events_kafka(spark, "localhost:9092", "events")
