@@ -117,6 +117,7 @@ def minhash_signatures(
     shingle_size: int = 3,
     seed: int = _SEED,
     out_col: str = "minhash",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Append an array<bigint> MinHash signature of the text's word shingles.
 
@@ -140,6 +141,33 @@ def minhash_signatures(
        lambda (verified: xxhash64 appears once in the optimized plan).
     """
     from pyspark.sql import types as T
+
+    if hash_fn == "md5":
+        # Cross-engine-reproducible variant: sig[i] = min over shingles of
+        # md5(i || '|' || shingle) compared as lowercase-hex STRINGS (the
+        # lexicographic min of fixed-width hex IS the numeric min) — the
+        # textbook k-independent-hash MinHash, replayable verbatim in any
+        # engine with md5 (the DuckDB oracle does). Slower than the
+        # universal-hash form (k md5 calls per shingle vs 1 xxhash64), so
+        # it is the correctness-gate tier, not the scale default. Docs with
+        # no shingles (< shingle_size tokens) are dropped: they have no
+        # signature and can never pair.
+        staged = (
+            _with_tokens(df, text_col)
+            .withColumn("__mh_s", shingles_of_tokens(F.col("__toks"), shingle_size))
+            .drop("__toks")
+            .filter(F.size("__mh_s") > 0)
+        )
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("__mh_s"),
+                    lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
+                )
+            ),
+        )
+        return staged.withColumn(out_col, sig).drop("__mh_s")
 
     params = _hash_params(num_hashes, seed)
     params_df = df.sparkSession.createDataFrame(
@@ -194,6 +222,7 @@ def minhash_candidate_pairs(
     seed: int = _SEED,
     min_jaccard_est: float = 0.5,
     max_bucket_size: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (N2).
 
@@ -207,15 +236,21 @@ def minhash_candidate_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigged = minhash_signatures(
-        df.select(id_col, text_col), text_col, num_hashes, shingle_size, seed
+        df.select(id_col, text_col), text_col, num_hashes, shingle_size, seed,
+        hash_fn=hash_fn,
     ).select(id_col, "minhash")
 
-    band_arr = F.array(
-        *[
-            F.xxhash64(F.slice(F.col("minhash"), i * rows_per_band + 1, rows_per_band))
-            for i in range(bands)
-        ]
-    )
+    if hash_fn == "md5":
+        band_of = lambda i: F.md5(
+            F.concat_ws(
+                "|", F.slice(F.col("minhash"), i * rows_per_band + 1, rows_per_band)
+            )
+        )
+    else:
+        band_of = lambda i: F.xxhash64(
+            F.slice(F.col("minhash"), i * rows_per_band + 1, rows_per_band)
+        ).cast("string")
+    band_arr = F.array(*[band_of(i) for i in range(bands)])
     banded = sigged.select(
         id_col, "minhash", F.posexplode(band_arr).alias("band_idx", "band_hash")
     )

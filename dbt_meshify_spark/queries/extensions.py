@@ -145,6 +145,17 @@ def ext_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_minhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N2] MinHash+LSH with the md5 k-independent-hash variant — the
+    cross-engine-reproducible tier, so this one IS oracle-checked (DuckDB
+    replays signature, banding, bucket cap, and estimate verbatim), closing
+    the loop the xxhash64 scale tier can't. 32 hashes / 8 bands."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(
+        docs, num_hashes=32, bands=8, min_jaccard_est=0.5, hash_fn="md5"
+    ).orderBy(_asc("id_a"), _asc("id_b"))
+
+
 def ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N2] SimHash near-dup pairs within hamming<=3 (rows-only check)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1106,6 +1117,7 @@ QUERIES = {
     "ext_embedding_neardup_lsh": ext_embedding_neardup_lsh,
     "ext_embedding_neardup_gemm": ext_embedding_neardup_gemm,
     "ext_cosine_topk_gemm": ext_cosine_topk_gemm,
+    "ext_minhash_neardup_md5": ext_minhash_neardup_md5,
     "ext_semantic_dedup": ext_semantic_dedup,
     "ext_funnel_conversion": ext_funnel_conversion,
     "ext_cohort_retention": ext_cohort_retention,
@@ -1893,6 +1905,51 @@ ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
 }
 
 # block-GEMM twin computes the identical result set
+ORACLES["ext_minhash_neardup_md5"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS grams
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 32),
+           i -> list_min(list_transform(grams, s -> md5(i || '|' || s)))) AS mh
+  FROM sh WHERE len(grams) > 0
+),
+banded_all AS (
+  SELECT doc_id, mh, i AS band_idx,
+         md5(array_to_string(mh[i*4+1 : i*4+4], '|')) AS band_hash
+  FROM sig, range(0, 8) t(i)
+),
+banded AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
+                                 ORDER BY doc_id) AS bn
+    FROM banded_all
+  ) WHERE bn <= 1000
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.mh AS mh_a, b.mh AS mh_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT id_a, id_b,
+         list_sum(list_transform(range(1, 33),
+           i -> CASE WHEN mh_a[i] = mh_b[i] THEN 1 ELSE 0 END)) / 32.0 AS je
+  FROM pairs
+)
+SELECT id_a, id_b, ROUND(je, 4) AS jaccard_est
+FROM est WHERE je >= 0.5
+ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+"""
+
 ORACLES["ext_funnel_conversion"] = """
 WITH v AS (
   SELECT user_id, MIN(ts) AS t_view FROM events
