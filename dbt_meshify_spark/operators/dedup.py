@@ -368,6 +368,83 @@ def simhash_candidate_pairs(
     )
 
 
+def simhash_md5_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup with salted-md5 bit hashes — the cross-engine tier.
+
+    bit j of a doc = sign of sum over tokens of +-1 according to the high
+    bit of md5(j|'|'|token) (first hex char >= '8'); fully replayable in
+    any engine with md5, so this variant is oracle-checked end-to-end,
+    closing the loop the xxhash64 ``simhash`` scale tier cannot. Same
+    pigeonhole banding and hamming verify as ``simhash_candidate_pairs``,
+    over bit-STRING chunks. k md5 calls per token (vs one xxhash64) — the
+    correctness-gate tier, not the scale default.
+    """
+    assert bits % bands == 0
+    width = bits // bands
+    staged = _with_tokens(df.select(id_col, text_col), text_col)
+    bit_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda j: F.when(
+            F.aggregate(
+                F.col("__toks"),
+                F.lit(0),
+                lambda acc, t: acc
+                + F.when(
+                    F.substring(
+                        F.md5(F.concat(j.cast("string"), F.lit("|"), t)), 1, 1
+                    )
+                    >= "8",
+                    1,
+                ).otherwise(-1),
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    hashed = staged.withColumn("__bits", bit_arr).select(id_col, "__bits")
+    banded = hashed.select(
+        id_col,
+        "__bits",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "", F.slice(F.col("__bits"), i * width + 1, width)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("cidx", "cval"),
+    )
+    a = banded.select(
+        "cidx", "cval", F.col(id_col).alias("id_a"), F.col("__bits").alias("b_a")
+    )
+    b = banded.select(
+        F.col("cidx").alias("cidx_b"),
+        F.col("cval").alias("cval_b"),
+        F.col(id_col).alias("id_b"),
+        F.col("__bits").alias("b_b"),
+    )
+    hamming = F.size(
+        F.filter(F.zip_with("b_a", "b_b", lambda x, y: x != y), lambda v: v)
+    )
+    return (
+        a.join(b, (a.cidx == b.cidx_b) & (a.cval == b.cval_b) & (a.id_a < b.id_b))
+        .select("id_a", "id_b", "b_a", "b_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

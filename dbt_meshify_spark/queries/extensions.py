@@ -145,6 +145,16 @@ def ext_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_simhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N2] SimHash near-dup with salted-md5 bit hashes (32 bits, 4 bands,
+    hamming<=3) — cross-engine-reproducible, so oracle-checked end-to-end
+    (operators/dedup.py::simhash_md5_candidate_pairs)."""
+    from dbt_meshify_spark.operators.dedup import simhash_md5_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_md5_candidate_pairs(docs).orderBy(_asc("id_a"), _asc("id_b"))
+
+
 def ext_minhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N2] MinHash+LSH with the md5 k-independent-hash variant — the
     cross-engine-reproducible tier, so this one IS oracle-checked (DuckDB
@@ -1118,6 +1128,7 @@ QUERIES = {
     "ext_embedding_neardup_gemm": ext_embedding_neardup_gemm,
     "ext_cosine_topk_gemm": ext_cosine_topk_gemm,
     "ext_minhash_neardup_md5": ext_minhash_neardup_md5,
+    "ext_simhash_neardup_md5": ext_simhash_neardup_md5,
     "ext_semantic_dedup": ext_semantic_dedup,
     "ext_funnel_conversion": ext_funnel_conversion,
     "ext_cohort_retention": ext_cohort_retention,
@@ -1947,6 +1958,39 @@ est AS (
 )
 SELECT id_a, id_b, ROUND(je, 4) AS jaccard_est
 FROM est WHERE je >= 0.5
+ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+"""
+
+ORACLES["ext_simhash_neardup_md5"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+bits AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), j ->
+           CASE WHEN list_sum(list_transform(l, t ->
+                  CASE WHEN substr(md5(j || '|' || t), 1, 1) >= '8'
+                       THEN 1 ELSE -1 END)) > 0
+                THEN '1' ELSE '0' END) AS b
+  FROM toks
+),
+banded AS (
+  SELECT doc_id, b, i AS cidx,
+         array_to_string(b[i*8+1 : i*8+8], '') AS cval
+  FROM bits, range(0, 4) t(i)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, p.doc_id AS id_b, a.b AS b_a, p.b AS b_b
+  FROM banded a JOIN banded p
+    ON a.cidx = p.cidx AND a.cval = p.cval AND a.doc_id < p.doc_id
+),
+ham AS (
+  SELECT id_a, id_b,
+         CAST(list_sum(list_transform(range(1, 33),
+           i -> CASE WHEN b_a[i] <> b_b[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
+  FROM pairs
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
 ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
 """
 
