@@ -1916,6 +1916,108 @@ ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
 }
 
 # block-GEMM twin computes the identical result set
+
+def _planes_sql_literal(num_planes: int, dims: int, seed: int = 42) -> str:
+    """The SAME deterministic hyperplane matrix operators/similarity.py
+    ships as data (random.Random(seed).gauss), rendered as a DuckDB nested
+    list literal with round-trippable float repr — which is what lets the
+    hyperplane-LSH family be oracle-checked: the band keys are hashes of
+    sign slices, so bucketing is equality-of-slices on both engines, and
+    the sign folds use the identical FP summation order (Spark aggregate
+    left-fold == DuckDB list_reduce left-fold; 0.0+x is exact)."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dims)] for _ in range(num_planes)
+    ]
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
+        )
+        + "]"
+    )
+
+
+_LSH_SIG_CTES = """
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, e,
+         list_transform({planes}, p ->
+           CASE WHEN list_reduce(
+                  list_transform(range(1, {dims_plus}), i -> e[i] * p[i]),
+                  (a, b) -> a + b) >= 0
+                THEN 1 ELSE 0 END) AS s
+  FROM v
+),
+banded AS (
+  SELECT vec_id, e, i AS band_idx,
+         array_to_string(s[i*{width}+1 : i*{width}+{width}], ',') AS band_key
+  FROM sig, range(0, {bands}) t(i)
+)
+""".format(
+    planes=_planes_sql_literal(64, 64),
+    dims_plus=65,
+    width=4,
+    bands=16,
+)
+
+ORACLES["ext_embedding_neardup_lsh"] = (
+    "WITH "
+    + _LSH_SIG_CTES
+    + """,
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.vec_id < b.vec_id
+),
+sims AS (
+  SELECT id_a, id_b,
+         list_dot_product(ea, eb) /
+         (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)) + 1e-12) AS cs
+  FROM cand
+)
+SELECT id_a, id_b, ROUND(cs, 4) AS cos_sim
+FROM sims WHERE cs >= 0.4
+ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+"""
+)
+
+ORACLES["ext_ann_lsh_topk"] = (
+    "WITH "
+    + _LSH_SIG_CTES
+    + """,
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.e AS qe, c.e AS ce
+  FROM banded q JOIN banded c
+    ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+   AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 5
+),
+sims AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qe, ce) /
+         (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)) + 1e-12) AS cs
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id ASC) AS rk
+  FROM sims
+)
+SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= 3
+ORDER BY query_id NULLS FIRST, rank NULLS FIRST
+"""
+)
+
 ORACLES["ext_minhash_neardup_md5"] = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
