@@ -154,3 +154,46 @@ def test_bump_version_always_advances(versions):
     assert patch["latest_version"] == max(versions) + 1
     vs = [v["v"] for v in patch["versions"]]
     assert vs == sorted(versions) + [max(versions) + 1]
+
+
+# -- fuzzy join pigeonhole soundness ----------------------------------------
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=8, max_size=20), min_size=2,
+        max_size=8, unique=True,
+    ),
+    st.integers(min_value=0, max_value=3),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=15, deadline=None)
+def test_edit_distance_join_substitution_pigeonhole(base_strings, n_subs, rnd):
+    """For equal-length strings differing only by <= k substitutions, the
+    aligned-chunk pigeonhole is SOUND: at least one of the k+1 chunks is
+    untouched, so the join must find every such pair (cap not triggered at
+    this scale)."""
+    from dbt_meshify_spark.operators.fuzzy import edit_distance_join
+    from dbt_meshify_spark.session import get_spark
+
+    spark = get_spark(app_name="dbt-meshify-spark-tests")
+    k = 4
+    left = [(i, s) for i, s in enumerate(base_strings)]
+    right = []
+    for i, s in enumerate(base_strings):
+        chars = list(s)
+        for _ in range(n_subs):
+            pos = rnd.randrange(len(chars))
+            chars[pos] = rnd.choice("abcdef")
+        right.append((1000 + i, "".join(chars)))
+    got = {
+        (r.lid, r.rid)
+        for r in edit_distance_join(
+            spark.createDataFrame(left, ["lid", "lname"]),
+            spark.createDataFrame(right, ["rid", "rname"]),
+            "lid", "lname", "rid", "rname", k=k,
+        ).collect()
+    }
+    # every (i, 1000+i) pair is within n_subs <= 3 < k substitutions
+    for i, _ in enumerate(base_strings):
+        assert (i, 1000 + i) in got
