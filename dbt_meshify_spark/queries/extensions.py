@@ -162,7 +162,7 @@ def ext_minhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the loop the xxhash64 scale tier can't. 32 hashes / 8 bands."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_candidate_pairs(
-        docs, num_hashes=32, bands=8, min_jaccard_est=0.5, hash_fn="md5"
+        docs, num_hashes=16, bands=8, min_jaccard_est=0.5, hash_fn="md5"
     ).orderBy(_asc("id_a"), _asc("id_b"))
 
 
@@ -2030,13 +2030,13 @@ sh AS (
 ),
 sig AS (
   SELECT doc_id,
-         list_transform(range(0, 32),
+         list_transform(range(0, 16),
            i -> list_min(list_transform(grams, s -> md5(i || '|' || s)))) AS mh
   FROM sh WHERE len(grams) > 0
 ),
 banded_all AS (
   SELECT doc_id, mh, i AS band_idx,
-         md5(array_to_string(mh[i*4+1 : i*4+4], '|')) AS band_hash
+         md5(array_to_string(mh[i*2+1 : i*2+2], '|')) AS band_hash
   FROM sig, range(0, 8) t(i)
 ),
 banded AS (
@@ -2054,8 +2054,8 @@ pairs AS (
 ),
 est AS (
   SELECT id_a, id_b,
-         list_sum(list_transform(range(1, 33),
-           i -> CASE WHEN mh_a[i] = mh_b[i] THEN 1 ELSE 0 END)) / 32.0 AS je
+         list_sum(list_transform(range(1, 17),
+           i -> CASE WHEN mh_a[i] = mh_b[i] THEN 1 ELSE 0 END)) / 16.0 AS je
   FROM pairs
 )
 SELECT id_a, id_b, ROUND(je, 4) AS jaccard_est
