@@ -999,6 +999,29 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S-semi-structured] JSON property extraction over the events payload
+    column: parse ``props``, pull ``$.k``, aggregate per event type.
+
+    ``get_json_object`` is a JVM-side path expression (no UDF, codegen'd,
+    and the projection prunes to (event_type, props) at the scan) — the
+    standard semi-structured pattern: extract-then-aggregate, never
+    parse-per-consumer downstream."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy(_asc("event_type"))
+    )
+
+
 def ext_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[O-funnel] ordered 3-stage conversion funnel (view -> click ->
     purchase): a user advances a stage only with an event strictly after
@@ -1130,6 +1153,7 @@ QUERIES = {
     "ext_minhash_neardup_md5": ext_minhash_neardup_md5,
     "ext_simhash_neardup_md5": ext_simhash_neardup_md5,
     "ext_semantic_dedup": ext_semantic_dedup,
+    "ext_json_props": ext_json_props,
     "ext_funnel_conversion": ext_funnel_conversion,
     "ext_cohort_retention": ext_cohort_retention,
     "ext_embedding_quantize": ext_embedding_quantize,
@@ -2094,6 +2118,20 @@ ham AS (
 )
 SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
 ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+"""
+
+ORACLES["ext_json_props"] = """
+WITH parsed AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND props LIKE '{%'
+              THEN CAST(json_extract_string(props, '$.k') AS INT)
+              ELSE NULL END AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
+       ROUND(AVG(k), 4) AS avg_k, MAX(k) AS max_k
+FROM parsed GROUP BY event_type
+ORDER BY event_type NULLS FIRST
 """
 
 ORACLES["ext_funnel_conversion"] = """
