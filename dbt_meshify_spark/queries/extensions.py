@@ -272,8 +272,13 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory-reduction scale path for ANN serving (operators/similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = quantize_embeddings(emb)
+    # checked output serializes the int8 array: value comparators (incl.
+    # pandas-based canonicalizers) cannot sort/hash list cells — the q36
+    # lesson; the array-typed surface stays covered by unit tests
     return out.select(
-        "vec_id", F.round("scale", 6).alias("scale"), "q"
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.concat_ws(",", F.col("q").cast("array<string>")).alias("q"),
     ).orderBy(_asc("vec_id"))
 
 
@@ -348,7 +353,15 @@ def ext_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     document encoding to token-id arrays, OOV->0 (operators/text.py)."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = build_vocab(docs, min_count=2)
-    return encode_docs(docs, vocab).orderBy(_asc("doc_id"))
+    enc = encode_docs(docs, vocab)
+    # serialize the id array for the value comparator (q36 lesson)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(",", F.col("token_ids").cast("array<string>")).alias(
+            "token_ids"
+        ),
+    ).orderBy(_asc("doc_id"))
 
 
 def ext_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1598,7 +1611,7 @@ s AS (
   FROM v
 )
 SELECT vec_id, ROUND(scale, 6) AS scale,
-       list_transform(e, x -> CAST(floor(x / scale + 0.5) AS TINYINT)) AS q
+       array_to_string(list_transform(e, x -> CAST(floor(x / scale + 0.5) AS TINYINT)), ',') AS q
 FROM s ORDER BY vec_id NULLS FIRST
 """,
     "ext_token_stats": r"""
@@ -1685,7 +1698,7 @@ ids AS (
   FROM pos LEFT JOIN vocab v ON pos.l[p] = v.term
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       list(tid ORDER BY p) AS token_ids
+       array_to_string(list(tid ORDER BY p), ',') AS token_ids
 FROM ids GROUP BY doc_id
 ORDER BY doc_id NULLS FIRST
 """,
