@@ -28,3 +28,21 @@ def test_every_query_has_entry():
 def test_smoke_rows_only_queries(spark, name):
     df = QUERIES[name](spark, SF_ORACLE)
     assert df.count() >= 0
+
+
+def test_oracle_checked_outputs_are_scalar_only(spark):
+    # The driver's value comparator canonicalizes via pandas, which cannot
+    # sort/hash list cells (round-1 q36 failure). Every oracle-checked
+    # query must emit scalar columns only; array-typed surfaces belong in
+    # rows-only queries or unit tests.
+    from pyspark.sql import types as T
+
+    from tests.conftest import SF_SMOKE
+
+    bad = []
+    for name in ORACLE_KEYS:
+        schema = QUERIES[name](spark, SF_SMOKE).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"non-scalar columns in oracle-checked outputs: {bad}"
