@@ -246,8 +246,9 @@ def add_contract(ctx, select, exclude, selector, project_path) -> None:
 @click.option("--exclude", "-e", multiple=True)
 @click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
+@click.option("--defined-in", default=None)
 @click.pass_context
-def op_add_version(ctx, select, exclude, selector, project_path) -> None:
+def op_add_version(ctx, select, exclude, selector, project_path, defined_in) -> None:
     """First version (v=1) for unversioned models (reference
     main.py:318-368, versioner.py:79-134)."""
     if not select and not selector:
@@ -256,7 +257,10 @@ def op_add_version(ctx, select, exclude, selector, project_path) -> None:
     sets = []
     for r in _selected_models(project, select, exclude, selector):
         sets.append(
-            add_version(r, _patch_path(project, r), (project.root / r.path).parent)
+            add_version(
+                r, _patch_path(project, r), (project.root / r.path).parent,
+                defined_in=defined_in,
+            )
         )
     _process(ctx, *sets)
 
@@ -266,15 +270,31 @@ def op_add_version(ctx, select, exclude, selector, project_path) -> None:
 @click.option("--exclude", "-e", multiple=True)
 @click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
-@click.option("--prerelease", is_flag=True)
+@click.option("--latest", "-l", is_flag=True,
+              help="make the new version the latest version")
+@click.option("--increment", is_flag=True,
+              help="advance latest_version by 1")
+@click.option("--defined-in", default=None,
+              help="file name for the new version (reference versioner.py:182-186)")
 @click.pass_context
-def op_bump_version(ctx, select, exclude, selector, project_path, prerelease) -> None:
-    """Next version = max+1; --prerelease keeps latest_version pinned
-    (reference main.py:370-440, versioner.py:136-212)."""
+def op_bump_version(
+    ctx, select, exclude, selector, project_path, latest, increment, defined_in
+) -> None:
+    """Next version = max+1; latest_version per behavior — default
+    prerelease keeps it pinned, --increment advances by 1, --latest pins
+    to the new version (reference main.py:370-440, versioner.py:136-212)."""
     if not select and not selector:
         raise click.ClickException("one of --select/--selector is required")
     project = SparkProject.load(project_path)
-    behavior = BumpBehavior.Prerelease if prerelease else BumpBehavior.Increment
+    if latest and increment:
+        raise click.ClickException(
+            "Cannot specify both --latest and --increment."
+        )
+    behavior = (
+        BumpBehavior.Latest
+        if latest
+        else BumpBehavior.Increment if increment else BumpBehavior.Prerelease
+    )
     sets = []
     for r in _selected_models(project, select, exclude, selector):
         sets.append(
@@ -284,6 +304,7 @@ def op_bump_version(ctx, select, exclude, selector, project_path, prerelease) ->
                 (project.root / r.path).parent,
                 behavior=behavior,
                 existing_versions=r.meta.get("versions"),
+                defined_in=defined_in,
             )
         )
     _process(ctx, *sets)
@@ -377,16 +398,28 @@ def group(
 @click.option("--exclude", "-e", multiple=True)
 @click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
-@click.option("--prerelease", is_flag=True)
+@click.option("--latest", "-l", is_flag=True,
+              help="make the new version the latest version")
+@click.option("--increment", is_flag=True,
+              help="advance latest_version by 1")
+@click.option("--defined-in", default=None)
 @click.pass_context
-def version(ctx, select, exclude, selector, project_path, prerelease) -> None:
+def version(
+    ctx, select, exclude, selector, project_path, latest, increment, defined_in
+) -> None:
     """Add a version when unversioned, else bump (reference
     main.py:442-553: chains add + bump so the copy source is the moved _v1
     file)."""
     if not select and not selector:
         raise click.ClickException("one of --select/--selector is required")
+    if latest and increment:
+        raise click.ClickException("Cannot specify both --latest and --increment.")
     project = SparkProject.load(project_path)
-    behavior = BumpBehavior.Prerelease if prerelease else BumpBehavior.Increment
+    behavior = (
+        BumpBehavior.Latest
+        if latest
+        else BumpBehavior.Increment if increment else BumpBehavior.Prerelease
+    )
     sets = []
     for r in _selected_models(project, select, exclude, selector):
         model_dir = (project.root / r.path).parent
@@ -396,6 +429,7 @@ def version(ctx, select, exclude, selector, project_path, prerelease) -> None:
                 bump_version(
                     r, patch, model_dir,
                     behavior=behavior, existing_versions=r.meta.get("versions"),
+                    defined_in=defined_in,
                 )
             )
         else:
@@ -404,7 +438,7 @@ def version(ctx, select, exclude, selector, project_path, prerelease) -> None:
             r.version = 1
             sets.append(
                 bump_version(r, patch, model_dir, behavior=behavior,
-                             existing_versions=[1])
+                             existing_versions=[1], defined_in=defined_in)
             )
     _process(ctx, *sets)
 

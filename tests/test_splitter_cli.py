@@ -181,6 +181,8 @@ def test_cli_version_add_then_bump(proj_dir):
     assert entry["latest_version"] == 1
     assert entry["versions"] == [{"v": 1}]
 
+    # reference default is PRERELEASE: new version exists, latest stays
+    # (reference main.py:397-402, versioner.py:168-174)
     result = runner.invoke(
         cli,
         ["operation", "bump-version", "--select", "status_names",
@@ -190,7 +192,33 @@ def test_cli_version_add_then_bump(proj_dir):
     assert (proj_dir / "models/marts/status_names_v2.sql").exists()
     props = yaml.safe_load((proj_dir / "models/marts/__models.yml").read_text())
     entry = {m["name"]: m for m in props["models"]}["status_names"]
-    assert entry["latest_version"] == 2
+    assert entry["latest_version"] == 1
+    assert entry["versions"] == [{"v": 1}, {"v": 2}]
+
+    # --latest pins latest_version to the new version; --defined-in names
+    # the file and rides the version entry
+    result = runner.invoke(
+        cli,
+        ["operation", "bump-version", "--select", "status_names",
+         "--latest", "--defined-in", "status_names_next",
+         "--project-path", str(proj_dir)],
+    )
+    assert result.exit_code == 0, result.output
+    assert (proj_dir / "models/marts/status_names_next.sql").exists()
+    props = yaml.safe_load((proj_dir / "models/marts/__models.yml").read_text())
+    entry = {m["name"]: m for m in props["models"]}["status_names"]
+    assert entry["latest_version"] == 3
+    assert entry["versions"][-1] == {"v": 3, "defined_in": "status_names_next"}
+
+    # --latest and --increment are mutually exclusive (reference
+    # main.py:393-396)
+    result = runner.invoke(
+        cli,
+        ["operation", "bump-version", "--select", "status_names",
+         "--latest", "--increment", "--project-path", str(proj_dir)],
+    )
+    assert result.exit_code != 0
+    assert "Cannot specify both" in result.output
 
 
 def test_cli_create_group(proj_dir):
