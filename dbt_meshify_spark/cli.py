@@ -318,21 +318,28 @@ def op_bump_version(
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--owner-name", default=None)
 @click.option("--owner-email", default=None)
+@click.option("--owner-properties", default=None,
+              help="YAML/JSON dict of additional Owner properties (reference cli.py:93-97)")
 @click.option("--group-yml-path", default=None, type=click.Path())
 @click.pass_context
 def op_create_group(
     ctx, name, select, exclude, selector, project_path, owner_name, owner_email,
-    group_yml_path
+    owner_properties, group_yml_path
 ) -> None:
     """Group YAML + member access patches (reference main.py:556-629)."""
     if not select and not selector:
         raise click.ClickException("one of --select/--selector is required")
     project = SparkProject.load(project_path)
+    import yaml as _yaml
+
     owner = {
         k: v for k, v in (("name", owner_name), ("email", owner_email)) if v
     }
     if not owner:
         raise click.ClickException("an owner (--owner-name/--owner-email) is required")
+    if owner_properties:
+        # reference main.py:612: extra properties merge into the Owner dict
+        owner.update(_yaml.safe_load(owner_properties) or {})
     selected = _select(project, select, exclude, selector)
     path = Path(group_yml_path) if group_yml_path else project.root / "models/_groups.yml"
     changes = plan_create_group(
@@ -357,20 +364,29 @@ def op_create_group(
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--owner-name", default=None)
 @click.option("--owner-email", default=None)
+@click.option("--owner-properties", default=None,
+              help="YAML/JSON dict of additional Owner properties (reference cli.py:93-97)")
 @click.option("--group-yml-path", default=None, type=click.Path())
 @click.pass_context
 def group(
     ctx, name, select, exclude, selector, project_path, owner_name, owner_email,
-    group_yml_path
+    owner_properties, group_yml_path
 ) -> None:
     """create-group + contracts on every protected boundary member
     (reference main.py:632-687)."""
     if not select and not selector:
         raise click.ClickException("one of --select/--selector is required")
     project = SparkProject.load(project_path)
-    owner = {k: v for k, v in (("name", owner_name), ("email", owner_email)) if v}
+    import yaml as _yaml
+
+    owner = {
+        k: v for k, v in (("name", owner_name), ("email", owner_email)) if v
+    }
     if not owner:
         raise click.ClickException("an owner (--owner-name/--owner-email) is required")
+    if owner_properties:
+        # reference main.py:612: extra properties merge into the Owner dict
+        owner.update(_yaml.safe_load(owner_properties) or {})
     selected = _select(project, select, exclude, selector)
     schemas = _lazy_schemas(project)
     path = Path(group_yml_path) if group_yml_path else project.root / "models/_groups.yml"

@@ -484,3 +484,20 @@ def test_ls_selector_and_select_required(proj_with_selectors):
     )
     assert result.exit_code != 0
     assert "--select/--selector" in result.output
+
+
+def test_create_group_owner_properties(proj_dir):
+    # reference main.py:612: --owner-properties YAML merges into the Owner
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        ["operation", "create-group", "finance", "--select", "status_names",
+         "--owner-name", "Data Team",
+         "--owner-properties", '{"slack": "#data-team"}',
+         "--project-path", str(proj_dir)],
+    )
+    assert result.exit_code == 0, result.output
+    groups = yaml.safe_load((proj_dir / "models/_groups.yml").read_text())
+    g = {x["name"]: x for x in groups["groups"]}["finance"]
+    assert g["owner"]["name"] == "Data Team"
+    assert g["owner"]["slack"] == "#data-team"
