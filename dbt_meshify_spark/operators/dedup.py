@@ -152,14 +152,23 @@ def minhash_signatures(
         # it is the correctness-gate tier, not the scale default. Docs with
         # no shingles (< shingle_size tokens) are dropped: they have no
         # signature and can never pair.
+        # Salts travel as DATA through a broadcast crossJoin — the same
+        # barrier the xxhash path uses for its (a,b) params: without it
+        # CollapseProject inlines the staged shingle array into the outer
+        # lambda and the whole shingle pipeline re-evaluates once per
+        # signature slot (k x; measured 11 s vs ~4 s at sf0.1).
+        salts_df = df.sparkSession.createDataFrame(
+            [(list(range(num_hashes)),)], "__salts array<int>"
+        )
         staged = (
             _with_tokens(df, text_col)
             .withColumn("__mh_s", shingles_of_tokens(F.col("__toks"), shingle_size))
             .drop("__toks")
             .filter(F.size("__mh_s") > 0)
+            .crossJoin(F.broadcast(salts_df))
         )
         sig = F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            F.col("__salts"),
             lambda i: F.array_min(
                 F.transform(
                     F.col("__mh_s"),
@@ -167,7 +176,7 @@ def minhash_signatures(
                 )
             ),
         )
-        return staged.withColumn(out_col, sig).drop("__mh_s")
+        return staged.withColumn(out_col, sig).drop("__mh_s", "__salts")
 
     params = _hash_params(num_hashes, seed)
     params_df = df.sparkSession.createDataFrame(
@@ -212,6 +221,43 @@ def minhash_signatures(
     return staged.withColumn(out_col, sig).drop("__mh_h", "__params")
 
 
+def _minhash_md5_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_size: int,
+) -> DataFrame:
+    """(id, minhash array<string>) via explode + k min-aggregates.
+
+    Spark's higher-order functions evaluate INTERPRETED (no whole-stage
+    codegen inside lambdas), so the nested transform/array_min form of the
+    salted-md5 signature runs ~5x slower than its work content. Exploding
+    shingles to rows and taking ``num_hashes`` codegen'd MIN aggregates
+    computes the identical signature in one fully-codegen pass + one
+    map-side-combined shuffle on id (measured 9.4 s -> ~1.5 s at sf0.1).
+    Docs with no shingles drop out in the explode — same semantics as the
+    HOF form's size filter.
+    """
+    exploded = (
+        _with_tokens(df.select(id_col, text_col), text_col)
+        .select(
+            F.col(id_col),
+            F.explode(
+                shingles_of_tokens(F.col("__toks"), shingle_size)
+            ).alias("__s"),
+        )
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__s")))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*mins).select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("minhash"),
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -235,10 +281,25 @@ def minhash_candidate_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigged = minhash_signatures(
-        df.select(id_col, text_col), text_col, num_hashes, shingle_size, seed,
-        hash_fn=hash_fn,
-    ).select(id_col, "minhash")
+    # Materialize the signature table once: the banding pass AND both
+    # post-dedup signature joins read it, and recomputing the signature
+    # lineage (k hashes per shingle — expensive in the md5 tier) three
+    # times would swamp the shuffle savings of ids-only banding. The
+    # signature table is (id, k slots) — orders of magnitude narrower than
+    # the corpus text it derives from.
+    if hash_fn == "md5":
+        sigged = _minhash_md5_signatures(
+            df, id_col, text_col, num_hashes, shingle_size
+        ).localCheckpoint(eager=False)
+    else:
+        sigged = (
+            minhash_signatures(
+                df.select(id_col, text_col), text_col, num_hashes,
+                shingle_size, seed, hash_fn=hash_fn,
+            )
+            .select(id_col, "minhash")
+            .localCheckpoint(eager=False)
+        )
 
     if hash_fn == "md5":
         band_of = lambda i: F.md5(
@@ -251,8 +312,13 @@ def minhash_candidate_pairs(
             F.slice(F.col("minhash"), i * rows_per_band + 1, rows_per_band)
         ).cast("string")
     band_arr = F.array(*[band_of(i) for i in range(bands)])
+    # ids + band keys ONLY through the banding shuffle: a 128-slot signature
+    # is ~1 KB/row and the explode multiplies it by ``bands`` — at corpus
+    # scale that payload dominates the shuffle. Signatures re-join on id
+    # AFTER pair dedup, when each survives exactly once per side (same
+    # discipline as the embedding-LSH path, _lsh_scored_pairs).
     banded = sigged.select(
-        id_col, "minhash", F.posexplode(band_arr).alias("band_idx", "band_hash")
+        id_col, F.posexplode(band_arr).alias("band_idx", "band_hash")
     )
     # Cap pathological buckets before the self-join (see module docstring).
     bucket_w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
@@ -261,27 +327,30 @@ def minhash_candidate_pairs(
     )
 
     a = banded.select(
-        F.col("band_idx"),
-        F.col("band_hash"),
-        F.col(id_col).alias("id_a"),
-        F.col("minhash").alias("sig_a"),
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )
     b = banded.select(
         F.col("band_idx").alias("band_idx_b"),
         F.col("band_hash").alias("band_hash_b"),
         F.col(id_col).alias("id_b"),
-        F.col("minhash").alias("sig_b"),
     )
-    pairs = (
+    cand = (
         a.join(
             b,
             (a.band_idx == b.band_idx_b)
             & (a.band_hash == b.band_hash_b)
             & (a.id_a < b.id_b),
         )
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sigged.select(
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a")
+    )
+    sig_b = sigged.select(
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b")
+    )
+    pairs = cand.join(sig_a, "id_a").join(sig_b, "id_b")
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
@@ -375,6 +444,7 @@ def simhash_md5_candidate_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup with salted-md5 bit hashes — the cross-engine tier.
 
@@ -388,57 +458,92 @@ def simhash_md5_candidate_pairs(
     """
     assert bits % bands == 0
     width = bits // bands
-    staged = _with_tokens(df.select(id_col, text_col), text_col)
-    bit_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda j: F.when(
-            F.aggregate(
-                F.col("__toks"),
-                F.lit(0),
-                lambda acc, t: acc
-                + F.when(
-                    F.substring(
-                        F.md5(F.concat(j.cast("string"), F.lit("|"), t)), 1, 1
-                    )
-                    >= "8",
-                    1,
-                ).otherwise(-1),
-            )
-            > 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0")),
+    # Explode tokens and take ``bits`` codegen'd SUM aggregates: Spark HOF
+    # lambdas evaluate interpreted, so the nested aggregate-per-bit form
+    # pays ~5x its work content (same lesson as the md5 MinHash tier).
+    # One fully-codegen vote pass + one map-side-combined shuffle on id.
+    exploded = _with_tokens(df.select(id_col, text_col), text_col).select(
+        F.col(id_col), F.explode("__toks").alias("__t")
     )
-    hashed = staged.withColumn("__bits", bit_arr).select(id_col, "__bits")
-    banded = hashed.select(
+    votes = [
+        F.sum(
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}|"), F.col("__t"))), 1, 1
+                )
+                >= "8",
+                1,
+            ).otherwise(-1)
+        ).alias(f"__v{j}")
+        for j in range(bits)
+    ]
+    hashed = (
+        exploded.groupBy(id_col)
+        .agg(*votes)
+        .select(
+            F.col(id_col),
+            F.array(
+                *[
+                    F.when(F.col(f"__v{j}") > 0, F.lit("1")).otherwise(
+                        F.lit("0")
+                    )
+                    for j in range(bits)
+                ]
+            ).alias("__bits"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # Fingerprint as a 32-char bit STRING from here on: array<string> bit
+    # vectors cost ~3 KB/row (object headers) through a multi-million-row
+    # candidate join, the string ~40 B. Banding rows carry (id, chunk)
+    # only; fingerprints re-join after pair dedup, and hamming is a
+    # codegen'd sum of fixed positional comparisons — no interpreted
+    # lambdas anywhere in the pair path.
+    fp = hashed.select(
+        F.col(id_col), F.concat_ws("", "__bits").alias("__fp")
+    ).localCheckpoint(eager=False)
+    banded = fp.select(
         id_col,
-        "__bits",
         F.posexplode(
             F.array(
                 *[
-                    F.concat_ws(
-                        "", F.slice(F.col("__bits"), i * width + 1, width)
-                    )
+                    F.substring(F.col("__fp"), i * width + 1, width)
                     for i in range(bands)
                 ]
             )
         ).alias("cidx", "cval"),
     )
-    a = banded.select(
-        "cidx", "cval", F.col(id_col).alias("id_a"), F.col("__bits").alias("b_a")
+    # Cap hot buckets deterministically (mirrored in the oracle SQL): a
+    # low-bit fingerprint over a homogeneous corpus collapses many docs
+    # onto few chunk values — measured 252k candidate pairs at sf0.1
+    # without the cap.
+    bucket_w = Window.partitionBy("cidx", "cval").orderBy(id_col)
+    banded = banded.withColumn("__bn", F.row_number().over(bucket_w)).filter(
+        F.col("__bn") <= max_bucket_size
     )
+    a = banded.select("cidx", "cval", F.col(id_col).alias("id_a"))
     b = banded.select(
         F.col("cidx").alias("cidx_b"),
         F.col("cval").alias("cval_b"),
         F.col(id_col).alias("id_b"),
-        F.col("__bits").alias("b_b"),
     )
-    hamming = F.size(
-        F.filter(F.zip_with("b_a", "b_b", lambda x, y: x != y), lambda v: v)
+    cand = (
+        a.join(b, (a.cidx == b.cidx_b) & (a.cval == b.cval_b) & (a.id_a < b.id_b))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    fp_a = fp.select(F.col(id_col).alias("id_a"), F.col("__fp").alias("fp_a"))
+    fp_b = fp.select(F.col(id_col).alias("id_b"), F.col("__fp").alias("fp_b"))
+    hamming = sum(
+        F.when(
+            F.substring("fp_a", i + 1, 1) != F.substring("fp_b", i + 1, 1), 1
+        ).otherwise(0)
+        for i in range(bits)
     )
     return (
-        a.join(b, (a.cidx == b.cidx_b) & (a.cval == b.cval_b) & (a.id_a < b.id_b))
-        .select("id_a", "id_b", "b_a", "b_b")
-        .dropDuplicates(["id_a", "id_b"])
+        cand.join(fp_a, "id_a")
+        .join(fp_b, "id_b")
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -2113,10 +2113,17 @@ bits AS (
                 THEN '1' ELSE '0' END) AS b
   FROM toks
 ),
-banded AS (
+banded_all AS (
   SELECT doc_id, b, i AS cidx,
          array_to_string(b[i*8+1 : i*8+8], '') AS cval
   FROM bits, range(0, 4) t(i)
+),
+banded AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cidx, cval
+                                 ORDER BY doc_id) AS bn
+    FROM banded_all
+  ) WHERE bn <= 1000
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, p.doc_id AS id_b, a.b AS b_a, p.b AS b_b
