@@ -1,0 +1,119 @@
+"""Nasty-input robustness: the driver corpus is clean ASCII word soup, but
+a real 100 TB crawl has nulls, empty strings, unicode/emoji, whitespace
+pathologies, and giant documents. Every text-family operator must survive
+them without crashing and with sane outputs (no silent row loss beyond the
+documented drops)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+NASTY = [
+    (1, "plain ascii text with words"),
+    (2, ""),
+    (3, None),
+    (4, "   \t\n  "),
+    (5, "ünïcødé tëxt ανάλυση 数据处理 данные"),
+    (6, "emoji 🎉🚀 mixed with text 🙂 and more"),
+    (7, "a" * 5000),
+    (8, ("token " * 3000).strip()),
+    (9, "email me at a@b.co or call 555-123-4567 ssn 123-45-6789"),
+    (10, "repeated repeated repeated repeated repeated repeated"),
+    (11, "\x00control\x01chars\x02embedded"),
+    (12, "ünïcødé tëxt ανάλυση 数据处理 данные"),  # dup of 5 for dedup paths
+]
+
+
+@pytest.fixture(scope="module")
+def nasty(spark):
+    return spark.createDataFrame(NASTY, "doc_id long, text string")
+
+
+def test_text_pipeline_survives_nasty_input(spark, nasty):
+    from dbt_meshify_spark.operators.text import (
+        language_id,
+        normalize_text,
+        quality_score,
+        token_stats,
+    )
+
+    out = quality_score(language_id(normalize_text(nasty, "text"), "text"))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == len(NASTY)  # projections never drop rows
+    for r in rows.values():
+        assert r.quality is None or 0.0 <= r.quality <= 1.0
+    stats = {r.doc_id: r for r in token_stats(nasty).collect()}
+    assert stats[7].n_tokens == 1  # one giant token
+    assert stats[8].n_tokens == 3000
+
+
+def test_dedup_tiers_survive_nasty_input(spark, nasty):
+    from dbt_meshify_spark.operators.dedup import (
+        exact_dedup,
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+        simhash_md5_candidate_pairs,
+    )
+
+    clean = nasty.filter(F.col("text").isNotNull())
+    assert exact_dedup(clean, ["text"], order_by=["doc_id"]).count() == len(NASTY) - 2
+
+    # unicode dup pair must surface in every near-dup tier that can see it
+    mh = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(
+            clean, num_hashes=16, bands=8, min_jaccard_est=0.5
+        ).collect()
+    }
+    assert (5, 12) in mh
+    mh_md5 = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(
+            clean, num_hashes=16, bands=8, min_jaccard_est=0.5, hash_fn="md5"
+        ).collect()
+    }
+    assert (5, 12) in mh_md5
+    sh = {
+        (r.id_a, r.id_b)
+        for r in simhash_md5_candidate_pairs(clean).collect()
+    }
+    assert (5, 12) in sh
+    nj = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(clean, min_jaccard=0.5).collect()
+    }
+    assert (5, 12) in nj
+
+
+def test_chunking_and_pii_on_nasty_input(spark, nasty):
+    from dbt_meshify_spark.operators.text import chunk_documents, redact_pii
+
+    clean = nasty.filter(F.col("text").isNotNull())
+    chunks = chunk_documents(clean, chunk_tokens=64, stride=48)
+    # the 3000-token doc chunks; total chunks cover every doc with tokens
+    per_doc = {
+        r.doc_id: r.n
+        for r in chunks.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_doc.get(8, 0) >= 3000 // 64  # stride 48 over 3000 tokens
+    red = {r.doc_id: r.text_redacted for r in redact_pii(clean, ["text"]).collect()}
+    assert "a@b.co" not in red[9]
+    assert "123-45-6789" not in red[9]
+
+
+def test_fuzzy_join_unicode_names(spark):
+    from dbt_meshify_spark.operators.fuzzy import edit_distance_join
+
+    left = spark.createDataFrame(
+        [(1, "münchen straße"), (2, "東京スカイツリー"), (3, "plain name")],
+        ["lid", "lname"],
+    )
+    right = spark.createDataFrame(
+        [(10, "munchen strase"), (11, "東京スカイツリーX"), (12, "wholly other")],
+        ["rid", "rname"],
+    )
+    got = {(r.lid, r.rid) for r in edit_distance_join(
+        left, right, "lid", "lname", "rid", "rname", k=4
+    ).collect()}
+    assert (2, 11) in got  # one-char unicode append
