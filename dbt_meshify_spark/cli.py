@@ -217,27 +217,34 @@ def operation() -> None:
 
 
 @operation.command(name="add-contract")
+@click.option("--read-catalog", "-r", is_flag=True,
+              help="trust target/catalog.json instead of live schema analysis")
 @click.option("--select", "-s", multiple=True)
 @click.option("--exclude", "-e", multiple=True)
 @click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.pass_context
-def add_contract(ctx, select, exclude, selector, project_path) -> None:
-    """Generate enforced column contracts from live Spark schemas
+def add_contract(ctx, select, exclude, selector, project_path, read_catalog) -> None:
+    """Generate enforced column contracts from live Spark schemas, or from
+    target/catalog.json under --read-catalog — no Spark session at all
     (reference main.py:268-316, contractor.py:14-47)."""
+    from dbt_meshify_spark.plans.contracts import generate_contract_from_columns
+
     if not select and not selector:
         raise click.ClickException("one of --select/--selector is required")
     project = SparkProject.load(project_path)
     models = _selected_models(project, select, exclude, selector)
     if not models:
         raise click.ClickException("selection matched no models")
-    schemas = _lazy_schemas(project)
+    columns_by_model = _catalog_columns(project, read_catalog)
     changes = ChangeSet()
     for r in models:
-        df = schemas.get(r.name)
-        if df is None:
+        cols = columns_by_model.get(r.name)
+        if cols is None:
             raise click.ClickException(f"could not derive schema for {r.name}")
-        changes.add(generate_contract(r.name, df, _patch_path(project, r)))
+        changes.add(
+            generate_contract_from_columns(r.name, cols, _patch_path(project, r))
+        )
     _process(ctx, changes)
 
 

@@ -51,6 +51,17 @@ def generate_contract(
     model_name: str, df: DataFrame, patch_path: Path
 ) -> Change:
     """V1: emit the contract patch for a model backed by ``df``."""
+    return generate_contract_from_columns(
+        model_name, contract_columns(df), patch_path
+    )
+
+
+def generate_contract_from_columns(
+    model_name: str, columns: list[dict], patch_path: Path
+) -> Change:
+    """V1 via pre-derived column dicts — the ``--read-catalog`` path, where
+    target/catalog.json supplies schemas and no Spark session is needed
+    (reference main.py:268-316 + dbt_projects.py:279-290)."""
     return Change(
         operation=Operation.Update,
         entity_type=EntityType.Model,
@@ -58,7 +69,7 @@ def generate_contract(
         path=patch_path,
         data={
             "config": {"contract": {"enforced": True}},
-            "columns": contract_columns(df),
+            "columns": columns,
         },
     )
 

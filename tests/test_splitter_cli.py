@@ -501,3 +501,27 @@ def test_create_group_owner_properties(proj_dir):
     g = {x["name"]: x for x in groups["groups"]}["finance"]
     assert g["owner"]["name"] == "Data Team"
     assert g["owner"]["slack"] == "#data-team"
+
+
+def test_add_contract_read_catalog_no_spark(proj_dir):
+    # write a catalog artifact by hand, then add-contract must trust it
+    # (reference main.py:268-316 + --read-catalog) without a Spark session
+    import json
+
+    target = proj_dir / "target"
+    target.mkdir(exist_ok=True)
+    (target / "catalog.json").write_text(json.dumps({
+        "nodes": {"status_names": {"columns": {"status": "string",
+                                               "status_name": "string"}}}
+    }))
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        ["operation", "add-contract", "--select", "status_names",
+         "--read-catalog", "--project-path", str(proj_dir)],
+    )
+    assert result.exit_code == 0, result.output
+    props = yaml.safe_load((proj_dir / "models/marts/__models.yml").read_text())
+    entry = {m["name"]: m for m in props["models"]}["status_names"]
+    assert entry["config"]["contract"]["enforced"] is True
+    assert {c["name"] for c in entry["columns"]} == {"status", "status_name"}
