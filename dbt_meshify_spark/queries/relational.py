@@ -876,6 +876,35 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W3-time] event-time RANGE frame + IGNORE NULLS navigation: per
+    event, the user's rolling 1-hour event count (RANGE BETWEEN INTERVAL —
+    peers-inclusive, so tie-order-insensitive) and the value of their most
+    recent purchase so far (last_value IGNORE NULLS over a ROWS frame with
+    a TOTAL order ts, event_id — a range frame's intra-tie row order is
+    engine-dependent, a rows frame over a total order is not)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.expr(
+                "count(*) OVER (PARTITION BY user_id ORDER BY ts "
+                "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+            ).alias("n_last_hour"),
+            F.round(
+                F.expr(
+                    "last_value(CASE WHEN event_type = 'purchase' THEN value END) "
+                    "IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id "
+                    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                ),
+                2,
+            ).alias("last_purchase_value"),
+        )
+        .orderBy(_asc("event_id"))
+    )
+
+
 QUERIES = {
     "q01_projection_cast": q01,
     "q02_case_boolean": q02,
@@ -916,12 +945,26 @@ QUERIES = {
     "q36_nested_agg": q36,
     "q37_hof_vector_norm": q37,
     "q38_fuzzy_match": q38,
+    "q39_time_range_frame": q39,
     "q_g4_boundary_access": q_g4,
     "q_l1_dependency_detection": q_l1,
 }
 
 
 ORACLES = {
+    "q39_time_range_frame": """
+WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+SELECT event_id, user_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS n_last_hour,
+       ROUND(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS last_purchase_value
+FROM e
+ORDER BY event_id NULLS FIRST
+""",
     "q38_fuzzy_match": """
 WITH lk AS (
   SELECT s_suppkey, s_name, i,
