@@ -35,14 +35,25 @@ def pagerank(
     which AQE splits; rank state is checkpointed per round so failure
     recovery never replays the whole chain.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # e/nodes/n1 are all reused EVERY round: without pinning them, each
+    # iteration re-runs the upstream edge-derivation job three times over
+    # (once via weighted, once via nodes, once via n1) — measured as the
+    # bulk of ext_pagerank's wall time. localCheckpoint materializes once.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
-    n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n")).localCheckpoint(
+        eager=False
+    )
 
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
         "id", (F.lit(1.0) / F.col("n")).alias("rank")

@@ -8,11 +8,13 @@
 - ``embedding_neardup_pairs``: all-pairs cosine >= threshold via the same
   bucketing.
 
-Per-pair vector arithmetic is pure Spark SQL (``zip_with`` + ``aggregate``
-on array<double>), so it runs inside codegen — no Python per row. The one
-exception is dense vector-vs-centroid-MATRIX products (IVF assignment):
-fresh literal matrices recompile codegen every Lloyd round, so those go
-through Arrow-batched pandas_udfs with a closed-over numpy matrix instead.
+Dense vector arithmetic (signature projection, pair scoring, IVF
+assignment) runs through Arrow-batched pandas_udfs with closed-over numpy
+matrices: Spark's array HOFs (``zip_with``/``aggregate``) evaluate
+INTERPRETED — fine for the O(n) normalization projections kept here, ~10x
+too slow on anything O(pairs) or O(n x planes) — and literal matrices in
+the expression tree make whole-stage codegen compile time dominate
+(measured; see ``_signs_udf``/``_assign_udf``).
 """
 
 from __future__ import annotations
@@ -161,47 +163,64 @@ def _cos_pairs_udf():
     return cos
 
 
-def _planes_df(spark, num_planes: int, dims: int, seed: int) -> DataFrame:
-    """One-row DataFrame carrying the deterministic hyperplane matrix as a
-    ``__planes array<array<double>>`` column.
-
-    The matrix travels as DATA (broadcast crossJoin), not as literals inside
-    the expression tree: a 16x64 literal matrix inflates whole-stage codegen
-    enough that compile time dominated the job — measured 22.4s vs 11.0s
-    cold for the full near-dup pipeline at sf0.1 (the earlier fully-unrolled
-    per-plane form was worse still, ~8k literals). Arithmetic is identical;
-    only the plan representation shrinks.
-    """
+def _plane_matrix(num_planes: int, dims: int, seed: int) -> list[list[float]]:
+    """The deterministic hyperplane matrix shared by the Spark signature UDF
+    and the DuckDB oracle literal (queries/extensions.py renders the SAME
+    ``random.Random(seed).gauss`` draw)."""
     import random
 
     rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dims)] for _ in range(num_planes)]
-    from pyspark.sql import types as T
-
-    return spark.createDataFrame(
-        [(planes,)],
-        T.StructType(
-            [T.StructField("__planes", T.ArrayType(T.ArrayType(T.DoubleType())))]
-        ),
-    )
+    return [[rng.gauss(0.0, 1.0) for _ in range(dims)] for _ in range(num_planes)]
 
 
-def _hyperplane_signs(vec: Column, planes: Column) -> Column:
-    """Sign bits of <vec, r_p> over a staged plane-matrix column (see
-    ``_planes_df``). Callers must stage the result via ``withColumn`` before
-    slicing band keys out of it, or the tree re-inflates per band."""
-    return F.transform(
-        planes,
-        lambda p: F.when(
-            F.aggregate(
-                F.zip_with(vec, p, lambda x, r: x * r),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
+def _signs_udf(planes: list[list[float]]):
+    """Sign bits of <vec, r_p> for every plane, as an Arrow-batched UDF.
+
+    Three plan shapes were measured for this projection at sf0.1 (2k rows x
+    64 planes x 64 dims):
+    - literal-matrix codegen: compile time dominated (22.4s cold);
+    - plane matrix as broadcast DATA + nested ``transform``/``aggregate``
+      HOFs: no compile blowup, but HOF lambdas evaluate INTERPRETED —
+      ~8k tree-walked expr evals per row made the signature step ~8-10s of
+      every LSH query;
+    - this form: numpy with the plane matrix in the task closure, ~0.1s.
+
+    FP parity with the DuckDB oracle is preserved by construction: the
+    accumulation loops over dims SEQUENTIALLY (acc = acc + v[d]*p[d], each
+    elementwise IEEE mult-then-add), the exact left-fold order of DuckDB's
+    ``list_reduce`` replay — no einsum/pairwise-summation reordering on the
+    sign-determining sum. Rows whose length differs from the plane dims get
+    an all-zero signature (the zip_with null-padding semantics of the HOF
+    form); NaN sums take sign 1 (Spark's NaN-is-largest comparison).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # (num_planes, dims)
+    n_planes, dims = P.shape
+
+    @pandas_udf("array<int>")
+    def signs(vs: pd.Series) -> pd.Series:
+        arr = vs.to_numpy()
+        res: list = [None] * len(arr)
+        by_len: dict[int, list[int]] = {}
+        for i, v in enumerate(arr):
+            key = -1 if v is None else len(v)
+            by_len.setdefault(key, []).append(i)
+        for length, idxs in by_len.items():
+            if length != dims:
+                for i in idxs:
+                    res[i] = [0] * n_planes
+                continue
+            M = np.stack([np.asarray(arr[i], dtype=np.float64) for i in idxs])
+            acc = np.zeros((len(idxs), n_planes))
+            for d in range(dims):
+                acc = acc + M[:, d : d + 1] * P[None, :, d]
+            sg = np.where(np.isnan(acc), 1, (acc >= 0)).astype(np.int32)
+            for j, i in enumerate(idxs):
+                res[i] = sg[j].tolist()
+        return pd.Series(res)
+
+    return signs
 
 
 def lsh_bucketed_topk(
@@ -253,24 +272,18 @@ def _lsh_scored_pairs(
     job at sf0.1 for a rank nobody read)."""
     assert num_planes % bands == 0
     width = num_planes // bands
-    planes = _planes_df(queries.sparkSession, num_planes, dims, seed)
+    sig_udf = _signs_udf(_plane_matrix(num_planes, dims, seed))
 
     def banded(df: DataFrame, prefix: str) -> DataFrame:
         # ids + band keys ONLY: the banding shuffle and candidate dedup must
         # not carry vector payloads (at 64 dims that's ~0.5 KB/row through
         # two shuffles — measured 3x the whole job's cost); vectors re-join
         # after dedup instead.
-        base = (
-            spread(df)
-            .select(
-                F.col(id_col).alias(f"{prefix}_id"),
-                _as_double(F.col(vec_col)).alias("__vec"),
-            )
-            .crossJoin(F.broadcast(planes))
+        base = spread(df).select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            _as_double(F.col(vec_col)).alias("__vec"),
         )
-        staged = base.withColumn(
-            "__sig", _hyperplane_signs(F.col("__vec"), F.col("__planes"))
-        )
+        staged = base.withColumn("__sig", sig_udf(F.col("__vec")))
         band_keys = F.array(
             *[
                 F.xxhash64(F.slice(F.col("__sig"), i * width + 1, width).cast("string"))
@@ -320,18 +333,22 @@ def embedding_neardup_exact(
     # spread BOTH sides: the nested-loop join broadcasts one (its pick is
     # stats-driven and unstable) and the O(n^2) per-pair cosine runs on the
     # streamed side's partitioning — whichever side streams must be parallel
-    # (measured 50s single-partition vs 5s spread at sf0.1). Unit vectors
-    # before the join (see _unit): per-pair cost is the dot alone.
+    # (measured 50s single-partition vs 5s spread at sf0.1). Scoring runs
+    # through the Arrow einsum pair UDF, not a per-pair HOF fold: the fold
+    # evaluates interpreted (~0.5 us/expr-node) and was 17s warm at sf0.1's
+    # 2M pairs vs ~3s batched; the 4dp-rounded output is kernel-order-
+    # insensitive on this data (the oracle already compares DuckDB's
+    # list_dot_product against it).
     spread_df = spread(df)
     a = spread_df.select(
-        F.col(id_col).alias("id_a"), _unit(F.col(vec_col)).alias("va")
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
     )
     b = spread_df.select(
-        F.col(id_col).alias("id_b"), _unit(F.col(vec_col)).alias("vb")
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", _dot(F.col("va"), F.col("vb")))
+        .withColumn("cos_sim", _cos_pairs_udf()(F.col("va"), F.col("vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
     )
