@@ -446,34 +446,36 @@ def simhash_md5_candidate_pairs(
     bands: int = 4,
     max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """SimHash near-dup with salted-md5 bit hashes — the cross-engine tier.
+    """SimHash near-dup with md5-digest bit hashes — the cross-engine tier.
 
     bit j of a doc = sign of sum over tokens of +-1 according to the high
-    bit of md5(j|'|'|token) (first hex char >= '8'); fully replayable in
+    bit of hex nibble j of md5(token) (classic SimHash: hash each token
+    ONCE, every digest bit is an independent vote); fully replayable in
     any engine with md5, so this variant is oracle-checked end-to-end,
     closing the loop the xxhash64 ``simhash`` scale tier cannot. Same
     pigeonhole banding and hamming verify as ``simhash_candidate_pairs``,
-    over bit-STRING chunks. k md5 calls per token (vs one xxhash64) — the
-    correctness-gate tier, not the scale default.
+    over bit-STRING chunks. Requires ``bits <= 32`` (one hex nibble per
+    bit from the 128-bit digest). An earlier form salted k md5 calls per
+    token (md5(j|token)); at 1M token rows x 32 bits that was ~30M md5
+    evaluations and ~10s of the sf0.1 bench — the digest-nibble form is
+    one md5 + 32 codegen'd substrings per token, ~5x faster end-to-end.
     """
     assert bits % bands == 0
+    assert bits <= 32, "one hex nibble per bit; md5 has 32 nibbles"
     width = bits // bands
-    # Explode tokens and take ``bits`` codegen'd SUM aggregates: Spark HOF
-    # lambdas evaluate interpreted, so the nested aggregate-per-bit form
-    # pays ~5x its work content (same lesson as the md5 MinHash tier).
-    # One fully-codegen vote pass + one map-side-combined shuffle on id.
-    exploded = _with_tokens(df.select(id_col, text_col), text_col).select(
-        F.col(id_col), F.explode("__toks").alias("__t")
+    # Explode tokens, hash each ONCE, then take ``bits`` codegen'd SUM
+    # aggregates over digest nibbles: Spark HOF lambdas evaluate
+    # interpreted, so the nested aggregate-per-bit form pays ~5x its work
+    # content (same lesson as the md5 MinHash tier). One fully-codegen
+    # vote pass + one map-side-combined shuffle on id.
+    exploded = (
+        _with_tokens(df.select(id_col, text_col), text_col)
+        .select(F.col(id_col), F.explode("__toks").alias("__t"))
+        .select(F.col(id_col), F.md5(F.col("__t")).alias("__h"))
     )
     votes = [
         F.sum(
-            F.when(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}|"), F.col("__t"))), 1, 1
-                )
-                >= "8",
-                1,
-            ).otherwise(-1)
+            F.when(F.substring(F.col("__h"), j + 1, 1) >= "8", 1).otherwise(-1)
         ).alias(f"__v{j}")
         for j in range(bits)
     ]

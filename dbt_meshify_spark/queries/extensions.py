@@ -2104,14 +2104,17 @@ ORACLES["ext_simhash_neardup_md5"] = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
 ),
+hashed AS (
+  SELECT doc_id, list_transform(l, t -> md5(t)) AS hl FROM toks
+),
 bits AS (
   SELECT doc_id,
          list_transform(range(0, 32), j ->
-           CASE WHEN list_sum(list_transform(l, t ->
-                  CASE WHEN substr(md5(j || '|' || t), 1, 1) >= '8'
+           CASE WHEN list_sum(list_transform(hl, h ->
+                  CASE WHEN substr(h, j + 1, 1) >= '8'
                        THEN 1 ELSE -1 END)) > 0
                 THEN '1' ELSE '0' END) AS b
-  FROM toks
+  FROM hashed
 ),
 banded_all AS (
   SELECT doc_id, b, i AS cidx,
