@@ -9,7 +9,9 @@ paths).
 
 from dbt_meshify_spark.operators.dedup import (
     exact_dedup,
+    incremental_neardup_pairs,
     minhash_candidate_pairs,
+    minhash_index,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
@@ -32,6 +34,8 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "minhash_candidate_pairs",
+    "minhash_index",
+    "incremental_neardup_pairs",
     "simhash",
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",

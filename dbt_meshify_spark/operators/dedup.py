@@ -258,6 +258,143 @@ def _minhash_md5_signatures(
     )
 
 
+def _band_key_array(rows_per_band: int, bands: int, hash_fn: str):
+    """``array<string>`` of LSH band keys over a ``minhash`` column: band i
+    hashes signature slots [i*rows_per_band, ...). md5-of-joined-hex for the
+    cross-engine tier (DuckDB replays it verbatim), xxhash64 for scale."""
+    if hash_fn == "md5":
+        band_of = lambda i: F.md5(
+            F.concat_ws(
+                "|", F.slice(F.col("minhash"), i * rows_per_band + 1, rows_per_band)
+            )
+        )
+    else:
+        band_of = lambda i: F.xxhash64(
+            F.slice(F.col("minhash"), i * rows_per_band + 1, rows_per_band)
+        ).cast("string")
+    return F.array(*[band_of(i) for i in range(bands)])
+
+
+def _minhash_sigs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_size: int,
+    seed: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(id, minhash) signature table in the requested hash tier."""
+    if hash_fn == "md5":
+        return _minhash_md5_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    return minhash_signatures(
+        df.select(id_col, text_col), text_col, num_hashes, shingle_size, seed,
+        hash_fn=hash_fn,
+    ).select(id_col, "minhash")
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_size: int = 3,
+    seed: int = _SEED,
+    hash_fn: str = "md5",
+    max_bucket_size: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Build a PERSISTABLE near-dup index over a corpus: returns
+    ``(signatures, band_index)`` — ``signatures`` is ``(id, minhash)``,
+    ``band_index`` is ``(id, band_idx, band_hash)``.
+
+    This is the continuous-curation shape: a 100 TB corpus is indexed ONCE
+    (both frames written to parquet, ``band_index`` ideally bucketed by
+    ``(band_idx, band_hash)``), and each incoming batch probes the stored
+    index via ``incremental_neardup_pairs`` — the corpus text is never
+    re-read, never re-hashed, never reshuffled per batch. The hot-bucket
+    cap is applied HERE, at build time, so probes are plain equi-joins with
+    no window pass over the index.
+    """
+    assert num_hashes % bands == 0
+    sigged = _minhash_sigs(
+        df, id_col, text_col, num_hashes, shingle_size, seed, hash_fn
+    ).localCheckpoint(eager=False)
+    banded = sigged.select(
+        id_col,
+        F.posexplode(
+            _band_key_array(num_hashes // bands, bands, hash_fn)
+        ).alias("band_idx", "band_hash"),
+    )
+    bucket_w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
+    banded = (
+        banded.withColumn("__bn", F.row_number().over(bucket_w))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+    return sigged.select(id_col, "minhash"), banded
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_size: int = 3,
+    seed: int = _SEED,
+    hash_fn: str = "md5",
+    min_jaccard_est: float = 0.5,
+) -> DataFrame:
+    """Near-dups of an incoming batch AGAINST a stored corpus index (built
+    by ``minhash_index`` with the SAME parameters). Returns
+    ``new_id, dup_of, jaccard_est`` — batch docs whose estimated Jaccard
+    with some indexed doc clears the threshold.
+
+    Scale shape: only the batch computes signatures (one scan of the new
+    data); candidates come from an equi-join of batch band keys against the
+    stored band index (pre-capped at build time); the Jaccard estimate
+    re-joins the batch's computed signatures and the STORED signature table
+    on candidate ids only. The indexed corpus is never re-tokenized —
+    per-batch cost is O(batch + matches), independent of corpus size.
+    Batch-internal duplicates are a separate concern (run
+    ``minhash_candidate_pairs`` on the batch alone).
+    """
+    assert num_hashes % bands == 0
+    sig_new = _minhash_sigs(
+        new_docs, id_col, text_col, num_hashes, shingle_size, seed, hash_fn
+    ).localCheckpoint(eager=False)
+    banded_new = sig_new.select(
+        F.col(id_col).alias("new_id"),
+        F.posexplode(
+            _band_key_array(num_hashes // bands, bands, hash_fn)
+        ).alias("band_idx", "band_hash"),
+    )
+    idx = index_bands.select(
+        F.col(id_col).alias("dup_of"), "band_idx", "band_hash"
+    )
+    cand = (
+        banded_new.join(idx, ["band_idx", "band_hash"])
+        .select("new_id", "dup_of")
+        .dropDuplicates(["new_id", "dup_of"])
+    )
+    sa = sig_new.select(F.col(id_col).alias("new_id"), F.col("minhash").alias("sig_a"))
+    sb = index_sigs.select(
+        F.col(id_col).alias("dup_of"), F.col("minhash").alias("sig_b")
+    )
+    pairs = cand.join(sa, "new_id").join(sb, "dup_of")
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        pairs.withColumn("jaccard_est", agree / F.lit(float(num_hashes)))
+        .filter(F.col("jaccard_est") >= min_jaccard_est)
+        .select("new_id", "dup_of", F.round("jaccard_est", 4).alias("jaccard_est"))
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -301,17 +438,7 @@ def minhash_candidate_pairs(
             .localCheckpoint(eager=False)
         )
 
-    if hash_fn == "md5":
-        band_of = lambda i: F.md5(
-            F.concat_ws(
-                "|", F.slice(F.col("minhash"), i * rows_per_band + 1, rows_per_band)
-            )
-        )
-    else:
-        band_of = lambda i: F.xxhash64(
-            F.slice(F.col("minhash"), i * rows_per_band + 1, rows_per_band)
-        ).cast("string")
-    band_arr = F.array(*[band_of(i) for i in range(bands)])
+    band_arr = _band_key_array(rows_per_band, bands, hash_fn)
     # ids + band keys ONLY through the banding shuffle: a 128-slot signature
     # is ~1 KB/row and the explode multiplies it by ``bands`` — at corpus
     # scale that payload dominates the shuffle. Signatures re-join on id

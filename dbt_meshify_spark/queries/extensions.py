@@ -166,6 +166,27 @@ def ext_minhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(_asc("id_a"), _asc("id_b"))
 
 
+def ext_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N2] incremental near-dup: an incoming batch (doc_id % 5 = 0) probes
+    a MinHash band index built over the standing corpus (doc_id % 5 != 0) —
+    the continuous-curation shape where per-batch cost is O(batch), not
+    O(corpus). md5 tier, so the DuckDB oracle replays index build + probe
+    verbatim (operators/dedup.py::minhash_index/incremental_neardup_pairs)."""
+    from dbt_meshify_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    sigs, bands = minhash_index(corpus, num_hashes=16, bands=8, hash_fn="md5")
+    return incremental_neardup_pairs(
+        batch, bands, sigs, num_hashes=16, bands=8, hash_fn="md5",
+        min_jaccard_est=0.5,
+    ).orderBy(_asc("new_id"), _asc("dup_of"))
+
+
 def ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N2] SimHash near-dup pairs within hamming<=3 (rows-only check)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1165,6 +1186,7 @@ QUERIES = {
     "ext_cosine_topk_gemm": ext_cosine_topk_gemm,
     "ext_minhash_neardup_md5": ext_minhash_neardup_md5,
     "ext_simhash_neardup_md5": ext_simhash_neardup_md5,
+    "ext_incremental_neardup": ext_incremental_neardup,
     "ext_semantic_dedup": ext_semantic_dedup,
     "ext_json_props": ext_json_props,
     "ext_funnel_conversion": ext_funnel_conversion,
@@ -2098,6 +2120,58 @@ est AS (
 SELECT id_a, id_b, ROUND(je, 4) AS jaccard_est
 FROM est WHERE je >= 0.5
 ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+"""
+
+ORACLES["ext_incremental_neardup"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS grams
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(grams, s -> md5(i || '|' || s)))) AS mh
+  FROM sh WHERE len(grams) > 0
+),
+corpus_banded_all AS (
+  SELECT doc_id, mh, i AS band_idx,
+         md5(array_to_string(mh[i*2+1 : i*2+2], '|')) AS band_hash
+  FROM sig, range(0, 8) t(i)
+  WHERE doc_id % 5 <> 0
+),
+corpus_banded AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
+                                 ORDER BY doc_id) AS bn
+    FROM corpus_banded_all
+  ) WHERE bn <= 1000
+),
+batch_banded AS (
+  SELECT doc_id, mh, i AS band_idx,
+         md5(array_to_string(mh[i*2+1 : i*2+2], '|')) AS band_hash
+  FROM sig, range(0, 8) t(i)
+  WHERE doc_id % 5 = 0
+),
+pairs AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_of,
+         n.mh AS mh_n, c.mh AS mh_c
+  FROM batch_banded n JOIN corpus_banded c
+    ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+),
+est AS (
+  SELECT new_id, dup_of,
+         list_sum(list_transform(range(1, 17),
+           i -> CASE WHEN mh_n[i] = mh_c[i] THEN 1 ELSE 0 END)) / 16.0 AS je
+  FROM pairs
+)
+SELECT new_id, dup_of, ROUND(je, 4) AS jaccard_est
+FROM est WHERE je >= 0.5
+ORDER BY new_id NULLS FIRST, dup_of NULLS FIRST
 """
 
 ORACLES["ext_simhash_neardup_md5"] = r"""

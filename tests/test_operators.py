@@ -74,6 +74,32 @@ def test_minhash_estimates_track_exact_jaccard(spark):
     assert not missing, f"minhash missed high-jaccard pairs: {missing}"
 
 
+def test_incremental_neardup_probes_persisted_index(spark, docs_with_dups, tmp_path):
+    """The continuous-curation shape: index the standing corpus once, write
+    it to parquet, then probe a later batch against the STORED index — the
+    corpus text is never re-read. Planted exact/near copies in the batch
+    must resolve to their corpus originals."""
+    from dbt_meshify_spark.operators import incremental_neardup_pairs, minhash_index
+
+    corpus = docs_with_dups.filter(F.col("doc_id") < 100)
+    batch = docs_with_dups.filter(F.col("doc_id") >= 1_000_000)
+    sigs, bands = minhash_index(corpus, num_hashes=16, bands=8, hash_fn="md5")
+    sigs.write.parquet(str(tmp_path / "sigs"))
+    bands.write.parquet(str(tmp_path / "bands"))
+    stored_sigs = spark.read.parquet(str(tmp_path / "sigs"))
+    stored_bands = spark.read.parquet(str(tmp_path / "bands"))
+
+    hits = incremental_neardup_pairs(
+        batch, stored_bands, stored_sigs, num_hashes=16, bands=8,
+        hash_fn="md5", min_jaccard_est=0.5,
+    ).collect()
+    found = {(r.new_id, r.dup_of): r.jaccard_est for r in hits}
+    for copy, orig in [(1_000_000, 0), (1_000_001, 1), (1_000_002, 2),
+                       (2_000_003, 3), (2_000_004, 4), (2_000_005, 5)]:
+        assert (copy, orig) in found, f"missing planted pair {(copy, orig)}"
+    assert found[(1_000_000, 0)] == 1.0  # exact copy: all slots agree
+
+
 def test_simhash_zero_distance_for_exact_dups(spark, docs_with_dups):
     from dbt_meshify_spark.operators import simhash_candidate_pairs
 
