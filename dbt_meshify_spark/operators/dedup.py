@@ -258,6 +258,45 @@ def _minhash_md5_signatures(
     )
 
 
+def dedup_keep_priority(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Cross-SOURCE dedup: within each near-dup cluster keep the member
+    with the lowest ``(priority, id)`` — the multi-dataset curation rule
+    (curated wiki beats books beats raw crawl when they collide), vs
+    ``dedup_clusters``'s source-blind keep-min-id.
+
+    Returns ``id_col, cluster_id, kept_by, is_kept``. Keys-only dataflow:
+    components resolve over ids, the winner election is a window over the
+    (id, priority) frame — payloads never enter a shuffle; callers re-join
+    the output on id. At 100 TB the window partitions by cluster_id, whose
+    cardinality ~= doc count and whose partitions are cluster-sized (small
+    by construction of the pair caps) — no global sort, no skew beyond the
+    capped cluster sizes.
+    """
+    comp = connected_components(pairs)
+    slim = df.select(F.col(id_col), F.col(priority_col))
+    clustered = (
+        slim.join(comp, slim[id_col] == comp.id, "left")
+        .drop("id")
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+    )
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col(priority_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return clustered.select(
+        F.col(id_col),
+        "cluster_id",
+        F.first(id_col).over(w).alias("kept_by"),
+    ).withColumn("is_kept", F.col(id_col) == F.col("kept_by"))
+
+
 def _band_key_array(rows_per_band: int, bands: int, hash_fn: str):
     """``array<string>`` of LSH band keys over a ``minhash`` column: band i
     hashes signature slots [i*rows_per_band, ...). md5-of-joined-hex for the

@@ -166,6 +166,32 @@ def ext_minhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(_asc("id_a"), _asc("id_b"))
 
 
+def ext_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N2/N9] multi-dataset dedup with source priority: documents carry
+    a source tier (wiki > books > web here, derived from doc_id % 3), and
+    when near-dups collide ACROSS sources the highest-priority copy wins —
+    the multi-corpus curation rule (keep the curated copy, drop the crawl
+    copy), not keep-min-id. Oracle: recursive-CTE closure + the same
+    FIRST_VALUE election (operators/dedup.py::dedup_keep_priority)."""
+    from dbt_meshify_spark.operators.dedup import dedup_keep_priority
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "priority", F.col("doc_id") % 3
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
+    out = dedup_keep_priority(docs, pairs)
+    return out.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("wiki"), F.lit("books"), F.lit("web")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("source"),
+        "cluster_id",
+        "kept_by",
+        "is_kept",
+    ).orderBy(_asc("doc_id"))
+
+
 def ext_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N2] incremental near-dup: an incoming batch (doc_id % 5 = 0) probes
     a MinHash band index built over the standing corpus (doc_id % 5 != 0) —
@@ -1187,6 +1213,7 @@ QUERIES = {
     "ext_minhash_neardup_md5": ext_minhash_neardup_md5,
     "ext_simhash_neardup_md5": ext_simhash_neardup_md5,
     "ext_incremental_neardup": ext_incremental_neardup,
+    "ext_cross_source_dedup": ext_cross_source_dedup,
     "ext_semantic_dedup": ext_semantic_dedup,
     "ext_json_props": ext_json_props,
     "ext_funnel_conversion": ext_funnel_conversion,
@@ -1586,6 +1613,50 @@ SELECT d.doc_id,
        (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_representative
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 ORDER BY d.doc_id NULLS FIRST
+""",
+    "ext_cross_source_dedup": f"""
+WITH RECURSIVE {_TRIGRAMS_CTE},
+counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN counts ca ON ca.doc_id = id_a
+  JOIN counts cb ON cb.doc_id = id_b
+  WHERE inter / (ca.n_grams + cb.n_grams - inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS id, dst AS peer FROM edges
+  UNION
+  SELECT r.id, e.dst AS peer FROM reach r JOIN edges e ON r.peer = e.src
+),
+comp AS (SELECT id, least(id, MIN(peer)) AS component FROM reach GROUP BY id),
+pr AS (
+  SELECT d.doc_id, d.doc_id % 3 AS priority,
+         COALESCE(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+elected AS (
+  SELECT doc_id, priority, cluster_id,
+         FIRST_VALUE(doc_id) OVER (
+           PARTITION BY cluster_id ORDER BY priority, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS kept_by
+  FROM pr
+)
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'wiki' WHEN 1 THEN 'books'
+            ELSE 'web' END AS source,
+       cluster_id, kept_by, (doc_id = kept_by) AS is_kept
+FROM elected
+ORDER BY doc_id NULLS FIRST
 """,
     "ext_ngram_jaccard": f"""
 WITH {_TRIGRAMS_CTE},

@@ -74,6 +74,23 @@ def test_minhash_estimates_track_exact_jaccard(spark):
     assert not missing, f"minhash missed high-jaccard pairs: {missing}"
 
 
+def test_priority_dedup_overrides_min_id(spark, docs_with_dups):
+    """The cross-source keep rule must beat keep-min-id: when the planted
+    COPY (high id) carries a better source priority than its original, the
+    copy is elected keeper."""
+    from dbt_meshify_spark.operators import ngram_jaccard_pairs
+    from dbt_meshify_spark.operators.dedup import dedup_keep_priority
+
+    docs = docs_with_dups.withColumn(
+        "priority", F.when(F.col("doc_id") >= 1_000_000, 0).otherwise(2)
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
+    out = {r.doc_id: r for r in dedup_keep_priority(docs, pairs).collect()}
+    assert out[0].kept_by == 1_000_000  # copy outranks original
+    assert out[1_000_000].is_kept and not out[0].is_kept
+    assert out[0].cluster_id == 0  # cluster label stays the min id
+
+
 def test_incremental_neardup_probes_persisted_index(spark, docs_with_dups, tmp_path):
     """The continuous-curation shape: index the standing corpus once, write
     it to parquet, then probe a later batch against the STORED index — the
