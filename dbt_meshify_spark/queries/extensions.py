@@ -213,6 +213,35 @@ def ext_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(_asc("new_id"), _asc("dup_of"))
 
 
+def ext_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6/N2] STREAMING incremental near-dup: the batch feed (doc_id % 5
+    = 0) arrives as a file stream and every micro-batch probes the stored
+    corpus MinHash index via foreachBatch — the deployment shape of
+    continuous curation. Drained availableNow, the emitted relation equals
+    the batch probe's, so it shares ext_incremental_neardup's oracle
+    (streaming/documents.py::stream_neardup_against_index)."""
+    import tempfile
+
+    from dbt_meshify_spark.operators.dedup import minhash_index
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_neardup_against_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    sigs, bands = minhash_index(corpus, num_hashes=16, bands=8, hash_fn="md5")
+    feed = read_documents_stream(
+        spark, f"{sf_dir.rstrip('/')}/documents.parquet"
+    ).filter(F.col("doc_id") % 5 == 0)
+    out_dir = tempfile.mkdtemp(prefix="stream_inc_neardup_")
+    hits = stream_neardup_against_index(
+        feed, bands, sigs, out_dir, num_hashes=16, bands=8, hash_fn="md5",
+        min_jaccard_est=0.5,
+    )
+    return hits.orderBy(_asc("new_id"), _asc("dup_of"))
+
+
 def ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N2] SimHash near-dup pairs within hamming<=3 (rows-only check)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1214,6 +1243,7 @@ QUERIES = {
     "ext_simhash_neardup_md5": ext_simhash_neardup_md5,
     "ext_incremental_neardup": ext_incremental_neardup,
     "ext_cross_source_dedup": ext_cross_source_dedup,
+    "ext_stream_incremental_neardup": ext_stream_incremental_neardup,
     "ext_semantic_dedup": ext_semantic_dedup,
     "ext_json_props": ext_json_props,
     "ext_funnel_conversion": ext_funnel_conversion,
@@ -2244,6 +2274,10 @@ SELECT new_id, dup_of, ROUND(je, 4) AS jaccard_est
 FROM est WHERE je >= 0.5
 ORDER BY new_id NULLS FIRST, dup_of NULLS FIRST
 """
+
+# The drained stream must emit exactly the batch probe's relation — the
+# same batch-twin gating discipline as the events streaming family.
+ORACLES["ext_stream_incremental_neardup"] = ORACLES["ext_incremental_neardup"]
 
 ORACLES["ext_simhash_neardup_md5"] = r"""
 WITH toks AS (

@@ -1,0 +1,115 @@
+"""Streaming document curation (N6 x N2): an unbounded document feed probed
+per micro-batch against a PERSISTED near-dup index.
+
+This is the deployment shape of `operators/dedup.py::minhash_index` +
+`incremental_neardup_pairs`: the standing corpus is indexed once (stored
+band/signature tables); every arriving micro-batch of documents computes
+only its OWN signatures and equi-joins the stored bands — per-batch cost is
+O(batch + matches) no matter how large the corpus grows, and the index
+tables can be refreshed out-of-band without touching the stream. Drained
+with availableNow over a static directory, the emitted relation is exactly
+the batch probe's — which is how the DuckDB oracle can gate a streaming
+surface it cannot execute (same discipline as streaming/events.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based document stream with the testdata documents schema.
+
+    Same single-file glob workaround as ``events.read_events_stream``: the
+    FileStreamSource wants a directory, a glob keeps basePath at the parent.
+    """
+    from dbt_meshify_spark.session import prepare
+
+    prepare(spark)
+    if path.endswith(".parquet"):
+        import os
+
+        d, base = os.path.split(path)
+        glob_path = f"{d}/{os.path.splitext(base)[0]}.*"
+    else:
+        glob_path = path
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(glob_path)
+
+
+def stream_neardup_against_index(
+    stream_docs: DataFrame,
+    index_bands: DataFrame,
+    index_sigs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_size: int = 3,
+    hash_fn: str = "md5",
+    min_jaccard_est: float = 0.5,
+) -> DataFrame:
+    """Run the incremental near-dup probe as a streaming job: every
+    micro-batch flows through ``incremental_neardup_pairs`` against the
+    stored index and appends its hits (``new_id, dup_of, jaccard_est``) to
+    ``out_dir/hits``; returns the drained result frame.
+
+    foreachBatch is the right operator here — the probe is a multi-join
+    batch plan (signature build + band equi-join + estimate), which
+    Structured Streaming cannot express as a continuous stateful operator,
+    but CAN run exactly per micro-batch with transactional sinks. The
+    checkpoint makes redelivery at-least-once; the parquet append sink is
+    idempotent per batch at a real deployment via batch_id-keyed output
+    (here: a fresh out_dir per run).
+    """
+    from dbt_meshify_spark.operators.dedup import incremental_neardup_pairs
+
+    spark = stream_docs.sparkSession
+    ran = {"any": False}
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        hits = incremental_neardup_pairs(
+            batch_df,
+            index_bands,
+            index_sigs,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_size=shingle_size,
+            hash_fn=hash_fn,
+            min_jaccard_est=min_jaccard_est,
+        )
+        hits.write.mode("append").parquet(f"{out_dir}/hits")
+        ran["any"] = True
+
+    q = (
+        stream_docs.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not ran["any"]:
+        return spark.createDataFrame(
+            [], "new_id bigint, dup_of bigint, jaccard_est double"
+        )
+    return spark.read.parquet(f"{out_dir}/hits")
