@@ -672,5 +672,51 @@ def metric(name, grain, project_path, limit) -> None:
         click.echo("\t".join(str(v) for v in row))
 
 
+@cli.command()
+@click.argument("name")
+@click.option("--sf-dir", default="/root/testdata/sf0.001", type=click.Path(exists=True))
+@click.option("--full", is_flag=True, help="also print the full formatted plan")
+def explain(name, sf_dir, full) -> None:
+    """Physical-plan audit for a declared corpus query: exchange count,
+    scan pushdown, broadcast joins, codegen spans, Python/Arrow stages —
+    the properties that decide whether the plan survives a 100x scale-up
+    (the same checks tests/test_plan_quality.py pins in CI, exposed for
+    ad-hoc inspection of new queries)."""
+    from dbt_meshify_spark.queries import QUERIES
+    from dbt_meshify_spark.session import get_spark
+
+    if name not in QUERIES:
+        raise click.ClickException(
+            f"unknown query {name!r} — one of: " + ", ".join(sorted(QUERIES))
+        )
+    spark = get_spark(app_name="meshify-explain")
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts = {
+        "shuffle exchanges": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning"),
+        "broadcast exchanges": plan.count("Exchange SinglePartition")
+        + plan.count("BroadcastExchange"),
+        "broadcast hash joins": plan.count("BroadcastHashJoin"),
+        "sort-merge joins": plan.count("SortMergeJoin"),
+        "nested-loop joins": plan.count("BroadcastNestedLoopJoin"),
+        "arrow/pandas stages": plan.count("ArrowEvalPython")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("MapInPandas"),
+        "row-at-a-time python (BAD)": plan.count("BatchEvalPython"),
+        "parquet scans": plan.count("FileScan parquet"),
+        "scans with pushed filters": sum(
+            1
+            for seg in plan.split("PushedFilters: [")[1:]
+            if seg.split("]", 1)[0].strip()
+        ),
+    }
+    click.echo(f"plan audit: {name}")
+    for k, v in counts.items():
+        click.echo(f"  {k}: {v}")
+    if full:
+        click.echo(plan)
+
+
 if __name__ == "__main__":
     cli()

@@ -525,3 +525,20 @@ def test_add_contract_read_catalog_no_spark(proj_dir):
     entry = {m["name"]: m for m in props["models"]}["status_names"]
     assert entry["config"]["contract"]["enforced"] is True
     assert {c["name"] for c in entry["columns"]} == {"status", "status_name"}
+
+
+def test_cli_explain_audits_plan(spark):
+    """`meshify explain <query>` prints the physical-plan audit (shuffle /
+    broadcast / pushdown counts) for any declared corpus query."""
+    from tests.conftest import SF_SMOKE
+
+    runner = CliRunner()
+    result = runner.invoke(
+        cli, ["explain", "q03_filters", "--sf-dir", SF_SMOKE]
+    )
+    assert result.exit_code == 0, result.output
+    assert "scans with pushed filters: 1" in result.output
+    assert "row-at-a-time python (BAD): 0" in result.output
+
+    bad = runner.invoke(cli, ["explain", "not_a_query"])
+    assert bad.exit_code != 0 and "unknown query" in bad.output
