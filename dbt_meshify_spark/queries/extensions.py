@@ -377,6 +377,50 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(docs).select("doc_id", "lang_pred").orderBy(_asc("doc_id"))
 
 
+def ext_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] lang-ID EVALUATION: confusion counts of the n-gram heuristic's
+    prediction vs the documents table's ground-truth ``lang`` column — the
+    quality-measurement loop every classifier-based curation filter needs
+    (one scan; prediction and truth ride the same row, no join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        language_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(_asc("lang"), _asc("lang_pred"))
+    )
+
+
+def ext_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] one-pass corpus profile: doc/token/char statistics at
+    (lang, source), per-lang, and grand-total grains via ROLLUP — the
+    dataset-card numbers, computed with a single scan + one combiner-
+    friendly shuffle (grouping-set expansion happens map-side; no
+    per-grain re-reads of a 100 TB corpus)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.length("text").alias("__nc"),
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("__nt"),
+    )
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__nt").cast("bigint")).alias("total_tokens"),
+            F.round(F.avg("__nc"), 4).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang_g"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source_g"),
+            "n_docs",
+            "total_tokens",
+            "avg_chars",
+        )
+        .orderBy(_asc("lang_g"), _asc("source_g"))
+    )
+
+
 def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -664,6 +708,35 @@ SELECT doc_id,
             {cases}
             ELSE '{langs[-1]}' END AS lang_pred
 FROM occ ORDER BY doc_id NULLS FIRST
+"""
+
+
+def _lang_id_eval_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    selects = ",\n       ".join(
+        f"({' + '.join(_occ_sql(w) for w in LANG_MARKERS[lang])}) AS s_{lang}"
+        for lang in langs
+    )
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = "\n            ".join(
+        f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs[:-1]
+    )
+    return f"""
+WITH occ AS (
+  SELECT doc_id, lang,
+       {selects}
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN {greatest} <= 0 THEN 'und'
+              {cases}
+              ELSE '{langs[-1]}' END AS lang_pred
+  FROM occ
+)
+SELECT lang, lang_pred, COUNT(*) AS n
+FROM pred GROUP BY lang, lang_pred
+ORDER BY lang NULLS FIRST, lang_pred NULLS FIRST
 """
 
 
@@ -1251,6 +1324,8 @@ QUERIES = {
     "ext_embedding_quantize": ext_embedding_quantize,
     "ext_token_stats": ext_token_stats,
     "ext_lang_id": ext_lang_id,
+    "ext_lang_id_eval": ext_lang_id_eval,
+    "ext_corpus_profile": ext_corpus_profile,
     "ext_quality_score": ext_quality_score,
     "ext_repetition_quality": ext_repetition_quality,
     "ext_decontaminate": ext_decontaminate,
@@ -1746,6 +1821,22 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id NULLS FIRST
 """,
     "ext_lang_id": _lang_id_sql(),
+    "ext_lang_id_eval": _lang_id_eval_sql(),
+    "ext_corpus_profile": r"""
+WITH base AS (
+  SELECT lang, source, length(text) AS nc,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nt
+  FROM documents
+)
+SELECT COALESCE(lang, 'ALL') AS lang_g,
+       COALESCE(source, 'ALL') AS source_g,
+       COUNT(*) AS n_docs,
+       SUM(nt) AS total_tokens,
+       ROUND(AVG(nc), 4) AS avg_chars
+FROM base
+GROUP BY ROLLUP (lang, source)
+ORDER BY lang_g NULLS FIRST, source_g NULLS FIRST
+""",
     "ext_quality_score": _quality_sql(),
     "ext_repetition_quality": r"""
 WITH toks AS (
