@@ -154,8 +154,12 @@ def _cos_pairs_udf():
 
     @pandas_udf("double")
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.stack(a.to_numpy())
-        mb = np.stack(b.to_numpy())
+        # float64 widening happens HERE, after the Arrow transfer: callers
+        # pass the stored float32 arrays untouched, halving the bytes moved
+        # through the pair join + Arrow batches; widening float32->float64
+        # is exact, so results are bit-identical to casting before the join.
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
         num = np.einsum("ij,ij->i", ma, mb)
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1) + 1e-12
         return pd.Series(num / den)
@@ -279,9 +283,10 @@ def _lsh_scored_pairs(
         # not carry vector payloads (at 64 dims that's ~0.5 KB/row through
         # two shuffles — measured 3x the whole job's cost); vectors re-join
         # after dedup instead.
+        # raw (float32) vectors into the Arrow UDF — widening happens in
+        # numpy, exactly; no _as_double projection doubling the batch bytes
         base = spread(df).select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            _as_double(F.col(vec_col)).alias("__vec"),
+            F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias("__vec")
         )
         staged = base.withColumn("__sig", sig_udf(F.col("__vec")))
         band_keys = F.array(
@@ -308,11 +313,10 @@ def _lsh_scored_pairs(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     qv = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("query_vec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
     cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("neighbor_vec"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
     )
     # no broadcast hints: the query side broadcasts naturally under the
     # threshold; a 100 TB corpus side must be allowed to shuffle-join
@@ -340,12 +344,8 @@ def embedding_neardup_exact(
     # insensitive on this data (the oracle already compares DuckDB's
     # list_dot_product against it).
     spread_df = spread(df)
-    a = spread_df.select(
-        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
-    )
-    b = spread_df.select(
-        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
-    )
+    a = spread_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = spread_df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", _cos_pairs_udf()(F.col("va"), F.col("vb")))
