@@ -192,3 +192,38 @@ def test_cohort_retention_bounded_exchanges(spark):
 
     assert len(re.findall(r"Exchange (?:hash|range)partitioning", plan)) <= 5
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_probe_never_rereads_corpus(spark, tmp_path):
+    """Probing a STORED near-dup index must touch only the batch and the two
+    index tables — no corpus re-tokenization, no build-time window (the
+    hot-bucket cap belongs to index BUILD, not to every probe)."""
+    from dbt_meshify_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_index,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    sigs, bands = minhash_index(
+        docs.filter(F.col("doc_id") % 5 != 0), num_hashes=16, bands=8,
+        hash_fn="md5",
+    )
+    sigs.write.parquet(str(tmp_path / "sigs"))
+    bands.write.parquet(str(tmp_path / "bands"))
+
+    probe = incremental_neardup_pairs(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        spark.read.parquet(str(tmp_path / "bands")),
+        spark.read.parquet(str(tmp_path / "sigs")),
+        num_hashes=16, bands=8, hash_fn="md5",
+    )
+    plan = _physical(probe)
+    assert "Window" not in plan  # build-time cap must not run per probe
+    # scans: the two stored index tables, plus at most the batch's read
+    # (the batch signature frame sits behind a localCheckpoint, so its
+    # documents scan may not appear in the probe plan at all); the corpus
+    # text must never be re-read — every documents mention is the batch's
+    assert 2 <= plan.count("FileScan parquet") <= 3
+    assert plan.count("documents.parquet") <= 1
+    assert "CartesianProduct" not in plan
