@@ -57,6 +57,44 @@ def deterministic_sample(
     return df.filter(_sample_key(key_cols, seed) < _rate_threshold(rate))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: list[tuple[str, float]] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Train/val/test assignment that can NEVER leak near-duplicates across
+    splits: the md5-threshold draw keys on the near-dup CLUSTER label, so
+    every member of a duplicate cluster lands in the same split — splitting
+    on doc_id alone puts a train doc's near-copy in the test set and
+    silently inflates eval (the classic contamination bug group-aware
+    splitting exists to prevent).
+
+    ``fractions`` is an ordered [(label, fraction)] list summing to 1 (the
+    last label takes the remainder). Returns ``id_col, cluster_id, split``.
+    Scale shape: cluster resolution is the same keys-only
+    ``connected_components`` pass dedup uses; the split itself is a pure
+    md5 projection on the cluster label — deterministic, shuffle-free, and
+    stable under corpus growth for unchanged clusters.
+    """
+    from dbt_meshify_spark.operators.dedup import dedup_clusters
+
+    fractions = fractions or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    labels = [lab for lab, _ in fractions]
+    clustered = dedup_clusters(df.select(id_col), pairs, id_col=id_col)
+    key = F.md5(F.concat_ws("", F.lit(f"{seed}|"), F.col("cluster_id").cast("string")))
+    expr: Column = F.lit(labels[-1])
+    cum = 0.0
+    branches = []
+    for lab, frac in fractions[:-1]:
+        cum += frac
+        branches.append((lab, _rate_threshold(cum)))
+    for lab, thresh in reversed(branches):
+        expr = F.when(key < thresh, F.lit(lab)).otherwise(expr)
+    return clustered.select(F.col(id_col), "cluster_id", expr.alias("split"))
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

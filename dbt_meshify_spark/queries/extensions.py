@@ -192,6 +192,19 @@ def ext_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(_asc("doc_id"))
 
 
+def ext_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9/N1] leakage-safe train/val/test split: the md5 draw keys on the
+    near-dup CLUSTER label, so a document and its near-copies always land
+    in the same split — group-aware splitting, the guard against eval
+    contamination (operators/sampling.py::leakage_safe_split). Oracle:
+    recursive-CTE closure + the same md5 thresholds."""
+    from dbt_meshify_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
+    return leakage_safe_split(docs, pairs).orderBy(_asc("doc_id"))
+
+
 def ext_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N2] incremental near-dup: an incoming batch (doc_id % 5 = 0) probes
     a MinHash band index built over the standing corpus (doc_id % 5 != 0) —
@@ -1315,6 +1328,7 @@ QUERIES = {
     "ext_minhash_neardup_md5": ext_minhash_neardup_md5,
     "ext_simhash_neardup_md5": ext_simhash_neardup_md5,
     "ext_incremental_neardup": ext_incremental_neardup,
+    "ext_leakage_safe_split": ext_leakage_safe_split,
     "ext_cross_source_dedup": ext_cross_source_dedup,
     "ext_stream_incremental_neardup": ext_stream_incremental_neardup,
     "ext_semantic_dedup": ext_semantic_dedup,
@@ -1718,6 +1732,43 @@ SELECT d.doc_id,
        (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_representative
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 ORDER BY d.doc_id NULLS FIRST
+""",
+    "ext_leakage_safe_split": f"""
+WITH RECURSIVE {_TRIGRAMS_CTE},
+counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN counts ca ON ca.doc_id = id_a
+  JOIN counts cb ON cb.doc_id = id_b
+  WHERE inter / (ca.n_grams + cb.n_grams - inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS id, dst AS peer FROM edges
+  UNION
+  SELECT r.id, e.dst AS peer FROM reach r JOIN edges e ON r.peer = e.src
+),
+comp AS (SELECT id, least(id, MIN(peer)) AS component FROM reach GROUP BY id),
+cl AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN md5('s0|' || CAST(cluster_id AS VARCHAR)) < 'cccccccc'
+              THEN 'train'
+            WHEN md5('s0|' || CAST(cluster_id AS VARCHAR)) < 'e6666666'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM cl
+ORDER BY doc_id NULLS FIRST
 """,
     "ext_cross_source_dedup": f"""
 WITH RECURSIVE {_TRIGRAMS_CTE},

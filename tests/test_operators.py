@@ -91,6 +91,31 @@ def test_priority_dedup_overrides_min_id(spark, docs_with_dups):
     assert out[0].cluster_id == 0  # cluster label stays the min id
 
 
+def test_leakage_safe_split_keeps_clusters_together(spark, docs_with_dups):
+    """Every member of a near-dup cluster must land in the SAME split (the
+    whole point: no train doc's near-copy in the test set), and all splits
+    must be non-trivially populated on the real corpus."""
+    from dbt_meshify_spark.operators import ngram_jaccard_pairs
+    from dbt_meshify_spark.operators.sampling import leakage_safe_split
+
+    pairs = ngram_jaccard_pairs(docs_with_dups, n=3, min_jaccard=0.5)
+    out = leakage_safe_split(docs_with_dups, pairs).collect()
+    by_doc = {r.doc_id: r for r in out}
+    for orig, copy in [(0, 1_000_000), (3, 2_000_003)]:
+        assert by_doc[orig].split == by_doc[copy].split
+        assert by_doc[orig].cluster_id == by_doc[copy].cluster_id
+    per_cluster = {}
+    for r in out:
+        per_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_cluster.values())
+    splits = {r.split for r in out}
+    assert splits == {"train", "val", "test"}
+    # determinism: a rerun assigns identically
+    again = {r.doc_id: r.split for r in
+             leakage_safe_split(docs_with_dups, pairs).collect()}
+    assert again == {d: r.split for d, r in by_doc.items()}
+
+
 def test_incremental_neardup_probes_persisted_index(spark, docs_with_dups, tmp_path):
     """The continuous-curation shape: index the standing corpus once, write
     it to parquet, then probe a later batch against the STORED index — the
