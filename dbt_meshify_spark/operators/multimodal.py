@@ -1,9 +1,12 @@
 """Multimodal column plumbing (N5): opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are stubbed
-behind ``NotImplementedError`` or a deterministic fake — but the Spark-side
-plumbing is real: schemas, Arrow-batched ``mapInPandas`` signatures, batch
-shaping, and partition sizing are exactly what a production pipeline uses.
+Decode kernels are REAL for the codec-free container formats — PPM (P6)
+images parse and nearest-neighbor-resample in numpy, PCM WAV audio parses
+with the stdlib ``wave`` module — so decode → resize → feature runs end to
+end on genuine media bytes. Library formats (JPEG/PNG/MP4...) stay gated
+behind ``NotImplementedError`` (this container ships no codecs; swap in
+PIL/libvips/PyAV at the marked seams) with a deterministic fake fallback
+so the pipeline shape is exercised on any payload.
 
 Scale notes:
 - Payloads travel as parquet ``binary`` columns; never collect them. Feature
@@ -71,30 +74,73 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder entry point — unavailable in this container.
+def encode_ppm(img) -> bytes:
+    """(h, w, 3) uint8 array -> binary PPM (P6) bytes."""
+    import numpy as np
 
-    Production: swap in PIL/libvips here; the mapInPandas harness around it
-    (``extract_features``) is unchanged.
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _parse_ppm(payload: bytes):
+    """P6 header + raw RGB -> (h, w, 3) uint8 numpy array."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        raise ValueError("malformed PPM header")
+    w, h = int(m.group(1)), int(m.group(2))
+    data = payload[m.end() : m.end() + w * h * 3]
+    if len(data) < w * h * 3:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_image(payload: bytes):
+    """Decode an image payload to an (h, w, 3) uint8 array.
+
+    REAL for PPM (P6) — header parse + numpy reshape, no codec needed.
+    Library formats (JPEG/PNG/...) are gated: swap in PIL/libvips here;
+    the mapInPandas harnesses around it are unchanged.
     """
-    raise NotImplementedError("image codecs not present in this environment")
+    if payload[:2] == b"P6":
+        return _parse_ppm(payload)
+    raise NotImplementedError(
+        "only PPM decodes without codecs; install PIL/libvips for JPEG/PNG"
+    )
+
+
+def resize_image(img, width: int, height: int):
+    """Nearest-neighbor resample of an (h, w, 3) array to (height, width, 3)
+    — pure numpy index arithmetic, a REAL resize kernel."""
+    import numpy as np
+
+    rows = (np.arange(height) * img.shape[0]) // height
+    cols = (np.arange(width) * img.shape[1]) // width
+    return img[rows][:, cols]
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize pass over binary payloads (Arrow-batched; stub kernel).
+    """Resize pass over binary payloads (Arrow-batched).
 
-    The STUB kernel deterministically re-buckets payload bytes to a
-    width*height buffer (real implementation: PIL/libvips resample replaces
-    ``_resize_bytes`` only). Everything around it — batch iteration, schema
-    preservation, metadata rewrite without touching unrelated columns — is
-    the production shape.
+    PPM payloads take the REAL path: decode -> nearest-neighbor numpy
+    resample -> re-encode. Anything else falls back to the deterministic
+    byte-cycling stand-in (the codec gate), so the batch iteration, schema
+    preservation, and metadata rewrite are exercised on every payload kind.
     """
     target = width * height
 
     def _resize_bytes(b: bytes | None) -> bytes:
         if not b:
             return b""
-        # deterministic fake: cycle the source bytes into the target size
+        if b[:2] == b"P6":
+            try:
+                return encode_ppm(resize_image(_parse_ppm(b), width, height))
+            except ValueError:
+                pass  # malformed header: fall through to the byte fallback
         reps = (target // len(b)) + 1
         return (b * reps)[:target]
 
@@ -110,6 +156,79 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     from dbt_meshify_spark.operators.util import spread
 
     return spread(media).mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_cross_rate", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_audio(payload: bytes):
+    """PCM WAV payload -> (samples int16 ndarray [n, channels], sample_rate).
+    Stdlib ``wave`` — no codec required. Compressed formats are gated."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV decodes here")
+        frames = wf.readframes(wf.getnframes())
+        arr = np.frombuffer(frames, dtype=np.int16).reshape(
+            -1, wf.getnchannels()
+        )
+        return arr, wf.getframerate()
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over WAV payloads: sample rate,
+    duration, RMS energy, zero-crossing rate — computed from the decoded
+    PCM samples in numpy, Arrow-batched. Non-WAV payloads yield null
+    features (the codec gate), keeping the pass total over mixed media.
+    """
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "duration_ms",
+                "rms", "zero_cross_rate",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(mid)
+                try:
+                    samples, rate = decode_audio(payload or b"")
+                    mono = samples.astype(np.float64).mean(axis=1)
+                    n = len(mono)
+                    rows["sample_rate"].append(rate)
+                    rows["n_samples"].append(n)
+                    rows["duration_ms"].append(int(n * 1000 / rate))
+                    rows["rms"].append(
+                        float(np.sqrt(np.mean(mono**2))) if n else 0.0
+                    )
+                    rows["zero_cross_rate"].append(
+                        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                        if n > 1
+                        else 0.0
+                    )
+                except Exception:
+                    for k in ("sample_rate", "n_samples", "duration_ms",
+                              "rms", "zero_cross_rate"):
+                        rows[k].append(None)
+            yield pd.DataFrame(rows)
+
+    from dbt_meshify_spark.operators.util import spread
+
+    return spread(media).mapInPandas(_features, schema=AUDIO_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

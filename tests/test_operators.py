@@ -194,6 +194,85 @@ def test_multimodal_feature_extraction(spark):
         assert abs(sum(r.feature) - 1.0) < 1e-5  # normalized histogram
 
 
+def test_multimodal_real_ppm_decode_and_resize(spark):
+    """PPM payloads take the REAL path: header-parsed numpy decode and a
+    genuine nearest-neighbor resample, round-tripped through the Spark
+    resize pass — not the byte-cycling codec-gate fallback."""
+    import numpy as np
+
+    from dbt_meshify_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        encode_ppm,
+        resize_image,
+        resize_media,
+    )
+
+    img = (np.arange(8 * 6 * 3, dtype=np.uint32) % 256).astype(np.uint8).reshape(8, 6, 3)
+    payload = encode_ppm(img)
+    assert np.array_equal(decode_image(payload), img)  # lossless round trip
+
+    media = spark.createDataFrame(
+        [(1, bytearray(payload),
+          {"kind": "image", "format": "ppm", "width": 6, "height": 8,
+           "duration_ms": None})],
+        MEDIA_SCHEMA,
+    )
+    row = resize_media(media, width=3, height=4).collect()[0]
+    decoded = decode_image(bytes(row.payload))
+    assert decoded.shape == (4, 3, 3)
+    assert np.array_equal(decoded, resize_image(img, 3, 4))
+    assert row.meta.width == 3 and row.meta.height == 4
+    # non-PPM payloads still flow through the deterministic fallback
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG....")
+
+
+def test_multimodal_real_wav_audio_features(spark):
+    """WAV payloads decode with the stdlib and yield REAL signal features:
+    a 440 Hz sine at amplitude A has rms ~ A/sqrt(2) and zero-crossing
+    rate ~ 2f/rate; a non-WAV payload yields nulls, not a crash."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from dbt_meshify_spark.operators.multimodal import MEDIA_SCHEMA, audio_features
+
+    rate, freq, amp, secs = 8000, 440.0, 12000.0, 0.5
+    t = np.arange(int(rate * secs)) / rate
+    samples = (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    wav = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(wav),
+             {"kind": "audio", "format": "wav", "width": None, "height": None,
+              "duration_ms": None}),
+            (2, bytearray(b"not audio"),
+             {"kind": "audio", "format": "mp3", "width": None, "height": None,
+              "duration_ms": None}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in audio_features(media).collect()}
+    good = rows[1]
+    assert good.sample_rate == rate
+    assert good.n_samples == len(samples)
+    assert good.duration_ms == 500
+    assert abs(good.rms - amp / np.sqrt(2)) / (amp / np.sqrt(2)) < 0.01
+    assert abs(good.zero_cross_rate - 2 * freq / rate) < 0.01
+    assert rows[2].sample_rate is None and rows[2].rms is None
+
+
 def test_date_spine_bounds(spark):
     from dbt_meshify_spark.operators import date_spine
 
