@@ -23,7 +23,7 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_WIDTH = 8  # threshold resolution: 16^-8 ~ 6e-10 rate granularity
@@ -55,6 +55,34 @@ def deterministic_sample(
     if rate >= 1.0:
         return df
     return df.filter(_sample_key(key_cols, seed) < _rate_threshold(rate))
+
+
+def keep_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    fraction: float,
+    id_col: str,
+    exact: bool = True,
+    relative_error: float = 0.01,
+) -> DataFrame:
+    """Keep the best ``fraction`` of rows by ``score_col`` — the
+    quantile-threshold selection step of model-scored curation (keep the
+    top-scoring X% of documents).
+
+    ``exact=True`` ranks with ``percent_rank`` over a TOTAL order
+    (score desc, id asc — deterministic under ties) and keeps
+    ``pr <= fraction``; that is a global sort, the verification tier. At
+    100 TB use ``exact=False``: ``approxQuantile`` computes the score
+    threshold in one mergeable-sketch pass and the filter pushes down —
+    no global sort, boundary fuzz bounded by ``relative_error``.
+    """
+    if exact:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        return df.withColumn("pr", F.percent_rank().over(w)).filter(
+            F.col("pr") <= fraction
+        )
+    thresh = df.approxQuantile(score_col, [1.0 - fraction], relative_error)[0]
+    return df.filter(F.col(score_col) >= thresh)
 
 
 def leakage_safe_split(

@@ -192,6 +192,24 @@ def ext_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(_asc("doc_id"))
 
 
+def ext_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] quantile-threshold curation: keep the top 20% of documents
+    by quality score, exact percent_rank tier (total order, deterministic
+    ties) — the model-scored selection step; the approx-threshold scale
+    tier is keep_top_fraction(exact=False)
+    (operators/sampling.py::keep_top_fraction)."""
+    from dbt_meshify_spark.operators.sampling import keep_top_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select(
+        "doc_id", F.round("quality", 4).alias("quality")
+    )
+    out = keep_top_fraction(scored, "quality", 0.2, "doc_id", exact=True)
+    return out.select(
+        "doc_id", "quality", F.round("pr", 4).alias("pr")
+    ).orderBy(_asc("doc_id"))
+
+
 def ext_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N9/N1] leakage-safe train/val/test split: the md5 draw keys on the
     near-dup CLUSTER label, so a document and its near-copies always land
@@ -1329,6 +1347,7 @@ QUERIES = {
     "ext_simhash_neardup_md5": ext_simhash_neardup_md5,
     "ext_incremental_neardup": ext_incremental_neardup,
     "ext_leakage_safe_split": ext_leakage_safe_split,
+    "ext_quality_top_fraction": ext_quality_top_fraction,
     "ext_cross_source_dedup": ext_cross_source_dedup,
     "ext_stream_incremental_neardup": ext_stream_incremental_neardup,
     "ext_semantic_dedup": ext_semantic_dedup,
@@ -1873,6 +1892,18 @@ FROM documents ORDER BY doc_id NULLS FIRST
 """,
     "ext_lang_id": _lang_id_sql(),
     "ext_lang_id_eval": _lang_id_eval_sql(),
+    "ext_quality_top_fraction": (
+        "WITH q AS (" + _quality_sql() + """),
+ranked AS (
+  SELECT doc_id, quality,
+         PERCENT_RANK() OVER (ORDER BY quality DESC, doc_id ASC) AS pr
+  FROM q
+)
+SELECT doc_id, quality, ROUND(pr, 4) AS pr
+FROM ranked WHERE pr <= 0.2
+ORDER BY doc_id NULLS FIRST
+"""
+    ),
     "ext_corpus_profile": r"""
 WITH base AS (
   SELECT lang, source, length(text) AS nc,

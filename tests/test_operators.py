@@ -91,6 +91,26 @@ def test_priority_dedup_overrides_min_id(spark, docs_with_dups):
     assert out[0].cluster_id == 0  # cluster label stays the min id
 
 
+def test_keep_top_fraction_approx_tracks_exact(spark):
+    """The approx-threshold scale tier (one sketch pass, no global sort)
+    must select ~the same document set as the exact percent_rank tier."""
+    from dbt_meshify_spark.operators.sampling import keep_top_fraction
+    from dbt_meshify_spark.operators.text import quality_score
+    from dbt_meshify_spark.sources import load_table
+
+    scored = quality_score(load_table(spark, SF_ORACLE, "documents")).select(
+        "doc_id", F.round("quality", 4).alias("quality")
+    )
+    exact = {r.doc_id for r in
+             keep_top_fraction(scored, "quality", 0.2, "doc_id").collect()}
+    approx = {r.doc_id for r in
+              keep_top_fraction(scored, "quality", 0.2, "doc_id",
+                                exact=False, relative_error=0.001).collect()}
+    assert exact, "top-20% selection must be non-empty"
+    assert len(exact & approx) >= 0.9 * len(exact)
+    assert 0.8 * len(exact) <= len(approx) <= 1.2 * len(exact) + 10
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark, docs_with_dups):
     """Every member of a near-dup cluster must land in the SAME split (the
     whole point: no train doc's near-copy in the test set), and all splits
