@@ -1061,3 +1061,72 @@ def dedup_clusters(
         .drop("component")
         .withColumn("is_representative", F.col("cluster_id") == F.col(id_col))
     )
+
+
+def keep_best_of_cluster(
+    scored: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware near-dup resolution: label every row with its cluster
+    and keep the HIGHEST-``score_col`` member (ties broken by smallest id)
+    instead of the arbitrary min-id representative — "dedup keeps the best
+    copy", the curation rule most pipelines actually want (a near-dup
+    cluster usually contains one clean copy and N mangled ones).
+
+    ``scored`` needs only ``(id_col, score_col)`` populated — pass a
+    keys+score projection, not the payload frame: the cluster labeling join
+    and the per-cluster argmax window shuffle ONLY (id, cluster, score)
+    rows, so at 100 TB the corpus text never moves; callers re-join payloads
+    on ``id_col`` afterwards. Returns ``id_col, cluster_id, score_col,
+    is_representative``.
+    """
+    keys = scored.select(F.col(id_col), F.col(score_col))
+    labeled = dedup_clusters(keys, pairs, id_col=id_col).drop("is_representative")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .withColumn("is_representative", F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-tier incremental dedup: rows of ``batch`` whose normalized
+    content fingerprint is NOT already in the standing ``index`` corpus,
+    with within-batch exact dups also folded (keep-first by ``id_col``) —
+    the every-crawl-cycle shape of continuous curation, where per-batch cost
+    must be O(batch), never O(corpus).
+
+    The index side is reduced to DISTINCT 32-byte fingerprints before the
+    LEFT ANTI join, so the corpus payload never moves and the join state is
+    the fingerprint set alone. With Spark's runtime bloom-filter join
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`, on by default) the
+    small batch side seeds a bloom that prunes the index-side exchange at
+    the scan, so at 100 TB the anti-join shuffles ~|batch| fingerprints plus
+    bloom false positives, not the full index. Exactness is unconditional:
+    the bloom is an optimizer prefilter, the anti-join verifies.
+    """
+    from dbt_meshify_spark.operators.text import doc_fingerprint
+
+    fp_batch = doc_fingerprint(batch, text_col=text_col, out_col="__fp")
+    fp_index = (
+        doc_fingerprint(index, text_col=text_col, out_col="__fp")
+        .select("__fp")
+        .distinct()
+    )
+    novel = fp_batch.join(fp_index, on="__fp", how="left_anti")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        novel.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )

@@ -99,6 +99,58 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query vector,
+    the top-k most cosine-similar corpus vectors with a DIFFERENT label —
+    the negatives that sit closest to the decision boundary and carry the
+    most gradient signal.
+
+    Same shape as :func:`cosine_topk` (small query side broadcast, corpus
+    streams, both sides pre-normalized once) with the label-mismatch
+    predicate folded into the join condition so disagreeing pairs are
+    dropped BEFORE the per-pair dot product — at 100 TB the filter removes
+    ~1/|labels| of the pair work before it happens, and no extra shuffle is
+    introduced (the only exchange is the per-query top-k window, keyed on
+    query_id over k·|Q| candidate rows). Returns: query_id, query_label,
+    neighbor_id, neighbor_label, cos_sim, rank.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        _unit(F.col(vec_col)).alias("qv"),
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        _unit(F.col(vec_col)).alias("cv"),
+    )
+    sims = c.join(
+        F.broadcast(q), F.col("query_label") != F.col("neighbor_label")
+    ).withColumn("cos_sim", _dot(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

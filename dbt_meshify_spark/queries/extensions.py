@@ -798,6 +798,11 @@ FROM scored ORDER BY doc_id NULLS FIRST
 """
 
 
+# quality formula as a composable CTE body (used standalone by
+# ext_quality_score and inside ext_cluster_best_keep's closure query)
+_QUALITY_CTE_SQL = _quality_sql()
+
+
 _TRIGRAMS_CTE = r"""
 toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
@@ -1326,6 +1331,69 @@ def ext_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["spark", "query", "merge"]).orderBy(_asc("doc_id"))
 
 
+def ext_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1] exact-tier incremental dedup: an incoming batch (doc_id % 5 = 0)
+    anti-joins the standing corpus's DISTINCT fingerprint set (doc_id % 5
+    != 0), within-batch dups folded keep-first
+    (operators/dedup.py::dedup_against_index — the exact-tier twin of
+    ext_incremental_neardup; per-batch cost O(batch), corpus payload never
+    moves)."""
+    from dbt_meshify_spark.operators.dedup import dedup_against_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return (
+        dedup_against_index(batch, corpus)
+        .select("doc_id", "lang", "source")
+        .orderBy(_asc("doc_id"))
+    )
+
+
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3/N9] hard-negative mining for contrastive training: per query
+    vector (vec_id<5), the top-3 most-similar embeddings with a DIFFERENT
+    label (operators/similarity.py::hard_negatives — label-mismatch folded
+    into the broadcast join predicate, so disagreeing pairs never reach the
+    dot product)."""
+    from dbt_meshify_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return (
+        hard_negatives(q, emb, k=3)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cos_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy(_asc("query_id"), _asc("rank"))
+    )
+
+
+def ext_cluster_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N2/N4] quality-aware near-dup resolution: trigram-Jaccard
+    clusters (same pair set as ext_dedup_clusters) but the kept
+    representative is the HIGHEST-quality member, not the min id
+    (operators/dedup.py::keep_best_of_cluster). The labeling join and the
+    per-cluster argmax window carry only (doc_id, cluster_id, quality) —
+    payloads never shuffle. Oracle: recursive transitive closure + the same
+    quality formula + a window argmax."""
+    from dbt_meshify_spark.operators.dedup import keep_best_of_cluster
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
+    scored = quality_score(docs).select("doc_id", "quality")
+    return (
+        keep_best_of_cluster(scored, pairs, score_col="quality")
+        .select("doc_id", "cluster_id", "quality", "is_representative")
+        .orderBy(_asc("doc_id"))
+    )
+
+
 QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_clusters": ext_dedup_clusters,
@@ -1337,6 +1405,9 @@ QUERIES = {
     "ext_minhash_neardup": ext_minhash_neardup,
     "ext_simhash_neardup": ext_simhash_neardup,
     "ext_cosine_topk": ext_cosine_topk,
+    "ext_hard_negatives": ext_hard_negatives,
+    "ext_cluster_best_keep": ext_cluster_best_keep,
+    "ext_incremental_exact_dedup": ext_incremental_exact_dedup,
     "ext_ann_lsh_topk": ext_ann_lsh_topk,
     "ext_ann_ivf_topk": ext_ann_ivf_topk,
     "ext_embedding_neardup": ext_embedding_neardup,
@@ -1707,6 +1778,22 @@ SELECT doc_id, lang, source FROM (
 SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
 FROM documents ORDER BY doc_id NULLS FIRST
 """,
+    "ext_incremental_exact_dedup": r"""
+WITH fp AS (
+  SELECT doc_id, lang, source,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+  FROM documents
+),
+idx AS (SELECT DISTINCT f FROM fp WHERE doc_id % 5 != 0),
+batch AS (
+  SELECT doc_id, lang, source, f,
+         ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+  FROM fp WHERE doc_id % 5 = 0
+)
+SELECT doc_id, lang, source FROM batch
+WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM idx WHERE idx.f = batch.f)
+ORDER BY doc_id NULLS FIRST
+""",
     "ext_dup_passages": r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
@@ -1751,6 +1838,45 @@ SELECT d.doc_id,
        (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_representative
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 ORDER BY d.doc_id NULLS FIRST
+""",
+    "ext_cluster_best_keep": f"""
+WITH RECURSIVE {_TRIGRAMS_CTE},
+counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN counts ca ON ca.doc_id = id_a
+  JOIN counts cb ON cb.doc_id = id_b
+  WHERE inter / (ca.n_grams + cb.n_grams - inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS id, dst AS peer FROM edges
+  UNION
+  SELECT r.id, e.dst AS peer FROM reach r JOIN edges e ON r.peer = e.src
+),
+comp AS (SELECT id, least(id, MIN(peer)) AS component FROM reach GROUP BY id),
+cl AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+q AS ({_QUALITY_CTE_SQL}),
+ranked AS (
+  SELECT cl.doc_id, cl.cluster_id, q.quality,
+         ROW_NUMBER() OVER (
+           PARTITION BY cl.cluster_id ORDER BY q.quality DESC, cl.doc_id ASC
+         ) AS rk
+  FROM cl JOIN q ON q.doc_id = cl.doc_id
+)
+SELECT doc_id, cluster_id, quality, (rk = 1) AS is_representative
+FROM ranked ORDER BY doc_id NULLS FIRST
 """,
     "ext_leakage_safe_split": f"""
 WITH RECURSIVE {_TRIGRAMS_CTE},
@@ -1866,6 +1992,28 @@ ranked AS (
   FROM sims
 )
 SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= 3
+ORDER BY query_id NULLS FIRST, rank NULLS FIRST
+""",
+    "ext_hard_negatives": """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sims AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         list_dot_product(q.e, c.e) /
+         (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)) + 1e-12) AS cs
+  FROM v q JOIN v c ON q.vec_id < 5 AND c.label != q.label
+),
+ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       ROUND(cs, 4) AS cos_sim, rank
 FROM ranked WHERE rank <= 3
 ORDER BY query_id NULLS FIRST, rank NULLS FIRST
 """,

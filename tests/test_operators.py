@@ -1317,3 +1317,79 @@ def test_gated_datasources_raise_clear_errors(spark):
         read_avro(spark, "/tmp/nonexistent")
     with _pytest.raises(DataSourceUnavailable, match="kafka"):
         read_events_kafka(spark, "localhost:9092", "events")
+
+
+def test_keep_best_of_cluster_keeps_highest_quality(spark, docs_with_dups):
+    from dbt_meshify_spark.operators.dedup import keep_best_of_cluster, ngram_jaccard_pairs
+    from dbt_meshify_spark.operators.text import quality_score
+
+    pairs = ngram_jaccard_pairs(docs_with_dups, n=3, min_jaccard=0.5)
+    scored = quality_score(docs_with_dups).select("doc_id", "quality")
+    out = keep_best_of_cluster(scored, pairs, score_col="quality")
+    rows = out.collect()
+    assert len(rows) == docs_with_dups.count()  # every doc labeled
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        reps = [m for m in members if m.is_representative]
+        assert len(reps) == 1, f"cluster {cid}: {len(reps)} representatives"
+        best = max(members, key=lambda m: (m.quality, -m.doc_id))
+        assert reps[0].doc_id == best.doc_id
+        assert reps[0].quality == max(m.quality for m in members)
+    # planted near-dup: orig 3 and its " tail tweak" copy share a cluster
+    cid3 = {r.doc_id: r.cluster_id for r in rows}
+    assert cid3[3] == cid3[2_000_003]
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from dbt_meshify_spark.operators.similarity import cosine_topk, hard_negatives
+    from dbt_meshify_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    out = hard_negatives(q, emb, k=3).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert len(out) == 4 * 3
+    for r in out:
+        assert r.query_label == labels[r.query_id]
+        assert r.neighbor_label != r.query_label  # negatives only
+    # agrees with brute force: top-1 negative == best cross-label neighbor
+    # from the unfiltered exact top-k ranking over the full corpus
+    full = cosine_topk(q, emb, k=emb.count() - 1).collect()
+    for qid in [0, 1, 2, 3]:
+        want = next(
+            r.neighbor_id
+            for r in sorted(
+                (r for r in full if r.query_id == qid),
+                key=lambda r: r.rank,
+            )
+            if labels[r.neighbor_id] != labels[qid]
+        )
+        got = next(
+            r.neighbor_id for r in out if r.query_id == qid and r.rank == 1
+        )
+        assert got == want
+
+
+def test_dedup_against_index_exact_and_batch_local(spark, docs_with_dups):
+    from dbt_meshify_spark.operators.dedup import dedup_against_index
+
+    # index = originals; batch = planted exact copies + near copies + one
+    # genuinely novel doc and one within-batch dup pair
+    index = docs_with_dups.filter(F.col("doc_id") < 1_000_000)
+    batch = docs_with_dups.filter(F.col("doc_id") >= 1_000_000)
+    novel = spark.createDataFrame(
+        [(9_000_000, "completely new text never seen", "en", "unit", 30),
+         (9_000_001, "repeated batch doc", "en", "unit", 18),
+         (9_000_002, "repeated batch doc", "en", "unit", 18)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dedup_against_index(batch.unionByName(novel), index)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    # exact copies of indexed docs are dropped
+    assert not kept & {1_000_000, 1_000_001, 1_000_002}
+    # near copies (" tail tweak") are NOT exact dups — exact tier keeps them
+    assert {2_000_003, 2_000_004, 2_000_005} <= kept
+    # novel doc kept; within-batch dup folded keep-first
+    assert 9_000_000 in kept and 9_000_001 in kept and 9_000_002 not in kept
