@@ -1331,6 +1331,40 @@ def ext_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["spark", "query", "merge"]).orderBy(_asc("doc_id"))
 
 
+def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S/J-scale] fact-to-fact join over a bucketed layout: lineitem and
+    orders are materialized once bucketed on the order key
+    (sources/bucketing.py), then sort-merge-joined with ZERO exchange on
+    either side — the write-once/join-free pattern that removes the
+    dominant recurring shuffle at 100 TB. The merge hint pins the plan the
+    cluster would run (broadcast would hide the property at toy scale);
+    plan guarded by tests/test_plan_quality.py."""
+    from dbt_meshify_spark.sources.bucketing import ensure_bucketed
+
+    li = ensure_bucketed(
+        spark, load_table(spark, sf_dir, "lineitem"), "lineitem", sf_dir,
+        ["l_orderkey"], num_buckets=8,
+    )
+    orders = ensure_bucketed(
+        spark, load_table(spark, sf_dir, "orders"), "orders", sf_dir,
+        ["o_orderkey"], num_buckets=8,
+    )
+    joined = li.hint("merge").join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(_asc("o_orderpriority"))
+    )
+
+
 def ext_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N1] exact-tier incremental dedup: an incoming batch (doc_id % 5 = 0)
     anti-joins the standing corpus's DISTINCT fingerprint set (doc_id % 5
@@ -1408,6 +1442,7 @@ QUERIES = {
     "ext_hard_negatives": ext_hard_negatives,
     "ext_cluster_best_keep": ext_cluster_best_keep,
     "ext_incremental_exact_dedup": ext_incremental_exact_dedup,
+    "ext_bucketed_join": ext_bucketed_join,
     "ext_ann_lsh_topk": ext_ann_lsh_topk,
     "ext_ann_ivf_topk": ext_ann_ivf_topk,
     "ext_embedding_neardup": ext_embedding_neardup,
@@ -1777,6 +1812,14 @@ SELECT doc_id, lang, source FROM (
     "ext_fingerprint": r"""
 SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
 FROM documents ORDER BY doc_id NULLS FIRST
+""",
+    "ext_bucketed_join": """
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority NULLS FIRST
 """,
     "ext_incremental_exact_dedup": r"""
 WITH fp AS (

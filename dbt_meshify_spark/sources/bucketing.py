@@ -1,0 +1,90 @@
+"""Bucketed warehouse layout: shuffle-free co-located joins.
+
+The single biggest shuffle at 100 TB is the fact-to-fact join (lineitem x
+orders, events x sessions, pairs x payloads): both sides exceed any
+broadcast threshold, so every query pays a full exchange of both tables.
+Bucketing pays that shuffle ONCE at write time — ``bucketBy(n, key)``
+hash-partitions rows into ``n`` stable buckets per the same Murmur3 hash a
+shuffle would use — and every subsequent equi-join or aggregation on the
+bucket key reads co-located partitions with ZERO exchange on either side
+(guarded by ``tests/test_plan_quality.py::test_bucketed_join_has_no_
+exchange``).
+
+Reference parity note: the reference (dbt-meshify) delegates physical layout
+to the warehouse; this is the Spark-native equivalent of a warehouse-side
+clustered table (dbt ``sorted_by``/``clustered_by`` configs on dbt-spark,
+reference storage plane SURVEY.md §1.2).
+
+Mechanics that matter:
+
+- Rows are ``repartition(n, keys)``-ed before the write so each write task
+  holds exactly one bucket — one file per bucket. That keeps file count at
+  ``n`` (not tasks x n) AND lets Spark trust the ``sortBy`` order at read
+  time (sorted-bucket metadata is honored only for single-file buckets), so
+  a sort-merge join over two aligned tables needs neither exchange nor sort.
+- Both join sides must use the same bucket count; keep one corpus-wide
+  constant per key domain.
+- Tables are registered with an explicit ``path`` (external), so the layout
+  lands in a writable scratch/warehouse dir, not the session default.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_BUCKET_DIR = "/tmp/dbt_meshify_spark_buckets"
+
+
+def bucketed_table_name(table: str, sf_dir: str, num_buckets: int) -> str:
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    return f"bkt{num_buckets}_{table}_{slug}"
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    keys: list[str],
+    num_buckets: int = 8,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Materialize ``df`` as a bucketed (and bucket-sorted) parquet table.
+
+    This is the write-side shuffle the read side never pays again.
+    """
+    (
+        df.repartition(num_buckets, *keys)
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(num_buckets, *keys)
+        .sortBy(*(sort_by or keys))
+        .options(**({"path": path} if path else {}))
+        .saveAsTable(name)
+    )
+
+
+def ensure_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    sf_dir: str,
+    keys: list[str],
+    num_buckets: int = 8,
+    base_dir: str = DEFAULT_BUCKET_DIR,
+) -> DataFrame:
+    """Return ``df``'s bucketed twin, materializing it on first use.
+
+    Idempotent per (table, sf_dir, num_buckets) within a session: the
+    catalog check makes repeat queries read the existing layout instead of
+    re-paying the write shuffle — the session-local analog of a standing
+    warehouse table.
+    """
+    name = bucketed_table_name(table, sf_dir, num_buckets)
+    if not spark.catalog.tableExists(name):
+        write_bucketed(
+            df, name, keys, num_buckets, path=os.path.join(base_dir, name)
+        )
+    return spark.table(name)

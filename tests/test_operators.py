@@ -1393,3 +1393,38 @@ def test_dedup_against_index_exact_and_batch_local(spark, docs_with_dups):
     assert {2_000_003, 2_000_004, 2_000_005} <= kept
     # novel doc kept; within-batch dup folded keep-first
     assert 9_000_000 in kept and 9_000_001 in kept and 9_000_002 not in kept
+
+
+def test_bucketed_layout_one_file_per_bucket_and_idempotent(spark):
+    import os
+
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.sources.bucketing import (
+        bucketed_table_name,
+        ensure_bucketed,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    b1 = ensure_bucketed(spark, orders, "orders", SF_SMOKE, ["o_orderkey"], 8)
+    assert b1.count() == orders.count()
+    name = bucketed_table_name("orders", SF_SMOKE, 8)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    ).replace("file:", "")
+    parts = [f for f in os.listdir(loc) if f.startswith("part-")]
+    assert len(parts) == 8, f"want one file per bucket, got {len(parts)}"
+    nb = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+        .filter(F.col("col_name") == "Num Buckets")
+        .collect()[0]["data_type"]
+    )
+    assert nb == "8"
+    # idempotent: second call reuses the catalog entry (no rewrite)
+    mtimes = {f: os.path.getmtime(os.path.join(loc, f)) for f in parts}
+    b2 = ensure_bucketed(spark, orders, "orders", SF_SMOKE, ["o_orderkey"], 8)
+    assert b2.count() == orders.count()
+    assert all(
+        os.path.getmtime(os.path.join(loc, f)) == m for f, m in mtimes.items()
+    )

@@ -227,3 +227,17 @@ def test_incremental_probe_never_rereads_corpus(spark, tmp_path):
     assert 2 <= plan.count("FileScan parquet") <= 3
     assert plan.count("documents.parquet") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange_on_join_keys(spark):
+    """ext_bucketed_join: the lineitem-orders sort-merge join must read the
+    bucketed layout co-located — the only exchanges allowed are the tiny
+    post-join aggregate/sort on o_orderpriority, never the order keys."""
+    df = QUERIES["ext_bucketed_join"](spark, SF_ORACLE)
+    plan = _physical(df)
+    assert "SortMergeJoin" in plan
+    ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert ex_lines, "expected the post-join aggregate exchange"
+    for line in ex_lines:
+        assert "o_orderpriority" in line, f"unexpected exchange: {line.strip()}"
+        assert "orderkey" not in line, f"join-key exchange: {line.strip()}"
