@@ -320,3 +320,43 @@ def sample_exact_k(
 
     rank_key = _sample_key(key_cols, seed)
     return topk_per_key(df, by, [rank_key.asc()] + [F.col(c).asc() for c in key_cols], k).drop("rn")
+
+
+def diverse_sample(
+    emb: DataFrame,
+    k: int,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "s0",
+    iters: int = 4,
+) -> DataFrame:
+    """Coverage-aware subset selection: partition the embedding space into
+    ``nlist`` IVF cells (spherical k-means, bounded driver-side training)
+    and draw a deterministic ``ceil(k/nlist)`` quota from each, so every
+    region of the space is represented instead of the densest mode
+    dominating — the cheap distributed stand-in for k-center/facility-
+    location selection, which is inherently sequential.
+
+    Uniform-per-cell quotas are the point: a proportional draw reproduces
+    the corpus density (what deterministic_sample already does); equal
+    quotas oversample sparse regions, which is what "diverse" buys. Output
+    is ``(id_col, cell)`` keys only — assignment is map-only, the quota
+    draw is md5-ranked (re-run-stable, partitioning-independent) and
+    skew-safe; at 100 TB the only shuffle is the per-cell top-quota prune.
+    """
+    import math
+
+    from dbt_meshify_spark.operators.similarity import (
+        assign_cells,
+        train_ivf_centroids,
+    )
+
+    centroids = train_ivf_centroids(
+        emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    cells = assign_cells(emb, centroids, vec_col=vec_col).select(
+        F.col(id_col), F.col("cell")
+    )
+    quota = max(1, math.ceil(k / nlist))
+    return sample_exact_k(cells, quota, by=["cell"], key_cols=[id_col], seed=seed)

@@ -835,3 +835,18 @@ def ivf_topk(
             F.round("cos_sim", 4).alias("cos_sim"), "rank",
         )
     )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Label every row with its nearest-centroid cell id (map-only; the
+    centroid matrix rides in the Arrow UDF closure, so no shuffle and no
+    per-call codegen). The public face of the IVF coarse quantizer for
+    consumers beyond ANN — diversity sampling, semantic sharding, cluster
+    profiling."""
+    assign = _assign_udf(centroids)
+    return df.withColumn(out_col, assign(_as_double(F.col(vec_col))))

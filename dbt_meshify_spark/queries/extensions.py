@@ -1331,6 +1331,19 @@ def ext_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["spark", "query", "merge"]).orderBy(_asc("doc_id"))
 
 
+def ext_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3/N9] coverage-aware subset selection: 64 embeddings drawn with
+    equal quotas from 16 IVF cells, so sparse regions of the space are
+    represented instead of the densest mode dominating
+    (operators/sampling.py::diverse_sample). Rows-only by design (k-means
+    quantizer is not SQL-expressible); per-cell quota/coverage/determinism
+    invariants asserted in tests."""
+    from dbt_meshify_spark.operators.sampling import diverse_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return diverse_sample(emb, k=64, nlist=16).orderBy(_asc("vec_id"))
+
+
 def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[S/J-scale] fact-to-fact join over a bucketed layout: lineitem and
     orders are materialized once bucketed on the order key
@@ -1443,6 +1456,7 @@ QUERIES = {
     "ext_cluster_best_keep": ext_cluster_best_keep,
     "ext_incremental_exact_dedup": ext_incremental_exact_dedup,
     "ext_bucketed_join": ext_bucketed_join,
+    "ext_diverse_sample": ext_diverse_sample,
     "ext_ann_lsh_topk": ext_ann_lsh_topk,
     "ext_ann_ivf_topk": ext_ann_ivf_topk,
     "ext_embedding_neardup": ext_embedding_neardup,

@@ -1428,3 +1428,40 @@ def test_bucketed_layout_one_file_per_bucket_and_idempotent(spark):
     assert all(
         os.path.getmtime(os.path.join(loc, f)) == m for f, m in mtimes.items()
     )
+
+
+def test_diverse_sample_coverage_quota_determinism(spark):
+    from dbt_meshify_spark.operators.sampling import diverse_sample
+    from dbt_meshify_spark.operators.similarity import (
+        assign_cells,
+        train_ivf_centroids,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    out = diverse_sample(emb, k=64, nlist=16).collect()
+    quota = 4  # ceil(64/16)
+    per_cell: dict = {}
+    for r in out:
+        per_cell[r.cell] = per_cell.get(r.cell, 0) + 1
+    assert all(v <= quota for v in per_cell.values())
+    # coverage: every non-empty cell is represented
+    centroids = train_ivf_centroids(emb, nlist=16, iters=4)
+    cells = assign_cells(emb, centroids)
+    nonempty = {r.cell for r in cells.select("cell").distinct().collect()}
+    assert set(per_cell) == nonempty
+    # exact quota wherever the cell has >= quota members
+    sizes = {
+        r.cell: r.n
+        for r in cells.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    for cell, n in sizes.items():
+        assert per_cell[cell] == min(quota, n)
+    # determinism: identical draw on re-run
+    again = diverse_sample(emb, k=64, nlist=16).collect()
+    assert sorted((r.vec_id, r.cell) for r in out) == sorted(
+        (r.vec_id, r.cell) for r in again
+    )
+    # different seed draws a different (same-shape) subset
+    other = diverse_sample(emb, k=64, nlist=16, seed="s1").collect()
+    assert {r.vec_id for r in other} != {r.vec_id for r in out}
