@@ -1465,3 +1465,64 @@ def test_diverse_sample_coverage_quota_determinism(spark):
     # different seed draws a different (same-shape) subset
     other = diverse_sample(emb, k=64, nlist=16, seed="s1").collect()
     assert {r.vec_id for r in other} != {r.vec_id for r in out}
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from dbt_meshify_spark.sources.layout import compact_parquet
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    # simulate a fragmented streaming sink: 64 tiny files
+    spark.range(0, 10_000).repartition(64).write.parquet(src)
+    import os
+
+    frag_files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert len(frag_files) == 64
+    n = compact_parquet(spark, src, out, target_rows_per_file=4_000)
+    assert n == 3  # ceil(10000/4000)
+    out_files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(out_files) == 3
+    assert spark.read.parquet(out).count() == 10_000
+
+
+def test_optimize_layout_clusters_key_ranges(spark, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dbt_meshify_spark.sources.layout import optimize_layout
+
+    from dbt_meshify_spark.sources import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    out = str(tmp_path / "clustered")
+    optimize_layout(orders, out, ["o_orderdate"], target_files=4)
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    # file-level min/max ranges on the cluster key must not overlap —
+    # that's what makes a pushed-down date filter skip whole files
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.num_columns)
+        }
+        i = cols["o_orderdate"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1,hi1)} vs {(lo2,hi2)}"
+    # a selective filter over the clustered copy reads the same rows
+    total = spark.read.parquet(out).filter(
+        F.col("o_orderdate") < "1993-01-01"
+    ).count()
+    want = orders.filter(F.col("o_orderdate") < "1993-01-01").count()
+    assert total == want
