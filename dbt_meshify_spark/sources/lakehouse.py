@@ -94,3 +94,53 @@ def _merge_parquet_swap(
     with open(marker, "w") as f:
         f.write(str(version))
     return spark.read.parquet(out_path)
+
+
+def list_versions(target_dir: str) -> list[int]:
+    """Versions available at ``target_dir`` (ascending). Parquet-swap tables
+    keep every ``v{n}`` directory precisely so trainings can pin the exact
+    snapshot they consumed; Delta tables answer from their own log."""
+    import os
+    import re
+
+    if not os.path.isdir(target_dir):
+        return []
+    return sorted(
+        int(m.group(1))
+        for d in os.listdir(target_dir)
+        if (m := re.fullmatch(r"v(\d+)", d))
+    )
+
+
+def read_table_version(
+    spark: SparkSession, target_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read (time travel): the table at ``target_dir`` exactly as
+    of ``version`` (default: current). A training run that records the
+    version it read is exactly reproducible later, merges since
+    notwithstanding — the dataset-lineage half of incremental curation.
+
+    Delta path: native ``versionAsOf``. Parquet-swap path: each merge wrote
+    an immutable ``v{n}`` directory, so the snapshot is a plain read of
+    that directory.
+    """
+    import os
+
+    if delta_available():
+        from delta.tables import DeltaTable
+
+        if DeltaTable.isDeltaTable(spark, target_dir):
+            r = spark.read.format("delta")
+            if version is not None:
+                r = r.option("versionAsOf", version)
+            return r.load(target_dir)
+    versions = list_versions(target_dir)
+    if not versions:
+        raise FileNotFoundError(f"no table versions at {target_dir}")
+    if version is None:
+        marker = os.path.join(target_dir, "_VERSION")
+        with open(marker) as f:
+            version = int(f.read().strip())
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions} at {target_dir}")
+    return spark.read.parquet(os.path.join(target_dir, f"v{version}"))

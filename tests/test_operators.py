@@ -1526,3 +1526,32 @@ def test_optimize_layout_clusters_key_ranges(spark, tmp_path):
     ).count()
     want = orders.filter(F.col("o_orderdate") < "1993-01-01").count()
     assert total == want
+
+
+def test_table_versions_are_reproducible_snapshots(spark, tmp_path):
+    from dbt_meshify_spark.sources.lakehouse import (
+        list_versions,
+        merge_upsert,
+        read_table_version,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, val string"
+    )
+    merge_upsert(spark, tdir, v1, ["id"])
+    v2 = spark.createDataFrame(
+        [(2, "B"), (3, "c")], "id long, val string"
+    )
+    merge_upsert(spark, tdir, v2, ["id"])
+    assert list_versions(tdir) == [1, 2]
+    # current = post-merge state
+    cur = {(r.id, r.val) for r in read_table_version(spark, tdir).collect()}
+    assert cur == {(1, "a"), (2, "B"), (3, "c")}
+    # snapshot 1 = exactly the pre-merge table, merges notwithstanding
+    old = {(r.id, r.val) for r in read_table_version(spark, tdir, 1).collect()}
+    assert old == {(1, "a"), (2, "b")}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_table_version(spark, tdir, 99)
