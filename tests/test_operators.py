@@ -1555,3 +1555,21 @@ def test_table_versions_are_reproducible_snapshots(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_table_version(spark, tdir, 99)
+
+
+def test_ensure_bucketed_rebuilds_after_catalog_loss(spark):
+    """A fresh session has no catalog entry but may find stale files at the
+    layout path — ensure_bucketed must rebuild cleanly over them."""
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.sources.bucketing import (
+        bucketed_table_name,
+        ensure_bucketed,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    ensure_bucketed(spark, orders, "orders", SF_SMOKE, ["o_orderkey"], 8)
+    name = bucketed_table_name("orders", SF_SMOKE, 8)
+    spark.sql(f"DROP TABLE {name}")  # catalog gone, files remain
+    b = ensure_bucketed(spark, orders, "orders", SF_SMOKE, ["o_orderkey"], 8)
+    assert b.count() == orders.count()
+    assert spark.catalog.tableExists(name)
