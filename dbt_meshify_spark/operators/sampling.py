@@ -360,3 +360,28 @@ def diverse_sample(
     )
     quota = max(1, math.ceil(k / nlist))
     return sample_exact_k(cells, quota, by=["cell"], key_cols=[id_col], seed=seed)
+
+
+def temperature_weights(
+    df: DataFrame, source_col: str, alpha: float = 0.5
+) -> dict[str, float]:
+    """Temperature-based mixture weights (the multilingual/multi-source
+    mixing rule of T5/PaLM-style training): sampling probability
+    ``q_s ∝ n_s^alpha`` flattened toward uniform as ``alpha -> 0``, turned
+    into per-row copy weights ``w_s = q_s * N / n_s`` so the mixture's
+    expected TOTAL size stays N while small sources are up-sampled and
+    dominant ones down-sampled.
+
+    One aggregate job; the collect is bounded by the number of sources
+    (dozens), the same bounded-collect posture as IVF centroid training.
+    Feed the result straight into :func:`mixture_copies`.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1))).collect()
+    }
+    n_total = sum(counts.values())
+    z = sum(n**alpha for _, n in sorted(counts.items()))
+    return {s: (n**alpha) / z * n_total / n for s, n in sorted(counts.items())}

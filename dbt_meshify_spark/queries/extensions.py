@@ -1331,6 +1331,32 @@ def ext_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["spark", "query", "merge"]).orderBy(_asc("doc_id"))
 
 
+def ext_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9] temperature-based mixture plan (alpha=0.5): per-source document
+    count, copy weight w_s = n_s^alpha / Z * N / n_s, and the expected
+    post-mixture size — small sources up-sampled, dominant ones
+    down-sampled, expected total preserved
+    (operators/sampling.py::temperature_weights; the per-row n_copies
+    composition with mixture_copies is unit-tested — its md5 thresholds are
+    plan-time floats, so the source-level plan is the oracle-checked
+    surface)."""
+    from dbt_meshify_spark.operators.sampling import temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = temperature_weights(docs, "source", alpha=0.5)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.create_map(
+        *[x for s, wt in sorted(weights.items()) for x in (F.lit(s), F.lit(wt))]
+    )
+    return (
+        counts.withColumn("weight", F.round(w[F.col("source")], 4))
+        .withColumn(
+            "expected_docs", F.round(w[F.col("source")] * F.col("n_docs"), 2)
+        )
+        .orderBy(_asc("source"))
+    )
+
+
 def ext_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N3/N9] coverage-aware subset selection: 64 embeddings drawn with
     equal quotas from 16 IVF cells, so sparse regions of the space are
@@ -1457,6 +1483,7 @@ QUERIES = {
     "ext_incremental_exact_dedup": ext_incremental_exact_dedup,
     "ext_bucketed_join": ext_bucketed_join,
     "ext_diverse_sample": ext_diverse_sample,
+    "ext_temperature_mixture": ext_temperature_mixture,
     "ext_ann_lsh_topk": ext_ann_lsh_topk,
     "ext_ann_ivf_topk": ext_ann_ivf_topk,
     "ext_embedding_neardup": ext_embedding_neardup,
@@ -1826,6 +1853,15 @@ SELECT doc_id, lang, source FROM (
     "ext_fingerprint": r"""
 SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
 FROM documents ORDER BY doc_id NULLS FIRST
+""",
+    "ext_temperature_mixture": """
+WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT SUM(n) AS n_total, SUM(POW(n, 0.5)) AS z FROM cnt)
+SELECT c.source, CAST(c.n AS BIGINT) AS n_docs,
+       ROUND(POW(c.n, 0.5) / t.z * t.n_total / c.n, 4) AS weight,
+       ROUND(POW(c.n, 0.5) / t.z * t.n_total / c.n * c.n, 2) AS expected_docs
+FROM cnt c, tot t
+ORDER BY c.source NULLS FIRST
 """,
     "ext_bucketed_join": """
 SELECT o_orderpriority,

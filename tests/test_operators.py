@@ -1573,3 +1573,39 @@ def test_ensure_bucketed_rebuilds_after_catalog_loss(spark):
     b = ensure_bucketed(spark, orders, "orders", SF_SMOKE, ["o_orderkey"], 8)
     assert b.count() == orders.count()
     assert spark.catalog.tableExists(name)
+
+
+def test_temperature_weights_flatten_and_compose(spark):
+    from dbt_meshify_spark.operators.sampling import (
+        mixture_copies,
+        temperature_weights,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    counts = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    w1 = temperature_weights(docs, "source", alpha=1.0)
+    assert all(abs(v - 1.0) < 1e-9 for v in w1.values())  # alpha=1: identity
+    w0 = temperature_weights(docs, "source", alpha=0.0)
+    # alpha=0: uniform sampling -> every source's expected size is equal
+    sizes = {s: w0[s] * counts[s] for s in counts}
+    vals = list(sizes.values())
+    assert max(vals) - min(vals) < 1e-6
+    w5 = temperature_weights(docs, "source", alpha=0.5)
+    # expected total preserved, small sources boosted over large ones
+    total = sum(w5[s] * counts[s] for s in counts)
+    assert abs(total - sum(counts.values())) < 1e-6
+    smallest = min(counts, key=counts.get)
+    largest = max(counts, key=counts.get)
+    if counts[smallest] < counts[largest]:
+        assert w5[smallest] > w5[largest]
+    # composes with mixture_copies: realized expected copies ~= weights
+    mixed = mixture_copies(docs, "source", w5, ["doc_id"])
+    got = {
+        r.source: r.c
+        for r in mixed.groupBy("source").agg(F.sum("n_copies").alias("c")).collect()
+    }
+    for s in counts:
+        expected = w5[s] * counts[s]
+        # derandomized Bernoulli: realized count within a small band
+        assert abs(got.get(s, 0) - expected) <= max(10, 0.2 * expected)
