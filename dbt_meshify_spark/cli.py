@@ -175,14 +175,55 @@ def split(ctx, project_name, select, exclude, selector, project_path, create_pat
 
 
 @cli.command()
-@click.option("--project-paths", multiple=True, required=True, type=click.Path(exists=True))
+@click.option("--project-paths", multiple=True, type=click.Path(exists=True))
+@click.option(
+    "--projects-dir",
+    type=click.Path(exists=True),
+    default=None,
+    help="directory containing 2+ projects (every dbt_project.yml below it)",
+)
+@click.option(
+    "--exclude-projects",
+    "-e",
+    multiple=True,
+    help="project NAMES to skip when using --projects-dir",
+)
 @click.pass_context
-def connect(ctx, project_paths) -> None:
+def connect(ctx, project_paths, projects_dir, exclude_projects) -> None:
     """Convert implicit cross-project dependencies (source-hack / package
-    import) into explicit cross-project refs (reference main.py:121-210)."""
+    import) into explicit cross-project refs (reference main.py:121-210;
+    --projects-dir discovery semantics main.py:153-168)."""
     import itertools
+    from pathlib import Path
 
-    projects = [SparkProject.load(p) for p in project_paths]
+    if project_paths and projects_dir:
+        raise click.BadOptionUsage(
+            option_name="project_paths",
+            message="Cannot specify both project-paths and projects-dir",
+        )
+    if not project_paths and not projects_dir:
+        raise click.ClickException(
+            "one of --project-paths/--projects-dir is required"
+        )
+    if projects_dir:
+        found = sorted(
+            p.parent.resolve()
+            for p in Path(projects_dir).glob("**/dbt_project.yml")
+            if "dbt_packages" not in p.parts
+            and "site-packages" not in p.parts
+            and p.is_file()
+        )
+        projects = [
+            proj
+            for proj in (SparkProject.load(str(d)) for d in found)
+            if proj.name not in set(exclude_projects)
+        ]
+    else:
+        projects = [SparkProject.load(p) for p in project_paths]
+    if len(projects) < 2:
+        raise click.ClickException(
+            f"connect needs 2+ projects, found {len(projects)}"
+        )
     change_sets = []
     for a, b in itertools.combinations(projects, 2):
         for dep in sorted(

@@ -542,3 +542,37 @@ def test_cli_explain_audits_plan(spark):
 
     bad = runner.invoke(cli, ["explain", "not_a_query"])
     assert bad.exit_code != 0 and "unknown query" in bad.output
+
+
+def test_cli_connect_projects_dir_discovery(source_hack_pair, tmp_path):
+    """--projects-dir discovers every dbt_project.yml below it (skipping
+    dbt_packages/site-packages) and --exclude-projects filters by NAME
+    (reference main.py:153-168)."""
+    a, b = source_hack_pair
+    # a decoy inside dbt_packages must NOT be discovered
+    decoy = tmp_path / "proj_b" / "dbt_packages" / "dep"
+    decoy.mkdir(parents=True)
+    (decoy / "dbt_project.yml").write_text("name: decoy\n")
+    runner = CliRunner()
+    result = runner.invoke(cli, ["connect", "--projects-dir", str(tmp_path)])
+    assert result.exit_code == 0, result.output
+    code = (b / "models/downstream_model.sql").read_text()
+    assert "{{ ref('proj_a', 'shared_model') }}" in code
+
+
+def test_cli_connect_projects_dir_excludes_and_validates(source_hack_pair, tmp_path):
+    runner = CliRunner()
+    # excluding one of the two projects leaves <2 -> hard error
+    result = runner.invoke(
+        cli,
+        ["connect", "--projects-dir", str(tmp_path), "--exclude-projects", "proj_b"],
+    )
+    assert result.exit_code != 0
+    assert "2+ projects" in result.output
+    # both option families together is a usage error (reference main.py:132-135)
+    a, _ = source_hack_pair
+    result = runner.invoke(
+        cli,
+        ["connect", "--projects-dir", str(tmp_path), "--project-paths", str(a)],
+    )
+    assert result.exit_code != 0
