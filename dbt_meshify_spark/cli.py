@@ -759,5 +759,93 @@ def explain(name, sf_dir, full) -> None:
         click.echo(plan)
 
 
+@cli.command("dataset-card")
+@click.option("--sf-dir", default="/root/testdata/sf0.001", type=click.Path(exists=True))
+@click.option("--out", default=None, type=click.Path(), help="write markdown here instead of stdout")
+def dataset_card(sf_dir, out) -> None:
+    """Generate a markdown dataset card for a documents corpus: size and
+    composition by language/source (one ROLLUP pass), quality-score
+    quantiles (one sketch pass), exact-duplicate rate, and the per-source
+    length distribution — the standard release artifact of a curated
+    training set, assembled from the same operators the corpus queries
+    use so the card never disagrees with the pipeline."""
+    from dbt_meshify_spark.operators.text import doc_fingerprint, quality_score
+    from dbt_meshify_spark.queries import QUERIES
+    from dbt_meshify_spark.session import get_spark
+    from dbt_meshify_spark.sources import load_table
+
+    spark = get_spark(app_name="meshify-card")
+    docs = load_table(spark, sf_dir, "documents")
+
+    prof = QUERIES["ext_corpus_profile"](spark, sf_dir).collect()
+    total_row = next(r for r in prof if r.lang_g == "ALL")
+    lang_rows = [r for r in prof if r.lang_g != "ALL" and r.source_g == "ALL"]
+    pair_rows = [r for r in prof if r.lang_g != "ALL" and r.source_g != "ALL"]
+
+    qtiles = quality_score(docs).approxQuantile(
+        "quality", [0.1, 0.5, 0.9], 0.001
+    )
+    n_docs = total_row.n_docs
+    n_unique = doc_fingerprint(docs).select("fingerprint").distinct().count()
+    dup_rate = 0.0 if n_docs == 0 else 1.0 - n_unique / n_docs
+
+    lines = [
+        "# Dataset card",
+        "",
+        f"- corpus: `{sf_dir}`",
+        f"- documents: {n_docs:,}",
+        f"- total whitespace tokens: {total_row.total_tokens:,}",
+        f"- mean chars/doc: {total_row.avg_chars}",
+        f"- exact-duplicate rate (normalized fingerprint): {dup_rate:.2%}",
+        f"- quality score p10/p50/p90: {qtiles[0]:.3f} / {qtiles[1]:.3f} / {qtiles[2]:.3f}",
+        "",
+        "## Composition by language",
+        "",
+        "| lang | docs | tokens | avg chars |",
+        "|---|---|---|---|",
+    ]
+    for r in sorted(lang_rows, key=lambda r: -r.n_docs):
+        lines.append(
+            f"| {r.lang_g} | {r.n_docs:,} | {r.total_tokens:,} | {r.avg_chars} |"
+        )
+    lines += [
+        "",
+        "## Composition by (language, source)",
+        "",
+        "| lang | source | docs | tokens |",
+        "|---|---|---|---|",
+    ]
+    for r in sorted(pair_rows, key=lambda r: -r.n_docs)[:20]:
+        lines.append(
+            f"| {r.lang_g} | {r.source_g} | {r.n_docs:,} | {r.total_tokens:,} |"
+        )
+    if len(pair_rows) > 20:
+        lines.append(f"| … | ({len(pair_rows) - 20} more rows) | | |")
+
+    hist = QUERIES["ext_length_histogram"](spark, sf_dir).collect()
+    lines += ["", "## Document length (chars), per source", ""]
+    for source in sorted({r.source for r in hist}):
+        rows = [r for r in hist if r.source == source]
+        peak = max(r.n for r in rows)
+        lines.append(f"### {source}")
+        lines.append("")
+        for r in rows:
+            bar = "#" * max(1, round(20 * r.n / peak)) if r.n else ""
+            lines.append(
+                f"    [{int(r.bucket * 50):>5}-{int((r.bucket + 1) * 50):>5}) "
+                f"{r.n:>7,}  {bar}"
+            )
+        lines.append("")
+
+    text = "\n".join(lines) + "\n"
+    if out:
+        from pathlib import Path
+
+        Path(out).write_text(text)
+        click.echo(f"wrote {out}")
+    else:
+        click.echo(text)
+
+
 if __name__ == "__main__":
     cli()

@@ -576,3 +576,23 @@ def test_cli_connect_projects_dir_excludes_and_validates(source_hack_pair, tmp_p
         ["connect", "--projects-dir", str(tmp_path), "--project-paths", str(a)],
     )
     assert result.exit_code != 0
+
+
+def test_cli_dataset_card(tmp_path):
+    runner = CliRunner()
+    out = tmp_path / "card.md"
+    result = runner.invoke(
+        cli,
+        ["dataset-card", "--sf-dir", "/root/testdata/sf0.001", "--out", str(out)],
+    )
+    assert result.exit_code == 0, result.output
+    card = out.read_text()
+    for section in [
+        "# Dataset card",
+        "exact-duplicate rate",
+        "quality score p10/p50/p90",
+        "## Composition by language",
+        "## Document length (chars), per source",
+    ]:
+        assert section in card
+    assert "| en |" in card  # dominant language present
