@@ -1081,6 +1081,37 @@ def ext_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_perplexity(docs).orderBy(_asc("doc_id"))
 
 
+def ext_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] CCNet-style perplexity bucketing: per LANGUAGE, documents
+    split into head/middle/tail terciles by LM perplexity (low ppl =
+    LM-typical = head) — the classic quality stratification that trains on
+    head+middle and drops or re-weights tail. Composes bigram_perplexity
+    (rounded ppl, so the per-lang NTILE order is engine-identical with the
+    doc_id tiebreak); one extra keys-only join for lang and one window
+    shuffle on lang."""
+    from dbt_meshify_spark.operators.lm import bigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    ppl = bigram_perplexity(docs)
+    joined = ppl.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("ppl").asc(), F.col("doc_id").asc()
+    )
+    buckets = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+    return (
+        joined.withColumn("tercile", F.ntile(3).over(w))
+        .withColumn("bucket", F.element_at(buckets, F.col("tercile")))
+        .select(
+            "doc_id",
+            "lang",
+            "ppl",
+            F.col("tercile").cast("bigint").alias("tercile"),
+            "bucket",
+        )
+        .orderBy(_asc("doc_id"))
+    )
+
+
 def ext_domain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N4/N9] C4/RefinedWeb-style domain curation: rank domains (`source`)
     by mean doc quality, keep documents from the top 10 domains
@@ -1484,6 +1515,7 @@ QUERIES = {
     "ext_bucketed_join": ext_bucketed_join,
     "ext_diverse_sample": ext_diverse_sample,
     "ext_temperature_mixture": ext_temperature_mixture,
+    "ext_ccnet_buckets": ext_ccnet_buckets,
     "ext_ann_lsh_topk": ext_ann_lsh_topk,
     "ext_ann_ivf_topk": ext_ann_ivf_topk,
     "ext_embedding_neardup": ext_embedding_neardup,
@@ -1618,6 +1650,38 @@ SELECT doc_id, lang_pred, quality, n_chars_norm
 FROM deduped
 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ORDER BY doc_id NULLS FIRST
+"""
+
+
+_LM_SCORED_CTES = r"""
+
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+t2 AS (SELECT doc_id, l FROM toks WHERE len(l) >= 2),
+pos AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t2),
+tf AS (
+  SELECT doc_id, l[i] || ' ' || l[i+1] AS bigram, COUNT(*) AS tf
+  FROM pos GROUP BY doc_id, bigram
+),
+cb AS (SELECT bigram, SUM(tf) AS c_bi FROM tf GROUP BY bigram),
+ctx AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, SUM(c_bi) AS c_w1
+  FROM cb GROUP BY split_part(bigram, ' ', 1)
+),
+v AS (
+  SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vs
+  FROM (SELECT unnest(l) AS term FROM t2)
+),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+         -ln((CAST(cb.c_bi AS DOUBLE) + 1.0) / (CAST(ctx.c_w1 AS DOUBLE) + v.vs)) AS nll
+  FROM tf
+  JOIN cb USING (bigram)
+  JOIN ctx ON split_part(tf.bigram, ' ', 1) = ctx.w1
+  CROSS JOIN v
+)
 """
 
 
@@ -2405,39 +2469,26 @@ SELECT o.doc_id,
 FROM orig o LEFT JOIN agg a USING (doc_id)
 ORDER BY doc_id NULLS FIRST
 """,
-    "ext_lm_perplexity": r"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
-  FROM documents
-),
-t2 AS (SELECT doc_id, l FROM toks WHERE len(l) >= 2),
-pos AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t2),
-tf AS (
-  SELECT doc_id, l[i] || ' ' || l[i+1] AS bigram, COUNT(*) AS tf
-  FROM pos GROUP BY doc_id, bigram
-),
-cb AS (SELECT bigram, SUM(tf) AS c_bi FROM tf GROUP BY bigram),
-ctx AS (
-  SELECT split_part(bigram, ' ', 1) AS w1, SUM(c_bi) AS c_w1
-  FROM cb GROUP BY split_part(bigram, ' ', 1)
-),
-v AS (
-  SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vs
-  FROM (SELECT unnest(l) AS term FROM t2)
-),
-scored AS (
-  SELECT tf.doc_id, tf.tf,
-         -ln((CAST(cb.c_bi AS DOUBLE) + 1.0) / (CAST(ctx.c_w1 AS DOUBLE) + v.vs)) AS nll
-  FROM tf
-  JOIN cb USING (bigram)
-  JOIN ctx ON split_part(tf.bigram, ' ', 1) = ctx.w1
-  CROSS JOIN v
-)
+    "ext_lm_perplexity": _LM_SCORED_CTES + r"""
 SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
        ROUND(SUM(tf * nll) / SUM(tf), 4) AS avg_nll,
        ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
 FROM scored GROUP BY doc_id
 ORDER BY doc_id NULLS FIRST
+""",
+    "ext_ccnet_buckets": _LM_SCORED_CTES + r""",
+ppl AS (
+  SELECT doc_id, ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
+  FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT p.doc_id, d.lang, p.ppl,
+         NTILE(3) OVER (PARTITION BY d.lang ORDER BY p.ppl ASC, p.doc_id ASC) AS tercile
+  FROM ppl p JOIN documents d ON d.doc_id = p.doc_id
+)
+SELECT doc_id, lang, ppl, CAST(tercile AS BIGINT) AS tercile,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked ORDER BY doc_id NULLS FIRST
 """,
     "ext_domain_quality_filter": r"""
 WITH feat AS (

@@ -1609,3 +1609,22 @@ def test_temperature_weights_flatten_and_compose(spark):
         expected = w5[s] * counts[s]
         # derandomized Bernoulli: realized count within a small band
         assert abs(got.get(s, 0) - expected) <= max(10, 0.2 * expected)
+
+
+def test_ccnet_buckets_stratify_by_perplexity(spark):
+    from dbt_meshify_spark.queries import QUERIES
+
+    rows = QUERIES["ext_ccnet_buckets"](spark, SF_SMOKE).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, members in by_lang.items():
+        n = len(members)
+        counts = {}
+        for m in members:
+            counts[m.bucket] = counts.get(m.bucket, 0) + 1
+        # NTILE: tercile sizes differ by at most 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (lang, counts)
+        heads = [m.ppl for m in members if m.bucket == "head"]
+        tails = [m.ppl for m in members if m.bucket == "tail"]
+        assert max(heads) <= min(tails), lang  # head is LM-typical
