@@ -376,12 +376,20 @@ def temperature_weights(
     (dozens), the same bounded-collect posture as IVF centroid training.
     Feed the result straight into :func:`mixture_copies`.
     """
-    if alpha < 0:
-        raise ValueError(f"alpha must be >= 0, got {alpha}")
     counts = {
         r[0]: r[1]
         for r in df.groupBy(source_col).agg(F.count(F.lit(1))).collect()
     }
+    return temperature_weights_from_counts(counts, alpha)
+
+
+def temperature_weights_from_counts(
+    counts: dict[str, int], alpha: float = 0.5
+) -> dict[str, float]:
+    """Pure math of :func:`temperature_weights` (property-tested): per-source
+    copy weight ``w_s = (n_s^alpha / Z) * N / n_s``."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
     n_total = sum(counts.values())
     z = sum(n**alpha for _, n in sorted(counts.items()))
     return {s: (n**alpha) / z * n_total / n for s, n in sorted(counts.items())}

@@ -197,3 +197,52 @@ def test_edit_distance_join_substitution_pigeonhole(base_strings, n_subs, rnd):
     # every (i, 1000+i) pair is within n_subs <= 3 < k substitutions
     for i, _ in enumerate(base_strings):
         assert (i, 1000 + i) in got
+
+
+# -- temperature mixture weights (N9) -----------------------------------------
+
+
+_counts = st.dictionaries(
+    _name, st.integers(min_value=1, max_value=10**9), min_size=1, max_size=12
+)
+
+
+@given(_counts, st.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=200)
+def test_temperature_weights_preserve_expected_total(counts, alpha):
+    from dbt_meshify_spark.operators.sampling import (
+        temperature_weights_from_counts,
+    )
+
+    w = temperature_weights_from_counts(counts, alpha)
+    assert set(w) == set(counts)
+    total = sum(counts.values())
+    mixed = sum(w[s] * n for s, n in counts.items())
+    assert abs(mixed - total) <= 1e-9 * max(1.0, total)
+    assert all(v > 0 for v in w.values())
+
+
+@given(_counts)
+@settings(max_examples=100)
+def test_temperature_alpha_one_is_identity(counts):
+    from dbt_meshify_spark.operators.sampling import (
+        temperature_weights_from_counts,
+    )
+
+    w = temperature_weights_from_counts(counts, 1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in w.values())
+
+
+@given(_counts, st.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=200)
+def test_temperature_flattens_toward_small_sources(counts, alpha):
+    """For alpha <= 1, a smaller source never gets a smaller weight."""
+    from dbt_meshify_spark.operators.sampling import (
+        temperature_weights_from_counts,
+    )
+
+    w = temperature_weights_from_counts(counts, alpha)
+    items = sorted(counts.items(), key=lambda kv: kv[1])
+    for (sa, na), (sb, nb) in zip(items, items[1:]):
+        if na < nb:
+            assert w[sa] >= w[sb] - 1e-12
