@@ -1124,7 +1124,12 @@ def dedup_against_index(
         .distinct()
     )
     novel = fp_batch.join(fp_index, on="__fp", how="left_anti")
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    # NULL-text rows all share a NULL fingerprint but are NOT duplicates of
+    # each other — rank them by a per-row unique key so the keep-first fold
+    # never collapses them (the anti-join already keeps them: NULL matches
+    # nothing).
+    fold_key = F.coalesce(F.col("__fp"), F.col(id_col).cast("string"))
+    w = Window.partitionBy(fold_key).orderBy(F.col(id_col).asc())
     return (
         novel.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -117,3 +117,23 @@ def test_fuzzy_join_unicode_names(spark):
         left, right, "lid", "lname", "rid", "rname", k=4
     ).collect()}
     assert (2, 11) in got  # one-char unicode append
+
+
+def test_dedup_against_index_nasty_nulls_not_folded(spark, nasty):
+    """NULL-text rows share a NULL fingerprint; the incremental exact tier
+    must keep every one (they are not duplicates of each other) and must
+    not crash on unicode/control/empty inputs."""
+    from dbt_meshify_spark.operators.dedup import dedup_against_index
+
+    nulls = spark.createDataFrame(
+        [(100, None), (101, None)], "doc_id long, text string"
+    )
+    batch = nasty.unionByName(nulls)
+    index = spark.createDataFrame(
+        [(50, "ünïcødé tëxt ανάλυση 数据处理 данные")],  # matches doc 5 and 12
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup_against_index(batch, index).collect()}
+    assert 100 in kept and 101 in kept  # nulls never fold
+    assert 5 not in kept and 12 not in kept  # exact copies of indexed text drop
+    assert 9 in kept and 11 in kept
