@@ -759,6 +759,99 @@ def explain(name, sf_dir, full) -> None:
         click.echo(plan)
 
 
+@cli.command()
+@click.option("--project-paths", multiple=True, type=click.Path(exists=True))
+@click.option("--project-path", default=None, type=click.Path(exists=True))
+@click.option(
+    "--fmt",
+    type=click.Choice(["dot", "json"]),
+    default="dot",
+    help="graphviz dot (default) or adjacency json",
+)
+@click.option("--out", default=None, type=click.Path(), help="write here instead of stdout")
+def lineage(project_paths, project_path, fmt, out) -> None:
+    """Export the model/source DAG — including CROSS-PROJECT edges when
+    several projects are given — as graphviz dot or adjacency JSON.
+    Models are clustered per project and colored by access (public=green,
+    protected=grey, private=red); cross-project ref edges render dashed.
+    The visual counterpart of `ls`/`docs` for reviewing a mesh before and
+    after a split."""
+    import json as _json
+
+    paths = list(project_paths) or [project_path or "."]
+    projects = [SparkProject.load(p) for p in paths]
+    names = {p.name for p in projects}
+
+    nodes: dict[str, dict] = {}
+    edges: list[tuple[str, str, bool]] = []  # src, dst, cross_project
+    for proj in projects:
+        for uid, r in sorted(proj.manifest.resources.items()):
+            if r.resource_type not in ("model", "source", "seed", "snapshot"):
+                continue
+            nodes[uid] = {
+                "name": r.name,
+                "project": r.package or proj.name,
+                "type": r.resource_type,
+                "access": r.access or "protected",
+                "group": r.group,
+            }
+        for child, parents in sorted(proj.manifest.parent_map().items()):
+            for parent in parents:
+                pk_child = child.split(".")[1] if "." in child else ""
+                pk_parent = parent.split(".")[1] if "." in parent else ""
+                cross = (
+                    pk_child != pk_parent
+                    and pk_parent in names
+                    and pk_child in names
+                )
+                edges.append((parent, child, cross))
+
+    known = set(nodes)
+    edges = [e for e in edges if e[0] in known and e[1] in known]
+
+    if fmt == "json":
+        text = _json.dumps(
+            {
+                "nodes": nodes,
+                "edges": [
+                    {"from": a, "to": b, "cross_project": c} for a, b, c in edges
+                ],
+            },
+            indent=2,
+            sort_keys=True,
+        )
+    else:
+        color = {"public": "palegreen", "protected": "lightgrey", "private": "lightpink"}
+        lines = ["digraph mesh {", "  rankdir=LR;", "  node [shape=box, style=filled];"]
+        by_proj: dict[str, list[str]] = {}
+        for uid, n in nodes.items():
+            by_proj.setdefault(n["project"], []).append(uid)
+        for i, (proj_name, uids) in enumerate(sorted(by_proj.items())):
+            lines.append(f'  subgraph "cluster_{i}" {{')
+            lines.append(f'    label="{proj_name}";')
+            for uid in uids:
+                n = nodes[uid]
+                fill = color.get(n["access"], "lightgrey")
+                shape = ', shape=cds' if n["type"] == "source" else ""
+                lines.append(
+                    f'    "{uid}" [label="{n["name"]}", fillcolor={fill}{shape}];'
+                )
+            lines.append("  }")
+        for a, b, cross in edges:
+            style = " [style=dashed, color=blue]" if cross else ""
+            lines.append(f'  "{a}" -> "{b}"{style};')
+        lines.append("}")
+        text = "\n".join(lines) + "\n"
+
+    if out:
+        from pathlib import Path
+
+        Path(out).write_text(text)
+        click.echo(f"wrote {out}")
+    else:
+        click.echo(text)
+
+
 @cli.command("dataset-card")
 @click.option("--sf-dir", default="/root/testdata/sf0.001", type=click.Path(exists=True))
 @click.option("--out", default=None, type=click.Path(), help="write markdown here instead of stdout")

@@ -383,7 +383,11 @@ class SparkProject:
                 for ref in result.refs:
                     args = [a for a in ref if isinstance(a, str)]
                     target = args[-1]
-                    deps.add(f"model.{self.name}.{target}")
+                    # two-arg ref('project', 'model') resolves against the
+                    # NAMED package (cross-project refs after connect/split);
+                    # one-arg refs resolve locally
+                    pkg = args[0] if len(args) >= 2 else self.name
+                    deps.add(f"model.{pkg}.{target}")
                 for s, t in result.sources:
                     sid = source_ids.get((s, t))
                     if sid:

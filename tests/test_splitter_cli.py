@@ -596,3 +596,39 @@ def test_cli_dataset_card(tmp_path):
     ]:
         assert section in card
     assert "| en |" in card  # dominant language present
+
+
+def test_cli_lineage_dot_and_cross_project_edges(source_hack_pair):
+    a, b = source_hack_pair
+    runner = CliRunner()
+    # connect first so proj_b refs proj_a explicitly
+    result = runner.invoke(
+        cli, ["connect", "--project-paths", str(a), "--project-paths", str(b)]
+    )
+    assert result.exit_code == 0, result.output
+    result = runner.invoke(
+        cli,
+        ["lineage", "--project-paths", str(a), "--project-paths", str(b)],
+    )
+    assert result.exit_code == 0, result.output
+    dot = result.output
+    assert dot.startswith("digraph mesh")
+    assert 'label="proj_a"' in dot and 'label="proj_b"' in dot
+    # the cross-project ref edge renders dashed
+    assert (
+        '"model.proj_a.shared_model" -> "model.proj_b.downstream_model" '
+        "[style=dashed, color=blue];" in dot
+    )
+    # the now-public upstream is green
+    assert 'label="shared_model", fillcolor=palegreen' in dot
+    # json format round-trips
+    result = runner.invoke(
+        cli,
+        ["lineage", "--project-paths", str(a), "--project-paths", str(b),
+         "--fmt", "json"],
+    )
+    assert result.exit_code == 0, result.output
+    import json
+
+    data = json.loads(result.output)
+    assert any(e["cross_project"] for e in data["edges"])
