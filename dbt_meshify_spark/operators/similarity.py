@@ -320,6 +320,7 @@ def _lsh_scored_pairs(
     num_planes: int,
     bands: int,
     seed: int,
+    pair_filter=None,
 ) -> DataFrame:
     """Shared LSH core: banded candidate generation + exact cosine scoring,
     WITHOUT ranking — ``lsh_bucketed_topk`` adds the per-query row_number
@@ -364,6 +365,10 @@ def _lsh_scored_pairs(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    if pair_filter is not None:
+        # keys-only candidate pruning (e.g. cross-label only) BEFORE the
+        # vector payloads re-join and the Arrow cosine runs
+        cand = pair_filter(cand)
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
@@ -850,3 +855,68 @@ def assign_cells(
     profiling."""
     assign = _assign_udf(centroids)
     return df.withColumn(out_col, assign(_as_double(F.col(vec_col))))
+
+
+def hard_negatives_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dims: int = 64,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = _SEED,
+) -> DataFrame:
+    """Scale path of :func:`hard_negatives`: candidates come from shared LSH
+    band buckets instead of the full |Q|x|C| scan, the label-mismatch
+    filter runs on the keys-only candidate frame BEFORE vectors re-join and
+    the Arrow cosine scores — so at 100 TB both the pair volume (banded)
+    and the per-pair work (cross-label only) are pruned ahead of the
+    expensive steps. Approximate by construction (bucket recall), rows-only
+    check + recall-vs-exact test like the other LSH tiers.
+    """
+    sims = _lsh_scored_pairs(
+        queries, corpus, id_col, vec_col, dims, num_planes, bands, seed,
+        pair_filter=_label_mismatch_filter(queries, corpus, id_col, label_col),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+def _label_mismatch_filter(
+    queries: DataFrame, corpus: DataFrame, id_col: str, label_col: str
+):
+    """Candidate-frame filter: join keys-only label projections and keep
+    cross-label pairs. Runs on (query_id, neighbor_id) rows before any
+    vector payload moves."""
+    ql = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("query_label")
+    )
+    cl = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+
+    def apply(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(ql, "query_id")
+            .join(cl, "neighbor_id")
+            .filter(F.col("query_label") != F.col("neighbor_label"))
+        )
+
+    return apply

@@ -1478,6 +1478,30 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3/N9] LSH-blocked hard-negative mining — the scale path of
+    ext_hard_negatives: banded candidates, keys-only cross-label pruning
+    before vectors re-join, Arrow cosine inside candidates only
+    (operators/similarity.py::hard_negatives_lsh). Rows-only by design;
+    recall vs the exact miner asserted in tests."""
+    from dbt_meshify_spark.operators.similarity import hard_negatives_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return (
+        hard_negatives_lsh(q, emb, k=3, num_planes=64, bands=16)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cos_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy(_asc("query_id"), _asc("rank"))
+    )
+
+
 def ext_cluster_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N1/N2/N4] quality-aware near-dup resolution: trigram-Jaccard
     clusters (same pair set as ext_dedup_clusters) but the kept
@@ -1510,6 +1534,7 @@ QUERIES = {
     "ext_simhash_neardup": ext_simhash_neardup,
     "ext_cosine_topk": ext_cosine_topk,
     "ext_hard_negatives": ext_hard_negatives,
+    "ext_hard_negatives_lsh": ext_hard_negatives_lsh,
     "ext_cluster_best_keep": ext_cluster_best_keep,
     "ext_incremental_exact_dedup": ext_incremental_exact_dedup,
     "ext_bucketed_join": ext_bucketed_join,

@@ -1628,3 +1628,24 @@ def test_ccnet_buckets_stratify_by_perplexity(spark):
         heads = [m.ppl for m in members if m.bucket == "head"]
         tails = [m.ppl for m in members if m.bucket == "tail"]
         assert max(heads) <= min(tails), lang  # head is LM-typical
+
+
+def test_hard_negatives_lsh_recall_vs_exact(spark):
+    from dbt_meshify_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_lsh,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = hard_negatives(q, emb, k=3).collect()
+    approx = hard_negatives_lsh(q, emb, k=3, num_planes=64, bands=16).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in approx:
+        assert r.neighbor_label != r.query_label  # still negatives only
+        assert r.neighbor_label == labels[r.neighbor_id]
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"recall {recall:.2f}"
