@@ -311,3 +311,108 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     # Small local scans arrive as one split; spread so Arrow batches hit all
     # Python workers. No-op on a cluster where splits >= defaultParallelism.
     return spread(media).mapInPandas(_featurize, schema=FEATURE_SCHEMA)
+
+
+# -- Y4M video (codec-free, real kernel like PPM/WAV) --------------------------
+
+
+def encode_y4m(frames, fps: int = 25) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames -> YUV4MPEG2 (C420jpeg) bytes.
+
+    Y4M is the uncompressed video interchange format (ffmpeg's codec-free
+    pipe format): a text header, then per-frame raw 4:2:0 YUV planes — fully
+    parseable with numpy, no codec.
+    """
+    import numpy as np
+
+    h, w, _ = frames[0].shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode()]
+    for f in frames:
+        r, g, b = (f[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+        def sub(p):
+            return (
+                p.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            )
+
+        out.append(b"FRAME\n")
+        out.append(np.clip(y, 0, 255).astype(np.uint8).tobytes())
+        out.append(np.clip(sub(u), 0, 255).astype(np.uint8).tobytes())
+        out.append(np.clip(sub(v), 0, 255).astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def _parse_y4m(payload: bytes):
+    """Y4M bytes -> (width, height, fps, [Y-plane uint8 (h, w) arrays]).
+
+    Chroma planes are skipped on purpose: sampling/feature kernels downstream
+    work on luma (that's what perceptual hashes and keyframe detectors use).
+    """
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode()
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a Y4M payload")
+    w = h = fps = None
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fps = int(tok[1:].split(":")[0])
+    ysize, csize = w * h, (w // 2) * (h // 2)
+    frame_size = len(b"FRAME\n") + ysize + 2 * csize
+    frames = []
+    pos = nl + 1
+    while pos + frame_size <= len(payload) + 1:
+        fnl = payload.index(b"\n", pos)
+        y0 = fnl + 1
+        if y0 + ysize > len(payload):
+            break
+        frames.append(
+            np.frombuffer(payload[y0 : y0 + ysize], dtype=np.uint8).reshape(h, w)
+        )
+        pos = y0 + ysize + 2 * csize
+    return w, h, fps, frames
+
+
+def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL frame sampling for Y4M payloads: parse the stream, keep every
+    ``stride``-th frame, emit each as a standalone grayscale PPM still
+    (luma replicated to RGB) — the decode → sample → re-encode hop of a
+    video curation pipeline, with the same one-row-in/many-out mapInPandas
+    shape as the stub sampler. Non-Y4M payloads fall back to the chunk
+    stub so mixed corpora never crash the batch.
+    """
+    import numpy as np
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = payload or b""
+                if b[:9] == b"YUV4MPEG2":
+                    _, _, _, ys = _parse_y4m(b)
+                    for i in range(0, len(ys), stride):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(
+                            encode_ppm(np.repeat(ys[i][..., None], 3, axis=2))
+                        )
+                else:
+                    for i in range(0, (len(b) + 63) // 64, stride):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(b[i * 64 : (i + 1) * 64])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    from dbt_meshify_spark.operators.util import spread
+
+    return spread(media).mapInPandas(_sample, schema=FRAME_SCHEMA)

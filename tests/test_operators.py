@@ -1649,3 +1649,36 @@ def test_hard_negatives_lsh_recall_vs_exact(spark):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+def test_multimodal_real_y4m_video_frame_sampling(spark):
+    """Real codec-free VIDEO kernel: 6-frame Y4M with known per-frame gray
+    levels -> stride-2 sampling returns frames 0/2/4 as PPM stills whose
+    pixels match the source luma."""
+    import numpy as np
+
+    from dbt_meshify_spark.operators.multimodal import (
+        _parse_ppm,
+        encode_y4m,
+        sample_video_frames,
+    )
+
+    levels = [0, 40, 80, 120, 160, 200]
+    frames = [np.full((8, 8, 3), lv, dtype=np.uint8) for lv in levels]
+    payload = encode_y4m(frames, fps=10)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"not a video, chunk me " * 10))],
+        "media_id long, payload binary",
+    )
+    out = sample_video_frames(media, stride=2).collect()
+    vid = sorted(
+        ((r.frame_idx, bytes(r.frame)) for r in out if r.media_id == 1)
+    )
+    assert [i for i, _ in vid] == [0, 2, 4]
+    for (idx, frame_bytes), lv in zip(vid, levels[::2]):
+        img = _parse_ppm(frame_bytes)
+        assert img.shape == (8, 8, 3)
+        # gray input: luma == the gray level (allow rounding)
+        assert abs(int(img[0, 0, 0]) - lv) <= 1, (idx, img[0, 0, 0], lv)
+    # non-Y4M payloads fall back to the chunk stub (no crash, rows emitted)
+    assert any(r.media_id == 2 for r in out)
