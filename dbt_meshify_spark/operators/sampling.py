@@ -393,3 +393,90 @@ def temperature_weights_from_counts(
     n_total = sum(counts.values())
     z = sum(n**alpha for _, n in sorted(counts.items()))
     return {s: (n**alpha) / z * n_total / n for s, n in sorted(counts.items())}
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    max_rows: int,
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per ``key_col`` value, best-first by
+    ``order_by`` — the per-domain document cap of web-scale curation (no
+    single domain may dominate the corpus).
+
+    One hash shuffle on the key; appends ``rank_in_key``. A pathologically
+    hot key concentrates its rows on one task, but the window is a streaming
+    rank (no buffering beyond the sort run) and the output is bounded at
+    ``max_rows`` per key; for million-row hot keys pre-thin with
+    ``deterministic_sample`` before the exact rank, the same two-tier
+    posture as ``sample_exact_k``.
+    """
+    order = order_by if order_by is not None else [F.col(key_col)]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        df.withColumn("rank_in_key", F.row_number().over(w))
+        .filter(F.col("rank_in_key") <= max_rows)
+    )
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_by: list[Column] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Select the best-first prefix of the corpus whose cumulative token
+    count fits ``budget`` — "give me the top-quality 50B tokens", the final
+    gate before a training run.
+
+    The naive form is ``SUM(tokens) OVER (ORDER BY ...)`` — a single-task
+    global window that serializes the whole corpus through one executor.
+    This is the distributed two-phase form of that running total:
+
+    1. ``repartitionByRange`` on the priority order (one shuffle, the same
+       machinery as a distributed sort);
+    2. per-partition running totals via a window PARTITIONed on
+       ``spark_partition_id()`` (parallel — no global ordering clause);
+    3. partition offsets = the (tiny, #partitions-row) per-partition sums,
+       prefix-summed on the driver-sized frame and broadcast back.
+
+    Every partition computes its rows' global cumulative sum independently;
+    correctness does not depend on where the range sampler drew partition
+    boundaries because the order key is total (callers must include a
+    tiebreaker column). Appends ``cum_tokens``; rows with
+    ``cum_tokens <= budget`` survive.
+    """
+    order = order_by if order_by is not None else [F.col(token_col).desc()]
+    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # pin the range partitioning: the running-total branch and the offsets
+    # branch MUST observe identical partition boundaries, and the range
+    # sampler re-runs per job otherwise
+    ranged = (
+        df.repartitionByRange(nparts, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order)
+    part = ranged.withColumn(
+        "__cum_in", F.sum(F.col(token_col)).over(w_in)
+    )
+    totals = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(F.col(token_col)).alias("__tot"))
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "cum_tokens", (F.col("__cum_in") + F.col("__off")).cast("bigint")
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("__pid", "__cum_in")
+    )

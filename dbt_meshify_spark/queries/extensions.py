@@ -2870,3 +2870,354 @@ ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST
 
 ORACLES["ext_embedding_neardup_gemm"] = ORACLES["ext_embedding_neardup"]
 ORACLES["ext_cosine_topk_gemm"] = ORACLES["ext_cosine_topk"]
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: rule-based curation, budget selection, snapshot diff,
+# hybrid retrieval (operators/heuristics.py, sampling.py, snapshots.py,
+# retrieval.py)
+# ---------------------------------------------------------------------------
+
+
+def ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] the published Gopher document-quality rules as per-doc
+    verdicts (operators/heuristics.py::gopher_rules): word count, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, required-stopword hits — all codegen'd scalar projections,
+    zero shuffles."""
+    from dbt_meshify_spark.operators.heuristics import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        gopher_rules(docs, min_words=30)
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "symbol_ratio",
+            "bullet_frac",
+            "ellipsis_frac",
+            "alpha_frac",
+            "stop_hits",
+            "r_word_count",
+            "r_mean_word_len",
+            "r_stopwords",
+            "gopher_keep",
+        )
+        .orderBy(_asc("doc_id"))
+    )
+
+
+def ext_stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6/N4] STREAMING rule-based curation: the Gopher filter applied to a
+    document file stream and drained availableNow — stateless projection per
+    micro-batch, shares the batch operator's oracle
+    (streaming/documents.py::stream_gopher_filter)."""
+    import tempfile
+
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_gopher_filter,
+    )
+
+    feed = read_documents_stream(spark, f"{sf_dir.rstrip('/')}/documents.parquet")
+    out_dir = tempfile.mkdtemp(prefix="stream_gopher_")
+    drained = stream_gopher_filter(feed, out_dir, min_words=30)
+    return drained.orderBy(_asc("doc_id"))
+
+
+def ext_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9] per-domain document cap with a blocklist: drop the blocked
+    source entirely, then keep at most 15 best-quality docs per source
+    (operators/sampling.py::cap_per_key) — the no-domain-dominates rule of
+    web-scale curation. One hash shuffle on the (low-cardinality) key."""
+    from dbt_meshify_spark.operators.sampling import cap_per_key
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") != "src3")
+    scored = quality_score(docs)
+    capped = cap_per_key(
+        scored, "source", 15, [F.col("quality").desc(), F.col("doc_id").asc()]
+    )
+    return capped.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.col("rank_in_key").cast("bigint").alias("rank_in_key"),
+    ).orderBy(_asc("doc_id"))
+
+
+def ext_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9] token-budget selection: best-quality-first prefix of the corpus
+    whose cumulative token count fits a 10k budget
+    (operators/sampling.py::select_to_token_budget). The running total is
+    the distributed two-phase form — range partition + per-partition window
+    + broadcast prefix offsets — NOT a single-task global window."""
+    from dbt_meshify_spark.operators.sampling import select_to_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality", "n_tokens")
+    kept = select_to_token_budget(
+        scored,
+        budget=10_000,
+        token_col="n_tokens",
+        order_by=[F.col("quality").desc(), F.col("doc_id").asc()],
+    )
+    return kept.select(
+        "doc_id",
+        "quality",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "cum_tokens",
+    ).orderBy(_asc("doc_id"))
+
+
+def ext_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9] snapshot diff between two corpus versions: v_old drops doc_id
+    multiples of 7, v_new drops multiples of 5 and edits multiples of 11 —
+    added/removed/changed via one full-outer join of md5 fingerprint
+    projections; the text itself never shuffles
+    (operators/snapshots.py::snapshot_diff)."""
+    from dbt_meshify_spark.operators.snapshots import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new).orderBy(_asc("doc_id"))
+
+
+def ext_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3/N4] hybrid RAG retrieval: BM25 lexical ranking over documents
+    fused with a cosine semantic ranking over embeddings (vec_id = doc_id)
+    by reciprocal-rank fusion, k=60, top-20
+    (operators/retrieval.py::rrf_fuse). Each ranking is candidate-sized
+    before the fusion join; both rankings rank on ROUNDED scores with id
+    tiebreaks so the order is bit-stable across engines."""
+    from dbt_meshify_spark.operators.retrieval import rank_by, rrf_fuse
+    from dbt_meshify_spark.operators.similarity import cosine_similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = rank_by(
+        bm25_scores(docs, ["spark", "query", "merge"]), "bm25", top_n=50
+    ).select("doc_id", "rank")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 4).alias(
+                "cs"
+            ),
+        )
+    )
+    sem = rank_by(sims, "cs", top_n=50).select("doc_id", "rank")
+    fused = rrf_fuse(lex, sem, k=60, top_n=20)
+    return fused.select(
+        "doc_id",
+        F.col("lex_rank").cast("bigint").alias("lex_rank"),
+        F.col("sem_rank").cast("bigint").alias("sem_rank"),
+        "rrf_score",
+        F.col("fused_rank").cast("bigint").alias("fused_rank"),
+    ).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_gopher_rules"] = ext_gopher_rules
+QUERIES["ext_stream_gopher_filter"] = ext_stream_gopher_filter
+QUERIES["ext_source_cap"] = ext_source_cap
+QUERIES["ext_token_budget"] = ext_token_budget
+QUERIES["ext_corpus_diff"] = ext_corpus_diff
+QUERIES["ext_hybrid_retrieval"] = ext_hybrid_retrieval
+
+
+_GOPHER_CTE = r"""
+gtoks AS (
+  SELECT doc_id,
+         text,
+         string_split_regex(trim(lower(text)), '\s+') AS toks,
+         GREATEST(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS gw
+  FROM documents
+),
+gfeat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         ROUND(length(regexp_replace(trim(text), '\s+', '', 'g')) / gw, 4) AS mean_word_len,
+         ROUND(((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3) / gw, 4) AS symbol_ratio,
+         ROUND(len(regexp_extract_all(text, '(?m)^[ \t]*[-*' || chr(8226) || ']'))
+               / (length(text) - length(replace(text, chr(10), '')) + 1), 4) AS bullet_frac,
+         ROUND(len(regexp_extract_all(text, '(?m)\.\.\.[ \t]*$'))
+               / (length(text) - length(replace(text, chr(10), '')) + 1), 4) AS ellipsis_frac,
+         ROUND(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) / gw, 4) AS alpha_frac,
+         CAST(CAST(list_contains(toks, 'the') AS INT) + CAST(list_contains(toks, 'be') AS INT)
+            + CAST(list_contains(toks, 'to') AS INT) + CAST(list_contains(toks, 'of') AS INT)
+            + CAST(list_contains(toks, 'and') AS INT) + CAST(list_contains(toks, 'that') AS INT)
+            + CAST(list_contains(toks, 'have') AS INT) + CAST(list_contains(toks, 'with') AS INT)
+           AS BIGINT) AS stop_hits
+  FROM gtoks
+),
+gr AS (
+  SELECT *,
+         (n_words >= 30 AND n_words <= 100000) AS r_word_count,
+         (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+         (symbol_ratio <= 0.1) AS r_symbol_ratio,
+         (bullet_frac <= 0.9) AS r_bullet_lines,
+         (ellipsis_frac <= 0.3) AS r_ellipsis_lines,
+         (alpha_frac >= 0.8) AS r_alpha_words,
+         (stop_hits >= 2) AS r_stopwords
+  FROM gfeat
+),
+gv AS (
+  SELECT *,
+         (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
+          AND r_ellipsis_lines AND r_alpha_words AND r_stopwords) AS gopher_keep
+  FROM gr
+)
+"""
+
+ORACLES["ext_gopher_rules"] = (
+    "WITH "
+    + _GOPHER_CTE.strip().rstrip()
+    + """
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, stop_hits,
+       r_word_count, r_mean_word_len, r_stopwords, gopher_keep
+FROM gv ORDER BY doc_id NULLS FIRST
+"""
+)
+
+ORACLES["ext_stream_gopher_filter"] = (
+    "WITH "
+    + _GOPHER_CTE.strip().rstrip()
+    + """
+SELECT doc_id, n_words, mean_word_len, stop_hits
+FROM gv WHERE gopher_keep ORDER BY doc_id NULLS FIRST
+"""
+)
+
+ORACLES["ext_source_cap"] = (
+    "WITH q AS ("
+    + _QUALITY_CTE_SQL
+    + """),
+j AS (
+  SELECT d.doc_id, d.source, q.quality
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE d.source != 'src3'
+),
+r AS (
+  SELECT doc_id, source, quality,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rank_in_key
+  FROM j
+)
+SELECT doc_id, source, quality, CAST(rank_in_key AS BIGINT) AS rank_in_key
+FROM r WHERE rank_in_key <= 15
+ORDER BY doc_id NULLS FIRST
+"""
+)
+
+ORACLES["ext_token_budget"] = (
+    "WITH q AS ("
+    + _QUALITY_CTE_SQL
+    + """),
+c AS (
+  SELECT doc_id, quality, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 10000
+ORDER BY doc_id NULLS FIRST
+"""
+)
+
+ORACLES["ext_corpus_diff"] = """
+WITH o AS (
+  SELECT doc_id, md5(text) AS fp_old FROM documents WHERE doc_id % 7 != 0
+),
+n AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp_new
+  FROM documents WHERE doc_id % 5 != 0
+),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.fp_old, n.fp_new
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN fp_old IS NULL THEN 'added'
+            WHEN fp_new IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       fp_old, fp_new
+FROM j
+WHERE fp_old IS NULL OR fp_new IS NULL OR fp_old != fp_new
+ORDER BY doc_id NULLS FIRST
+"""
+
+ORACLES["ext_hybrid_retrieval"] = r"""
+WITH b2 AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS dl,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM b2),
+tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b2) t
+  WHERE term IN ('spark', 'query', 'merge')
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 4) AS bm25
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+    FROM bm
+  ) WHERE lex_rank <= 50
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sims AS (
+  SELECT c.vec_id AS doc_id,
+         ROUND(list_dot_product(q.e, c.e) /
+               (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)) + 1e-12),
+               4) AS cs
+  FROM v q JOIN v c ON q.vec_id = 0 AND c.vec_id != 0
+),
+sem AS (
+  SELECT doc_id, sem_rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id ASC) AS sem_rank
+    FROM sims
+  ) WHERE sem_rank <= 50
+),
+f AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+         ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+             + COALESCE(1.0 / (60 + s.sem_rank), 0.0), 6) AS rrf_score
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+),
+r AS (
+  SELECT doc_id, lex_rank, sem_rank, rrf_score,
+         ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
+  FROM f
+)
+SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank, rrf_score,
+       CAST(fused_rank AS BIGINT) AS fused_rank
+FROM r WHERE fused_rank <= 20
+ORDER BY doc_id NULLS FIRST
+"""

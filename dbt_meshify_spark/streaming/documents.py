@@ -113,3 +113,50 @@ def stream_neardup_against_index(
             [], "new_id bigint, dup_of bigint, jaccard_est double"
         )
     return spark.read.parquet(f"{out_dir}/hits")
+
+
+def stream_gopher_filter(
+    stream_docs: DataFrame,
+    out_dir: str,
+    min_words: int = 50,
+) -> DataFrame:
+    """Streaming rule-based curation: apply the Gopher document rules
+    (operators/heuristics.py) to an unbounded document feed and keep only
+    survivors.
+
+    Every rule is a stateless scalar projection, so this is the cheapest
+    possible streaming operator — no watermark, no state store, the filter
+    runs inside the scan of each micro-batch. Drained availableNow over a
+    static directory the emitted relation equals the batch operator's,
+    which is how the DuckDB oracle gates it (same discipline as the
+    near-dup probe above).
+    """
+    from pyspark.sql import functions as F
+
+    from dbt_meshify_spark.operators.heuristics import gopher_rules
+
+    spark = stream_docs.sparkSession
+    kept = (
+        gopher_rules(stream_docs, min_words=min_words)
+        .filter(F.col("gopher_keep"))
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "stop_hits",
+        )
+    )
+    q = (
+        kept.writeStream.format("parquet")
+        .option("path", f"{out_dir}/rows")
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(f"{out_dir}/rows")
+    except Exception:
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_words bigint, mean_word_len double, stop_hits bigint"
+        )

@@ -1682,3 +1682,147 @@ def test_multimodal_real_y4m_video_frame_sampling(spark):
         assert abs(int(img[0, 0, 0]) - lv) <= 1, (idx, img[0, 0, 0], lv)
     # non-Y4M payloads fall back to the chunk stub (no crash, rows emitted)
     assert any(r.media_id == 2 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# round-2: heuristics / budget selection / snapshot diff / RRF fusion
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_each_rule_discriminates(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_meshify_spark.operators.heuristics import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog and then " * 10
+    rows = [
+        (0, good),
+        (1, "too few words"),  # r_word_count
+        (2, ("a " * 80).strip()),  # r_mean_word_len (mean=1)
+        (3, good + " " + "#" * 1 + " #" * 30),  # r_symbol_ratio
+        (4, "\n".join(f"- the bullet item number {i} here" for i in range(10))),  # bullets
+        (5, "\n".join(f"the line number {i} trails off..." for i in range(10))),  # ellipsis
+        (6, good + " " + "123 456 789 " * 40),  # r_alpha_words
+        (7, ("zork blap quux frob nimble wozzle " * 12).strip()),  # r_stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(df, min_words=30).collect()
+    }
+    assert out[0]["gopher_keep"]
+    assert not out[1]["r_word_count"]
+    assert not out[2]["r_mean_word_len"]
+    assert not out[3]["r_symbol_ratio"]
+    assert not out[4]["r_bullet_lines"]
+    assert not out[5]["r_ellipsis_lines"]
+    assert not out[6]["r_alpha_words"]
+    assert not out[7]["r_stopwords"]
+    for bad in range(1, 8):
+        assert not out[bad]["gopher_keep"], bad
+
+
+def test_c4_line_clean(spark):
+    from dbt_meshify_spark.operators.heuristics import c4_line_clean
+
+    text = "\n".join(
+        [
+            "This is a perfectly fine prose sentence that survives.",
+            "too short.",
+            "this line has plenty of words but no terminal punctuation",
+            "Please enable javascript to view this page properly now.",
+            "Another good sentence follows the C4 rules and stays here!",
+        ]
+    )
+    df = spark.createDataFrame([(0, text), (1, "short.\n{ }")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_clean(df).collect()}
+    kept = out[0]["text_clean"].split("\n")
+    assert out[0]["n_lines"] == 5
+    assert out[0]["n_lines_kept"] == 2
+    assert kept[0].startswith("This is a perfectly")
+    assert kept[1].startswith("Another good")
+    assert out[0]["c4_keep"]
+    assert out[1]["n_lines_kept"] == 0 and not out[1]["c4_keep"]
+
+
+def test_select_to_token_budget_matches_naive_and_is_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_meshify_spark.operators.sampling import select_to_token_budget
+
+    rows = [(i, (i * 37) % 100, 10 + (i * 13) % 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, n_tokens long")
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    budget = 4000
+
+    naive = sorted(
+        rows, key=lambda r: (-r[1], r[0])
+    )
+    cum, expect = 0, []
+    for i, s, t in naive:
+        cum += t
+        if cum > budget:
+            break
+        expect.append((i, cum))
+    expected = dict(expect)
+
+    for nparts in (1, 4, 16):
+        got = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in select_to_token_budget(
+                df, budget, order_by=order, num_partitions=nparts
+            ).collect()
+        }
+        assert got == expected, f"nparts={nparts}"
+
+
+def test_cap_per_key(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_meshify_spark.operators.sampling import cap_per_key
+
+    rows = [(i, f"k{i % 3}", i % 7) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, k string, s long")
+    out = cap_per_key(
+        df, "k", 5, [F.col("s").desc(), F.col("id").asc()]
+    ).collect()
+    assert len(out) == 15
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r["k"], []).append((r["s"], r["id"], r["rank_in_key"]))
+    for k, lst in per_key.items():
+        assert len(lst) == 5
+        assert sorted(lst, key=lambda x: x[2]) == sorted(
+            lst, key=lambda x: (-x[0], x[1])
+        )
+
+
+def test_snapshot_diff_statuses(spark):
+    from dbt_meshify_spark.operators.snapshots import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c-edited"), (4, "d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "removed", 3: "changed", 4: "added"}
+    full = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(old, new, include_unchanged=True).collect()
+    }
+    assert full[2] == "unchanged" and len(full) == 4
+
+
+def test_rrf_fuse_hand_example(spark):
+    from dbt_meshify_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank long")
+    sem = spark.createDataFrame([(20, 1), (40, 2)], "doc_id long, rank long")
+    out = {r["doc_id"]: r for r in rrf_fuse(lex, sem).collect()}
+    assert abs(out[20]["rrf_score"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert out[10]["sem_rank"] is None
+    assert abs(out[40]["rrf_score"] - round(1 / 62, 6)) < 1e-9
+    # doc 20 appears in both lists -> fused first
+    assert out[20]["fused_rank"] == 1

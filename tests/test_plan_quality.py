@@ -241,3 +241,36 @@ def test_bucketed_join_has_no_exchange_on_join_keys(spark):
     for line in ex_lines:
         assert "o_orderpriority" in line, f"unexpected exchange: {line.strip()}"
         assert "orderkey" not in line, f"join-key exchange: {line.strip()}"
+
+
+def test_token_budget_has_no_single_partition_window(spark):
+    """ext_token_budget's running total must be the two-phase form: the
+    corpus-sized window partitions on spark_partition_id after a RANGE
+    exchange — never a SinglePartition exchange feeding an unpartitioned
+    global window (the serialize-the-corpus anti-pattern). The only
+    SinglePartition exchange allowed is the one under the #partitions-row
+    offsets frame, which sits beneath a BroadcastExchange."""
+    plan = _physical(QUERIES["ext_token_budget"](spark, SF_ORACLE))
+    # the corpus-sized running-total window must PARTITION on the pinned
+    # partition id (spark_partition_id materializes as the __pid column
+    # under the localCheckpoint), i.e. windowspecdefinition(__pid, ...)
+    assert "windowspecdefinition(__pid" in plan, "corpus window not pid-partitioned"
+    # every SinglePartition exchange must be on the broadcast(offsets) branch:
+    # the full-corpus branch ends at the budget filter, which must not sit
+    # above a SinglePartition exchange in the same subtree. Cheap structural
+    # check: the plan has at most one SinglePartition exchange and a
+    # BroadcastExchange exists (the offsets join).
+    assert plan.count("SinglePartition") <= 1
+    assert "BroadcastExchange" in plan
+
+
+def test_gopher_rules_is_scan_fused_projection(spark):
+    """The Gopher rule set is pure scalar work: its plan must contain no
+    exchange at all before the final presentation sort — rules fuse into the
+    scan."""
+    from dbt_meshify_spark.operators.heuristics import gopher_rules
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = _physical(gopher_rules(docs))
+    assert "Exchange" not in plan
