@@ -3221,3 +3221,73 @@ SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
 FROM r WHERE fused_rank <= 20
 ORDER BY doc_id NULLS FIRST
 """
+
+
+def ext_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3/N10] exact covariance matrix of the embedding column — ONE corpus
+    pass of per-Arrow-batch GEMM partials (mapInPandas), then a d^2-row
+    codegen aggregate; corpus never shuffles
+    (operators/pca.py::embedding_covariance). Oracle replays E[xx^T]-mu mu^T
+    via an unnested self-join."""
+    from dbt_meshify_spark.operators.pca import embedding_covariance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        embedding_covariance(emb)
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            # + 0.0 folds IEEE -0.0 to +0.0 — the driver's canonicalizer
+            # sorts rows by str(), where '-0.0' != '0.0'
+            (F.round("cov", 4) + F.lit(0.0)).alias("cov"),
+        )
+        .orderBy(_asc("i"), _asc("j"))
+    )
+
+
+def ext_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3/N10] PCA projection onto the top-4 principal components
+    (operators/pca.py::pca_project): driver-side eigh of the one-pass
+    covariance, Arrow-batched GEMM projection. Rows-only by design (the
+    eigenbasis is fixed by a sign convention, but eigenvalue near-ties make
+    exact cross-engine component values unstable); variance/orthonormality
+    invariants are unit-tested."""
+    from dbt_meshify_spark.operators.pca import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_project(emb, k=4)
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("components", i + 1), 4).alias(f"c{i}")
+            for i in range(4)
+        ],
+        "explained_var",
+    ).orderBy(_asc("vec_id"))
+
+
+QUERIES["ext_embedding_covariance"] = ext_embedding_covariance
+QUERIES["ext_pca_project"] = ext_pca_project
+
+ORACLES["ext_embedding_covariance"] = r"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS e
+  FROM embeddings
+),
+x AS (
+  SELECT vec_id,
+         unnest(list_transform(range(1, len(e) + 1),
+                               ii -> {'i': ii - 1, 'x': e[ii]})) AS s
+  FROM v
+),
+xf AS (SELECT vec_id, CAST(s.i AS BIGINT) AS i, s.x AS xi FROM x),
+m AS (SELECT i, AVG(xi) AS mu FROM xf GROUP BY i),
+p AS (
+  SELECT a.i AS i, b.i AS j, AVG(a.xi * b.xi) AS exx
+  FROM xf a JOIN xf b USING (vec_id)
+  GROUP BY a.i, b.i
+)
+SELECT p.i AS i, p.j AS j, ROUND(p.exx - ma.mu * mb.mu, 4) + 0.0 AS cov
+FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+ORDER BY p.i NULLS FIRST, p.j NULLS FIRST
+"""

@@ -1826,3 +1826,54 @@ def test_rrf_fuse_hand_example(spark):
     assert abs(out[40]["rrf_score"] - round(1 / 62, 6)) < 1e-9
     # doc 20 appears in both lists -> fused first
     assert out[20]["fused_rank"] == 1
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from dbt_meshify_spark.operators.pca import embedding_covariance
+
+    rng = [
+        (i, [float(((i * 37 + j * 11) % 19) - 9) / 5.0 for j in range(6)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df).collect()
+    }
+    x = np.asarray([v for _, v in rng])
+    expect = np.cov(x, rowvar=False, bias=True)  # population covariance
+    for (i, j), v in got.items():
+        assert abs(v - expect[i, j]) < 1e-9, (i, j, v, expect[i, j])
+
+
+def test_pca_project_invariants(spark):
+    import numpy as np
+
+    from dbt_meshify_spark.operators.pca import pca_project
+
+    np_rng = np.random.RandomState(7)
+    # anisotropic data: variance concentrated in the first two axes
+    base = np_rng.normal(size=(300, 8)) * np.array([5, 3, 1, 1, 0.5, 0.5, 0.1, 0.1])
+    rows = [(i, [float(v) for v in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pca_project(df, k=2)
+    collected = out.collect()
+    assert len(collected) == 300
+    z = np.asarray([r["components"] for r in collected])
+    # projected variance is ordered and dominates: top-2 capture most of it
+    v0, v1 = z[:, 0].var(), z[:, 1].var()
+    assert v0 >= v1
+    explained = collected[0]["explained_var"]
+    total_var = base.var(axis=0).sum()
+    assert abs((v0 + v1) / total_var - explained) < 0.02
+    assert explained > 0.5  # the two dominant axes carry most variance
+    # determinism: second run produces identical components (sign convention)
+    z2 = np.asarray([r["components"] for r in pca_project(df, k=2).collect()])
+    ids1 = [r["vec_id"] for r in collected]
+    order = np.argsort(ids1)
+    z_sorted = z[order]
+    out2 = sorted(pca_project(df, k=2).collect(), key=lambda r: r["vec_id"])
+    z2_sorted = np.asarray([r["components"] for r in out2])
+    assert np.allclose(z_sorted, z2_sorted, atol=1e-9)
