@@ -59,3 +59,26 @@ def filter_top_domains(
         .select(domain_col, "domain_rank", "avg_quality")
     )
     return df.join(F.broadcast(kept), domain_col)
+
+
+def calibrate_scores(
+    df: DataFrame,
+    score_col: str = "quality",
+    domain_col: str = "source",
+    out_col: str = "score_pct",
+) -> DataFrame:
+    """Per-domain percentile calibration of a score column: replace the raw
+    score with its percent-rank WITHIN its domain, so a fixed global
+    threshold (e.g. "keep the top 30%") selects the same fraction from every
+    domain — raw score distributions differ wildly across sources (a
+    quality model scores encyclopedia prose higher than forum text
+    everywhere), and an uncalibrated global cut silently drops entire
+    domains.
+
+    Exact tier: one window per domain partition (ties share a rank, so the
+    result is deterministic without a tiebreaker). At extreme per-domain
+    cardinality swap in the approx tier: per-domain approxQuantile
+    thresholds broadcast back — same posture as ``keep_top_fraction``.
+    """
+    w = Window.partitionBy(domain_col).orderBy(F.col(score_col).asc())
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 4))

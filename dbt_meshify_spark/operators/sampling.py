@@ -480,3 +480,43 @@ def select_to_token_budget(
         .filter(F.col("cum_tokens") <= budget)
         .drop("__pid", "__cum_in")
     )
+
+
+def _md5_uniform(key_cols: list[str], seed: str) -> Column:
+    """Deterministic uniform(0,1) draw from the first 8 hex digits of
+    md5(seed|key) — digit-arithmetic form (no engine-specific hex parsing,
+    so a SQL oracle can replay it verbatim)."""
+    h = _sample_key(key_cols, seed)
+    # conv parses the 8-hex-digit prefix JVM-side; a SQL engine without conv
+    # replays it as Σ (strpos('0123456789abcdef', digit) - 1) * 16^(7-p)
+    acc = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    return (acc + F.lit(0.5)) / F.lit(float(16**8))
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: list[str],
+    seed: str = "es0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis, 2006):
+    each row draws u = uniform(0,1) deterministically from md5(seed|key) and
+    ranks by ``u^(1/w)``; the top-k ranks ARE a weight-proportional sample
+    without replacement.
+
+    Everything a training-mixture builder wants: inclusion probability
+    proportional to the weight column (token count, quality, freshness),
+    no RNG state, and re-runs select identical rows.
+
+    Scale shape: the rank key is a pure projection; the top-k is
+    ``ORDER BY … LIMIT k`` — Spark plans TakeOrderedAndProject (per-partition
+    heap + single merge of k-row partials), which never materializes a global
+    sort. The final rank attach is a window over the k-row result only.
+    """
+    u = _md5_uniform(key_cols, seed)
+    w = F.col(weight_col).cast("double")
+    keyed = df.withColumn("es_key", F.pow(u, F.lit(1.0) / w))
+    topk = keyed.orderBy(F.col("es_key").desc(), *[F.col(c) for c in key_cols]).limit(k)
+    rank_w = Window.orderBy(F.col("es_key").desc(), *[F.col(c) for c in key_cols])
+    return topk.withColumn("draw_rank", F.row_number().over(rank_w))

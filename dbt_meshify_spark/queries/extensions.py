@@ -3291,3 +3291,85 @@ SELECT p.i AS i, p.j AS j, ROUND(p.exx - ma.mu * mb.mu, 4) + 0.0 AS cov
 FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
 ORDER BY p.i NULLS FIRST, p.j NULLS FIRST
 """
+
+
+def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9/N10] weighted sampling without replacement (Efraimidis–Spirakis):
+    inclusion probability proportional to n_chars, deterministic via
+    md5-derived uniforms, top-k as TakeOrderedAndProject — never a global
+    sort (operators/sampling.py::weighted_sample_k). Oracle replays the
+    u^(1/w) ranking with digit-arithmetic hex parsing."""
+    from dbt_meshify_spark.operators.sampling import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_sample_k(docs, k=50, weight_col="n_chars", key_cols=["doc_id"])
+    return out.select(
+        "doc_id",
+        "n_chars",
+        F.col("draw_rank").cast("bigint").alias("draw_rank"),
+    ).orderBy(_asc("doc_id"))
+
+
+def ext_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N10] per-domain percentile calibration of the quality score
+    (operators/domains.py::calibrate_scores): a fixed global threshold then
+    selects the same fraction from every domain — the guard against an
+    uncalibrated global cut silently dropping whole sources."""
+    from dbt_meshify_spark.operators.domains import calibrate_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs)
+    return (
+        calibrate_scores(scored, "quality", "source")
+        .select("doc_id", "source", "quality", "score_pct")
+        .orderBy(_asc("doc_id"))
+    )
+
+
+QUERIES["ext_weighted_sample"] = ext_weighted_sample
+QUERIES["ext_score_calibration"] = ext_score_calibration
+
+_ES_DIGIT_SUM = " + ".join(
+    f"(strpos('0123456789abcdef', substr(hx, {p + 1}, 1)) - 1) * {float(16 ** (7 - p))!r}"
+    for p in range(8)
+)
+
+ORACLES["ext_weighted_sample"] = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         md5('es0|' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+),
+u AS (
+  SELECT doc_id, n_chars,
+         ({_ES_DIGIT_SUM} + 0.5) / {float(16 ** 8)!r} AS uu
+  FROM h
+),
+k AS (
+  SELECT doc_id, n_chars, POW(uu, 1.0 / CAST(n_chars AS DOUBLE)) AS es_key
+  FROM u
+),
+r AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id ASC) AS draw_rank
+  FROM k
+)
+SELECT doc_id, n_chars, CAST(draw_rank AS BIGINT) AS draw_rank
+FROM r WHERE draw_rank <= 50
+ORDER BY doc_id NULLS FIRST
+"""
+
+ORACLES["ext_score_calibration"] = (
+    "WITH q AS ("
+    + _QUALITY_CTE_SQL
+    + """),
+j AS (
+  SELECT d.doc_id, d.source, q.quality
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+)
+SELECT doc_id, source, quality,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality ASC), 4) AS score_pct
+FROM j
+ORDER BY doc_id NULLS FIRST
+"""
+)

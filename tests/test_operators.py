@@ -1877,3 +1877,44 @@ def test_pca_project_invariants(spark):
     out2 = sorted(pca_project(df, k=2).collect(), key=lambda r: r["vec_id"])
     z2_sorted = np.asarray([r["components"] for r in out2])
     assert np.allclose(z_sorted, z2_sorted, atol=1e-9)
+
+
+def test_weighted_sample_k_is_deterministic_and_weight_proportional(spark):
+    from dbt_meshify_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, 10.0 if i < 100 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample_k(df, 50, "w", ["id"], seed="t1")
+    ids = [r["id"] for r in out.collect()]
+    assert len(ids) == len(set(ids)) == 50  # without replacement
+    heavy = sum(1 for i in ids if i < 100)
+    # heavy rows are 10x more likely; in a top-50 of 100+100 they dominate
+    assert heavy >= 35, heavy
+    again = {r["id"] for r in weighted_sample_k(df, 50, "w", ["id"], seed="t1").collect()}
+    assert set(ids) == again
+    other = {r["id"] for r in weighted_sample_k(df, 50, "w", ["id"], seed="t2").collect()}
+    assert set(ids) != other
+    # ranks are 1..k and ordered by the ES key
+    ranks = sorted(r["draw_rank"] for r in out.collect())
+    assert ranks == list(range(1, 51))
+
+
+def test_calibrate_scores_per_domain_percentiles(spark):
+    from dbt_meshify_spark.operators.domains import calibrate_scores
+
+    rows = [(d * 100 + i, f"d{d}", float(i) * (d + 1)) for d in range(2) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    out = calibrate_scores(df).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["source"], []).append((r["quality"], r["score_pct"]))
+    for dom, lst in by_dom.items():
+        lst.sort()
+        # percent_rank spans [0, 1] identically in every domain despite
+        # different raw score scales
+        assert lst[0][1] == 0.0 and lst[-1][1] == 1.0
+        pcts = [p for _, p in lst]
+        assert pcts == sorted(pcts)
+    # a global threshold now selects the same fraction from each domain
+    for dom, lst in by_dom.items():
+        assert sum(1 for _, p in lst if p >= 0.7) == 3
