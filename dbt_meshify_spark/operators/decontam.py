@@ -100,3 +100,64 @@ def decontaminate(
         F.col("contaminated")
     )
     return train_df.join(bad.select(id_col), id_col, "left_anti")
+
+
+def contaminated_spans(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 13,
+) -> DataFrame:
+    """Maximal eval-overlapping token spans per training document — the
+    surgical tier of decontamination: instead of dropping a whole document
+    whose gram overlap crosses a threshold, locate the exact regions that
+    appear verbatim in the eval set (the published exact-substring
+    decontamination recipe uses 13-gram spans).
+
+    Same machinery as internal substring dedup (``dedup.merge_span_hits``):
+    eval shingles broadcast as an 8-byte hash set, train shingle positions
+    probe it, overlapping hits merge into maximal spans. The train corpus
+    never shuffles on text. Returns ``id_col, span_start, span_end
+    (exclusive, 1-based token indices), n_shingles``.
+    """
+    from dbt_meshify_spark.operators.dedup import merge_span_hits
+
+    evals = F.broadcast(
+        eval_gram_set(eval_df, text_col, span_tokens)
+        .select(F.xxhash64("gram").alias("__gh"))
+        .distinct()
+    )
+    pos = (
+        _with_tokens(train_df.select(id_col, text_col), text_col)
+        .withColumn(
+            "__grams",
+            shingles_of_tokens(F.col("__toks"), span_tokens, distinct=False),
+        )
+        .select(F.col(id_col), F.posexplode("__grams").alias("__p", "__gram"))
+        .select(
+            F.col(id_col),
+            (F.col("__p") + 1).cast("bigint").alias("start_tok"),
+            F.xxhash64("__gram").alias("__gh"),
+        )
+    )
+    hits = pos.join(evals, "__gh").select(id_col, "start_tok")
+    return merge_span_hits(hits, id_col, span_tokens)
+
+
+def remove_contaminated_spans(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 13,
+) -> DataFrame:
+    """Cut every eval-overlapping span out of the training text (keep the
+    document, lose the leaked benchmark content) — the removal counterpart
+    of :func:`decontaminate`'s drop policy. Returns
+    ``id_col, clean_text, n_tokens_kept, n_tokens_removed``.
+    """
+    from dbt_meshify_spark.operators.dedup import cut_spans_from_text
+
+    spans = contaminated_spans(train_df, eval_df, id_col, text_col, span_tokens)
+    return cut_spans_from_text(train_df, spans, id_col=id_col, text_col=text_col)

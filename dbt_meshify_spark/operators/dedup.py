@@ -895,12 +895,23 @@ def duplicated_spans(
     hits = _dup_shingle_positions(df, id_col, text_col, passage_tokens, min_docs)
     if drop_canonical:
         hits = hits.filter(F.col(id_col) != F.col("canonical_doc"))
+    return merge_span_hits(hits, id_col, passage_tokens)
+
+
+def merge_span_hits(
+    hits: DataFrame, id_col: str, span_len: int
+) -> DataFrame:
+    """Merge fixed-length shingle hit positions into maximal spans (the
+    sorted-interval walk of ``duplicated_spans``, reusable for any hit
+    source — internal duplicates or eval-set contamination). ``hits`` needs
+    (id_col, start_tok); returns ``id_col, span_start, span_end (exclusive),
+    n_shingles``. The window runs per-document over hit positions only."""
     w = Window.partitionBy(id_col).orderBy("start_tok")
     marked = hits.select(id_col, "start_tok").withColumn(
         "__new",
         F.when(
             F.col("start_tok")
-            > F.lag("start_tok").over(w) + F.lit(passage_tokens),
+            > F.lag("start_tok").over(w) + F.lit(span_len),
             1,
         )
         .when(F.lag("start_tok").over(w).isNull(), 1)
@@ -912,7 +923,7 @@ def duplicated_spans(
         .groupBy(id_col, "__grp")
         .agg(
             F.min("start_tok").alias("span_start"),
-            (F.max("start_tok") + F.lit(passage_tokens)).alias("span_end"),
+            (F.max("start_tok") + F.lit(span_len)).alias("span_end"),
             F.count("*").cast("bigint").alias("n_shingles"),
         )
         .drop("__grp")
@@ -939,24 +950,42 @@ def remove_duplicated_passages(
     is idempotent. Returns ``id_col, clean_text, n_tokens_kept,
     n_tokens_removed``.
     """
-    spans = (
-        duplicated_spans(
-            df,
-            id_col=id_col,
-            text_col=text_col,
-            passage_tokens=passage_tokens,
-            min_docs=min_docs,
-            drop_canonical=True,
-        )
-        .groupBy(id_col)
-        .agg(
-            F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
-        )
+    spans = duplicated_spans(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        passage_tokens=passage_tokens,
+        min_docs=min_docs,
+        drop_canonical=True,
+    )
+    return cut_spans_from_text(df, spans, id_col=id_col, text_col=text_col)
+
+
+def cut_spans_from_text(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut token spans out of documents and rebuild the text — the removal
+    half of ``remove_duplicated_passages``, reusable for any span source
+    (internal duplicates, eval-set contamination). ``spans`` needs
+    (id_col, span_start, span_end with 1-based token indices, end exclusive).
+
+    The cut never shuffles the corpus: spans aggregate to one array per
+    affected doc (tiny), join back on the doc key, and an index-aware
+    ``filter`` lambda drops covered tokens inside the row. Output text is
+    token-normalized for affected AND unaffected docs so the rewrite is
+    uniform and idempotent. Returns ``id_col, clean_text, n_tokens_kept,
+    n_tokens_removed``.
+    """
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
     toks = _with_tokens(df.select(id_col, text_col), text_col)
-    # spans exist only for docs hosting non-canonical duplicates; everyone
-    # else passes through with an empty span list
-    joined = toks.join(spans, id_col, "left").withColumn(
+    # spans exist only for affected docs; everyone else passes through with
+    # an empty span list
+    joined = toks.join(span_lists, id_col, "left").withColumn(
         "__spans",
         F.coalesce(F.col("__spans"), F.array().cast(
             "array<struct<span_start:bigint,span_end:bigint>>"

@@ -3373,3 +3373,147 @@ FROM j
 ORDER BY doc_id NULLS FIRST
 """
 )
+
+
+def ext_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N-decontam/N10] surgical decontamination: cut eval-overlapping
+    13-token spans out of training documents instead of dropping them
+    (operators/decontam.py::remove_contaminated_spans — eval gram hashes
+    broadcast, interval-merge + in-row token cut; corpus never shuffles on
+    text). Eval set = every 20th doc_id, train = the rest."""
+    from dbt_meshify_spark.operators.decontam import remove_contaminated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    return remove_contaminated_spans(train, ev, span_tokens=13).orderBy(
+        _asc("doc_id")
+    )
+
+
+QUERIES["ext_decontaminate_spans"] = ext_decontaminate_spans
+
+ORACLES["ext_decontaminate_spans"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+tr AS (SELECT * FROM toks WHERE doc_id % 20 != 0),
+ev AS (SELECT * FROM toks WHERE doc_id % 20 = 0),
+evg AS (
+  SELECT DISTINCT array_to_string(l[i:i+12], ' ') AS gram
+  FROM (SELECT l, unnest(range(1, len(l) - 11)) AS i FROM ev WHERE len(l) >= 13)
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS start_tok, array_to_string(l[i:i+12], ' ') AS gram
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 11)) AS i FROM tr WHERE len(l) >= 13)
+),
+hits AS (
+  SELECT g.doc_id, g.start_tok FROM grams g JOIN evg USING (gram)
+),
+marked AS (
+  SELECT doc_id, start_tok,
+         CASE WHEN lag(start_tok) OVER w IS NULL
+                OR start_tok > lag(start_tok) OVER w + 13 THEN 1 ELSE 0 END AS new_grp
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY start_tok)
+),
+grps AS (
+  SELECT doc_id, start_tok,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY start_tok
+                            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, MIN(start_tok) AS s, MAX(start_tok) + 13 AS e
+  FROM grps GROUP BY doc_id, grp
+),
+cov AS (SELECT DISTINCT doc_id, unnest(range(s, e)) AS idx FROM spans),
+tokpos AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS idx FROM tr
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.term
+  FROM tokpos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = t.idx
+  WHERE c.idx IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY idx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+orig AS (SELECT doc_id, len(l) AS n FROM tr)
+SELECT o.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(o.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM orig o LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id NULLS FIRST
+"""
+
+
+def ext_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3/N10] embedding drift between two corpus snapshots (vec_id parity
+    split): per-dimension mean/variance of each side and the mean shift —
+    the retraining trigger a continuous pipeline monitors. Exact per-dim
+    aggregate with map-side combine (explode carries (dim, x) pairs, 64
+    keys); at 100 TB the same numbers fall out of the one-pass GEMM
+    machinery (operators/pca.py::embedding_covariance) per snapshot —
+    this tier is the oracle-checkable replay."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sides = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select("is_a", F.col("dim").cast("bigint").alias("dim"), F.col("x").cast("double").alias("x"))
+    stats = sides.groupBy("dim").agg(
+        (F.round(F.avg(F.when(F.col("is_a"), F.col("x"))), 4) + F.lit(0.0)).alias("mean_a"),
+        (F.round(F.avg(F.when(~F.col("is_a"), F.col("x"))), 4) + F.lit(0.0)).alias("mean_b"),
+        (
+            F.round(
+                F.avg(F.when(F.col("is_a"), F.col("x") * F.col("x")))
+                - F.pow(F.avg(F.when(F.col("is_a"), F.col("x"))), 2),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("var_a"),
+        (
+            F.round(
+                F.avg(F.when(~F.col("is_a"), F.col("x") * F.col("x")))
+                - F.pow(F.avg(F.when(~F.col("is_a"), F.col("x"))), 2),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("var_b"),
+    )
+    return stats.withColumn(
+        "mean_shift", F.round(F.col("mean_b") - F.col("mean_a"), 4) + F.lit(0.0)
+    ).orderBy(_asc("dim"))
+
+
+QUERIES["ext_embedding_drift"] = ext_embedding_drift
+
+ORACLES["ext_embedding_drift"] = r"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS e
+  FROM embeddings
+),
+x AS (
+  SELECT vec_id % 2 = 0 AS is_a,
+         unnest(list_transform(range(1, len(e) + 1),
+                               ii -> {'d': ii - 1, 'x': e[ii]})) AS s
+  FROM v
+),
+xf AS (SELECT is_a, CAST(s.d AS BIGINT) AS dim, s.x AS x FROM x),
+stats AS (
+  SELECT dim,
+         ROUND(AVG(CASE WHEN is_a THEN x END), 4) + 0.0 AS mean_a,
+         ROUND(AVG(CASE WHEN NOT is_a THEN x END), 4) + 0.0 AS mean_b,
+         ROUND(AVG(CASE WHEN is_a THEN x * x END)
+               - POW(AVG(CASE WHEN is_a THEN x END), 2), 4) + 0.0 AS var_a,
+         ROUND(AVG(CASE WHEN NOT is_a THEN x * x END)
+               - POW(AVG(CASE WHEN NOT is_a THEN x END), 2), 4) + 0.0 AS var_b
+  FROM xf GROUP BY dim
+)
+SELECT dim, mean_a, mean_b, var_a, var_b,
+       ROUND(mean_b - mean_a, 4) + 0.0 AS mean_shift
+FROM stats
+ORDER BY dim NULLS FIRST
+"""

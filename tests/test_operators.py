@@ -1918,3 +1918,30 @@ def test_calibrate_scores_per_domain_percentiles(spark):
     # a global threshold now selects the same fraction from each domain
     for dom, lst in by_dom.items():
         assert sum(1 for _, p in lst if p >= 0.7) == 3
+
+
+def test_remove_contaminated_spans_planted(spark):
+    from dbt_meshify_spark.operators.decontam import (
+        contaminated_spans,
+        remove_contaminated_spans,
+    )
+
+    leak = " ".join(f"leak{i}" for i in range(13))
+    train = spark.createDataFrame(
+        [
+            (1, f"alpha beta {leak} gamma delta"),
+            (2, "clean words only here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"eval prefix {leak} eval suffix")], "doc_id long, text string"
+    )
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in
+             contaminated_spans(train, ev).collect()}
+    assert spans == {1: (3, 16)}  # tokens 3..15 are the 13-gram
+    out = {r["doc_id"]: r for r in remove_contaminated_spans(train, ev).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[1]["n_tokens_removed"] == 13
+    assert out[2]["n_tokens_removed"] == 0
+    assert out[2]["n_tokens_kept"] == 8
