@@ -38,17 +38,26 @@ def snapshot_diff(
     as ``operators.dedup.exact_dedup``, so a doc counts as `changed` only
     when its bytes changed, not when row order or file layout did.
     """
+    # presence is tracked explicitly — a document with NULL text has a NULL
+    # fingerprint, and inferring presence from fingerprint nullness would
+    # misreport it as added/removed (caught by the nasty-input suite)
     o = old.select(
-        F.col(id_col), F.md5(F.col(text_col).cast("string")).alias("fp_old")
+        F.col(id_col),
+        F.md5(F.col(text_col).cast("string")).alias("fp_old"),
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
-        F.col(id_col), F.md5(F.col(text_col).cast("string")).alias("fp_new")
+        F.col(id_col),
+        F.md5(F.col(text_col).cast("string")).alias("fp_new"),
+        F.lit(True).alias("__in_new"),
     )
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("fp_old").isNull(), F.lit("added"))
-        .when(F.col("fp_new").isNull(), F.lit("removed"))
-        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("fp_old").eqNullSafe(F.col("fp_new")), F.lit("changed")
+        )
         .otherwise(F.lit("unchanged"))
     )
     out = joined.withColumn("status", status)

@@ -3137,24 +3137,27 @@ ORDER BY doc_id NULLS FIRST
 
 ORACLES["ext_corpus_diff"] = """
 WITH o AS (
-  SELECT doc_id, md5(text) AS fp_old FROM documents WHERE doc_id % 7 != 0
+  SELECT doc_id, md5(text) AS fp_old, TRUE AS in_old
+  FROM documents WHERE doc_id % 7 != 0
 ),
 n AS (
   SELECT doc_id,
-         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp_new
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp_new,
+         TRUE AS in_new
   FROM documents WHERE doc_id % 5 != 0
 ),
 j AS (
-  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.fp_old, n.fp_new
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.fp_old, n.fp_new,
+         o.in_old, n.in_new
   FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 )
 SELECT doc_id,
-       CASE WHEN fp_old IS NULL THEN 'added'
-            WHEN fp_new IS NULL THEN 'removed'
+       CASE WHEN in_old IS NULL THEN 'added'
+            WHEN in_new IS NULL THEN 'removed'
             ELSE 'changed' END AS status,
        fp_old, fp_new
 FROM j
-WHERE fp_old IS NULL OR fp_new IS NULL OR fp_old != fp_new
+WHERE in_old IS NULL OR in_new IS NULL OR fp_old IS DISTINCT FROM fp_new
 ORDER BY doc_id NULLS FIRST
 """
 

@@ -137,3 +137,53 @@ def test_dedup_against_index_nasty_nulls_not_folded(spark, nasty):
     assert 100 in kept and 101 in kept  # nulls never fold
     assert 5 not in kept and 12 not in kept  # exact copies of indexed text drop
     assert 9 in kept and 11 in kept
+
+
+def test_heuristics_survive_nasty_input(spark, nasty):
+    from dbt_meshify_spark.operators.heuristics import c4_line_clean, gopher_rules
+
+    out = gopher_rules(nasty).collect()
+    assert len(out) == len(NASTY)  # no silent row loss
+    by_id = {r["doc_id"]: r for r in out}
+    # null text yields null verdicts (never a crash, never a spurious keep)
+    assert by_id[3]["gopher_keep"] is None or by_id[3]["gopher_keep"] is False
+    # a 3000-token plain doc passes the word-count gate
+    assert by_id[8]["r_word_count"]
+    # whitespace-only doc must not pass
+    assert not by_id[4]["gopher_keep"]
+    c4 = {r["doc_id"]: r for r in c4_line_clean(nasty).collect()}
+    assert len(c4) == len(NASTY)
+    assert c4[2]["n_lines_kept"] == 0
+
+    # the cleaned text of a surviving multi-line doc contains no banned line
+    multi = spark.createDataFrame(
+        [(20, "Good sentence with enough words to keep here.\nbad { line }")],
+        "doc_id long, text string",
+    )
+    r = c4_line_clean(multi).collect()[0]
+    assert "{" not in r["text_clean"]
+
+
+def test_snapshot_diff_and_budget_nasty(spark, nasty):
+    from pyspark.sql import functions as F
+
+    from dbt_meshify_spark.operators.sampling import select_to_token_budget
+    from dbt_meshify_spark.operators.snapshots import snapshot_diff
+
+    # snapshot diff where texts include nulls: null text fingerprints NULL;
+    # a null-vs-null comparison must not report 'changed' spuriously
+    d = snapshot_diff(nasty, nasty, include_unchanged=True).collect()
+    assert len(d) == len(NASTY)
+    st = {r["doc_id"]: r["status"] for r in d}
+    # identical snapshots: nothing is added/removed; the null-text doc has a
+    # NULL fingerprint on both sides (fp != fp is NULL -> 'unchanged')
+    assert set(st.values()) == {"unchanged"}
+
+    # token budget with null token counts must not crash or select nulls
+    rows = [(1, 10, 5), (2, None, 3), (3, 5, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, score long")
+    kept = select_to_token_budget(
+        df, 100, order_by=[F.col("score").desc(), F.col("doc_id").asc()]
+    ).collect()
+    ids = {r["doc_id"] for r in kept}
+    assert 1 in ids and 3 in ids
