@@ -517,3 +517,71 @@ def token_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def token_pmi(
+    df: DataFrame,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise mutual information of token pairs over documents — the
+    co-occurrence/collocation profile of a corpus (PMI > 0: tokens attract;
+    < 0: repel), restricted to the ``top_k`` tokens by document frequency so
+    the pair space is bounded at k(k-1)/2 regardless of corpus size.
+
+    PMI(a,b) = ln( P(a,b) / (P(a) P(b)) ) with probabilities over documents.
+
+    Scale shape: one DF-count shuffle, a TakeOrderedAndProject for the
+    vocabulary cut, then the corpus re-scans ONCE with the tiny vocabulary
+    broadcast — the per-doc self-join happens inside a bounded (<= k) token
+    list per document, and the pair aggregate carries at most k^2 keys.
+    N rides a 1-row broadcast crossJoin; no driver collect.
+    """
+    tok = (
+        _with_doc_tokens(df, id_col, text_col)
+        .select(F.col(id_col), F.explode(F.array_distinct(F.col("__toks"))).alias("token"))
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    top = dfreq.orderBy(F.col("n_docs").desc(), F.col("token").asc()).limit(top_k)
+    stats = df.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    sel = tok.join(F.broadcast(top.select("token")), "token")
+    a = sel.select(F.col(id_col), F.col("token").alias("tok_a"))
+    b = sel.select(F.col(id_col).alias("__idb"), F.col("token").alias("tok_b"))
+    pair_counts = (
+        a.join(b, (F.col(id_col) == F.col("__idb")) & (F.col("tok_a") < F.col("tok_b")))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    na = top.select(F.col("token").alias("tok_a"), F.col("n_docs").alias("n_a"))
+    nb = top.select(F.col("token").alias("tok_b"), F.col("n_docs").alias("n_b"))
+    return (
+        pair_counts.join(F.broadcast(na), "tok_a")
+        .join(F.broadcast(nb), "tok_b")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.round(
+                    F.log(
+                        F.col("n_ab") * F.col("n_total")
+                        / (F.col("n_a") * F.col("n_b"))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )
+
+
+def _with_doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __toks) with the standard lowercase/whitespace tokenization."""
+    return df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    )

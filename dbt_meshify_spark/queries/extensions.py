@@ -3520,3 +3520,131 @@ SELECT dim, mean_a, mean_b, var_a, var_b,
 FROM stats
 ORDER BY dim NULLS FIRST
 """
+
+
+def ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O/N10] user-journey Markov transitions: per-user event sequences
+    (lead over (user_id, ts, event_id)) aggregated into a transition matrix
+    with per-source probabilities — the behavioral-analytics shape. One
+    window shuffle on user_id + one count shuffle on the (src,dst) pair
+    (bounded by |event_type|^2)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", F.col("event_type").alias("src"))
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_src = Window.partitionBy("src")
+    return (
+        counts.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(w_src), 4) + F.lit(0.0)
+        )
+        .orderBy(_asc("src"), _asc("dst"))
+    )
+
+
+def ext_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O/N10] rate anomaly detection: hourly event counts per type, z-score
+    against that type's own hourly distribution, |z| >= 2 flagged — the
+    monitoring primitive of a continuous ingest pipeline. The z-score window
+    partitions on event_type (cardinality-bounded); counts aggregate
+    map-side first."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_pop("n").over(w)
+    return (
+        hourly.withColumn("z", F.round(z, 4) + F.lit(0.0))
+        .withColumn("is_anomaly", F.abs(F.col("z")) >= 2.0)
+        .select(
+            "event_type",
+            F.col("hour").cast("timestamp").alias("hour"),
+            "n",
+            "z",
+            "is_anomaly",
+        )
+        .orderBy(_asc("event_type"), _asc("hour"))
+    )
+
+
+QUERIES["ext_event_transitions"] = ext_event_transitions
+QUERIES["ext_event_anomalies"] = ext_event_anomalies
+
+ORACLES["ext_event_transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+c AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY src), 4) + 0.0 AS p
+FROM c
+ORDER BY src NULLS FIRST, dst NULLS FIRST
+"""
+
+ORACLES["ext_event_anomalies"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT event_type, CAST(hour AS TIMESTAMP) AS hour, n,
+       ROUND((n - AVG(n) OVER (PARTITION BY event_type))
+             / STDDEV_POP(n) OVER (PARTITION BY event_type), 4) + 0.0 AS z,
+       (ABS(ROUND((n - AVG(n) OVER (PARTITION BY event_type))
+                  / STDDEV_POP(n) OVER (PARTITION BY event_type), 4)) >= 2.0) AS is_anomaly
+FROM hourly
+ORDER BY event_type NULLS FIRST, hour NULLS FIRST
+"""
+
+
+def ext_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N10] token co-occurrence PMI over the top-20 document-frequency
+    vocabulary (operators/text.py::token_pmi): DF cut via
+    TakeOrderedAndProject, corpus re-scanned once with the vocabulary
+    broadcast, pair aggregate bounded at k^2 keys."""
+    from dbt_meshify_spark.operators.text import token_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_pmi(docs, top_k=20).orderBy(_asc("tok_a"), _asc("tok_b"))
+
+
+QUERIES["ext_token_pmi"] = ext_token_pmi
+
+ORACLES["ext_token_pmi"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS token
+  FROM documents
+),
+dfreq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs FROM tok GROUP BY token
+),
+top AS (
+  SELECT token, n_docs FROM dfreq
+  ORDER BY n_docs DESC, token ASC LIMIT 20
+),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM documents),
+sel AS (SELECT t.doc_id, t.token FROM tok t JOIN top USING (token)),
+pairs AS (
+  SELECT a.token AS tok_a, b.token AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM sel a JOIN sel b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+)
+SELECT p.tok_a, p.tok_b, p.n_ab, ta.n_docs AS n_a, tb.n_docs AS n_b,
+       ROUND(ln(p.n_ab * s.n_total / (ta.n_docs * tb.n_docs)), 4) + 0.0 AS pmi
+FROM pairs p
+JOIN top ta ON ta.token = p.tok_a
+JOIN top tb ON tb.token = p.tok_b
+CROSS JOIN stats s
+ORDER BY tok_a NULLS FIRST, tok_b NULLS FIRST
+"""
