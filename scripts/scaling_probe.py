@@ -1,0 +1,84 @@
+"""Scaling probe: measure representative operators at 1x / 2x / 4x of the
+sf0.1 documents corpus to validate the near-linear scaling SCALE.md claims.
+
+Synthetic scale-up: copy k suffixes every token with _k (regexp, JVM-side),
+so copies share NO shingles with each other — near-dup structure stays
+per-copy (the honest throughput test; naive duplication would add
+cross-copy near-dups and grow the pair space superlinearly instead).
+
+Run ALONE (shared host: concurrent Spark sessions inflate times ~40%):
+    python scripts/scaling_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def scaled_corpus(docs, k: int):
+    parts = [docs]
+    n = docs.count()
+    for i in range(1, k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * n).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1_{i}").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from dbt_meshify_spark.operators.dedup import (
+        exact_dedup,
+        minhash_candidate_pairs,
+    )
+    from dbt_meshify_spark.operators.text import quality_score
+    from dbt_meshify_spark.session import get_spark
+    from dbt_meshify_spark.sources import load_table
+
+    spark = get_spark()
+    base = load_table(spark, sf_dir, "documents")
+
+    # warmup: whole-stage-codegen compile is a fixed per-plan cost that the
+    # measured loop should not attribute to the smallest scale
+    warm = scaled_corpus(base, 1).localCheckpoint()
+    quality_score(warm).write.format("noop").mode("overwrite").save()
+    exact_dedup(warm, ["text"], order_by=["doc_id"]).count()
+    minhash_candidate_pairs(warm, min_jaccard_est=0.5).count()
+
+    for k in (1, 2, 4, 8):
+        docs = scaled_corpus(base, k).localCheckpoint()  # pin: exclude synth cost
+        n = docs.count()
+        t0 = time.time()
+        quality_score(docs).write.format("noop").mode("overwrite").save()
+        t_quality = time.time() - t0
+        t0 = time.time()
+        n_dedup = exact_dedup(docs, ["text"], order_by=["doc_id"]).count()
+        t_dedup = time.time() - t0
+        t0 = time.time()
+        n_pairs = minhash_candidate_pairs(docs, min_jaccard_est=0.5).count()
+        t_minhash = time.time() - t0
+        print(
+            f"scale={k}x docs={n}: quality={t_quality:.2f}s "
+            f"dedup={t_dedup:.2f}s (kept {n_dedup}) "
+            f"minhash={t_minhash:.2f}s (pairs {n_pairs})",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
