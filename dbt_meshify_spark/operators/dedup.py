@@ -982,7 +982,11 @@ def cut_spans_from_text(
     span_lists = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
-    toks = _with_tokens(df.select(id_col, text_col), text_col)
+    # NULL text tokenizes to NULL; coalesce to the empty array so the doc
+    # comes back as ('', 0 kept, 0 removed) instead of NULL counts
+    toks = _with_tokens(df.select(id_col, text_col), text_col).withColumn(
+        "__toks", F.coalesce(F.col("__toks"), F.array().cast("array<string>"))
+    )
     # spans exist only for affected docs; everyone else passes through with
     # an empty span list
     joined = toks.join(span_lists, id_col, "left").withColumn(

@@ -7,15 +7,17 @@ style dimensionality reduction, drift monitoring between corpus snapshots
 (compare covariance spectra), and compact ANN indexes (project to top-k
 components before bucketing).
 
-Plan shape at 100 TB: ONE pass over the vectors. Each Arrow batch reduces
-to a (d*d + d + 1)-float partial — count, sum, X^T X — via numpy GEMM
-inside ``mapInPandas`` (the vectorized path; a per-pair SQL explode would
-shuffle N*d^2 rows). Partials aggregate with a standard codegen'd
-groupBy((i,j)).sum shuffle whose cardinality is d^2, independent of corpus
-size. The eigen-solve happens on the d x d matrix driver-side (bounded,
-same posture as IVF centroid training), and the projection ships the k x d
-matrix back inside an Arrow-batched pandas UDF closure — the corpus never
-shuffles at any point.
+Plan shape at 100 TB: ONE pass over the vectors for the moments. Each Arrow
+batch reduces to a (d*d + d + 1)-float partial — count, sum, X^T X — via
+numpy GEMM inside ``mapInPandas`` (the vectorized path; a per-pair SQL
+explode would shuffle N*d^2 rows). Partials aggregate with a standard
+codegen'd groupBy((i,j)).sum shuffle whose cardinality is d^2, independent
+of corpus size. The eigen-solve happens on the d x d matrix driver-side
+(bounded, same posture as IVF centroid training), and the projection ships
+the k x d matrix back inside an Arrow-batched pandas UDF closure — the
+corpus never shuffles at any point. ``pca_project`` is exactly TWO corpus
+passes: moments, then projection (mean/count/d all come out of the moments
+collect — no extra first()/aggregate jobs).
 """
 
 from __future__ import annotations
@@ -40,14 +42,25 @@ _PARTIAL_SCHEMA = T.StructType(
 
 
 def _moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
-    """Per-Arrow-batch (count, sum, X^T X) partials as (i, j, …) rows."""
+    """Per-Arrow-batch (count, sum, X^T X) partials as (i, j, …) rows.
+
+    NULL vectors are dropped (a null embedding carries no moment); a ragged
+    vector (length differing within a batch) raises a clear error instead of
+    numpy's inhomogeneous-shape crash.
+    """
     import numpy as np
     import pandas as pd
 
     def gemm(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
+            lens = pdf[vec_col].map(len)
+            if lens.nunique() != 1:
+                raise ValueError(
+                    f"ragged embedding column: lengths {sorted(lens.unique())}"
+                )
             x = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
@@ -73,6 +86,15 @@ def _moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
     return spread(df.select(vec_col)).mapInPandas(gemm, _PARTIAL_SCHEMA)
 
 
+def _moment_agg(df: DataFrame, vec_col: str) -> DataFrame:
+    """The d^2-cardinality aggregate of the GEMM partials."""
+    return _moment_partials(df, vec_col).groupBy("i", "j").agg(
+        F.sum("sxx").alias("sxx"),
+        F.sum("sx_i").alias("sx_i"),
+        F.sum("n").alias("n"),
+    )
+
+
 def embedding_covariance(
     df: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -82,12 +104,7 @@ def embedding_covariance(
     One corpus pass (GEMM partials), one d^2-cardinality aggregate.
     Returns d^2 rows — driver-collectable for any realistic d.
     """
-    partials = _moment_partials(df, vec_col)
-    agg = partials.groupBy("i", "j").agg(
-        F.sum("sxx").alias("sxx"),
-        F.sum("sx_i").alias("sx_i"),
-        F.sum("n").alias("n"),
-    )
+    agg = _moment_agg(df, vec_col)
     # total count and per-dimension means live on the j == 0 rows; broadcast
     # them back over the d^2 frame (both sides are d-scale, not corpus-scale)
     n_total = agg.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
@@ -113,14 +130,37 @@ def embedding_covariance(
     return out
 
 
-def _principal_axes(cov_rows, d: int, k: int):
-    """Eigen-solve the collected covariance rows; deterministic sign fix."""
+def _collect_moments(df: DataFrame, vec_col: str):
+    """Driver-side (n, mean (d,), cov (d,d)) from ONE corpus pass; d is
+    recovered from the collected d^2 rows. Raises on an empty/all-NULL
+    input (there is no basis to solve for)."""
     import numpy as np
 
-    c = np.zeros((d, d))
-    for r in cov_rows:
-        c[r["i"], r["j"]] = r["cov"]
-    vals, vecs = np.linalg.eigh(c)  # ascending
+    rows = _moment_agg(df, vec_col).collect()
+    if not rows:
+        raise ValueError("pca_project: no non-null embeddings in input")
+    d = max(r["i"] for r in rows) + 1
+    sxx = np.zeros((d, d))
+    sums = np.zeros(d)
+    n = 0
+    for r in rows:
+        sxx[r["i"], r["j"]] = r["sxx"]
+        if r["j"] == 0:
+            sums[r["i"]] = r["sx_i"]
+        if r["i"] == 0 and r["j"] == 0:
+            n = r["n"]
+    if n == 0:
+        raise ValueError("pca_project: no non-null embeddings in input")
+    mean = sums / n
+    cov = sxx / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def _principal_axes(cov, k: int):
+    """Eigen-solve the covariance matrix; deterministic sign fix."""
+    import numpy as np
+
+    vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1][:k]
     vals, vecs = vals[order], vecs[:, order]
     # sign convention: largest-|component| of each axis is positive, ties
@@ -141,29 +181,20 @@ def pca_project(
 ) -> DataFrame:
     """Project every vector onto the top-``k`` principal components.
 
-    Two jobs: (1) the one-pass covariance above, collected at d^2 rows;
-    (2) an Arrow-batched projection with the k x d axis matrix in the UDF
-    closure — per batch one GEMM, no shuffle. Returns
+    Exactly two corpus passes: (1) the one-pass moments above, collected at
+    d^2 rows (count, means, and covariance all fall out of the same
+    aggregate); (2) an Arrow-batched projection with the k x d axis matrix
+    in the UDF closure — per batch one GEMM, no shuffle. NULL embeddings are
+    excluded from both the basis and the output. Returns
     (id, components array<double>, explained k-variance fraction column).
     """
     import numpy as np
     import pandas as pd
 
-    d = len(df.select(vec_col).first()[0])
-    cov_rows = embedding_covariance(df, vec_col).collect()
-    vals, vecs = _principal_axes(cov_rows, d, k)
-    total_var = sum(max(r["cov"], 0.0) for r in cov_rows if r["i"] == r["j"])
+    n, mean, cov = _collect_moments(df, vec_col)
+    vals, vecs = _principal_axes(cov, k)
+    total_var = float(np.clip(np.diag(cov), 0.0, None).sum())
     explained = float(np.sum(vals) / total_var) if total_var > 0 else 1.0
-    mean = np.zeros(d)
-    # recover means from the covariance pass? cheaper to recompute: one
-    # narrow aggregate over the corpus (d accumulators, codegen'd)
-    sums = df.select(
-        *[F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"s{i}") for i in range(d)],
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    n = sums["n"]
-    for i in range(d):
-        mean[i] = (sums[f"s{i}"] or 0.0) / max(n, 1)
     w = vecs.T  # k x d
     out_schema = T.StructType(
         [
@@ -174,6 +205,7 @@ def pca_project(
 
     def project(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             x = np.asarray(

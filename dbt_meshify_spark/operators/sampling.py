@@ -399,11 +399,16 @@ def cap_per_key(
     df: DataFrame,
     key_col: str,
     max_rows: int,
-    order_by: list[Column] | None = None,
+    order_by: list[Column],
 ) -> DataFrame:
     """Keep at most ``max_rows`` rows per ``key_col`` value, best-first by
     ``order_by`` — the per-domain document cap of web-scale curation (no
     single domain may dominate the corpus).
+
+    ``order_by`` is REQUIRED and must be a total order within each key
+    (include a unique tiebreaker): ranking by arbitrary physical row order
+    would keep a different subset on every run, violating the repo's
+    determinism posture.
 
     One hash shuffle on the key; appends ``rank_in_key``. A pathologically
     hot key concentrates its rows on one task, but the window is a streaming
@@ -412,8 +417,9 @@ def cap_per_key(
     ``deterministic_sample`` before the exact rank, the same two-tier
     posture as ``sample_exact_k``.
     """
-    order = order_by if order_by is not None else [F.col(key_col)]
-    w = Window.partitionBy(key_col).orderBy(*order)
+    if not order_by:
+        raise ValueError("cap_per_key requires an explicit total order_by")
+    w = Window.partitionBy(key_col).orderBy(*order_by)
     return (
         df.withColumn("rank_in_key", F.row_number().over(w))
         .filter(F.col("rank_in_key") <= max_rows)
@@ -446,8 +452,11 @@ def select_to_token_budget(
     correctness does not depend on where the range sampler drew partition
     boundaries because the order key is total (callers must include a
     tiebreaker column). Appends ``cum_tokens``; rows with
-    ``cum_tokens <= budget`` survive.
+    ``cum_tokens <= budget`` survive. Rows with a NULL token count are
+    DROPPED first: the window SUM would skip them, handing an
+    unknown-length document a free ride into a token-budgeted set.
     """
+    df = df.filter(F.col(token_col).isNotNull())
     order = order_by if order_by is not None else [F.col(token_col).desc()]
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # pin the range partitioning: the running-total branch and the offsets
@@ -507,14 +516,23 @@ def weighted_sample_k(
 
     Everything a training-mixture builder wants: inclusion probability
     proportional to the weight column (token count, quality, freshness),
-    no RNG state, and re-runs select identical rows.
+    no RNG state, and re-runs select identical rows. Rows with weight <= 0
+    (or NULL) are excluded up front: a zero weight divides by zero
+    (engine-dependent NULL/inf) and a negative one silently INVERTS the
+    sampling toward the least-wanted rows.
 
     Scale shape: the rank key is a pure projection; the top-k is
     ``ORDER BY … LIMIT k`` — Spark plans TakeOrderedAndProject (per-partition
     heap + single merge of k-row partials), which never materializes a global
     sort. The final rank attach is a window over the k-row result only.
+
+    Cross-engine note: ``u^(1/w)`` is transcendental, so two engines' pow()
+    may differ in the last ulp and flip a near-tie at the k boundary; the
+    key cannot be rounded (mass ties) — adjacent keys in a real corpus are
+    ~1e-3 apart vs ~1e-16 of pow error, and the id tiebreak pins exact ties.
     """
     u = _md5_uniform(key_cols, seed)
+    df = df.filter(F.col(weight_col) > 0)
     w = F.col(weight_col).cast("double")
     keyed = df.withColumn("es_key", F.pow(u, F.lit(1.0) / w))
     topk = keyed.orderBy(F.col("es_key").desc(), *[F.col(c) for c in key_cols]).limit(k)

@@ -2486,7 +2486,7 @@ agg AS (
          COUNT(*) AS n_kept
   FROM kept GROUP BY doc_id
 ),
-orig AS (SELECT doc_id, len(l) AS n FROM toks)
+orig AS (SELECT doc_id, COALESCE(len(l), 0) AS n FROM toks)
 SELECT o.doc_id,
        COALESCE(a.clean_text, '') AS clean_text,
        CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
@@ -3341,7 +3341,7 @@ ORACLES["ext_weighted_sample"] = f"""
 WITH h AS (
   SELECT doc_id, n_chars,
          md5('es0|' || CAST(doc_id AS VARCHAR)) AS hx
-  FROM documents
+  FROM documents WHERE n_chars > 0
 ),
 u AS (
   SELECT doc_id, n_chars,
@@ -3443,7 +3443,7 @@ agg AS (
          COUNT(*) AS n_kept
   FROM kept GROUP BY doc_id
 ),
-orig AS (SELECT doc_id, len(l) AS n FROM tr)
+orig AS (SELECT doc_id, COALESCE(len(l), 0) AS n FROM tr)
 SELECT o.doc_id,
        COALESCE(a.clean_text, '') AS clean_text,
        CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
@@ -3558,7 +3558,11 @@ def ext_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     w = Window.partitionBy("event_type")
-    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_pop("n").over(w)
+    # a type with zero hourly variance has no z-score: divide by
+    # NULLIF-equivalent so both engines yield NULL (DuckDB's 0/0 is NaN,
+    # which its ORDER BY ranks above everything — a silent false anomaly)
+    sd = F.stddev_pop("n").over(w)
+    z = (F.col("n") - F.avg("n").over(w)) / F.when(sd != 0, sd)
     return (
         hourly.withColumn("z", F.round(z, 4) + F.lit(0.0))
         .withColumn("is_anomaly", F.abs(F.col("z")) >= 2.0)
@@ -3600,9 +3604,9 @@ WITH hourly AS (
 )
 SELECT event_type, CAST(hour AS TIMESTAMP) AS hour, n,
        ROUND((n - AVG(n) OVER (PARTITION BY event_type))
-             / STDDEV_POP(n) OVER (PARTITION BY event_type), 4) + 0.0 AS z,
+             / NULLIF(STDDEV_POP(n) OVER (PARTITION BY event_type), 0), 4) + 0.0 AS z,
        (ABS(ROUND((n - AVG(n) OVER (PARTITION BY event_type))
-                  / STDDEV_POP(n) OVER (PARTITION BY event_type), 4)) >= 2.0) AS is_anomaly
+                  / NULLIF(STDDEV_POP(n) OVER (PARTITION BY event_type), 0), 4)) >= 2.0) AS is_anomaly
 FROM hourly
 ORDER BY event_type NULLS FIRST, hour NULLS FIRST
 """

@@ -186,4 +186,35 @@ def test_snapshot_diff_and_budget_nasty(spark, nasty):
         df, 100, order_by=[F.col("score").desc(), F.col("doc_id").asc()]
     ).collect()
     ids = {r["doc_id"] for r in kept}
-    assert 1 in ids and 3 in ids
+    # the NULL-token doc must be EXCLUDED: the window sum would skip it and
+    # ship an unknown-length doc into the budget at zero accounted cost
+    assert ids == {1, 3}
+
+
+def test_pca_and_weighted_sample_nasty(spark):
+    import pytest as _pytest
+
+    from dbt_meshify_spark.operators.pca import embedding_covariance, pca_project
+    from dbt_meshify_spark.operators.sampling import weighted_sample_k
+
+    # NULL embeddings are dropped from the basis, not crashed on
+    rows = [(i, [float(i % 3), float(i % 5), 1.0]) for i in range(20)]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cov = embedding_covariance(df).collect()
+    assert len(cov) == 9
+    out = pca_project(df, k=2).collect()
+    assert len(out) == 20  # null rows excluded from the projection too
+
+    # empty / all-NULL input is a clear error, not an IndexError
+    empty = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    with _pytest.raises(Exception, match="no non-null embeddings"):
+        pca_project(empty, k=2)
+
+    # zero/negative/NULL weights are excluded from weighted sampling
+    wdf = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -2.0), (4, None), (5, 1.0)],
+        "id long, w double",
+    )
+    picked = {r["id"] for r in weighted_sample_k(wdf, 10, "w", ["id"]).collect()}
+    assert picked == {1, 5}
