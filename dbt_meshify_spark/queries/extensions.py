@@ -3652,3 +3652,130 @@ JOIN top tb ON tb.token = p.tok_b
 CROSS JOIN stats s
 ORDER BY tok_a NULLS FIRST, tok_b NULLS FIRST
 """
+
+
+def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9/N10] DSIR importance weights (operators/dsir.py): hashed-bigram
+    bucket distributions for the target slice (lang='en') vs the raw corpus,
+    per-doc log likelihood ratio. One tokenize scan, one (doc, bucket)
+    partial-agg shuffle, bounded broadcast of the 1024-bucket ratio table."""
+    from dbt_meshify_spark.operators.dsir import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("lang") == "en"
+    )
+    out = dsir_log_weights(docs, "is_target", num_buckets=1024)
+    return out.select(
+        "doc_id",
+        "is_target",
+        "n_bigrams",
+        (F.round("dsir_logw", 4) + F.lit(0.0)).alias("dsir_logw"),
+    ).orderBy(_asc("doc_id"))
+
+
+def ext_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9/N10] DSIR resampling (operators/dsir.py::dsir_resample_k): Gumbel
+    top-k over the ROUNDED log weights — an exact softmax-weighted sample
+    without replacement, deterministic via md5 uniforms, planned as
+    TakeOrderedAndProject (no global sort)."""
+    from dbt_meshify_spark.operators.dsir import dsir_log_weights, dsir_resample_k
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("lang") == "en"
+    )
+    scored = dsir_log_weights(docs, "is_target", num_buckets=1024).withColumn(
+        "dsir_logw", F.round("dsir_logw", 4) + F.lit(0.0)
+    )
+    picked = dsir_resample_k(scored, k=100, id_cols=["doc_id"])
+    return (
+        picked.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "dsir_logw",
+            F.col("draw_rank").cast("bigint").alias("draw_rank"),
+        )
+        .orderBy(_asc("doc_id"))
+    )
+
+
+QUERIES["ext_dsir_weights"] = ext_dsir_weights
+QUERIES["ext_dsir_sample"] = ext_dsir_sample
+
+
+def _hex8_sum(col: str) -> str:
+    """Digit-arithmetic value of the first 8 hex digits of md5 column
+    ``col`` — the engine-portable integer form of the repo's md5 hashing."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {p + 1}, 1)) - 1)"
+        f" * {float(16 ** (7 - p))!r}"
+        for p in range(8)
+    )
+
+
+_DSIR_CTES = r"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+         string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+t2 AS (SELECT * FROM toks WHERE len(l) >= 2),
+pos AS (SELECT doc_id, tgt, l, unnest(range(1, len(l))) AS i FROM t2),
+grams AS (
+  SELECT doc_id, tgt, md5(l[i] || ' ' || l[i+1]) AS gx FROM pos
+),
+bk AS (
+  SELECT doc_id, tgt, CAST(({HEX8}) AS BIGINT) % 1024 AS b FROM grams
+),
+tf AS (
+  SELECT doc_id, tgt, b, COUNT(*) AS tf FROM bk GROUP BY doc_id, tgt, b
+),
+cnt AS (
+  SELECT b, SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS ct, SUM(tf) AS cr
+  FROM tf GROUP BY b
+),
+tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt, CAST(SUM(cr) AS DOUBLE) AS tr FROM cnt),
+ratio AS (
+  SELECT b,
+         ln((CAST(ct AS DOUBLE) + 1.0) / (tt + 1024.0))
+         - ln((CAST(cr AS DOUBLE) + 1.0) / (tr + 1024.0)) AS lr
+  FROM cnt CROSS JOIN tot
+),
+dw AS (
+  SELECT tf.doc_id, SUM(tf.tf) AS nb, SUM(tf.tf * ratio.lr) AS logw
+  FROM tf JOIN ratio USING (b) GROUP BY tf.doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang, (d.lang = 'en') AS is_target,
+         CAST(COALESCE(dw.nb, 0) AS BIGINT) AS n_bigrams,
+         ROUND(COALESCE(dw.logw, 0.0), 4) + 0.0 AS dsir_logw
+  FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id
+)
+""".replace("{HEX8}", _hex8_sum("gx"))
+
+ORACLES["ext_dsir_weights"] = _DSIR_CTES + """
+SELECT doc_id, is_target, n_bigrams, dsir_logw
+FROM scored
+ORDER BY doc_id NULLS FIRST
+"""
+
+ORACLES["ext_dsir_sample"] = _DSIR_CTES + """
+, u AS (
+  SELECT doc_id, lang, dsir_logw,
+         ({UHEX} + 0.5) / {SCALE} AS uu
+  FROM (SELECT s.*, md5('dsir0|' || CAST(doc_id AS VARCHAR)) AS ux FROM scored s)
+),
+keyed AS (
+  SELECT doc_id, lang, dsir_logw,
+         dsir_logw + (-ln(-ln(uu))) AS gk
+  FROM u
+),
+r AS (
+  SELECT doc_id, lang, dsir_logw,
+         ROW_NUMBER() OVER (ORDER BY gk DESC, doc_id ASC) AS draw_rank
+  FROM keyed
+)
+SELECT doc_id, lang, dsir_logw, CAST(draw_rank AS BIGINT) AS draw_rank
+FROM r WHERE draw_rank <= 100
+ORDER BY doc_id NULLS FIRST
+""".replace("{UHEX}", _hex8_sum("ux")).replace("{SCALE}", repr(float(16 ** 8)))

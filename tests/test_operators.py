@@ -1945,3 +1945,44 @@ def test_remove_contaminated_spans_planted(spark):
     assert out[1]["n_tokens_removed"] == 13
     assert out[2]["n_tokens_removed"] == 0
     assert out[2]["n_tokens_kept"] == 8
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from dbt_meshify_spark.operators.dsir import dsir_log_weights, dsir_resample_k
+
+    # target slice speaks "alpha beta gamma"; off-distribution docs speak
+    # "zig zag zug"; held-out target-like docs must outscore them
+    rows = []
+    for i in range(30):
+        rows.append((i, "alpha beta gamma alpha beta gamma alpha beta", True))
+    for i in range(30, 60):
+        rows.append((i, "zig zag zug zig zag zug zig zag", False))
+    rows.append((100, "alpha beta gamma alpha beta", False))  # target-like
+    rows.append((101, "zig zag zug zig zag", False))          # raw-like
+    rows.append((102, "solo", False))                          # no bigrams
+    rows.append((103, None, False))                            # null text
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_target boolean")
+
+    out = dsir_log_weights(df, "is_target", num_buckets=256)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == len(rows)  # every row comes back, null text included
+    assert got[100]["dsir_logw"] > got[101]["dsir_logw"]
+    assert got[102]["dsir_logw"] == 0.0 and got[102]["n_bigrams"] == 0
+    assert got[103]["dsir_logw"] == 0.0 and got[103]["n_bigrams"] == 0
+    # determinism
+    again = {r["doc_id"]: r["dsir_logw"] for r in dsir_log_weights(
+        df, "is_target", num_buckets=256).collect()}
+    assert all(again[k] == got[k]["dsir_logw"] for k in again)
+
+    # resampling: heavily-weighted (target-like) docs dominate the draw
+    picked = dsir_resample_k(out, 20, ["doc_id"]).collect()
+    assert len(picked) == 20
+    assert len({r["doc_id"] for r in picked}) == 20  # without replacement
+    ranks = {r["doc_id"]: r["draw_rank"] for r in picked}
+    assert sorted(ranks.values()) == list(range(1, 21))
+    target_like = {i for i in range(30)} | {100}
+    assert len(target_like & set(ranks)) >= 15
+    # deterministic draw
+    again2 = {r["doc_id"]: r["draw_rank"]
+              for r in dsir_resample_k(out, 20, ["doc_id"]).collect()}
+    assert again2 == ranks

@@ -274,3 +274,12 @@ def test_gopher_rules_is_scan_fused_projection(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
     plan = _physical(gopher_rules(docs))
     assert "Exchange" not in plan
+
+
+def test_dsir_broadcasts_ratio_and_takeordered_resample(spark):
+    """DSIR's scoring join must broadcast the bounded bucket-ratio table
+    (never shuffle the per-doc tf frame against it), and the Gumbel top-k
+    must plan as TakeOrderedAndProject, not a global sort."""
+    plan = _physical(QUERIES["ext_dsir_sample"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
