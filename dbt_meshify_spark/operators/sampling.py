@@ -491,6 +491,77 @@ def select_to_token_budget(
     )
 
 
+def apply_mixture_recipe(
+    df: DataFrame,
+    recipe: DataFrame,
+    cell_cols: list[str],
+    token_col: str = "n_tokens",
+    order_by: list[Column] | None = None,
+    budget_col: str = "token_budget",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Execute a data-mixture recipe: fill every cell (e.g. (lang, source))
+    to ITS token budget, best-first — the step that turns a planned mixture
+    (``temperature_weights``, a hand-tuned recipe table) into the actual
+    training corpus.
+
+    ``recipe`` is ``(*cell_cols, budget_col)`` — one row per cell, the
+    planning output, bounded by cell cardinality and broadcast. Cells
+    absent from the recipe are dropped (the recipe IS the dataset
+    definition); rows with NULL ``token_col`` are dropped (same
+    free-rider rule as ``select_to_token_budget``).
+
+    Scale shape: the same two-phase distributed running total as
+    ``select_to_token_budget``, generalized per cell — a naive
+    ``SUM OVER (PARTITION BY cell ORDER BY …)`` serializes each cell
+    through one task, and at 100 TB a single cell can be terabytes. Here
+    the corpus range-partitions ONCE on (cell, priority); per-partition
+    windows run in parallel; the (partition × cell) totals frame is tiny
+    and its per-cell prefix offsets broadcast back. Appends
+    ``cum_tokens_cell``; rows with ``cum_tokens_cell <= budget`` survive.
+    ``order_by`` must be a total order within each cell (unique
+    tiebreaker) — the default is ``token_col desc`` which is NOT total;
+    pass an explicit order for deterministic output.
+    """
+    df = df.filter(F.col(token_col).isNotNull())
+    order = order_by if order_by is not None else [F.col(token_col).desc()]
+    cells = [F.col(c) for c in cell_cols]
+    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # pin the range boundaries: the running-total branch and the offsets
+    # branch must observe identical partitioning (select_to_token_budget
+    # discipline)
+    ranged = (
+        df.repartitionByRange(nparts, *cells, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_in = Window.partitionBy("__pid", *cell_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    part = ranged.withColumn("__cum_in", F.sum(F.col(token_col)).over(w_in))
+    totals = ranged.groupBy("__pid", *cell_cols).agg(
+        F.sum(F.col(token_col)).alias("__tot")
+    )
+    # per-cell prefix offsets over the (#partitions x #cells)-row frame
+    w_off = (
+        Window.partitionBy(*cell_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__pid", *cell_cols, "__off")
+    return (
+        part.join(F.broadcast(offsets), ["__pid", *cell_cols])
+        .withColumn(
+            "cum_tokens_cell", (F.col("__cum_in") + F.col("__off")).cast("bigint")
+        )
+        .join(F.broadcast(recipe), cell_cols)
+        .filter(F.col("cum_tokens_cell") <= F.col(budget_col))
+        .drop("__pid", "__cum_in", "__off")
+    )
+
+
 def _md5_uniform(key_cols: list[str], seed: str) -> Column:
     """Deterministic uniform(0,1) draw from the first 8 hex digits of
     md5(seed|key) — digit-arithmetic form (no engine-specific hex parsing,

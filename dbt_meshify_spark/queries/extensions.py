@@ -3779,3 +3779,56 @@ SELECT doc_id, lang, dsir_logw, CAST(draw_rank AS BIGINT) AS draw_rank
 FROM r WHERE draw_rank <= 100
 ORDER BY doc_id NULLS FIRST
 """.replace("{UHEX}", _hex8_sum("ux")).replace("{SCALE}", repr(float(16 ** 8)))
+
+
+def ext_mixture_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9/N10] data-mixture recipe execution
+    (operators/sampling.py::apply_mixture_recipe): fill every (lang, source)
+    cell to its own token budget, best-first, via the per-cell two-phase
+    distributed running total — never a one-task-per-cell window. The recipe
+    here is "half of each cell's chars", derived as a bounded aggregate and
+    broadcast."""
+    from dbt_meshify_spark.operators.sampling import apply_mixture_recipe
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    recipe = docs.groupBy("lang", "source").agg(
+        F.floor(0.5 * F.sum("n_chars")).cast("bigint").alias("token_budget")
+    )
+    out = apply_mixture_recipe(
+        docs,
+        recipe,
+        cell_cols=["lang", "source"],
+        token_col="n_chars",
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return out.select(
+        "doc_id", "lang", "source", "n_chars", "cum_tokens_cell", "token_budget"
+    ).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_mixture_recipe"] = ext_mixture_recipe
+
+ORACLES["ext_mixture_recipe"] = """
+WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents WHERE n_chars IS NOT NULL),
+r AS (
+  SELECT lang, source,
+         CAST(FLOOR(0.5 * SUM(n_chars)) AS BIGINT) AS token_budget
+  FROM d GROUP BY lang, source
+),
+c AS (
+  SELECT doc_id, lang, source, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY lang, source
+           ORDER BY n_chars DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM d
+)
+SELECT c.doc_id, c.lang, c.source, c.n_chars,
+       CAST(c.cum AS BIGINT) AS cum_tokens_cell, r.token_budget
+FROM c JOIN r USING (lang, source)
+WHERE c.cum <= r.token_budget
+ORDER BY doc_id NULLS FIRST
+"""

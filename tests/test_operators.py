@@ -1986,3 +1986,54 @@ def test_dsir_weights_favor_target_like_docs(spark):
     again2 = {r["doc_id"]: r["draw_rank"]
               for r in dsir_resample_k(out, 20, ["doc_id"]).collect()}
     assert again2 == ranks
+
+
+def test_apply_mixture_recipe_budgets_and_partition_invariance(spark):
+    from dbt_meshify_spark.operators.sampling import apply_mixture_recipe
+
+    rows = [
+        (i, "en" if i % 2 == 0 else "fr", "web", 100 + (i % 7)) for i in range(80)
+    ]
+    rows.append((900, "de", "web", 50))       # cell absent from recipe
+    rows.append((901, "en", "web", None))     # NULL tokens: dropped
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, n long")
+    recipe = spark.createDataFrame(
+        [("en", "web", 700), ("fr", "web", 350)],
+        "lang string, source string, token_budget long",
+    )
+    order = [F.col("n").desc(), F.col("doc_id").asc()]
+
+    out = apply_mixture_recipe(
+        df, recipe, ["lang", "source"], token_col="n", order_by=order
+    ).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault((r["lang"], r["source"]), []).append(r)
+    assert set(by_cell) == {("en", "web"), ("fr", "web")}  # de dropped, no NULL row
+    assert 900 not in {r["doc_id"] for r in out}
+    assert 901 not in {r["doc_id"] for r in out}
+    # budget respected per cell, and the fill is maximal (adding the next
+    # best-first doc would overflow)
+    for (lang, _), cell_rows in by_cell.items():
+        budget = 700 if lang == "en" else 350
+        total = sum(r["n"] for r in cell_rows)
+        assert total <= budget
+        assert max(r["cum_tokens_cell"] for r in cell_rows) == total
+        remaining = [
+            r for r in df.collect()
+            if r["lang"] == lang and r["n"] is not None
+            and r["doc_id"] not in {c["doc_id"] for c in cell_rows}
+            and r["doc_id"] not in (900, 901)
+        ]
+        if remaining:
+            next_n = max((r["n"], -r["doc_id"]) for r in remaining)[0]
+            assert total + next_n > budget
+
+    # identical output regardless of partition count (two-phase correctness)
+    base = sorted((r["doc_id"], r["cum_tokens_cell"]) for r in out)
+    for nparts in (1, 4, 16):
+        again = apply_mixture_recipe(
+            df, recipe, ["lang", "source"], token_col="n",
+            order_by=order, num_partitions=nparts,
+        ).collect()
+        assert sorted((r["doc_id"], r["cum_tokens_cell"]) for r in again) == base

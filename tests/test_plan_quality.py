@@ -283,3 +283,14 @@ def test_dsir_broadcasts_ratio_and_takeordered_resample(spark):
     plan = _physical(QUERIES["ext_dsir_sample"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_recipe_has_no_per_cell_serial_window(spark):
+    """apply_mixture_recipe's per-cell running total must be the two-phase
+    form: the corpus window partitions on (spark_partition_id, cells) after
+    ONE range exchange — never an unpartitioned / per-cell-only window that
+    serializes a whole cell through one task. The recipe and offsets frames
+    ride BroadcastExchanges."""
+    plan = _physical(QUERIES["ext_mixture_recipe"](spark, SF_ORACLE))
+    assert "windowspecdefinition(__pid" in plan, "corpus window not pid-partitioned"
+    assert plan.count("BroadcastExchange") >= 2  # offsets + recipe
