@@ -857,6 +857,84 @@ def assign_cells(
     return df.withColumn(out_col, assign(_as_double(F.col(vec_col))))
 
 
+def ivf_index(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build a PERSISTABLE IVF ANN index: returns ``(centroids, cells)`` —
+    ``centroids`` is the ``nlist``-row ``(cell, centroid)`` coarse
+    quantizer, ``cells`` is the corpus labeled ``(id, cell, vec)``.
+
+    The continuous-similarity-serving shape (embedding analog of
+    ``dedup.minhash_index``): a 100 TB embedding corpus is trained and
+    cell-assigned ONCE — both frames written to parquet, ``cells`` ideally
+    partitioned by ``cell`` so probes prune at the scan — and every query
+    batch probes the stored index via :func:`ivf_probe_index`. The corpus
+    vectors are never re-read, never re-assigned per batch, and centroid
+    training (the driver-side Lloyd rounds) never re-runs.
+    """
+    centroids = train_ivf_centroids(
+        corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cells = spread(corpus).select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("vec"),
+    ).withColumn("cell", _assign_udf(centroids)(F.col("vec")))
+    return cent_df, cells
+
+
+def ivf_probe_index(
+    queries: DataFrame,
+    centroids: DataFrame,
+    cells: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors of each query against a PERSISTED
+    :func:`ivf_index`, without touching the corpus beyond the probed cells.
+
+    ``centroids`` is collected (``nlist`` rows — bounded by construction)
+    into the probe UDF's closure; queries explode to their ``nprobe``
+    nearest cells and equi-join ``cells`` on the cell id — with a
+    cell-partitioned parquet layout that join scans ~nprobe/nlist of the
+    index. Per-batch cost is O(batch x probed-cell volume); the index
+    build never re-runs (plan-guarded by the probe test).
+    """
+    cent_rows = centroids.orderBy("cell").collect()
+    cm = [list(map(float, r["centroid"])) for r in cent_rows]
+    probe = _probe_udf(cm, nprobe)
+    q = spread(queries).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("cell", F.explode(probe(F.col("qv"))))
+    sims = (
+        q.join(cells.select(F.col(id_col).alias("neighbor_id"), "vec", "cell"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", _cos_pairs_udf()(F.col("qv"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cos_sim", 4).alias("cos_sim"), "rank",
+        )
+    )
+
+
 def hard_negatives_lsh(
     queries: DataFrame,
     corpus: DataFrame,

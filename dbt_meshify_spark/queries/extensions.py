@@ -3832,3 +3832,30 @@ FROM c JOIN r USING (lang, source)
 WHERE c.cum <= r.token_budget
 ORDER BY doc_id NULLS FIRST
 """
+
+
+def ext_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3] continuous similarity serving: probe a PERSISTED IVF index
+    (operators/similarity.py::ivf_index / ivf_probe_index) with a query
+    batch — centroid training and corpus cell assignment happen once at
+    build; the probe equi-joins the stored cells and never re-reads the
+    corpus. Rows-only check (k-means cells); index round-trip + no-rebuild
+    invariants in tests."""
+    from dbt_meshify_spark.operators.similarity import ivf_index, ivf_probe_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, cells = ivf_index(emb, nlist=16)
+    q = emb.filter(F.col("vec_id") < 5)
+    return (
+        ivf_probe_index(q, centroids, cells, k=3, nprobe=4)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy(_asc("query_id"), _asc("rank"))
+    )
+
+
+QUERIES["ext_ann_ivf_probe"] = ext_ann_ivf_probe

@@ -2037,3 +2037,52 @@ def test_apply_mixture_recipe_budgets_and_partition_invariance(spark):
             order_by=order, num_partitions=nparts,
         ).collect()
         assert sorted((r["doc_id"], r["cum_tokens_cell"]) for r in again) == base
+
+
+def test_ivf_index_round_trip_probe_matches_ivf_topk(spark, tmp_path):
+    from dbt_meshify_spark.operators.similarity import (
+        ivf_index,
+        ivf_probe_index,
+        ivf_topk,
+    )
+    from dbt_meshify_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids, cells = ivf_index(emb, nlist=8)
+
+    # persist both halves, reload, probe the STORED index
+    cpath, apath = str(tmp_path / "cent"), str(tmp_path / "cells")
+    centroids.write.parquet(cpath)
+    cells.write.partitionBy("cell").parquet(apath)
+    cent2 = spark.read.parquet(cpath)
+    cells2 = spark.read.parquet(apath)
+
+    q = emb.filter(F.col("vec_id") < 10)
+    probed = ivf_probe_index(q, cent2, cells2, k=3, nprobe=3)
+    rows = probed.collect()
+    assert len(rows) > 0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, nbrs in by_q.items():
+        assert [r["rank"] for r in sorted(nbrs, key=lambda r: r["rank"])] == list(
+            range(1, len(nbrs) + 1)
+        )
+        assert all(r["neighbor_id"] != qid for r in nbrs)
+        sims = [r["cos_sim"] for r in sorted(nbrs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+    # same index params straight through ivf_topk: identical neighbor sets
+    # (both paths share the deterministic trainer)
+    direct = ivf_topk(q, emb, k=3, nlist=8, nprobe=3, iters=8)
+    a = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
+    b = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in direct.collect())
+    assert a == b
+
+    # determinism of the probe
+    again = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_probe_index(q, cent2, cells2, k=3, nprobe=3).collect()
+    )
+    assert again == a

@@ -294,3 +294,36 @@ def test_mixture_recipe_has_no_per_cell_serial_window(spark):
     plan = _physical(QUERIES["ext_mixture_recipe"](spark, SF_ORACLE))
     assert "windowspecdefinition(__pid" in plan, "corpus window not pid-partitioned"
     assert plan.count("BroadcastExchange") >= 2  # offsets + recipe
+
+
+def test_ivf_probe_never_rereads_or_retrains(spark, tmp_path):
+    """Probing a STORED IVF index must touch only the query batch and the
+    two index tables: no corpus scan, no training job in the probe plan,
+    and the cell-partitioned layout must prune the cells scan to the probed
+    cells (PartitionFilters via the equi-join's DPP or a post-scan join —
+    at minimum the embeddings corpus never re-reads)."""
+    from dbt_meshify_spark.operators.similarity import ivf_index, ivf_probe_index
+    from dbt_meshify_spark.sources import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    centroids, cells = ivf_index(emb.filter(F.col("vec_id") % 5 != 0), nlist=8)
+    centroids.write.parquet(str(tmp_path / "cent"))
+    cells.write.partitionBy("cell").parquet(str(tmp_path / "cells"))
+
+    probe = ivf_probe_index(
+        load_table(spark, SF_ORACLE, "embeddings").filter(F.col("vec_id") < 5),
+        spark.read.parquet(str(tmp_path / "cent")),
+        spark.read.parquet(str(tmp_path / "cells")),
+        k=3,
+        nprobe=2,
+    )
+    plan = _physical(probe)
+    # the stored cells scan must be PRUNED to the probed cells: the
+    # cell-partitioned layout + broadcast join gives dynamic partition
+    # pruning, so a 100 TB index reads ~nprobe/nlist of its files
+    assert "dynamicpruningexpression(cell" in plan, "cells scan not DPP-pruned"
+    # embeddings.parquet may appear at most twice: the query batch's own
+    # read and its copy inside the DPP subquery — never a full corpus scan
+    # (the corpus lives in the stored cells table, whose scan is pruned)
+    assert plan.count("embeddings.parquet") <= 2
+    assert "CartesianProduct" not in plan
