@@ -930,6 +930,64 @@ def merge_span_hits(
     )
 
 
+def self_repetition_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 10,
+) -> DataFrame:
+    """Maximal WITHIN-document repeated token spans — the generated-text /
+    boilerplate artifact detector (degenerate loops, copy-pasted
+    paragraphs inside one doc), keep-first-occurrence semantics.
+
+    A shingle start position is a hit when the same ``passage_tokens``-gram
+    already occurred earlier in the SAME document at a non-overlapping
+    position (``start >= first + n``) — so the first occurrence always
+    survives intact, and self-overlapping periodic text ("a b a b a b …")
+    cuts from the end of the first period onward. Hit detection is one
+    window over (doc, gram-hash) — the shuffle carries (id, 8-byte hash,
+    position), never text — and the span merge reuses ``merge_span_hits``
+    (per-doc window over hit positions only). Returns
+    ``id_col, span_start, span_end (exclusive), n_shingles``.
+    """
+    pos = (
+        _with_tokens(df.select(id_col, text_col), text_col)
+        .withColumn(
+            "__grams",
+            shingles_of_tokens(F.col("__toks"), passage_tokens, distinct=False),
+        )
+        .select(F.col(id_col), F.posexplode("__grams").alias("__p", "__gram"))
+        .select(
+            F.col(id_col),
+            (F.col("__p") + 1).cast("bigint").alias("start_tok"),
+            F.xxhash64("__gram").alias("__gh"),
+        )
+    )
+    w = Window.partitionBy(id_col, "__gh")
+    hits = (
+        pos.withColumn("__first", F.min("start_tok").over(w))
+        .filter(F.col("start_tok") >= F.col("__first") + F.lit(passage_tokens))
+        .select(id_col, "start_tok")
+    )
+    return merge_span_hits(hits, id_col, passage_tokens)
+
+
+def remove_self_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 10,
+) -> DataFrame:
+    """Cut every within-document repeated span (keep the first occurrence)
+    and rebuild the text — ``remove_duplicated_passages``' intra-doc twin,
+    same zero-corpus-shuffle cut machinery (``cut_spans_from_text``).
+    Returns ``id_col, clean_text, n_tokens_kept, n_tokens_removed``."""
+    spans = self_repetition_spans(
+        df, id_col=id_col, text_col=text_col, passage_tokens=passage_tokens
+    )
+    return cut_spans_from_text(df, spans, id_col=id_col, text_col=text_col)
+
+
 def remove_duplicated_passages(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3859,3 +3859,76 @@ def ext_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ext_ann_ivf_probe"] = ext_ann_ivf_probe
+
+
+def ext_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N4] within-document repetition removal
+    (operators/dedup.py::remove_self_repetition): cut every repeated
+    3-gram span after its first occurrence — the degenerate-loop /
+    intra-doc boilerplate cleaner (3-gram grain here for test-corpus
+    signal; production uses 10-20). Hit detection shuffles (id, hash,
+    position) only; the cut never shuffles the corpus."""
+    from dbt_meshify_spark.operators.dedup import remove_self_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_self_repetition(docs, passage_tokens=3).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_self_repetition"] = ext_self_repetition
+
+ORACLES["ext_self_repetition"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+pos AS (SELECT doc_id, unnest(range(1, len(l) - 1)) AS i, l FROM toks WHERE len(l) >= 3),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS start_tok, array_to_string(l[i:i+2], ' ') AS gram
+  FROM pos
+),
+firsts AS (
+  SELECT doc_id, gram, MIN(start_tok) AS first_tok
+  FROM grams GROUP BY doc_id, gram
+),
+hits AS (
+  SELECT g.doc_id, g.start_tok
+  FROM grams g JOIN firsts f ON f.doc_id = g.doc_id AND f.gram = g.gram
+  WHERE g.start_tok >= f.first_tok + 3
+),
+marked AS (
+  SELECT doc_id, start_tok,
+         CASE WHEN lag(start_tok) OVER w IS NULL
+                OR start_tok > lag(start_tok) OVER w + 3 THEN 1 ELSE 0 END AS new_grp
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY start_tok)
+),
+grps AS (
+  SELECT doc_id, start_tok,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY start_tok
+                            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, MIN(start_tok) AS s, MAX(start_tok) + 3 AS e
+  FROM grps GROUP BY doc_id, grp
+),
+cov AS (SELECT DISTINCT doc_id, unnest(range(s, e)) AS idx FROM spans),
+tokpos AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS idx FROM toks
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.term
+  FROM tokpos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = t.idx
+  WHERE c.idx IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY idx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+orig AS (SELECT doc_id, COALESCE(len(l), 0) AS n FROM toks)
+SELECT o.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(o.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM orig o LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id NULLS FIRST
+"""

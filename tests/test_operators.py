@@ -2086,3 +2086,41 @@ def test_ivf_index_round_trip_probe_matches_ivf_topk(spark, tmp_path):
         for r in ivf_probe_index(q, cent2, cells2, k=3, nprobe=3).collect()
     )
     assert again == a
+
+
+def test_self_repetition_keeps_first_occurrence(spark):
+    from dbt_meshify_spark.operators.dedup import (
+        remove_self_repetition,
+        self_repetition_spans,
+    )
+
+    para = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, f"{para} filler one two three four five six seven {para}"),
+        (2, "a b " * 8),                      # periodic loop
+        (3, "all distinct tokens here nothing repeats at all"),
+        (4, None),
+        (5, "x y z"),                          # exactly one gram, no repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    spans = {r["doc_id"]: r for r in self_repetition_spans(df, passage_tokens=3).collect()}
+    assert 1 in spans and 2 in spans
+    assert 3 not in spans and 4 not in spans and 5 not in spans
+
+    out = {r["doc_id"]: r for r in remove_self_repetition(df, passage_tokens=3).collect()}
+    assert len(out) == 5
+    # doc 1: second copy of the paragraph cut, first copy + filler intact
+    clean1 = out[1]["clean_text"]
+    assert clean1.count("quick brown fox") == 1
+    assert "filler one two three" in clean1
+    assert out[1]["n_tokens_removed"] == 10
+    # doc 2: periodic loop collapses to roughly one period + overlap slack;
+    # the FIRST tokens survive
+    assert out[2]["clean_text"].startswith("a b")
+    assert out[2]["n_tokens_kept"] < 8
+    # untouched docs round-trip (token-normalized)
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[3]["clean_text"] == rows[2][1]
+    assert out[4]["clean_text"] == "" and out[4]["n_tokens_kept"] == 0
+    assert out[5]["n_tokens_removed"] == 0
