@@ -70,3 +70,78 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     """Per-status row counts of a :func:`snapshot_diff` frame — the one-line
     audit row a dataset card embeds."""
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def score_psi(
+    old: DataFrame,
+    new: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index of a score distribution between two
+    corpus snapshots — the standard drift alarm for continuous curation
+    (quality scores, perplexity, classifier outputs): PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 retrain/investigate.
+
+    Buckets are fixed-width over the BASELINE snapshot's [min, max]
+    (two scalars, one aggregate, broadcast back — no global sort; an
+    approx-quantile edge tier is the production variant for heavy-tailed
+    scores and composes the same way). New-snapshot scores outside the
+    baseline range clamp into the edge buckets. Bucket probabilities get
+    add-``smoothing`` Laplace mass so an empty bucket cannot produce
+    ln(0). NULL scores are dropped on both sides (a scoreless doc carries
+    no distribution mass).
+
+    Returns one row per bucket: ``bucket, n_old, n_new, p_old, p_new,
+    psi_term`` plus the repeated ``psi_total`` — per-bucket terms are the
+    drill-down a monitoring dashboard wants; the total is the alarm.
+    Plan: two scan+aggregate passes (bucket cardinality ``n_buckets``),
+    a bucket-spine outer join, all post-aggregate frames driver-sized.
+    """
+    old = old.filter(F.col(score_col).isNotNull())
+    new = new.filter(F.col(score_col).isNotNull())
+    edges = old.agg(
+        F.min(score_col).cast("double").alias("__lo"),
+        F.max(score_col).cast("double").alias("__hi"),
+    )
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        width = F.when(
+            F.col("__hi") > F.col("__lo"),
+            (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets)),
+        ).otherwise(F.lit(1.0))
+        b = F.floor((F.col(score_col).cast("double") - F.col("__lo")) / width)
+        clamped = F.greatest(F.lit(0), F.least(b, F.lit(n_buckets - 1)))
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .groupBy(clamped.cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    spark = old.sparkSession
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    cnts = (
+        spine.join(bucketed(old, "n_old"), "bucket", "left")
+        .join(bucketed(new, "n_new"), "bucket", "left")
+        .fillna(0, ["n_old", "n_new"])
+    )
+    tot = cnts.agg(
+        F.sum("n_old").cast("double").alias("__to"),
+        F.sum("n_new").cast("double").alias("__tn"),
+    )
+    s = float(smoothing)
+    sn = s * n_buckets
+    probs = cnts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.col("n_old").cast("bigint").alias("n_old"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        ((F.col("n_old") + s) / (F.col("__to") + sn)).alias("p_old"),
+        ((F.col("n_new") + s) / (F.col("__tn") + sn)).alias("p_new"),
+    )
+    term = (F.col("p_new") - F.col("p_old")) * F.log(
+        F.col("p_new") / F.col("p_old")
+    )
+    per_bucket = probs.withColumn("psi_term", term)
+    total = per_bucket.agg(F.sum("psi_term").alias("psi_total"))
+    return per_bucket.crossJoin(F.broadcast(total))

@@ -3932,3 +3932,73 @@ SELECT o.doc_id,
 FROM orig o LEFT JOIN agg a USING (doc_id)
 ORDER BY doc_id NULLS FIRST
 """
+
+
+def ext_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9/N10] score-distribution drift between corpus snapshots
+    (operators/snapshots.py::score_psi): Population Stability Index of the
+    quality score, fixed-width buckets over the baseline's range (no global
+    sort), Laplace-smoothed bucket probabilities, per-bucket drill-down +
+    total. Snapshots here are the even/odd doc_id halves."""
+    from dbt_meshify_spark.operators.snapshots import score_psi
+    from dbt_meshify_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality")
+    old = scored.filter(F.col("doc_id") % 2 == 0)
+    new = scored.filter(F.col("doc_id") % 2 == 1)
+    out = score_psi(old, new, "quality", n_buckets=10)
+    return out.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_old",
+        "n_new",
+        (F.round("p_old", 4) + F.lit(0.0)).alias("p_old"),
+        (F.round("p_new", 4) + F.lit(0.0)).alias("p_new"),
+        (F.round("psi_term", 4) + F.lit(0.0)).alias("psi_term"),
+        (F.round("psi_total", 4) + F.lit(0.0)).alias("psi_total"),
+    ).orderBy(_asc("bucket"))
+
+
+QUERIES["ext_quality_psi"] = ext_quality_psi
+
+ORACLES["ext_quality_psi"] = (
+    "WITH q AS ("
+    + _QUALITY_CTE_SQL
+    + """),
+o AS (SELECT quality FROM q WHERE doc_id % 2 = 0 AND quality IS NOT NULL),
+nw AS (SELECT quality FROM q WHERE doc_id % 2 = 1 AND quality IS NOT NULL),
+e AS (SELECT CAST(MIN(quality) AS DOUBLE) AS lo, CAST(MAX(quality) AS DOUBLE) AS hi FROM o),
+ob AS (
+  SELECT GREATEST(0, LEAST(CAST(FLOOR((quality - lo) /
+           (CASE WHEN hi > lo THEN (hi - lo) / 10.0 ELSE 1.0 END)) AS INT), 9)) AS bucket,
+         COUNT(*) AS n_old
+  FROM o CROSS JOIN e GROUP BY 1
+),
+nb AS (
+  SELECT GREATEST(0, LEAST(CAST(FLOOR((quality - lo) /
+           (CASE WHEN hi > lo THEN (hi - lo) / 10.0 ELSE 1.0 END)) AS INT), 9)) AS bucket,
+         COUNT(*) AS n_new
+  FROM nw CROSS JOIN e GROUP BY 1
+),
+sp AS (SELECT unnest(range(0, 10)) AS bucket),
+c AS (
+  SELECT sp.bucket, COALESCE(ob.n_old, 0) AS n_old, COALESCE(nb.n_new, 0) AS n_new
+  FROM sp LEFT JOIN ob ON ob.bucket = sp.bucket LEFT JOIN nb ON nb.bucket = sp.bucket
+),
+t AS (SELECT CAST(SUM(n_old) AS DOUBLE) AS tot_o, CAST(SUM(n_new) AS DOUBLE) AS tot_n FROM c),
+p AS (
+  SELECT bucket, n_old, n_new,
+         (n_old + 0.5) / (tot_o + 5.0) AS p_old,
+         (n_new + 0.5) / (tot_n + 5.0) AS p_new
+  FROM c CROSS JOIN t
+),
+pt AS (SELECT *, (p_new - p_old) * ln(p_new / p_old) AS term FROM p),
+tt AS (SELECT SUM(term) AS total FROM pt)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+       ROUND(p_old, 4) + 0.0 AS p_old, ROUND(p_new, 4) + 0.0 AS p_new,
+       ROUND(term, 4) + 0.0 AS psi_term, ROUND(total, 4) + 0.0 AS psi_total
+FROM pt CROSS JOIN tt
+ORDER BY bucket NULLS FIRST
+"""
+)

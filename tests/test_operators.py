@@ -2124,3 +2124,33 @@ def test_self_repetition_keeps_first_occurrence(spark):
     assert out[3]["clean_text"] == rows[2][1]
     assert out[4]["clean_text"] == "" and out[4]["n_tokens_kept"] == 0
     assert out[5]["n_tokens_removed"] == 0
+
+
+def test_score_psi_detects_shift_and_smooths_empty_buckets(spark):
+    from dbt_meshify_spark.operators.snapshots import score_psi
+
+    base = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(100)], "id long, s double"
+    )
+    same = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(100)], "id long, s double"
+    )
+    shifted = spark.createDataFrame(
+        [(i, min(0.99, 0.5 + i / 200.0)) for i in range(100)]
+        + [(200, None)],  # NULL score dropped
+        "id long, s double",
+    )
+
+    stable = score_psi(base, same, "s").collect()
+    assert len(stable) == 10
+    assert abs(stable[0]["psi_total"]) < 0.01
+    drifted = score_psi(base, shifted, "s").collect()
+    assert drifted[0]["psi_total"] > 0.25  # upper-half pile-up is a real shift
+    # every bucket present even where a side is empty (Laplace smoothing)
+    assert {r["bucket"] for r in drifted} == set(range(10))
+    assert all(r["p_old"] > 0 and r["p_new"] > 0 for r in drifted)
+    # out-of-range new scores clamp into edge buckets, not vanish
+    wild = spark.createDataFrame([(i, 5.0) for i in range(50)], "id long, s double")
+    clamped = score_psi(base, wild, "s").collect()
+    assert sum(r["n_new"] for r in clamped) == 50
+    assert next(r for r in clamped if r["bucket"] == 9)["n_new"] == 50
