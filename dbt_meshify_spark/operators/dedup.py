@@ -930,6 +930,118 @@ def merge_span_hits(
     )
 
 
+def source_boilerplate_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    passage_tokens: int = 10,
+    min_frac: float = 0.5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Per-source boilerplate passages: ``passage_tokens``-grams appearing
+    in >= ``min_frac`` of a source's documents (and >= ``min_docs``
+    absolute) — the domain-level template detector (nav bars, footers,
+    cookie banners) of RefinedWeb/C4-style curation, which the
+    cross-corpus ``duplicated_passages`` misses when a template is unique
+    to one site.
+
+    One (source, gram-hash) count shuffle with map-side combine (the
+    shuffle carries hashes, not text) joined to the per-source doc counts
+    (a source-cardinality frame, broadcast). Returns
+    ``source, passage, n_docs, doc_frac``.
+    """
+    grams = (
+        _with_tokens(df.select(id_col, source_col, text_col), text_col)
+        .withColumn(
+            "__grams",
+            shingles_of_tokens(F.col("__toks"), passage_tokens, distinct=True),
+        )
+        .select(F.col(id_col), F.col(source_col), F.explode("__grams").alias("__g"))
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.xxhash64("__g").alias("__gh"),
+            F.col("__g"),
+        )
+    )
+    # distinct=True above: per-doc multiplicity must not inflate doc counts
+    per_source = df.groupBy(source_col).agg(
+        F.countDistinct(id_col).alias("__nd")
+    )
+    counts = grams.groupBy(source_col, "__gh").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("__g").alias("passage"),
+    )
+    return (
+        counts.join(F.broadcast(per_source), source_col)
+        .withColumn(
+            "doc_frac", F.col("n_docs") / F.col("__nd").cast("double")
+        )
+        .filter(
+            (F.col("doc_frac") >= min_frac) & (F.col("n_docs") >= min_docs)
+        )
+        .select(
+            source_col,
+            "passage",
+            "n_docs",
+            F.round("doc_frac", 4).alias("doc_frac"),
+        )
+    )
+
+
+def remove_source_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    passage_tokens: int = 10,
+    min_frac: float = 0.5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cut every per-source boilerplate span from every document of that
+    source and rebuild the text — the removal pass over
+    :func:`source_boilerplate_passages`, reusing ``merge_span_hits`` +
+    ``cut_spans_from_text`` so the corpus never shuffles on text (the
+    boilerplate hit positions re-derive from the same staged gram pass and
+    join the detector output on (source, hash) — keys only).
+    Returns ``id_col, clean_text, n_tokens_kept, n_tokens_removed``.
+    """
+    pos = (
+        _with_tokens(df.select(id_col, source_col, text_col), text_col)
+        .withColumn(
+            "__grams",
+            shingles_of_tokens(F.col("__toks"), passage_tokens, distinct=False),
+        )
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.posexplode("__grams").alias("__p", "__gram"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            (F.col("__p") + 1).cast("bigint").alias("start_tok"),
+            F.xxhash64("__gram").alias("__gh"),
+        )
+    )
+    boiler = (
+        source_boilerplate_passages(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            source_col=source_col,
+            passage_tokens=passage_tokens,
+            min_frac=min_frac,
+            min_docs=min_docs,
+        )
+        .select(source_col, F.xxhash64("passage").alias("__gh"))
+    )
+    hits = pos.join(boiler, [source_col, "__gh"]).select(id_col, "start_tok")
+    spans = merge_span_hits(hits, id_col, passage_tokens)
+    return cut_spans_from_text(df, spans, id_col=id_col, text_col=text_col)
+
+
 def self_repetition_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -4002,3 +4002,113 @@ FROM pt CROSS JOIN tt
 ORDER BY bucket NULLS FIRST
 """
 )
+
+
+def ext_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N10] per-source boilerplate detection
+    (operators/dedup.py::source_boilerplate_passages): 3-grams present in
+    >= 5% of a source's documents (demo thresholds; production = 10-grams
+    at 50%) — the domain-template detector cross-corpus passage dedup
+    misses. Shuffle carries (source, hash), never text; per-source doc
+    counts broadcast."""
+    from dbt_meshify_spark.operators.dedup import source_boilerplate_passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_boilerplate_passages(
+        docs, passage_tokens=3, min_frac=0.05, min_docs=2
+    ).orderBy(_asc("source"), _asc("passage"))
+
+
+def ext_remove_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N10] per-source boilerplate removal
+    (operators/dedup.py::remove_source_boilerplate): cut every detected
+    template span from every doc of its source, rebuild the text — the
+    same zero-corpus-shuffle span cut as the dedup/decontam passes."""
+    from dbt_meshify_spark.operators.dedup import remove_source_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_source_boilerplate(
+        docs, passage_tokens=3, min_frac=0.05, min_docs=2
+    ).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_source_boilerplate"] = ext_source_boilerplate
+QUERIES["ext_remove_source_boilerplate"] = ext_remove_source_boilerplate
+
+_BOILER_CTES = r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+pos AS (SELECT doc_id, source, unnest(range(1, len(l) - 1)) AS i, l
+        FROM toks WHERE len(l) >= 3),
+dgrams AS (
+  SELECT DISTINCT doc_id, source, array_to_string(l[i:i+2], ' ') AS g FROM pos
+),
+sc AS (SELECT source, COUNT(DISTINCT doc_id) AS nd FROM toks GROUP BY source),
+gc AS (
+  SELECT source, g AS passage, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM dgrams GROUP BY source, g
+),
+boiler AS (
+  SELECT gc.source, passage, n_docs,
+         n_docs / CAST(nd AS DOUBLE) AS frac
+  FROM gc JOIN sc USING (source)
+  WHERE n_docs / CAST(nd AS DOUBLE) >= 0.05 AND n_docs >= 2
+)
+"""
+
+ORACLES["ext_source_boilerplate"] = _BOILER_CTES + """
+SELECT source, passage, n_docs, ROUND(frac, 4) AS doc_frac
+FROM boiler
+ORDER BY source NULLS FIRST, passage NULLS FIRST
+"""
+
+ORACLES["ext_remove_source_boilerplate"] = _BOILER_CTES + r""",
+posall AS (
+  SELECT doc_id, source, CAST(i AS BIGINT) AS start_tok,
+         array_to_string(l[i:i+2], ' ') AS g
+  FROM pos
+),
+hits AS (
+  SELECT p.doc_id, p.start_tok
+  FROM posall p JOIN boiler b ON b.source = p.source AND b.passage = p.g
+),
+marked AS (
+  SELECT doc_id, start_tok,
+         CASE WHEN lag(start_tok) OVER w IS NULL
+                OR start_tok > lag(start_tok) OVER w + 3 THEN 1 ELSE 0 END AS new_grp
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY start_tok)
+),
+grps AS (
+  SELECT doc_id, start_tok,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY start_tok
+                            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, MIN(start_tok) AS s, MAX(start_tok) + 3 AS e
+  FROM grps GROUP BY doc_id, grp
+),
+cov AS (SELECT DISTINCT doc_id, unnest(range(s, e)) AS idx FROM spans),
+tokpos AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS idx FROM toks
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.term
+  FROM tokpos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = t.idx
+  WHERE c.idx IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY idx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+orig AS (SELECT doc_id, COALESCE(len(l), 0) AS n FROM toks)
+SELECT o.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(o.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM orig o LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id NULLS FIRST
+"""

@@ -2154,3 +2154,40 @@ def test_score_psi_detects_shift_and_smooths_empty_buckets(spark):
     clamped = score_psi(base, wild, "s").collect()
     assert sum(r["n_new"] for r in clamped) == 50
     assert next(r for r in clamped if r["bucket"] == 9)["n_new"] == 50
+
+
+def test_source_boilerplate_detects_and_cuts_templates(spark):
+    from dbt_meshify_spark.operators.dedup import (
+        remove_source_boilerplate,
+        source_boilerplate_passages,
+    )
+
+    footer = "subscribe to our newsletter today"
+    rows = []
+    for i in range(10):
+        rows.append((i, "siteA", f"unique article body number {i} w{i} {footer}"))
+    for i in range(10, 20):
+        rows.append((i, "siteB", f"different content entirely item {i}"))
+    # siteB shares the same footer in only ONE doc — below min_frac there
+    rows.append((20, "siteB", f"odd one out {footer}"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    boiler = source_boilerplate_passages(
+        df, passage_tokens=5, min_frac=0.5, min_docs=3
+    ).collect()
+    assert {r["source"] for r in boiler} == {"siteA"}
+    assert any(r["passage"] == footer for r in boiler)
+    assert all(r["doc_frac"] >= 0.5 for r in boiler)
+
+    out = {r["doc_id"]: r for r in remove_source_boilerplate(
+        df, passage_tokens=5, min_frac=0.5, min_docs=3
+    ).collect()}
+    assert len(out) == len(rows)
+    for i in range(10):
+        assert footer not in out[i]["clean_text"]
+        assert f"unique article body number {i}" in out[i]["clean_text"]
+        assert out[i]["n_tokens_removed"] == 5
+    # siteB untouched, including the one doc that HAS the footer
+    for i in range(10, 21):
+        assert out[i]["n_tokens_removed"] == 0
+    assert footer in out[20]["clean_text"]
