@@ -930,6 +930,79 @@ def merge_span_hits(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    shingle_size: int = 3,
+    max_sources_per_gram: int | None = None,
+) -> DataFrame:
+    """Exact pairwise shingle-Jaccard between SOURCES — the provenance
+    audit of multi-dataset curation ("is this crawl snapshot mostly a
+    re-crawl of that one?"), at source grain rather than document grain.
+
+    Inverted-index discipline (the ``ngram_jaccard_pairs`` shape one level
+    up): distinct (source, gram-hash) rows — corpus tokenized once, text
+    never shuffles — self-join on the 8-byte hash, count-aggregate to the
+    #sources^2-bounded pair frame, per-source gram totals broadcast back.
+    ``max_sources_per_gram`` drops grams present in more than that many
+    sources BEFORE the self-join (a gram in s sources emits s^2/2 pair
+    rows; universal grams are all cost and no signal — same stop-gram
+    posture as ``max_gram_df``). Returns
+    ``source_a, source_b, n_common, jaccard`` for every co-occurring pair.
+    """
+    grams = (
+        _with_tokens(df.select(source_col, text_col), text_col)
+        .withColumn(
+            "__grams", shingles_of_tokens(F.col("__toks"), shingle_size)
+        )
+        .select(F.col(source_col), F.explode("__grams").alias("__g"))
+        .select(F.col(source_col), F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    if max_sources_per_gram is not None:
+        w = Window.partitionBy("__gh")
+        grams = (
+            grams.withColumn("__ns", F.count("*").over(w))
+            .filter(F.col("__ns") <= max_sources_per_gram)
+            .drop("__ns")
+        )
+    per_source = grams.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("__n")
+    )
+    a = grams.select(F.col(source_col).alias("source_a"), "__gh")
+    b = grams.select(F.col(source_col).alias("source_b"), "__gh")
+    pairs = (
+        a.join(b, "__gh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    na = per_source.select(
+        F.col(source_col).alias("source_a"), F.col("__n").alias("__na")
+    )
+    nb = per_source.select(
+        F.col(source_col).alias("source_b"), F.col("__n").alias("__nb")
+    )
+    return (
+        pairs.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("__na") + F.col("__nb") - F.col("n_common")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def source_boilerplate_passages(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -4112,3 +4112,48 @@ SELECT o.doc_id,
 FROM orig o LEFT JOIN agg a USING (doc_id)
 ORDER BY doc_id NULLS FIRST
 """
+
+
+def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N9] pairwise source-level shingle Jaccard
+    (operators/dedup.py::source_overlap): the provenance audit — which
+    sources substantially duplicate each other. Inverted index on the
+    8-byte gram hash; pair frame bounded at #sources^2; per-source totals
+    broadcast."""
+    from dbt_meshify_spark.operators.dedup import source_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        source_overlap(docs, shingle_size=3)
+        .filter(F.col("n_common") > 0)
+        .orderBy(_asc("source_a"), _asc("source_b"))
+    )
+
+
+QUERIES["ext_source_overlap"] = ext_source_overlap
+
+ORACLES["ext_source_overlap"] = r"""
+WITH toks AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+dg AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS gram
+  FROM toks WHERE len(l) >= 3
+),
+ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM dg GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM dg a JOIN dg b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b, p.n_common,
+       ROUND(p.n_common / CAST(na.n + nb.n - p.n_common AS DOUBLE), 4) AS jaccard
+FROM pairs p
+JOIN ps na ON na.source = p.source_a
+JOIN ps nb ON nb.source = p.source_b
+WHERE p.n_common > 0
+ORDER BY source_a NULLS FIRST, source_b NULLS FIRST
+"""

@@ -2191,3 +2191,32 @@ def test_source_boilerplate_detects_and_cuts_templates(spark):
     for i in range(10, 21):
         assert out[i]["n_tokens_removed"] == 0
     assert footer in out[20]["clean_text"]
+
+
+def test_source_overlap_jaccard_and_stop_gram_cap(spark):
+    from dbt_meshify_spark.operators.dedup import source_overlap
+
+    rows = [
+        (1, "A", "alpha beta gamma delta epsilon"),
+        (2, "B", "alpha beta gamma delta epsilon"),        # clone of A's doc
+        (3, "C", "totally different words everywhere here"),
+        (4, "A", "more alpha beta gamma content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r["source_a"], r["source_b"]): r for r in source_overlap(df).collect()}
+    # A and B share all of B's grams; C overlaps nobody
+    ab = out[("A", "B")]
+    assert ab["n_common"] == 3
+    assert ab["jaccard"] == round(3 / (5 + 3 - 3), 4)
+    assert not any("C" in k for k in out)
+
+    # a gram in every source is droppable via the stop-gram cap
+    rows2 = [
+        (i, s, f"universal gram here plus {s} private {s} tail")
+        for i, s in enumerate(["A", "B", "C", "D"])
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, source string, text string")
+    full = source_overlap(df2).collect()
+    capped = source_overlap(df2, max_sources_per_gram=3).collect()
+    assert len(full) == 6        # universal grams pair everyone
+    assert len(capped) == 0      # cap drops them; private grams never pair
