@@ -4157,3 +4157,39 @@ JOIN ps nb ON nb.source = p.source_b
 WHERE p.n_common > 0
 ORDER BY source_a NULLS FIRST, source_b NULLS FIRST
 """
+
+
+def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] tokenizer fertility audit: per-language subword fertility
+    (BPE tokens per whitespace word) and compression (chars per BPE token)
+    for the corpus-trained BPE tokenizer — the standard tokenizer-fit
+    metric a multilingual curation pipeline tracks (high fertility on a
+    language = that language is under-served by the vocab). One encode
+    pass (Arrow-batched, merge table in closure) + one per-lang aggregate.
+    Rows-only by design (greedy BPE); invariants in unit tests."""
+    from dbt_meshify_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    merges = train_bpe(docs, n_merges=30, sample_max=2048)
+    enc = apply_bpe(docs, merges).withColumn(
+        "n_words", F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    )
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens") / F.sum("n_words").cast("double"), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.length("text")) / F.sum("n_bpe_tokens").cast("double"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy(_asc("lang"))
+    )
+
+
+QUERIES["ext_tokenizer_fertility"] = ext_tokenizer_fertility

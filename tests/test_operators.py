@@ -2220,3 +2220,19 @@ def test_source_overlap_jaccard_and_stop_gram_cap(spark):
     capped = source_overlap(df2, max_sources_per_gram=3).collect()
     assert len(full) == 6        # universal grams pair everyone
     assert len(capped) == 0      # cap drops them; private grams never pair
+
+
+def test_tokenizer_fertility_invariants(spark):
+    from dbt_meshify_spark.queries.extensions import ext_tokenizer_fertility
+    from tests.conftest import SF_SMOKE
+
+    rows = ext_tokenizer_fertility(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        # BPE splits words into >= 1 piece each, so fertility >= 1; and a
+        # token carries at least one char on average
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_token"] >= 1.0
+        assert r["n_docs"] > 0 and r["n_bpe_tokens"] > 0
+    again = ext_tokenizer_fertility(spark, SF_SMOKE).collect()
+    assert sorted(map(str, again)) == sorted(map(str, rows))
