@@ -218,3 +218,44 @@ def test_pca_and_weighted_sample_nasty(spark):
     )
     picked = {r["id"] for r in weighted_sample_k(wdf, 10, "w", ["id"]).collect()}
     assert picked == {1, 5}
+
+
+def test_new_curation_ops_survive_nasty_input(spark, nasty):
+    from dbt_meshify_spark.operators.dedup import (
+        remove_self_repetition,
+        remove_source_boilerplate,
+        source_overlap,
+    )
+    from dbt_meshify_spark.operators.dsir import dsir_log_weights, dsir_resample_k
+
+    # DSIR: every row scores (featureless/null docs at 0.0), draw works
+    flagged = nasty.withColumn("is_target", F.col("doc_id") <= 6)
+    scored = dsir_log_weights(flagged, "is_target", num_buckets=64)
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    assert len(rows) == len(NASTY)
+    # null text scores 0.0; the whitespace-only doc tokenizes to two empty
+    # tokens (trim strips spaces, not \t\n — identical in DuckDB, so the
+    # oracle agrees) and therefore carries one degenerate bigram
+    assert rows[3]["dsir_logw"] == 0.0
+    assert rows[4]["n_bigrams"] == 1
+    picked = dsir_resample_k(scored, 5, ["doc_id"]).collect()
+    assert len(picked) == 5
+
+    # self-repetition: doc 10 ("repeated" x6) collapses, nulls survive
+    cleaned = {r["doc_id"]: r for r in
+               remove_self_repetition(nasty, passage_tokens=2).collect()}
+    assert len(cleaned) == len(NASTY)
+    assert cleaned[10]["n_tokens_removed"] > 0
+    assert cleaned[3]["clean_text"] == "" and cleaned[3]["n_tokens_kept"] == 0
+    assert cleaned[7]["n_tokens_removed"] == 0  # one giant token, no grams
+
+    # source plane: synthesize sources over the nasty corpus
+    sourced = nasty.withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd")
+    )
+    ov = source_overlap(sourced, shingle_size=2).collect()
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in ov)
+    rb = remove_source_boilerplate(
+        sourced, passage_tokens=2, min_frac=0.9, min_docs=2
+    ).collect()
+    assert len(rb) == len(NASTY)  # removal never drops rows
