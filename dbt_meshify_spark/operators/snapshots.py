@@ -126,6 +126,16 @@ def score_psi(
         .join(bucketed(new, "n_new"), "bucket", "left")
         .fillna(0, ["n_old", "n_new"])
     )
+    return psi_from_counts(cnts, n_buckets=n_buckets, smoothing=smoothing)
+
+
+def psi_from_counts(
+    cnts: DataFrame, n_buckets: int, smoothing: float = 0.5
+) -> DataFrame:
+    """PSI relation from an already-bucketed ``(bucket, n_old, n_new)``
+    frame — the mergeable core of :func:`score_psi`. Bucket counts are
+    ADDITIVE, so partial counts from shards or micro-batches sum into this
+    without re-reading scores (the streaming monitor's contract)."""
     tot = cnts.agg(
         F.sum("n_old").cast("double").alias("__to"),
         F.sum("n_new").cast("double").alias("__tn"),
@@ -145,3 +155,25 @@ def score_psi(
     per_bucket = probs.withColumn("psi_term", term)
     total = per_bucket.agg(F.sum("psi_term").alias("psi_total"))
     return per_bucket.crossJoin(F.broadcast(total))
+
+
+def score_buckets(
+    df: DataFrame,
+    score_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    out: str,
+) -> DataFrame:
+    """Fixed-width bucket counts of ``score_col`` against PRE-COMPUTED
+    baseline edges — the per-shard / per-micro-batch half of
+    :func:`psi_from_counts` (NULL scores dropped, out-of-range clamped,
+    same rules as ``score_psi``)."""
+    width = (hi - lo) / float(n_buckets) if hi > lo else 1.0
+    b = F.floor((F.col(score_col).cast("double") - F.lit(lo)) / F.lit(width))
+    clamped = F.greatest(F.lit(0), F.least(b, F.lit(n_buckets - 1)))
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(clamped.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias(out))
+    )

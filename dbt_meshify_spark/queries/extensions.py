@@ -4193,3 +4193,43 @@ def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ext_tokenizer_fertility"] = ext_tokenizer_fertility
+
+
+def ext_stream_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6/N10] STREAMING drift monitor: the odd-doc_id half of the corpus
+    arrives as a file stream, each micro-batch buckets its quality scores
+    against the stored (even-half) baseline's edges, and PSI computes over
+    the ACCUMULATED additive bucket counts
+    (streaming/documents.py::stream_quality_psi). Drained availableNow the
+    relation equals the batch score_psi exactly, so it shares
+    ext_quality_psi's oracle."""
+    import tempfile
+
+    from dbt_meshify_spark.operators.text import quality_score
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_quality_psi,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    baseline = quality_score(docs.filter(F.col("doc_id") % 2 == 0)).select(
+        "doc_id", "quality"
+    )
+    feed = read_documents_stream(
+        spark, f"{sf_dir.rstrip('/')}/documents.parquet"
+    ).filter(F.col("doc_id") % 2 == 1)
+    out_dir = tempfile.mkdtemp(prefix="stream_psi_")
+    out = stream_quality_psi(feed, baseline, out_dir)
+    return out.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_old",
+        "n_new",
+        (F.round("p_old", 4) + F.lit(0.0)).alias("p_old"),
+        (F.round("p_new", 4) + F.lit(0.0)).alias("p_new"),
+        (F.round("psi_term", 4) + F.lit(0.0)).alias("psi_term"),
+        (F.round("psi_total", 4) + F.lit(0.0)).alias("psi_total"),
+    ).orderBy(_asc("bucket"))
+
+
+QUERIES["ext_stream_quality_psi"] = ext_stream_quality_psi
+ORACLES["ext_stream_quality_psi"] = ORACLES["ext_quality_psi"]

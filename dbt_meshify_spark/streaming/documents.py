@@ -160,3 +160,67 @@ def stream_gopher_filter(
         return spark.createDataFrame(
             [], "doc_id bigint, n_words bigint, mean_word_len double, stop_hits bigint"
         )
+
+
+def stream_quality_psi(
+    stream_docs: DataFrame,
+    baseline_scored: DataFrame,
+    out_dir: str,
+    score_col: str = "quality",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Streaming drift monitor: score every arriving micro-batch, bucket it
+    against the STORED baseline's edges, and accumulate additive bucket
+    counts — PSI is computed over the running totals, never by re-reading
+    scores (operators/snapshots.py::psi_from_counts is the mergeable core).
+
+    Per-batch cost is one projection + a ``n_buckets``-row aggregate; the
+    appended partials are (bucket, n) rows, so the monitor's state on disk
+    grows with batches x n_buckets, not with documents. Drained
+    availableNow the emitted relation equals ``score_psi(baseline, feed)``
+    exactly (bucket counts are additive), which is how the DuckDB oracle
+    gates this streaming surface.
+    """
+    from pyspark.sql import functions as F
+
+    from dbt_meshify_spark.operators.snapshots import (
+        psi_from_counts,
+        score_buckets,
+    )
+    from dbt_meshify_spark.operators.text import quality_score
+
+    spark = stream_docs.sparkSession
+    edges = baseline_scored.filter(F.col(score_col).isNotNull()).agg(
+        F.min(score_col).cast("double").alias("lo"),
+        F.max(score_col).cast("double").alias("hi"),
+    ).first()
+    lo, hi = float(edges["lo"]), float(edges["hi"])
+
+    def count_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cnts = score_buckets(
+            quality_score(batch_df), score_col, lo, hi, n_buckets, "n"
+        )
+        cnts.write.mode("append").parquet(f"{out_dir}/partials")
+
+    q = (
+        stream_docs.writeStream.foreachBatch(count_batch)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        partials = spark.read.parquet(f"{out_dir}/partials")
+        new_cnts = partials.groupBy("bucket").agg(F.sum("n").alias("n_new"))
+    except Exception:
+        new_cnts = spark.createDataFrame([], "bucket int, n_new long")
+    base_cnts = score_buckets(
+        baseline_scored, score_col, lo, hi, n_buckets, "n_old"
+    )
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    cnts = (
+        spine.join(base_cnts, "bucket", "left")
+        .join(new_cnts, "bucket", "left")
+        .fillna(0, ["n_old", "n_new"])
+    )
+    return psi_from_counts(cnts, n_buckets=n_buckets)

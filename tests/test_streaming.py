@@ -350,3 +350,40 @@ def test_stateful_totals_survive_restart(spark, tmp_path):
     run2 = {(r.user_id, r.n_events, r.total_value) for r in out}
     # state recovered: 2 prior events + 1 new = 3, total 7.0 (not 1/4.0)
     assert run2 == {(7, 3, 7.0)}
+
+
+def test_stream_psi_accumulates_across_microbatches(spark, tmp_path_factory):
+    """The PSI monitor's bucket counts must accumulate across micro-batches
+    (two files, one per trigger) and the drained relation must equal the
+    batch score_psi over the same split."""
+    from dbt_meshify_spark.operators.snapshots import score_psi
+    from dbt_meshify_spark.operators.text import quality_score
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_quality_psi,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    baseline = quality_score(docs.filter(F.col("doc_id") % 2 == 0)).select(
+        "doc_id", "quality"
+    )
+    newer = docs.filter(F.col("doc_id") % 2 == 1)
+
+    d = tmp_path_factory.mktemp("docs_two_batches")
+    newer.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(str(d / "f1"))
+    newer.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(str(d / "f2"))
+
+    feed = read_documents_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+    out_dir = str(tmp_path_factory.mktemp("psi_out"))
+    streamed = stream_quality_psi(feed, baseline, out_dir)
+
+    expected = score_psi(baseline, quality_score(newer), "quality")
+    cols = ["bucket", "n_old", "n_new", "p_old", "p_new", "psi_term", "psi_total"]
+    got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in expected.collect())
+    assert got == want
+    # and more than one partial landed (state really accumulated)
+    n_partials = spark.read.parquet(f"{out_dir}/partials").count()
+    assert n_partials > 10  # two batches x up to 10 buckets each
