@@ -4233,3 +4233,29 @@ def ext_stream_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ext_stream_quality_psi"] = ext_stream_quality_psi
 ORACLES["ext_stream_quality_psi"] = ORACLES["ext_quality_psi"]
+
+
+def ext_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6/N-decontam] STREAMING decontamination: the training feed arrives
+    as a file stream; each micro-batch semi-joins its gram hashes against
+    the broadcast eval gram set (streaming/documents.py::
+    stream_decontaminate) — stateless, per-batch cost O(batch). Shares the
+    batch ext_decontaminate oracle (drained == batch)."""
+    import tempfile
+
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    feed = read_documents_stream(
+        spark, f"{sf_dir.rstrip('/')}/documents.parquet"
+    ).filter(F.col("doc_id") % 20 != 0)
+    out_dir = tempfile.mkdtemp(prefix="stream_decontam_")
+    return stream_decontaminate(feed, eval_df, out_dir).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_stream_decontaminate"] = ext_stream_decontaminate
+ORACLES["ext_stream_decontaminate"] = ORACLES["ext_decontaminate"]

@@ -224,3 +224,52 @@ def stream_quality_psi(
         .fillna(0, ["n_old", "n_new"])
     )
     return psi_from_counts(cnts, n_buckets=n_buckets)
+
+
+def stream_decontaminate(
+    stream_docs: DataFrame,
+    eval_df: DataFrame,
+    out_dir: str,
+    n: int = 3,
+    min_overlap: float = 0.2,
+) -> DataFrame:
+    """Streaming benchmark decontamination: score every arriving
+    micro-batch's n-gram overlap against the (static, broadcast) eval-set
+    gram set and keep the per-doc verdict rows — the deployment shape of
+    ``operators/decontam.py::ngram_overlap`` for a continuously-ingested
+    corpus.
+
+    Per-batch cost is the batch's own tokenize + a broadcast semi-join of
+    its gram hashes against the bounded eval gram set; no state store, no
+    watermark (each document's verdict depends only on itself and the
+    static eval set). The eval grams re-broadcast per micro-batch from the
+    static frame — refreshable out-of-band like the near-dup index above.
+    Drained availableNow the emitted relation equals the batch operator's,
+    which is how the shared DuckDB oracle gates it.
+    """
+    from dbt_meshify_spark.operators.decontam import ngram_overlap
+
+    spark = stream_docs.sparkSession
+    ran = {"any": False}
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        out = ngram_overlap(
+            batch_df, eval_df, n=n, min_overlap=min_overlap
+        )
+        out.write.mode("append").parquet(f"{out_dir}/verdicts")
+        ran["any"] = True
+
+    q = (
+        stream_docs.writeStream.foreachBatch(score)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not ran["any"]:
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, n_grams bigint, matched bigint, "
+            "overlap double, contaminated boolean",
+        )
+    return spark.read.parquet(f"{out_dir}/verdicts")

@@ -387,3 +387,32 @@ def test_stream_psi_accumulates_across_microbatches(spark, tmp_path_factory):
     # and more than one partial landed (state really accumulated)
     n_partials = spark.read.parquet(f"{out_dir}/partials").count()
     assert n_partials > 10  # two batches x up to 10 buckets each
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path_factory):
+    """Two micro-batches of training docs against a static eval set must
+    produce exactly the batch operator's verdicts."""
+    from dbt_meshify_spark.operators.decontam import ngram_overlap
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_decontaminate,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+
+    d = tmp_path_factory.mktemp("decontam_batches")
+    train.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(str(d / "f1"))
+    train.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(str(d / "f2"))
+    feed = read_documents_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+
+    out_dir = str(tmp_path_factory.mktemp("decontam_out"))
+    streamed = stream_decontaminate(feed, eval_df, out_dir)
+    expected = ngram_overlap(train, eval_df)
+    cols = ["doc_id", "n_grams", "matched", "overlap", "contaminated"]
+    got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in expected.collect())
+    assert got == want and len(got) > 0
