@@ -932,7 +932,6 @@ def merge_span_hits(
 
 def source_overlap(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
     shingle_size: int = 3,
@@ -1073,12 +1072,15 @@ def remove_source_boilerplate(
     min_docs: int = 3,
 ) -> DataFrame:
     """Cut every per-source boilerplate span from every document of that
-    source and rebuild the text — the removal pass over
-    :func:`source_boilerplate_passages`, reusing ``merge_span_hits`` +
-    ``cut_spans_from_text`` so the corpus never shuffles on text (the
-    boilerplate hit positions re-derive from the same staged gram pass and
-    join the detector output on (source, hash) — keys only).
-    Returns ``id_col, clean_text, n_tokens_kept, n_tokens_removed``.
+    source and rebuild the text — the removal pass over the same detection
+    rule as :func:`source_boilerplate_passages`, reusing
+    ``merge_span_hits`` + ``cut_spans_from_text`` so the corpus never
+    shuffles on text. Detection and hit extraction share ONE staged
+    tokenize+shingle pass (the dominant cost — see the shingle-staging
+    note at the top of this module): the (source, gram-hash) doc counts
+    aggregate the position frame itself, hash-only, and join back on
+    (source, hash) keys. Returns ``id_col, clean_text, n_tokens_kept,
+    n_tokens_removed``.
     """
     pos = (
         _with_tokens(df.select(id_col, source_col, text_col), text_col)
@@ -1097,18 +1099,22 @@ def remove_source_boilerplate(
             (F.col("__p") + 1).cast("bigint").alias("start_tok"),
             F.xxhash64("__gram").alias("__gh"),
         )
+        .localCheckpoint(eager=False)
+    )
+    per_source = df.groupBy(source_col).agg(
+        F.countDistinct(id_col).alias("__nd")
     )
     boiler = (
-        source_boilerplate_passages(
-            df,
-            id_col=id_col,
-            text_col=text_col,
-            source_col=source_col,
-            passage_tokens=passage_tokens,
-            min_frac=min_frac,
-            min_docs=min_docs,
+        pos.select(id_col, source_col, "__gh")
+        .distinct()
+        .groupBy(source_col, "__gh")
+        .agg(F.count("*").cast("long").alias("__ndocs"))
+        .join(F.broadcast(per_source), source_col)
+        .filter(
+            (F.col("__ndocs") / F.col("__nd").cast("double") >= min_frac)
+            & (F.col("__ndocs") >= min_docs)
         )
-        .select(source_col, F.xxhash64("passage").alias("__gh"))
+        .select(source_col, "__gh")
     )
     hits = pos.join(boiler, [source_col, "__gh"]).select(id_col, "start_tok")
     spans = merge_span_hits(hits, id_col, passage_tokens)

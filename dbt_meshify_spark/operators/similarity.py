@@ -912,11 +912,17 @@ def ivf_probe_index(
     """
     cent_rows = centroids.orderBy("cell").collect()
     cm = [list(map(float, r["centroid"])) for r in cent_rows]
+    # _probe_udf returns POSITIONS into cm; map them through the stored
+    # cell ids so a pruned/filtered centroid table (non-contiguous ids)
+    # still joins the right cells
+    cell_ids = F.array(*[F.lit(int(r["cell"])) for r in cent_rows])
     probe = _probe_udf(cm, nprobe)
     q = spread(queries).select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("cell", F.explode(probe(F.col("qv"))))
+    ).withColumn("__pos", F.explode(probe(F.col("qv")))).withColumn(
+        "cell", F.element_at(cell_ids, F.col("__pos") + 1)
+    ).drop("__pos")
     sims = (
         q.join(cells.select(F.col(id_col).alias("neighbor_id"), "vec", "cell"), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -3332,10 +3332,18 @@ def ext_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ext_weighted_sample"] = ext_weighted_sample
 QUERIES["ext_score_calibration"] = ext_score_calibration
 
-_ES_DIGIT_SUM = " + ".join(
-    f"(strpos('0123456789abcdef', substr(hx, {p + 1}, 1)) - 1) * {float(16 ** (7 - p))!r}"
-    for p in range(8)
-)
+def _hex8_sum(col: str) -> str:
+    """Digit-arithmetic value of the first 8 hex digits of md5 column
+    ``col`` — the engine-portable integer form of the repo's md5 hashing
+    (shared by the weighted-sample and DSIR oracles)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {p + 1}, 1)) - 1)"
+        f" * {float(16 ** (7 - p))!r}"
+        for p in range(8)
+    )
+
+
+_ES_DIGIT_SUM = _hex8_sum("hx")
 
 ORACLES["ext_weighted_sample"] = f"""
 WITH h AS (
@@ -3701,16 +3709,6 @@ def ext_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ext_dsir_weights"] = ext_dsir_weights
 QUERIES["ext_dsir_sample"] = ext_dsir_sample
-
-
-def _hex8_sum(col: str) -> str:
-    """Digit-arithmetic value of the first 8 hex digits of md5 column
-    ``col`` — the engine-portable integer form of the repo's md5 hashing."""
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({col}, {p + 1}, 1)) - 1)"
-        f" * {float(16 ** (7 - p))!r}"
-        for p in range(8)
-    )
 
 
 _DSIR_CTES = r"""

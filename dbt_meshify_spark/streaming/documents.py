@@ -168,11 +168,18 @@ def stream_quality_psi(
     out_dir: str,
     score_col: str = "quality",
     n_buckets: int = 10,
+    score_fn=None,
 ) -> DataFrame:
     """Streaming drift monitor: score every arriving micro-batch, bucket it
     against the STORED baseline's edges, and accumulate additive bucket
     counts — PSI is computed over the running totals, never by re-reading
     scores (operators/snapshots.py::psi_from_counts is the mergeable core).
+
+    ``score_fn`` maps a raw micro-batch frame to one carrying ``score_col``
+    (default: ``operators.text.quality_score``, which emits ``quality`` —
+    pass both parameters together for any other score). A baseline with no
+    non-NULL scores is a clear error: there are no edges to bucket
+    against (same posture as ``pca_project`` on an empty basis).
 
     Per-batch cost is one projection + a ``n_buckets``-row aggregate; the
     appended partials are (bucket, n) rows, so the monitor's state on disk
@@ -187,18 +194,26 @@ def stream_quality_psi(
         psi_from_counts,
         score_buckets,
     )
-    from dbt_meshify_spark.operators.text import quality_score
+
+    if score_fn is None:
+        from dbt_meshify_spark.operators.text import quality_score
+
+        score_fn = quality_score
 
     spark = stream_docs.sparkSession
     edges = baseline_scored.filter(F.col(score_col).isNotNull()).agg(
         F.min(score_col).cast("double").alias("lo"),
         F.max(score_col).cast("double").alias("hi"),
     ).first()
+    if edges["lo"] is None or edges["hi"] is None:
+        raise ValueError(
+            "stream_quality_psi: baseline has no non-null scores — no edges"
+        )
     lo, hi = float(edges["lo"]), float(edges["hi"])
 
     def count_batch(batch_df: DataFrame, batch_id: int) -> None:
         cnts = score_buckets(
-            quality_score(batch_df), score_col, lo, hi, n_buckets, "n"
+            score_fn(batch_df), score_col, lo, hi, n_buckets, "n"
         )
         cnts.write.mode("append").parquet(f"{out_dir}/partials")
 
