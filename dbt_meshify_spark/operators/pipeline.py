@@ -17,7 +17,7 @@ end-to-end (ext_curation_pipeline) — not just per-stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbt_meshify_spark.operators.decontam import decontaminate
@@ -64,3 +64,78 @@ def curate_corpus(
         F.col("contaminated")
     )
     return deduped.join(bad.select(id_col), id_col, "left_anti")
+
+
+def curation_report(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    quality_min: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop-reason attribution for :func:`curate_corpus`: one row per INPUT
+    document labeling the FIRST pipeline stage that rejected it —
+    ``malformed | language | quality | duplicate | contaminated | kept`` —
+    the audit trail a dataset card publishes ("what did each filter cost
+    us") and the debugging surface for threshold tuning.
+
+    Same stage math and order as the pipeline; attribution is first-fail,
+    so a contaminated near-copy reports ``duplicate`` (stage 4 precedes
+    stage 5), and contamination is only evaluated for dedup survivors —
+    exactly the work the real pipeline performs. Plan shape: the staged
+    projection runs once; dedup ranks and contamination verdicts are
+    ids-only marker frames left-joined back, so the corpus text appears in
+    one scan and the report costs the pipeline's own two wide deps plus
+    keys-only joins.
+    """
+    staged = quality_score(
+        language_id(normalize_text(docs, text_col), text_col)
+    ).localCheckpoint(eager=False)
+    malformed = F.col("lang_pred").isNull() | F.col("quality").isNull()
+    kept_cond = (
+        (F.col("lang_pred") != "und") & (F.col("quality") >= quality_min)
+    )
+    kept = staged.filter(~malformed & kept_cond)
+    w = Window.partitionBy("text_norm").orderBy(id_col)
+    ranked = kept.select(id_col, "text_norm").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    dup_ids = ranked.filter(F.col("rn") > 1).select(
+        id_col, F.lit(True).alias("__dup")
+    )
+    markers = staged.select(id_col, "lang_pred", "quality").join(
+        dup_ids, id_col, "left"
+    )
+    if eval_df is not None:
+        from dbt_meshify_spark.operators.decontam import ngram_overlap
+
+        survivors = kept.join(
+            ranked.filter(F.col("rn") == 1).select(id_col), id_col
+        )
+        bad = (
+            ngram_overlap(survivors, eval_df, id_col=id_col, text_col=text_col)
+            .filter(F.col("contaminated"))
+            .select(id_col, F.lit(True).alias("__bad"))
+        )
+        markers = markers.join(bad, id_col, "left")
+    else:
+        markers = markers.withColumn("__bad", F.lit(None).cast("boolean"))
+    reason = (
+        F.when(malformed, F.lit("malformed"))
+        .when(F.col("lang_pred") == "und", F.lit("language"))
+        .when(F.col("quality") < quality_min, F.lit("quality"))
+        .when(F.col("__dup"), F.lit("duplicate"))
+        .when(F.col("__bad"), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return markers.select(
+        F.col(id_col), reason.alias("drop_reason"), "lang_pred", "quality"
+    )
+
+
+def curation_funnel(report: DataFrame) -> DataFrame:
+    """Stage-level counts of a :func:`curation_report` frame — the funnel
+    summary row a dataset card embeds."""
+    return report.groupBy("drop_reason").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

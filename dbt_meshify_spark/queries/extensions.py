@@ -1600,7 +1600,10 @@ QUERIES = {
 }
 
 
-def _curation_sql() -> str:
+def _curation_sql(final: str | None = None) -> str:
+    """Shared curation-pipeline CTEs (staged/kept/ranked/deduped/
+    contaminated) + the given final SELECT (default: the survivor
+    relation; the report query passes its attribution SELECT)."""
     langs = sorted(LANG_MARKERS)
     score_sel = ",\n         ".join(
         f"({' + '.join(_occ_sql(w) for w in LANG_MARKERS[lang])}) AS s_{lang}"
@@ -1642,11 +1645,12 @@ staged AS (
 kept AS (
   SELECT * FROM staged WHERE lang_pred <> 'und' AND quality >= 0.5
 ),
+ranked AS (
+  SELECT k.*, ROW_NUMBER() OVER (PARTITION BY text_norm ORDER BY doc_id) AS rn
+  FROM kept k
+),
 deduped AS (
-  SELECT * FROM (
-    SELECT k.*, ROW_NUMBER() OVER (PARTITION BY text_norm ORDER BY doc_id) AS rn
-    FROM kept k
-  ) WHERE rn = 1
+  SELECT * FROM ranked WHERE rn = 1
 ),
 ev AS (
   SELECT DISTINCT gram FROM (
@@ -1671,11 +1675,15 @@ contaminated AS (
     GROUP BY t.doc_id, t.n_grams
   ) WHERE CAST(matched AS DOUBLE) >= 0.2 * n_grams
 )
+""" + (
+        final
+        or """
 SELECT doc_id, lang_pred, quality, n_chars_norm
 FROM deduped
 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ORDER BY doc_id NULLS FIRST
 """
+    )
 
 
 _LM_SCORED_CTES = r"""
@@ -4257,3 +4265,37 @@ def ext_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ext_stream_decontaminate"] = ext_stream_decontaminate
 ORACLES["ext_stream_decontaminate"] = ORACLES["ext_decontaminate"]
+
+
+def ext_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9/N10] curation drop-reason attribution
+    (operators/pipeline.py::curation_report): every training doc labeled
+    with the FIRST pipeline stage that rejected it (language, quality,
+    duplicate, contaminated) or 'kept' — the dataset-card funnel audit.
+    Same stage math as ext_curation_pipeline; ids-only marker joins."""
+    from dbt_meshify_spark.operators.pipeline import curation_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return curation_report(train, eval_df).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_curation_report"] = ext_curation_report
+
+ORACLES["ext_curation_report"] = _curation_sql(
+    final="""
+SELECT s.doc_id,
+       CASE WHEN s.lang_pred IS NULL OR s.quality IS NULL THEN 'malformed'
+            WHEN s.lang_pred = 'und' THEN 'language'
+            WHEN s.quality < 0.5 THEN 'quality'
+            WHEN r.rn > 1 THEN 'duplicate'
+            WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+            ELSE 'kept' END AS drop_reason,
+       s.lang_pred, s.quality
+FROM staged s
+LEFT JOIN ranked r ON r.doc_id = s.doc_id
+LEFT JOIN contaminated c ON c.doc_id = s.doc_id
+ORDER BY s.doc_id NULLS FIRST
+"""
+)

@@ -2236,3 +2236,43 @@ def test_tokenizer_fertility_invariants(spark):
         assert r["n_docs"] > 0 and r["n_bpe_tokens"] > 0
     again = ext_tokenizer_fertility(spark, SF_SMOKE).collect()
     assert sorted(map(str, again)) == sorted(map(str, rows))
+
+
+def test_curation_report_first_fail_attribution(spark):
+    from dbt_meshify_spark.operators.pipeline import (
+        curate_corpus,
+        curation_funnel,
+        curation_report,
+    )
+
+    eng = ("the quick brown fox and a dog of the house and the yard "
+           "jumped over the fence and the wall of the garden there")
+    rows = [
+        (1, eng),                                  # kept
+        (2, eng),                                  # exact dup of 1 -> duplicate
+        (3, "zzz qqq xxx vvv kkk www"),            # no lang markers -> language
+        (4, "the " + "!!! ??? ,,, ;;; ... ::: " * 2),  # punct junk -> quality
+        (5, "the fox saw extra unique suffix tokens appear here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(100, "extra unique suffix tokens appear here definitely")],
+        "doc_id long, text string",
+    )  # shares most of doc 5's trigrams, none of doc 1's
+
+    rep = {r["doc_id"]: r["drop_reason"]
+           for r in curation_report(docs, eval_df).collect()}
+    assert rep[1] == "kept"
+    assert rep[2] == "duplicate"
+    assert rep[3] == "language"
+    assert rep[4] == "quality"
+    assert rep[5] == "contaminated"
+    assert len(rep) == len(rows)  # every input doc gets a verdict
+
+    # the report's 'kept' set IS the pipeline's survivor set
+    survivors = {r["doc_id"] for r in curate_corpus(docs, eval_df).collect()}
+    assert {k for k, v in rep.items() if v == "kept"} == survivors
+
+    funnel = {r["drop_reason"]: r["n_docs"]
+              for r in curation_funnel(curation_report(docs, eval_df)).collect()}
+    assert sum(funnel.values()) == len(rows)
