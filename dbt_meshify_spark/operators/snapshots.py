@@ -177,3 +177,49 @@ def score_buckets(
         .groupBy(clamped.cast("int").alias("bucket"))
         .agg(F.count(F.lit(1)).alias(out))
     )
+
+
+def embedding_cell_psi(
+    old: DataFrame,
+    new: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC drift between embedding snapshots: PSI over IVF cell
+    occupancy — the topic-mix alarm that per-dimension mean/variance drift
+    (``ext_embedding_drift``) misses when means cancel (a new topic
+    cluster shifts cell mass, not necessarily any dimension's mean).
+
+    The coarse quantizer trains on the BASELINE only (the frozen yardstick
+    — re-training on the union would absorb the drift it is supposed to
+    measure); both snapshots map-assign against it (Arrow UDF, centroid
+    matrix in the closure, no shuffle) and reduce to ``nlist``-row cell
+    counts, which feed the same mergeable :func:`psi_from_counts` core as
+    score PSI. Rows-only by design (k-means has no SQL form); invariants
+    in tests.
+    """
+    from dbt_meshify_spark.operators.similarity import (
+        assign_cells,
+        train_ivf_centroids,
+    )
+
+    centroids = train_ivf_centroids(
+        old, nlist=nlist, id_col=id_col, vec_col=vec_col
+    )
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            assign_cells(df.filter(F.col(vec_col).isNotNull()), centroids, vec_col)
+            .groupBy(F.col("cell").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    spark = old.sparkSession
+    spine = spark.range(nlist).select(F.col("id").cast("int").alias("bucket"))
+    cnts = (
+        spine.join(counts(old, "n_old"), "bucket", "left")
+        .join(counts(new, "n_new"), "bucket", "left")
+        .fillna(0, ["n_old", "n_new"])
+    )
+    return psi_from_counts(cnts, n_buckets=nlist)

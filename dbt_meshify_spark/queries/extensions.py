@@ -4299,3 +4299,29 @@ LEFT JOIN contaminated c ON c.doc_id = s.doc_id
 ORDER BY s.doc_id NULLS FIRST
 """
 )
+
+
+def ext_embedding_cell_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3/N10] semantic drift monitor
+    (operators/snapshots.py::embedding_cell_psi): PSI over IVF cell
+    occupancy between the even/odd vec_id halves — baseline-frozen coarse
+    quantizer, map-only assignment, nlist-row counts into the mergeable
+    PSI core. Rows-only by design (k-means cells)."""
+    from dbt_meshify_spark.operators.snapshots import embedding_cell_psi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    out = embedding_cell_psi(old, new, nlist=8)
+    return out.select(
+        F.col("bucket").cast("bigint").alias("cell"),
+        "n_old",
+        "n_new",
+        (F.round("p_old", 4) + F.lit(0.0)).alias("p_old"),
+        (F.round("p_new", 4) + F.lit(0.0)).alias("p_new"),
+        (F.round("psi_term", 4) + F.lit(0.0)).alias("psi_term"),
+        (F.round("psi_total", 4) + F.lit(0.0)).alias("psi_total"),
+    ).orderBy(_asc("cell"))
+
+
+QUERIES["ext_embedding_cell_psi"] = ext_embedding_cell_psi

@@ -2276,3 +2276,35 @@ def test_curation_report_first_fail_attribution(spark):
     funnel = {r["drop_reason"]: r["n_docs"]
               for r in curation_funnel(curation_report(docs, eval_df)).collect()}
     assert sum(funnel.values()) == len(rows)
+
+
+def test_embedding_cell_psi_detects_topic_shift(spark):
+    import random
+
+    from dbt_meshify_spark.operators.snapshots import embedding_cell_psi
+
+    rng = random.Random(7)
+
+    def vec(center):
+        return [c + rng.uniform(-0.05, 0.05) for c in center]
+
+    a, b, c = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]
+    base = [(i, vec(a if i % 2 == 0 else b)) for i in range(200)]
+    same = [(i + 1000, vec(a if i % 2 == 0 else b)) for i in range(200)]
+    shifted = [(i + 2000, vec(c)) for i in range(200)]  # brand-new topic
+    schema = "vec_id long, embedding array<double>"
+    base_df = spark.createDataFrame(base, schema)
+
+    stable = embedding_cell_psi(base_df, spark.createDataFrame(same, schema), nlist=4)
+    drifted = embedding_cell_psi(
+        base_df, spark.createDataFrame(shifted + [(9999, None)], schema), nlist=4
+    )
+    s_total = stable.collect()[0]["psi_total"]
+    d_total = drifted.collect()[0]["psi_total"]
+    assert s_total < 0.1          # same mixture -> stable
+    assert d_total > 0.25         # new topic -> alarm
+    assert d_total > s_total * 3
+    # every cell row present; counts exclude the NULL embedding
+    rows = drifted.collect()
+    assert len(rows) == 4
+    assert sum(r["n_new"] for r in rows) == 200
