@@ -4325,3 +4325,103 @@ def ext_embedding_cell_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ext_embedding_cell_psi"] = ext_embedding_cell_psi
+
+
+def ext_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O-funnel] TIME-BOUND conversion funnel: a user converts a stage only
+    within 48 hours of entering the previous one (view -> click <= 48h ->
+    purchase <= 48h after the click) — the attribution-window semantics of
+    real funnel analytics, where an eventual purchase a month later does
+    NOT count. Same chained per-user min-aggregate plan as the unbounded
+    funnel (every shuffle keys on user_id, frames shrink per stage) plus
+    conversion rates off the stage counts."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 48 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 48 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stages = (
+        v.select(F.lit("1_view").alias("stage"), "user_id")
+        .unionByName(c.select(F.lit("2_click").alias("stage"), "user_id"))
+        .unionByName(p.select(F.lit("3_purchase").alias("stage"), "user_id"))
+    )
+    counts = stages.groupBy("stage").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    entered = F.first("n_users").over(
+        Window.orderBy("stage").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    prev = F.lag("n_users").over(Window.orderBy("stage"))
+    return (
+        counts.withColumn(
+            "step_rate",
+            F.round(F.col("n_users") / prev.cast("double"), 4),
+        )
+        .withColumn(
+            "overall_rate",
+            F.round(F.col("n_users") / entered.cast("double"), 4),
+        )
+        .orderBy(_asc("stage"))
+    )
+
+
+QUERIES["ext_funnel_windowed"] = ext_funnel_windowed
+
+ORACLES["ext_funnel_windowed"] = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    AND e.ts <= v.t_view + INTERVAL 48 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL 48 HOUR
+  GROUP BY e.user_id
+),
+stages AS (
+  SELECT '1_view' AS stage, user_id FROM v
+  UNION ALL SELECT '2_click', user_id FROM c
+  UNION ALL SELECT '3_purchase', user_id FROM p
+),
+counts AS (
+  SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM stages GROUP BY stage
+)
+SELECT stage, n_users,
+       ROUND(n_users / CAST(LAG(n_users) OVER (ORDER BY stage) AS DOUBLE), 4) AS step_rate,
+       ROUND(n_users / CAST(FIRST_VALUE(n_users) OVER (ORDER BY stage
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS overall_rate
+FROM counts
+ORDER BY stage NULLS FIRST
+"""

@@ -2308,3 +2308,23 @@ def test_embedding_cell_psi_detects_topic_shift(spark):
     rows = drifted.collect()
     assert len(rows) == 4
     assert sum(r["n_new"] for r in rows) == 200
+
+
+def test_funnel_windowed_tighter_than_unbounded(spark):
+    from dbt_meshify_spark.queries.extensions import (
+        ext_funnel_conversion,
+        ext_funnel_windowed,
+    )
+    from tests.conftest import SF_ORACLE
+
+    unbounded = {r["stage"]: r["n_users"]
+                 for r in ext_funnel_conversion(spark, SF_ORACLE).collect()}
+    windowed = {r["stage"]: r for r in ext_funnel_windowed(spark, SF_ORACLE).collect()}
+    # view entry identical; each bounded stage can only lose users
+    assert windowed["1_view"]["n_users"] == unbounded["1_view"]
+    assert windowed["2_click"]["n_users"] <= unbounded["2_click"]
+    assert windowed["3_purchase"]["n_users"] <= unbounded["3_purchase"]
+    # rates are consistent with counts
+    assert windowed["1_view"]["overall_rate"] == 1.0
+    v, c = windowed["1_view"]["n_users"], windowed["2_click"]["n_users"]
+    assert windowed["2_click"]["step_rate"] == round(c / v, 4)
