@@ -940,5 +940,59 @@ def dataset_card(sf_dir, out) -> None:
         click.echo(text)
 
 
+@cli.command()
+@click.option("--baseline-dir", required=True, type=click.Path(exists=True),
+              help="sf-style dir of the BASELINE snapshot (documents.parquet)")
+@click.option("--current-dir", required=True, type=click.Path(exists=True),
+              help="sf-style dir of the CURRENT snapshot")
+@click.option("--buckets", default=10, show_default=True)
+def drift(baseline_dir, current_dir, buckets) -> None:
+    """Corpus drift report between two snapshots: quality-score PSI
+    (distribution shift of the composite quality signal), semantic PSI
+    over baseline-frozen IVF cells (topic-mix shift), and the row-level
+    diff summary — the three monitoring surfaces of continuous curation
+    in one command, with the standard PSI alarm bands
+    (<0.1 stable, 0.1-0.25 moderate, >0.25 investigate)."""
+    from dbt_meshify_spark.operators.snapshots import (
+        diff_summary,
+        embedding_cell_psi,
+        score_psi,
+        snapshot_diff,
+    )
+    from dbt_meshify_spark.operators.text import quality_score
+    from dbt_meshify_spark.session import get_spark
+    from dbt_meshify_spark.sources import load_table
+
+    def band(v: float) -> str:
+        return "stable" if v < 0.1 else ("moderate" if v < 0.25 else "INVESTIGATE")
+
+    spark = get_spark(app_name="meshify-drift")
+    old = load_table(spark, baseline_dir, "documents")
+    new = load_table(spark, current_dir, "documents")
+
+    q = score_psi(
+        quality_score(old), quality_score(new), "quality", n_buckets=buckets
+    ).collect()
+    total = q[0]["psi_total"]
+    click.echo(f"quality-score PSI: {total:.4f} [{band(total)}]")
+    for r in sorted(q, key=lambda r: -abs(r["psi_term"]))[:3]:
+        click.echo(
+            f"  bucket {r['bucket']}: p_old={r['p_old']:.4f} "
+            f"p_new={r['p_new']:.4f} term={r['psi_term']:.4f}"
+        )
+
+    try:
+        e_old = load_table(spark, baseline_dir, "embeddings")
+        e_new = load_table(spark, current_dir, "embeddings")
+        s = embedding_cell_psi(e_old, e_new, nlist=min(buckets, 16)).collect()
+        st = s[0]["psi_total"]
+        click.echo(f"semantic (IVF-cell) PSI: {st:.4f} [{band(st)}]")
+    except Exception as ex:  # no embeddings table in one snapshot
+        click.echo(f"semantic PSI: skipped ({type(ex).__name__})")
+
+    for r in diff_summary(snapshot_diff(old, new)).collect():
+        click.echo(f"docs {r['status']}: {r['n_docs']:,}")
+
+
 if __name__ == "__main__":
     cli()

@@ -246,3 +246,46 @@ def test_temperature_flattens_toward_small_sources(counts, alpha):
     for (sa, na), (sb, nb) in zip(items, items[1:]):
         if na < nb:
             assert w[sa] >= w[sb] - 1e-12
+
+
+# -- PSI invariants (drift monitors) -----------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_psi_terms_nonnegative_and_total_consistent(counts):
+    """(p-q)ln(p/q) >= 0 for every bucket (Gibbs), total == sum of terms,
+    and identical distributions give PSI == 0 — for ANY count vector,
+    including empty buckets (Laplace smoothing must keep logs finite)."""
+    from dbt_meshify_spark.operators.snapshots import psi_from_counts
+    from dbt_meshify_spark.session import get_spark
+
+    spark = get_spark(app_name="dbt-meshify-spark-tests", shuffle_partitions=8)
+
+    n = len(counts)
+    cnts = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(counts)],
+        "bucket int, n_old long, n_new long",
+    )
+    rows = psi_from_counts(cnts, n_buckets=n).collect()
+    assert len(rows) == n
+    total = rows[0]["psi_total"]
+    assert all(abs(r["psi_total"] - total) < 1e-12 for r in rows)
+    assert all(r["psi_term"] >= -1e-12 for r in rows)
+    assert abs(sum(r["psi_term"] for r in rows) - total) < 1e-9
+
+    same = spark.createDataFrame(
+        [(i, a, a) for i, (a, _) in enumerate(counts)],
+        "bucket int, n_old long, n_new long",
+    )
+    zero = psi_from_counts(same, n_buckets=n).collect()[0]["psi_total"]
+    assert abs(zero) < 1e-12

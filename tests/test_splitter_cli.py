@@ -632,3 +632,30 @@ def test_cli_lineage_dot_and_cross_project_edges(source_hack_pair):
 
     data = json.loads(result.output)
     assert any(e["cross_project"] for e in data["edges"])
+
+
+def test_cli_drift_report(spark):
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        [
+            "drift",
+            "--baseline-dir", "/root/testdata/sf0.001",
+            "--current-dir", "/root/testdata/sf0.001",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    # identical snapshots: both PSIs must report stable (0.0)
+    assert "quality-score PSI: 0.0000 [stable]" in result.output
+    assert "semantic (IVF-cell) PSI: 0.0000 [stable]" in result.output
+    # and a cross-snapshot run flags the changed rows
+    moved = runner.invoke(
+        cli,
+        [
+            "drift",
+            "--baseline-dir", "/root/testdata/sf0.001",
+            "--current-dir", "/root/testdata/sf0.01",
+        ],
+    )
+    assert moved.exit_code == 0, moved.output
+    assert "docs changed: 500" in moved.output
