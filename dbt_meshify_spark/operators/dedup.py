@@ -563,6 +563,48 @@ def simhash(
     return df.withColumn(out_col, result).drop("__toks", "__sh_h")
 
 
+def hash64_candidate_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs of any 64-bit fingerprint column within
+    ``max_hamming`` bits — the pigeonhole banding core shared by SimHash
+    (text) and dHash (images): the hash splits into ``bands`` chunks; any
+    pair within max_hamming <= bands-1 agrees on at least one chunk, so
+    the bucket join on (chunk_idx, chunk_value) finds all such pairs with
+    one shuffle. Verification = bit_count(xor) <= max_hamming. Returns
+    ``id_a, id_b, hamming``.
+    """
+    width = 64 // bands
+    chunks = F.array(
+        *[
+            F.shiftright(F.col(hash_col), i * width).bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(bands)
+        ]
+    )
+    banded = hashed.select(
+        id_col, hash_col, F.posexplode(chunks).alias("cidx", "cval")
+    )
+    a = banded.select(
+        "cidx", "cval", F.col(id_col).alias("id_a"), F.col(hash_col).alias("sh_a")
+    )
+    b = banded.select(
+        F.col("cidx").alias("cidx_b"),
+        F.col("cval").alias("cval_b"),
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("sh_b"),
+    )
+    return (
+        a.join(b, (a.cidx == b.cidx_b) & (a.cval == b.cval_b) & (a.id_a < b.id_b))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -570,36 +612,11 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs within ``max_hamming`` bits.
-
-    Blocking: the 64-bit hash splits into ``bands`` chunks; by pigeonhole any
-    pair within max_hamming <= bands-1 agrees on at least one chunk, so the
-    bucket join on (chunk_idx, chunk_value) finds all such pairs with one
-    shuffle. Verification = bit_count(xor) <= max_hamming.
-    """
+    """SimHash near-dup pairs within ``max_hamming`` bits (the
+    ``hash64_candidate_pairs`` banding over the text SimHash)."""
     hashed = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
-    width = 64 // bands
-    chunks = F.array(
-        *[
-            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
-            for i in range(bands)
-        ]
-    )
-    banded = hashed.select(id_col, "simhash", F.posexplode(chunks).alias("cidx", "cval"))
-    a = banded.select(
-        "cidx", "cval", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
-    )
-    b = banded.select(
-        F.col("cidx").alias("cidx_b"),
-        F.col("cval").alias("cval_b"),
-        F.col(id_col).alias("id_b"),
-        F.col("simhash").alias("sh_b"),
-    )
-    return (
-        a.join(b, (a.cidx == b.cidx_b) & (a.cval == b.cval_b) & (a.id_a < b.id_b))
-        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
+    return hash64_candidate_pairs(
+        hashed, id_col, "simhash", max_hamming=max_hamming, bands=bands
     )
 
 

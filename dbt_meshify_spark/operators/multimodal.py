@@ -416,3 +416,97 @@ def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
     from dbt_meshify_spark.operators.util import spread
 
     return spread(media).mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def image_dhash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    out_col: str = "dhash",
+) -> DataFrame:
+    """64-bit perceptual difference hash (dHash) of image payloads — the
+    standard near-duplicate fingerprint for images: decode, grayscale,
+    nearest-neighbor resample to 9x8, then bit i = (pixel[r, c] >
+    pixel[r, c+1]) over the 8x8 adjacent-column comparisons. Robust to
+    re-encoding, scaling, and mild noise; pairs within a few bits are
+    near-duplicates.
+
+    REAL for PPM payloads (the repo's codec-free decode + resize kernels);
+    other formats take the deterministic md5-derived stand-in so the
+    plumbing stays exercised end-to-end (the established codec-gate
+    posture). Arrow-batched mapInPandas, one pass, no shuffle — banding
+    and verification live in ``dedup.hash64_candidate_pairs``.
+    """
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_col, T.LongType()),
+        ]
+    )
+
+    def _dhash_bytes(b: bytes | None) -> int | None:
+        import numpy as np
+
+        if b is None:
+            return None
+        try:
+            img = decode_image(bytes(b))
+        except (NotImplementedError, ValueError):
+            h = hashlib.md5(bytes(b)).digest()
+            return int.from_bytes(h[:8], "big", signed=True)
+        gray = np.asarray(img, dtype=np.float64).mean(axis=2)
+        small = _resample_gray(gray, 9, 8)
+        bits = (small[:, :-1] > small[:, 1:]).flatten()
+        v = 0
+        for i, bit in enumerate(bits):
+            if bit:
+                v |= 1 << i
+        # fold into signed 64-bit (bit 63 is the long sign bit)
+        if v >= 1 << 63:
+            v -= 1 << 64
+        return v
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: [_dhash_bytes(b) for b in pdf[payload_col]],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(_hash, out_schema)
+
+
+def _resample_gray(gray, width: int, height: int):
+    """Nearest-neighbor resample of a 2-D array (the grayscale twin of
+    ``resize_image``)."""
+    import numpy as np
+
+    rows = (np.arange(height) * gray.shape[0]) // height
+    cols = (np.arange(width) * gray.shape[1]) // width
+    return gray[rows][:, cols]
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """Image near-duplicate pairs: dHash fingerprints + the shared 64-bit
+    pigeonhole banding (``dedup.hash64_candidate_pairs``) — one map-only
+    hash pass over the payloads, one banding shuffle over (id, 8-byte
+    hash) rows, hamming verify inside candidate buckets. The image bytes
+    never shuffle."""
+    from dbt_meshify_spark.operators.dedup import hash64_candidate_pairs
+
+    hashed = image_dhash(media, id_col=id_col, payload_col=payload_col)
+    return hash64_candidate_pairs(
+        hashed, id_col, "dhash", max_hamming=max_hamming, bands=bands
+    )

@@ -4425,3 +4425,50 @@ SELECT stage, n_users,
 FROM counts
 ORDER BY stage NULLS FIRST
 """
+
+
+def ext_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N5/N2] image near-duplicate detection: REAL PPM images synthesized
+    deterministically from doc ids (40 base patterns + per-doc pixel
+    noise), dHash perceptual fingerprints over the codec-free decode +
+    resample kernels, and the shared 64-bit pigeonhole banding
+    (operators/multimodal.py::image_neardup_pairs). Rows-only by design
+    (the fingerprint has no SQL form); planted-dup invariants in tests."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from dbt_meshify_spark.operators.multimodal import encode_ppm, image_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 400
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                pat = np.random.RandomState(int(did) % 40)
+                img = pat.randint(0, 256, size=(16, 24, 3)).astype("uint8")
+                # per-doc mild noise: same pattern group stays near-dup
+                noise = np.random.RandomState(10_000 + int(did))
+                mask = noise.randint(0, 2, size=(16, 24, 1)).astype("uint8")
+                img = np.clip(img.astype(int) + 4 * mask, 0, 255).astype("uint8")
+                payloads.append(encode_ppm(img))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, media_schema)
+    return (
+        image_neardup_pairs(media, max_hamming=4)
+        .orderBy(_asc("id_a"), _asc("id_b"))
+    )
+
+
+QUERIES["ext_image_neardup"] = ext_image_neardup

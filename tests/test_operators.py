@@ -2328,3 +2328,43 @@ def test_funnel_windowed_tighter_than_unbounded(spark):
     assert windowed["1_view"]["overall_rate"] == 1.0
     v, c = windowed["1_view"]["n_users"], windowed["2_click"]["n_users"]
     assert windowed["2_click"]["step_rate"] == round(c / v, 4)
+
+
+def test_image_dhash_neardup_pairs(spark):
+    import numpy as np
+
+    from dbt_meshify_spark.operators.multimodal import (
+        encode_ppm,
+        image_dhash,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, size=(32, 48, 3)).astype("uint8")
+    noisy = base.copy()
+    noisy[::7, ::5] = np.clip(noisy[::7, ::5].astype(int) + 8, 0, 255).astype("uint8")
+    other = rng.randint(0, 256, size=(32, 48, 3)).astype("uint8")
+    rows = [
+        (1, bytearray(encode_ppm(base))),
+        (2, bytearray(encode_ppm(base))),        # exact dup
+        (3, bytearray(encode_ppm(noisy))),       # near dup (mild noise)
+        (4, bytearray(encode_ppm(other))),       # unrelated
+        (5, bytearray(b"not a ppm payload")),    # codec-gate fallback
+        (6, None),                               # null payload
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    hashes = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    assert hashes[1] == hashes[2]        # identical image, identical hash
+    assert hashes[6] is None
+    assert hashes[5] is not None         # fallback still fingerprints
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_neardup_pairs(media, max_hamming=6).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 6
+    assert not any(4 in p for p in pairs)
+    # deterministic
+    again = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_neardup_pairs(media, max_hamming=6).collect()}
+    assert again == pairs
