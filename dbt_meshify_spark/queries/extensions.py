@@ -4472,3 +4472,51 @@ def ext_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ext_image_neardup"] = ext_image_neardup
+
+
+def ext_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N5/N2] audio near-duplicate detection: REAL PCM WAV clips
+    synthesized deterministically from doc ids (30 envelope patterns,
+    per-doc gain + phase jitter), energy-envelope fingerprints over the
+    codec-free decode kernel, shared 64-bit banding
+    (operators/multimodal.py::audio_neardup_pairs). Rows-only by design;
+    gain-invariance and planted-dup invariants in tests."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from dbt_meshify_spark.operators.multimodal import audio_neardup_pairs, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 300
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        t = np.arange(4000) / 8000.0
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g = int(did) % 30
+                jit = np.random.RandomState(20_000 + int(did))
+                gain = 0.6 + 0.4 * jit.rand()
+                phase = 0.05 * jit.rand()
+                env = 0.5 + 0.5 * np.sin(2 * np.pi * (2 + g * 0.5) * t + phase)
+                wavef = 8000 * gain * np.sin(2 * np.pi * 440 * t) * env
+                payloads.append(encode_wav(wavef))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, media_schema)
+    return (
+        audio_neardup_pairs(media, max_hamming=4)
+        .orderBy(_asc("id_a"), _asc("id_b"))
+    )
+
+
+QUERIES["ext_audio_neardup"] = ext_audio_neardup

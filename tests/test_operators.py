@@ -2368,3 +2368,34 @@ def test_image_dhash_neardup_pairs(spark):
     again = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in image_neardup_pairs(media, max_hamming=6).collect()}
     assert again == pairs
+
+
+def test_audio_fingerprint_neardup_pairs(spark):
+    import numpy as np
+
+    from dbt_meshify_spark.operators.multimodal import (
+        audio_neardup_pairs,
+        encode_wav,
+    )
+
+    t = np.arange(8000) / 8000.0
+    # amplitude-modulated tone: structured energy envelope
+    base = (8000 * np.sin(2 * np.pi * 440 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t)))
+    louder = base * 1.5                       # gain change: same envelope shape
+    rng = np.random.RandomState(3)
+    noisy = base + rng.normal(0, 150, len(base))
+    other = (8000 * np.sin(2 * np.pi * 440 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 11 * t + 1.0)))
+    rows = [
+        (1, bytearray(encode_wav(base))),
+        (2, bytearray(encode_wav(louder))),
+        (3, bytearray(encode_wav(noisy))),
+        (4, bytearray(encode_wav(other))),
+        (5, bytearray(b"not audio")),
+        (6, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in audio_neardup_pairs(media, max_hamming=6).collect()}
+    assert pairs[(1, 2)] == 0                # gain-invariant
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 6
+    assert (1, 4) not in pairs and (2, 4) not in pairs
