@@ -607,3 +607,62 @@ def audio_neardup_pairs(
     return hash64_candidate_pairs(
         hashed, id_col, "afp", max_hamming=max_hamming, bands=bands
     )
+
+
+def video_neardup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    stride: int = 2,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Video near-duplicate pairs by SHARED-FRAME Jaccard: sample frames
+    (the real Y4M kernel), dHash each sampled frame, and score video pairs
+    by the Jaccard of their distinct frame-fingerprint sets — re-encoded,
+    trimmed, or lightly-noised copies share most frame prints; unrelated
+    footage shares none.
+
+    The ``source_overlap`` inverted-index shape one modality over: the
+    (video, frame-hash) distinct frame reduces each video to 8-byte keys
+    (frames never shuffle), the pair join is keyed on the frame hash, and
+    per-video frame counts broadcast back for the Jaccard denominator.
+    Returns ``id_a, id_b, n_shared, jaccard``.
+    """
+    frames = sample_video_frames(
+        media.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")),
+        stride=stride,
+    )
+    hashed = image_dhash(
+        frames.select(
+            F.col("media_id").alias("__vid"),
+            F.col("frame").alias("payload"),
+        ),
+        id_col="__vid",
+        payload_col="payload",
+    )
+    fset = hashed.filter(F.col("dhash").isNotNull()).distinct()
+    per_video = fset.groupBy("__vid").agg(F.count("*").cast("long").alias("__n"))
+    a = fset.select(F.col("__vid").alias("id_a"), "dhash")
+    b = fset.select(F.col("__vid").alias("id_b"), "dhash")
+    pairs = (
+        a.join(b, "dhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    na = per_video.select(F.col("__vid").alias("id_a"), F.col("__n").alias("__na"))
+    nb = per_video.select(F.col("__vid").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        pairs.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("__na") + F.col("__nb") - F.col("n_shared")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )

@@ -4520,3 +4520,53 @@ def ext_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ext_audio_neardup"] = ext_audio_neardup
+
+
+def ext_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N5/N2] video near-duplicate detection: REAL Y4M clips synthesized
+    deterministically from doc ids (20 footage groups; re-encodes and
+    trimmed cuts within a group), per-frame dHash over the frame-sampling
+    kernel, shared-frame Jaccard pairs
+    (operators/multimodal.py::video_neardup_pairs). Rows-only by design;
+    trim/re-encode invariants in tests."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from dbt_meshify_spark.operators.multimodal import encode_y4m, video_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g = int(did) % 20
+                pat = np.random.RandomState(g)
+                frames = [
+                    pat.randint(0, 256, size=(16, 16, 3)).astype("uint8")
+                    for _ in range(6)
+                ]
+                # some members are trimmed cuts of the group's footage
+                if int(did) % 5 == 1:
+                    frames = frames[:4]
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, media_schema)
+    return (
+        video_neardup_pairs(media, stride=1, min_jaccard=0.5)
+        .orderBy(_asc("id_a"), _asc("id_b"))
+    )
+
+
+QUERIES["ext_video_neardup"] = ext_video_neardup

@@ -2399,3 +2399,30 @@ def test_audio_fingerprint_neardup_pairs(spark):
     assert pairs[(1, 2)] == 0                # gain-invariant
     assert (1, 3) in pairs and pairs[(1, 3)] <= 6
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_video_neardup_shared_frames(spark):
+    import numpy as np
+
+    from dbt_meshify_spark.operators.multimodal import (
+        encode_y4m,
+        video_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    clip_a = [rng.randint(0, 256, size=(16, 16, 3)).astype("uint8") for _ in range(8)]
+    clip_b = [rng.randint(0, 256, size=(16, 16, 3)).astype("uint8") for _ in range(8)]
+    trimmed_a = clip_a[:6]  # same footage, shorter cut
+    rows = [
+        (1, bytearray(encode_y4m(clip_a))),
+        (2, bytearray(encode_y4m(clip_a))),       # exact re-encode
+        (3, bytearray(encode_y4m(trimmed_a))),    # trimmed copy
+        (4, bytearray(encode_y4m(clip_b))),       # unrelated
+        (5, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {(r["id_a"], r["id_b"]): r for r in
+             video_neardup_pairs(media, stride=1, min_jaccard=0.5).collect()}
+    assert pairs[(1, 2)]["jaccard"] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)]["jaccard"] >= 0.5
+    assert not any(4 in p for p in pairs)
