@@ -396,8 +396,17 @@ def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = payload or b""
+                parsed = None
                 if b[:9] == b"YUV4MPEG2":
-                    _, _, _, ys = _parse_y4m(b)
+                    # a malformed/truncated stream must not kill the whole
+                    # Arrow batch — fall through to the chunk stub like any
+                    # other undecodable payload (codec-gate posture)
+                    try:
+                        parsed = _parse_y4m(b)
+                    except Exception:
+                        parsed = None
+                if parsed is not None:
+                    _, _, _, ys = parsed
                     for i in range(0, len(ys), stride):
                         ids.append(mid)
                         idxs.append(i)

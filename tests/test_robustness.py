@@ -259,3 +259,30 @@ def test_new_curation_ops_survive_nasty_input(spark, nasty):
         sourced, passage_tokens=2, min_frac=0.9, min_docs=2
     ).collect()
     assert len(rb) == len(NASTY)  # removal never drops rows
+
+
+def test_multimodal_survives_malformed_payloads(spark):
+    from dbt_meshify_spark.operators.multimodal import (
+        audio_neardup_pairs,
+        image_dhash,
+        image_neardup_pairs,
+        sample_video_frames,
+        video_neardup_pairs,
+    )
+
+    rows = [
+        (1, bytearray(b"YUV4MPEG2 garbage header no newline")),
+        (2, bytearray(b"YUV4MPEG2 W16 H16 F25:1 Ip A1:1 C420jpeg\nFRAME\nxx")),
+        (3, bytearray(b"P6\n10 10\n255\nshort")),  # truncated PPM
+        (4, bytearray(b"RIFFbadwav")),
+        (5, bytearray(b"")),
+        (6, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    # every fingerprint pass must complete; no batch-killing decode error
+    hashes = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    assert len(hashes) == len(rows) and hashes[6] is None
+    frames = sample_video_frames(media).collect()
+    assert all(f["media_id"] in {1, 2, 3, 4, 5} for f in frames)
+    for pairs_fn in (image_neardup_pairs, audio_neardup_pairs, video_neardup_pairs):
+        pairs_fn(media).collect()  # must not raise
