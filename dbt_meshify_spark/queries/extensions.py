@@ -4570,3 +4570,25 @@ def ext_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ext_video_neardup"] = ext_video_neardup
+
+
+def ext_stream_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6/N1] STREAMING within-doc repetition removal: per-document span
+    cut applied micro-batch by micro-batch
+    (streaming/documents.py::stream_self_repetition) — verdicts are
+    per-doc, so the drained relation equals the batch operator and shares
+    ext_self_repetition's oracle."""
+    import tempfile
+
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_self_repetition,
+    )
+
+    feed = read_documents_stream(spark, f"{sf_dir.rstrip('/')}/documents.parquet")
+    out_dir = tempfile.mkdtemp(prefix="stream_selfrep_")
+    return stream_self_repetition(feed, out_dir).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_stream_self_repetition"] = ext_stream_self_repetition
+ORACLES["ext_stream_self_repetition"] = ORACLES["ext_self_repetition"]

@@ -288,3 +288,42 @@ def stream_decontaminate(
             "overlap double, contaminated boolean",
         )
     return spark.read.parquet(f"{out_dir}/verdicts")
+
+
+def stream_self_repetition(
+    stream_docs: DataFrame,
+    out_dir: str,
+    passage_tokens: int = 3,
+) -> DataFrame:
+    """Streaming within-document repetition removal: each micro-batch runs
+    the intra-doc span cut (``operators/dedup.py::remove_self_repetition``)
+    — a PER-DOCUMENT verdict, so batching cannot change any result and the
+    drained relation equals the batch operator exactly (the shared-oracle
+    property every stateless streaming twin here relies on). Per-batch
+    cost is the batch's own tokenize + its (doc, gram-hash) window; no
+    cross-batch state.
+    """
+    from dbt_meshify_spark.operators.dedup import remove_self_repetition
+
+    spark = stream_docs.sparkSession
+    ran = {"any": False}
+
+    def cut(batch_df: DataFrame, batch_id: int) -> None:
+        out = remove_self_repetition(batch_df, passage_tokens=passage_tokens)
+        out.write.mode("append").parquet(f"{out_dir}/cleaned")
+        ran["any"] = True
+
+    q = (
+        stream_docs.writeStream.foreachBatch(cut)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not ran["any"]:
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, clean_text string, n_tokens_kept bigint, "
+            "n_tokens_removed bigint",
+        )
+    return spark.read.parquet(f"{out_dir}/cleaned")
