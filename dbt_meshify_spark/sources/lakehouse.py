@@ -144,3 +144,44 @@ def read_table_version(
     if version not in versions:
         raise ValueError(f"version {version} not in {versions} at {target_dir}")
     return spark.read.parquet(os.path.join(target_dir, f"v{version}"))
+
+
+def expire_versions(
+    spark: SparkSession, target_dir: str, keep_last: int = 2
+) -> list[int]:
+    """Retention maintenance for versioned tables (the VACUUM /
+    ``delta.logRetentionDuration`` analog of the parquet-swap path): delete
+    every snapshot older than the newest ``keep_last``, NEVER touching the
+    current version. Returns the versions removed.
+
+    Each ``v{n}`` directory is immutable, so expiry is a pure directory
+    delete — no data rewrite, no reader coordination beyond "don't pin a
+    version you've expired" (the caller owns that policy; training runs
+    that must stay reproducible keep their pinned versions out of the
+    retention window). Delta tables manage their own retention and are
+    left alone.
+    """
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("expire_versions: keep_last must be >= 1")
+    if delta_available():
+        from delta.tables import DeltaTable
+
+        if DeltaTable.isDeltaTable(spark, target_dir):
+            return []  # Delta retention is the engine's job (VACUUM)
+    versions = list_versions(target_dir)
+    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    marker = os.path.join(target_dir, "_VERSION")
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = int(f.read().strip())
+    removed = []
+    for v in doomed:
+        if v == current:
+            continue  # the live version is never expired
+        shutil.rmtree(os.path.join(target_dir, f"v{v}"), ignore_errors=True)
+        removed.append(v)
+    return removed

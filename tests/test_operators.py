@@ -2426,3 +2426,34 @@ def test_video_neardup_shared_frames(spark):
     assert pairs[(1, 2)]["jaccard"] == 1.0
     assert (1, 3) in pairs and pairs[(1, 3)]["jaccard"] >= 0.5
     assert not any(4 in p for p in pairs)
+
+
+def test_expire_versions_keeps_recent_and_current(spark, tmp_path):
+    from dbt_meshify_spark.sources.lakehouse import (
+        expire_versions,
+        list_versions,
+        merge_upsert,
+        read_table_version,
+    )
+
+    target = str(tmp_path / "tbl")
+    for i in range(5):
+        batch = spark.createDataFrame([(1, f"text v{i}")], "doc_id long, text string")
+        merge_upsert(spark, target, batch, keys=["doc_id"])
+    assert list_versions(target) == [1, 2, 3, 4, 5]
+
+    removed = expire_versions(spark, target, keep_last=2)
+    assert removed == [1, 2, 3]
+    assert list_versions(target) == [4, 5]
+    # current still reads; the kept older snapshot still time-travels
+    assert read_table_version(spark, target).collect()[0]["text"] == "text v4"
+    assert read_table_version(spark, target, 4).collect()[0]["text"] == "text v3"
+    # expired snapshot is really gone
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_table_version(spark, target, 2)
+    # keep_last >= version count is a no-op; bad arg is a clear error
+    assert expire_versions(spark, target, keep_last=10) == []
+    with _pytest.raises(ValueError):
+        expire_versions(spark, target, keep_last=0)
