@@ -585,3 +585,54 @@ def _with_doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    repetition/quality signal (boilerplate and degenerate text compress
+    far below natural prose; high-entropy noise barely compresses).
+    Returns ``id_col, n_bytes, n_compressed, compression_ratio``
+    (compressed/raw — LOW means repetitive). NULL text yields NULL ratio.
+
+    Arrow-batched ``mapInPandas`` (zlib is the one hot-path Python here —
+    there is no JVM expression for it — and the per-batch loop is
+    C-speed); one pass, no shuffle. Deterministic: fixed zlib level.
+    """
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+        ]
+    )
+
+    def _ratio(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, nb, nc, rr = [], [], [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                ids.append(did)
+                if t is None:
+                    nb.append(None); nc.append(None); rr.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                comp = zlib.compress(raw, 6)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                rr.append(round(len(comp) / len(raw), 4) if raw else None)
+            yield pd.DataFrame(
+                {id_col: ids, "n_bytes": nb, "n_compressed": nc,
+                 "compression_ratio": rr}
+            )
+
+    from dbt_meshify_spark.operators.util import spread
+
+    return spread(df.select(id_col, text_col)).mapInPandas(_ratio, out_schema)

@@ -4592,3 +4592,76 @@ def ext_stream_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ext_stream_self_repetition"] = ext_stream_self_repetition
 ORACLES["ext_stream_self_repetition"] = ORACLES["ext_self_repetition"]
+
+
+def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] corpus-health audit: least-squares Zipf fit over the top-500
+    term frequencies — ln(freq) ~ ln(rank). Natural language sits near
+    slope -1; a badly skewed or synthetic corpus drifts off. One term
+    aggregate, a TakeOrderedAndProject top-k, and the built-in regr_*
+    aggregates (both engines) over 500 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+    )
+    top = tf.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(500)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("term").asc()))
+        .cast("double"),
+    )
+    x, y = F.log("rank"), F.log("freq")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        (F.round(F.expr("regr_slope(ln(freq), ln(rank))"), 4) + F.lit(0.0)).alias(
+            "zipf_slope"
+        ),
+        (
+            F.round(F.expr("regr_intercept(ln(freq), ln(rank))"), 4) + F.lit(0.0)
+        ).alias("zipf_intercept"),
+        (F.round(F.expr("regr_r2(ln(freq), ln(rank))"), 4) + F.lit(0.0)).alias(
+            "zipf_r2"
+        ),
+    )
+
+
+def ext_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] zlib compression-ratio quality signal
+    (operators/text.py::compression_ratio): repetitive/templated text
+    compresses far below natural prose. Rows-only by design (no SQL zlib);
+    discrimination invariants in tests."""
+    from dbt_meshify_spark.operators.text import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio(docs).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_zipf_fit"] = ext_zipf_fit
+QUERIES["ext_compression_quality"] = ext_compression_quality
+
+ORACLES["ext_zipf_fit"] = r"""
+WITH tf AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS freq
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents)
+  GROUP BY term
+),
+top AS (
+  SELECT term, freq FROM tf ORDER BY freq DESC, term ASC LIMIT 500
+),
+ranked AS (
+  SELECT freq,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS DOUBLE) AS rank
+  FROM top
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(ln(freq), ln(rank)), 4) + 0.0 AS zipf_slope,
+       ROUND(regr_intercept(ln(freq), ln(rank)), 4) + 0.0 AS zipf_intercept,
+       ROUND(regr_r2(ln(freq), ln(rank)), 4) + 0.0 AS zipf_r2
+FROM ranked
+"""

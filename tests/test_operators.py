@@ -2457,3 +2457,25 @@ def test_expire_versions_keeps_recent_and_current(spark, tmp_path):
     assert expire_versions(spark, target, keep_last=10) == []
     with _pytest.raises(ValueError):
         expire_versions(spark, target, keep_last=0)
+
+
+def test_compression_ratio_discriminates_repetition(spark):
+    from dbt_meshify_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, "the " * 200),                                   # degenerate loop
+        (2, "a varied natural sentence with many distinct interesting words "
+            "covering topics like weather music travel science and cooking"),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert len(out) == 4
+    assert out[1]["compression_ratio"] < 0.1          # loops crush
+    assert out[2]["compression_ratio"] > out[1]["compression_ratio"] * 3
+    assert out[3]["compression_ratio"] is None
+    assert out[4]["compression_ratio"] is None        # empty: no ratio
+    # determinism (fixed zlib level)
+    again = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(df).collect()}
+    assert all(again[k] == out[k]["compression_ratio"] for k in again)
