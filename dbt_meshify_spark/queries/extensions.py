@@ -4615,7 +4615,6 @@ def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("freq").desc(), F.col("term").asc()))
         .cast("double"),
     )
-    x, y = F.log("rank"), F.log("freq")
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
         (F.round(F.expr("regr_slope(ln(freq), ln(rank))"), 4) + F.lit(0.0)).alias(

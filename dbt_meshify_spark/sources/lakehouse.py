@@ -182,6 +182,10 @@ def expire_versions(
     for v in doomed:
         if v == current:
             continue  # the live version is never expired
-        shutil.rmtree(os.path.join(target_dir, f"v{v}"), ignore_errors=True)
-        removed.append(v)
+        path = os.path.join(target_dir, f"v{v}")
+        shutil.rmtree(path, ignore_errors=True)
+        # report only what actually left the disk — a permission/NFS-busy
+        # failure must not corrupt the caller's retention audit
+        if not os.path.exists(path):
+            removed.append(v)
     return removed

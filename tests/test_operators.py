@@ -2290,6 +2290,7 @@ def test_embedding_cell_psi_detects_topic_shift(spark):
 
     a, b, c = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]
     base = [(i, vec(a if i % 2 == 0 else b)) for i in range(200)]
+    base.append((998, None))  # NULL in the BASELINE must not crash training
     same = [(i + 1000, vec(a if i % 2 == 0 else b)) for i in range(200)]
     shifted = [(i + 2000, vec(c)) for i in range(200)]  # brand-new topic
     schema = "vec_id long, embedding array<double>"

@@ -327,3 +327,39 @@ def test_ivf_probe_never_rereads_or_retrains(spark, tmp_path):
     # (the corpus lives in the stored cells table, whose scan is pruned)
     assert plan.count("embeddings.parquet") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_media_neardup_payloads_never_shuffle(spark):
+    """The perceptual near-dup family's only shuffles are over (id, 8-byte
+    fingerprint / band-key) rows — no Exchange may carry the binary
+    payload or frame bytes."""
+    import numpy as np
+
+    from dbt_meshify_spark.operators.multimodal import (
+        audio_neardup_pairs,
+        encode_ppm,
+        encode_wav,
+        encode_y4m,
+        image_neardup_pairs,
+        video_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, size=(16, 16, 3)).astype("uint8")
+    wav = encode_wav((8000 * np.sin(np.arange(4000) / 10.0)).astype("int16"))
+    clip = encode_y4m([img, img])
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_ppm(img))),
+            (2, bytearray(wav)),
+            (3, bytearray(clip)),
+        ],
+        "media_id long, payload binary",
+    )
+    for fn in (image_neardup_pairs, audio_neardup_pairs, video_neardup_pairs):
+        plan = _physical(fn(media))
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "payload" not in line and "frame#" not in line, (
+                    f"{fn.__name__} shuffles media bytes: {line.strip()[:120]}"
+                )
