@@ -4664,3 +4664,94 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
        ROUND(regr_r2(ln(freq), ln(rank)), 4) + 0.0 AS zipf_r2
 FROM ranked
 """
+
+
+def ext_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] Heaps'-law vocabulary growth: distinct-vocabulary size at 5
+    corpus prefixes (by doc_id) plus the fitted growth exponent beta from
+    ln(vocab) ~ ln(tokens) — natural corpora sit near beta 0.4-0.6;
+    template-heavy or synthetic text flattens. ONE corpus pass: vocabulary
+    at a prefix = count of terms whose FIRST appearance precedes it, so
+    per-term min(doc_id) (one combiner-friendly shuffle) plus per-doc
+    token counts feed 5 conditional aggregates — never k prefix re-scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+    first_seen = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    cuts = [100, 200, 300, 400, 500]
+    vocab = first_seen.agg(
+        *[
+            F.sum(F.when(F.col("first_doc") < c, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"v{c}")
+            for c in cuts
+        ]
+    )
+    tokens = doc_tokens.agg(
+        *[
+            F.sum(F.when(F.col("doc_id") < c, F.col("n_toks")).otherwise(0))
+            .cast("bigint")
+            .alias(f"t{c}")
+            for c in cuts
+        ]
+    )
+    points = vocab.crossJoin(tokens).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).cast("bigint").alias("prefix_docs"),
+                        F.col(f"t{c}").alias("n_tokens"),
+                        F.col(f"v{c}").alias("vocab_size"),
+                    )
+                    for c in cuts
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    beta = points.agg(
+        (
+            F.round(
+                F.expr(
+                    "regr_slope(ln(cast(vocab_size as double)),"
+                    " ln(cast(n_tokens as double)))"
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("heaps_beta")
+    )
+    return (
+        points.crossJoin(F.broadcast(beta))
+        .select("prefix_docs", "n_tokens", "vocab_size", "heaps_beta")
+        .orderBy(_asc("prefix_docs"))
+    )
+
+
+QUERIES["ext_heaps_fit"] = ext_heaps_fit
+
+ORACLES["ext_heaps_fit"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+fs AS (SELECT term, MIN(doc_id) AS first_doc FROM toks GROUP BY term),
+dt AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
+cuts AS (SELECT unnest([100, 200, 300, 400, 500]) AS c),
+pts AS (
+  SELECT CAST(c AS BIGINT) AS prefix_docs,
+         CAST((SELECT COALESCE(SUM(n_toks), 0) FROM dt WHERE doc_id < c) AS BIGINT) AS n_tokens,
+         CAST((SELECT COUNT(*) FROM fs WHERE first_doc < c) AS BIGINT) AS vocab_size
+  FROM cuts
+),
+b AS (
+  SELECT ROUND(regr_slope(ln(CAST(vocab_size AS DOUBLE)),
+                          ln(CAST(n_tokens AS DOUBLE))), 4) + 0.0 AS heaps_beta
+  FROM pts
+)
+SELECT prefix_docs, n_tokens, vocab_size, heaps_beta
+FROM pts CROSS JOIN b
+ORDER BY prefix_docs NULLS FIRST
+"""
