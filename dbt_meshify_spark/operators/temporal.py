@@ -155,3 +155,71 @@ def range_join(
     return (
         l_b.join(r_b, on="_rj_bucket", how=how).filter(cond).drop("_rj_bucket")
     )
+
+
+def resample_forward_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "1 hour",
+) -> DataFrame:
+    """Gap-filled resampling with last-observation-carried-forward — the
+    hypertable ``time_bucket_gapfill + locf`` shape: every key gets a
+    REGULAR time grid from its first to its last bucket at ``grain``, and
+    each grid point carries the latest observed value at-or-before it
+    (sensor panels, account balances, feature snapshots for training).
+
+    Plan: per-key (min, max) bucket aggregate (combiner-friendly, one row
+    per key) explodes to the spine via ``sequence`` — a projection off the
+    tiny per-key frame, never a corpus-sized generate; observations reduce
+    to one row per (key, bucket) (latest wins); the fill is a single
+    per-key window with ``last(..., ignorenulls)`` over the union. One
+    shuffle family keyed on ``key_col`` end to end. NULL keys/timestamps
+    are dropped (a gridless observation has no spine).
+
+    Returns ``key_col, bucket, <value_col> (filled), is_observed``.
+    """
+    ev = events.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col),
+        F.date_trunc("hour", F.col(ts_col)).alias("__b")
+        if grain == "1 hour"
+        else F.window(F.col(ts_col), grain)["start"].alias("__b"),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).alias("__v"),
+    )
+    # latest observation within each bucket wins
+    w_in = Window.partitionBy(key_col, "__b").orderBy(
+        F.col("__ts").desc(), F.col("__v").desc()
+    )
+    obs = (
+        ev.withColumn("__rn", F.row_number().over(w_in))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, "__b", "__v")
+    )
+    spine = (
+        obs.groupBy(key_col)
+        .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {grain}")
+                )
+            ).alias("__b"),
+        )
+    )
+    joined = spine.join(obs, [key_col, "__b"], "left")
+    w_fill = (
+        Window.partitionBy(key_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key_col),
+        F.col("__b").alias("bucket"),
+        F.last("__v", ignorenulls=True).over(w_fill).alias(value_col),
+        F.col("__v").isNotNull().alias("is_observed"),
+    )

@@ -4755,3 +4755,55 @@ SELECT prefix_docs, n_tokens, vocab_size, heaps_beta
 FROM pts CROSS JOIN b
 ORDER BY prefix_docs NULLS FIRST
 """
+
+
+def ext_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N-temporal] gap-filled hourly resampling with
+    last-observation-carried-forward
+    (operators/temporal.py::resample_forward_fill): every user gets a
+    regular hourly grid between their first and last event, each point
+    carrying the latest value at-or-before it — the hypertable
+    time_bucket_gapfill + locf shape. Spine explodes off the per-key
+    min/max frame, never a corpus-sized generate."""
+    from dbt_meshify_spark.operators.temporal import resample_forward_fill
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        resample_forward_fill(events)
+        .select("user_id", "bucket", "value", "is_observed")
+        .orderBy(_asc("user_id"), _asc("bucket"))
+    )
+
+
+QUERIES["ext_resample_locf"] = ext_resample_locf
+
+ORACLES["ext_resample_locf"] = """
+WITH ev AS (
+  SELECT user_id, date_trunc('hour', ts) AS b, ts, value
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND user_id < 50
+),
+obs AS (
+  SELECT user_id, b, value FROM (
+    SELECT user_id, b, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, b
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+),
+mm AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY user_id),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM mm
+),
+j AS (
+  SELECT s.user_id, s.b, o.value
+  FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.b = s.b
+)
+SELECT user_id, CAST(b AS TIMESTAMP) AS bucket,
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       (value IS NOT NULL) AS is_observed
+FROM j
+ORDER BY user_id NULLS FIRST, bucket NULLS FIRST
+"""

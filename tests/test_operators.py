@@ -2480,3 +2480,30 @@ def test_compression_ratio_discriminates_repetition(spark):
     # determinism (fixed zlib level)
     again = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(df).collect()}
     assert all(again[k] == out[k]["compression_ratio"] for k in again)
+
+
+def test_resample_forward_fill_grid_and_locf(spark):
+    from datetime import datetime
+
+    from dbt_meshify_spark.operators.temporal import resample_forward_fill
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 10.0),
+        (1, datetime(2024, 1, 1, 0, 45), 11.0),   # same bucket, later wins
+        (1, datetime(2024, 1, 1, 3, 10), 30.0),   # 2-hour gap to fill
+        (2, datetime(2024, 1, 1, 5, 0), 99.0),    # single-point key
+        (None, datetime(2024, 1, 1, 0, 0), 1.0),  # NULL key dropped
+        (3, None, 5.0),                            # NULL ts dropped
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = resample_forward_fill(df).collect()
+    g = {}
+    for r in out:
+        g.setdefault(r["user_id"], {})[r["bucket"].hour] = r
+    assert set(g) == {1, 2}
+    assert sorted(g[1]) == [0, 1, 2, 3]            # full grid, gaps included
+    assert g[1][0]["value"] == 11.0                # latest-in-bucket wins
+    assert g[1][1]["value"] == 11.0 and not g[1][1]["is_observed"]  # locf
+    assert g[1][2]["value"] == 11.0
+    assert g[1][3]["value"] == 30.0 and g[1][3]["is_observed"]
+    assert list(g[2]) == [5] and g[2][5]["value"] == 99.0
