@@ -76,3 +76,43 @@ def count_distinct_salted(
         .agg(F.countDistinct(value_col).alias("_pcd"))
     )
     return per_bucket.groupBy(*keys).agg(F.sum("_pcd").alias(out))
+
+
+def skew_report(
+    df: DataFrame, cols: list[str], k: int = 5
+) -> DataFrame:
+    """Heavy-hitter audit for prospective join/partition keys: for each
+    column, the top-``k`` values by row count with their share of the
+    relation — the 30-second diagnosis of "which key will straggle this
+    join at 100 TB". One combiner-friendly aggregate per column, each
+    top-k planned as TakeOrderedAndProject; the total rides a 1-row
+    broadcast. NULL is reported like any other value (NULL skew is the
+    most common real-world straggler).
+
+    Returns ``column, value (string), n, share, rank``.
+    """
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("__t"))
+    outs = []
+    for c in cols:
+        cnt = (
+            df.groupBy(F.col(c).cast("string").alias("value"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("value").asc_nulls_first())
+            .limit(k)
+        )
+        w = Window.orderBy(F.col("n").desc(), F.col("value").asc_nulls_first())
+        outs.append(
+            cnt.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(c).alias("column"),
+                "value",
+                "n",
+                F.round(F.col("n") / F.col("__t"), 4).alias("share"),
+                "rank",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

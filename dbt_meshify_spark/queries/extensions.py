@@ -4807,3 +4807,106 @@ SELECT user_id, CAST(b AS TIMESTAMP) AS bucket,
 FROM j
 ORDER BY user_id NULLS FIRST, bucket NULLS FIRST
 """
+
+
+def ext_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N2/N9] dedup observability: the near-dup cluster SIZE
+    distribution (how much of the corpus sits in 2-copy vs 10-copy
+    clusters) — the number a dedup rollout reports before deleting
+    anything. Same trigram-Jaccard pairs + connected components as
+    ext_dedup_clusters; two bounded aggregates on top."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
+    clustered = dedup_clusters(docs, pairs)
+    sizes = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("cluster_size")).cast("bigint").alias("n_docs"),
+        )
+        .orderBy(_asc("cluster_size"))
+    )
+
+
+def ext_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N-skew] heavy-hitter audit over prospective event join keys
+    (operators/skew.py::skew_report): top-5 values of user_id and
+    event_type with their share — the pre-join straggler diagnosis. One
+    combiner aggregate per column, TakeOrderedAndProject top-k."""
+    from dbt_meshify_spark.operators.skew import skew_report
+
+    events = load_table(spark, sf_dir, "events")
+    return skew_report(events, ["user_id", "event_type"], k=5).orderBy(
+        _asc("column"), _asc("rank")
+    )
+
+
+QUERIES["ext_cluster_size_stats"] = ext_cluster_size_stats
+QUERIES["ext_skew_report"] = ext_skew_report
+
+ORACLES["ext_cluster_size_stats"] = f"""
+WITH RECURSIVE {_TRIGRAMS_CTE},
+counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN counts ca ON ca.doc_id = id_a
+  JOIN counts cb ON cb.doc_id = id_b
+  WHERE inter / (ca.n_grams + cb.n_grams - inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS id, dst AS peer FROM edges
+  UNION
+  SELECT r.id, e.dst AS peer FROM reach r JOIN edges e ON r.peer = e.src
+),
+comp AS (SELECT id, least(id, MIN(peer)) AS component FROM reach GROUP BY id),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM labeled GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+ORDER BY cluster_size NULLS FIRST
+"""
+
+ORACLES["ext_skew_report"] = """
+WITH t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM events),
+u AS (
+  SELECT 'user_id' AS "column", CAST(user_id AS VARCHAR) AS value,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+  ORDER BY n DESC, value ASC NULLS FIRST LIMIT 5
+),
+e AS (
+  SELECT 'event_type' AS "column", CAST(event_type AS VARCHAR) AS value,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+  ORDER BY n DESC, value ASC NULLS FIRST LIMIT 5
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY "column" ORDER BY n DESC, value ASC NULLS FIRST
+  ) AS BIGINT) AS rank
+  FROM (SELECT * FROM u UNION ALL SELECT * FROM e)
+)
+SELECT "column", value, n, ROUND(n / t.total, 4) AS share, rank
+FROM ranked CROSS JOIN t
+ORDER BY "column" NULLS FIRST, rank NULLS FIRST
+"""

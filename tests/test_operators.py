@@ -2507,3 +2507,21 @@ def test_resample_forward_fill_grid_and_locf(spark):
     assert g[1][2]["value"] == 11.0
     assert g[1][3]["value"] == 30.0 and g[1][3]["is_observed"]
     assert list(g[2]) == [5] and g[2][5]["value"] == 99.0
+
+
+def test_skew_report_finds_hot_key_and_nulls(spark):
+    from dbt_meshify_spark.operators.skew import skew_report
+
+    rows = [(i, "hot" if i % 2 == 0 else f"cold{i}", None if i < 10 else i)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, k string, j long")
+    out = skew_report(df, ["k", "j"], k=3).collect()
+    by_col = {}
+    for r in out:
+        by_col.setdefault(r["column"], []).append(r)
+    kk = sorted(by_col["k"], key=lambda r: r["rank"])
+    assert kk[0]["value"] == "hot" and kk[0]["n"] == 50
+    assert kk[0]["share"] == 0.5
+    jj = sorted(by_col["j"], key=lambda r: r["rank"])
+    assert jj[0]["value"] is None and jj[0]["n"] == 10  # NULL skew surfaces
+    assert all(len(v) == 3 for v in by_col.values())
