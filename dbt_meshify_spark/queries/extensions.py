@@ -4910,3 +4910,83 @@ SELECT "column", value, n, ROUND(n / t.total, 4) AS share, rank
 FROM ranked CROSS JOIN t
 ORDER BY "column" NULLS FIRST, rank NULLS FIRST
 """
+
+
+def ext_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N-temporal/N10] rolling anomaly over the gap-filled series: each
+    user's LOCF-resampled hourly value scored against its own trailing
+    24-bucket mean/stddev — the per-entity drift alarm that global hourly
+    z-scores (ext_event_anomalies) can't see. Composes
+    resample_forward_fill; one additional key-partitioned window, no new
+    shuffle key."""
+    from dbt_meshify_spark.operators.temporal import resample_forward_fill
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    filled = resample_forward_fill(events)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(-24, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_pop("value").over(w)
+    # epsilon, not != 0: DuckDB's stddev over an identical-valued window
+    # returns a ~1e-15 cancellation residue where Spark returns exact 0 —
+    # both engines must agree that a flat window has no z signal
+    z = (F.col("value") - mu) / F.when(sd > 1e-9, sd)
+    # the rolling mean itself is NOT emitted: a trailing-24 AVG sits on
+    # half-ulp rounding boundaries across engines (summation order); the
+    # z-score (mean folded into a ratio) rounds stably at 4dp
+    return (
+        filled.withColumn("z", F.round(z, 4) + F.lit(0.0))
+        .withColumn("is_anomaly", F.abs(F.round(z, 4)) >= 3.0)
+        .select("user_id", "bucket", "value", "z", "is_anomaly")
+        .orderBy(_asc("user_id"), _asc("bucket"))
+    )
+
+
+QUERIES["ext_rolling_anomaly"] = ext_rolling_anomaly
+
+ORACLES["ext_rolling_anomaly"] = """
+WITH ev AS (
+  SELECT user_id, date_trunc('hour', ts) AS b, ts, value
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND user_id < 20
+),
+obs AS (
+  SELECT user_id, b, value FROM (
+    SELECT user_id, b, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, b
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+),
+mm AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY user_id),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM mm
+),
+j AS (
+  SELECT s.user_id, s.b, o.value AS raw
+  FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.b = s.b
+),
+filled AS (
+  SELECT user_id, CAST(b AS TIMESTAMP) AS bucket,
+         last_value(raw IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM j
+),
+scored AS (
+  SELECT user_id, bucket, value,
+         AVG(value) OVER w AS mu,
+         STDDEV_POP(value) OVER w AS sd
+  FROM filled
+  WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, bucket, value,
+       ROUND((value - mu) / (CASE WHEN sd > 1e-9 THEN sd END), 4) + 0.0 AS z,
+       (ABS(ROUND((value - mu) / (CASE WHEN sd > 1e-9 THEN sd END), 4)) >= 3.0) AS is_anomaly
+FROM scored
+ORDER BY user_id NULLS FIRST, bucket NULLS FIRST
+"""
