@@ -636,3 +636,65 @@ def compression_ratio(
     from dbt_meshify_spark.operators.util import spread
 
     return spread(df.select(id_col, text_col)).mapInPandas(_ratio, out_schema)
+
+
+def hashed_embedding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 32,
+    out_col: str = "hvec",
+) -> DataFrame:
+    """Feature-hashed bag-of-words embedding (Weinberger et al. 2009): each
+    token hashes to a dimension (md5 prefix mod ``dims``) with a +-1 sign
+    (another digest bit), and the document vector is the signed count sum,
+    L2-normalized — the model-free dense representation that lets the
+    whole similarity plane (cosine top-k, LSH/IVF ANN, semantic dedup,
+    PSI drift) run over raw text with no embedding model in the loop.
+
+    Fully engine-replayable (md5 digit arithmetic, no RNG), so unlike
+    learned embeddings this tier is oracle-checkable end to end. Plan:
+    explode tokens -> one (id, dim) partial-agg shuffle -> per-doc array
+    assembly via a dims-bounded pivot aggregate; no UDF, no lambda in the
+    hot path. NULL/empty text yields the zero vector (normalized form:
+    all zeros) so downstream joins stay total.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__t"),
+    )
+    h = F.md5(F.col("__t"))
+    dim = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dims).cast("int")
+    sign = F.when(F.substring(h, 9, 1) >= "8", F.lit(1.0)).otherwise(F.lit(-1.0))
+    cells = (
+        toks.select(F.col(id_col), dim.alias("__d"), sign.alias("__s"))
+        .groupBy(id_col, "__d")
+        .agg(F.sum("__s").alias("__v"))
+    )
+    vec = cells.groupBy(id_col).agg(
+        F.array(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("__d") == d, F.col("__v"))), F.lit(0.0)
+                )
+                for d in range(dims)
+            ]
+        ).alias("__raw")
+    )
+    norm = F.sqrt(
+        F.aggregate("__raw", F.lit(0.0), lambda a, x: a + x * x)
+    )
+    unit = F.transform(
+        "__raw", lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0))
+    )
+    out = vec.select(F.col(id_col), unit.alias(out_col))
+    # docs with no tokens (NULL text) re-enter with the zero vector
+    zeros = F.array(*[F.lit(0.0) for _ in range(dims)])
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(out_col), zeros).alias(out_col),
+        )
+    )

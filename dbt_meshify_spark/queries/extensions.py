@@ -4990,3 +4990,93 @@ SELECT user_id, bucket, value,
 FROM scored
 ORDER BY user_id NULLS FIRST, bucket NULLS FIRST
 """
+
+
+def ext_hashed_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3/N4] model-free semantic neighbors: feature-hashed bag-of-words
+    embeddings (operators/text.py::hashed_embedding — md5 dims + signs,
+    fully engine-replayable) and exact cosine top-3 per document over a
+    bounded slice. Ranking uses the ROUNDED cosine with an id tiebreak so
+    both engines order identically."""
+    from dbt_meshify_spark.operators.text import hashed_embedding
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    emb = hashed_embedding(docs, dims=32)
+    a = emb.select(F.col("doc_id").alias("doc_a"), F.col("hvec").alias("va"))
+    b = emb.select(F.col("doc_id").alias("doc_b"), F.col("hvec").alias("vb"))
+    dots = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                F.aggregate(
+                    F.zip_with("va", "vb", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                4,
+            )
+            + F.lit(0.0),
+        )
+    )
+    w = Window.partitionBy("doc_a").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_b").asc()
+    )
+    return (
+        dots.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_a", "doc_b", "cos_sim", "rank")
+        .orderBy(_asc("doc_a"), _asc("rank"))
+    )
+
+
+QUERIES["ext_hashed_embedding_topk"] = ext_hashed_embedding_topk
+
+ORACLES["ext_hashed_embedding_topk"] = (
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents WHERE doc_id < 200
+),
+hx AS (SELECT doc_id, md5(t) AS gx FROM toks),
+cells AS (
+  SELECT doc_id,
+         CAST(({HEX8}) AS BIGINT) % 32 AS d,
+         SUM(CASE WHEN substr(gx, 9, 1) >= '8' THEN 1.0 ELSE -1.0 END) AS v
+  FROM hx GROUP BY doc_id, CAST(({HEX8}) AS BIGINT) % 32
+),
+norms AS (SELECT doc_id, SQRT(SUM(v * v)) AS n FROM cells GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.v * b.v) AS dot
+  FROM cells a JOIN cells b ON a.d = b.d AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+-- zero-norm docs have the zero vector: cosine 0 against everyone; and pairs
+-- with NO shared dimension never appear in dots, so rebuild the full pair
+-- grid with COALESCE
+ids AS (SELECT DISTINCT doc_id FROM (SELECT doc_id FROM documents WHERE doc_id < 200)),
+grid AS (
+  SELECT i.doc_id AS doc_a, j.doc_id AS doc_b
+  FROM ids i JOIN ids j ON i.doc_id <> j.doc_id
+),
+cosd AS (
+  SELECT g.doc_a, g.doc_b,
+         ROUND(COALESCE(d.dot / (CASE WHEN na.n > 0 AND nb.n > 0
+                                      THEN na.n * nb.n END), 0.0), 4) + 0.0 AS cos_sim
+  FROM grid g
+  LEFT JOIN dots d ON d.doc_a = g.doc_a AND d.doc_b = g.doc_b
+  LEFT JOIN norms na ON na.doc_id = g.doc_a
+  LEFT JOIN norms nb ON nb.doc_id = g.doc_b
+),
+ranked AS (
+  SELECT doc_a, doc_b, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_a
+                                 ORDER BY cos_sim DESC, doc_b ASC) AS BIGINT) AS rank
+  FROM cosd
+)
+SELECT doc_a, doc_b, cos_sim, rank
+FROM ranked WHERE rank <= 3
+ORDER BY doc_a NULLS FIRST, rank NULLS FIRST
+"""
+).replace("{HEX8}", _hex8_sum("gx"))

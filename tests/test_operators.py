@@ -2525,3 +2525,28 @@ def test_skew_report_finds_hot_key_and_nulls(spark):
     jj = sorted(by_col["j"], key=lambda r: r["rank"])
     assert jj[0]["value"] is None and jj[0]["n"] == 10  # NULL skew surfaces
     assert all(len(v) == 3 for v in by_col.values())
+
+
+def test_hashed_embedding_similarity_properties(spark):
+    import math
+
+    from dbt_meshify_spark.operators.text import hashed_embedding
+
+    rows = [
+        (1, "machine learning models train on data"),
+        (2, "machine learning models train on data"),   # identical
+        (3, "cooking recipes require fresh garden vegetables"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = {r["doc_id"]: r["hvec"] for r in hashed_embedding(df, dims=16).collect()}
+    assert len(vecs) == 5
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert vecs[1] == vecs[2]                       # deterministic
+    assert abs(dot(vecs[1], vecs[1]) - 1.0) < 1e-9  # unit norm
+    assert dot(vecs[1], vecs[3]) < 0.5              # disjoint vocab far apart
+    assert all(v == 0.0 for v in vecs[4])           # null text -> zero vector
