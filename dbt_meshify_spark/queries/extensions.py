@@ -5080,3 +5080,32 @@ FROM ranked WHERE rank <= 3
 ORDER BY doc_a NULLS FIRST, rank NULLS FIRST
 """
 ).replace("{HEX8}", _hex8_sum("gx"))
+
+
+def ext_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9/N10] active-learning batch selection: the 50 documents the
+    distilled quality classifier is LEAST sure about (|p - 0.5| smallest,
+    doc_id tiebreak) — the annotation-queue builder that makes human
+    labels go furthest. Scoring is the codegen'd sigmoid (no UDF); the
+    selection is TakeOrderedAndProject. Rows-only by design (the
+    classifier's trained weights have no SQL form); margin invariants in
+    tests."""
+    from dbt_meshify_spark.operators.classifier import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = train_quality_classifier(docs)
+    scored = score_quality_classifier(docs, weights)
+    margin = F.abs(F.col("clf_score") - F.lit(0.5))
+    return (
+        scored.withColumn("margin", F.round(margin, 4))
+        .orderBy(margin.asc(), F.col("doc_id").asc())
+        .limit(50)
+        .select("doc_id", F.round("clf_score", 4).alias("clf_score"), "margin")
+        .orderBy(_asc("doc_id"))
+    )
+
+
+QUERIES["ext_uncertainty_sample"] = ext_uncertainty_sample

@@ -2550,3 +2550,31 @@ def test_hashed_embedding_similarity_properties(spark):
     assert abs(dot(vecs[1], vecs[1]) - 1.0) < 1e-9  # unit norm
     assert dot(vecs[1], vecs[3]) < 0.5              # disjoint vocab far apart
     assert all(v == 0.0 for v in vecs[4])           # null text -> zero vector
+
+
+def test_uncertainty_sample_picks_boundary_docs(spark):
+    from dbt_meshify_spark.queries.extensions import ext_uncertainty_sample
+    from tests.conftest import SF_ORACLE
+
+    rows = ext_uncertainty_sample(spark, SF_ORACLE).collect()
+    assert len(rows) == 50
+    margins = [r["margin"] for r in rows]
+    assert all(0.0 <= m <= 0.5 for m in margins)
+    # the selected max margin must not exceed the corpus-wide median margin
+    # (we picked the UNCERTAIN tail, not a random slice)
+    from dbt_meshify_spark.operators.classifier import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    w = train_quality_classifier(docs)
+    all_m = (
+        score_quality_classifier(docs, w)
+        .selectExpr("abs(clf_score - 0.5) AS m")
+        .approxQuantile("m", [0.5], 0.01)[0]
+    )
+    assert max(margins) <= all_m
+    again = ext_uncertainty_sample(spark, SF_ORACLE).collect()
+    assert sorted(map(str, again)) == sorted(map(str, rows))
