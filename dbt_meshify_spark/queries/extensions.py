@@ -5109,3 +5109,73 @@ def ext_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ext_uncertainty_sample"] = ext_uncertainty_sample
+
+
+def ext_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N2/N9] SOFT deduplication: instead of dropping near-duplicates,
+    every document gets sampling weight 1/cluster_size so each duplicate
+    GROUP contributes one document's worth of probability mass — the
+    softer published alternative to hard dedup that preserves coverage
+    while killing over-representation. Composes the cluster machinery with
+    a keys-only size join; the weights feed weighted_sample_k /
+    mixture_copies downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
+    clustered = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    sizes = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        clustered.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (
+                F.round(F.lit(1.0) / F.col("cluster_size").cast("double"), 4)
+                + F.lit(0.0)
+            ).alias("soft_weight"),
+        )
+        .orderBy(_asc("doc_id"))
+    )
+
+
+QUERIES["ext_soft_dedup_weights"] = ext_soft_dedup_weights
+
+ORACLES["ext_soft_dedup_weights"] = f"""
+WITH RECURSIVE {_TRIGRAMS_CTE},
+counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN counts ca ON ca.doc_id = id_a
+  JOIN counts cb ON cb.doc_id = id_b
+  WHERE inter / (ca.n_grams + cb.n_grams - inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS id, dst AS peer FROM edges
+  UNION
+  SELECT r.id, e.dst AS peer FROM reach r JOIN edges e ON r.peer = e.src
+),
+comp AS (SELECT id, least(id, MIN(peer)) AS component FROM reach GROUP BY id),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM labeled GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       ROUND(1.0 / CAST(s.cluster_size AS DOUBLE), 4) + 0.0 AS soft_weight
+FROM labeled l JOIN sizes s ON s.cluster_id = l.cluster_id
+ORDER BY l.doc_id NULLS FIRST
+"""
