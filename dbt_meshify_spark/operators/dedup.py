@@ -1434,3 +1434,41 @@ def dedup_against_index(
         .filter(F.col("__rn") == 1)
         .drop("__fp", "__rn")
     )
+
+
+def lsh_plan(
+    target_jaccard: float, num_hashes: int = 128
+) -> dict[str, float | int]:
+    """Pick (bands, rows_per_band) for MinHash LSH so the S-curve's
+    threshold ``(1/b)^(1/r)`` lands closest to ``target_jaccard`` — the
+    standard MMDS banding rule, exposed so callers stop hand-tuning the
+    two knobs that decide both recall and candidate volume.
+
+    Driver-side arithmetic over the divisors of ``num_hashes`` (bounded);
+    returns bands, rows_per_band, the achieved threshold, and the S-curve
+    capture probabilities at the target and at 0.9x/1.1x of it so callers
+    can see how sharp the chosen curve is.
+    """
+    if not 0.0 < target_jaccard < 1.0:
+        raise ValueError("target_jaccard must be in (0, 1)")
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        thr = (1.0 / bands) ** (1.0 / rows)
+        if best is None or abs(thr - target_jaccard) < abs(best[0] - target_jaccard):
+            best = (thr, bands, rows)
+    thr, bands, rows = best
+
+    def capture(s: float) -> float:
+        return 1.0 - (1.0 - s**rows) ** bands
+
+    return {
+        "bands": bands,
+        "rows_per_band": rows,
+        "threshold": round(thr, 4),
+        "p_at_target": round(capture(target_jaccard), 4),
+        "p_below": round(capture(max(0.0, target_jaccard * 0.9)), 4),
+        "p_above": round(capture(min(1.0, target_jaccard * 1.1)), 4),
+    }

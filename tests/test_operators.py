@@ -2578,3 +2578,21 @@ def test_uncertainty_sample_picks_boundary_docs(spark):
     assert max(margins) <= all_m
     again = ext_uncertainty_sample(spark, SF_ORACLE).collect()
     assert sorted(map(str, again)) == sorted(map(str, rows))
+
+
+def test_lsh_plan_matches_s_curve_math(spark):
+    import pytest as _pytest
+
+    from dbt_meshify_spark.operators.dedup import lsh_plan
+
+    p = lsh_plan(0.5, num_hashes=128)
+    assert p["bands"] * p["rows_per_band"] == 128
+    assert abs(p["threshold"] - (1.0 / p["bands"]) ** (1.0 / p["rows_per_band"])) < 1e-3
+    assert abs(p["threshold"] - 0.5) < 0.15
+    # the curve must be monotone around the target
+    assert p["p_below"] < p["p_at_target"] < p["p_above"]
+    # a high threshold wants more rows per band (sharper, fewer candidates)
+    hi = lsh_plan(0.9, num_hashes=128)
+    assert hi["rows_per_band"] >= p["rows_per_band"]
+    with _pytest.raises(ValueError):
+        lsh_plan(1.5)
