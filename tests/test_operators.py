@@ -2596,3 +2596,28 @@ def test_lsh_plan_matches_s_curve_math(spark):
     assert hi["rows_per_band"] >= p["rows_per_band"]
     with _pytest.raises(ValueError):
         lsh_plan(1.5)
+
+
+def test_training_data_build_invariants(spark):
+    from dbt_meshify_spark.operators.pipeline import curate_corpus
+    from dbt_meshify_spark.queries.extensions import ext_training_data_build
+    from dbt_meshify_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    rows = ext_training_data_build(spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    # budget respected and the fill is the cum-ordered prefix
+    assert max(r["cum_tokens"] for r in rows) <= 60_000
+    total = sum(r["n_chars_norm"] for r in rows)
+    assert total == max(r["cum_tokens"] for r in rows)
+    # every selected doc is a curation survivor (no leak around the gates)
+    docs = load_table(spark, SF_ORACLE, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    survivors = {r["doc_id"] for r in curate_corpus(train, eval_df).collect()}
+    assert {r["doc_id"] for r in rows} <= survivors
+    # shards cover and no shard hogs
+    shards = {r["shard_id"] for r in rows}
+    assert shards <= set(range(8)) and len(shards) >= 4
+    again = ext_training_data_build(spark, SF_ORACLE).collect()
+    assert sorted(map(str, again)) == sorted(map(str, rows))
