@@ -289,3 +289,49 @@ def test_psi_terms_nonnegative_and_total_consistent(counts):
     )
     zero = psi_from_counts(same, n_buckets=n).collect()[0]["psi_total"]
     assert abs(zero) < 1e-12
+
+
+# -- 64-bit banding pigeonhole completeness ----------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.sets(st.integers(min_value=0, max_value=63), min_size=0, max_size=3),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_hash64_banding_finds_every_close_pair(cases):
+    """Pigeonhole guarantee: for ANY base hash and ANY <=3 flipped bits,
+    4-band blocking over 64 bits must emit the (base, variant) pair —
+    banding may overgenerate but can never miss within max_hamming <=
+    bands-1. All generated cases batch into ONE Spark job."""
+    from dbt_meshify_spark.operators.dedup import hash64_candidate_pairs
+    from dbt_meshify_spark.session import get_spark
+
+    spark = get_spark(app_name="dbt-meshify-spark-tests", shuffle_partitions=8)
+    rows = []
+    expected = set()
+    for i, (base, flips) in enumerate(cases):
+        variant = base
+        for b in flips:
+            variant ^= 1 << b
+        if variant >= 2**63:
+            variant -= 2**64
+        a_id, b_id = i * 2, i * 2 + 1
+        rows.append((a_id, base))
+        rows.append((b_id, variant))
+        expected.add((a_id, b_id, len(flips)))
+    # ids are disjoint across cases, so cross-case pairs may appear (hash
+    # collisions in banding) but every planted pair MUST appear
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hash64_candidate_pairs(df, "id", "h", max_hamming=3, bands=4).collect()
+    }
+    missing = {e for e in expected if e not in got}
+    assert not missing, f"pigeonhole violated: {missing}"
