@@ -5237,3 +5237,55 @@ def ext_training_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ext_training_data_build"] = ext_training_data_build
+
+
+def ext_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[G-scale] per-user triangle counts over the co-activity graph (users
+    active in the same hour, bounded slice) —
+    operators/graph_rank.py::triangle_counts: oriented-edge
+    canonicalization, two hash-equi joins enumerating each triangle once,
+    corner explode-aggregate. The community-density signal next to
+    PageRank and connected components."""
+    from dbt_meshify_spark.operators.graph_rank import triangle_counts
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    active = events.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    a = active.select("h", F.col("user_id").alias("src"))
+    b = active.select("h", F.col("user_id").alias("dst"))
+    edges = (
+        a.join(b, "h")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_counts(edges).orderBy(_asc("node"))
+
+
+QUERIES["ext_triangle_counts"] = ext_triangle_counts
+
+ORACLES["ext_triangle_counts"] = """
+WITH au AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+  FROM events WHERE user_id < 40
+),
+e AS (
+  SELECT DISTINCT a.user_id AS lo, b.user_id AS hi
+  FROM au a JOIN au b ON a.h = b.h AND a.user_id < b.user_id
+),
+tris AS (
+  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+  FROM e ab
+  JOIN e bc ON bc.lo = ab.hi
+  JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+),
+corners AS (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+ORDER BY node NULLS FIRST
+"""

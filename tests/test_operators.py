@@ -2621,3 +2621,16 @@ def test_training_data_build_invariants(spark):
     assert shards <= set(range(8)) and len(shards) >= 4
     again = ext_training_data_build(spark, SF_ORACLE).collect()
     assert sorted(map(str, again)) == sorted(map(str, rows))
+
+
+def test_triangle_counts_known_graph(spark):
+    from dbt_meshify_spark.operators.graph_rank import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3), a pendant 5, a
+    # disconnected pair 6-7, a self-loop and NULLs to drop
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (6, 7), (3, 3), (None, 1), (2, None),
+             (2, 1)]  # reverse duplicate must not double-count
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}  # pendant/pair/self-loop: zero
