@@ -46,6 +46,8 @@ def main() -> None:
         exact_dedup,
         minhash_candidate_pairs,
     )
+    from dbt_meshify_spark.operators.dsir import dsir_log_weights
+    from dbt_meshify_spark.operators.sampling import apply_mixture_recipe
     from dbt_meshify_spark.operators.text import quality_score
     from dbt_meshify_spark.session import get_spark
     from dbt_meshify_spark.sources import load_table
@@ -60,6 +62,23 @@ def main() -> None:
     exact_dedup(warm, ["text"], order_by=["doc_id"]).count()
     minhash_candidate_pairs(warm, min_jaccard_est=0.5).count()
 
+    def dsir(df):
+        return dsir_log_weights(
+            df.withColumn("is_target", F.col("lang") == "en"), "is_target"
+        )
+
+    def recipe_fill(df):
+        recipe = df.groupBy("lang", "source").agg(
+            F.floor(0.5 * F.sum("n_chars")).cast("bigint").alias("token_budget")
+        )
+        return apply_mixture_recipe(
+            df, recipe, ["lang", "source"], token_col="n_chars",
+            order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        )
+
+    dsir(warm).count()
+    recipe_fill(warm).count()
+
     for k in (1, 2, 4, 8):
         docs = scaled_corpus(base, k).localCheckpoint()  # pin: exclude synth cost
         n = docs.count()
@@ -72,10 +91,18 @@ def main() -> None:
         t0 = time.time()
         n_pairs = minhash_candidate_pairs(docs, min_jaccard_est=0.5).count()
         t_minhash = time.time() - t0
+        t0 = time.time()
+        n_dsir = dsir(docs).count()
+        t_dsir = time.time() - t0
+        t0 = time.time()
+        n_fill = recipe_fill(docs).count()
+        t_fill = time.time() - t0
         print(
             f"scale={k}x docs={n}: quality={t_quality:.2f}s "
             f"dedup={t_dedup:.2f}s (kept {n_dedup}) "
-            f"minhash={t_minhash:.2f}s (pairs {n_pairs})",
+            f"minhash={t_minhash:.2f}s (pairs {n_pairs}) "
+            f"dsir={t_dsir:.2f}s (n {n_dsir}) "
+            f"recipe={t_fill:.2f}s (kept {n_fill})",
             flush=True,
         )
 
