@@ -5289,3 +5289,125 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM corners GROUP BY node
 ORDER BY node NULLS FIRST
 """
+
+
+def ext_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W3/N7 companion] per-session rollup of the 30-minute gap
+    sessionization: start, duration, depth, and value total for every
+    (user, session) — the session-grain fact table product analytics
+    builds on q12's event-grain labels. Same user_id partitioning, so the
+    label windows and the rollup share one shuffle."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    labeled = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return (
+        labeled.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).cast("bigint").alias("duration_sec"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy(_asc("user_id"), _asc("session_id"))
+    )
+
+
+QUERIES["ext_session_stats"] = ext_session_stats
+
+ORACLES["ext_session_stats"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+           AS new_session
+  FROM events WHERE user_id < 100
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+labeled AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) + 0.0 AS total_value
+FROM labeled GROUP BY user_id, session_id
+ORDER BY user_id NULLS FIRST, session_id NULLS FIRST
+"""
+
+
+def ext_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N10] robust outlier detection per event type: modified z-score
+    |x - median| / (1.4826 * MAD) with the Iglewicz-Hoaglin 3.5 cut —
+    immune to the outliers a mean/stddev z is dragged by. Two grouped
+    exact-percentile aggregates joined back (group count is event-type
+    cardinality — bounded; the approx tier at 100 TB is
+    approx_percentile with the same composition). Zero MAD is
+    epsilon-guarded on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        events.join(F.broadcast(med), "event_type")
+        .withColumn("absdev", F.abs(F.col("value") - F.col("med")))
+        .groupBy("event_type")
+        .agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
+    )
+    scored = (
+        events.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(dev), "event_type")
+    )
+    denom = F.lit(1.4826) * F.col("mad")
+    z = (F.col("value") - F.col("med")) / F.when(denom > 1e-9, denom)
+    flagged = (
+        scored.withColumn("robust_z", F.round(z, 4) + F.lit(0.0))
+        .withColumn("is_outlier", F.abs(F.round(z, 4)) > 3.5)
+        .filter(F.col("is_outlier"))
+    )
+    return flagged.select(
+        "event_id", "event_type", "value", "robust_z"
+    ).orderBy(_asc("event_id"))
+
+
+QUERIES["ext_robust_outliers"] = ext_robust_outliers
+
+ORACLES["ext_robust_outliers"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m ON m.event_type = e.event_type
+  GROUP BY e.event_type
+),
+scored AS (
+  SELECT e.event_id, e.event_type, e.value,
+         (e.value - m.med) /
+         (CASE WHEN 1.4826 * d.mad > 1e-9 THEN 1.4826 * d.mad END) AS z
+  FROM events e
+  JOIN med m ON m.event_type = e.event_type
+  JOIN dev d ON d.event_type = e.event_type
+)
+SELECT event_id, event_type, value, ROUND(z, 4) + 0.0 AS robust_z
+FROM scored
+WHERE ABS(ROUND(z, 4)) > 3.5
+ORDER BY event_id NULLS FIRST
+"""
