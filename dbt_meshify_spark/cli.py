@@ -33,6 +33,44 @@ from dbt_meshify_spark.project.loader import SparkProject
 from dbt_meshify_spark.project.runner import ProjectRunner
 
 
+class MultiOption(click.Option):
+    """Greedy multi-value option: ``-s a b c`` consumes the trailing run of
+    non-option tokens, matching the reference's dbt-style selection UX
+    (reference cli.py:64-71 uses dbt's ``MultiOption`` for --select/--exclude/
+    --selector; re-expressed here on plain click parser hooks). Repeated
+    flags (``-s a -s b``) still work — each flag consumes its own run."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["multiple"] = True
+        super().__init__(*args, **kwargs)
+
+    def add_to_parser(self, parser, ctx):
+        super().add_to_parser(parser, ctx)
+
+        for opt in self.opts + self.secondary_opts:
+            our = parser._long_opt.get(opt) or parser._short_opt.get(opt)
+            if our is None:
+                continue
+            base_process = our.process
+
+            def process(value, state, _base=base_process):
+                _base(value, state)
+                while state.rargs and not state.rargs[0].startswith("-"):
+                    _base(state.rargs.pop(0), state)
+
+            our.process = process
+
+
+class TupleCompatibleCommand(click.Command):
+    """Usage string lists options before the trailing [ARGS], signalling that
+    greedy tuple options eat following arguments (reference cli.py:135-145)."""
+
+    def format_usage(self, ctx, formatter) -> None:
+        pieces = self.collect_usage_pieces(ctx)
+        pieces = pieces[1:] + [pieces[0]]
+        formatter.write_usage(ctx.command_path, " ".join(pieces))
+
+
 def _patch_path(project: SparkProject, r) -> Path:
     """Resource's property file, synthesized next to the model when absent
     (reference dbt_projects.py:237-254)."""
@@ -145,11 +183,11 @@ def cli(ctx: click.Context, dry_run: bool) -> None:
 # -- split -------------------------------------------------------------------
 
 
-@cli.command()
+@cli.command(cls=TupleCompatibleCommand)
 @click.argument("project_name")
-@click.option("--select", "-s", multiple=True)
-@click.option("--exclude", "-e", multiple=True)
-@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
+@click.option("--select", "-s", cls=MultiOption, multiple=True)
+@click.option("--exclude", "-e", cls=MultiOption, multiple=True)
+@click.option("--selector", cls=MultiOption, multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--create-path", default=None, type=click.Path())
 @click.option("--read-catalog", is_flag=True, help="trust target/catalog.json instead of live schema analysis")
@@ -260,9 +298,9 @@ def operation() -> None:
 @operation.command(name="add-contract")
 @click.option("--read-catalog", "-r", is_flag=True,
               help="trust target/catalog.json instead of live schema analysis")
-@click.option("--select", "-s", multiple=True)
-@click.option("--exclude", "-e", multiple=True)
-@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
+@click.option("--select", "-s", cls=MultiOption, multiple=True)
+@click.option("--exclude", "-e", cls=MultiOption, multiple=True)
+@click.option("--selector", cls=MultiOption, multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.pass_context
 def add_contract(ctx, select, exclude, selector, project_path, read_catalog) -> None:
@@ -290,9 +328,9 @@ def add_contract(ctx, select, exclude, selector, project_path, read_catalog) -> 
 
 
 @operation.command(name="add-version")
-@click.option("--select", "-s", multiple=True)
-@click.option("--exclude", "-e", multiple=True)
-@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
+@click.option("--select", "-s", cls=MultiOption, multiple=True)
+@click.option("--exclude", "-e", cls=MultiOption, multiple=True)
+@click.option("--selector", cls=MultiOption, multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--defined-in", default=None)
 @click.pass_context
@@ -314,9 +352,9 @@ def op_add_version(ctx, select, exclude, selector, project_path, defined_in) -> 
 
 
 @operation.command(name="bump-version")
-@click.option("--select", "-s", multiple=True)
-@click.option("--exclude", "-e", multiple=True)
-@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
+@click.option("--select", "-s", cls=MultiOption, multiple=True)
+@click.option("--exclude", "-e", cls=MultiOption, multiple=True)
+@click.option("--selector", cls=MultiOption, multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--latest", "-l", is_flag=True,
               help="make the new version the latest version")
@@ -358,11 +396,11 @@ def op_bump_version(
     _process(ctx, *sets)
 
 
-@operation.command(name="create-group")
+@operation.command(name="create-group", cls=TupleCompatibleCommand)
 @click.argument("name")
-@click.option("--select", "-s", multiple=True)
-@click.option("--exclude", "-e", multiple=True)
-@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
+@click.option("--select", "-s", cls=MultiOption, multiple=True)
+@click.option("--exclude", "-e", cls=MultiOption, multiple=True)
+@click.option("--selector", cls=MultiOption, multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--owner-name", default=None)
 @click.option("--owner-email", default=None)
@@ -404,11 +442,11 @@ def op_create_group(
 # -- composites ----------------------------------------------------------------
 
 
-@cli.command()
+@cli.command(cls=TupleCompatibleCommand)
 @click.argument("name")
-@click.option("--select", "-s", multiple=True)
-@click.option("--exclude", "-e", multiple=True)
-@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
+@click.option("--select", "-s", cls=MultiOption, multiple=True)
+@click.option("--exclude", "-e", cls=MultiOption, multiple=True)
+@click.option("--selector", cls=MultiOption, multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--owner-name", default=None)
 @click.option("--owner-email", default=None)
@@ -458,9 +496,9 @@ def group(
 
 
 @cli.command()
-@click.option("--select", "-s", multiple=True)
-@click.option("--exclude", "-e", multiple=True)
-@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
+@click.option("--select", "-s", cls=MultiOption, multiple=True)
+@click.option("--exclude", "-e", cls=MultiOption, multiple=True)
+@click.option("--selector", cls=MultiOption, multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--latest", "-l", is_flag=True,
               help="make the new version the latest version")
@@ -508,9 +546,9 @@ def version(
 
 
 @cli.command()
-@click.option("--select", "-s", multiple=True)
-@click.option("--exclude", "-e", multiple=True)
-@click.option("--selector", multiple=True, help="named selector(s) from selectors.yml")
+@click.option("--select", "-s", cls=MultiOption, multiple=True)
+@click.option("--exclude", "-e", cls=MultiOption, multiple=True)
+@click.option("--selector", cls=MultiOption, multiple=True, help="named selector(s) from selectors.yml")
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--resource-type", default=None)
 @click.option("--state", default=None, type=click.Path(exists=True),
@@ -552,8 +590,8 @@ def docs(project_path) -> None:
 
 
 @cli.command()
-@click.option("--select", "-s", multiple=True)
-@click.option("--exclude", "-e", multiple=True)
+@click.option("--select", "-s", cls=MultiOption, multiple=True)
+@click.option("--exclude", "-e", cls=MultiOption, multiple=True)
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--warehouse-dir", default=None, type=click.Path())
 @click.option("--full-refresh", is_flag=True)
@@ -591,7 +629,7 @@ def run(select, exclude, project_path, warehouse_dir, full_refresh, vars_, state
 
 
 @cli.command()
-@click.option("--select", "-s", multiple=True)
+@click.option("--select", "-s", cls=MultiOption, multiple=True)
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--warehouse-dir", default=None, type=click.Path())
 def snapshot(select, project_path, warehouse_dir) -> None:
@@ -613,7 +651,7 @@ def snapshot(select, project_path, warehouse_dir) -> None:
 
 
 @cli.command()
-@click.option("--select", "-s", multiple=True)
+@click.option("--select", "-s", cls=MultiOption, multiple=True)
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--store-failures", is_flag=True,
               help="persist failing rows to dbt_test__audit_<test> tables")
@@ -641,7 +679,7 @@ def test(select, project_path, store_failures) -> None:
 
 
 @cli.command()
-@click.option("--select", "-s", multiple=True)
+@click.option("--select", "-s", cls=MultiOption, multiple=True)
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 @click.option("--warehouse-dir", default=None, type=click.Path())
 @click.option("--full-refresh", is_flag=True)
@@ -676,7 +714,7 @@ def build(select, project_path, warehouse_dir, full_refresh, store_failures) -> 
 
 
 @cli.command("unit-test")
-@click.option("--select", "-s", multiple=True)
+@click.option("--select", "-s", cls=MultiOption, multiple=True)
 @click.option("--project-path", default=".", type=click.Path(exists=True))
 def unit_test(select, project_path) -> None:
     """Run dbt unit tests (unit_tests: blocks — fixture rows in, expected

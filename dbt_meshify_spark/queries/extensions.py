@@ -2251,7 +2251,7 @@ WITH base AS (
 SELECT COALESCE(lang, 'ALL') AS lang_g,
        COALESCE(source, 'ALL') AS source_g,
        COUNT(*) AS n_docs,
-       SUM(nt) AS total_tokens,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
        ROUND(AVG(nc), 4) AS avg_chars
 FROM base
 GROUP BY ROLLUP (lang, source)
@@ -4937,9 +4937,15 @@ def ext_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the rolling mean itself is NOT emitted: a trailing-24 AVG sits on
     # half-ulp rounding boundaries across engines (summation order); the
     # z-score (mean folded into a ratio) rounds stably at 4dp
+    # is_anomaly must be NON-nullable: a nullable boolean canonicalizes
+    # asymmetrically through pandas (Spark toPandas -> None, DuckDB .df()
+    # -> NaN). Cold-start windows (z undefined) are "no signal" => FALSE.
     return (
         filled.withColumn("z", F.round(z, 4) + F.lit(0.0))
-        .withColumn("is_anomaly", F.abs(F.round(z, 4)) >= 3.0)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.round(z, 4)) >= 3.0, F.lit(False)),
+        )
         .select("user_id", "bucket", "value", "z", "is_anomaly")
         .orderBy(_asc("user_id"), _asc("bucket"))
     )
@@ -4986,7 +4992,8 @@ scored AS (
 )
 SELECT user_id, bucket, value,
        ROUND((value - mu) / (CASE WHEN sd > 1e-9 THEN sd END), 4) + 0.0 AS z,
-       (ABS(ROUND((value - mu) / (CASE WHEN sd > 1e-9 THEN sd END), 4)) >= 3.0) AS is_anomaly
+       COALESCE(ABS(ROUND((value - mu) / (CASE WHEN sd > 1e-9 THEN sd END), 4)) >= 3.0,
+                FALSE) AS is_anomaly
 FROM scored
 ORDER BY user_id NULLS FIRST, bucket NULLS FIRST
 """
@@ -5338,8 +5345,8 @@ WITH flagged AS (
 ),
 labeled AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,

@@ -862,6 +862,54 @@ def test_connected_components_chain_and_islands(spark):
     assert out[99] == (99, True)
 
 
+def test_connected_components_star_variant_matches_propagate(spark):
+    from dbt_meshify_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10, 19)]
+    pairs = spark.createDataFrame(
+        chain + [(30, 31), (31, 32), (30, 32), (50, 51)], "id_a long, id_b long"
+    )
+    base = {r.id: r.component for r in connected_components(pairs).collect()}
+    star = {
+        r.id: r.component
+        for r in connected_components(pairs, variant="star").collect()
+    }
+    assert star == base
+
+
+def test_connected_components_star_handles_whale_in_log_rounds(spark):
+    # A planted whale component: a 64-node chain (diameter 63). Min-label
+    # propagation needs one round per hop — at max_iter=10 it must raise —
+    # while the large-star/small-star alternation converges in O(log^2 n)
+    # rounds and resolves the whole whale to min-id within the same budget.
+    import pytest as _pytest
+
+    from dbt_meshify_spark.operators.dedup import connected_components
+
+    whale = [(i, i + 1) for i in range(100, 163)]
+    pairs = spark.createDataFrame(
+        whale + [(900, 901)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError):
+        connected_components(pairs, max_iter=10)
+    comp = {
+        r.id: r.component
+        for r in connected_components(pairs, max_iter=10, variant="star").collect()
+    }
+    assert all(comp[i] == 100 for i in range(100, 164))
+    assert comp[900] == comp[901] == 900
+
+
+def test_connected_components_rejects_unknown_variant(spark):
+    import pytest as _pytest
+
+    from dbt_meshify_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError):
+        connected_components(pairs, variant="nope")
+
+
 def test_vocab_build_and_encode(spark):
     from dbt_meshify_spark.operators.text import build_vocab, encode_docs
 

@@ -238,6 +238,46 @@ def test_cli_create_group(proj_dir):
     assert stg["access"] in ("protected", "private")
 
 
+def test_cli_group_trailing_tuple_select(proj_dir):
+    # Reference parity: `group NAME -s a b c` — dbt-style MultiOption eats
+    # the trailing run of non-flag tokens (reference main.py:632 uses
+    # TupleCompatibleCommand + dbt's MultiOption; cli.py:64-71).
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        ["group", "trio", "--owner-name", "data-eng",
+         "--project-path", str(proj_dir),
+         "-s", "stg_customers", "stg_orders", "stg_lineitems"],
+    )
+    assert result.exit_code == 0, result.output
+    groups = yaml.safe_load((proj_dir / "models/_groups.yml").read_text())
+    assert "trio" in {g["name"] for g in groups["groups"]}
+    props = yaml.safe_load(
+        (proj_dir / "models/staging/__models.yml").read_text()
+    )
+    by_name = {m["name"]: m for m in props["models"]}
+    for name in ("stg_customers", "stg_orders", "stg_lineitems"):
+        assert by_name[name]["group"] == "trio", by_name[name]
+
+
+def test_cli_create_group_trailing_tuple_select(proj_dir):
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        ["operation", "create-group", "duo", "--owner-email", "de@example.com",
+         "--project-path", str(proj_dir),
+         "-s", "stg_customers", "stg_orders"],
+    )
+    assert result.exit_code == 0, result.output
+    props = yaml.safe_load(
+        (proj_dir / "models/staging/__models.yml").read_text()
+    )
+    by_name = {m["name"]: m for m in props["models"]}
+    assert by_name["stg_customers"]["group"] == "duo"
+    assert by_name["stg_orders"]["group"] == "duo"
+    assert "group" not in by_name.get("stg_lineitems", {}), "greedy option ate too much"
+
+
 # -- connect -----------------------------------------------------------------
 
 
