@@ -1309,8 +1309,13 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
     )
 
     def _sig(frame: DataFrame) -> tuple:
+        # order-insensitive digest over the edge set; the hash sum runs in
+        # unbounded decimal because a BIGINT sum of full-range xxhash64
+        # values overflows long, which ANSI mode (Spark 4 default) turns
+        # into ARITHMETIC_OVERFLOW instead of wrapping
         row = frame.agg(
-            F.count("*").alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         return (row["n"], row["h"])
 

@@ -320,6 +320,10 @@ def test_hash64_banding_finds_every_close_pair(cases):
         variant = base
         for b in flips:
             variant ^= 1 << b
+        # flipping bit 63 in Python int arithmetic escapes int64 in BOTH
+        # directions (negative base -> below -2^63); mask to 64 bits then
+        # re-sign instead of correcting only the positive overflow
+        variant &= 2**64 - 1
         if variant >= 2**63:
             variant -= 2**64
         a_id, b_id = i * 2, i * 2 + 1
