@@ -569,6 +569,7 @@ def hash64_candidate_pairs(
     hash_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Near-dup pairs of any 64-bit fingerprint column within
     ``max_hamming`` bits — the pigeonhole banding core shared by SimHash
@@ -577,6 +578,15 @@ def hash64_candidate_pairs(
     the bucket join on (chunk_idx, chunk_value) finds all such pairs with
     one shuffle. Verification = bit_count(xor) <= max_hamming. Returns
     ``id_a, id_b, hamming``.
+
+    ``max_bucket_size`` caps hot (chunk_idx, chunk_value) buckets with the
+    same deterministic windowed row_number cut as the md5 tier
+    (``simhash_md5_candidate_pairs``): a homogeneous corpus — blank
+    frames, silence, boilerplate — collapses many rows onto one chunk
+    value, and an uncapped bucket makes the self-join quadratic at scale.
+    Identical fingerprints still pair within the kept prefix, so exact
+    duplicates cluster through their bucket representatives; the cap only
+    bounds the candidate fan-out per bucket.
     """
     width = 64 // bands
     chunks = F.array(
@@ -587,6 +597,10 @@ def hash64_candidate_pairs(
     )
     banded = hashed.select(
         id_col, hash_col, F.posexplode(chunks).alias("cidx", "cval")
+    )
+    bucket_w = Window.partitionBy("cidx", "cval").orderBy(id_col)
+    banded = banded.withColumn("__bn", F.row_number().over(bucket_w)).filter(
+        F.col("__bn") <= max_bucket_size
     )
     a = banded.select(
         "cidx", "cval", F.col(id_col).alias("id_a"), F.col(hash_col).alias("sh_a")
@@ -611,12 +625,18 @@ def simhash_candidate_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """SimHash near-dup pairs within ``max_hamming`` bits (the
     ``hash64_candidate_pairs`` banding over the text SimHash)."""
     hashed = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
     return hash64_candidate_pairs(
-        hashed, id_col, "simhash", max_hamming=max_hamming, bands=bands
+        hashed,
+        id_col,
+        "simhash",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
     )
 
 

@@ -512,17 +512,24 @@ def image_neardup_pairs(
     payload_col: str = "payload",
     max_hamming: int = 6,
     bands: int = 8,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Image near-duplicate pairs: dHash fingerprints + the shared 64-bit
     pigeonhole banding (``dedup.hash64_candidate_pairs``) — one map-only
     hash pass over the payloads, one banding shuffle over (id, 8-byte
     hash) rows, hamming verify inside candidate buckets. The image bytes
-    never shuffle."""
+    never shuffle. ``max_bucket_size`` bounds hot fingerprint buckets
+    (blank frames collapse to one dHash value)."""
     from dbt_meshify_spark.operators.dedup import hash64_candidate_pairs
 
     hashed = image_dhash(media, id_col=id_col, payload_col=payload_col)
     return hash64_candidate_pairs(
-        hashed, id_col, "dhash", max_hamming=max_hamming, bands=bands
+        hashed,
+        id_col,
+        "dhash",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -612,14 +619,22 @@ def audio_neardup_pairs(
     payload_col: str = "payload",
     max_hamming: int = 6,
     bands: int = 8,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Audio near-duplicate pairs: energy-envelope fingerprints + the
-    shared 64-bit pigeonhole banding — audio bytes never shuffle."""
+    shared 64-bit pigeonhole banding — audio bytes never shuffle.
+    ``max_bucket_size`` bounds hot fingerprint buckets (silence collapses
+    to one envelope value)."""
     from dbt_meshify_spark.operators.dedup import hash64_candidate_pairs
 
     hashed = audio_fingerprint(media, id_col=id_col, payload_col=payload_col)
     return hash64_candidate_pairs(
-        hashed, id_col, "afp", max_hamming=max_hamming, bands=bands
+        hashed,
+        id_col,
+        "afp",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -629,6 +644,7 @@ def video_neardup_pairs(
     payload_col: str = "payload",
     stride: int = 2,
     min_jaccard: float = 0.5,
+    max_frame_df: int | None = 10_000,
 ) -> DataFrame:
     """Video near-duplicate pairs by SHARED-FRAME Jaccard: sample frames
     (the real Y4M kernel), dHash each sampled frame, and score video pairs
@@ -641,6 +657,13 @@ def video_neardup_pairs(
     (frames never shuffle), the pair join is keyed on the frame hash, and
     per-video frame counts broadcast back for the Jaccard denominator.
     Returns ``id_a, id_b, n_shared, jaccard``.
+
+    ``max_frame_df`` (stop-frame cap, the ``ngram_jaccard_pairs``
+    ``max_gram_df`` pattern one modality over): a frame hash shared by
+    more videos than this — blank/title-card frames across a whole corpus
+    — carries no discriminative signal and inflates the index join
+    quadratically, so it is dropped and the Jaccard computed over the
+    surviving-frame vocabulary on both sides of the denominator.
     """
     frames = sample_video_frames(
         media.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")),
@@ -655,6 +678,13 @@ def video_neardup_pairs(
         payload_col="payload",
     )
     fset = hashed.filter(F.col("dhash").isNotNull()).distinct()
+    if max_frame_df is not None:
+        frame_df = fset.groupBy("dhash").agg(F.count("*").alias("__df"))
+        fset = (
+            fset.join(frame_df, "dhash")
+            .filter(F.col("__df") <= max_frame_df)
+            .select("__vid", "dhash")
+        )
     per_video = fset.groupBy("__vid").agg(F.count("*").cast("long").alias("__n"))
     a = fset.select(F.col("__vid").alias("id_a"), "dhash")
     b = fset.select(F.col("__vid").alias("id_b"), "dhash")

@@ -286,3 +286,26 @@ def test_multimodal_survives_malformed_payloads(spark):
     assert all(f["media_id"] in {1, 2, 3, 4, 5} for f in frames)
     for pairs_fn in (image_neardup_pairs, audio_neardup_pairs, video_neardup_pairs):
         pairs_fn(media).collect()  # must not raise
+
+
+def test_hash64_banding_caps_degenerate_buckets(spark):
+    """A homogeneous corpus (1k identical fingerprints — blank frames,
+    silence) collapses every row onto one (chunk, value) bucket per band;
+    the windowed ``max_bucket_size`` cap must bound the candidate fan-out
+    to O(cap^2) instead of the quadratic C(1000,2)=499,500, while exact
+    duplicates still pair inside the kept prefix."""
+    from dbt_meshify_spark.operators.dedup import hash64_candidate_pairs
+
+    df = spark.createDataFrame(
+        [(i, 0xF234_5678_9ABC_DEF0 - 2**64) for i in range(1000)],
+        "id long, h long",
+    )
+    capped = hash64_candidate_pairs(
+        df, "id", "h", max_hamming=3, bands=4, max_bucket_size=50
+    )
+    n = capped.count()
+    # all 4 band buckets keep the SAME ordered id prefix, so pairs dedup
+    # to C(50,2); allow the exact bound, require way below quadratic
+    assert 0 < n <= 50 * 49 // 2
+    # identical fingerprints in the kept prefix still pair at hamming 0
+    assert capped.filter(F.col("hamming") == 0).count() == n
