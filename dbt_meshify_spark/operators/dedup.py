@@ -1298,7 +1298,9 @@ def cut_spans_from_text(
     )
 
 
-def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
+def _cc_star(
+    edges: DataFrame, max_iter: int, stats: dict | None = None
+) -> DataFrame:
     """Large-star / small-star alternation (Kiveris et al., "Connected
     Components in MapReduce and Beyond" — public algorithm): converges in
     O(log^2 n) rounds vs O(diameter) for min-label propagation, so whale
@@ -1340,7 +1342,7 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
         return (row["n"], row["h"])
 
     sig = _sig(e)
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m) for v > u
         lmin = und.groupBy("u").agg(F.min("v").alias("nmin"))
@@ -1365,6 +1367,8 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
         e = small
         new_sig = _sig(e)
         if new_sig == sig:
+            if stats is not None:
+                stats["rounds"] = rnd + 1
             comp = e.select(
                 F.col("u").alias("id"), F.col("v").alias("component")
             )
@@ -1385,6 +1389,7 @@ def connected_components(
     b_col: str = "id_b",
     max_iter: int = 25,
     variant: str = "propagate",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve candidate pairs into clusters: ``id -> component`` where
     ``component`` is the minimum id reachable through the pair graph.
@@ -1415,13 +1420,16 @@ def connected_components(
     rounds instead of O(diameter): the right tier when the dup graph has
     whale components (boilerplate cliques chained by transitive matches).
 
+    ``stats`` (optional dict) receives ``{"rounds": N}`` on convergence —
+    instrumentation for comparing tier round counts on whale graphs.
+
     Returns: ``id, component``. Raises if not converged within max_iter.
     """
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
     if variant == "star":
-        return _cc_star(edges, max_iter)
+        return _cc_star(edges, max_iter, stats)
     if variant != "propagate":
         raise ValueError(f"unknown connected_components variant: {variant!r}")
     undirected = edges.union(
@@ -1433,7 +1441,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         neighbor_min = (
             undirected.join(labels, undirected.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
@@ -1451,6 +1459,8 @@ def connected_components(
         changed = flagged.filter(F.col("chg")).count()
         labels = flagged.select("id", "label")
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rnd + 1
             return labels.select("id", F.col("label").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 

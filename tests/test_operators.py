@@ -2682,3 +2682,34 @@ def test_triangle_counts_known_graph(spark):
     df = spark.createDataFrame(edges, "src int, dst int")
     out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}  # pendant/pair/self-loop: zero
+
+
+def test_star_rounds_beat_propagate_on_whale_chain(spark):
+    """Measured round-count comparison on a planted 1k-node whale chain
+    (diameter 999): min-label propagation moves the min one hop per round
+    (needs ~999), the star alternation halves chain length per round pair
+    (O(log^2 n)). Numbers recorded in SCALE.md — keep them in sync."""
+    from dbt_meshify_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1000)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    star_stats: dict = {}
+    comp = {
+        r.id: r.component
+        for r in connected_components(
+            pairs, max_iter=30, variant="star", stats=star_stats
+        ).collect()
+    }
+    assert all(comp[i] == 0 for i in range(1001))
+    assert star_stats["rounds"] <= 25  # O(log^2 1000) ~ 1 + log2(1000)
+    # propagate on a SMALL chain for the round-count contrast (running the
+    # full 1k chain to convergence is ~999 serial Spark jobs)
+    small = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    prop_stats: dict = {}
+    connected_components(small, max_iter=100, stats=prop_stats).collect()
+    star_small: dict = {}
+    connected_components(small, max_iter=30, variant="star", stats=star_small).collect()
+    assert prop_stats["rounds"] >= 64  # one hop per round on diameter 64
+    assert star_small["rounds"] < prop_stats["rounds"] // 2
