@@ -8,9 +8,13 @@ each round is one equi-join + one aggregate, with ``localCheckpoint`` per
 round so lineage (and thus replay cost / stack depth) stays O(1) instead of
 O(iters).
 
-Model: standard damped PageRank without dangling-mass redistribution
-(dangling nodes keep the teleport term only) — the simplification every
-join-based implementation uses; document, don't hide.
+Model: damped PageRank with dangling handling selectable per call —
+``dangling="teleport"`` (dangling nodes keep the teleport term only; the
+simplification every join-based implementation uses) or
+``dangling="redistribute"`` (the standard correction: each round the mass
+sitting on out-degree-0 nodes is redistributed uniformly, so total rank
+mass is conserved at exactly 1 — what link-spam scoring needs, since a
+spam ring's rank should not leak out of the system through its sinks).
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    dangling: str = "teleport",
 ) -> DataFrame:
     """Rank nodes of a directed graph; returns ``id, pagerank``.
 
@@ -34,7 +39,17 @@ def pagerank(
     (no driver collect). Hot destination nodes are ordinary aggregate skew,
     which AQE splits; rank state is checkpointed per round so failure
     recovery never replays the whole chain.
+
+    ``dangling="redistribute"`` adds the standard dangling-mass correction:
+    per round the total rank on out-degree-0 nodes (ONE extra 1-row
+    aggregate over the keys-only rank frame, broadcast back like the node
+    count) is spread uniformly before damping, conserving total mass at
+    exactly 1.0 regardless of sink structure. ``"teleport"`` (default)
+    keeps the cheaper leak-to-teleport model for parity with the unrolled
+    SQL oracle.
     """
+    if dangling not in ("teleport", "redistribute"):
+        raise ValueError(f"unknown pagerank dangling mode: {dangling!r}")
     # e/nodes/n1 are all reused EVERY round: without pinning them, each
     # iteration re-runs the upstream edge-derivation job three times over
     # (once via weighted, once via nodes, once via n1) — measured as the
@@ -61,6 +76,12 @@ def pagerank(
     # edges pre-joined with out-degree once; reused every round
     weighted = e.join(outdeg, "src").localCheckpoint(eager=False)
 
+    # dangling node set (no out-edges) computed once; per-round mass is a
+    # 1-row aggregate broadcast back — same scalar-plumbing shape as n1
+    dangling_ids = nodes.join(
+        outdeg.select(F.col("src").alias("id")), "id", "left_anti"
+    ).localCheckpoint(eager=False)
+
     for _ in range(iters):
         contribs = (
             weighted.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -68,23 +89,74 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            nodes.join(contribs, "id", "left")
-            .crossJoin(F.broadcast(n1))
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping) / F.col("n")
-                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("rank"),
+        if dangling == "redistribute":
+            dmass = ranks.join(dangling_ids, "id").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
             )
-            .localCheckpoint(eager=False)
-        )
+            new_rank = (
+                F.lit(1.0 - damping) / F.col("n")
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.col("n"))
+            )
+            ranks = (
+                nodes.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(n1))
+                .crossJoin(F.broadcast(dmass))
+                .select("id", new_rank.alias("rank"))
+                .localCheckpoint(eager=False)
+            )
+        else:
+            ranks = (
+                nodes.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(n1))
+                .select(
+                    "id",
+                    (
+                        F.lit(1.0 - damping) / F.col("n")
+                        + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
     return ranks.select("id", F.col("rank").alias("pagerank"))
 
 
+def _orient_by_degree(e: DataFrame) -> DataFrame:
+    """Orient canonical undirected edges ``(lo, hi)`` from the
+    lower-(degree, id) endpoint to the higher — the classic triangle-count
+    skew guard: a hub of degree D contributes D IN-edges but at most
+    O(sqrt(m)) OUT-edges under this total order, so the wedge self-join
+    (keyed on the OUT side) never fans on hubs. Returns
+    ``u, v, rv`` where ``rv`` is v's (deg, id) rank struct for wedge
+    ordering."""
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .union(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    el = (
+        e.join(deg.select(F.col("node").alias("lo"), F.col("deg").alias("dlo")), "lo")
+        .join(deg.select(F.col("node").alias("hi"), F.col("deg").alias("dhi")), "hi")
+    )
+    # lo < hi by construction, so degree ties orient lo -> hi
+    lo_first = (F.col("dlo") < F.col("dhi")) | (F.col("dlo") == F.col("dhi"))
+    return el.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.when(
+            lo_first, F.struct(F.col("dhi").alias("d"), F.col("hi").alias("i"))
+        )
+        .otherwise(F.struct(F.col("dlo").alias("d"), F.col("lo").alias("i")))
+        .alias("rv"),
+    )
+
+
 def triangle_counts(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    orient: str = "id",
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph — the clustering /
     community-density primitive next to PageRank and connected components
@@ -94,12 +166,19 @@ def triangle_counts(
     Standard distributed shape: edges canonicalize to oriented (lo, hi)
     pairs with duplicates dropped, then two equi-joins enumerate each
     triangle exactly once as lo < mid < hi, and a final explode-aggregate
-    credits each corner. All joins are hash-equi on node ids; at 100 TB
-    the classic skew guard is degree-ordering (orient edges by degree,
-    not id) so hub nodes don't fan the first join — documented here, id
-    orientation kept for oracle replayability. Self-loops and NULL
-    endpoints are dropped. Returns ``node, n_triangles``.
+    credits each corner. All joins are hash-equi on node ids. Self-loops
+    and NULL endpoints are dropped. Returns ``node, n_triangles``.
+
+    ``orient`` selects the edge orientation: ``"id"`` (default — exactly
+    reproducible in the SQL oracle) or ``"degree"`` (the 100 TB skew
+    guard: edges orient from the lower-(degree, id) endpoint, so a hub of
+    degree D holds at most O(sqrt(m)) OUT-edges and the wedge self-join —
+    keyed on the out side — never fans quadratically on hubs; see
+    ``_orient_by_degree``). Both orientations count every triangle
+    exactly once and agree on the result.
     """
+    if orient not in ("id", "degree"):
+        raise ValueError(f"unknown triangle_counts orient: {orient!r}")
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
@@ -112,10 +191,20 @@ def triangle_counts(
         )
         .distinct()
     )
-    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    tris = ab.join(bc, "b").join(ac, ["a", "c"])
+    if orient == "degree":
+        o = _orient_by_degree(e).localCheckpoint(eager=False)
+        w1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("rv").alias("rb"))
+        w2 = o.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("rv").alias("rc"))
+        # wedge (a; b, c) with rank(b) < rank(c); the closing edge is the
+        # oriented (b -> c) exactly (orientation follows the same order)
+        wedges = w1.join(w2, "a").filter(F.col("rb") < F.col("rc"))
+        closing = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    else:
+        ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+        ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+        tris = ab.join(bc, "b").join(ac, ["a", "c"])
     corners = (
         tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")

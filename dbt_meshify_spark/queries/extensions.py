@@ -5421,3 +5421,102 @@ FROM scored
 WHERE ABS(ROUND(z, 4)) > 3.5
 ORDER BY event_id NULLS FIRST
 """
+
+
+def ext_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[G-scale] 2-iteration PageRank with dangling-mass redistribution
+    over the supplier->customer ships-to graph — customers are pure sinks,
+    so this is exactly the graph where the teleport model leaks mass and
+    the redistribute model conserves it at 1.0
+    (operators/graph_rank.py::pagerank, dangling='redistribute'). Oracle:
+    the same two rounds unrolled as CTEs with the per-round dangling-mass
+    scalar folded in."""
+    from dbt_meshify_spark.operators.graph_rank import pagerank
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+    )
+    return (
+        pagerank(edges, iters=2, dangling="redistribute")
+        .select("id", F.round("pagerank", 6).alias("pagerank"))
+        .orderBy(_asc("id"))
+    )
+
+
+QUERIES["ext_pagerank_dangling"] = ext_pagerank_dangling
+
+ORACLES["ext_pagerank_dangling"] = """
+WITH edges AS (
+  SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+d1 AS (
+  SELECT COALESCE(SUM(r.rank), 0) AS dm
+  FROM r0 r LEFT JOIN outdeg d ON r.id = d.src WHERE d.src IS NULL
+),
+c1 AS (
+  SELECT e.dst AS id, SUM(r.rank / d.deg) AS c
+  FROM edges e JOIN r0 r ON e.src = r.id JOIN outdeg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT nd.id,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * (COALESCE(c1.c, 0) + (SELECT dm FROM d1) / (SELECT n FROM nn)) AS rank
+  FROM nodes nd LEFT JOIN c1 ON nd.id = c1.id
+),
+d2 AS (
+  SELECT COALESCE(SUM(r.rank), 0) AS dm
+  FROM r1 r LEFT JOIN outdeg d ON r.id = d.src WHERE d.src IS NULL
+),
+c2 AS (
+  SELECT e.dst AS id, SUM(r.rank / d.deg) AS c
+  FROM edges e JOIN r1 r ON e.src = r.id JOIN outdeg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT nd.id,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * (COALESCE(c2.c, 0) + (SELECT dm FROM d2) / (SELECT n FROM nn)) AS rank
+  FROM nodes nd LEFT JOIN c2 ON nd.id = c2.id
+)
+SELECT id, ROUND(rank, 6) AS pagerank FROM r2
+ORDER BY id NULLS FIRST
+"""
+
+
+def ext_triangle_counts_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[G-scale] the DEGREE-ORIENTED triangle tier against the SAME oracle
+    as ext_triangle_counts — both orientations must count every triangle
+    exactly once, so the skew-guarded 100 TB path gets full oracle
+    correctness evidence, not just the unit hub-graph test."""
+    from dbt_meshify_spark.operators.graph_rank import triangle_counts
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    active = events.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    a = active.select("h", F.col("user_id").alias("src"))
+    b = active.select("h", F.col("user_id").alias("dst"))
+    edges = (
+        a.join(b, "h")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_counts(edges, orient="degree").orderBy(_asc("node"))
+
+
+QUERIES["ext_triangle_counts_degree"] = ext_triangle_counts_degree
+
+ORACLES["ext_triangle_counts_degree"] = ORACLES["ext_triangle_counts"]

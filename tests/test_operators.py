@@ -2713,3 +2713,66 @@ def test_star_rounds_beat_propagate_on_whale_chain(spark):
     connected_components(small, max_iter=30, variant="star", stats=star_small).collect()
     assert prop_stats["rounds"] >= 64  # one hop per round on diameter 64
     assert star_small["rounds"] < prop_stats["rounds"] // 2
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    """dangling='redistribute': total rank mass must be exactly 1 every
+    run regardless of sink structure (the star graph's hub is a pure
+    sink), while the teleport model leaks sink mass. Ordering invariants
+    hold in both models."""
+    from dbt_meshify_spark.operators.graph_rank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("a", "b")], ["src", "dst"]
+    )
+    red = {
+        r.id: r.pagerank
+        for r in pagerank(edges, iters=10, dangling="redistribute").collect()
+    }
+    assert abs(sum(red.values()) - 1.0) < 1e-9  # mass conservation
+    assert red["hub"] > red["b"] > red["a"] == red["c"]
+    tel = {r.id: r.pagerank for r in pagerank(edges, iters=10).collect()}
+    assert sum(tel.values()) < 1.0 - 1e-6  # teleport model leaks sink mass
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(edges, dangling="nope")
+
+
+def test_triangle_degree_orientation_matches_id_and_bounds_fanout(spark):
+    """Degree orientation must (a) agree with id orientation on counts and
+    (b) bound the wedge-join fan-out on a hub graph: a 100-leaf hub has
+    in-degree 100 under degree orientation but out-degree ~0, so no key
+    in the wedge self-join exceeds the leaf degree."""
+    from dbt_meshify_spark.operators.graph_rank import (
+        _orient_by_degree,
+        triangle_counts,
+    )
+
+    # hub 0 wired to 1..100; triangle edges along the rim (1,2),(2,3),...
+    hub = [(0, i) for i in range(1, 101)]
+    rim = [(i, i + 1) for i in range(1, 100)]
+    df = spark.createDataFrame(hub + rim, "src int, dst int")
+    by_id = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    by_deg = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df, orient="degree").collect()
+    }
+    assert by_deg == by_id
+    assert by_id[0] == 99  # hub corners every rim triangle
+    # skew bound: the wedge join keys on the OUT side; under degree
+    # orientation every rim node has out-degree <= 3 and the hub ~0,
+    # where id orientation gives node 0 out-degree 100
+    e = df.selectExpr("least(src,dst) AS lo", "greatest(src,dst) AS hi").distinct()
+    out_deg = {
+        r["u"]: r["n"]
+        for r in _orient_by_degree(e).groupBy("u").agg(F.count("*").alias("n")).collect()
+    }
+    assert max(out_deg.values()) <= 3
+    assert out_deg.get(0, 0) == 0  # the hub emits no wedges
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        triangle_counts(df, orient="nope")
