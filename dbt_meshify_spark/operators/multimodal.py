@@ -99,15 +99,36 @@ def _parse_ppm(payload: bytes):
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
 
 
+def _try_import_pil():
+    """Optional-codec gate: PIL when installed, None otherwise. Resolved
+    once per process (executor-side import cost is paid on first batch)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to an (h, w, 3) uint8 array.
 
     REAL for PPM (P6) — header parse + numpy reshape, no codec needed.
-    Library formats (JPEG/PNG/...) are gated: swap in PIL/libvips here;
-    the mapInPandas harnesses around it are unchanged.
+    Library formats (JPEG/PNG/WebP/...) route through PIL WHEN INSTALLED
+    (optional dependency — this container ships no codecs, so the
+    try-import degrades to the documented gate); the mapInPandas
+    harnesses around it are unchanged either way.
     """
     if payload[:2] == b"P6":
         return _parse_ppm(payload)
+    pil = _try_import_pil()
+    if pil is not None:
+        import io
+
+        import numpy as np
+
+        with pil.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
     raise NotImplementedError(
         "only PPM decodes without codecs; install PIL/libvips for JPEG/PNG"
     )

@@ -2776,3 +2776,62 @@ def test_triangle_degree_orientation_matches_id_and_bounds_fanout(spark):
 
     with _pytest.raises(ValueError):
         triangle_counts(df, orient="nope")
+
+
+def test_decode_image_pil_gate():
+    """decode_image routes non-PPM payloads through PIL when installed and
+    through the documented NotImplementedError gate when not — both sides
+    of the optional-codec seam are exercised whichever environment runs."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dbt_meshify_spark.operators.multimodal import (
+        _try_import_pil,
+        decode_image,
+        encode_ppm,
+    )
+
+    rgb = (np.arange(9 * 8 * 3, dtype=np.uint8)).reshape(9, 8, 3)
+    assert np.array_equal(decode_image(encode_ppm(rgb)), rgb)  # PPM: always real
+    pil = _try_import_pil()
+    if pil is None:
+        with _pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\nfake")
+    else:
+        import io
+
+        im = pil.fromarray(rgb)
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        assert np.array_equal(decode_image(buf.getvalue()), rgb)
+
+
+def test_image_dhash_real_codec_when_available(spark):
+    """With PIL installed, a PNG and its PPM twin must produce the SAME
+    dHash (the fingerprint is codec-invariant by construction); without
+    PIL the PNG takes the md5 stand-in and the test skips the parity
+    half."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dbt_meshify_spark.operators.multimodal import (
+        _try_import_pil,
+        encode_ppm,
+        image_dhash,
+    )
+
+    pil = _try_import_pil()
+    if pil is None:
+        _pytest.skip("PIL not installed; PNG parity needs the real codec")
+    import io
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    pil.fromarray(rgb).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(rgb))), (2, bytearray(buf.getvalue()))],
+        "media_id long, payload binary",
+    )
+    hashes = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    assert hashes[1] == hashes[2]
