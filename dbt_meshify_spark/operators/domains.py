@@ -48,14 +48,19 @@ def filter_top_domains(
     (ties break on domain name ascending — deterministic).
 
     Returns the surviving documents with their domain's rank and mean
-    quality attached. The window ranks the aggregated stats frame (one row
-    per domain), not the corpus.
+    quality attached. The top-k cut is an ``orderBy().limit(k)`` —
+    planned as TakeOrderedAndProject, partial top-k per partition then a
+    k-row merge — so even a web-scale domain frame (millions of hosts)
+    never funnels through one task; the rank window runs over the k
+    surviving rows only.
     """
     stats = domain_stats(df, domain_col=domain_col, text_col=text_col)
-    w = Window.orderBy(F.col("avg_quality").desc(), F.col(domain_col).asc())
+    order = [F.col("avg_quality").desc(), F.col(domain_col).asc()]
+    w = Window.orderBy(*order)
     kept = (
-        stats.withColumn("domain_rank", F.row_number().over(w))
-        .filter(F.col("domain_rank") <= top_k)
+        stats.orderBy(*order)
+        .limit(top_k)
+        .withColumn("domain_rank", F.row_number().over(w))
         .select(domain_col, "domain_rank", "avg_quality")
     )
     return df.join(F.broadcast(kept), domain_col)

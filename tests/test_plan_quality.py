@@ -363,3 +363,59 @@ def test_media_neardup_payloads_never_shuffle(spark):
                 assert "payload" not in line and "frame#" not in line, (
                     f"{fn.__name__} shuffles media bytes: {line.strip()[:120]}"
                 )
+
+
+# Queries whose OPTIMIZED plan contains an unpartitioned (global) window,
+# each with the reason the frame under it is bounded — the serialize-the-
+# corpus anti-pattern is a global window over an UNBOUNDED frame. A new
+# query that introduces one must either partition the window or earn an
+# entry here with its bound.
+GLOBAL_WINDOW_ALLOWLIST = {
+    # two-phase running totals: the only global window is over the
+    # #partitions-row offsets frame (guarded structurally above)
+    "ext_dsir_sample": "offsets frame: one row per partition",
+    "ext_token_budget": "offsets frame: one row per partition",
+    "ext_training_data_build": "offsets frame: one row per partition",
+    # bounded post-top-k rank assignment
+    "ext_domain_quality_filter": "rank over top_k TakeOrdered survivors",
+    "ext_skew_report": "rank over top-k heavy hitters per column",
+    "ext_weighted_sample": "rank over k TakeOrdered sample rows",
+    "ext_zipf_fit": "regression over top-500 term frequencies",
+    # candidate-sized / documented small tiers
+    "ext_funnel_windowed": "rates over the fixed stage-count rows",
+    "ext_hybrid_retrieval": "rank over candidate-sized retrieval frames",
+    "ext_quality_top_fraction": "exact percent_rank tier BY DESIGN; the "
+    "scale tier is keep_top_fraction(exact=False)",
+    "ext_vocab_encode": "term-id assignment over the min_count-filtered "
+    "vocabulary (bounded Heaps-law growth; broadcast back)",
+}
+
+
+def _has_global_window(plan: str) -> bool:
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            inner = line.split("windowspecdefinition(", 1)[1]
+            head = inner.split(",")[0]
+            if (
+                "ASC NULLS" in head
+                or "DESC NULLS" in head
+                or inner.startswith("specifiedwindowframe")
+            ):
+                return True
+    return False
+
+
+def test_global_windows_only_on_allowlisted_queries(spark):
+    """Corpus-wide sweep: every query whose optimized plan contains an
+    unpartitioned window must be on GLOBAL_WINDOW_ALLOWLIST (each entry
+    documents why its frame is bounded), and every allowlist entry must
+    still exist — stale entries hide regressions."""
+    offenders = []
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if _has_global_window(plan) and name not in GLOBAL_WINDOW_ALLOWLIST:
+            offenders.append(name)
+    assert not offenders, f"unallowlisted global windows: {offenders}"
+    stale = sorted(set(GLOBAL_WINDOW_ALLOWLIST) - set(QUERIES))
+    assert not stale, f"allowlist entries for unknown queries: {stale}"
