@@ -47,10 +47,15 @@ class MultiOption(click.Option):
     def add_to_parser(self, parser, ctx):
         super().add_to_parser(parser, ctx)
 
+        # click registers ONE parser Option object under every alias —
+        # dedup by identity so --select/-s don't get the greedy wrapper
+        # applied twice (nested wrapping is idempotent today but fragile)
+        resolved = {}
         for opt in self.opts + self.secondary_opts:
             our = parser._long_opt.get(opt) or parser._short_opt.get(opt)
-            if our is None:
-                continue
+            if our is not None:
+                resolved[id(our)] = our
+        for our in resolved.values():
             base_process = our.process
 
             def process(value, state, _base=base_process):
