@@ -1383,6 +1383,10 @@ def _cc_star(
     raise RuntimeError(f"star CC did not converge in {max_iter} rounds")
 
 
+# auto tier: propagate rounds to try before declaring the graph a whale
+_AUTO_PROBE_ROUNDS = 6
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -1420,7 +1424,19 @@ def connected_components(
     rounds instead of O(diameter): the right tier when the dup graph has
     whale components (boilerplate cliques chained by transitive matches).
 
-    ``stats`` (optional dict) receives ``{"rounds": N}`` on convergence —
+    ``variant="auto"`` (the shipped-query default) composes the tiers by
+    MEASUREMENT, not guesswork: propagation rounds are ~40% cheaper than
+    star rounds (one shuffle job vs three — A/B at sf0.1 warm: 3.3 s
+    propagate vs 5.9 s star end-to-end on the clique-shaped trigram dup
+    graph), so auto runs up to ``auto_probe_rounds`` propagate rounds —
+    enough for the diameter-2-3 cliques that dominate real near-dup
+    graphs — and only if the graph hasn't converged (a whale) restarts on
+    the star tier, whose round count is logarithmic. Worst case pays
+    ``auto_probe_rounds`` cheap extra rounds; typical case never pays the
+    star premium.
+
+    ``stats`` (optional dict) receives ``{"rounds": N}`` on convergence
+    (probe + star rounds combined under auto, plus ``{"tier": ...}``) —
     instrumentation for comparing tier round counts on whale graphs.
 
     Returns: ``id, component``. Raises if not converged within max_iter.
@@ -1430,6 +1446,22 @@ def connected_components(
     )
     if variant == "star":
         return _cc_star(edges, max_iter, stats)
+    if variant == "auto":
+        probe_stats: dict = {}
+        try:
+            out = connected_components(
+                pairs, a_col, b_col, _AUTO_PROBE_ROUNDS, "propagate", probe_stats
+            )
+            if stats is not None:
+                stats.update(probe_stats)
+                stats["tier"] = "propagate"
+            return out
+        except RuntimeError:
+            out = _cc_star(edges, max_iter, probe_stats)
+            if stats is not None:
+                stats["rounds"] = _AUTO_PROBE_ROUNDS + probe_stats.get("rounds", 0)
+                stats["tier"] = "star"
+            return out
     if variant != "propagate":
         raise ValueError(f"unknown connected_components variant: {variant!r}")
     undirected = edges.union(
@@ -1474,7 +1506,8 @@ def dedup_clusters(
     """Attach near-dup cluster ids to every row: ``cluster_id`` = component
     min-id (rows in no pair are their own cluster), ``is_representative`` =
     the row dedup would keep. Keys-only joins; payloads never shuffle.
-    ``variant`` selects the CC tier (``propagate`` | ``star``)."""
+    ``variant`` selects the CC tier (``propagate`` | ``star`` |
+    ``auto``)."""
     comp = connected_components(pairs, variant=variant)
     return (
         df.join(comp, df[id_col] == comp.id, "left")

@@ -90,16 +90,18 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N1/N2] near-dup cluster resolution: trigram-Jaccard pairs (>=0.5)
-    -> connected components (large-star/small-star alternation, the
-    whale-component tier — O(log^2 n) rounds vs O(diameter) for min-label
-    propagation; measured on a planted 1k-node chain in
-    ``test_star_rounds_beat_propagate_on_whale_chain``) -> every doc
+    -> connected components (auto tier: cheap min-label propagation for
+    the clique-shaped typical graph, falling back to the large-star/
+    small-star alternation — O(log^2 n) rounds — when a whale component
+    stalls propagation; tiers and round counts measured in
+    ``test_star_rounds_beat_propagate_on_whale_chain`` and
+    ``test_cc_auto_tier_picks_cheap_then_falls_back``) -> every doc
     labeled with its cluster and keep/drop decision. Oracle: a
     recursive-CTE transitive closure over the identical pair set."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
     return (
-        dedup_clusters(docs, pairs, variant="star")
+        dedup_clusters(docs, pairs, variant="auto")
         .select("doc_id", "cluster_id", "is_representative")
         .orderBy(_asc("doc_id"))
     )

@@ -2835,3 +2835,36 @@ def test_image_dhash_real_codec_when_available(spark):
     )
     hashes = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
     assert hashes[1] == hashes[2]
+
+
+def test_cc_auto_tier_picks_cheap_then_falls_back(spark):
+    """auto = propagate for cheap typical graphs, star for whales: on a
+    clique pile it must converge inside the probe budget on the propagate
+    tier; on a chain longer than the probe budget it must fall back to
+    star and still produce the exact component map."""
+    from dbt_meshify_spark.operators.dedup import (
+        _AUTO_PROBE_ROUNDS,
+        connected_components,
+    )
+
+    cliques = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    s1: dict = {}
+    c1 = {
+        r.id: r.component
+        for r in connected_components(cliques, variant="auto", stats=s1).collect()
+    }
+    assert s1["tier"] == "propagate" and s1["rounds"] <= _AUTO_PROBE_ROUNDS
+    assert c1[3] == 1 and c1[11] == 10 and c1[22] == 20
+    whale = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 164)], "id_a long, id_b long"
+    )
+    s2: dict = {}
+    c2 = {
+        r.id: r.component
+        for r in connected_components(whale, variant="auto", stats=s2).collect()
+    }
+    assert s2["tier"] == "star"
+    assert all(c2[i] == 100 for i in range(100, 165))
