@@ -238,6 +238,14 @@ def _minhash_md5_signatures(
     map-side-combined shuffle on id (measured 9.4 s -> ~1.5 s at sf0.1).
     Docs with no shingles drop out in the explode — same semantics as the
     HOF form's size filter.
+
+    Hash slot i is a 6-nibble (24-bit) SLICE of a salted digest —
+    ``substring(md5((i/5)|shingle), (i%5)*6, 6)`` — so 5 independent hash
+    functions share one md5 evaluation: ceil(k/5) digests per shingle
+    instead of k (16 salted md5 calls -> 4; measured another ~2x off the
+    signature pass at sf0.1). 24 bits is ample for per-doc minima (a doc
+    has 10^2-10^3 shingles; collision odds per slot ~n/16.7M) and the
+    DuckDB oracle replays the same slicing verbatim.
     """
     exploded = (
         _with_tokens(df.select(id_col, text_col), text_col)
@@ -248,8 +256,15 @@ def _minhash_md5_signatures(
             ).alias("__s"),
         )
     )
+    per_digest = 5  # 5 x 6-nibble slices from 30 of the 32 digest nibbles
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__s")))).alias(f"__m{i}")
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i // per_digest}|"), F.col("__s"))),
+                (i % per_digest) * 6 + 1,
+                6,
+            )
+        ).alias(f"__m{i}")
         for i in range(num_hashes)
     ]
     return exploded.groupBy(id_col).agg(*mins).select(

@@ -2694,7 +2694,8 @@ sh AS (
 sig AS (
   SELECT doc_id,
          list_transform(range(0, 16),
-           i -> list_min(list_transform(grams, s -> md5(i || '|' || s)))) AS mh
+           i -> list_min(list_transform(grams,
+                  s -> substring(md5((i // 5) || '|' || s), (i % 5) * 6 + 1, 6)))) AS mh
   FROM sh WHERE len(grams) > 0
 ),
 banded_all AS (
@@ -2739,7 +2740,8 @@ sh AS (
 sig AS (
   SELECT doc_id,
          list_transform(range(0, 16),
-           i -> list_min(list_transform(grams, s -> md5(i || '|' || s)))) AS mh
+           i -> list_min(list_transform(grams,
+                  s -> substring(md5((i // 5) || '|' || s), (i % 5) * 6 + 1, 6)))) AS mh
   FROM sh WHERE len(grams) > 0
 ),
 corpus_banded_all AS (
