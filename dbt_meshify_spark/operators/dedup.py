@@ -659,7 +659,7 @@ def simhash_md5_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 64,
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int = 1000,
@@ -667,106 +667,80 @@ def simhash_md5_candidate_pairs(
     """SimHash near-dup with md5-digest bit hashes — the cross-engine tier.
 
     bit j of a doc = sign of sum over tokens of +-1 according to the high
-    bit of hex nibble j of md5(token) (classic SimHash: hash each token
-    ONCE, every digest bit is an independent vote); fully replayable in
-    any engine with md5, so this variant is oracle-checked end-to-end,
-    closing the loop the xxhash64 ``simhash`` scale tier cannot. Same
-    pigeonhole banding and hamming verify as ``simhash_candidate_pairs``,
-    over bit-STRING chunks. Requires ``bits <= 32`` (one hex nibble per
-    bit from the 128-bit digest). An earlier form salted k md5 calls per
-    token (md5(j|token)); at 1M token rows x 32 bits that was ~30M md5
-    evaluations and ~10s of the sf0.1 bench — the digest-nibble form is
-    one md5 + 32 codegen'd substrings per token, ~5x faster end-to-end.
+    bit of hex nibble j%32 of md5((j/32)|token) (classic SimHash: each
+    digest nibble is an independent vote, two salted digests cover 64
+    bits); fully replayable in any engine with md5, so this variant is
+    oracle-checked end-to-end, closing the loop the xxhash64 ``simhash``
+    scale tier cannot. Same pigeonhole banding and hamming verify as
+    ``simhash_candidate_pairs``, over bit-STRING chunks.
+
+    64 bits / 4 bands matches the xxhash production tier's geometry for a
+    reason beyond parity: 32 bits means 8-bit band chunks — 256 possible
+    values per band — and real-corpus sign bits are correlated enough
+    that at sf0.1 (10k docs) the banding emitted 2.47M candidate pairs
+    (verify join was ~5.6 s of the query). 16-bit chunks make bucket
+    membership selective again. An earlier form salted k md5 calls per
+    token; the digest-nibble form is ceil(bits/32) md5 calls + ``bits``
+    codegen'd substrings per token, ~5x faster end-to-end.
     """
-    assert bits % bands == 0
-    assert bits <= 32, "one hex nibble per bit; md5 has 32 nibbles"
-    width = bits // bands
-    # Explode tokens, hash each ONCE, then take ``bits`` codegen'd SUM
-    # aggregates over digest nibbles: Spark HOF lambdas evaluate
+    assert bits == 64, "the long-fingerprint core is 64-bit"
+    assert 64 % bands == 0
+    n_salt = (bits + 31) // 32
+    # Explode tokens, hash each ONCE per salt, then take ``bits`` codegen'd
+    # SUM aggregates over digest nibbles: Spark HOF lambdas evaluate
     # interpreted, so the nested aggregate-per-bit form pays ~5x its work
     # content (same lesson as the md5 MinHash tier). One fully-codegen
     # vote pass + one map-side-combined shuffle on id.
     exploded = (
         _with_tokens(df.select(id_col, text_col), text_col)
         .select(F.col(id_col), F.explode("__toks").alias("__t"))
-        .select(F.col(id_col), F.md5(F.col("__t")).alias("__h"))
+        .select(
+            F.col(id_col),
+            *[
+                F.md5(F.concat(F.lit(f"{g}|"), F.col("__t"))).alias(f"__h{g}")
+                for g in range(n_salt)
+            ],
+        )
     )
     votes = [
         F.sum(
-            F.when(F.substring(F.col("__h"), j + 1, 1) >= "8", 1).otherwise(-1)
+            F.when(
+                F.substring(F.col(f"__h{j // 32}"), j % 32 + 1, 1) >= "8", 1
+            ).otherwise(-1)
         ).alias(f"__v{j}")
         for j in range(bits)
     ]
+    # Pack the vote signs into ONE 64-bit long (same construction as the
+    # xxhash ``simhash``) and hand off to the shared banding core: an
+    # earlier form carried the fingerprint as a 64-char bit STRING and
+    # verified with a 64-term substring-compare sum — that expression
+    # blows past whole-stage-codegen's method budget and fell back to
+    # interpreted eval (~8 s of the sf0.1 query on ~850k candidates). The
+    # long fingerprint verifies with a single codegen'd bit_count(xor)
+    # and bands with shiftright+mask — identical pairs, ~5x faster, and
+    # the DuckDB oracle replays the same integer ops exactly (>> is
+    # arithmetic and xor/bit_count agree on BIGINT in both engines).
+    result = F.lit(0).cast("long")
+    for j in range(bits):
+        bit = (1 << j) if j < 63 else -(1 << 63)
+        result = result.bitwiseOR(
+            F.when(F.col(f"__v{j}") > 0, F.lit(bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
     hashed = (
         exploded.groupBy(id_col)
         .agg(*votes)
-        .select(
-            F.col(id_col),
-            F.array(
-                *[
-                    F.when(F.col(f"__v{j}") > 0, F.lit("1")).otherwise(
-                        F.lit("0")
-                    )
-                    for j in range(bits)
-                ]
-            ).alias("__bits"),
-        )
+        .select(F.col(id_col), result.alias("__sh"))
         .localCheckpoint(eager=False)
     )
-
-    # Fingerprint as a 32-char bit STRING from here on: array<string> bit
-    # vectors cost ~3 KB/row (object headers) through a multi-million-row
-    # candidate join, the string ~40 B. Banding rows carry (id, chunk)
-    # only; fingerprints re-join after pair dedup, and hamming is a
-    # codegen'd sum of fixed positional comparisons — no interpreted
-    # lambdas anywhere in the pair path.
-    fp = hashed.select(
-        F.col(id_col), F.concat_ws("", "__bits").alias("__fp")
-    ).localCheckpoint(eager=False)
-    banded = fp.select(
+    return hash64_candidate_pairs(
+        hashed,
         id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring(F.col("__fp"), i * width + 1, width)
-                    for i in range(bands)
-                ]
-            )
-        ).alias("cidx", "cval"),
-    )
-    # Cap hot buckets deterministically (mirrored in the oracle SQL): a
-    # low-bit fingerprint over a homogeneous corpus collapses many docs
-    # onto few chunk values — measured 252k candidate pairs at sf0.1
-    # without the cap.
-    bucket_w = Window.partitionBy("cidx", "cval").orderBy(id_col)
-    banded = banded.withColumn("__bn", F.row_number().over(bucket_w)).filter(
-        F.col("__bn") <= max_bucket_size
-    )
-    a = banded.select("cidx", "cval", F.col(id_col).alias("id_a"))
-    b = banded.select(
-        F.col("cidx").alias("cidx_b"),
-        F.col("cval").alias("cval_b"),
-        F.col(id_col).alias("id_b"),
-    )
-    cand = (
-        a.join(b, (a.cidx == b.cidx_b) & (a.cval == b.cval_b) & (a.id_a < b.id_b))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    fp_a = fp.select(F.col(id_col).alias("id_a"), F.col("__fp").alias("fp_a"))
-    fp_b = fp.select(F.col(id_col).alias("id_b"), F.col("__fp").alias("fp_b"))
-    hamming = sum(
-        F.when(
-            F.substring("fp_a", i + 1, 1) != F.substring("fp_b", i + 1, 1), 1
-        ).otherwise(0)
-        for i in range(bits)
-    )
-    return (
-        cand.join(fp_a, "id_a")
-        .join(fp_b, "id_b")
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        "__sh",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
     )
 
 

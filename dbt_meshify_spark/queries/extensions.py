@@ -151,8 +151,9 @@ def ext_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_simhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[N2] SimHash near-dup with salted-md5 bit hashes (32 bits, 4 bands,
-    hamming<=3) — cross-engine-reproducible, so oracle-checked end-to-end
+    """[N2] SimHash near-dup with salted-md5 bit hashes (64 bits, 4 bands,
+    hamming<=3 — the xxhash tier's geometry, cross-engine-reproducible) so
+    oracle-checked end-to-end
     (operators/dedup.py::simhash_md5_candidate_pairs)."""
     from dbt_meshify_spark.operators.dedup import simhash_md5_candidate_pairs
 
@@ -2789,21 +2790,33 @@ WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
 ),
 hashed AS (
-  SELECT doc_id, list_transform(l, t -> md5(t)) AS hl FROM toks
+  SELECT doc_id,
+         list_transform(l, t -> md5('0|' || t)) AS h0,
+         list_transform(l, t -> md5('1|' || t)) AS h1
+  FROM toks
 ),
 bits AS (
   SELECT doc_id,
-         list_transform(range(0, 32), j ->
-           CASE WHEN list_sum(list_transform(hl, h ->
-                  CASE WHEN substr(h, j + 1, 1) >= '8'
+         list_transform(range(0, 64), j ->
+           CASE WHEN list_sum(list_transform(
+                  CASE WHEN j < 32 THEN h0 ELSE h1 END, h ->
+                  CASE WHEN substr(h, (j % 32) + 1, 1) >= '8'
                        THEN 1 ELSE -1 END)) > 0
-                THEN '1' ELSE '0' END) AS b
+                THEN 1 ELSE 0 END) AS b
   FROM hashed
 ),
+fp AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 63), j ->
+                CASE WHEN b[j + 1] = 1 THEN (CAST(1 AS BIGINT) << j)
+                     ELSE CAST(0 AS BIGINT) END))
+              - CASE WHEN b[64] = 1 THEN CAST(9223372036854775808 AS HUGEINT)
+                     ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS h
+  FROM bits
+),
 banded_all AS (
-  SELECT doc_id, b, i AS cidx,
-         array_to_string(b[i*8+1 : i*8+8], '') AS cval
-  FROM bits, range(0, 4) t(i)
+  SELECT doc_id, h, i AS cidx, (h >> (i * 16)) & 65535 AS cval
+  FROM fp, range(0, 4) t(i)
 ),
 banded AS (
   SELECT * FROM (
@@ -2813,14 +2826,13 @@ banded AS (
   ) WHERE bn <= 1000
 ),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, p.doc_id AS id_b, a.b AS b_a, p.b AS b_b
+  SELECT DISTINCT a.doc_id AS id_a, p.doc_id AS id_b, a.h AS h_a, p.h AS h_b
   FROM banded a JOIN banded p
     ON a.cidx = p.cidx AND a.cval = p.cval AND a.doc_id < p.doc_id
 ),
 ham AS (
   SELECT id_a, id_b,
-         CAST(list_sum(list_transform(range(1, 33),
-           i -> CASE WHEN b_a[i] <> b_b[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
+         CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
   FROM pairs
 )
 SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
