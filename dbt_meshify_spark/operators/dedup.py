@@ -604,6 +604,11 @@ def hash64_candidate_pairs(
     bounds the candidate fan-out per bucket.
     """
     width = 64 // bands
+    # pin the (id, hash) frame: BOTH self-join sides and the cap window
+    # read it, and upstream lineage is often a Python fingerprint pass
+    # (dHash / audio envelope mapInPandas) that must not run per-branch —
+    # unpinned, ext_image_neardup paid its synth+decode UDFs twice
+    hashed = hashed.select(id_col, hash_col).localCheckpoint(eager=False)
     chunks = F.array(
         *[
             F.shiftright(F.col(hash_col), i * width).bitwiseAND(F.lit((1 << width) - 1))
