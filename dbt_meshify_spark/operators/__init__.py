@@ -13,7 +13,10 @@ from dbt_meshify_spark.operators.dedup import (
     minhash_candidate_pairs,
     minhash_index,
     minhash_signatures,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
     simhash,
     simhash_candidate_pairs,
 )
@@ -38,7 +41,10 @@ __all__ = [
     "incremental_neardup_pairs",
     "simhash",
     "simhash_candidate_pairs",
+    "ngram_containment_pairs",
     "ngram_jaccard_pairs",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
     "cosine_topk",
     "lsh_bucketed_topk",
     "embedding_neardup_pairs",

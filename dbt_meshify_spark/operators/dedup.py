@@ -815,6 +815,175 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.8,
+    max_gram_df: int | None = 10_000,
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT pairs — the doc-inside-doc /
+    quote-inclusion detector that symmetric Jaccard structurally misses: a
+    fully-quoted 50-gram passage inside a 5000-gram page scores jaccard
+    ~0.01 but containment 1.0. Containment here is
+    ``|A ∩ B| / min(|A|, |B|)`` — "how much of the smaller document is
+    inside the larger" — the asymmetric-size dedup rule RefinedWeb-style
+    pipelines apply between snapshots and between raw/extracted variants.
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (one shingle
+    pass staging per-doc gram counts, gram-keyed index join, pair
+    aggregate; ``max_gram_df`` stop-gram cap before the self-join), only
+    the final expression differs.
+
+    Returns: ``id_a, id_b, n_shared, inner_id, containment`` where
+    ``inner_id`` is the contained (smaller-gram, ties -> smaller id) side.
+    """
+    grams = (
+        _with_tokens(df.select(id_col, text_col), text_col)
+        .withColumn("__grams", shingles_of_tokens(F.col("__toks"), n))
+        .select(
+            F.col(id_col).alias("id"),
+            F.size("__grams").alias("n_grams"),
+            F.explode("__grams").alias("gram"),
+        )
+    )
+    if max_gram_df is not None:
+        keep = grams.groupBy("gram").agg(F.count("*").alias("gdf")).filter(
+            F.col("gdf") <= max_gram_df
+        )
+        grams = grams.join(keep.select("gram"), "gram").withColumn(
+            "n_grams", F.count("*").over(Window.partitionBy("id"))
+        )
+    g1 = grams.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"), "gram")
+    g2 = grams.select(
+        F.col("id").alias("id_b"),
+        F.col("n_grams").alias("n_b"),
+        F.col("gram").alias("gram_b"),
+    )
+    inter = (
+        g1.join(g2, (g1.gram == g2.gram_b) & (g1.id_a < g2.id_b))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    containment = F.col("n_shared") / F.least("n_a", "n_b")
+    inner_id = (
+        F.when(F.col("n_a") < F.col("n_b"), F.col("id_a"))
+        .when(F.col("n_b") < F.col("n_a"), F.col("id_b"))
+        .otherwise(F.least("id_a", "id_b"))
+    )
+    return (
+        inter.withColumn("containment", F.round(containment, 4))
+        .filter(F.col("containment") >= min_containment)
+        .select("id_a", "id_b", "n_shared", inner_id.alias("inner_id"), "containment")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every k-token gram, slide a ``window`` over
+    consecutive gram hashes, keep each window's MINIMUM — a deterministic
+    ~1/window-density selection with the guarantee that any two documents
+    sharing a verbatim run of >= ``window + k - 1`` tokens share at least
+    one selected print. The standard partial-overlap fingerprint when
+    storing every shingle is too expensive: a 100 TB corpus keeps ~25% of
+    its gram hashes (at window=4) yet stays exhaustive for long matches.
+
+    Plan: one tokenize pass, posexplode of ALL gram occurrences (positions
+    matter — NOT the distinct-gram path), an 8-hex-digit md5 prefix as the
+    comparable hash (cross-engine replayable), and ONE per-doc window
+    (partitioned by id — corpus-scale but perfectly parallel) taking the
+    min over the next ``window`` hashes; trailing truncated windows are
+    kept (suffix minima are real gram hashes, so matching stays sound and
+    short docs still fingerprint). Output is the DISTINCT (id, print) set.
+
+    Returns: ``id_col, print``.
+    """
+    grams = (
+        _with_tokens(df.select(id_col, text_col), text_col)
+        .withColumn("__grams", shingles_of_tokens(F.col("__toks"), k, distinct=False))
+        .select(
+            F.col(id_col),
+            F.posexplode("__grams").alias("__pos", "__g"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__pos"),
+            F.substring(F.md5("__g"), 1, 8).alias("__h"),
+        )
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        grams.withColumn("print", F.min("__h").over(win))
+        .select(id_col, "print")
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_print_df: int | None = 10_000,
+) -> DataFrame:
+    """Partial-overlap candidate pairs over winnowing fingerprints: docs
+    sharing >= ``min_shared`` selected prints, scored by
+    ``n_shared / min(per-doc print count)`` — the plagiarism/derived-work
+    detector tier between passage dedup (exact 20-token spans) and MinHash
+    (whole-doc similarity). Inverted-index join on the 8-hex print with the
+    standard stop-print cap (``max_print_df``); per-doc print counts ride
+    the index rows exactly like :func:`ngram_jaccard_pairs`.
+
+    Returns: ``id_a, id_b, n_shared, overlap``.
+    """
+    prints = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
+        F.col(id_col).alias("id"), F.col("print")
+    )
+    prints = prints.withColumn(
+        "n_prints", F.count("*").over(Window.partitionBy("id"))
+    )
+    if max_print_df is not None:
+        keep = prints.groupBy("print").agg(F.count("*").alias("pdf")).filter(
+            F.col("pdf") <= max_print_df
+        )
+        prints = prints.join(keep.select("print"), "print").withColumn(
+            "n_prints", F.count("*").over(Window.partitionBy("id"))
+        )
+    p1 = prints.select(
+        F.col("id").alias("id_a"), F.col("n_prints").alias("n_a"), "print"
+    )
+    p2 = prints.select(
+        F.col("id").alias("id_b"),
+        F.col("n_prints").alias("n_b"),
+        F.col("print").alias("print_b"),
+    )
+    inter = (
+        p1.join(p2, (p1.print == p2.print_b) & (p1.id_a < p2.id_b))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return (
+        inter.filter(F.col("n_shared") >= min_shared)
+        .withColumn(
+            "overlap", F.round(F.col("n_shared") / F.least("n_a", "n_b"), 4)
+        )
+        .select("id_a", "id_b", "n_shared", "overlap")
+    )
+
+
 def duplicated_passages(
     df: DataFrame,
     id_col: str = "doc_id",

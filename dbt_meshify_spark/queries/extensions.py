@@ -5536,3 +5536,103 @@ def ext_triangle_counts_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ext_triangle_counts_degree"] = ext_triangle_counts_degree
 
 ORACLES["ext_triangle_counts_degree"] = ORACLES["ext_triangle_counts"]
+
+
+def ext_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N2] directional trigram containment pairs (>=0.8 of the smaller
+    side's grams shared) — the doc-inside-doc / quote-inclusion tier
+    symmetric Jaccard misses (operators/dedup.py::ngram_containment_pairs).
+    Oracle: the trigram inverted-index CTEs with the asymmetric final
+    expression."""
+    from dbt_meshify_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, n=3, min_containment=0.8).orderBy(
+        _asc("id_a"), _asc("id_b")
+    )
+
+
+QUERIES["ext_ngram_containment"] = ext_ngram_containment
+
+ORACLES["ext_ngram_containment"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS gram
+  FROM toks
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT id_a, id_b, n_shared,
+         CASE WHEN ca.n_grams < cb.n_grams THEN id_a
+              WHEN cb.n_grams < ca.n_grams THEN id_b
+              ELSE LEAST(id_a, id_b) END AS inner_id,
+         ROUND(n_shared / LEAST(ca.n_grams, cb.n_grams), 4) AS containment
+  FROM inter
+  JOIN counts ca ON ca.doc_id = id_a
+  JOIN counts cb ON cb.doc_id = id_b
+)
+SELECT id_a, id_b, n_shared, inner_id, containment
+FROM scored WHERE containment >= 0.8
+ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+"""
+
+
+def ext_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N2] winnowing-fingerprint partial-overlap pairs (MOSS
+    algorithm: per-window min of 5-gram md5-prefix hashes, window 4) —
+    the derived-work/plagiarism tier between exact passage dedup and
+    whole-doc MinHash (operators/dedup.py::winnow_overlap_pairs). Oracle:
+    the same window-min selection replayed with SQL window frames."""
+    from dbt_meshify_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, k=5, window=4, min_shared=2).orderBy(
+        _asc("id_a"), _asc("id_b")
+    )
+
+
+QUERIES["ext_winnow_overlap"] = ext_winnow_overlap
+
+ORACLES["ext_winnow_overlap"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+pg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(l) - 3),
+         i -> struct_pack(pos := i,
+                          h := substring(md5(l[i] || ' ' || l[i+1] || ' ' ||
+                                             l[i+2] || ' ' || l[i+3] || ' ' ||
+                                             l[i+4]), 1, 8)))) AS g
+  FROM toks WHERE len(l) >= 5
+),
+pos_grams AS (SELECT doc_id, g.pos AS pos, g.h AS h FROM pg),
+wmins AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS print
+  FROM pos_grams
+),
+prints AS (SELECT DISTINCT doc_id, print FROM wmins),
+counts AS (SELECT doc_id, COUNT(*) AS n_prints FROM prints GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM prints a JOIN prints b ON a.print = b.print AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_shared,
+       ROUND(n_shared / LEAST(ca.n_prints, cb.n_prints), 4) AS overlap
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE n_shared >= 2
+ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+"""

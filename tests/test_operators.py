@@ -2868,3 +2868,60 @@ def test_cc_auto_tier_picks_cheap_then_falls_back(spark):
     }
     assert s2["tier"] == "star"
     assert all(c2[i] == 100 for i in range(100, 165))
+
+
+def test_ngram_containment_finds_quote_inclusion(spark):
+    """A short doc fully quoted inside a long doc must score containment
+    1.0 (with the short side as inner_id) even though symmetric Jaccard is
+    far below any dedup threshold — the asymmetric-size case the
+    containment tier exists for."""
+    from dbt_meshify_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog near the river"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+    rows = [
+        (1, quote),
+        (2, f"{filler} {quote} {filler}"),
+        (3, "entirely unrelated content about distributed query planning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r for r in ngram_containment_pairs(df).collect()}
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)].containment == 1.0 and out[(1, 2)].inner_id == 1
+    # symmetric jaccard misses the same pair at any dedup-grade threshold
+    assert not ngram_jaccard_pairs(df, min_jaccard=0.5).collect()
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing guarantee: two docs sharing a verbatim run of
+    >= window + k - 1 tokens MUST share a selected print regardless of
+    surrounding text; and selection keeps roughly 1/window of gram hashes
+    (well under half), which is the point of fingerprinting at scale."""
+    from dbt_meshify_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    k, window = 5, 4
+    shared = " ".join(f"common{i}" for i in range(k + window - 1))  # 8 tokens
+    pre_a = " ".join(f"alpha{i}" for i in range(30))
+    pre_b = " ".join(f"beta{i}" for i in range(30))
+    rows = [
+        (1, f"{pre_a} {shared}"),
+        (2, f"{shared} {pre_b}"),
+        (3, " ".join(f"gamma{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(df, k=k, window=window, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
+    # density: doc 3 has 40 tokens -> 36 grams; expect far fewer prints
+    n_prints = winnow_fingerprints(df, k=k, window=window).filter(
+        F.col("doc_id") == 3
+    ).count()
+    assert 0 < n_prints < 18
