@@ -45,6 +45,8 @@ def main() -> None:
     from dbt_meshify_spark.operators.dedup import (
         exact_dedup,
         minhash_candidate_pairs,
+        simhash_md5_candidate_pairs,
+        winnow_overlap_pairs,
     )
     from dbt_meshify_spark.operators.dsir import dsir_log_weights
     from dbt_meshify_spark.operators.sampling import apply_mixture_recipe
@@ -78,6 +80,8 @@ def main() -> None:
 
     dsir(warm).count()
     recipe_fill(warm).count()
+    simhash_md5_candidate_pairs(warm).count()
+    winnow_overlap_pairs(warm, min_shared=2).count()
 
     for k in (1, 2, 4, 8):
         docs = scaled_corpus(base, k).localCheckpoint()  # pin: exclude synth cost
@@ -97,12 +101,20 @@ def main() -> None:
         t0 = time.time()
         n_fill = recipe_fill(docs).count()
         t_fill = time.time() - t0
+        t0 = time.time()
+        n_sh = simhash_md5_candidate_pairs(docs).count()
+        t_sh = time.time() - t0
+        t0 = time.time()
+        n_wn = winnow_overlap_pairs(docs, min_shared=2).count()
+        t_wn = time.time() - t0
         print(
             f"scale={k}x docs={n}: quality={t_quality:.2f}s "
             f"dedup={t_dedup:.2f}s (kept {n_dedup}) "
             f"minhash={t_minhash:.2f}s (pairs {n_pairs}) "
             f"dsir={t_dsir:.2f}s (n {n_dsir}) "
-            f"recipe={t_fill:.2f}s (kept {n_fill})",
+            f"recipe={t_fill:.2f}s (kept {n_fill}) "
+            f"simhash64={t_sh:.2f}s (pairs {n_sh}) "
+            f"winnow={t_wn:.2f}s (pairs {n_wn})",
             flush=True,
         )
 
