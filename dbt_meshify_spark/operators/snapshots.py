@@ -228,3 +228,56 @@ def embedding_cell_psi(
         .fillna(0, ["n_old", "n_new"])
     )
     return psi_from_counts(cnts, n_buckets=nlist)
+
+
+def gram_novelty(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: the
+    fraction of the doc's distinct n-grams absent from the reference — the
+    information-gain signal of continuous curation (a crawl refresh full
+    of novelty-0 documents adds nothing the standing corpus lacks, however
+    high its quality scores; decontamination answers "does this overlap the
+    EVAL set", novelty answers "does this add anything to the TRAIN set").
+
+    Plan: the reference reduces to its DISTINCT gram set (grams only —
+    reference text never shuffles); the incoming docs stage per-doc gram
+    counts exactly like ``ngram_jaccard_pairs`` and LEFT-join the
+    reference grams on the gram key, so seen/unseen resolves in the one
+    gram-keyed shuffle and the per-doc fraction is a map-side-combined
+    aggregate. No driver collection, no broadcast of anything
+    corpus-sized.
+
+    Returns ``id_col, n_grams, n_novel, novelty`` (novelty = n_novel /
+    n_grams, 4dp; docs with no grams are omitted, same as the pair ops).
+    """
+    from dbt_meshify_spark.operators.dedup import _with_tokens, shingles_of_tokens
+
+    ref_grams = (
+        _with_tokens(reference.select(text_col), text_col)
+        .select(F.explode(shingles_of_tokens(F.col("__toks"), n)).alias("gram"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    new_grams = (
+        _with_tokens(new_docs.select(id_col, text_col), text_col)
+        .select(
+            F.col(id_col),
+            F.explode(shingles_of_tokens(F.col("__toks"), n)).alias("gram"),
+        )
+    )
+    return (
+        new_grams.join(ref_grams, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_grams"), 4))
+    )

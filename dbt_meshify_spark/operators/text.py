@@ -698,3 +698,46 @@ def hashed_embedding(
             F.coalesce(F.col(out_col), zeros).alias(out_col),
         )
     )
+
+
+def keyword_tag(
+    df: DataFrame,
+    taxonomy: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-label keyword-taxonomy tagging via an inverted token join —
+    the topic-labeling step dataset mixing and per-topic quotas need
+    (mixture recipes operate on (lang, topic) cells; the topics have to
+    come from somewhere).
+
+    Plan choice vs :func:`language_id`'s scan form: the marker-scan
+    (replace-and-measure per keyword) costs one full-text pass PER
+    keyword — right for a dozen language markers, catastrophic for a
+    10k-keyword production taxonomy. This operator explodes tokens ONCE
+    and equi-joins a BROADCAST (topic, keyword) table: cost is one
+    tokenize pass + one (doc, topic) map-side-combined aggregate,
+    independent of taxonomy size. Counts are occurrence counts (a doc
+    saying "table" five times scores 5 on its topic).
+
+    Returns ``id_col, topic, n_hits`` for every (doc, topic) with at
+    least one hit — multi-label by construction; take the per-doc argmax
+    downstream if a single label is needed.
+    """
+    spark = df.sparkSession
+    kw = spark.createDataFrame(
+        [(t, w) for t, ws in sorted(taxonomy.items()) for w in sorted(set(ws))],
+        "topic string, kw string",
+    )
+    toks = (
+        df.select(F.col(id_col), F.col(text_col))
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__t"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(kw), toks["__t"] == kw["kw"])
+        .groupBy(id_col, "topic")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )

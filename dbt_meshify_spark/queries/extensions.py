@@ -5636,3 +5636,84 @@ JOIN counts cb ON cb.doc_id = id_b
 WHERE n_shared >= 2
 ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
 """
+
+
+_TAXONOMY = {
+    "relational": ["table", "query", "join", "scan", "filter", "sort"],
+    "streaming": ["stream", "window", "batch", "watermark"],
+    "execution": ["spark", "hash", "merge", "agg", "vector"],
+}
+
+
+def ext_keyword_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] multi-label keyword-taxonomy tagging
+    (operators/text.py::keyword_tag): one tokenize pass + broadcast
+    (topic, keyword) join + (doc, topic) aggregate — taxonomy-size-
+    independent, unlike the per-marker scan form of language_id. Oracle:
+    the token explode + VALUES-table join."""
+    from dbt_meshify_spark.operators.text import keyword_tag
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return keyword_tag(docs, _TAXONOMY).orderBy(_asc("doc_id"), _asc("topic"))
+
+
+QUERIES["ext_keyword_tags"] = ext_keyword_tags
+
+_TAX_VALUES = ", ".join(
+    f"('{t}', '{w}')" for t, ws in sorted(_TAXONOMY.items()) for w in sorted(set(ws))
+)
+
+ORACLES["ext_keyword_tags"] = rf"""
+WITH kw(topic, kw) AS (VALUES {_TAX_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id, topic, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM toks JOIN kw ON t = kw.kw
+GROUP BY doc_id, topic
+ORDER BY doc_id NULLS FIRST, topic NULLS FIRST
+"""
+
+
+def ext_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N9] per-doc trigram novelty of an incoming batch (doc_id % 2 =
+    1) against the standing reference corpus (doc_id % 2 = 0) —
+    information-gain scoring for continuous curation
+    (operators/snapshots.py::gram_novelty). Near-dups of reference docs
+    score ~0; genuinely new text ~1. Oracle: distinct-gram left join."""
+    from dbt_meshify_spark.operators.snapshots import gram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    reference = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    return gram_novelty(incoming, reference, n=3).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_gram_novelty"] = ext_gram_novelty
+
+ORACLES["ext_gram_novelty"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+ref_grams AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS gram
+  FROM toks WHERE doc_id % 2 = 0
+),
+new_grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS gram
+  FROM toks WHERE doc_id % 2 = 1
+),
+agg AS (
+  SELECT n.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM new_grams n LEFT JOIN ref_grams r ON n.gram = r.gram
+  GROUP BY n.doc_id
+)
+SELECT doc_id, n_grams, n_novel, ROUND(n_novel / n_grams, 4) AS novelty
+FROM agg
+ORDER BY doc_id NULLS FIRST
+"""

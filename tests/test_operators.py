@@ -2925,3 +2925,40 @@ def test_winnowing_guarantee_and_density(spark):
         F.col("doc_id") == 3
     ).count()
     assert 0 < n_prints < 18
+
+
+def test_keyword_tag_multilabel_counts(spark):
+    from dbt_meshify_spark.operators.text import keyword_tag
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan meets stream window in the table"),
+            (2, "nothing relevant whatsoever appears here"),
+            (3, "STREAM Stream stream"),  # case-folded occurrence counts
+        ],
+        "doc_id long, text string",
+    )
+    tax = {"db": ["table", "scan"], "flow": ["stream", "window"]}
+    out = {(r.doc_id, r.topic): r.n_hits for r in keyword_tag(docs, tax).collect()}
+    assert out == {(1, "db"): 3, (1, "flow"): 2, (3, "flow"): 3}
+
+
+def test_gram_novelty_separates_copies_from_fresh(spark):
+    from dbt_meshify_spark.operators.snapshots import gram_novelty
+
+    ref = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again"),  # copy
+            (11, "entirely novel content about distributed shuffle plans"),
+            (12, "the quick brown fox visits unfamiliar territory today"),  # partial
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gram_novelty(new, ref).collect()}
+    assert out[10].novelty == 0.0
+    assert out[11].novelty == 1.0
+    assert 0.0 < out[12].novelty < 1.0
