@@ -87,17 +87,21 @@ def main() -> None:
                     regressions[name] = {"floor": f, "got": best}
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_corpus_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "declared_corpus_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(record))
+    # local scratch copy of the full table (the driver truncates long
+    # lines) so floor refreshes never have to reconstruct per-query times
+    try:
+        with open(os.path.join(_REPO, "BENCH_LAST.json"), "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
     spark.stop()
     if regressions:
         print(

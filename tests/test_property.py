@@ -339,3 +339,45 @@ def test_hash64_banding_finds_every_close_pair(cases):
     }
     missing = {e for e in expected if e not in got}
     assert not missing, f"pigeonhole violated: {missing}"
+
+
+# -- winnowing guarantee ------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # prefix length
+            st.integers(min_value=0, max_value=30),  # suffix length
+            st.integers(min_value=8, max_value=14),  # shared-run tokens
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_winnowing_never_misses_long_shared_runs(cases):
+    """For ANY surrounding text, two docs sharing a verbatim run of
+    >= window + k - 1 tokens (k=5, window=4 -> 8) must share at least one
+    winnowing print. All cases batch into one Spark job; vocabularies are
+    disjoint per case AND per side so only the planted run can match."""
+    from dbt_meshify_spark.operators.dedup import winnow_overlap_pairs
+    from dbt_meshify_spark.session import get_spark
+
+    spark = get_spark(app_name="dbt-meshify-spark-tests", shuffle_partitions=8)
+    rows, expected = [], set()
+    for i, (npre, nsuf, nshared) in enumerate(cases):
+        shared = " ".join(f"c{i}x{j}" for j in range(nshared))
+        pre = " ".join(f"a{i}x{j}" for j in range(npre))
+        suf = " ".join(f"b{i}x{j}" for j in range(nsuf))
+        a_id, b_id = i * 2, i * 2 + 1
+        rows.append((a_id, f"{pre} {shared}".strip()))
+        rows.append((b_id, f"{shared} {suf}".strip()))
+        expected.add((a_id, b_id))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(df, k=5, window=4, min_shared=1).collect()
+    }
+    missing = expected - got
+    assert not missing, f"winnowing guarantee violated: {missing}"
