@@ -5717,3 +5717,30 @@ SELECT doc_id, n_grams, n_novel, ROUND(n_novel / n_grams, 4) AS novelty
 FROM agg
 ORDER BY doc_id NULLS FIRST
 """
+
+
+def ext_stream_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6/N9] STREAMING novelty scoring: the incoming feed (doc_id % 2 =
+    1) arrives as a file stream; each micro-batch joins its grams against
+    the standing reference corpus's gram set
+    (streaming/documents.py::stream_gram_novelty). Stateless per-doc
+    verdicts, so it shares the batch ext_gram_novelty oracle (drained ==
+    batch)."""
+    import tempfile
+
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_gram_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    reference = docs.filter(F.col("doc_id") % 2 == 0)
+    feed = read_documents_stream(
+        spark, f"{sf_dir.rstrip('/')}/documents.parquet"
+    ).filter(F.col("doc_id") % 2 == 1)
+    out_dir = tempfile.mkdtemp(prefix="stream_novelty_")
+    return stream_gram_novelty(feed, reference, out_dir).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_stream_gram_novelty"] = ext_stream_gram_novelty
+ORACLES["ext_stream_gram_novelty"] = ORACLES["ext_gram_novelty"]

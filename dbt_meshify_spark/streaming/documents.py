@@ -327,3 +327,45 @@ def stream_self_repetition(
             "n_tokens_removed bigint",
         )
     return spark.read.parquet(f"{out_dir}/cleaned")
+
+
+def stream_gram_novelty(
+    stream_docs: DataFrame,
+    reference: DataFrame,
+    out_dir: str,
+    n: int = 3,
+) -> DataFrame:
+    """Streaming novelty scoring: every arriving micro-batch scores its
+    per-doc n-gram novelty against the standing reference corpus
+    (``operators/snapshots.py::gram_novelty``) — the continuous-curation
+    gate "does this crawl refresh add anything". Per-batch cost is the
+    batch's own tokenize + one gram-keyed join against the reference gram
+    set (in deployment a PERSISTED distinct-gram table, bucketed by gram so
+    the probe is exchange-free on the stored side — the same stored-index
+    posture as the streaming near-dup probe). Stateless: a document's
+    novelty depends only on itself and the reference, so batching cannot
+    change results and the drained relation equals the batch operator's —
+    which is how the shared DuckDB oracle gates it.
+    """
+    from dbt_meshify_spark.operators.snapshots import gram_novelty
+
+    spark = stream_docs.sparkSession
+    ran = {"any": False}
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        out = gram_novelty(batch_df, reference, n=n)
+        out.write.mode("append").parquet(f"{out_dir}/novelty")
+        ran["any"] = True
+
+    q = (
+        stream_docs.writeStream.foreachBatch(score)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not ran["any"]:
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_grams bigint, n_novel bigint, novelty double"
+        )
+    return spark.read.parquet(f"{out_dir}/novelty")

@@ -416,3 +416,33 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path_factory):
     got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
     want = sorted(tuple(r[c] for c in cols) for r in expected.collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_gram_novelty_matches_batch(spark, tmp_path_factory):
+    """Two micro-batches of incoming docs scored against the standing
+    reference must produce exactly the batch operator's novelty rows —
+    per-doc verdicts, so the micro-batch split cannot change anything."""
+    from dbt_meshify_spark.operators.snapshots import gram_novelty
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_gram_novelty,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    reference = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+
+    d = tmp_path_factory.mktemp("novelty_batches")
+    incoming.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(str(d / "f1"))
+    incoming.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(str(d / "f2"))
+    feed = read_documents_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+
+    out_dir = str(tmp_path_factory.mktemp("novelty_out"))
+    streamed = stream_gram_novelty(feed, reference, out_dir)
+    expected = gram_novelty(incoming, reference)
+    cols = ["doc_id", "n_grams", "n_novel", "novelty"]
+    got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in expected.collect())
+    assert got == want and len(got) > 0
