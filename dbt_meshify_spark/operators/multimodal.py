@@ -517,6 +517,86 @@ def image_dhash(
     return media.select(id_col, payload_col).mapInPandas(_hash, out_schema)
 
 
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (numpy; 2-D DCT = D @ img @ D.T)."""
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (x + 0.5) * k / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def image_phash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    out_col: str = "phash",
+) -> DataFrame:
+    """64-bit DCT perceptual hash (pHash) of image payloads — the
+    frequency-domain sibling of :func:`image_dhash`: decode, grayscale,
+    resample to 32x32, 2-D DCT-II (pure numpy matrix multiply — no scipy),
+    keep the low-frequency 8x8 block, bit i = (coefficient > median of the
+    63 AC coefficients). Brightness shifts land entirely in the dropped DC
+    term and contrast scaling preserves every > comparison, so pHash is
+    invariant where dHash (a spatial gradient sign) merely tends to be
+    robust; blur/JPEG ringing average out in the low-frequency block.
+    Pairs route through the same ``dedup.hash64_candidate_pairs`` banding.
+
+    Same codec-gate posture as dHash: REAL for PPM (or PIL formats when
+    installed), md5 stand-in for undecodable payloads, NULL for NULL.
+    """
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_col, T.LongType()),
+        ]
+    )
+
+    def _phash_bytes(b: bytes | None) -> int | None:
+        import numpy as np
+
+        if b is None:
+            return None
+        try:
+            img = decode_image(bytes(b))
+            if img.shape[0] == 0 or img.shape[1] == 0:
+                raise ValueError("zero-dimension image")
+            gray = np.asarray(img, dtype=np.float64).mean(axis=2)
+            small = _resample_gray(gray, 32, 32)
+        except Exception:
+            h = hashlib.md5(bytes(b)).digest()
+            return int.from_bytes(h[:8], "big", signed=True)
+        d = _dct_matrix(32)
+        coeffs = (d @ small @ d.T)[:8, :8].flatten()
+        ac = coeffs[1:]  # drop DC: brightness invariance
+        med = np.median(ac)
+        v = 0
+        # bit 0 reserved for the (always-false) DC slot keeps 64 bits
+        for i, c in enumerate(ac, start=1):
+            if c > med:
+                v |= 1 << i
+        if v >= 1 << 63:
+            v -= 1 << 64
+        return v
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: [_phash_bytes(b) for b in pdf[payload_col]],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(_hash, out_schema)
+
+
 def _resample_gray(gray, width: int, height: int):
     """Nearest-neighbor resample of a 2-D array (the grayscale twin of
     ``resize_image``)."""
@@ -548,6 +628,31 @@ def image_neardup_pairs(
         hashed,
         id_col,
         "dhash",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def image_phash_neardup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    bands: int = 8,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Image near-duplicate pairs over pHash fingerprints — catches the
+    brightness/contrast-edited and blurred copies dHash's spatial gradient
+    can drop; run BOTH and union the pair sets for recall-critical dedup
+    (each pass is one map-only hash + one banding shuffle)."""
+    from dbt_meshify_spark.operators.dedup import hash64_candidate_pairs
+
+    hashed = image_phash(media, id_col=id_col, payload_col=payload_col)
+    return hash64_candidate_pairs(
+        hashed,
+        id_col,
+        "phash",
         max_hamming=max_hamming,
         bands=bands,
         max_bucket_size=max_bucket_size,

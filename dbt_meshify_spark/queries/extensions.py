@@ -5744,3 +5744,52 @@ def ext_stream_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ext_stream_gram_novelty"] = ext_stream_gram_novelty
 ORACLES["ext_stream_gram_novelty"] = ORACLES["ext_gram_novelty"]
+
+
+def ext_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N5/N2] pHash image near-dup: REAL PPM images (40 base patterns)
+    with per-doc BRIGHTNESS/CONTRAST edits — the photometric-edit copies
+    the DCT hash is exactly invariant to, where dHash's gradient sign can
+    flip (operators/multimodal.py::image_phash_neardup_pairs). Rows-only
+    by design (no SQL DCT); invariance proven in unit tests."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from dbt_meshify_spark.operators.multimodal import (
+        encode_ppm,
+        image_phash_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 400
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                pat = np.random.RandomState(int(did) % 40)
+                img = pat.randint(0, 200, size=(16, 24, 3)).astype(float)
+                # photometric edit per doc: gain + offset (pHash-invariant)
+                gain = 0.8 + 0.4 * ((int(did) // 40) % 5) / 4.0
+                offset = 5 * (int(did) % 7)
+                img = np.clip(img * gain + offset, 0, 255).astype("uint8")
+                payloads.append(encode_ppm(img))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, media_schema)
+    return (
+        image_phash_neardup_pairs(media, max_hamming=4)
+        .orderBy(_asc("id_a"), _asc("id_b"))
+    )
+
+
+QUERIES["ext_image_phash_neardup"] = ext_image_phash_neardup

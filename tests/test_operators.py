@@ -2962,3 +2962,51 @@ def test_gram_novelty_separates_copies_from_fresh(spark):
     assert out[10].novelty == 0.0
     assert out[11].novelty == 1.0
     assert 0.0 < out[12].novelty < 1.0
+
+
+def test_image_phash_invariances_and_neardup(spark):
+    """pHash must be exactly invariant to brightness shift + contrast
+    scale (DC dropped, median comparisons scale-invariant) and near-equal
+    under mild blur; unrelated patterns must stay far apart; pairs surface
+    through the shared banding."""
+    import numpy as np
+
+    from dbt_meshify_spark.operators.multimodal import (
+        encode_ppm,
+        image_phash,
+        image_phash_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 200, size=(32, 48, 3)).astype(np.uint8)
+    bright = np.clip(base.astype(int) + 40, 0, 255).astype(np.uint8)
+    contrast = np.clip(base.astype(float) * 1.2, 0, 255).astype(np.uint8)
+    blur = base.astype(float)
+    blur[1:-1] = (blur[:-2] + blur[1:-1] + blur[2:]) / 3.0  # vertical box blur
+    blur = np.clip(blur, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 255, size=(32, 48, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_ppm(base))),
+            (2, bytearray(encode_ppm(bright))),
+            (3, bytearray(encode_ppm(contrast))),
+            (4, bytearray(encode_ppm(blur))),
+            (5, bytearray(encode_ppm(other))),
+        ],
+        "media_id long, payload binary",
+    )
+    h = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(h[1], h[2]) == 0  # brightness: exact invariance
+    assert ham(h[1], h[3]) == 0  # contrast: exact invariance
+    assert ham(h[1], h[4]) <= 6  # blur: low-frequency block barely moves
+    assert ham(h[1], h[5]) > 12  # unrelated: far
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in image_phash_neardup_pairs(media).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert not any(5 in p for p in pairs)
