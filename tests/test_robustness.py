@@ -309,3 +309,36 @@ def test_hash64_banding_caps_degenerate_buckets(spark):
     assert 0 < n <= 50 * 49 // 2
     # identical fingerprints in the kept prefix still pair at hamming 0
     assert capped.filter(F.col("hamming") == 0).count() == n
+
+
+def test_round4_text_operators_survive_nasty_input(spark, nasty):
+    """Containment, winnowing, keyword tagging, and novelty must survive
+    nulls/empties/unicode/giant docs without crashing, with sane outputs."""
+    from dbt_meshify_spark.operators.dedup import (
+        ngram_containment_pairs,
+        winnow_overlap_pairs,
+    )
+    from dbt_meshify_spark.operators.snapshots import gram_novelty
+    from dbt_meshify_spark.operators.text import keyword_tag
+
+    clean = nasty.filter(F.col("text").isNotNull())
+    # unicode dup pair (5, 12) shares all grams -> containment 1.0
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(clean, min_containment=0.5).collect()
+    }
+    assert cont.get((5, 12)) == 1.0
+    # winnowing: the dup pair shares every print; no crash on the giant doc
+    wpairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(clean, min_shared=1).collect()
+    }
+    assert (5, 12) in wpairs
+    # keyword tagging over unicode/control-char text: no crash, only real hits
+    tags = keyword_tag(clean, {"rep": ["repeated"], "greek": ["ανάλυση"]})
+    got = {(r.doc_id, r.topic): r.n_hits for r in tags.collect()}
+    assert got[(10, "rep")] == 6
+    assert got[(5, "greek")] == 1 and got[(12, "greek")] == 1
+    # novelty of the corpus against itself is 0 for every doc with grams
+    nov = gram_novelty(clean, clean)
+    assert {r.novelty for r in nov.collect()} == {0.0}
