@@ -419,3 +419,23 @@ def test_global_windows_only_on_allowlisted_queries(spark):
     assert not offenders, f"unallowlisted global windows: {offenders}"
     stale = sorted(set(GLOBAL_WINDOW_ALLOWLIST) - set(QUERIES))
     assert not stale, f"allowlist entries for unknown queries: {stale}"
+
+
+def test_keyword_tag_broadcasts_taxonomy(spark):
+    """keyword_tag's taxonomy join must be a BroadcastHashJoin (the corpus
+    token explode never shuffles against the keyword table) and the
+    (doc, topic) aggregate must be partial (map-side combined)."""
+    plan = _physical(QUERIES["ext_keyword_tags"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_gram_novelty_shuffles_grams_not_text(spark):
+    """gram_novelty's only wide dependencies key on the gram (join) and the
+    doc id (final aggregate); no Exchange may carry the text column — the
+    reference corpus reduces to distinct grams before any shuffle."""
+    plan = _physical(QUERIES["ext_gram_novelty"](spark, SF_ORACLE))
+    ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert ex_lines, "expected gram/id exchanges"
+    for line in ex_lines:
+        assert "text" not in line, f"text column in a shuffle: {line.strip()}"
