@@ -891,7 +891,13 @@ def test_connected_components_star_handles_whale_in_log_rounds(spark):
         whale + [(900, 901)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError):
-        connected_components(pairs, max_iter=10)
+        connected_components(pairs, max_iter=10, variant="propagate")
+    # the auto default survives the same whale within the same budget
+    auto = {
+        r.id: r.component
+        for r in connected_components(pairs, max_iter=10).collect()
+    }
+    assert all(auto[i] == 100 for i in range(100, 164))
     comp = {
         r.id: r.component
         for r in connected_components(pairs, max_iter=10, variant="star").collect()
@@ -2708,7 +2714,9 @@ def test_star_rounds_beat_propagate_on_whale_chain(spark):
         [(i, i + 1) for i in range(64)], "id_a long, id_b long"
     )
     prop_stats: dict = {}
-    connected_components(small, max_iter=100, stats=prop_stats).collect()
+    connected_components(
+        small, max_iter=100, variant="propagate", stats=prop_stats
+    ).collect()
     star_small: dict = {}
     connected_components(small, max_iter=30, variant="star", stats=star_small).collect()
     assert prop_stats["rounds"] >= 64  # one hop per round on diameter 64
