@@ -5793,3 +5793,67 @@ def ext_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ext_image_phash_neardup"] = ext_image_phash_neardup
+
+
+def ext_media_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N5/N10] media-corpus integrity audit: deterministic per-doc
+    corruption mix (valid PPM / truncated PPM / dim-mismatched meta /
+    empty / junk) classified by
+    operators/multimodal.py::media_integrity_report — the pre-training
+    data-quality gate for multimodal columns. Rows-only by design (binary
+    synth); per-class assertions in unit tests."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from dbt_meshify_spark.operators.multimodal import (
+        encode_ppm,
+        media_integrity_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 500
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = encode_ppm(
+                    np.full((8, 12, 3), did % 251, dtype=np.uint8)
+                )
+                mode = did % 5
+                if mode == 0:
+                    rows.append((did, img, {"width": 12, "height": 8}))
+                elif mode == 1:
+                    rows.append((did, img[: len(img) // 2], None))
+                elif mode == 2:
+                    rows.append((did, img, {"width": 99, "height": 8}))
+                elif mode == 3:
+                    rows.append((did, b"", None))
+                else:
+                    rows.append((did, b"junk" + bytes([did % 256]), None))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    media = docs.mapInPandas(synth, schema)
+    return media_integrity_report(media).orderBy(_asc("media_id"))
+
+
+QUERIES["ext_media_integrity"] = ext_media_integrity

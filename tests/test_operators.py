@@ -3018,3 +3018,57 @@ def test_image_phash_invariances_and_neardup(spark):
     }
     assert {(1, 2), (1, 3), (2, 3)} <= pairs
     assert not any(5 in p for p in pairs)
+
+
+def test_media_integrity_report_classifies_each_failure(spark):
+    import numpy as np
+
+    from dbt_meshify_spark.operators.multimodal import (
+        encode_ppm,
+        encode_wav,
+        media_integrity_report,
+    )
+
+    good_img = encode_ppm(np.zeros((4, 6, 3), dtype=np.uint8))
+    good_wav = encode_wav(np.zeros(100, dtype=np.int16))
+    rows = [
+        (1, bytearray(good_img), {"kind": "image", "format": "ppm",
+                                  "width": 6, "height": 4, "duration_ms": None}),
+        (2, bytearray(good_img), {"kind": "image", "format": "ppm",
+                                  "width": 99, "height": 4, "duration_ms": None}),
+        (3, bytearray(b"P6\n10 10\n255\nshort"), None),     # truncated
+        (4, bytearray(b""), None),                           # empty
+        (5, None, None),                                     # null
+        (6, bytearray(b"mystery bytes here"), None),         # unknown
+        (7, bytearray(good_wav), None),                      # wav ok
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("format", T.StringType()),
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                        T.StructField("duration_ms", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    media = spark.createDataFrame(rows, schema)
+    out = {r["media_id"]: (r["status"], r["detected_format"])
+           for r in media_integrity_report(media).collect()}
+    assert out[1] == ("ok", "ppm")
+    assert out[2] == ("meta_mismatch", "ppm")
+    assert out[3] == ("undecodable", "ppm")
+    assert out[4] == ("empty_payload", "none")
+    assert out[5] == ("null_payload", "none")
+    assert out[6] == ("unknown_format", "unknown")
+    assert out[7] == ("ok", "wav")
