@@ -116,3 +116,49 @@ def skew_report(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def concentration_report(
+    df: DataFrame, key_col: str, weight_col: str
+) -> DataFrame:
+    """Corpus concentration audit: Gini coefficient and normalized
+    Herfindahl–Hirschman index of ``weight_col`` mass across ``key_col``
+    (sources, domains, languages) — the dataset-card diversity numbers
+    that flag a "web-scale" corpus that is actually 80% one crawl.
+
+    Gini uses the sorted-rank identity ``G = 2·Σᵢ i·xᵢ / (n·Σx) −
+    (n+1)/n`` over weights ranked ascending (ties broken by key for
+    determinism); HHI is ``Σ sᵢ² `` over mass shares, normalized to [0,1]
+    by ``(hhi − 1/n)/(1 − 1/n)`` (0 = perfectly uniform, 1 = single key).
+
+    Scale shape: one combiner-friendly aggregate reduces the corpus to a
+    key-cardinality frame (sources/domains are thousands, not billions);
+    the rank window and final fold run on that tiny frame. NULL weights
+    count as zero mass; returns one row.
+    """
+    per_key = df.groupBy(key_col).agg(
+        F.sum(F.coalesce(F.col(weight_col), F.lit(0))).cast("double").alias("w")
+    )
+    w_rank = Window.orderBy(F.col("w").asc(), F.col(key_col).asc())
+    ranked = per_key.select("w", F.row_number().over(w_rank).alias("i"))
+    # HHI as sum(w^2)/sum(w)^2 (algebraically = sum of squared shares):
+    # with integral weights both factors are exact in double, so the
+    # rounded result is bit-identical across engines regardless of
+    # aggregation order.
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("w").cast("double").alias("total_weight"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("w")) / (F.count(F.lit(1)) * F.sum("w"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            4,
+        ).alias("gini"),
+        F.round(
+            (
+                F.sum(F.col("w") * F.col("w")) / (F.sum("w") * F.sum("w"))
+                - F.lit(1.0) / F.count(F.lit(1))
+            )
+            / (F.lit(1.0) - F.lit(1.0) / F.count(F.lit(1))),
+            4,
+        ).alias("hhi_norm"),
+    )

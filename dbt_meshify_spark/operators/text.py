@@ -741,3 +741,201 @@ def keyword_tag(
         .groupBy(id_col, "topic")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     )
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str = "html",
+    text_out: str = "text_extracted",
+    title_out: str = "title",
+) -> DataFrame:
+    """HTML → text extraction (the web-crawl front door of a training-data
+    pipeline: WARC payloads in, curated text out — the step every
+    C4/RefinedWeb-style corpus runs before any quality or dedup pass).
+
+    Rules, in order: drop ``<script>``/``<style>`` elements wholesale
+    (their text is code, not prose), drop HTML comments, break block-level
+    closers (``</p>``, ``</div>``, ``</li>``, headings, ``<br>``) to
+    newlines so line-level cleaners (``c4_line_clean``) still see document
+    structure, strip every remaining tag, decode the six common entities,
+    collapse horizontal whitespace, and trim. ``title_out`` captures the
+    ``<title>`` element separately (page titles are metadata, not body
+    prose).
+
+    Pure chained ``regexp_replace``/``regexp_extract`` projection —
+    codegen'd, scan-speed, zero shuffle, no UDF: at 100 TB this runs at
+    parquet-read throughput on the raw-HTML column and never materializes
+    an intermediate DOM. (A tag-soup parser is strictly more faithful but
+    is a per-row Python library call; the regex tier is the documented
+    trade for staying JVM-side, and matches what C4 shipped.)
+    """
+    h = F.col(html_col)
+    h = F.regexp_replace(h, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    h = F.regexp_replace(h, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    h = F.regexp_replace(h, r"(?s)<!--.*?-->", " ")
+    title = F.trim(F.regexp_extract(F.col(html_col), r"(?is)<title[^>]*>(.*?)</title>", 1))
+    h = F.regexp_replace(h, r"(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)>|<br\s*/?>", "\n")
+    h = F.regexp_replace(h, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        h = F.replace(h, F.lit(ent), F.lit(rep))
+        title = F.replace(title, F.lit(ent), F.lit(rep))
+    h = F.regexp_replace(h, r"[ \t\x0b\f\r]+", " ")
+    h = F.regexp_replace(h, r" ?\n[ \n]*", "\n")
+    h = F.regexp_replace(h, r"^\s+|\s+$", "")
+    return df.withColumn(text_out, h).withColumn(title_out, title)
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode script profile (multilingual corpus audit):
+    character counts and ratios for Latin, Cyrillic, Han (CJK), Arabic,
+    digits, and whitespace, plus the residual "other" mass.
+
+    The lang-ID tier (``language_id``) names ONE language per document;
+    the script profile is the complementary signal that catches mixed-
+    script spam, mojibake, and wrong-encoding documents (e.g. a "Latin"
+    doc that is 40% replacement characters), and routes documents to
+    script-specific tokenizers.
+
+    Counts are ``length(s) - length(regexp_replace(s, class, ''))``
+    projections over Java Unicode script classes — six codegen'd regex
+    passes over the scan, zero shuffle, no UDF, no explode: the cost is
+    bounded by scan throughput at any corpus size.
+    """
+    s = F.col(text_col)
+    total = F.length(s)
+
+    def cnt(pattern: str) -> Column:
+        return (total - F.length(F.regexp_replace(s, pattern, ""))).cast("long")
+
+    out = df.withColumn("n_chars_total", total.cast("long"))
+    classes = {
+        "latin": r"[\p{IsLatin}]",
+        "cyrillic": r"[\p{IsCyrillic}]",
+        "han": r"[\p{IsHan}]",
+        "arabic": r"[\p{IsArabic}]",
+        "digit": r"[0-9]",
+        "space": r"[\s]",
+    }
+    known = None
+    for name, pat in classes.items():
+        out = out.withColumn(f"n_{name}", cnt(pat))
+        known = F.col(f"n_{name}") if known is None else known + F.col(f"n_{name}")
+    out = out.withColumn("n_other", (F.col("n_chars_total") - known).cast("long"))
+    for name in (*classes, "other"):
+        out = out.withColumn(
+            f"ratio_{name}",
+            F.when(F.col("n_chars_total") > 0,
+                   F.round(F.col(f"n_{name}") / F.col("n_chars_total"), 4))
+            .otherwise(F.lit(0.0)),
+        )
+    return out
+
+
+#: Query parameters stripped by URL canonicalization: click/campaign
+#: trackers that vary per-impression while the landing content is
+#: identical — the #1 cause of false "unique" URLs in crawl frontiers.
+TRACKING_PARAMS_PATTERN = r"(?:utm_[^=&]*|gclid|fbclid|msclkid|ref|mc_eid)="
+
+
+def canonicalize_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_canonical"
+) -> DataFrame:
+    """URL canonicalization for crawl dedup (the key-normalization step
+    before URL-level exact dedup): two URLs that differ only in scheme
+    case, ``www.``, default port, tracking parameters, fragment, or a
+    trailing slash are the same fetch target and must collide.
+
+    Rules: lowercase scheme and host; strip a leading ``www.``; strip
+    explicit default ports ``:80``/``:443``; drop fragments; drop
+    tracking query parameters (``TRACKING_PARAMS_PATTERN``) preserving
+    the relative order of surviving params (no re-sort — param order is
+    almost always insignificant but re-ordering can break signed URLs);
+    strip one trailing slash from a non-root path; empty path → ``/``.
+
+    Pure regexp projection (extract scheme/host/path/query separately,
+    reassemble) — codegen'd, zero shuffle; pair it with ``exact_dedup`` on
+    the canonical key. Malformed URLs (no ``scheme://``) pass through
+    lowercased-host-best-effort: the canonical form of garbage is the
+    garbage itself, so no rows are dropped.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    query = F.regexp_replace(query, r"(^|&)" + TRACKING_PARAMS_PATTERN + r"[^&]*", "$1")
+    query = F.regexp_replace(query, r"&&+", "&")
+    query = F.regexp_replace(query, r"^&|&$", "")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+    return df.withColumn(
+        out_col, F.when(scheme == "", F.lower(u)).otherwise(canon)
+    )
+
+
+def conversation_stats(
+    df: DataFrame, json_col: str = "conversation", id_col: str = "doc_id"
+) -> DataFrame:
+    """Instruction/chat-data validation (SFT corpus gate): parse a JSON
+    conversation column (``[{"role": ..., "content": ...}, ...]``) and
+    emit the structural facts a fine-tuning pipeline filters on — turn
+    count, role alternation, who speaks first/last, content mass, and
+    empty-turn defects.
+
+    ``is_valid`` encodes the standard SFT contract: at least 2 turns,
+    opens with ``user``, closes with ``assistant``, roles strictly
+    alternate user/assistant, and no empty contents. Parse failures
+    (``from_json`` → NULL) surface as ``n_turns = -1`` rows rather than
+    vanishing — a curation gate must COUNT its rejects.
+
+    All array work is ``from_json`` + higher-order functions over the
+    per-row turn list (bounded: conversations are tens of turns, not
+    millions) — no UDF, no explode, no shuffle; scan-speed at 100 TB.
+    """
+    turns = F.from_json(
+        F.col(json_col), "array<struct<role:string,content:string>>"
+    )
+    roles = F.transform(turns, lambda t: t["role"])
+    parsed = df.withColumn("__turns", turns)
+    n = F.size("__turns")
+    alternating = F.forall(
+        F.zip_with(
+            F.slice(roles, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(roles, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: a != b,
+        ),
+        lambda x: x,
+    )
+    roles_known = F.forall(roles, lambda r: r.isin("user", "assistant"))
+    n_empty = F.size(
+        F.filter("__turns", lambda t: F.length(F.trim(t["content"])) == 0)
+    )
+    total_chars = F.aggregate(
+        "__turns", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t["content"])
+    )
+    out = parsed.select(
+        F.col(id_col),
+        F.coalesce(n, F.lit(-1)).cast("long").alias("n_turns"),
+        F.element_at(roles, 1).alias("first_role"),
+        F.element_at(roles, -1).alias("last_role"),
+        F.coalesce(total_chars, F.lit(0)).alias("total_chars"),
+        F.coalesce(n_empty, F.lit(0)).cast("long").alias("n_empty_turns"),
+        (
+            (F.coalesce(n, F.lit(0)) >= 2)
+            & (F.element_at(roles, 1) == "user")
+            & (F.element_at(roles, -1) == "assistant")
+            & F.coalesce(alternating, F.lit(False))
+            & F.coalesce(roles_known, F.lit(False))
+            & (F.coalesce(n_empty, F.lit(1)) == 0)
+        ).alias("is_valid"),
+    )
+    return out

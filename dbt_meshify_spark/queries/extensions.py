@@ -5857,3 +5857,328 @@ def ext_media_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ext_media_integrity"] = ext_media_integrity
+
+
+# --- round 4: web-crawl front door + corpus audit family ------------------
+
+#: Deterministic HTML wrapper applied to `documents.text` on BOTH engines —
+#: exercises script/style/comment drop, block-tag newlines, entity decode,
+#: and title extraction against the same oracle-built payload.
+_HTML_SYNTH = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; Co</title>"
+    "<style>p{color:red}</style></head><body><!-- nav 1 -->' || "
+    "CASE WHEN doc_id % 3 = 0 THEN '<script>var x = 1 < 2;</script>' ELSE '' END || "
+    "'<h1>Heading ' || CAST(doc_id % 5 AS VARCHAR) || '</h1><p>' || text || "
+    "'</p><div>footer &lt;b&gt;&nbsp;' || CAST(doc_id % 7 AS VARCHAR) || "
+    "'</div></body></html>'"
+)
+
+
+def ext_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N10] HTML → text extraction (operators/text.py::
+    extract_html_text) — the web-crawl front door: script/style/comment
+    drop, block tags to newlines, entity decode, title capture; pure
+    chained regexp projection, zero shuffle. Oracle: DuckDB replays the
+    identical regex pipeline on the identically synthesized HTML."""
+    from dbt_meshify_spark.operators.text import extract_html_text
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .withColumn("html", F.expr(_HTML_SYNTH.replace("AS VARCHAR", "AS STRING")))
+    )
+    return (
+        extract_html_text(docs)
+        .select("doc_id", "title", "text_extracted")
+        .orderBy(_asc("doc_id"))
+    )
+
+
+QUERIES["ext_html_extract"] = ext_html_extract
+
+ORACLES["ext_html_extract"] = rf"""
+WITH raw AS (
+  SELECT doc_id, {_HTML_SYNTH} AS html
+  FROM documents WHERE doc_id < 400
+),
+s1 AS (SELECT doc_id, html,
+       regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS h
+       FROM raw),
+s2 AS (SELECT doc_id, html,
+       regexp_replace(regexp_replace(h, '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g') AS h FROM s1),
+s3 AS (SELECT doc_id, html,
+       regexp_replace(h,
+         '(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)>|<br\s*/?>',
+         chr(10), 'g') AS h FROM s2),
+s4 AS (SELECT doc_id, html, regexp_replace(h, '(?s)<[^>]+>', ' ', 'g') AS h FROM s3),
+s5 AS (SELECT doc_id, html,
+       replace(replace(replace(replace(replace(replace(h,
+         '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+         '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' ') AS h FROM s4),
+s6 AS (SELECT doc_id, html,
+       regexp_replace(regexp_replace(h, '[ ' || chr(9) || chr(11) || chr(12) ||
+                                        chr(13) || ']+', ' ', 'g'),
+                      ' ?' || chr(10) || '[ ' || chr(10) || ']*', chr(10), 'g')
+       AS h FROM s5),
+fin AS (SELECT doc_id, regexp_replace(h, '^\s+|\s+$', '', 'g') AS text_extracted,
+        replace(replace(replace(replace(replace(replace(
+          trim(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)),
+          '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' ') AS title
+        FROM s6)
+SELECT doc_id, title, text_extracted FROM fin
+ORDER BY doc_id NULLS FIRST
+"""
+
+
+#: Per-doc multiscript suffix (deterministic by doc_id) so the script
+#: profile exercises non-Latin classes on the ASCII-only test corpus.
+_SCRIPT_SUFFIX = (
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN ' данные 12' "
+    "WHEN 1 THEN ' 数据数据' WHEN 2 THEN ' بيانات' ELSE '' END"
+)
+
+
+def ext_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] Unicode script profile (operators/text.py::script_profile):
+    per-doc Latin/Cyrillic/Han/Arabic/digit/whitespace character counts +
+    ratios via six codegen regexp passes — the mixed-script/mojibake
+    audit lang-ID misses. Oracle: RE2 script classes replay the same
+    length-diff counts (class spellings differ — Java \\p{IsLatin} vs
+    RE2 \\p{Latin} — semantics agree on these scripts)."""
+    from dbt_meshify_spark.operators.text import script_profile
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 600)
+        .withColumn("text", F.concat(F.col("text"), F.expr(_SCRIPT_SUFFIX)))
+    )
+    prof = script_profile(docs)
+    keep = ["latin", "cyrillic", "han", "arabic", "digit", "space", "other"]
+    return prof.select(
+        "doc_id",
+        "n_chars_total",
+        *[f"n_{k}" for k in keep],
+        *[f"ratio_{k}" for k in keep],
+    ).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_script_profile"] = ext_script_profile
+
+_SP_CLASSES = {
+    "latin": r"[\p{Latin}]",
+    "cyrillic": r"[\p{Cyrillic}]",
+    "han": r"[\p{Han}]",
+    "arabic": r"[\p{Arabic}]",
+    "digit": "[0-9]",
+    "space": r"[\s]",
+}
+_SP_COUNTS = ",\n       ".join(
+    f"CAST(length(t) - length(regexp_replace(t, '{pat}', '', 'g')) AS BIGINT) AS n_{k}"
+    for k, pat in _SP_CLASSES.items()
+)
+_SP_RATIOS = ",\n       ".join(
+    f"CASE WHEN n_chars_total > 0 THEN ROUND(n_{k} / n_chars_total, 4) "
+    f"ELSE 0.0 END AS ratio_{k}"
+    for k in (*_SP_CLASSES, "other")
+)
+
+ORACLES["ext_script_profile"] = rf"""
+WITH raw AS (
+  SELECT doc_id, text || {_SCRIPT_SUFFIX} AS t
+  FROM documents WHERE doc_id < 600
+),
+cnt AS (
+  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars_total,
+       {_SP_COUNTS}
+  FROM raw
+),
+wide AS (
+  SELECT *, CAST(n_chars_total - (n_latin + n_cyrillic + n_han + n_arabic
+                                  + n_digit + n_space) AS BIGINT) AS n_other
+  FROM cnt
+)
+SELECT doc_id, n_chars_total, n_latin, n_cyrillic, n_han, n_arabic, n_digit,
+       n_space, n_other,
+       {_SP_RATIOS}
+FROM wide
+ORDER BY doc_id NULLS FIRST
+"""
+
+
+#: Deterministic URL synth: mixed-case scheme/host, www, explicit default
+#: port, tracking + surviving params, fragments, trailing slashes, and a
+#: malformed-URL class (doc_id % 11 = 0) that must pass through.
+_URL_SYNTH = (
+    "CASE WHEN doc_id % 11 = 0 THEN 'Not A URL ' || CAST(doc_id AS VARCHAR) "
+    "ELSE 'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || "
+    "'.com:443/Path/' || CAST(doc_id % 13 AS VARCHAR) || "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '/' WHEN 1 THEN '' ELSE '/Sub' END || "
+    "'?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '&fbclid=xyz#frag' ELSE '&q=ok' END END"
+)
+
+
+def ext_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N9] URL canonicalization for crawl dedup (operators/text.py::
+    canonicalize_url): lowercase scheme/host, strip www/default port/
+    fragment/tracking params/trailing slash — the key-normalization pass
+    before URL-level exact dedup. Includes the canonical-key dedup count
+    per row so collapsing actually shows. Oracle: identical regex
+    pipeline in RE2."""
+    from dbt_meshify_spark.operators.text import canonicalize_url
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .withColumn("url", F.expr(_URL_SYNTH.replace("AS VARCHAR", "AS STRING")))
+    )
+    canon = canonicalize_url(docs)
+    sizes = canon.groupBy("url_canonical").agg(
+        F.count(F.lit(1)).cast("long").alias("n_same_target")
+    )
+    return (
+        canon.join(sizes, "url_canonical")
+        .select("doc_id", "url_canonical", "n_same_target")
+        .orderBy(_asc("doc_id"))
+    )
+
+
+QUERIES["ext_url_canonicalize"] = ext_url_canonicalize
+
+ORACLES["ext_url_canonicalize"] = rf"""
+WITH raw AS (
+  SELECT doc_id, {_URL_SYNTH} AS url
+  FROM documents WHERE doc_id < 1000
+),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      '^www\.', ''), ':(80|443)$', '') AS host,
+    regexp_replace(
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      '/$', '') AS path0,
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_extract(url, '\?([^#]*)', 1),
+      '(^|&)(?:utm_[^=&]*|gclid|fbclid|msclkid|ref|mc_eid)=[^&]*', '\1', 'g'),
+      '&&+', '&', 'g'), '^&|&$', '', 'g') AS q
+  FROM raw
+),
+canon AS (
+  SELECT doc_id,
+    CASE WHEN scheme = '' THEN lower(url)
+         ELSE scheme || '://' || host ||
+              CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+              CASE WHEN q = '' THEN '' ELSE '?' || q END
+    END AS url_canonical
+  FROM parts
+)
+SELECT doc_id, url_canonical,
+       CAST(COUNT(*) OVER (PARTITION BY url_canonical) AS BIGINT) AS n_same_target
+FROM canon
+ORDER BY doc_id NULLS FIRST
+"""
+
+
+#: Deterministic chat-JSON synth: 2–4 turns sliced from `text`, a
+#: wrong-first-role class (doc_id % 17 = 0) and a blank-turn class
+#: (doc_id % 19 = 0); word-soup text is JSON-safe by construction.
+_CONV_SYNTH = (
+    "'[{{\"role\":\"' || CASE WHEN doc_id % 17 = 0 THEN 'system' ELSE 'user' END || "
+    "'\",\"content\":\"' || substr(text, 1, 15) || '\"}},"
+    "{{\"role\":\"assistant\",\"content\":\"' || "
+    "CASE WHEN doc_id % 19 = 0 THEN ' ' ELSE substr(text, 16, 15) END || '\"}}' || "
+    "CASE WHEN doc_id % 3 >= 1 THEN ',{{\"role\":\"user\",\"content\":\"' || "
+    "substr(text, 31, 15) || '\"}}' ELSE '' END || "
+    "CASE WHEN doc_id % 3 = 2 THEN ',{{\"role\":\"assistant\",\"content\":\"' || "
+    "substr(text, 46, 15) || '\"}}' ELSE '' END || ']'"
+).format()
+
+
+def ext_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] instruction/chat-data validation (operators/text.py::
+    conversation_stats): from_json over the turn array + HOF structural
+    checks — turn count, role alternation, first/last speaker, content
+    mass, empty-turn defects, and the SFT validity verdict. Oracle:
+    DuckDB json_transform to a struct list + list-lambda replay."""
+    from dbt_meshify_spark.operators.text import conversation_stats
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 500) & F.col("text").isNotNull())
+        .withColumn("conversation", F.expr(_CONV_SYNTH))
+    )
+    return conversation_stats(docs).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_conversation_stats"] = ext_conversation_stats
+
+ORACLES["ext_conversation_stats"] = rf"""
+WITH raw AS (
+  SELECT doc_id, {_CONV_SYNTH} AS conversation
+  FROM documents WHERE doc_id < 500 AND text IS NOT NULL
+),
+parsed AS (
+  SELECT doc_id,
+    json_transform(conversation,
+      '[{{"role":"VARCHAR","content":"VARCHAR"}}]') AS l
+  FROM raw
+),
+facts AS (
+  SELECT doc_id,
+    CAST(len(l) AS BIGINT) AS n_turns,
+    l[1].role AS first_role,
+    l[len(l)].role AS last_role,
+    CAST(list_sum(list_transform(l, x -> length(x.content))) AS BIGINT)
+      AS total_chars,
+    CAST(len(list_filter(l, x -> trim(x.content) = '')) AS BIGINT)
+      AS n_empty_turns,
+    (len(l) <= 1 OR NOT list_contains(
+       list_transform(range(1, len(l)), i -> l[i].role = l[i + 1].role), true))
+      AS alternating,
+    len(list_filter(l, x -> x.role IN ('user', 'assistant'))) = len(l)
+      AS roles_known
+  FROM parsed
+)
+SELECT doc_id, n_turns, first_role, last_role, total_chars, n_empty_turns,
+       (n_turns >= 2 AND first_role = 'user' AND last_role = 'assistant'
+        AND alternating AND roles_known AND n_empty_turns = 0) AS is_valid
+FROM facts
+ORDER BY doc_id NULLS FIRST
+"""
+
+
+def ext_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9/N10] corpus concentration audit (operators/skew.py::
+    concentration_report): Gini + normalized HHI of character mass
+    across sources — the dataset-card diversity numbers. One combiner
+    aggregate to a source-cardinality frame; rank window + fold on that
+    tiny frame only. Oracle: the same rank identity in SQL (weights are
+    integral, so every double aggregate is exact)."""
+    from dbt_meshify_spark.operators.skew import concentration_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return concentration_report(docs, "source", "n_chars")
+
+
+QUERIES["ext_source_concentration"] = ext_source_concentration
+
+ORACLES["ext_source_concentration"] = r"""
+WITH per AS (
+  SELECT source, CAST(SUM(COALESCE(n_chars, 0)) AS DOUBLE) AS w
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT w, ROW_NUMBER() OVER (ORDER BY w ASC, source ASC) AS i FROM per
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(w) AS DOUBLE) AS total_weight,
+       ROUND(2.0 * SUM(i * w) / (COUNT(*) * SUM(w))
+             - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini,
+       ROUND((SUM(w * w) / (SUM(w) * SUM(w)) - 1.0 / COUNT(*))
+             / (1.0 - 1.0 / COUNT(*)), 4) AS hhi_norm
+FROM r
+"""

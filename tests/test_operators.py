@@ -3072,3 +3072,110 @@ def test_media_integrity_report_classifies_each_failure(spark):
     assert out[5] == ("null_payload", "none")
     assert out[6] == ("unknown_format", "unknown")
     assert out[7] == ("ok", "wav")
+
+
+def test_extract_html_text_strips_and_decodes(spark):
+    from dbt_meshify_spark.operators.text import extract_html_text
+
+    rows = [
+        (1, '<html><head><title> T &amp; U </title><style>p{x:1}</style></head>'
+            '<body><!-- c --><p>one</p><ul><li>two</li></ul>'
+            '<script>var a = "<p>not text</p>";</script>'
+            '<div>x &lt;y&gt;&nbsp;&quot;z&#39;</div></body></html>'),
+        (2, 'plain text, no tags'),
+        (3, '<p>unclosed <b>bold'),  # malformed: must not crash or drop
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r.doc_id: r for r in extract_html_text(df).collect()}
+    assert out[1].title == "T & U"
+    # script/style/comment gone; block closers became newlines; entities decoded
+    assert "not text" not in out[1].text_extracted
+    assert "x:1" not in out[1].text_extracted
+    body = out[1].text_extracted
+    assert "one\n" in body and "two\n" in body
+    assert 'x <y> "z\'' in body
+    assert out[2].text_extracted == "plain text, no tags" and out[2].title == ""
+    assert out[3].text_extracted == "unclosed bold"
+    assert out[4].text_extracted is None  # NULL propagates, row kept
+
+
+def test_script_profile_counts_and_ratios(spark):
+    from dbt_meshify_spark.operators.text import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "ab данные 数 ب 12"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in script_profile(df).collect()}
+    r = out[1]
+    assert (r.n_latin, r.n_cyrillic, r.n_han, r.n_arabic, r.n_digit, r.n_space) == (
+        2, 6, 1, 1, 2, 4,
+    )
+    assert r.n_other == 0 and r.n_chars_total == 16
+    assert r.ratio_latin == round(2 / 16, 4)
+    assert out[2].n_chars_total == 0 and out[2].ratio_latin == 0.0
+    assert out[3].n_chars_total is None  # NULL text propagates
+
+
+def test_canonicalize_url_rules(spark):
+    from dbt_meshify_spark.operators.text import canonicalize_url
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/Path/A/?utm_source=f&id=3&fbclid=x#frag"),
+        (2, "http://site.org"),                      # empty path -> /
+        (3, "http://site.org:80/a/"),                # default port + trailing slash
+        (4, "https://h.io/x?utm_a=1&utm_b=2"),       # tracking-only query drops
+        (5, "https://h.io/x?b=2&a=1"),               # param ORDER preserved
+        (6, "not a url"),                            # malformed passthrough
+        (7, "ftp://Host.Net:21/f"),                  # non-default port kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r.url_canonical for r in canonicalize_url(df).collect()}
+    assert out[1] == "https://example.com/Path/A?id=3"
+    assert out[2] == "http://site.org/"
+    assert out[3] == "http://site.org/a"
+    assert out[4] == "https://h.io/x"
+    assert out[5] == "https://h.io/x?b=2&a=1"
+    assert out[6] == "not a url"
+    assert out[7] == "ftp://host.net:21/f"
+
+
+def test_conversation_stats_contract(spark):
+    from dbt_meshify_spark.operators.text import conversation_stats
+
+    rows = [
+        (1, '[{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]'),
+        (2, '[{"role":"user","content":"a"},{"role":"user","content":"b"},'
+            '{"role":"assistant","content":"c"}]'),          # no alternation
+        (3, "not json"),                                      # parse reject
+        (4, '[{"role":"system","content":"x"},{"role":"assistant","content":" "}]'),
+        (5, '[{"role":"user","content":"only one turn"}]'),   # too short
+        (6, '[{"role":"user","content":"q1"},{"role":"assistant","content":"a1"},'
+            '{"role":"user","content":"q2"},{"role":"assistant","content":"a2"}]'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, conversation string")
+    out = {r.doc_id: r for r in conversation_stats(df).collect()}
+    assert out[1].is_valid and out[1].n_turns == 2 and out[1].total_chars == 4
+    assert not out[2].is_valid  # user twice in a row
+    assert out[3].n_turns == -1 and not out[3].is_valid  # rejects are COUNTED
+    assert not out[4].is_valid and out[4].n_empty_turns == 1
+    assert not out[5].is_valid and out[5].last_role == "user"
+    assert out[6].is_valid and out[6].n_turns == 4
+
+
+def test_concentration_report_bounds(spark):
+    from dbt_meshify_spark.operators.skew import concentration_report
+
+    # perfectly uniform mass -> gini 0, hhi_norm 0
+    uni = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 10), ("d", 10)], "k string, w int"
+    )
+    r = concentration_report(uni, "k", "w").collect()[0]
+    assert (r.n_keys, r.gini, r.hhi_norm) == (4, 0.0, 0.0)
+    # all mass on one of n keys -> gini (n-1)/n, hhi_norm 1; NULL weight = 0
+    one = spark.createDataFrame(
+        [("a", 100), ("b", 0), ("c", None)], "k string, w int"
+    )
+    r = concentration_report(one, "k", "w").collect()[0]
+    assert (r.n_keys, r.total_weight) == (3, 100.0)
+    assert r.gini == round(2 / 3, 4) and r.hhi_norm == 1.0

@@ -388,6 +388,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "scale tier is keep_top_fraction(exact=False)",
     "ext_vocab_encode": "term-id assignment over the min_count-filtered "
     "vocabulary (bounded Heaps-law growth; broadcast back)",
+    "ext_source_concentration": "Gini rank over the key-cardinality "
+    "(source) aggregate frame — thousands of rows at most",
 }
 
 
