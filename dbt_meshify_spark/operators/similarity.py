@@ -1004,3 +1004,90 @@ def _label_mismatch_filter(
         )
 
     return apply
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based parallel-pair mining between two embedding corpora —
+    the LASER/CCMatrix recipe (Artetxe & Schwenk 2019) for harvesting
+    translation pairs / cross-modal alignments from unaligned corpora.
+
+    For each candidate pair the raw cosine is normalized by the mean
+    cosine of each endpoint's k nearest neighbors:
+    ``margin(x,y) = cos(x,y) / ((avg_knn(x) + avg_knn(y)) / 2)`` — the
+    "ratio" margin. This demotes hubness: a vector that is merely close
+    to EVERYTHING scores high raw cosine but margin ≈ 1 against all of
+    them. A pair is emitted only when each side is the other's best
+    margin partner (mutual top-1) and the margin clears the threshold.
+
+    Scale shape: candidate generation is pluggable — the default exact
+    tier runs :func:`cosine_topk` both directions (fine when one side
+    broadcasts); at 100 TB pass ``candidates`` from the LSH/IVF tier
+    (``lsh_bucketed_topk`` / ``ivf_topk`` renamed to the same columns)
+    and the margin/mutual logic — equi-joins and two windows over the
+    |X|·k candidate frame, never the corpus — is unchanged. Cross-engine
+    determinism: margins are ratios of integer-exact sums of the
+    4dp-rounded cosines (scaled ×10⁴), so ranking needs no float
+    tolerance anywhere.
+
+    Returns: src_id, tgt_id, cos_sim, margin (both rounded 4dp).
+    """
+    fwd = (
+        candidates
+        if candidates is not None
+        else cosine_topk(src, tgt, k=k, id_col=id_col, vec_col=vec_col)
+    )
+    bwd = cosine_topk(tgt, src, k=k, id_col=id_col, vec_col=vec_col)
+    c_int = F.round(F.col("cos_sim") * 10000).alias("c_int")
+    fx = fwd.select(
+        F.col("query_id").alias("src_id"), F.col("neighbor_id").alias("tgt_id"), c_int
+    )
+    bx = bwd.select(
+        F.col("neighbor_id").alias("src_id"), F.col("query_id").alias("tgt_id"), c_int
+    )
+    cands = fx.unionByName(bx).distinct()
+    a_src = fwd.groupBy(F.col("query_id").alias("src_id")).agg(
+        F.sum(F.round(F.col("cos_sim") * 10000)).alias("a_src"),
+        F.count(F.lit(1)).cast("double").alias("n_src"),
+    )
+    a_tgt = bwd.groupBy(F.col("query_id").alias("tgt_id")).agg(
+        F.sum(F.round(F.col("cos_sim") * 10000)).alias("a_tgt"),
+        F.count(F.lit(1)).cast("double").alias("n_tgt"),
+    )
+    scored = (
+        cands.join(a_src, "src_id")
+        .join(a_tgt, "tgt_id")
+        .withColumn(
+            "margin",
+            F.lit(2.0) * F.col("c_int")
+            / (F.col("a_src") / F.col("n_src") + F.col("a_tgt") / F.col("n_tgt")),
+        )
+    )
+    w_src = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc()
+    )
+    w_tgt = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin").desc(), F.col("src_id").asc()
+    )
+    return (
+        scored.withColumn("r_src", F.row_number().over(w_src))
+        .withColumn("r_tgt", F.row_number().over(w_tgt))
+        .filter(
+            (F.col("r_src") == 1)
+            & (F.col("r_tgt") == 1)
+            & (F.col("margin") >= F.lit(float(margin_threshold)))
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            (F.col("c_int") / 10000).alias("cos_sim"),
+            F.round("margin", 4).alias("margin"),
+        )
+    )

@@ -6182,3 +6182,71 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
              / (1.0 - 1.0 / COUNT(*)), 4) AS hhi_norm
 FROM r
 """
+
+
+def ext_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3/N9] margin-based parallel-pair mining (operators/similarity.py::
+    bitext_mine) — the LASER/CCMatrix ratio-margin recipe: mutual top-1 by
+    cos normalized against each endpoint's k-NN mean, demoting hub
+    vectors raw cosine over-matches. Sides = embeddings split by vec_id
+    parity. Oracle: full margin replay — margins are ratios of
+    integer-exact sums of 4dp-rounded cosines, so no float tolerance is
+    needed anywhere."""
+    from dbt_meshify_spark.operators.similarity import bitext_mine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    X = emb.filter(F.col("vec_id") % 2 == 0)
+    Y = emb.filter(F.col("vec_id") % 2 == 1)
+    return bitext_mine(X, Y, k=4, margin_threshold=1.1).orderBy(_asc("src_id"))
+
+
+QUERIES["ext_bitext_mine"] = ext_bitext_mine
+
+ORACLES["ext_bitext_mine"] = r"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sims AS (
+  SELECT s.vec_id AS sid, t.vec_id AS tid,
+         list_dot_product(s.e, t.e) /
+         (sqrt(list_dot_product(s.e, s.e)) * sqrt(list_dot_product(t.e, t.e))
+          + 1e-12) AS cs
+  FROM v s JOIN v t ON s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+),
+fk AS (
+  SELECT * FROM (
+    SELECT sid, tid, ROUND(ROUND(cs, 4) * 10000) AS c_int,
+           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cs DESC, tid ASC) AS rk
+    FROM sims) WHERE rk <= 4
+),
+bk AS (
+  SELECT * FROM (
+    SELECT sid, tid, ROUND(ROUND(cs, 4) * 10000) AS c_int,
+           ROW_NUMBER() OVER (PARTITION BY tid ORDER BY cs DESC, sid ASC) AS rk
+    FROM sims) WHERE rk <= 4
+),
+cands AS (
+  SELECT DISTINCT sid, tid, c_int FROM
+  (SELECT sid, tid, c_int FROM fk UNION ALL SELECT sid, tid, c_int FROM bk)
+),
+asrc AS (SELECT sid, SUM(c_int) AS a_src, CAST(COUNT(*) AS DOUBLE) AS n_src
+         FROM fk GROUP BY sid),
+atgt AS (SELECT tid, SUM(c_int) AS a_tgt, CAST(COUNT(*) AS DOUBLE) AS n_tgt
+         FROM bk GROUP BY tid),
+scored AS (
+  SELECT c.sid, c.tid, c.c_int,
+         2.0 * c.c_int / (a_src / n_src + a_tgt / n_tgt) AS margin
+  FROM cands c JOIN asrc USING (sid) JOIN atgt USING (tid)
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY margin DESC, tid ASC) AS r1,
+    ROW_NUMBER() OVER (PARTITION BY tid ORDER BY margin DESC, sid ASC) AS r2
+  FROM scored
+)
+SELECT sid AS src_id, tid AS tgt_id, c_int / 10000 AS cos_sim,
+       ROUND(margin, 4) AS margin
+FROM ranked WHERE r1 = 1 AND r2 = 1 AND margin >= 1.1
+ORDER BY src_id NULLS FIRST
+"""

@@ -3179,3 +3179,25 @@ def test_concentration_report_bounds(spark):
     r = concentration_report(one, "k", "w").collect()[0]
     assert (r.n_keys, r.total_weight) == (3, 100.0)
     assert r.gini == round(2 / 3, 4) and r.hhi_norm == 1.0
+
+
+def test_bitext_mine_recovers_pairs_and_rejects_hub(spark):
+    """Planted parallel pairs must come back exactly; a hub vector (close
+    to EVERYTHING on the other side) must be excluded by the mutual-top-1
+    margin rule even though its raw cosine to every source clears any
+    reasonable absolute threshold."""
+    from dbt_meshify_spark.operators.similarity import bitext_mine
+
+    X = [(0, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
+         (4, [0.0, 0.0, 1.0, 0.0])]
+    Y = [(1, [0.95, 0.05, 0.0, 0.0]), (3, [0.05, 0.95, 0.0, 0.0]),
+         (5, [0.0, 0.05, 0.95, 0.0]),
+         (7, [0.577, 0.577, 0.577, 0.0])]  # hub: cos ~0.58 with every x
+    xs = spark.createDataFrame(X, "vec_id long, embedding array<double>")
+    ys = spark.createDataFrame(Y, "vec_id long, embedding array<double>")
+    out = bitext_mine(xs, ys, k=3, margin_threshold=1.05)
+    rows = {(r.src_id, r.tgt_id): r for r in out.collect()}
+    assert set(rows) == {(0, 1), (2, 3), (4, 5)}
+    assert all(r.margin > 1.05 and r.cos_sim > 0.9 for r in rows.values())
+    # the hub is every x's SECOND-best raw match yet mines nothing
+    assert not any(t == 7 for (_, t) in rows)
