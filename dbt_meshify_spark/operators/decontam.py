@@ -161,3 +161,50 @@ def remove_contaminated_spans(
 
     spans = contaminated_spans(train_df, eval_df, id_col, text_col, span_tokens)
     return cut_spans_from_text(train_df, spans, id_col=id_col, text_col=text_col)
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_vecs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-level) benchmark decontamination: flag corpus
+    items whose max cosine against ANY eval-set vector clears
+    ``threshold`` — the paraphrase/translation leakage tier that n-gram
+    decontamination (:func:`decontaminate`) structurally misses (reworded
+    eval questions share no 13-gram).
+
+    Returns every corpus row's verdict — ``id, max_eval_cos,
+    contaminated`` — so the gate COUNTS its rejects (join back and filter
+    on the flag to drop, mirroring the lexical tier's contract).
+
+    Scale shape: the eval side is bounded by construction (benchmarks are
+    thousands of rows, not billions) and broadcasts pre-normalized; the
+    corpus streams through the join and the only shuffle carries
+    ``(id, cos)`` scalar pairs into the per-id max — vectors never enter
+    an Exchange. At extreme eval sizes swap the candidate generator for
+    the persisted IVF index over the EVAL set (``ivf_index(eval)`` +
+    ``ivf_probe_index(corpus)``) and keep this per-id max/verdict tail:
+    the quadratic fan-out disappears into nprobe cell probes.
+    """
+    from dbt_meshify_spark.operators.similarity import _dot, _unit, spread
+
+    c = spread(corpus).select(
+        F.col(id_col).alias("__cid"), _unit(F.col(vec_col)).alias("cv")
+    )
+    e = eval_vecs.select(
+        F.col(id_col).alias("__eid"), _unit(F.col(vec_col)).alias("ev")
+    )
+    sims = c.crossJoin(F.broadcast(e)).select(
+        "__cid", _dot(F.col("cv"), F.col("ev")).alias("cos")
+    )
+    verdict = sims.groupBy("__cid").agg(
+        F.round(F.max("cos"), 4).alias("max_eval_cos")
+    )
+    return verdict.select(
+        F.col("__cid").alias(id_col),
+        "max_eval_cos",
+        (F.col("max_eval_cos") >= F.lit(float(threshold))).alias("contaminated"),
+    )

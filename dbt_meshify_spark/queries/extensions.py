@@ -6250,3 +6250,41 @@ SELECT sid AS src_id, tid AS tgt_id, c_int / 10000 AS cos_sim,
 FROM ranked WHERE r1 = 1 AND r2 = 1 AND margin >= 1.1
 ORDER BY src_id NULLS FIRST
 """
+
+
+def ext_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N-decontam/N3] semantic benchmark decontamination
+    (operators/decontam.py::semantic_contamination): per-corpus-item max
+    cosine against the eval set (vec_id % 10 = 0) with the contamination
+    verdict — the paraphrase-leakage tier lexical 13-gram decontam
+    misses. Flag computed from the ROUNDED max on both engines. Oracle:
+    exact max-cosine replay (MAX is order-independent — no float
+    tolerance needed)."""
+    from dbt_meshify_spark.operators.decontam import semantic_contamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    eval_vecs = emb.filter(F.col("vec_id") % 10 == 0)
+    return semantic_contamination(corpus, eval_vecs, threshold=0.35).orderBy(
+        _asc("vec_id")
+    )
+
+
+QUERIES["ext_semantic_decontaminate"] = ext_semantic_decontaminate
+
+ORACLES["ext_semantic_decontaminate"] = r"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sims AS (
+  SELECT c.vec_id AS vid,
+         list_dot_product(c.e, t.e) /
+         (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(t.e, t.e))
+          + 1e-12) AS cs
+  FROM v c JOIN v t ON c.vec_id % 10 != 0 AND t.vec_id % 10 = 0
+),
+m AS (SELECT vid, ROUND(MAX(cs), 4) AS max_eval_cos FROM sims GROUP BY vid)
+SELECT vid AS vec_id, max_eval_cos, max_eval_cos >= 0.35 AS contaminated
+FROM m ORDER BY vec_id NULLS FIRST
+"""

@@ -3201,3 +3201,26 @@ def test_bitext_mine_recovers_pairs_and_rejects_hub(spark):
     assert all(r.margin > 1.05 and r.cos_sim > 0.9 for r in rows.values())
     # the hub is every x's SECOND-best raw match yet mines nothing
     assert not any(t == 7 for (_, t) in rows)
+
+
+def test_semantic_contamination_flags_paraphrase_leaks(spark):
+    """A near-copy of an eval vector must flag; an orthogonal vector must
+    not; every corpus row appears in the verdict (rejects are counted)."""
+    from dbt_meshify_spark.operators.decontam import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.02, 0.0]),   # near-copy of eval e1 -> contaminated
+         (2, [0.0, 0.0, 1.0]),    # orthogonal -> clean
+         (3, [0.7, 0.7, 0.0])],   # diagonal: cos ~0.71 vs e1 -> contaminated
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in
+           semantic_contamination(corpus, ev, threshold=0.7).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].contaminated and out[1].max_eval_cos > 0.99
+    assert not out[2].contaminated and out[2].max_eval_cos == 0.0
+    assert out[3].contaminated  # flag uses the ROUNDED max
