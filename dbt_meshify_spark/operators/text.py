@@ -939,3 +939,49 @@ def conversation_stats(
         ).alias("is_valid"),
     )
     return out
+
+
+def preference_pair_stats(
+    df: DataFrame, json_col: str = "preference", id_col: str = "doc_id"
+) -> DataFrame:
+    """Preference-data validation (DPO/RLHF corpus gate): parse a JSON
+    ``{"prompt", "chosen", "rejected"}`` record and emit the structural
+    facts a preference-tuning pipeline filters on — per-field lengths,
+    the identical-pair defect (chosen == rejected carries zero preference
+    signal), empty/missing fields, and the validity verdict.
+
+    ``is_valid`` = parses, all three fields present and non-blank, and
+    chosen differs from rejected. Parse failures surface as
+    ``parsed = false`` rows — the gate counts its rejects. (Spark's
+    ``from_json`` returns an all-null struct rather than NULL on
+    malformed input, so ``parsed`` is defined as "at least one field
+    materialized" — a fieldless-but-wellformed ``{}`` record is
+    indistinguishable from garbage and gets the same reject verdict,
+    which is the right call for a data gate either way.)
+
+    Pure ``from_json`` + scalar projections: scan-speed, zero shuffle.
+    """
+    rec = F.from_json(
+        F.col(json_col), "struct<prompt:string,chosen:string,rejected:string>"
+    )
+    out = df.withColumn("__r", rec)
+    p, c, r = (F.col("__r")[f] for f in ("prompt", "chosen", "rejected"))
+    blank = lambda x: x.isNull() | (F.length(F.trim(x)) == 0)  # noqa: E731
+    n_blank = (
+        blank(p).cast("int") + blank(c).cast("int") + blank(r).cast("int")
+    )
+    parsed = p.isNotNull() | c.isNotNull() | r.isNotNull()
+    return out.select(
+        F.col(id_col),
+        parsed.alias("parsed"),
+        F.coalesce(F.length(p), F.lit(-1)).cast("long").alias("prompt_chars"),
+        F.coalesce(F.length(c), F.lit(-1)).cast("long").alias("chosen_chars"),
+        F.coalesce(F.length(r), F.lit(-1)).cast("long").alias("rejected_chars"),
+        F.coalesce(c == r, F.lit(False)).alias("identical_pair"),
+        F.coalesce(n_blank, F.lit(3)).cast("long").alias("n_blank_fields"),
+        (
+            parsed
+            & (F.coalesce(n_blank, F.lit(3)) == 0)
+            & F.coalesce(c != r, F.lit(False))
+        ).alias("is_valid"),
+    )

@@ -6288,3 +6288,64 @@ m AS (SELECT vid, ROUND(MAX(cs), 4) AS max_eval_cos FROM sims GROUP BY vid)
 SELECT vid AS vec_id, max_eval_cos, max_eval_cos >= 0.35 AS contaminated
 FROM m ORDER BY vec_id NULLS FIRST
 """
+
+
+#: Deterministic DPO-record synth: prompt/chosen/rejected sliced from
+#: `text`, an identical-pair class (doc_id % 13 = 0) and a blank-rejected
+#: class (doc_id % 7 = 0). Word-soup text is JSON-safe by construction.
+_PREF_SYNTH = (
+    "'{\"prompt\":\"' || substr(text, 1, 20) || "
+    "'\",\"chosen\":\"' || substr(text, 21, 25) || '\",\"rejected\":\"' || "
+    "CASE WHEN doc_id % 13 = 0 THEN substr(text, 21, 25) "
+    "WHEN doc_id % 7 = 0 THEN '' "
+    "ELSE substr(text, 46, 25) END || '\"}'"
+)
+
+
+def ext_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] preference-data (DPO/RLHF) validation (operators/text.py::
+    preference_pair_stats): per-record field lengths, the identical-pair
+    defect (zero preference signal), blank fields, validity verdict —
+    from_json + scalar projections, zero shuffle. Oracle: DuckDB
+    json_extract_string replay over identically synthesized records."""
+    from dbt_meshify_spark.operators.text import preference_pair_stats
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 600) & F.col("text").isNotNull())
+        .withColumn("preference", F.expr(_PREF_SYNTH))
+    )
+    return preference_pair_stats(docs).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_preference_pairs"] = ext_preference_pairs
+
+ORACLES["ext_preference_pairs"] = (
+    "WITH raw AS (\n"
+    "  SELECT doc_id, " + _PREF_SYNTH + " AS j\n"
+    "  FROM documents WHERE doc_id < 600 AND text IS NOT NULL\n"
+    "),\n"
+    "f AS (\n"
+    "  SELECT doc_id,\n"
+    "    json_extract_string(j, '$.prompt') AS p,\n"
+    "    json_extract_string(j, '$.chosen') AS c,\n"
+    "    json_extract_string(j, '$.rejected') AS r\n"
+    "  FROM raw\n"
+    "),\n"
+    "facts AS (\n"
+    "  SELECT doc_id, true AS parsed,\n"
+    "    CAST(length(p) AS BIGINT) AS prompt_chars,\n"
+    "    CAST(length(c) AS BIGINT) AS chosen_chars,\n"
+    "    CAST(length(r) AS BIGINT) AS rejected_chars,\n"
+    "    COALESCE(c = r, false) AS identical_pair,\n"
+    "    CAST((CASE WHEN p IS NULL OR trim(p) = '' THEN 1 ELSE 0 END)\n"
+    "       + (CASE WHEN c IS NULL OR trim(c) = '' THEN 1 ELSE 0 END)\n"
+    "       + (CASE WHEN r IS NULL OR trim(r) = '' THEN 1 ELSE 0 END)\n"
+    "       AS BIGINT) AS n_blank_fields\n"
+    "  FROM f\n"
+    ")\n"
+    "SELECT doc_id, parsed, prompt_chars, chosen_chars, rejected_chars,\n"
+    "       identical_pair, n_blank_fields,\n"
+    "       (parsed AND n_blank_fields = 0 AND NOT identical_pair) AS is_valid\n"
+    "FROM facts ORDER BY doc_id NULLS FIRST\n"
+)

@@ -3224,3 +3224,22 @@ def test_semantic_contamination_flags_paraphrase_leaks(spark):
     assert out[1].contaminated and out[1].max_eval_cos > 0.99
     assert not out[2].contaminated and out[2].max_eval_cos == 0.0
     assert out[3].contaminated  # flag uses the ROUNDED max
+
+
+def test_preference_pair_stats_contract(spark):
+    from dbt_meshify_spark.operators.text import preference_pair_stats
+
+    rows = [
+        (1, '{"prompt":"p","chosen":"good","rejected":"bad"}'),
+        (2, '{"prompt":"p","chosen":"same","rejected":"same"}'),  # no signal
+        (3, '{"prompt":"","chosen":"a","rejected":"b"}'),          # blank prompt
+        (4, '{"prompt":"p","chosen":"a"}'),                        # missing field
+        (5, "not json"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, preference string")
+    out = {r.doc_id: r for r in preference_pair_stats(df).collect()}
+    assert out[1].is_valid and out[1].chosen_chars == 4
+    assert not out[2].is_valid and out[2].identical_pair
+    assert not out[3].is_valid and out[3].n_blank_fields == 1
+    assert not out[4].is_valid and out[4].rejected_chars == -1
+    assert not out[5].is_valid and not out[5].parsed
