@@ -6349,3 +6349,63 @@ ORACLES["ext_preference_pairs"] = (
     "       (parsed AND n_blank_fields = 0 AND NOT identical_pair) AS is_valid\n"
     "FROM facts ORDER BY doc_id NULLS FIRST\n"
 )
+
+
+def ext_stream_conversation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6/N4] STREAMING SFT-data gate: the conversation validity contract
+    applied to an unbounded chat-record feed and drained availableNow —
+    stateless projection per micro-batch, shares ext_conversation_stats'
+    synth + verdict logic filtered to keepers
+    (streaming/documents.py::stream_conversation_filter)."""
+    import tempfile
+
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_conversation_filter,
+    )
+
+    feed = (
+        read_documents_stream(spark, f"{sf_dir.rstrip('/')}/documents.parquet")
+        .filter((F.col("doc_id") < 500) & F.col("text").isNotNull())
+        .withColumn("conversation", F.expr(_CONV_SYNTH))
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_conv_")
+    drained = stream_conversation_filter(feed, out_dir)
+    return drained.orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_stream_conversation_filter"] = ext_stream_conversation_filter
+
+ORACLES["ext_stream_conversation_filter"] = rf"""
+WITH raw AS (
+  SELECT doc_id, {_CONV_SYNTH} AS conversation
+  FROM documents WHERE doc_id < 500 AND text IS NOT NULL
+),
+parsed AS (
+  SELECT doc_id,
+    json_transform(conversation,
+      '[{{"role":"VARCHAR","content":"VARCHAR"}}]') AS l
+  FROM raw
+),
+facts AS (
+  SELECT doc_id,
+    CAST(len(l) AS BIGINT) AS n_turns,
+    l[1].role AS first_role,
+    l[len(l)].role AS last_role,
+    CAST(list_sum(list_transform(l, x -> length(x.content))) AS BIGINT)
+      AS total_chars,
+    CAST(len(list_filter(l, x -> trim(x.content) = '')) AS BIGINT)
+      AS n_empty_turns,
+    (len(l) <= 1 OR NOT list_contains(
+       list_transform(range(1, len(l)), i -> l[i].role = l[i + 1].role), true))
+      AS alternating,
+    len(list_filter(l, x -> x.role IN ('user', 'assistant'))) = len(l)
+      AS roles_known
+  FROM parsed
+)
+SELECT doc_id, n_turns, total_chars
+FROM facts
+WHERE n_turns >= 2 AND first_role = 'user' AND last_role = 'assistant'
+      AND alternating AND roles_known AND n_empty_turns = 0
+ORDER BY doc_id NULLS FIRST
+"""

@@ -369,3 +369,45 @@ def stream_gram_novelty(
             [], "doc_id bigint, n_grams bigint, n_novel bigint, novelty double"
         )
     return spark.read.parquet(f"{out_dir}/novelty")
+
+
+def stream_conversation_filter(
+    stream_docs: DataFrame,
+    out_dir: str,
+    json_col: str = "conversation",
+) -> DataFrame:
+    """Streaming SFT-data gate: apply the conversation validity contract
+    (operators/text.py::conversation_stats — turn count, role
+    alternation, empty-turn defects) to an unbounded chat-record feed and
+    keep only valid records.
+
+    Stateless scalar projection per micro-batch — no watermark, no state
+    store; per-batch cost is the batch's own parse. Drained availableNow
+    over a static directory the emitted relation equals the batch
+    operator's filtered output, which is how the DuckDB oracle gates it
+    (same discipline as stream_gopher_filter).
+    """
+    from pyspark.sql import functions as F
+
+    from dbt_meshify_spark.operators.text import conversation_stats
+
+    spark = stream_docs.sparkSession
+    kept = (
+        conversation_stats(stream_docs, json_col=json_col)
+        .filter(F.col("is_valid"))
+        .select("doc_id", "n_turns", "total_chars")
+    )
+    q = (
+        kept.writeStream.format("parquet")
+        .option("path", f"{out_dir}/rows")
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(f"{out_dir}/rows")
+    except Exception:
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_turns bigint, total_chars bigint"
+        )
