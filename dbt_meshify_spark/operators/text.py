@@ -985,3 +985,56 @@ def preference_pair_stats(
             & F.coalesce(c != r, F.lit(False))
         ).alias("is_valid"),
     )
+
+
+def code_markup_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code / markup detection profile (mixture routing: a "web text"
+    corpus with undetected code inflates prose perplexity and starves the
+    code mixture cell; markdown/LaTeX want markup-aware cleaning).
+
+    Per-doc signals: line count, indented-line fraction (4-space/tab —
+    the code-block signature), markdown-header fraction, code-symbol
+    density (``{}();=<>[]``), fenced-block count (``` pairs), LaTeX
+    command count (``\\word``). Verdicts ``is_code_like`` /
+    ``is_markup_like`` threshold the ROUNDED ratios so the flags are
+    reproducible across engines.
+
+    Everything is ``regexp_count``/replace-and-measure over the raw text
+    with ``(?m)`` line anchors — no split, no explode, no HOF: one
+    codegen'd projection at scan speed, and line counting is immune to
+    the engines' differing trailing-empty split semantics.
+    """
+    t = F.col(text_col)
+    n_lines = (
+        F.length(t) - F.length(F.replace(t, F.lit("\n"), F.lit(""))) + 1
+    ).cast("long")
+    indent_lines = F.regexp_count(t, F.lit(r"(?m)^(\t|    )")).cast("long")
+    header_lines = F.regexp_count(t, F.lit(r"(?m)^#{1,6} ")).cast("long")
+    sym_chars = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[{}();=<>\[\]]", ""))
+    ).cast("long")
+    n_fences = (
+        (F.length(t) - F.length(F.replace(t, F.lit("```"), F.lit("")))) / 3
+    ).cast("long")
+    n_latex = F.regexp_count(t, F.lit(r"\\[a-zA-Z]+")).cast("long")
+    out = df.withColumns(
+        {
+            "n_lines": n_lines,
+            "indent_frac": F.round(indent_lines / n_lines, 4),
+            "header_frac": F.round(header_lines / n_lines, 4),
+            "sym_density": F.when(
+                F.length(t) > 0, F.round(sym_chars / F.length(t), 4)
+            ).otherwise(F.lit(0.0)),
+            "n_fences": n_fences,
+            "n_latex_cmds": n_latex,
+        }
+    )
+    return out.withColumns(
+        {
+            "is_code_like": (F.col("sym_density") >= 0.02)
+            | (F.col("indent_frac") >= 0.2)
+            | (F.col("n_fences") >= 1),
+            "is_markup_like": (F.col("header_frac") >= 0.1)
+            | (F.col("n_latex_cmds") >= 2),
+        }
+    )

@@ -6409,3 +6409,80 @@ WHERE n_turns >= 2 AND first_role = 'user' AND last_role = 'assistant'
       AND alternating AND roles_known AND n_empty_turns = 0
 ORDER BY doc_id NULLS FIRST
 """
+
+
+#: Deterministic code/markdown/LaTeX/fence suffixes by doc_id class.
+#: Newlines and backslashes are built with chr() so the literal parses
+#: identically under Spark SQL (escape-processing) and DuckDB (literal)
+#: string rules.
+_CODE_SYNTH = (
+    "text || CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN chr(10) || 'def f(x):' || chr(10) || "
+    "'    return {x: 1};' || chr(10) || '    y = a<b>(c)' "
+    "WHEN 1 THEN chr(10) || '# Title' || chr(10) || '## Sub' || chr(10) || 'prose' "
+    "WHEN 2 THEN chr(10) || chr(92) || 'begin{eq} x ' || chr(92) || 'alpha ' "
+    "|| chr(92) || 'end{eq}' "
+    "WHEN 3 THEN chr(10) || '```' || chr(10) || 'fenced()' || chr(10) || '```' "
+    "ELSE '' END"
+)
+
+
+def ext_code_markup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] code/markup detection profile (operators/text.py::
+    code_markup_profile): indented-line/header fractions, code-symbol
+    density, fence and LaTeX-command counts with rounded-ratio verdicts —
+    the mixture router separating code from prose. (?m)-anchored
+    regexp_count over raw text: no split, no explode. Oracle: RE2
+    regexp_extract_all replay on identically synthesized suffixes."""
+    from dbt_meshify_spark.operators.text import code_markup_profile
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 600)
+        .withColumn("text", F.expr(_CODE_SYNTH))
+    )
+    return code_markup_profile(docs).select(
+        "doc_id", "n_lines", "indent_frac", "header_frac", "sym_density",
+        "n_fences", "n_latex_cmds", "is_code_like", "is_markup_like",
+    ).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_code_markup_profile"] = ext_code_markup_profile
+
+ORACLES["ext_code_markup_profile"] = (
+    "WITH raw AS (\n"
+    "  SELECT doc_id, " + _CODE_SYNTH + " AS t\n"
+    "  FROM documents WHERE doc_id < 600\n"
+    "),\n"
+    "cnt AS (\n"
+    "  SELECT doc_id,\n"
+    "    CAST(length(t) - length(replace(t, chr(10), '')) + 1 AS BIGINT)\n"
+    "      AS n_lines,\n"
+    "    CAST(len(regexp_extract_all(t, '(?m)^(' || chr(9) || '|    )'))\n"
+    "      AS BIGINT) AS indent_lines,\n"
+    "    CAST(len(regexp_extract_all(t, '(?m)^#{1,6} ')) AS BIGINT)\n"
+    "      AS header_lines,\n"
+    "    CAST(length(t) - length(regexp_replace(t, '[{}();=<>\\[\\]]', '', 'g'))\n"
+    "      AS BIGINT) AS sym_chars,\n"
+    "    CAST((length(t) - length(replace(t, '```', ''))) / 3 AS BIGINT)\n"
+    "      AS n_fences,\n"
+    "    CAST(len(regexp_extract_all(t, chr(92) || chr(92) || '[a-zA-Z]+'))\n"
+    "      AS BIGINT) AS n_latex_cmds,\n"
+    "    CAST(length(t) AS BIGINT) AS n_chars\n"
+    "  FROM raw\n"
+    "),\n"
+    "wide AS (\n"
+    "  SELECT doc_id, n_lines,\n"
+    "    ROUND(indent_lines / n_lines, 4) AS indent_frac,\n"
+    "    ROUND(header_lines / n_lines, 4) AS header_frac,\n"
+    "    CASE WHEN n_chars > 0 THEN ROUND(sym_chars / n_chars, 4)\n"
+    "         ELSE 0.0 END AS sym_density,\n"
+    "    n_fences, n_latex_cmds\n"
+    "  FROM cnt\n"
+    ")\n"
+    "SELECT *,\n"
+    "  (sym_density >= 0.02 OR indent_frac >= 0.2 OR n_fences >= 1)\n"
+    "    AS is_code_like,\n"
+    "  (header_frac >= 0.1 OR n_latex_cmds >= 2) AS is_markup_like\n"
+    "FROM wide ORDER BY doc_id NULLS FIRST\n"
+)

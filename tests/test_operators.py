@@ -3243,3 +3243,24 @@ def test_preference_pair_stats_contract(spark):
     assert not out[3].is_valid and out[3].n_blank_fields == 1
     assert not out[4].is_valid and out[4].rejected_chars == -1
     assert not out[5].is_valid and not out[5].parsed
+
+
+def test_code_markup_profile_discriminates(spark):
+    from dbt_meshify_spark.operators.text import code_markup_profile
+
+    rows = [
+        (1, "def f(x):\n    return {x: 1};\n    y = a<b>(c)"),
+        (2, "# Title\n## Section\nplain prose here"),
+        (3, "\\begin{equation} x \\alpha \\end{equation}"),
+        (4, "```\nfenced()\n```"),
+        (5, "just ordinary prose with no markup at all and some length"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in code_markup_profile(df).collect()}
+    assert out[1].is_code_like and out[1].indent_frac > 0.5
+    assert out[2].is_markup_like and out[2].header_frac == round(2 / 3, 4)
+    assert out[3].is_markup_like and out[3].n_latex_cmds == 3
+    assert out[4].is_code_like and out[4].n_fences == 2
+    assert not out[5].is_code_like and not out[5].is_markup_like
+    assert out[6].sym_density == 0.0 and not out[6].is_code_like
