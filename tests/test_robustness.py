@@ -342,3 +342,41 @@ def test_round4_text_operators_survive_nasty_input(spark, nasty):
     # novelty of the corpus against itself is 0 for every doc with grams
     nov = gram_novelty(clean, clean)
     assert {r.novelty for r in nov.collect()} == {0.0}
+
+
+def test_web_front_door_survives_nasty_input(spark, nasty):
+    from dbt_meshify_spark.operators.text import (
+        canonicalize_url,
+        code_markup_profile,
+        conversation_stats,
+        extract_html_text,
+        preference_pair_stats,
+        script_profile,
+    )
+
+    html = nasty.withColumnRenamed("text", "html")
+    out = extract_html_text(html).collect()
+    assert len(out) == len(NASTY)  # projection never drops rows
+
+    prof = {r.doc_id: r for r in script_profile(nasty).collect()}
+    assert len(prof) == len(NASTY)
+    emoji = prof[6]  # emoji are 'other', never negative
+    assert emoji.n_other > 0 and emoji.ratio_other > 0
+
+    urls = nasty.withColumnRenamed("text", "url")
+    canon = {r.doc_id: r.url_canonical for r in canonicalize_url(urls).collect()}
+    assert len(canon) == len(NASTY) and canon[3] is None  # NULL passes through
+
+    convs = nasty.withColumnRenamed("text", "conversation")
+    cs = {r.doc_id: r for r in conversation_stats(convs).collect()}
+    assert len(cs) == len(NASTY)
+    assert all(not r.is_valid for r in cs.values())  # none parse as chats
+    assert cs[5].n_turns == -1  # unicode garbage = counted reject
+
+    prefs = nasty.withColumnRenamed("text", "preference")
+    ps = preference_pair_stats(prefs).collect()
+    assert len(ps) == len(NASTY) and not any(r.is_valid for r in ps)
+
+    cmp_ = {r.doc_id: r for r in code_markup_profile(nasty).collect()}
+    assert len(cmp_) == len(NASTY)
+    assert cmp_[7].n_lines == 1 and cmp_[7].sym_density == 0.0  # 5k-char token
