@@ -1038,3 +1038,91 @@ def code_markup_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             | (F.col("n_latex_cmds") >= 2),
         }
     )
+
+
+def turn_echo_scores(
+    df: DataFrame,
+    json_col: str = "conversation",
+    id_col: str = "doc_id",
+    n: int = 3,
+    echo_threshold: float = 0.5,
+) -> DataFrame:
+    """Response-echo detection for chat data (the SFT defect where the
+    assistant turn largely restates the preceding user turn — zero
+    training signal, and a known failure mode of synthetic data
+    generators): for each assistant turn, the fraction of its distinct
+    word ``n``-grams already present in the user turn immediately before
+    it; per conversation, the max over assistant turns.
+
+    Returns every input row: ``id, n_scored_turns, max_echo, is_echo``
+    (flag thresholds the ROUNDED max). Turns shorter than ``n`` tokens
+    are unscorable and don't count; conversations with no scorable
+    assistant turn report ``0, 0.0, false``.
+
+    Spark-first shape: turns posexplode out of ``from_json``, grams stage
+    as a real array column then explode to a ``(id, pos, gram)`` table —
+    the overlap is ONE equi-join on ``(id, gram)`` with the
+    adjacent-position predicate, and every aggregate is map-side
+    combinable. No per-row set-intersection lambdas: the k-way gram
+    fan-out lives on the explode + codegen-aggregate plan (the measured
+    CSE rule from the dedup cascade), so the cost is two shuffles on
+    high-cardinality keys regardless of corpus size.
+    """
+    from dbt_meshify_spark.operators.dedup import shingles_of_tokens
+
+    turns = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.from_json(
+                F.col(json_col), "array<struct<role:string,content:string>>"
+            )
+        ).alias("pos", "turn"),
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.col("turn")["role"].alias("role"),
+        F.split(F.trim(F.lower(F.col("turn")["content"])), r"\s+").alias("__toks"),
+    )
+    grams = (
+        turns.withColumn("__grams", shingles_of_tokens(F.col("__toks"), n))
+        .select(F.col(id_col), "pos", "role", F.explode("__grams").alias("gram"))
+        .distinct()
+    )
+    asst = grams.filter(F.col("role") == "assistant").select(
+        F.col(id_col), F.col("pos").alias("apos"), "gram"
+    )
+    user = grams.filter(F.col("role") == "user").select(
+        F.col(id_col), F.col("pos").alias("upos"), "gram"
+    )
+    shared = (
+        asst.join(user, [id_col, "gram"])
+        .filter(F.col("upos") == F.col("apos") - 1)
+        .groupBy(id_col, "apos")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    totals = asst.groupBy(id_col, "apos").agg(F.count(F.lit(1)).alias("n_grams"))
+    per_turn = totals.join(shared, [id_col, "apos"], "left").select(
+        F.col(id_col),
+        (
+            F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_grams")
+        ).alias("echo"),
+    )
+    per_doc = per_turn.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored_turns"),
+        F.round(F.max("echo"), 4).alias("max_echo"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_scored_turns", F.lit(0)).cast("long").alias(
+                "n_scored_turns"
+            ),
+            F.coalesce("max_echo", F.lit(0.0)).alias("max_echo"),
+            (
+                F.coalesce("max_echo", F.lit(0.0))
+                >= F.lit(float(echo_threshold))
+            ).alias("is_echo"),
+        )
+    )

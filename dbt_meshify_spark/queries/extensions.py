@@ -6486,3 +6486,87 @@ ORACLES["ext_code_markup_profile"] = (
     "  (header_frac >= 0.1 OR n_latex_cmds >= 2) AS is_markup_like\n"
     "FROM wide ORDER BY doc_id NULLS FIRST\n"
 )
+
+
+#: Echo-planted chat synth: doc_id % 9 = 0 full echo (assistant repeats the
+#: user turn verbatim), % 9 = 1 half echo (first 30 chars shared), else
+#: disjoint slices.
+_ECHO_SYNTH = (
+    "'[{\"role\":\"user\",\"content\":\"' || substr(text, 1, 60) || "
+    "'\"},{\"role\":\"assistant\",\"content\":\"' || "
+    "CASE WHEN doc_id % 9 = 0 THEN substr(text, 1, 60) "
+    "WHEN doc_id % 9 = 1 THEN substr(text, 1, 30) || substr(text, 61, 30) "
+    "ELSE substr(text, 61, 60) END || '\"}]'"
+)
+
+
+def ext_turn_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] response-echo detection (operators/text.py::
+    turn_echo_scores): per-assistant-turn fraction of distinct trigrams
+    already in the preceding user turn, max per conversation — the
+    zero-signal SFT defect synthetic generators produce. Overlap is one
+    (id, gram) equi-join over the exploded gram table (no per-row set
+    lambdas). Oracle: DuckDB json_transform + gram CTE replay."""
+    from dbt_meshify_spark.operators.text import turn_echo_scores
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 500) & F.col("text").isNotNull())
+        .withColumn("conversation", F.expr(_ECHO_SYNTH))
+    )
+    return turn_echo_scores(docs).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_turn_echo"] = ext_turn_echo
+
+ORACLES["ext_turn_echo"] = rf"""
+WITH raw AS (
+  SELECT doc_id, {_ECHO_SYNTH} AS conversation
+  FROM documents WHERE doc_id < 500 AND text IS NOT NULL
+),
+parsed AS (
+  SELECT doc_id, json_transform(conversation,
+    '[{{"role":"VARCHAR","content":"VARCHAR"}}]') AS l
+  FROM raw
+),
+turns AS (
+  SELECT doc_id, s.pos AS pos, s.role AS role,
+         string_split_regex(trim(lower(s.content)), '\s+') AS toks
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+          i -> struct_pack(pos := i, role := l[i].role,
+                           content := l[i].content))) AS s
+        FROM parsed)
+),
+grams AS (
+  SELECT DISTINCT doc_id, pos, role,
+    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+  FROM turns WHERE len(toks) >= 3
+),
+asst AS (SELECT doc_id, pos AS apos, gram FROM grams WHERE role = 'assistant'),
+usr AS (SELECT doc_id, pos AS upos, gram FROM grams WHERE role = 'user'),
+shared AS (
+  SELECT a.doc_id, a.apos, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM asst a JOIN usr u ON a.doc_id = u.doc_id AND a.gram = u.gram
+                         AND u.upos = a.apos - 1
+  GROUP BY a.doc_id, a.apos
+),
+totals AS (
+  SELECT doc_id, apos, CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM asst GROUP BY doc_id, apos
+),
+per_turn AS (
+  SELECT t.doc_id, COALESCE(s.n_shared, 0) / t.n_grams AS echo
+  FROM totals t LEFT JOIN shared s ON s.doc_id = t.doc_id AND s.apos = t.apos
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored_turns,
+         ROUND(MAX(echo), 4) AS max_echo
+  FROM per_turn GROUP BY doc_id
+)
+SELECT r.doc_id, COALESCE(p.n_scored_turns, 0) AS n_scored_turns,
+       COALESCE(p.max_echo, 0.0) AS max_echo,
+       COALESCE(p.max_echo, 0.0) >= 0.5 AS is_echo
+FROM raw r LEFT JOIN per_doc p ON r.doc_id = p.doc_id
+ORDER BY r.doc_id NULLS FIRST
+"""

@@ -3264,3 +3264,26 @@ def test_code_markup_profile_discriminates(spark):
     assert out[4].is_code_like and out[4].n_fences == 2
     assert not out[5].is_code_like and not out[5].is_markup_like
     assert out[6].sym_density == 0.0 and not out[6].is_code_like
+
+
+def test_turn_echo_scores_detects_restated_responses(spark):
+    from dbt_meshify_spark.operators.text import turn_echo_scores
+
+    rows = [
+        (1, '[{"role":"user","content":"the quick brown fox jumps high"},'
+            '{"role":"assistant","content":"the quick brown fox jumps high"}]'),
+        (2, '[{"role":"user","content":"the quick brown fox jumps high"},'
+            '{"role":"assistant","content":"completely different answer text here"}]'),
+        (3, '[{"role":"user","content":"first question about spark joins"},'
+            '{"role":"assistant","content":"short no"},'
+            '{"role":"user","content":"tell me about shuffle behavior now"},'
+            '{"role":"assistant","content":"tell me about shuffle behavior now"}]'),
+        (4, "not json"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, conversation string")
+    out = {r.doc_id: r for r in turn_echo_scores(df).collect()}
+    assert out[1].is_echo and out[1].max_echo == 1.0
+    assert not out[2].is_echo and out[2].max_echo == 0.0
+    # turn 2 ("short no") is too short to score; turn 4 is a full echo
+    assert out[3].n_scored_turns == 1 and out[3].max_echo == 1.0
+    assert out[4].n_scored_turns == 0 and not out[4].is_echo  # reject kept
