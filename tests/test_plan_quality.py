@@ -441,3 +441,73 @@ def test_gram_novelty_shuffles_grams_not_text(spark):
     assert ex_lines, "expected gram/id exchanges"
     for line in ex_lines:
         assert "text" not in line, f"text column in a shuffle: {line.strip()}"
+
+
+def test_web_front_door_is_scan_fused(spark):
+    """HTML extraction, URL canonicalization, script profile, code/markup
+    profile, conversation and preference validation are all pure scalar
+    projections: applied to the raw table (no presentation sort) their
+    plans must contain no Exchange at all — the whole front door fuses
+    into the parquet scan."""
+    from dbt_meshify_spark.operators.text import (
+        canonicalize_url,
+        code_markup_profile,
+        conversation_stats,
+        extract_html_text,
+        preference_pair_stats,
+        script_profile,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    for fn, col in (
+        (extract_html_text, "html"),
+        (canonicalize_url, "url"),
+        (script_profile, None),
+        (code_markup_profile, None),
+        (conversation_stats, "conversation"),
+        (preference_pair_stats, "preference"),
+    ):
+        frame = docs if col is None else docs.withColumnRenamed("text", col)
+        plan = _physical(fn(frame))
+        assert "Exchange" not in plan, f"{fn.__name__} introduced a shuffle"
+
+
+def test_semantic_decontamination_vectors_never_hash_shuffle(spark):
+    """semantic_contamination: the eval side must broadcast, and no
+    hash-partitioned Exchange may carry a vector column — the only keyed
+    shuffle is (id, cos) scalars into the per-id max. (Vectors may ride
+    the intentional round-robin spread of the streamed side.)"""
+    plan = _physical(QUERIES["ext_semantic_decontaminate"](spark, SF_ORACLE))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "cv" not in line and "ev" not in line and "embedding" not in line, (
+                f"vector column in a keyed shuffle: {line.strip()}"
+            )
+
+
+def test_bitext_mine_vectors_never_hash_shuffle(spark):
+    """bitext_mine: margin/mutual logic shuffles only id-keyed candidate
+    rows; embedding arrays must never enter a hash-partitioned Exchange
+    (round-robin spread of the streamed cosine side is the one allowed
+    vector movement)."""
+    plan = _physical(QUERIES["ext_bitext_mine"](spark, SF_ORACLE))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "qv" not in line and "cv" not in line and "embedding" not in line, (
+                f"vector column in a keyed shuffle: {line.strip()}"
+            )
+
+
+def test_turn_echo_shuffles_grams_not_conversations(spark):
+    """turn_echo_scores: after the gram explode, no Exchange may carry the
+    conversation JSON or turn content — overlap joins move (id, pos, gram)
+    rows only."""
+    plan = _physical(QUERIES["ext_turn_echo"](spark, SF_ORACLE))
+    ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert ex_lines, "expected gram/id exchanges"
+    for line in ex_lines:
+        assert "conversation" not in line and "content" not in line, (
+            f"turn text in a shuffle: {line.strip()}"
+        )
