@@ -6570,3 +6570,43 @@ SELECT r.doc_id, COALESCE(p.n_scored_turns, 0) AS n_scored_turns,
 FROM raw r LEFT JOIN per_doc p ON r.doc_id = p.doc_id
 ORDER BY r.doc_id NULLS FIRST
 """
+
+
+def ext_user_activity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O/N10] per-user activity audit + bot-suspect ranking
+    (operators/temporal.py::user_activity_report): inter-arrival
+    percentiles, burst fraction, deterministic fastest-median ranking —
+    the behavioral-data screen. One user-keyed shuffle; rank over the
+    user-cardinality frame. Oracle: lag + quantile_cont replay (gaps are
+    exact µs integers / 1e6, so interpolation is bit-identical)."""
+    from dbt_meshify_spark.operators.temporal import user_activity_report
+
+    events = load_table(spark, sf_dir, "events")
+    return user_activity_report(events).orderBy(_asc("user_id"))
+
+
+QUERIES["ext_user_activity_audit"] = ext_user_activity_audit
+
+ORACLES["ext_user_activity_audit"] = r"""
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap_s
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+         ROUND(quantile_cont(gap_s, 0.5), 4) AS median_gap_s,
+         ROUND(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+         ROUND(SUM(CASE WHEN gap_s <= 3600.0 THEN 1 ELSE 0 END)
+               / GREATEST(COUNT(gap_s), 1), 4) AS burst_frac
+  FROM g GROUP BY user_id
+)
+SELECT *, CAST(ROW_NUMBER() OVER (
+         ORDER BY median_gap_s ASC NULLS LAST, user_id ASC) AS BIGINT)
+       AS suspect_rank
+FROM per_user
+ORDER BY user_id NULLS FIRST
+"""

@@ -3287,3 +3287,27 @@ def test_turn_echo_scores_detects_restated_responses(spark):
     # turn 2 ("short no") is too short to score; turn 4 is a full echo
     assert out[3].n_scored_turns == 1 and out[3].max_echo == 1.0
     assert out[4].n_scored_turns == 0 and not out[4].is_echo  # reject kept
+
+
+def test_user_activity_report_ranks_fast_cadence_first(spark):
+    from datetime import datetime as dt
+
+    from dbt_meshify_spark.operators.temporal import user_activity_report
+
+    def t(s):
+        return dt(2024, 1, 1, 0, 0, s)
+
+    rows = (
+        # bot: 1s cadence, 5 events
+        [(i, t(i), 100) for i in range(5)]
+        # human: 10-minute cadence
+        + [(10 + i, dt(2024, 1, 1, 0, 10 * i, 0), 200) for i in range(4)]
+        # single-event user: no gaps, ranked last (NULLS LAST)
+        + [(99, t(30), 300)]
+    )
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r.user_id: r for r in user_activity_report(df).collect()}
+    assert out[100].suspect_rank == 1 and out[100].median_gap_s == 1.0
+    assert out[200].suspect_rank == 2 and out[200].median_gap_s == 600.0
+    assert out[300].suspect_rank == 3 and out[300].n_gaps == 0
+    assert out[100].burst_frac == 1.0 and out[100].n_events == 5

@@ -390,6 +390,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "vocabulary (bounded Heaps-law growth; broadcast back)",
     "ext_source_concentration": "Gini rank over the key-cardinality "
     "(source) aggregate frame — thousands of rows at most",
+    "ext_user_activity_audit": "suspect rank over the user-cardinality "
+    "activity frame (one row per user)",
 }
 
 
