@@ -50,7 +50,13 @@ def main() -> None:
     )
     from dbt_meshify_spark.operators.dsir import dsir_log_weights
     from dbt_meshify_spark.operators.sampling import apply_mixture_recipe
-    from dbt_meshify_spark.operators.text import quality_score
+    from dbt_meshify_spark.operators.text import (
+        code_markup_profile,
+        extract_html_text,
+        quality_score,
+        script_profile,
+        turn_echo_scores,
+    )
     from dbt_meshify_spark.session import get_spark
     from dbt_meshify_spark.sources import load_table
 
@@ -83,6 +89,29 @@ def main() -> None:
     simhash_md5_candidate_pairs(warm).count()
     winnow_overlap_pairs(warm, min_shared=2).count()
 
+    # web front door + chat gates: wrap text into HTML / a 2-turn chat so
+    # the extraction and echo paths do real work at every scale
+    def front_door(df):
+        wrapped = df.withColumn(
+            "html", F.expr("'<p>' || text || '</p><script>x</script>'")
+        )
+        out = extract_html_text(wrapped)
+        return script_profile(code_markup_profile(out), "text_extracted")
+
+    def echo(df):
+        conv = df.withColumn(
+            "conversation",
+            F.expr(
+                '\'[{"role":"user","content":"\' || substr(text, 1, 60) || '
+                '\'"},{"role":"assistant","content":"\' || '
+                'substr(text, 31, 60) || \'"}]\''
+            ),
+        )
+        return turn_echo_scores(conv)
+
+    front_door(warm).write.format("noop").mode("overwrite").save()
+    echo(warm).count()
+
     for k in (1, 2, 4, 8):
         docs = scaled_corpus(base, k).localCheckpoint()  # pin: exclude synth cost
         n = docs.count()
@@ -107,6 +136,12 @@ def main() -> None:
         t0 = time.time()
         n_wn = winnow_overlap_pairs(docs, min_shared=2).count()
         t_wn = time.time() - t0
+        t0 = time.time()
+        front_door(docs).write.format("noop").mode("overwrite").save()
+        t_fd = time.time() - t0
+        t0 = time.time()
+        n_echo = echo(docs).count()
+        t_echo = time.time() - t0
         print(
             f"scale={k}x docs={n}: quality={t_quality:.2f}s "
             f"dedup={t_dedup:.2f}s (kept {n_dedup}) "
@@ -114,7 +149,9 @@ def main() -> None:
             f"dsir={t_dsir:.2f}s (n {n_dsir}) "
             f"recipe={t_fill:.2f}s (kept {n_fill}) "
             f"simhash64={t_sh:.2f}s (pairs {n_sh}) "
-            f"winnow={t_wn:.2f}s (pairs {n_wn})",
+            f"winnow={t_wn:.2f}s (pairs {n_wn}) "
+            f"frontdoor={t_fd:.2f}s "
+            f"echo={t_echo:.2f}s (n {n_echo})",
             flush=True,
         )
 
