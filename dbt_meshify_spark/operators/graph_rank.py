@@ -19,7 +19,7 @@ spam ring's rank should not leak out of the system through its sinks).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -211,3 +211,75 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
     return corners
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA) over an
+    undirected graph — the density-based grouping connected components
+    can't give (a long chain is ONE component but many communities;
+    spam rings and coordinated-abuse clusters are dense subgraphs, which
+    is exactly what LPA isolates).
+
+    Deterministic variant: every node starts labeled with itself; each
+    round every node adopts the most frequent label among its neighbors
+    PLUS its own current label (the self-vote damps the classic
+    synchronous-LPA oscillation on bipartite structures — a bare 2-node
+    pair would otherwise swap labels forever), ties broken by smallest
+    label. Synchronous updates + total tie order make a FIXED iteration
+    count exactly reproducible — which is how the DuckDB oracle replays
+    it (the same rounds unrolled as CTEs), same discipline as pagerank.
+
+    Scale shape: each round is one equi-join of the edge list against the
+    label frame plus one (node, label) count aggregate and one per-node
+    argmax — all map-side combinable, all keyed on node ids; labels are
+    scalar longs/strings, so no round shuffles anything wider than
+    (node, label, count). ``localCheckpoint`` per round pins the frame
+    and truncates lineage exactly like the CC/pagerank loops. Self-loops
+    and NULL endpoints are dropped; each undirected edge votes in both
+    directions.
+
+    Returns ``id, community`` (community = the adopted label).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    und = und.distinct().localCheckpoint(eager=False)
+    nodes = (
+        und.select(F.col("u").alias("id")).distinct().localCheckpoint(eager=False)
+    )
+    labels = nodes.select("id", F.col("id").alias("community"))
+    for _ in range(int(iters)):
+        nbr = und.join(labels, und["v"] == labels["id"]).select(
+            F.col("u"), F.col("community")
+        )
+        own = labels.select(F.col("id").alias("u"), F.col("community"))
+        votes = (
+            nbr.unionByName(own)
+            .groupBy(F.col("u"), F.col("community"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.partitionBy("u").orderBy(
+            F.col("n").desc(), F.col("community").asc()
+        )
+        best = (
+            votes.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("u").alias("id"), "community")
+        )
+        labels = (
+            nodes.join(best, "id", "left")
+            .select(
+                "id", F.coalesce("community", F.col("id")).alias("community")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

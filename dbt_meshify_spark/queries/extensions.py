@@ -6610,3 +6610,68 @@ SELECT *, CAST(ROW_NUMBER() OVER (
 FROM per_user
 ORDER BY user_id NULLS FIRST
 """
+
+
+def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[G-scale] 2-round synchronous label-propagation communities over the
+    supplier→customer ships-to graph (operators/graph_rank.py::
+    label_propagation) — density-based grouping a connected-components
+    pass can't give (spam rings are dense subgraphs, not just reachable
+    ones). Deterministic: sync updates + (count desc, label asc) tie
+    order. Oracle: the two rounds unrolled as CTEs, pagerank discipline."""
+    from dbt_meshify_spark.operators.graph_rank import label_propagation
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+    )
+    return label_propagation(edges, iters=2).orderBy(_asc("id"))
+
+
+QUERIES["ext_label_propagation"] = ext_label_propagation
+
+ORACLES["ext_label_propagation"] = r"""
+WITH raw AS (
+  SELECT 's' || CAST(l_suppkey AS VARCHAR) AS u,
+         'c' || CAST(o_custkey AS VARCHAR) AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT DISTINCT u, v FROM raw
+  WHERE u IS NOT NULL AND v IS NOT NULL AND u != v
+),
+und AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+l0 AS (SELECT DISTINCT u AS id FROM und),
+v1 AS (
+  SELECT u, community, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT und.u, l.community
+    FROM und JOIN (SELECT id, id AS community FROM l0) l ON und.v = l.id
+    UNION ALL SELECT id AS u, id AS community FROM l0
+  ) GROUP BY u, community
+),
+b1 AS (
+  SELECT u AS id, community FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY u ORDER BY n DESC, community ASC) AS rk FROM v1)
+  WHERE rk = 1
+),
+v2 AS (
+  SELECT u, community, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT und.u, b1.community FROM und JOIN b1 ON und.v = b1.id
+    UNION ALL SELECT id AS u, community FROM b1
+  ) GROUP BY u, community
+),
+b2 AS (
+  SELECT u AS id, community FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY u ORDER BY n DESC, community ASC) AS rk FROM v2)
+  WHERE rk = 1
+)
+SELECT id, community FROM b2
+ORDER BY id NULLS FIRST
+"""

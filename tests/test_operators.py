@@ -3311,3 +3311,25 @@ def test_user_activity_report_ranks_fast_cadence_first(spark):
     assert out[200].suspect_rank == 2 and out[200].median_gap_s == 600.0
     assert out[300].suspect_rank == 3 and out[300].n_gaps == 0
     assert out[100].burst_frac == 1.0 and out[100].n_events == 5
+
+
+def test_label_propagation_separates_dense_communities(spark):
+    """Two 4-cliques joined by a single bridge edge: LPA must resolve two
+    communities where connected components sees one; ties adopt the
+    smallest label; NULLs and self-loops drop."""
+    from itertools import combinations
+
+    from dbt_meshify_spark.operators.graph_rank import label_propagation
+
+    c1 = list(combinations([1, 2, 3, 4], 2))
+    c2 = list(combinations([11, 12, 13, 14], 2))
+    edges = c1 + c2 + [(4, 11), (2, 2), (None, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r.id: r.community for r in label_propagation(df, iters=4).collect()}
+    assert len({out[i] for i in (1, 2, 3, 4)}) == 1
+    assert len({out[i] for i in (11, 12, 13, 14)}) == 1
+    assert out[1] != out[11]  # the bridge does NOT merge the cliques
+    # isolated pair: both adopt the smaller label
+    pair = spark.createDataFrame([(7, 9)], "src int, dst int")
+    pout = {r.id: r.community for r in label_propagation(pair, iters=3).collect()}
+    assert pout[7] == pout[9]
