@@ -278,3 +278,82 @@ def user_activity_report(
     return per_user.withColumn(
         "suspect_rank", F.row_number().over(w_rank).cast("long")
     )
+
+
+def attribution_credit(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click", "signup"),
+    model: str = "linear",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch attribution over an event log: credit each touchpoint
+    preceding a user's FIRST conversion — the standard marketing/journey
+    analysis, and (for agent-trajectory training data) the per-step
+    credit signal of outcome-labeled episodes.
+
+    Models: ``linear`` (1/n each), ``first_touch``, ``last_touch``,
+    ``u_shaped`` (0.4 first, 0.4 last, 0.2 split over the middle; 1.0 /
+    0.5-0.5 for 1- and 2-touch paths). Touch order is the total
+    ``(ts, event_id)`` order; a touch counts when strictly before the
+    conversion in that order. Per-path credits always sum to 1.
+
+    Emits one row per credited touch — ``user, conv_event_id,
+    touch_event_id, touch_type, touch_rank, n_touches, credit`` — each
+    credit a single ROUNDED division (no cross-row float accumulation,
+    so the output is bit-stable across engines and partitionings; sum
+    downstream if channel totals are wanted).
+
+    Scale shape: one shuffle family on ``user_col`` — the first-conversion
+    window, the touch join, and the rank/count windows all share it.
+    """
+    if model not in ("linear", "first_touch", "last_touch", "u_shaped"):
+        raise ValueError(f"unknown attribution model: {model!r}")
+    w_conv = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    conv = (
+        events.filter(F.col(type_col) == conversion_type)
+        .withColumn("__rk", F.row_number().over(w_conv))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col(user_col),
+            F.col(ts_col).alias("__cts"),
+            F.col(id_col).alias("conv_event_id"),
+        )
+    )
+    touches = (
+        events.filter(F.col(type_col).isin(list(touch_types)))
+        .join(conv, user_col)
+        .filter(
+            (F.col(ts_col) < F.col("__cts"))
+            | ((F.col(ts_col) == F.col("__cts")) & (F.col(id_col) < F.col("conv_event_id")))
+        )
+    )
+    w_path = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    w_all = Window.partitionBy(user_col)
+    ranked = touches.select(
+        F.col(user_col),
+        "conv_event_id",
+        F.col(id_col).alias("touch_event_id"),
+        F.col(type_col).alias("touch_type"),
+        F.row_number().over(w_path).cast("long").alias("touch_rank"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_touches"),
+    )
+    r, n = F.col("touch_rank"), F.col("n_touches")
+    if model == "linear":
+        credit = F.lit(1.0) / n
+    elif model == "first_touch":
+        credit = F.when(r == 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    elif model == "last_touch":
+        credit = F.when(r == n, F.lit(1.0)).otherwise(F.lit(0.0))
+    else:  # u_shaped
+        credit = (
+            F.when(n == 1, F.lit(1.0))
+            .when(n == 2, F.lit(0.5))
+            .when(r == 1, F.lit(0.4))
+            .when(r == n, F.lit(0.4))
+            .otherwise(F.lit(0.2) / (n - 2))
+        )
+    return ranked.withColumn("credit", F.round(credit, 4))

@@ -6675,3 +6675,49 @@ b2 AS (
 SELECT id, community FROM b2
 ORDER BY id NULLS FIRST
 """
+
+
+def ext_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O/N10] multi-touch attribution (operators/temporal.py::
+    attribution_credit): per-touch credit for every touchpoint before
+    each user's first purchase, linear model — journey analysis / the
+    per-step credit signal of outcome-labeled trajectories. Per-row
+    rounded division only (no cross-row float accumulation), one
+    user-keyed shuffle family. Oracle: full window replay."""
+    from dbt_meshify_spark.operators.temporal import attribution_credit
+
+    events = load_table(spark, sf_dir, "events")
+    return attribution_credit(events, model="linear").orderBy(
+        _asc("user_id"), _asc("touch_rank")
+    )
+
+
+QUERIES["ext_attribution_linear"] = ext_attribution_linear
+
+ORACLES["ext_attribution_linear"] = r"""
+WITH conv AS (
+  SELECT user_id, cts, conv_event_id FROM (
+    SELECT user_id, ts AS cts, event_id AS conv_event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+    FROM events WHERE event_type = 'purchase')
+  WHERE rk = 1
+),
+t AS (
+  SELECT e.user_id, c.conv_event_id, e.event_id AS touch_event_id,
+         e.event_type AS touch_type, e.ts, e.event_id
+  FROM events e JOIN conv c ON e.user_id = c.user_id
+  WHERE e.event_type IN ('view', 'click', 'signup')
+    AND (e.ts < c.cts OR (e.ts = c.cts AND e.event_id < c.conv_event_id))
+),
+r AS (
+  SELECT user_id, conv_event_id, touch_event_id, touch_type,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS touch_rank,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_touches
+  FROM t
+)
+SELECT user_id, conv_event_id, touch_event_id, touch_type, touch_rank,
+       n_touches, ROUND(1.0 / n_touches, 4) AS credit
+FROM r
+ORDER BY user_id NULLS FIRST, touch_rank NULLS FIRST
+"""

@@ -3333,3 +3333,37 @@ def test_label_propagation_separates_dense_communities(spark):
     pair = spark.createDataFrame([(7, 9)], "src int, dst int")
     pout = {r.id: r.community for r in label_propagation(pair, iters=3).collect()}
     assert pout[7] == pout[9]
+
+
+def test_attribution_models_credit_correctly(spark):
+    from datetime import datetime as dt
+
+    from dbt_meshify_spark.operators.temporal import attribution_credit
+
+    def t(m):
+        return dt(2024, 1, 1, 0, m, 0)
+
+    rows = [
+        # user 1: view, click, signup, then purchase (3-touch path)
+        (1, t(0), 1, "view"), (2, t(1), 1, "click"), (3, t(2), 1, "signup"),
+        (4, t(3), 1, "purchase"),
+        (5, t(4), 1, "click"),        # AFTER conversion: never credited
+        # user 2: single touch
+        (6, t(0), 2, "view"), (7, t(1), 2, "purchase"),
+        # user 3: no conversion -> no rows
+        (8, t(0), 3, "click"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    lin = {(r.user_id, r.touch_event_id): r for r in
+           attribution_credit(df, model="linear").collect()}
+    assert set(lin) == {(1, 1), (1, 2), (1, 3), (2, 6)}
+    assert lin[(1, 1)].credit == round(1 / 3, 4) and lin[(2, 6)].credit == 1.0
+    u = {r.touch_event_id: r.credit for r in
+         attribution_credit(df, model="u_shaped").collect() if r.user_id == 1}
+    assert u == {1: 0.4, 2: 0.2, 3: 0.4}
+    first = {r.touch_event_id: r.credit for r in
+             attribution_credit(df, model="first_touch").collect() if r.user_id == 1}
+    assert first == {1: 1.0, 2: 0.0, 3: 0.0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        attribution_credit(df, model="nope")
