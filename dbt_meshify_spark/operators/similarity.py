@@ -1014,6 +1014,7 @@ def bitext_mine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     candidates: DataFrame | None = None,
+    candidates_bwd: DataFrame | None = None,
 ) -> DataFrame:
     """Margin-based parallel-pair mining between two embedding corpora —
     the LASER/CCMatrix recipe (Artetxe & Schwenk 2019) for harvesting
@@ -1027,12 +1028,16 @@ def bitext_mine(
     them. A pair is emitted only when each side is the other's best
     margin partner (mutual top-1) and the margin clears the threshold.
 
-    Scale shape: candidate generation is pluggable — the default exact
-    tier runs :func:`cosine_topk` both directions (fine when one side
-    broadcasts); at 100 TB pass ``candidates`` from the LSH/IVF tier
-    (``lsh_bucketed_topk`` / ``ivf_topk`` renamed to the same columns)
-    and the margin/mutual logic — equi-joins and two windows over the
-    |X|·k candidate frame, never the corpus — is unchanged. Cross-engine
+    Scale shape: candidate generation is pluggable IN BOTH DIRECTIONS —
+    the default exact tier runs :func:`cosine_topk` both ways (fine when
+    one side broadcasts); at 100 TB pass ``candidates`` (src→tgt) from
+    the LSH/IVF tier (``lsh_bucketed_topk`` / ``ivf_topk`` — same output
+    columns) and either pass ``candidates_bwd`` (tgt→src, same schema:
+    query_id is the TGT id) or let the backward kNN means be derived
+    from the forward frame by re-ranking it per ``neighbor_id`` — so no
+    corpus-wide exact scorer ever runs when candidates are supplied.
+    The margin/mutual logic — equi-joins and two windows over the |X|·k
+    candidate frame, never the corpus — is unchanged. Cross-engine
     determinism: margins are ratios of integer-exact sums of the
     4dp-rounded cosines (scaled ×10⁴), so ranking needs no float
     tolerance anywhere.
@@ -1044,7 +1049,29 @@ def bitext_mine(
         if candidates is not None
         else cosine_topk(src, tgt, k=k, id_col=id_col, vec_col=vec_col)
     )
-    bwd = cosine_topk(tgt, src, k=k, id_col=id_col, vec_col=vec_col)
+    if candidates_bwd is not None:
+        bwd = candidates_bwd
+    elif candidates is not None:
+        # derive the backward kNN frame from the forward candidates:
+        # re-rank the same (src, tgt, cos) rows per tgt endpoint. This
+        # keeps the whole recipe on the candidate tier (no exact
+        # corpus-wide scorer) at the cost of the backward mean being
+        # computed over the forward tier's recall.
+        w_bwd = Window.partitionBy("neighbor_id").orderBy(
+            F.col("cos_sim").desc(), F.col("query_id").asc()
+        )
+        bwd = (
+            fwd.withColumn("rank", F.row_number().over(w_bwd))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("neighbor_id").alias("query_id"),
+                F.col("query_id").alias("neighbor_id"),
+                "cos_sim",
+                "rank",
+            )
+        )
+    else:
+        bwd = cosine_topk(tgt, src, k=k, id_col=id_col, vec_col=vec_col)
     c_int = F.round(F.col("cos_sim") * 10000).alias("c_int")
     fx = fwd.select(
         F.col("query_id").alias("src_id"), F.col("neighbor_id").alias("tgt_id"), c_int

@@ -1,0 +1,74 @@
+"""Tenancy-normalized bench regression guard (bench.py).
+
+Round-4 postmortem: uniform shared-host load inflated ALL 187 queries
+~1.28x (constant-plan trivia included) and the un-normalized guard
+false-fired rc=1. The guard now scales every floor by the run's median
+inflation before the 1.5x test; these tests pin that math.
+"""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import compute_inflation, is_regressed
+
+
+def _corpus(n=50, base=1.0):
+    return {f"q{i:03d}": base for i in range(n)}
+
+
+def test_uniform_host_load_does_not_flag():
+    """Every query 1.6x slower (pure tenancy) => median inflation 1.6,
+    scaled floors absorb it, nothing flags."""
+    floors = _corpus()
+    times = {k: 1.6 for k in floors}
+    inf = compute_inflation(times, floors)
+    assert abs(inf - 1.6) < 1e-9
+    assert not any(is_regressed(t, floors[k], inf) for k, t in times.items())
+
+
+def test_single_genuine_regression_still_trips():
+    """One query 2.5x its floor on an otherwise-quiet host: median stays
+    ~1.0, the regressed query trips, the rest do not."""
+    floors = _corpus()
+    times = {k: 1.02 for k in floors}
+    times["q007"] = 2.5
+    inf = compute_inflation(times, floors)
+    assert inf < 1.1
+    flagged = [k for k, t in times.items() if is_regressed(t, floors[k], inf)]
+    assert flagged == ["q007"]
+
+
+def test_regression_trips_even_under_load():
+    """Uniform 1.3x load AND one query at 3x: the median absorbs the load
+    but the 3x query is still >1.5x its scaled floor."""
+    floors = _corpus()
+    times = {k: 1.3 for k in floors}
+    times["q011"] = 3.0
+    inf = compute_inflation(times, floors)
+    assert 1.25 < inf < 1.35
+    flagged = [k for k, t in times.items() if is_regressed(t, floors[k], inf)]
+    assert flagged == ["q011"]
+
+
+def test_inflation_clamps():
+    """Median below 1.0 (faster than floor) clamps to 1.0 — floors are
+    never DEflated; pathological medians clamp at 3.0."""
+    floors = _corpus()
+    assert compute_inflation({k: 0.5 for k in floors}, floors) == 1.0
+    assert compute_inflation({k: 10.0 for k in floors}, floors) == 3.0
+
+
+def test_small_corpus_no_normalization():
+    """<5 floored queries: no basis for a median, inflation stays 1.0."""
+    floors = _corpus(3)
+    assert compute_inflation({k: 2.0 for k in floors}, floors) == 1.0
+
+
+def test_absolute_guard_and_missing_floor():
+    """Sub-second swings below 0.3s absolute never flag; a query with no
+    recorded floor never flags."""
+    assert not is_regressed(0.25, 0.1, 1.0)  # 2.5x but only +0.15s
+    assert is_regressed(0.9, 0.1, 1.0)
+    assert not is_regressed(99.0, None, 1.0)

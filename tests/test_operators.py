@@ -3203,6 +3203,49 @@ def test_bitext_mine_recovers_pairs_and_rejects_hub(spark):
     assert not any(t == 7 for (_, t) in rows)
 
 
+def test_bitext_mine_candidate_tier_both_directions(spark):
+    """The 100 TB path: LSH candidates supplied for BOTH directions (and
+    the derived-backward fallback) must recover the exact tier's mutual
+    pairs on the planted corpus without ever running the corpus-wide
+    exact scorer (no BroadcastNestedLoopJoin in the plan)."""
+    from dbt_meshify_spark.operators.similarity import (
+        bitext_mine,
+        lsh_bucketed_topk,
+    )
+
+    X = [(0, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
+         (4, [0.0, 0.0, 1.0, 0.0])]
+    Y = [(1, [0.95, 0.05, 0.0, 0.0]), (3, [0.05, 0.95, 0.0, 0.0]),
+         (5, [0.0, 0.05, 0.95, 0.0]),
+         (7, [0.577, 0.577, 0.577, 0.0])]
+    xs = spark.createDataFrame(X, "vec_id long, embedding array<double>")
+    ys = spark.createDataFrame(Y, "vec_id long, embedding array<double>")
+    exact = {(r.src_id, r.tgt_id)
+             for r in bitext_mine(xs, ys, k=3, margin_threshold=1.05).collect()}
+    assert exact == {(0, 1), (2, 3), (4, 5)}
+
+    lsh_kw = dict(k=3, dims=4, num_planes=16, bands=8)
+    fwd = lsh_bucketed_topk(xs, ys, **lsh_kw)
+    bwd = lsh_bucketed_topk(ys, xs, **lsh_kw)
+
+    # explicit candidates both directions
+    out2 = bitext_mine(xs, ys, k=3, margin_threshold=1.05,
+                       candidates=fwd, candidates_bwd=bwd)
+    assert {(r.src_id, r.tgt_id) for r in out2.collect()} == exact
+
+    # derived-backward fallback (forward candidates only)
+    out1 = bitext_mine(xs, ys, k=3, margin_threshold=1.05, candidates=fwd)
+    assert {(r.src_id, r.tgt_id) for r in out1.collect()} == exact
+
+    # plan guard: candidate-tier mining never falls back to the exact
+    # corpus-wide scorer (whose != join is a BroadcastNestedLoopJoin)
+    for df in (out1, out2):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            "corpus-wide exact scorer ran despite supplied candidates"
+        )
+
+
 def test_semantic_contamination_flags_paraphrase_leaks(spark):
     """A near-copy of an eval vector must flag; an orthogonal vector must
     not; every corpus row appears in the verdict (rejects are counted)."""
