@@ -37,6 +37,49 @@ from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_BUCKET_DIR = "/tmp/dbt_meshify_spark_buckets"
 
+FINGERPRINT_FILE = "_SOURCE_FINGERPRINT"
+
+
+def source_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a source parquet file/dir: file count,
+    total bytes, and max mtime (ns). Stored next to a derived layout's
+    ``_SUCCESS`` at write time and compared before any cross-session
+    re-registration, so a source regenerated in place (datagen change
+    between rounds, schema drift) invalidates the derived layout instead
+    of silently serving stale rows."""
+    if not os.path.exists(path):
+        return "missing"
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return f"1:{st.st_size}:{st.st_mtime_ns}"
+    n = size = mt = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            st = os.stat(os.path.join(root, fn))
+            n += 1
+            size += st.st_size
+            mt = max(mt, st.st_mtime_ns)
+    return f"{n}:{size}:{mt}"
+
+
+def write_fingerprint(layout_dir: str, source_path: str | None) -> None:
+    if source_path is None:
+        return
+    with open(os.path.join(layout_dir, FINGERPRINT_FILE), "w") as fh:
+        fh.write(source_fingerprint(source_path))
+
+
+def fingerprint_matches(layout_dir: str, source_path: str | None) -> bool:
+    """True when the stored fingerprint exists and matches the source NOW.
+    No source_path => caller opted out of validation (trust _SUCCESS)."""
+    if source_path is None:
+        return True
+    fp = os.path.join(layout_dir, FINGERPRINT_FILE)
+    if not os.path.exists(fp):
+        return False
+    with open(fp) as fh:
+        return fh.read().strip() == source_fingerprint(source_path)
+
 
 def bucketed_table_name(table: str, sf_dir: str, num_buckets: int) -> str:
     slug = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
