@@ -93,10 +93,15 @@ def write_bucketed(
     num_buckets: int = 8,
     sort_by: list[str] | None = None,
     path: str | None = None,
+    source_path: str | None = None,
 ) -> None:
     """Materialize ``df`` as a bucketed (and bucket-sorted) parquet table.
 
-    This is the write-side shuffle the read side never pays again.
+    This is the write-side shuffle the read side never pays again. When
+    ``source_path`` is given (and the layout is external, i.e. ``path`` is
+    set), the source's fingerprint is stamped next to ``_SUCCESS`` so a
+    later session can detect an in-place source regeneration instead of
+    re-serving the stale layout.
     """
     (
         df.repartition(num_buckets, *keys)
@@ -107,6 +112,8 @@ def write_bucketed(
         .options(**({"path": path} if path else {}))
         .saveAsTable(name)
     )
+    if path is not None:
+        write_fingerprint(path, source_path)
 
 
 def ensure_bucketed(
@@ -117,6 +124,7 @@ def ensure_bucketed(
     keys: list[str],
     num_buckets: int = 8,
     base_dir: str = DEFAULT_BUCKET_DIR,
+    source_path: str | None = None,
 ) -> DataFrame:
     """Return ``df``'s bucketed twin, materializing it on first use.
 
@@ -127,20 +135,37 @@ def ensure_bucketed(
     by DDL instead of re-paying the write shuffle — the true standing-
     warehouse behavior (bucket metadata lives in the catalog, not the
     files, so without the DDL a new session would re-shuffle every run).
+
+    Staleness guard: the layout stamps the SOURCE parquet's fingerprint
+    (file count / bytes / max mtime) at write time; any reuse — catalog hit
+    or cross-session DDL re-registration — first re-checks it, so a source
+    regenerated in place (datagen change between rounds) rebuilds the
+    layout instead of silently serving stale rows. ``source_path`` defaults
+    to the registry convention ``{sf_dir}/{table}.parquet`` when that path
+    exists; callers bucketing a derived frame can pass their own.
     """
     name = bucketed_table_name(table, sf_dir, num_buckets)
     path = os.path.join(base_dir, name)
-    if not spark.catalog.tableExists(name):
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            cols = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-            )
-            bucket_cols = ", ".join(f"`{k}`" for k in keys)
-            spark.sql(
-                f"CREATE TABLE `{name}` ({cols}) USING PARQUET "
-                f"CLUSTERED BY ({bucket_cols}) SORTED BY ({bucket_cols}) "
-                f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
-            )
-        else:
-            write_bucketed(df, name, keys, num_buckets, path=path)
+    if source_path is None:
+        cand = os.path.join(sf_dir, f"{table}.parquet")
+        source_path = cand if os.path.exists(cand) else None
+    fresh = fingerprint_matches(path, source_path)
+    if spark.catalog.tableExists(name):
+        if fresh:
+            return spark.table(name)
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    if os.path.exists(os.path.join(path, "_SUCCESS")) and fresh:
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        bucket_cols = ", ".join(f"`{k}`" for k in keys)
+        spark.sql(
+            f"CREATE TABLE `{name}` ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({bucket_cols}) SORTED BY ({bucket_cols}) "
+            f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+        )
+    else:
+        write_bucketed(
+            df, name, keys, num_buckets, path=path, source_path=source_path
+        )
     return spark.table(name)

@@ -1611,6 +1611,64 @@ def test_table_versions_are_reproducible_snapshots(spark, tmp_path):
         read_table_version(spark, tdir, 99)
 
 
+def test_ensure_bucketed_rebuilds_when_source_regenerated(spark, tmp_path):
+    """A source parquet regenerated IN PLACE (datagen change between rounds)
+    must invalidate the derived bucketed layout — fingerprint mismatch
+    forces a rewrite instead of silently serving stale rows, in BOTH the
+    catalog-hit and cross-session DDL-re-registration paths."""
+    import os
+    import shutil
+
+    from dbt_meshify_spark.sources.bucketing import (
+        FINGERPRINT_FILE,
+        bucketed_table_name,
+        ensure_bucketed,
+    )
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    src = os.path.join(sf_dir, "orders.parquet")
+    spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet")).limit(
+        100
+    ).coalesce(1).write.parquet(src)
+
+    df = spark.read.parquet(src)
+    b1 = ensure_bucketed(spark, df, "orders", sf_dir, ["o_orderkey"], 8)
+    assert b1.count() == 100
+    name = bucketed_table_name("orders", sf_dir, 8)
+    layout = os.path.join("/tmp/dbt_meshify_spark_buckets", name)
+    assert os.path.exists(os.path.join(layout, FINGERPRINT_FILE))
+
+    # regenerate the source in place with different content
+    shutil.rmtree(src)
+    spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet")).limit(
+        57
+    ).coalesce(1).write.parquet(src)
+
+    # catalog-hit path: stale layout must be rebuilt, not reused
+    df2 = spark.read.parquet(src)
+    b2 = ensure_bucketed(spark, df2, "orders", sf_dir, ["o_orderkey"], 8)
+    assert b2.count() == 57
+
+    # cross-session path: drop the catalog entry (files + fingerprint
+    # remain, now matching) -> DDL re-registration serves the fresh layout
+    spark.sql(f"DROP TABLE {name}")
+    b3 = ensure_bucketed(spark, df2, "orders", sf_dir, ["o_orderkey"], 8)
+    assert b3.count() == 57
+    # ...and regenerating again with a lost catalog forces a rewrite too
+    spark.sql(f"DROP TABLE {name}")
+    shutil.rmtree(src)
+    spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet")).limit(
+        31
+    ).coalesce(1).write.parquet(src)
+    b4 = ensure_bucketed(
+        spark, spark.read.parquet(src), "orders", sf_dir, ["o_orderkey"], 8
+    )
+    assert b4.count() == 31
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(layout, ignore_errors=True)
+
+
 def test_ensure_bucketed_rebuilds_after_catalog_loss(spark):
     """A fresh session has no catalog entry but may find stale files at the
     layout path — ensure_bucketed must rebuild cleanly over them."""
