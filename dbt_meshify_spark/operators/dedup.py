@@ -599,9 +599,15 @@ def hash64_candidate_pairs(
     (``simhash_md5_candidate_pairs``): a homogeneous corpus — blank
     frames, silence, boilerplate — collapses many rows onto one chunk
     value, and an uncapped bucket makes the self-join quadratic at scale.
-    Identical fingerprints still pair within the kept prefix, so exact
-    duplicates cluster through their bucket representatives; the cap only
-    bounds the candidate fan-out per bucket.
+    Rows past the cap are NOT dropped: each overflow row emits exactly one
+    candidate pair against the bucket's representative (its first id), so
+    a whale bucket of b rows costs cap^2 + (b - cap) candidates instead of
+    b^2, and identical fingerprints past the cap still hamming-verify and
+    cluster through the representative rather than leaking out as
+    singletons. What the cap DOES trade away is cross-pairs among
+    overflow rows whose only agreeing chunk is the capped one AND whose
+    hashes differ from the representative's by > max_hamming — bounded,
+    documented recall loss on heterogeneous hot buckets.
     """
     width = 64 // bands
     # pin the (id, hash) frame: BOTH self-join sides and the cap window
@@ -619,21 +625,37 @@ def hash64_candidate_pairs(
         id_col, hash_col, F.posexplode(chunks).alias("cidx", "cval")
     )
     bucket_w = Window.partitionBy("cidx", "cval").orderBy(id_col)
-    banded = banded.withColumn("__bn", F.row_number().over(bucket_w)).filter(
-        F.col("__bn") <= max_bucket_size
+    # first() over the ordered window = the bucket's min-id row: computed in
+    # the same window exec as the row_number, no extra shuffle
+    numbered = (
+        banded.withColumn("__bn", F.row_number().over(bucket_w))
+        .withColumn("__rep_id", F.first(id_col).over(bucket_w))
+        .withColumn("__rep_h", F.first(hash_col).over(bucket_w))
     )
-    a = banded.select(
+    kept = numbered.filter(F.col("__bn") <= max_bucket_size)
+    a = kept.select(
         "cidx", "cval", F.col(id_col).alias("id_a"), F.col(hash_col).alias("sh_a")
     )
-    b = banded.select(
+    b = kept.select(
         F.col("cidx").alias("cidx_b"),
         F.col("cval").alias("cval_b"),
         F.col(id_col).alias("id_b"),
         F.col(hash_col).alias("sh_b"),
     )
-    return (
+    pairs = (
         a.join(b, (a.cidx == b.cidx_b) & (a.cval == b.cval_b) & (a.id_a < b.id_b))
         .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+    )
+    # overflow rows (bn > cap) link to their bucket representative only:
+    # rep_id < id always (rep is the bucket min), so the id_a < id_b
+    # invariant holds by construction
+    overflow = numbered.filter(F.col("__bn") > max_bucket_size).select(
+        F.col("__rep_id").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.bit_count(F.col("__rep_h").bitwiseXOR(F.col(hash_col))).alias("hamming"),
+    )
+    return (
+        pairs.unionByName(overflow)
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -776,9 +776,13 @@ def extract_html_text(
     title = F.trim(F.regexp_extract(F.col(html_col), r"(?is)<title[^>]*>(.*?)</title>", 1))
     h = F.regexp_replace(h, r"(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)>|<br\s*/?>", "\n")
     h = F.regexp_replace(h, r"(?s)<[^>]+>", " ")
+    # &amp; is decoded LAST (standard entity-decode rule): decoding it
+    # first would double-decode escaped entities — "&amp;lt;" means the
+    # five literal characters "&lt;", not "<".
     for ent, rep in (
-        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&lt;", "<"), ("&gt;", ">"),
         ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " "),
+        ("&amp;", "&"),
     ):
         h = F.replace(h, F.lit(ent), F.lit(rep))
         title = F.replace(title, F.lit(ent), F.lit(rep))

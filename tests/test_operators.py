@@ -1611,6 +1611,81 @@ def test_table_versions_are_reproducible_snapshots(spark, tmp_path):
         read_table_version(spark, tdir, 99)
 
 
+def test_stop_gram_caps_match_oracle_when_binding(spark):
+    """Planted >cap stop-grams: the containment/winnowing df caps must
+    compute the SAME function as their oracles when the cap actually binds
+    (sf0.01/sf0.1 never push a gram past the default 10k, so the corpus
+    oracle run alone cannot prove this). Runs the operator with a tiny cap
+    and the REAL oracle SQL with its 10000 literal lowered to match."""
+    import duckdb
+    import pandas as pd
+
+    from dbt_meshify_spark.operators.dedup import (
+        ngram_containment_pairs,
+        winnow_overlap_pairs,
+    )
+    from dbt_meshify_spark.queries import ORACLES
+    from tests.oracle_utils import assert_matches_oracle
+
+    # "the quick brown" appears in 9 docs -> df 9 > cap 3, dropped. Docs
+    # 20/21 consist ONLY of the stop-gram: without the cap they pair at
+    # containment 1.0; with it they vanish. Docs 10/11 share a distinctive
+    # run that survives.
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 10, 11, 20, 21],
+            "text": [
+                "the quick brown one x1 y1",
+                "the quick brown two x2 y2",
+                "the quick brown three x3 y3",
+                "the quick brown four x4 y4",
+                "the quick brown five x5 y5",
+                "the quick brown alpha beta gamma delta epsilon",
+                "the quick brown alpha beta gamma",
+                "the quick brown",
+                "the quick brown",
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    sdf = spark.createDataFrame(docs)
+
+    out = ngram_containment_pairs(sdf, n=3, min_containment=0.8, max_gram_df=3)
+    pairs = {(r.id_a, r.id_b): r.containment for r in out.collect()}
+    assert pairs == {(10, 11): 1.0}  # cap binding: (20, 21) must NOT appear
+    sql = ORACLES["ext_ngram_containment"].replace("<= 10000", "<= 3")
+    assert sql != ORACLES["ext_ngram_containment"]
+    assert_matches_oracle(out, con, sql, "containment-capped")
+
+    # winnowing: docs 1..5 are verbatim copies (all prints df 5 > cap 3,
+    # dropped -> their 10 pairs vanish); docs 10/11 share a distinctive
+    # long run (print df 2, survives).
+    wdocs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 10, 11],
+            "text": ["zzz yyy xxx www vvv uuu"] * 5
+            + [
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda",
+            ],
+        }
+    )
+    con2 = duckdb.connect()
+    con2.register("documents", wdocs)
+    wsdf = spark.createDataFrame(wdocs)
+    wout = winnow_overlap_pairs(
+        wsdf, k=5, window=4, min_shared=2, max_print_df=3
+    )
+    wpairs = {(r.id_a, r.id_b) for r in wout.collect()}
+    assert wpairs == {(10, 11)}
+    wsql = ORACLES["ext_winnow_overlap"].replace("<= 10000", "<= 3")
+    assert wsql != ORACLES["ext_winnow_overlap"]
+    assert_matches_oracle(wout, con2, wsql, "winnow-capped")
+    con.close()
+    con2.close()
+
+
 def test_ensure_bucketed_rebuilds_when_source_regenerated(spark, tmp_path):
     """A source parquet regenerated IN PLACE (datagen change between rounds)
     must invalidate the derived bucketed layout — fingerprint mismatch
@@ -2198,6 +2273,63 @@ def test_ivf_index_round_trip_probe_matches_ivf_topk(spark, tmp_path):
         for r in ivf_probe_index(q, cent2, cells2, k=3, nprobe=3).collect()
     )
     assert again == a
+
+
+def test_ensure_ivf_index_caches_and_invalidates(spark, tmp_path):
+    """The persisted IVF index must (a) train once and serve from parquet
+    on repeat calls, (b) produce probe rows identical to a fresh in-memory
+    index, and (c) rebuild when the source corpus is regenerated in place
+    (fingerprint gate, same discipline as ensure_bucketed)."""
+    import os
+    import shutil
+
+    from dbt_meshify_spark.operators.similarity import (
+        ensure_ivf_index,
+        ivf_index,
+        ivf_probe_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "embeddings.parquet")
+    shutil.copytree(os.path.join(SF_SMOKE, "embeddings.parquet"), src) if os.path.isdir(
+        os.path.join(SF_SMOKE, "embeddings.parquet")
+    ) else shutil.copy(os.path.join(SF_SMOKE, "embeddings.parquet"), src)
+    base = str(tmp_path / "ivf")
+    emb = spark.read.parquet(src)
+
+    c1, a1 = ensure_ivf_index(
+        spark, emb, cache_key="t", nlist=8, source_path=src, base_dir=base
+    )
+    d = os.path.join(base, "ivf8_i8_t")
+    stamp = os.path.getmtime(os.path.join(d, "centroids", "_SUCCESS"))
+
+    # warm call: served from parquet, no retrain (mtime unchanged)
+    c2, a2 = ensure_ivf_index(
+        spark, emb, cache_key="t", nlist=8, source_path=src, base_dir=base
+    )
+    assert os.path.getmtime(os.path.join(d, "centroids", "_SUCCESS")) == stamp
+
+    # probe rows identical to a fresh in-memory index (deterministic train)
+    q = emb.filter(F.col("vec_id") < 5)
+    fc, fa = ivf_index(emb, nlist=8)
+    key = lambda df: sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ivf_probe_index(q, *df, k=3, nprobe=3).collect()
+    )
+    assert key((c2, a2)) == key((fc, fa))
+
+    # regenerate the source in place -> fingerprint mismatch -> rebuild
+    sub = spark.read.parquet(src).filter(F.col("vec_id") % 2 == 0).collect()
+    shutil.rmtree(src, ignore_errors=True)
+    if os.path.exists(src):
+        os.remove(src)
+    spark.createDataFrame(sub).coalesce(1).write.parquet(src)
+    emb2 = spark.read.parquet(src)
+    c3, a3 = ensure_ivf_index(
+        spark, emb2, cache_key="t", nlist=8, source_path=src, base_dir=base
+    )
+    assert os.path.getmtime(os.path.join(d, "centroids", "_SUCCESS")) != stamp
+    assert a3.count() == emb2.count()
 
 
 def test_self_repetition_keeps_first_occurrence(spark):
@@ -3139,7 +3271,8 @@ def test_extract_html_text_strips_and_decodes(spark):
         (1, '<html><head><title> T &amp; U </title><style>p{x:1}</style></head>'
             '<body><!-- c --><p>one</p><ul><li>two</li></ul>'
             '<script>var a = "<p>not text</p>";</script>'
-            '<div>x &lt;y&gt;&nbsp;&quot;z&#39;</div></body></html>'),
+            '<div>x &lt;y&gt;&nbsp;&quot;z&#39;</div>'
+            '<p>escaped: &amp;lt;tag&amp;gt; &amp;amp;</p></body></html>'),
         (2, 'plain text, no tags'),
         (3, '<p>unclosed <b>bold'),  # malformed: must not crash or drop
         (4, None),
@@ -3153,6 +3286,8 @@ def test_extract_html_text_strips_and_decodes(spark):
     body = out[1].text_extracted
     assert "one\n" in body and "two\n" in body
     assert 'x <y> "z\'' in body
+    # &amp; decodes LAST: "&amp;lt;" is the literal five-char "&lt;", not "<"
+    assert "escaped: &lt;tag&gt; &amp;" in body
     assert out[2].text_extracted == "plain text, no tags" and out[2].title == ""
     assert out[3].text_extracted == "unclosed bold"
     assert out[4].text_extracted is None  # NULL propagates, row kept
@@ -3434,6 +3569,67 @@ def test_label_propagation_separates_dense_communities(spark):
     pair = spark.createDataFrame([(7, 9)], "src int, dst int")
     pout = {r.id: r.community for r in label_propagation(pair, iters=3).collect()}
     assert pout[7] == pout[9]
+
+
+def test_kcore_peels_periphery_keeps_core(spark):
+    """Planted core vs periphery: a 5-clique (every node degree 4) with a
+    pendant 3-chain hanging off one corner. k=2 must peel the chain link
+    by link (a true cascade: only the current tail is below degree 2 each
+    round) and keep exactly the clique;
+    self-loops/NULLs/duplicate+reversed edges drop."""
+    from itertools import combinations
+
+    from dbt_meshify_spark.operators.graph_rank import kcore
+
+    clique = list(combinations([1, 2, 3, 4, 5], 2))
+    chain = [(5, 10), (10, 11), (11, 12)]
+    noise = [(2, 2), (None, 3), (2, 1), (10, 5)]  # self-loop, NULL, dupes
+    df = spark.createDataFrame(clique + chain + noise, "src int, dst int")
+    stats: dict = {}
+    out = {r.id: r.deg for r in kcore(df, k=2, iters=10, stats=stats).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert all(d == 4 for d in out.values())
+    # one cascade round per chain link + the stability round
+    assert stats["rounds"] == 4
+    # k=3 drops the whole chain at once (every link node already < 3)
+    s3: dict = {}
+    out3 = {r.id for r in kcore(df, k=3, iters=10, stats=s3).collect()}
+    assert out3 == {1, 2, 3, 4, 5} and s3["rounds"] == 2
+    # k larger than any degree empties the graph
+    assert kcore(df, k=6, iters=10).count() == 0
+    # k=1 keeps everything reachable by an edge (incl. the chain), with
+    # degrees of the ORIGINAL canonical graph
+    all_nodes = {r.id for r in kcore(df, k=1, iters=5).collect()}
+    assert all_nodes == {1, 2, 3, 4, 5, 10, 11, 12}
+
+
+def test_label_propagation_early_stops_at_convergence(spark):
+    """The signature early-stop must cut the round count on a settled
+    graph WITHOUT changing the fixed-iters result: a converged label frame
+    is a fixpoint of the synchronous update, so stopping early is exact."""
+    from itertools import combinations
+
+    from dbt_meshify_spark.operators.graph_rank import label_propagation
+
+    c1 = list(combinations([1, 2, 3, 4], 2))
+    c2 = list(combinations([11, 12, 13, 14], 2))
+    df = spark.createDataFrame(c1 + c2 + [(4, 11)], "src int, dst int")
+    stats: dict = {}
+    out_long = {
+        r.id: r.community
+        for r in label_propagation(df, iters=25, stats=stats).collect()
+    }
+    # two 4-cliques settle in a couple of rounds, not 25
+    assert 0 < stats["rounds"] < 25
+    out_fixed = {
+        r.id: r.community for r in label_propagation(df, iters=4).collect()
+    }
+    assert out_long == out_fixed
+    # an edgeless graph converges on the very first round
+    lone = spark.createDataFrame([(1, 1), (2, 2)], "src int, dst int")
+    s2: dict = {}
+    label_propagation(lone, iters=10, stats=s2).collect()
+    assert s2["rounds"] == 1
 
 
 def test_attribution_models_credit_correctly(spark):

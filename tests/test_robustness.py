@@ -292,8 +292,9 @@ def test_hash64_banding_caps_degenerate_buckets(spark):
     """A homogeneous corpus (1k identical fingerprints — blank frames,
     silence) collapses every row onto one (chunk, value) bucket per band;
     the windowed ``max_bucket_size`` cap must bound the candidate fan-out
-    to O(cap^2) instead of the quadratic C(1000,2)=499,500, while exact
-    duplicates still pair inside the kept prefix."""
+    to O(cap^2 + overflow) instead of the quadratic C(1000,2)=499,500,
+    while EVERY row still clusters: kept rows pair inside the prefix,
+    overflow rows pair with the bucket representative (min id)."""
     from dbt_meshify_spark.operators.dedup import hash64_candidate_pairs
 
     df = spark.createDataFrame(
@@ -303,12 +304,18 @@ def test_hash64_banding_caps_degenerate_buckets(spark):
     capped = hash64_candidate_pairs(
         df, "id", "h", max_hamming=3, bands=4, max_bucket_size=50
     )
-    n = capped.count()
-    # all 4 band buckets keep the SAME ordered id prefix, so pairs dedup
-    # to C(50,2); allow the exact bound, require way below quadratic
-    assert 0 < n <= 50 * 49 // 2
-    # identical fingerprints in the kept prefix still pair at hamming 0
-    assert capped.filter(F.col("hamming") == 0).count() == n
+    rows = capped.collect()
+    n = len(rows)
+    # all 4 band buckets keep the SAME ordered id prefix, so kept pairs
+    # dedup to C(50,2); each of the 950 overflow rows adds exactly one
+    # (rep=0, id) pair — way below quadratic
+    assert 0 < n <= 50 * 49 // 2 + 950
+    # identical fingerprints all pair at hamming 0...
+    assert all(r.hamming == 0 for r in rows)
+    # ...and NO row is left as a singleton: every id reaches the rep's
+    # component (the pre-round-6 cut dropped ids past the cap entirely)
+    ids = {r.id_a for r in rows} | {r.id_b for r in rows}
+    assert ids == set(range(1000))
 
 
 def test_round4_text_operators_survive_nasty_input(spark, nasty):
