@@ -891,6 +891,58 @@ def ivf_index(
     return cent_df, cells
 
 
+#: Scratch root for persisted IVF indexes (the embedding analog of
+#: ``sources.bucketing.DEFAULT_BUCKET_DIR``).
+DEFAULT_IVF_DIR = "/tmp/dbt_meshify_spark_ivf"
+
+
+def ensure_ivf_index(
+    spark,
+    corpus: DataFrame,
+    cache_key: str,
+    nlist: int = 16,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    source_path: str | None = None,
+    base_dir: str = DEFAULT_IVF_DIR,
+) -> tuple[DataFrame, DataFrame]:
+    """Persisted :func:`ivf_index` keyed on ``cache_key``: train + assign
+    ONCE, parquet round-trip, reuse across sessions — the deployment shape
+    the docstring above describes, made concrete. ``cells`` is written
+    ``partitionBy("cell")`` so :func:`ivf_probe_index`'s equi-join prunes
+    the scan to the probed cells (DPP; plan-guarded).
+
+    Reuse is gated on BOTH halves' ``_SUCCESS`` markers AND the source
+    fingerprint (same staleness discipline as
+    ``sources.bucketing.ensure_bucketed``): a corpus parquet regenerated in
+    place rebuilds the index instead of silently serving stale cells.
+    """
+    import os
+    import re as _re
+
+    from dbt_meshify_spark.sources.bucketing import (
+        fingerprint_matches,
+        write_fingerprint,
+    )
+
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", cache_key.strip("/"))
+    d = os.path.join(base_dir, f"ivf{nlist}_i{iters}_{slug}")
+    cpath = os.path.join(d, "centroids")
+    apath = os.path.join(d, "cells")
+    complete = os.path.exists(os.path.join(cpath, "_SUCCESS")) and os.path.exists(
+        os.path.join(apath, "_SUCCESS")
+    )
+    if not (complete and fingerprint_matches(d, source_path)):
+        centroids, cells = ivf_index(
+            corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        centroids.write.mode("overwrite").parquet(cpath)
+        cells.write.mode("overwrite").partitionBy("cell").parquet(apath)
+        write_fingerprint(d, source_path)
+    return spark.read.parquet(cpath), spark.read.parquet(apath)
+
+
 def ivf_probe_index(
     queries: DataFrame,
     centroids: DataFrame,
