@@ -213,11 +213,101 @@ def triangle_counts(
     return corners
 
 
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    stats: dict | None = None,
+) -> DataFrame:
+    """k-core decomposition by iterative min-degree peeling — the
+    degeneracy filter of the abuse-graph family (PageRank ranks, CC
+    groups, LPA clusters, triangles count; k-core PRUNES: pendant chains
+    and low-engagement periphery peel away, leaving the dense interaction
+    core where coordinated behavior lives).
+
+    Each peel round over the surviving undirected edge set: one degree
+    aggregate (map-side combinable, keyed on node id), one semi-join per
+    endpoint to drop edges touching a node of degree < ``k``. No shuffle
+    ever carries more than (node, degree) / (lo, hi) rows. Edges are
+    canonicalized (lo < hi, self-loops and NULLs dropped) and pinned with
+    ``localCheckpoint`` per round — the same O(1)-lineage loop as
+    ``pagerank``/``label_propagation``.
+
+    Fixed ``iters`` rounds make the result exactly reproducible by the
+    unrolled-CTE SQL oracle; the constant-size (count, decimal hash-sum)
+    edge-set signature (the ``_cc_star`` discipline) stops early at the
+    fixpoint, where every remaining round is a no-op — identical output,
+    fewer jobs. ``stats["rounds"]`` records the executed count.
+
+    Returns ``id, deg``: the endpoints of the surviving edge set with
+    their degree inside it (at the fixpoint this IS the k-core, and every
+    ``deg >= k``; isolated input nodes never appear — a 0-degree node is
+    in no k-core for k >= 1).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .filter(
+            F.col("lo").isNotNull()
+            & F.col("hi").isNotNull()
+            & (F.col("lo") < F.col("hi"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _und(frame: DataFrame) -> DataFrame:
+        return frame.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            frame.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+
+    def _sig(frame: DataFrame):
+        row = frame.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _sig(e)
+    rounds = 0
+    for _ in range(int(iters)):
+        keep = (
+            _und(e)
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("u").alias("id"))
+        )
+        e = (
+            e.join(keep.withColumnRenamed("id", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("id", "hi"), "hi", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        rounds += 1
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break  # fixpoint: peeling is monotone, nothing more can drop
+        sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    return (
+        _und(e)
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .select(F.col("u").alias("id"), "deg")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     iters: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (LPA) over an
     undirected graph — the density-based grouping connected components
@@ -243,6 +333,17 @@ def label_propagation(
     and NULL endpoints are dropped; each undirected edge votes in both
     directions.
 
+    Convergence early-stop (the ``_cc_star`` discipline): after each round
+    a constant-size (decimal xxhash64-sum) signature of the checkpointed
+    label frame is compared to the previous round's — synchronous LPA is a
+    deterministic function of the label frame, so a repeated signature
+    means EVERY remaining round is a no-op and the loop exits with the
+    exact fixed-``iters`` result (the unrolled-CTE oracle is unchanged).
+    The signature is a 1-row aggregate over the frame the next round
+    would materialize anyway, so stable graphs stop paying join rounds the
+    moment communities settle. ``stats["rounds"]`` records the executed
+    count when a dict is passed.
+
     Returns ``id, community`` (community = the adopted label).
     """
     e = (
@@ -257,6 +358,16 @@ def label_propagation(
         und.select(F.col("u").alias("id")).distinct().localCheckpoint(eager=False)
     )
     labels = nodes.select("id", F.col("id").alias("community"))
+
+    def _sig(frame: DataFrame):
+        # order-insensitive digest; decimal sum because a BIGINT sum of
+        # full-range xxhash64 values overflows under ANSI mode
+        return frame.agg(
+            F.sum(F.xxhash64("id", "community").cast("decimal(38,0)")).alias("h")
+        ).collect()[0]["h"]
+
+    sig = _sig(labels)
+    rounds = 0
     for _ in range(int(iters)):
         nbr = und.join(labels, und["v"] == labels["id"]).select(
             F.col("u"), F.col("community")
@@ -282,4 +393,11 @@ def label_propagation(
             )
             .localCheckpoint(eager=False)
         )
+        rounds += 1
+        new_sig = _sig(labels)
+        if new_sig == sig:
+            break  # fixpoint: every remaining round would be a no-op
+        sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
