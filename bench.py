@@ -25,25 +25,75 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def compute_inflation(times: dict, floors: dict) -> float:
-    """Median t/floor ratio across floored queries, clamped to [1.0, 3.0].
+#: Constant-plan scan/filter/window trivia: no operator library code runs
+#: inside them, so operator changes cannot slow them — their floor ratio
+#: measures pure host tenancy. Anchoring inflation here (instead of the
+#: whole-corpus median) means a UNIFORM regression in shared operator code
+#: is no longer absorbed as "tenancy" (ADVICE r5): it shows up as the
+#: corpus median diverging from the sentinel anchor, checked separately.
+SENTINEL_QUERIES = (
+    "q01_projection_cast",
+    "q02_case_boolean",
+    "q03_filters",
+    "q07_distinct_unique",
+    "q08_union_literal",
+    "q09_topk",
+    "q10_lag_lead",
+)
 
-    Uniform shared-host load moves ALL ratios; a few genuine regressions
-    in a 180+-query corpus cannot move the median. <5 floored queries =>
-    no basis for normalization, return 1.0."""
+
+def _median(vals: list) -> float:
+    mid = len(vals) // 2
+    return vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+
+
+def median_ratio(times: dict, floors: dict, names=None) -> float | None:
+    """Median t/floor over the given names (default: every floored query);
+    None when fewer than 5 have usable floors."""
+    pool = times if names is None else [n for n in names if n in times]
     ratios = sorted(
-        times[n] / floors[n] for n in times if floors.get(n) and floors[n] > 0
+        times[n] / floors[n] for n in pool if floors.get(n) and floors[n] > 0
     )
     if len(ratios) < 5:
+        return None
+    return _median(ratios)
+
+
+def compute_inflation(times: dict, floors: dict, sentinels=SENTINEL_QUERIES) -> float:
+    """Tenancy inflation, clamped to [1.0, 3.0]: the median t/floor over
+    the SENTINEL queries when >=5 have floors, else over all floored
+    queries (a few genuine regressions in a 180+-query corpus cannot move
+    either median; uniform host noise moves both)."""
+    med = median_ratio(times, floors, sentinels)
+    if med is None:
+        med = median_ratio(times, floors)
+    if med is None:
         return 1.0
-    mid = len(ratios) // 2
-    med = ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2
     return min(3.0, max(1.0, med))
 
 
+def uniform_divergence(
+    times: dict, floors: dict, inflation: float, sentinels=SENTINEL_QUERIES
+) -> float | None:
+    """Corpus-wide uniform-regression check: the whole-corpus median ratio
+    vs the sentinel-anchored inflation. Host load moves both identically;
+    a regression in SHARED operator code moves the corpus but not the
+    sentinels. Returns the divergence factor when > 1.5 (fires the guard),
+    else None. Needs a real sentinel anchor to mean anything."""
+    if median_ratio(times, floors, sentinels) is None:
+        return None
+    corpus = median_ratio(times, floors)
+    if corpus is None:
+        return None
+    div = corpus / inflation
+    return div if div > 1.5 else None
+
+
 def is_regressed(t: float, floor: float | None, inflation: float) -> bool:
-    """>1.5x the tenancy-scaled floor AND >0.3s absolute above it."""
-    if floor is None:
+    """>1.5x the tenancy-scaled floor AND >0.3s absolute above it.
+    floor <= 0 (3dp-rounded sub-ms floors) carries no signal: skip,
+    matching median_ratio's floors[n] > 0 filter."""
+    if floor is None or floor <= 0:
         return False
     fs = floor * inflation
     return t > 1.5 * fs and t - fs > 0.3
@@ -102,6 +152,14 @@ def main() -> None:
         with open(floor_path) as fh:
             floors = json.load(fh).get("queries", {})
         inflation = compute_inflation(times, floors)
+        div = uniform_divergence(times, floors, inflation)
+        if div is not None:
+            regressions["__uniform__"] = {
+                "corpus_vs_sentinel_divergence": round(div, 3),
+                "note": "whole-corpus median slowed >1.5x relative to the "
+                "constant-plan sentinels — a shared operator-code "
+                "regression, not tenancy",
+            }
         for name, t in times.items():
             f = floors.get(name)
             if is_regressed(t, f, inflation):

@@ -11,7 +11,12 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import compute_inflation, is_regressed
+from bench import (
+    SENTINEL_QUERIES,
+    compute_inflation,
+    is_regressed,
+    uniform_divergence,
+)
 
 
 def _corpus(n=50, base=1.0):
@@ -72,3 +77,58 @@ def test_absolute_guard_and_missing_floor():
     assert not is_regressed(0.25, 0.1, 1.0)  # 2.5x but only +0.15s
     assert is_regressed(0.9, 0.1, 1.0)
     assert not is_regressed(99.0, None, 1.0)
+
+
+def test_zero_floor_never_flags():
+    """floor 0.0 (3dp-rounded sub-ms time) carries no signal: is_regressed
+    must skip it, matching the median's floors>0 filter (ADVICE r5 — the
+    old code divided the scaled floor to 0 and flagged any t>0.3s)."""
+    assert not is_regressed(5.0, 0.0, 1.0)
+    assert not is_regressed(5.0, -1.0, 1.3)
+
+
+def _sentinel_corpus(n_other=50):
+    floors = {s: 0.2 for s in SENTINEL_QUERIES}
+    floors.update({f"x{i:03d}": 1.0 for i in range(n_other)})
+    return floors
+
+
+def test_inflation_anchors_on_sentinels():
+    """Sentinels quiet (1.0x) while every operator query runs 2x: the old
+    whole-corpus median called that 2x 'tenancy'; the sentinel anchor
+    keeps inflation at 1.0 so the slowdown stays visible."""
+    floors = _sentinel_corpus()
+    times = {k: (0.2 if k in SENTINEL_QUERIES else 2.0) for k in floors}
+    inf = compute_inflation(times, floors)
+    assert inf == 1.0
+
+
+def test_uniform_divergence_fires_on_shared_code_regression():
+    """Corpus median 2x vs sentinel anchor 1.0 => divergence 2.0 > 1.5:
+    the guard reports a uniform shared-code regression instead of
+    absorbing it (ADVICE r5's clamp hole)."""
+    floors = _sentinel_corpus()
+    times = {k: (0.2 if k in SENTINEL_QUERIES else 2.0) for k in floors}
+    inf = compute_inflation(times, floors)
+    div = uniform_divergence(times, floors, inf)
+    assert div is not None and abs(div - 2.0) < 1e-9
+
+
+def test_uniform_divergence_quiet_under_pure_tenancy():
+    """Host load inflates sentinels AND corpus by the same 1.6x: inflation
+    absorbs it, divergence stays ~1.0, nothing fires."""
+    floors = _sentinel_corpus()
+    times = {k: f * 1.6 for k, f in floors.items()}
+    inf = compute_inflation(times, floors)
+    assert abs(inf - 1.6) < 1e-9
+    assert uniform_divergence(times, floors, inf) is None
+    assert not any(is_regressed(t, floors[k], inf) for k, t in times.items())
+
+
+def test_no_sentinel_floors_falls_back_to_corpus_median():
+    """A floor file predating the sentinel names: inflation falls back to
+    the whole-corpus median (the r5 behavior) and divergence abstains."""
+    floors = _corpus()
+    times = {k: 1.4 for k in floors}
+    assert abs(compute_inflation(times, floors) - 1.4) < 1e-9
+    assert uniform_divergence(times, floors, 1.4) is None
