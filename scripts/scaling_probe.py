@@ -40,6 +40,76 @@ def scaled_corpus(docs, k: int):
     return out
 
 
+def planted_community_graph(spark, communities: int, size: int = 50, half_deg: int = 5):
+    """Deterministic planted-partition graph: ``communities`` circulant
+    cliques of ``size`` nodes (each node linked to its ``half_deg`` next
+    ring neighbors — degree 2*half_deg intra, triangle-rich) plus one
+    bridge edge between consecutive communities. Scaling = more
+    communities: edges grow linearly, per-community structure constant —
+    the honest graph analog of the suffix-salted corpus copies."""
+    nodes = spark.range(communities * size).select(F.col("id").cast("long"))
+    offs = F.explode(F.array(*[F.lit(j) for j in range(1, half_deg + 1)]))
+    intra = nodes.select("id", offs.alias("j")).select(
+        F.col("id").alias("src"),
+        (
+            (F.col("id") - (F.col("id") % size))
+            + ((F.col("id") % size) + F.col("j")) % size
+        ).alias("dst"),
+    )
+    bridges = spark.range(communities).select(
+        (F.col("id") * size).alias("src"),
+        (((F.col("id") + 1) % communities) * size).alias("dst"),
+    )
+    return intra.unionByName(bridges).filter(F.col("src") != F.col("dst"))
+
+
+def graph_family_probe(spark) -> None:
+    """LPA / PageRank / degree-oriented triangles / k-core at 1x-4x on
+    planted community graphs — the families whose per-round cost is joins
+    and aggregates keyed on node ids, expected to scale linearly in edge
+    count (VERDICT r5 ask #8)."""
+    from dbt_meshify_spark.operators.graph_rank import (
+        kcore,
+        label_propagation,
+        pagerank,
+        triangle_counts,
+    )
+
+    # warmup pins each operator's codegen/Arrow cost outside the loop
+    warm = planted_community_graph(spark, 20).localCheckpoint()
+    pagerank(warm, iters=2).count()
+    label_propagation(warm, iters=2).count()
+    triangle_counts(warm, orient="degree").count()
+    kcore(warm, k=3, iters=4).count()
+
+    for k in (1, 2, 4):
+        edges = planted_community_graph(spark, 200 * k).localCheckpoint()
+        n_edges = edges.count()
+        t0 = time.time()
+        pagerank(edges, iters=3).write.format("noop").mode("overwrite").save()
+        t_pr = time.time() - t0
+        lpa_stats: dict = {}
+        t0 = time.time()
+        label_propagation(edges, iters=8, stats=lpa_stats).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_lpa = time.time() - t0
+        t0 = time.time()
+        n_tri = triangle_counts(edges, orient="degree").count()
+        t_tri = time.time() - t0
+        kc_stats: dict = {}
+        t0 = time.time()
+        n_core = kcore(edges, k=6, iters=8, stats=kc_stats).count()
+        t_kc = time.time() - t0
+        print(
+            f"graph scale={k}x edges={n_edges}: pagerank3={t_pr:.2f}s "
+            f"lpa={t_lpa:.2f}s (rounds {lpa_stats.get('rounds')}) "
+            f"triangles={t_tri:.2f}s (nodes {n_tri}) "
+            f"kcore6={t_kc:.2f}s (core {n_core}, rounds {kc_stats.get('rounds')})",
+            flush=True,
+        )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from dbt_meshify_spark.operators.dedup import (
@@ -61,6 +131,7 @@ def main() -> None:
     from dbt_meshify_spark.sources import load_table
 
     spark = get_spark()
+    graph_family_probe(spark)
     base = load_table(spark, sf_dir, "documents")
 
     # warmup: whole-stage-codegen compile is a fixed per-plan cost that the
