@@ -272,9 +272,12 @@ def kcore(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    sig = _sig(e)
+    n_rounds = int(iters)
+    # the signature is only worth a job while a FUTURE round could be
+    # skipped — never pay it after the final round
+    sig = _sig(e) if n_rounds > 1 else None
     rounds = 0
-    for _ in range(int(iters)):
+    for r in range(n_rounds):
         keep = (
             _und(e)
             .groupBy("u")
@@ -288,10 +291,11 @@ def kcore(
             .localCheckpoint(eager=False)
         )
         rounds += 1
-        new_sig = _sig(e)
-        if new_sig == sig:
-            break  # fixpoint: peeling is monotone, nothing more can drop
-        sig = new_sig
+        if r < n_rounds - 1:
+            new_sig = _sig(e)
+            if new_sig == sig:
+                break  # fixpoint: peeling is monotone, nothing more drops
+            sig = new_sig
     if stats is not None:
         stats["rounds"] = rounds
     return (
@@ -366,9 +370,11 @@ def label_propagation(
             F.sum(F.xxhash64("id", "community").cast("decimal(38,0)")).alias("h")
         ).collect()[0]["h"]
 
-    sig = _sig(labels)
+    n_rounds = int(iters)
+    # pay the signature job only while a FUTURE round could be skipped
+    sig = _sig(labels) if n_rounds > 1 else None
     rounds = 0
-    for _ in range(int(iters)):
+    for r in range(n_rounds):
         nbr = und.join(labels, und["v"] == labels["id"]).select(
             F.col("u"), F.col("community")
         )
@@ -394,10 +400,11 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
         rounds += 1
-        new_sig = _sig(labels)
-        if new_sig == sig:
-            break  # fixpoint: every remaining round would be a no-op
-        sig = new_sig
+        if r < n_rounds - 1:
+            new_sig = _sig(labels)
+            if new_sig == sig:
+                break  # fixpoint: every remaining round would be a no-op
+            sig = new_sig
     if stats is not None:
         stats["rounds"] = rounds
     return labels
