@@ -191,22 +191,114 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
+def _try_import_audioop():
+    """Optional-codec gate for non-16-bit PCM widths and AIFF-C
+    companding: stdlib ``audioop`` exists through Python 3.12 (removed in
+    3.13), so it is gated exactly like PIL — resolved per process, decode
+    degrades to ``NotImplementedError`` without it."""
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop  # noqa: PLC0415
+
+        return audioop
+    except ImportError:
+        return None
+
+
+def _try_import_aifc():
+    """Optional-container gate: stdlib ``aifc`` (AIFF/AIFF-C), also
+    removed in Python 3.13."""
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import aifc  # noqa: PLC0415
+
+        return aifc
+    except ImportError:
+        return None
+
+
+def _decode_aiff(payload: bytes):
+    """AIFF / AIFF-C payload -> (int16 samples [n, ch], rate). 8/16-bit
+    PCM decode gate-free (big-endian, 8-bit SIGNED per the AIFF spec);
+    ulaw/alaw AIFF-C decompress through ``aifc``'s own audioop path —
+    both stdlib modules are gated (removed in Python 3.13)."""
+    import io
+
+    import numpy as np
+
+    aifc = _try_import_aifc()
+    if aifc is None:
+        raise NotImplementedError(
+            "AIFF needs stdlib aifc (Python <= 3.12); install soundfile beyond"
+        )
+    try:
+        af = aifc.open(io.BytesIO(payload))
+    except Exception as ex:  # aifc raises its own Error on truncation
+        raise ValueError(f"malformed AIFF: {ex}") from ex
+    with af:
+        comp = af.getcomptype()
+        if comp not in (b"NONE", b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+            raise NotImplementedError(f"AIFF-C compression {comp!r} is gated")
+        if comp != b"NONE" and _try_import_audioop() is None:
+            raise NotImplementedError("ulaw/alaw AIFF-C needs audioop")
+        width = af.getsampwidth()
+        rate = int(af.getframerate())
+        nch = af.getnchannels()
+        data = af.readframes(af.getnframes())
+    if comp != b"NONE":
+        # aifc already decompressed to NATIVE-endian 16-bit linear
+        arr = np.frombuffer(data, dtype=np.int16)
+    elif width == 2:
+        arr = np.frombuffer(data, dtype=">i2").astype(np.int16)
+    elif width == 1:
+        arr = np.frombuffer(data, dtype=np.int8).astype(np.int16) * 256
+    else:
+        raise NotImplementedError("AIFF PCM wider than 16-bit is gated")
+    return arr.reshape(-1, nch), rate
+
+
 def decode_audio(payload: bytes):
-    """PCM WAV payload -> (samples int16 ndarray [n, channels], sample_rate).
-    Stdlib ``wave`` — no codec required. Compressed formats are gated."""
+    """Audio payload -> (samples int16 ndarray [n, channels], sample_rate).
+
+    REAL decode paths, all stdlib:
+    - RIFF/WAVE 16-bit PCM: ``wave`` alone, no gate (the baseline tier).
+    - RIFF/WAVE 8-bit (unsigned, re-biased) / 24-bit / 32-bit PCM: width
+      conversion through the ``audioop`` gate (``lin2lin``).
+    - FORM/AIFF and AIFF-C ulaw/alaw: the ``aifc`` gate
+      (:func:`_decode_aiff`).
+    Anything else — and every gated path when the stdlib codec modules are
+    absent (both are removed in Python 3.13) — raises
+    ``NotImplementedError``, which the Arrow harnesses surface as null
+    feature rows, keeping mixed-media passes total."""
     import io
     import wave
 
     import numpy as np
 
+    if payload[:4] == b"FORM":
+        return _decode_aiff(payload)
     with wave.open(io.BytesIO(payload)) as wf:
-        if wf.getsampwidth() != 2:
-            raise NotImplementedError("only 16-bit PCM WAV decodes here")
+        width = wf.getsampwidth()
+        nch = wf.getnchannels()
+        rate = wf.getframerate()
         frames = wf.readframes(wf.getnframes())
-        arr = np.frombuffer(frames, dtype=np.int16).reshape(
-            -1, wf.getnchannels()
-        )
-        return arr, wf.getframerate()
+    if width != 2:
+        audioop = _try_import_audioop()
+        if audioop is None:
+            raise NotImplementedError(
+                "non-16-bit PCM WAV needs audioop (Python <= 3.12)"
+            )
+        if width == 1:
+            frames = audioop.bias(frames, 1, -128)  # WAV 8-bit is unsigned
+        frames = audioop.lin2lin(frames, width, 2)
+    arr = np.frombuffer(frames, dtype=np.int16).reshape(-1, nch)
+    return arr, rate
 
 
 def audio_features(media: DataFrame) -> DataFrame:
@@ -744,20 +836,66 @@ def image_phash_neardup_pairs(
     )
 
 
-def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+def encode_wav(samples, sample_rate: int = 8000, sampwidth: int = 2) -> bytes:
     """Mono int16 ndarray -> PCM WAV bytes (stdlib ``wave``; the encode
-    twin of ``decode_audio``)."""
+    twin of ``decode_audio``). ``sampwidth`` widens the tier: 1 (unsigned
+    8-bit, high byte re-biased), 2 (native int16), 3/4 (samples shifted
+    into the high 16 bits — lossless round-trip through the decoder's
+    ``lin2lin`` narrowing)."""
     import io
     import wave
 
     import numpy as np
 
+    s = np.asarray(samples, dtype=np.int16)
+    if sampwidth == 2:
+        frames = s.tobytes()
+    elif sampwidth == 1:
+        frames = (((s.astype(np.int32) >> 8) + 128).astype(np.uint8)).tobytes()
+    elif sampwidth == 4:
+        frames = (s.astype(np.int32) << 16).astype("<i4").tobytes()
+    elif sampwidth == 3:
+        # int16 into the top 2 of 3 little-endian bytes per sample
+        wide = (s.astype(np.int32) << 8).astype("<i4").tobytes()
+        frames = bytes(
+            b for i, b in enumerate(wide) if i % 4 != 3
+        )
+    else:
+        raise ValueError(f"unsupported sampwidth {sampwidth}")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(1)
-        wf.setsampwidth(2)
+        wf.setsampwidth(sampwidth)
         wf.setframerate(sample_rate)
-        wf.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def encode_aiff(
+    samples, sample_rate: int = 8000, comptype: bytes = b"NONE"
+) -> bytes:
+    """Mono int16 ndarray -> AIFF (or ulaw/alaw AIFF-C) bytes through the
+    ``aifc`` gate — the test twin of :func:`_decode_aiff`."""
+    import io
+
+    import numpy as np
+
+    aifc = _try_import_aifc()
+    if aifc is None:
+        raise NotImplementedError("AIFF encode needs stdlib aifc (<= 3.12)")
+    s = np.asarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    buf.close = lambda: None  # aifc.close() closes the sink; keep the bytes
+    with aifc.open(buf, "wb") as af:
+        af.setnchannels(1)
+        af.setsampwidth(2)
+        af.setframerate(sample_rate)
+        if comptype != b"NONE":
+            af.setcomptype(comptype, b"")
+        # aifc expects big-endian frames for NONE and native for compressed
+        af.writeframes(
+            s.astype(">i2").tobytes() if comptype == b"NONE" else s.tobytes()
+        )
     return buf.getvalue()
 
 

@@ -293,6 +293,107 @@ def test_multimodal_real_wav_audio_features(spark):
     assert rows[2].sample_rate is None and rows[2].rms is None
 
 
+@pytest.mark.parametrize("sampwidth", [1, 2, 3, 4])
+def test_decode_audio_pcm_widths_round_trip(sampwidth):
+    """8/16/24/32-bit PCM WAV all decode to int16 through the audioop
+    gate; encode_wav plants samples losslessly representable at every
+    width, so the round-trip is exact."""
+    import numpy as np
+
+    from dbt_meshify_spark.operators.multimodal import decode_audio, encode_wav
+
+    # multiples of 256 survive the 8-bit tier exactly; all widths >= 2
+    # keep full int16 precision
+    s = (np.arange(-120, 120, dtype=np.int16) * 256).astype(np.int16)
+    wav = encode_wav(s, 8000, sampwidth=sampwidth)
+    arr, rate = decode_audio(wav)
+    assert rate == 8000 and arr.shape == (len(s), 1)
+    assert np.array_equal(arr[:, 0], s)
+
+
+def test_decode_audio_aiff_and_ulaw():
+    """AIFF decodes gate-free widths (big-endian 16-bit) exactly; AIFF-C
+    ulaw/alaw decompress through aifc+audioop within companding error."""
+    import numpy as np
+
+    from dbt_meshify_spark.operators.multimodal import (
+        _try_import_aifc,
+        decode_audio,
+        encode_aiff,
+    )
+
+    if _try_import_aifc() is None:
+        pytest.skip("stdlib aifc absent (Python >= 3.13)")
+    t = np.arange(4000)
+    s = (9000 * np.sin(t / 9.0)).astype(np.int16)
+    arr, rate = decode_audio(encode_aiff(s, 8000))
+    assert rate == 8000
+    assert np.array_equal(arr[:, 0], s)
+    for comp in (b"ulaw", b"alaw"):
+        arr, rate = decode_audio(encode_aiff(s, 8000, comptype=comp))
+        assert rate == 8000 and arr.shape == (len(s), 1)
+        err = np.abs(arr[:, 0].astype(np.int64) - s.astype(np.int64))
+        assert float(err.mean()) < 0.05 * 9000  # companding noise bound
+
+
+def test_decode_audio_gate_degrades_without_stdlib_codecs(monkeypatch):
+    """With audioop/aifc absent (the Python 3.13 reality), non-16-bit PCM
+    and AIFF raise NotImplementedError — and audio_features surfaces those
+    rows as nulls, exactly like the PIL gate. 16-bit PCM stays REAL."""
+    import numpy as np
+
+    from dbt_meshify_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_try_import_audioop", lambda: None)
+    monkeypatch.setattr(mm, "_try_import_aifc", lambda: None)
+    s = (np.arange(-100, 100, dtype=np.int16) * 256).astype(np.int16)
+    arr, rate = mm.decode_audio(mm.encode_wav(s, 8000))  # baseline unaffected
+    assert np.array_equal(arr[:, 0], s)
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(mm.encode_wav(s, 8000, sampwidth=1))
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"FORM....AIFF")
+
+
+def test_audio_features_mixed_codec_corpus(spark):
+    """audio_features over a mixed 8-bit WAV / AIFF / ulaw-AIFF-C / junk
+    corpus: every decodable payload yields real features, junk yields
+    nulls, the pass stays total."""
+    import numpy as np
+
+    from dbt_meshify_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        encode_aiff,
+        encode_wav,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    s = (12000 * np.sin(2 * np.pi * 440.0 * t / rate)).astype(np.int16)
+    meta = {"kind": "audio", "format": None, "width": None, "height": None,
+            "duration_ms": None}
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(s, rate, sampwidth=1)), meta),
+            (2, bytearray(encode_wav(s, rate, sampwidth=4)), meta),
+            (3, bytearray(encode_aiff(s, rate)), meta),
+            (4, bytearray(encode_aiff(s, rate, comptype=b"ulaw")), meta),
+            (5, bytearray(b"\x00\x01junk"), meta),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in audio_features(media).collect()}
+    expected_rms = 12000 / np.sqrt(2)
+    for mid in (1, 2, 3, 4):
+        assert rows[mid].sample_rate == rate
+        assert rows[mid].duration_ms == 1000
+        # 8-bit and ulaw are lossy tiers; all stay within a few percent
+        assert abs(rows[mid].rms - expected_rms) / expected_rms < 0.05
+        assert abs(rows[mid].zero_cross_rate - 2 * 440.0 / rate) < 0.01
+    assert rows[5].sample_rate is None and rows[5].rms is None
+
+
 def test_date_spine_bounds(spark):
     from dbt_meshify_spark.operators import date_spine
 
