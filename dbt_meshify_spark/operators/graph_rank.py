@@ -384,13 +384,18 @@ def label_propagation(
             .groupBy(F.col("u"), F.col("community"))
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        w = Window.partitionBy("u").orderBy(
-            F.col("n").desc(), F.col("community").asc()
-        )
+        # argmax by (count desc, community asc) as a struct-MIN aggregate:
+        # min((-n, community)) picks the same winner as the row_number
+        # window form but hash-aggregates instead of sorting each u
+        # partition — one map-side-combinable shuffle, no sort
         best = (
-            votes.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .select(F.col("u").alias("id"), "community")
+            votes.groupBy("u")
+            .agg(
+                F.min(
+                    F.struct((-F.col("n")).alias("negn"), F.col("community"))
+                ).alias("__best")
+            )
+            .select(F.col("u").alias("id"), F.col("__best.community").alias("community"))
         )
         labels = (
             nodes.join(best, "id", "left")

@@ -502,6 +502,20 @@ def test_bitext_mine_vectors_never_hash_shuffle(spark):
             )
 
 
+def test_graph_loops_shuffle_ids_only_no_nested_loops(spark):
+    """kcore and label_propagation: every per-round join is hash-equi on
+    node ids — no CartesianProduct / BroadcastNestedLoopJoin anywhere in
+    the final-round plan, and the LPA argmax is an aggregate, not a
+    per-node sort window (the struct-min rewrite; a sorted window over u
+    would reintroduce a per-partition sort each round)."""
+    for name in ("ext_kcore", "ext_label_propagation"):
+        plan = _physical(QUERIES[name](spark, SF_ORACLE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    lpa_plan = _physical(QUERIES["ext_label_propagation"](spark, SF_ORACLE))
+    assert "row_number" not in lpa_plan.lower(), "LPA argmax fell back to a sort window"
+
+
 def test_turn_echo_shuffles_grams_not_conversations(spark):
     """turn_echo_scores: after the gram explode, no Exchange may carry the
     conversation JSON or turn content — overlap joins move (id, pos, gram)
