@@ -90,6 +90,95 @@ def train_bpe(
     return merges
 
 
+def train_bpe_distributed(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn BPE merges over the FULL corpus vocabulary, distributed — the
+    no-sample-cap twin of :func:`train_bpe`.
+
+    Scale shape: the corpus reduces ONCE to the (word-type, freq) table —
+    Zipf-bounded (millions of types for any corpus size), one explode +
+    one map-side-combined shuffle; the raw text never participates again.
+    Each merge round then runs on the type table alone: one adjacent-pair
+    projection (HOF over the symbol array — bounded by types, not tokens),
+    one weighted count aggregate, a 1-row argmax collect (the only driver
+    data: the winning pair, IVF-centroid posture), and one codegen'd
+    substring replace applying the merge. The symbol-sequence frame is
+    ``localCheckpoint``-pinned per round (O(1) lineage, the graph-loop
+    discipline).
+
+    Merge application semantics (cross-engine exact): sequences carry
+    symbols space-delimited with guard spaces (`` a b c </w> ``); applying
+    merge (x, y) is ONE plain left-to-right non-overlapping substring
+    replace of ``' x y '`` with ``' xy '`` — identical in Spark, DuckDB,
+    and Python, so the DuckDB oracle replays training bit-exactly. On runs
+    of >= 3 identical symbols this single pass can under-merge relative to
+    reference BPE's leftmost-greedy scan (the consumed boundary space
+    hides back-to-back matches — e.g. ``a a a a`` merges once, not
+    twice); real-text character runs are rare, the deviation is
+    deterministic, and both engines share it. Ties break like
+    :func:`train_bpe`: (freq, lhs, rhs) all DESC.
+
+    Returns a ``merge_rank, lhs, rhs, merged, freq`` DataFrame (bounded:
+    ``n_merges`` rows — planning output, like a mixture recipe).
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq = words.select(
+        "freq",
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+            F.lit(f" {EOW} "),
+        ).alias("seq"),
+    ).localCheckpoint(eager=False)
+
+    rows = []
+    for rank in range(1, int(n_merges) + 1):
+        # stage the symbol array as a real column BEFORE the HOF (the
+        # measured no-CSE-inside-lambdas rule: an inline split would
+        # re-evaluate per lambda reference)
+        staged = seq.select(
+            "freq", F.split(F.trim(F.col("seq")), " ").alias("syms")
+        )
+        pairs = F.expr(
+            "transform(slice(syms, 1, size(syms) - 1),"
+            " (x, i) -> struct(x AS lhs, element_at(syms, i + 2) AS rhs))"
+        )
+        counts = (
+            staged.select("freq", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("freq").alias("f"))
+        )
+        best = counts.orderBy(
+            F.col("f").desc(), F.col("lhs").desc(), F.col("rhs").desc()
+        ).limit(1).collect()
+        if not best:
+            break
+        b = best[0]
+        rows.append((rank, b["lhs"], b["rhs"], b["lhs"] + b["rhs"], int(b["f"])))
+        seq = seq.select(
+            "freq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {b['lhs']} {b['rhs']} "),
+                F.lit(f" {b['lhs']}{b['rhs']} "),
+            ).alias("seq"),
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, merged string, freq bigint"
+    )
+
+
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     sym = list(word) + [EOW]
     while len(sym) > 1:

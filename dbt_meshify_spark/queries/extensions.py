@@ -5395,6 +5395,65 @@ ORDER BY id NULLS FIRST
 """
 
 
+def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9-scale] DISTRIBUTED BPE merge learning over the full corpus
+    vocabulary (operators/bpe.py::train_bpe_distributed) — the
+    no-sample-cap twin of the driver-side train_bpe: corpus reduces once
+    to the Zipf-bounded word-type table, each round is one pair aggregate
+    + 1-row argmax + one codegen substring replace. Oracle: the 3 merge
+    rounds unrolled as CTEs replaying the identical boundary-delimited
+    replace, so training is hash-checked end-to-end."""
+    from dbt_meshify_spark.operators.bpe import train_bpe_distributed
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_bpe_distributed(docs, n_merges=3).orderBy(_asc("merge_rank"))
+
+
+QUERIES["ext_bpe_train"] = ext_bpe_train
+
+# one BPE merge round, unrolled: pair counts over the staged symbol arrays,
+# (freq, lhs, rhs)-DESC argmax, boundary-delimited substring replace
+_BPE_ROUNDS = "".join(
+    f"""
+p{r} AS (
+  SELECT lhs, rhs, SUM(freq) AS f FROM (
+    SELECT freq, arr[i] AS lhs, arr[i + 1] AS rhs FROM (
+      SELECT freq, arr, unnest(range(1, len(arr))) AS i
+      FROM (SELECT freq, string_split(trim(seq), ' ') AS arr FROM seq{r - 1})
+    )
+  ) GROUP BY lhs, rhs
+),
+b{r} AS (SELECT lhs, rhs, f FROM p{r} ORDER BY f DESC, lhs DESC, rhs DESC LIMIT 1),
+seq{r} AS (
+  SELECT freq, replace(seq,
+    ' ' || (SELECT lhs FROM b{r}) || ' ' || (SELECT rhs FROM b{r}) || ' ',
+    ' ' || (SELECT lhs FROM b{r}) || (SELECT rhs FROM b{r}) || ' ') AS seq
+  FROM seq{r - 1}
+),"""
+    for r in (1, 2, 3)
+)
+
+ORACLES["ext_bpe_train"] = rf"""
+WITH words AS (
+  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t FROM documents
+  ) WHERE t <> '' GROUP BY t
+),
+seq0 AS (
+  SELECT freq, ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' </w> ' AS seq
+  FROM words
+),{_BPE_ROUNDS}
+ranked AS (
+  SELECT CAST(1 AS INT) AS merge_rank, lhs, rhs, f FROM b1
+  UNION ALL SELECT CAST(2 AS INT), lhs, rhs, f FROM b2
+  UNION ALL SELECT CAST(3 AS INT), lhs, rhs, f FROM b3
+)
+SELECT merge_rank, lhs, rhs, lhs || rhs AS merged, CAST(f AS BIGINT) AS freq
+FROM ranked
+ORDER BY merge_rank NULLS FIRST
+"""
+
+
 def ext_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[W3/N7 companion] per-session rollup of the 30-minute gap
     sessionization: start, duration, depth, and value total for every

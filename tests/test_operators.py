@@ -3672,6 +3672,66 @@ def test_label_propagation_separates_dense_communities(spark):
     assert pout[7] == pout[9]
 
 
+def test_bpe_train_distributed_matches_driver_trainer(spark):
+    """On a corpus whose words have no >=3 identical-char runs (where the
+    single-pass replace is exactly leftmost-greedy), the distributed
+    trainer must learn the SAME merge sequence as the driver-side
+    train_bpe — same tie order (freq, lhs, rhs all desc), same EOW
+    handling."""
+    from dbt_meshify_spark.operators.bpe import train_bpe, train_bpe_distributed
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox naps under the warm sun",
+        "quick foxes jump while lazy dogs nap",
+        "the dog and the fox and the sun",
+    ] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    driver = train_bpe(df, n_merges=6, sample_max=10_000)
+    dist = [
+        (r.lhs, r.rhs)
+        for r in train_bpe_distributed(df, n_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert dist == driver
+
+    # determinism: identical frame on a re-run
+    again = [
+        (r.lhs, r.rhs)
+        for r in train_bpe_distributed(df, n_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert again == dist
+
+
+def test_bpe_train_distributed_run_semantics_and_freqs(spark):
+    """The documented single-pass replace semantics on identical-symbol
+    runs, plus exact merged-pair frequencies: 'aa aa' contributes 2+2
+    (a,a) pairs... and after the (a,a) merge a 4-run collapses ONCE per
+    pass (the boundary-space consumption), not twice."""
+    from dbt_meshify_spark.operators.bpe import train_bpe_distributed
+
+    # one doc: words 'aaaa' x3, 'ab' x2 -> round-1 pairs:
+    #   (a,a): 3 per 'aaaa' * 3 = 9;  (a,b): 2; (b,</w>): 2; (a,</w>): 3
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa ab ab")], "doc_id long, text string"
+    )
+    out = {
+        r.merge_rank: r
+        for r in train_bpe_distributed(df, n_merges=2).collect()
+    }
+    assert (out[1].lhs, out[1].rhs, out[1].freq) == ("a", "a", 9)
+    # after round 1 'a a a a </w>' -> 'aa a a </w>' (single pass: the
+    # second back-to-back match is hidden by the consumed space), so the
+    # remaining (a,a) pair count is 3, tied with (a,</w>)=3 and
+    # (aa,a)=3 -> tie order (freq, lhs, rhs) DESC picks lhs 'aa'
+    assert (out[2].lhs, out[2].rhs, out[2].freq) == ("aa", "a", 3)
+
+
 def test_kcore_peels_periphery_keeps_core(spark):
     """Planted core vs periphery: a 5-clique (every node degree 4) with a
     pendant 3-chain hanging off one corner. k=2 must peel the chain link
