@@ -350,14 +350,25 @@ def label_propagation(
 
     Returns ``id, community`` (community = the adopted label).
     """
+    # canonicalize to (lo, hi) BEFORE the distinct: the reversal union is
+    # then dup-free by construction, saving a second corpus-sized distinct
+    # exchange over the doubled edge list
     e = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .filter(F.col("u") != F.col("v"))
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .filter(
+            F.col("lo").isNotNull()
+            & F.col("hi").isNotNull()
+            & (F.col("lo") < F.col("hi"))
+        )
         .distinct()
     )
-    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    und = und.distinct().localCheckpoint(eager=False)
+    und = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+        e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    und = und.localCheckpoint(eager=False)
     nodes = (
         und.select(F.col("u").alias("id")).distinct().localCheckpoint(eager=False)
     )

@@ -390,25 +390,53 @@ def embedding_neardup_exact(
 ) -> DataFrame:
     """All pairs with cosine >= threshold, exact O(n^2) — the verification
     baseline for the LSH-blocked path. Returns id_a, id_b (id_a < id_b),
-    cos_sim (4dp)."""
-    # spread BOTH sides: the nested-loop join broadcasts one (its pick is
-    # stats-driven and unstable) and the O(n^2) per-pair cosine runs on the
-    # streamed side's partitioning — whichever side streams must be parallel
-    # (measured 50s single-partition vs 5s spread at sf0.1). Scoring runs
-    # through the Arrow einsum pair UDF, not a per-pair HOF fold: the fold
-    # evaluates interpreted (~0.5 us/expr-node) and was 17s warm at sf0.1's
-    # 2M pairs vs ~3s batched; the 4dp-rounded output is kernel-order-
-    # insensitive on this data (the oracle already compares DuckDB's
-    # list_dot_product against it).
-    spread_df = spread(df)
-    a = spread_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = spread_df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", _cos_pairs_udf()(F.col("va"), F.col("vb")))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    cos_sim (4dp).
+
+    Plan (round 6 rework): the nested-loop pair join enumerates IDS ONLY
+    (the repo-wide never-carry-arrays-through-pair-joins rule — the
+    earlier form rode both 64-dim vectors through the join and shipped
+    ~2 GB through Arrow at sf0.1's 2M pairs, making its wall time breathe
+    ~2x with host contention, the round-4/5 bench-flag source); the
+    (id, vector) matrix rides the scoring UDF's closure ONCE per task and
+    pairs gather rows by position — Arrow moves 16-byte id pairs in and
+    thresholded survivors out, ~60x less traffic, same einsum kernel and
+    therefore bit-identical scores. The closure matrix is bounded by
+    construction: this tier is the named VERIFICATION baseline, only ever
+    run on slices (the blocked-GEMM twin `embedding_neardup_gemm` is the
+    no-collect exact form, and LSH/IVF are the scale paths). Both join
+    sides spread so the O(n^2) enumeration parallelizes regardless of
+    which side the planner streams."""
+    src = df.filter(F.col(vec_col).isNotNull())
+    rows = src.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).collect()
+    ids = [r[0] for r in rows]
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = (
+        np.linalg.norm(mat, axis=1) if len(rows) else np.zeros(0)
     )
+    index = {i: k for k, i in enumerate(ids)}
+    id_t = src.schema[id_col].dataType.simpleString()
+
+    a = spread(src).select(F.col(id_col).alias("id_a"))
+    b = spread(src).select(F.col(id_col).alias("id_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = pdf["id_a"].map(index).to_numpy()
+            ib = pdf["id_b"].map(index).to_numpy()
+            num = np.einsum("ij,ij->i", mat[ia], mat[ib])
+            cs = num / (norms[ia] * norms[ib] + 1e-12)
+            keep = cs >= threshold
+            if keep.any():
+                out = pdf.loc[keep, ["id_a", "id_b"]].copy()
+                out["cos_sim"] = cs[keep]
+                yield out
+
+    return pairs.mapInPandas(
+        score, f"id_a {id_t}, id_b {id_t}, cos_sim double"
+    ).select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 
 def _blockify(
