@@ -273,9 +273,11 @@ def kcore(
         return (row["n"], row["h"])
 
     n_rounds = int(iters)
-    # the signature is only worth a job while a FUTURE round could be
-    # skipped — never pay it after the final round
-    sig = _sig(e) if n_rounds > 1 else None
+    # signature checks only when the budget leaves rounds to skip (the
+    # label_propagation rationale: with iters <= 2 the sole checkable
+    # point is after round 1 — pure overhead)
+    check = n_rounds >= 3
+    sig = _sig(e) if check else None
     rounds = 0
     for r in range(n_rounds):
         keep = (
@@ -291,7 +293,7 @@ def kcore(
             .localCheckpoint(eager=False)
         )
         rounds += 1
-        if r < n_rounds - 1:
+        if check and r < n_rounds - 1:
             new_sig = _sig(e)
             if new_sig == sig:
                 break  # fixpoint: peeling is monotone, nothing more drops
@@ -382,8 +384,12 @@ def label_propagation(
         ).collect()[0]["h"]
 
     n_rounds = int(iters)
-    # pay the signature job only while a FUTURE round could be skipped
-    sig = _sig(labels) if n_rounds > 1 else None
+    # signature checks are worth their 1-row jobs only when the budget
+    # leaves rounds to skip: with iters <= 2 the sole checkable point is
+    # after round 1, and real graphs are never settled that early — the
+    # two collects would be pure overhead on every call
+    check = n_rounds >= 3
+    sig = _sig(labels) if check else None
     rounds = 0
     for r in range(n_rounds):
         nbr = und.join(labels, und["v"] == labels["id"]).select(
@@ -416,7 +422,7 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
         rounds += 1
-        if r < n_rounds - 1:
+        if check and r < n_rounds - 1:
             new_sig = _sig(labels)
             if new_sig == sig:
                 break  # fixpoint: every remaining round would be a no-op
