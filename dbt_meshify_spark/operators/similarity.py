@@ -194,13 +194,15 @@ def dequantize_embeddings(
 
 def _cos_pairs_udf():
     """Arrow-batched cosine over candidate PAIRS: numpy einsum on the stacked
-    batch instead of a per-row HOF fold.
+    batch instead of a per-row HOF fold (interpreted, ~5x slower measured).
 
-    Used only on the approximate (rows-only) paths — LSH near-dup/ANN, IVF —
-    where no DuckDB bit-parity is required: numpy's SIMD summation order
-    differs from a sequential fold in the last ulp. Measured at sf0.1 (2M
-    pairs, 64 dims): 2.6s -> 1.8s warm vs the HOF fold; the oracle-checked
-    exact paths keep the fold for bit-identical cross-engine evaluation.
+    Used on the candidate-pair paths — LSH near-dup/ANN, IVF — where the
+    pair set is pre-pruned and vectors re-join by id. numpy's SIMD
+    summation order differs from a sequential fold in the last ulp; the
+    oracle-checked consumers compare at 4dp, where this data is
+    order-insensitive (driver rounds prove it). The exact all-pairs tier
+    (``embedding_neardup_exact``) no longer routes here: it scores against
+    a closure-held matrix so the O(n^2) pair join moves ids only.
     """
     from pyspark.sql.functions import pandas_udf
 
