@@ -72,6 +72,22 @@ def compute_inflation(times: dict, floors: dict, sentinels=SENTINEL_QUERIES) -> 
     return min(3.0, max(1.0, med))
 
 
+def sentinel_alert(
+    times: dict, floors: dict, sentinels=SENTINEL_QUERIES, limit: float = 2.0
+) -> float | None:
+    """Residual hole in the sentinel anchor, surfaced: the sentinels share
+    session setup, the source registry, and the parquet scan path with
+    every other query, so a regression in THAT shared code inflates the
+    anchor itself and is normalized away exactly like tenancy. This check
+    can't distinguish the two from inside one run — it returns the
+    sentinel median when it exceeds ``limit`` so the operator (or the
+    driver log reader) sees "either the host was >2x loaded or the shared
+    scan path regressed; re-run solo to tell". Advisory only: never exits
+    nonzero, because genuine 2x tenancy is routine on this shared host."""
+    med = median_ratio(times, floors, sentinels)
+    return med if med is not None and med > limit else None
+
+
 def uniform_divergence(
     times: dict, floors: dict, inflation: float, sentinels=SENTINEL_QUERIES
 ) -> float | None:
@@ -152,6 +168,15 @@ def main() -> None:
         with open(floor_path) as fh:
             floors = json.load(fh).get("queries", {})
         inflation = compute_inflation(times, floors)
+        alert = sentinel_alert(times, floors)
+        if alert is not None:
+            print(
+                f"BENCH NOTE: sentinel median {alert:.2f}x floor (>2x) — "
+                "heavy host load OR a shared scan-path regression; this "
+                "run cannot tell them apart, re-run solo (advisory, rc "
+                "unchanged)",
+                file=sys.stderr,
+            )
         div = uniform_divergence(times, floors, inflation)
         if div is not None:
             regressions["__uniform__"] = {

@@ -239,7 +239,12 @@ def kcore(
     unrolled-CTE SQL oracle; the constant-size (count, decimal hash-sum)
     edge-set signature (the ``_cc_star`` discipline) stops early at the
     fixpoint, where every remaining round is a no-op — identical output,
-    fewer jobs. ``stats["rounds"]`` records the executed count.
+    fewer jobs. ``stats["rounds"]`` records the executed count and
+    ``stats["converged"]`` whether the peel reached the fixpoint inside
+    the budget: when False the result is a SUPERSET of the k-core (nodes
+    with deg < k can remain — e.g. a pendant chain deeper than ``iters``),
+    so callers that need a true k-core must check it (passing ``stats``
+    costs one extra 1-row signature job on the full-budget exit path).
 
     Returns ``id, deg``: the endpoints of the surviving edge set with
     their degree inside it (at the fixpoint this IS the k-core, and every
@@ -275,10 +280,13 @@ def kcore(
     n_rounds = int(iters)
     # signature checks only when the budget leaves rounds to skip (the
     # label_propagation rationale: with iters <= 2 the sole checkable
-    # point is after round 1 — pure overhead)
+    # point is after round 1 — pure overhead); a stats dict opts into
+    # signature tracking regardless, so "converged" is always decidable
     check = n_rounds >= 3
-    sig = _sig(e) if check else None
+    track = check or stats is not None
+    sig = _sig(e) if track else None
     rounds = 0
+    converged = False
     for r in range(n_rounds):
         keep = (
             _und(e)
@@ -296,10 +304,19 @@ def kcore(
         if check and r < n_rounds - 1:
             new_sig = _sig(e)
             if new_sig == sig:
+                converged = True
                 break  # fixpoint: peeling is monotone, nothing more drops
+            sig = new_sig
+        elif stats is not None:
+            # full-budget exit with a caller watching: pay one extra 1-row
+            # job so a truncated peel (result still a k-core SUPERSET) is
+            # detectable instead of silently read as the fixpoint
+            new_sig = _sig(e)
+            converged = new_sig == sig
             sig = new_sig
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
     return (
         _und(e)
         .groupBy("u")

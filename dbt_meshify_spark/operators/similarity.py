@@ -389,6 +389,7 @@ def embedding_neardup_exact(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, exact O(n^2) — the verification
     baseline for the LSH-blocked path. Returns id_a, id_b (id_a < id_b),
@@ -402,13 +403,24 @@ def embedding_neardup_exact(
     (id, vector) matrix rides the scoring UDF's closure ONCE per task and
     pairs gather rows by position — Arrow moves 16-byte id pairs in and
     thresholded survivors out, ~60x less traffic, same einsum kernel and
-    therefore bit-identical scores. The closure matrix is bounded by
-    construction: this tier is the named VERIFICATION baseline, only ever
-    run on slices (the blocked-GEMM twin `embedding_neardup_gemm` is the
-    no-collect exact form, and LSH/IVF are the scale paths). Both join
-    sides spread so the O(n^2) enumeration parallelizes regardless of
-    which side the planner streams."""
+    therefore bit-identical scores. The closure matrix is bounded IN CODE:
+    this tier is the named VERIFICATION baseline, only ever run on slices,
+    and inputs over ``max_rows`` raise ``ValueError`` BEFORE the collect
+    instead of becoming a silent driver-memory bottleneck — the blocked-GEMM
+    twin `embedding_neardup_gemm` is the no-collect exact form, and LSH/IVF
+    are the scale paths. Both join sides spread so the O(n^2) enumeration
+    parallelizes regardless of which side the planner streams."""
     src = df.filter(F.col(vec_col).isNotNull())
+    # the slice-only contract, enforced: limit(max_rows + 1) bounds the
+    # pre-check itself (a plain count() would scan the full 100 TB corpus
+    # this guard exists to reject)
+    if src.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"embedding_neardup_exact is the O(n^2) verification baseline "
+            f"and collects the (id, vector) matrix driver-side; input "
+            f"exceeds max_rows={max_rows}. Use embedding_neardup_gemm "
+            f"(exact, no collect) or the LSH/IVF paths at corpus scale."
+        )
     rows = src.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).collect()
     ids = [r[0] for r in rows]
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
@@ -426,8 +438,19 @@ def embedding_neardup_exact(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ia = pdf["id_a"].map(index).to_numpy()
-            ib = pdf["id_b"].map(index).to_numpy()
+            ia = pdf["id_a"].map(index)
+            ib = pdf["id_b"].map(index)
+            if ia.isna().any() or ib.isna().any():
+                missing = set(pdf.loc[ia.isna(), "id_a"]) | set(
+                    pdf.loc[ib.isna(), "id_b"]
+                )
+                raise ValueError(
+                    "embedding_neardup_exact: pair ids absent from the "
+                    f"collected matrix (nondeterministic source?): "
+                    f"{sorted(missing)[:5]}"
+                )
+            ia = ia.to_numpy()
+            ib = ib.to_numpy()
             num = np.einsum("ij,ij->i", mat[ia], mat[ib])
             cs = num / (norms[ia] * norms[ib] + 1e-12)
             keep = cs >= threshold
@@ -956,7 +979,11 @@ def ensure_ivf_index(
         write_fingerprint,
     )
 
-    slug = _re.sub(r"[^A-Za-z0-9]+", "_", cache_key.strip("/"))
+    # id_col/vec_col are part of the cache identity: two configs reading
+    # different columns off the same corpus must not collide on a slug
+    slug = _re.sub(
+        r"[^A-Za-z0-9]+", "_", f"{cache_key.strip('/')}_{id_col}_{vec_col}"
+    )
     d = os.path.join(base_dir, f"ivf{nlist}_i{iters}_{slug}")
     cpath = os.path.join(d, "centroids")
     apath = os.path.join(d, "cells")

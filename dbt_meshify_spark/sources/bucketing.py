@@ -71,14 +71,21 @@ def write_fingerprint(layout_dir: str, source_path: str | None) -> None:
 
 def fingerprint_matches(layout_dir: str, source_path: str | None) -> bool:
     """True when the stored fingerprint exists and matches the source NOW.
-    No source_path => caller opted out of validation (trust _SUCCESS)."""
+    No source_path => caller opted out of validation (trust _SUCCESS).
+    A source path that does not exist NOW never matches: the "missing"
+    sentinel would otherwise compare equal to a stamped "missing" and a
+    mistyped/moved source path would permanently serve a stale layout —
+    an unverifiable source is treated as stale, so the caller rebuilds."""
     if source_path is None:
         return True
+    current = source_fingerprint(source_path)
+    if current == "missing":
+        return False
     fp = os.path.join(layout_dir, FINGERPRINT_FILE)
     if not os.path.exists(fp):
         return False
     with open(fp) as fh:
-        return fh.read().strip() == source_fingerprint(source_path)
+        return fh.read().strip() == current
 
 
 def bucketed_table_name(table: str, sf_dir: str, num_buckets: int) -> str:

@@ -132,3 +132,16 @@ def test_no_sentinel_floors_falls_back_to_corpus_median():
     times = {k: 1.4 for k in floors}
     assert abs(compute_inflation(times, floors) - 1.4) < 1e-9
     assert uniform_divergence(times, floors, 1.4) is None
+
+
+def test_sentinel_alert_fires_over_2x_and_stays_quiet_under():
+    """The residual hole made visible (ADVICE r6): a >2x sentinel median —
+    heavy load OR a shared scan-path regression — returns the median for
+    the advisory note; modest tenancy stays quiet."""
+    from bench import sentinel_alert
+
+    floors = _sentinel_corpus()
+    hot = {k: f * 2.4 for k, f in floors.items()}
+    assert abs(sentinel_alert(hot, floors) - 2.4) < 1e-9
+    calm = {k: f * 1.6 for k, f in floors.items()}
+    assert sentinel_alert(calm, floors) is None

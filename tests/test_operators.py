@@ -2401,7 +2401,7 @@ def test_ensure_ivf_index_caches_and_invalidates(spark, tmp_path):
     c1, a1 = ensure_ivf_index(
         spark, emb, cache_key="t", nlist=8, source_path=src, base_dir=base
     )
-    d = os.path.join(base, "ivf8_i8_t")
+    d = os.path.join(base, "ivf8_i8_t_vec_id_embedding")
     stamp = os.path.getmtime(os.path.join(d, "centroids", "_SUCCESS"))
 
     # warm call: served from parquet, no retrain (mtime unchanged)
@@ -3825,3 +3825,80 @@ def test_attribution_models_credit_correctly(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         attribution_credit(df, model="nope")
+
+
+def test_embedding_neardup_exact_enforces_slice_cap(spark):
+    """The slice-only contract is CODE, not prose (VERDICT r6 #1): an
+    input over max_rows must raise before the driver-side matrix collect,
+    naming the no-collect scale twin; at-or-under the cap still scores."""
+    import pytest as _pytest
+
+    from dbt_meshify_spark.operators.similarity import embedding_neardup_exact
+
+    rows = [(i, [float(i), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="embedding_neardup_gemm"):
+        embedding_neardup_exact(df, threshold=0.9, max_rows=5).collect()
+    out = embedding_neardup_exact(df, threshold=0.99, max_rows=6)
+    assert out.count() > 0  # colinear-ish tail pairs survive
+
+
+def test_kcore_reports_convergence(spark):
+    """stats['converged'] distinguishes a fixpoint peel from a truncated
+    one (ADVICE r6): a pendant path with a too-small iters budget returns
+    a SUPERSET of the k-core and must say so; the same graph with budget
+    to spare converges (here: to the empty 2-core)."""
+    from dbt_meshify_spark.operators.graph_rank import kcore
+
+    path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(path, "src int, dst int")
+    trunc: dict = {}
+    out = {r.id for r in kcore(df, k=2, iters=1, stats=trunc).collect()}
+    assert out == {2, 3, 4}  # endpoints peeled, middle not yet — superset
+    assert trunc["converged"] is False and trunc["rounds"] == 1
+    full: dict = {}
+    assert kcore(df, k=2, iters=10, stats=full).count() == 0
+    assert full["converged"] is True
+
+
+def test_fingerprint_missing_source_never_matches(tmp_path):
+    """A source path that does not exist can stamp the 'missing' sentinel;
+    it must never MATCH it later (ADVICE r6: a mistyped/moved source would
+    otherwise permanently serve a stale layout)."""
+    from dbt_meshify_spark.sources.bucketing import (
+        fingerprint_matches,
+        write_fingerprint,
+    )
+
+    layout = str(tmp_path / "layout")
+    import os
+
+    os.makedirs(layout)
+    gone = str(tmp_path / "never_there.parquet")
+    write_fingerprint(layout, gone)  # stamps the 'missing' sentinel
+    assert fingerprint_matches(layout, gone) is False  # stale, rebuild
+    # a real file still round-trips
+    real = tmp_path / "real.txt"
+    real.write_text("x")
+    write_fingerprint(layout, str(real))
+    assert fingerprint_matches(layout, str(real)) is True
+
+
+def test_ensure_ivf_index_cache_key_includes_columns(spark, tmp_path):
+    """Two configs reading DIFFERENT columns off the same cache_key must
+    not collide on one cache directory (ADVICE r6)."""
+    import os
+
+    from dbt_meshify_spark.operators.similarity import ensure_ivf_index
+
+    rows = [(i, [float(i % 4), 1.0], [float(i % 2), 2.0]) for i in range(32)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, alt array<double>"
+    )
+    base = str(tmp_path / "ivf")
+    ensure_ivf_index(spark, df, "k", nlist=2, iters=2, base_dir=base)
+    ensure_ivf_index(
+        spark, df, "k", nlist=2, iters=2, vec_col="alt", base_dir=base
+    )
+    dirs = sorted(os.listdir(base))
+    assert len(dirs) == 2, f"column configs collided: {dirs}"
