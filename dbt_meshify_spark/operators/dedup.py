@@ -1152,6 +1152,146 @@ def merge_span_hits(
     )
 
 
+def substring_run_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_run_tokens: int | None = None,
+    max_gram_df: int = 1_000,
+    max_occ_per_doc: int = 8,
+) -> DataFrame:
+    """Cross-document EXACT duplicated substring runs with span extents —
+    the distributed analog of suffix-array dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): where
+    ``duplicated_passages`` reports which shingles repeat and
+    ``ngram_containment_pairs`` reports overlap ratios, this recovers the
+    maximal aligned (doc_a, doc_b, span) runs, the unit a
+    ``remove_contaminated_spans``-style surgical pass cuts. No reference
+    analog (SURVEY §2.6 N1/N2 scale extension).
+
+    Algorithm (anchor + diagonal run-merge, all joins/windows — no
+    suffix array materialized):
+
+    1. every k-token shingle occurrence becomes an anchor
+       ``(doc, start_tok, xxhash64(gram))`` — positions 1-based;
+    2. per-(doc, gram) occurrences cap at ``max_occ_per_doc`` (the
+       pathological ``a a a ... a`` doc would otherwise pair every
+       occurrence with every occurrence) and grams in more than
+       ``max_gram_df`` docs drop entirely (stop-gram boilerplate — the
+       same df-cap discipline as the containment/winnowing tiers; both
+       caps are deterministic, so oracles mirror them);
+    3. anchors equi-join on the 8-byte hash (``id_a < id_b``) — never the
+       gram text — so the shuffle carries (hash, id, pos) rows only;
+    4. matches on one DIAGONAL (``pb - pa`` constant) merge into runs via
+       the sorted-interval walk per ``(id_a, id_b, diag)``: a new run
+       starts exactly when ``pa > lag(pa) + k``. Two aligned k-gram
+       matches at diagonal distance <= k overlap or abut, and equal
+       overlapping/abutting segments concatenate, so every merged run is
+       an EXACT token-for-token duplicated span (modulo 64-bit hash
+       collisions, the standing MinHash-family caveat). Anchors a
+       cap dropped can split a run — deterministically, both engines.
+
+    100 TB shape: one shuffle keyed on the gram hash with per-hash fanout
+    bounded by ``max_gram_df x max_occ_per_doc`` (worst-case pairs per
+    gram are capped, never corpus-quadratic); the run-merge window
+    partitions on (id_a, id_b, diag) — pair-local, tiny partitions.
+
+    Returns ``id_a, id_b, a_start, a_end, b_start, b_end (ends
+    exclusive), n_tokens, n_anchors`` for runs of >= ``min_run_tokens``
+    (default ``k``) tokens.
+    """
+    min_run = int(min_run_tokens) if min_run_tokens is not None else int(k)
+    pos = (
+        _with_tokens(df.select(id_col, text_col), text_col)
+        .withColumn(
+            "__grams", shingles_of_tokens(F.col("__toks"), k, distinct=False)
+        )
+        .select(F.col(id_col), F.posexplode("__grams").alias("__p", "__gram"))
+        .select(
+            F.col(id_col),
+            (F.col("__p") + 1).cast("bigint").alias("st"),
+            F.xxhash64("__gram").alias("__gh"),
+        )
+    )
+    wocc = Window.partitionBy(id_col, "__gh").orderBy("st")
+    pos = (
+        pos.withColumn("__rn", F.row_number().over(wocc))
+        .filter(F.col("__rn") <= max_occ_per_doc)
+        .drop("__rn")
+    )
+    keep = (
+        pos.groupBy("__gh")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter((F.col("__nd") >= 2) & (F.col("__nd") <= max_gram_df))
+        .select("__gh")
+    )
+    pk = pos.join(keep, "__gh")
+    a = pk.select("__gh", F.col(id_col).alias("id_a"), F.col("st").alias("pa"))
+    b = pk.select("__gh", F.col(id_col).alias("id_b"), F.col("st").alias("pb"))
+    anch = (
+        a.join(b, "__gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", (F.col("pb") - F.col("pa")).alias("__d"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "__d").orderBy("pa")
+    marked = anch.withColumn(
+        "__new",
+        F.when(
+            F.lag("pa").over(w).isNull()
+            | (F.col("pa") > F.lag("pa").over(w) + F.lit(int(k))),
+            1,
+        ).otherwise(0),
+    )
+    grp = F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        marked.withColumn("__g", grp)
+        .groupBy("id_a", "id_b", "__d", "__g")
+        .agg(
+            F.min("pa").alias("a_start"),
+            (F.max("pa") + F.lit(int(k))).alias("a_end"),
+            F.min("pb").alias("b_start"),
+            (F.max("pb") + F.lit(int(k))).alias("b_end"),
+            F.count("*").cast("bigint").alias("n_anchors"),
+        )
+        .withColumn("n_tokens", (F.col("a_end") - F.col("a_start")).cast("bigint"))
+        .filter(F.col("n_tokens") >= min_run)
+        .select(
+            "id_a", "id_b", "a_start", "a_end", "b_start", "b_end",
+            "n_tokens", "n_anchors",
+        )
+    )
+
+
+def substring_runs_to_spans(runs: DataFrame) -> DataFrame:
+    """Per-document cut list from :func:`substring_run_pairs` output under
+    the keep-one-copy policy: the copy in the lower doc id survives
+    (``id_a < id_b`` by construction), every aligned copy in the higher id
+    becomes a cut span; overlapping/abutting spans per doc merge via the
+    running-max interval walk (variable-length intervals, so
+    ``merge_span_hits``'s fixed-length rule doesn't apply). Returns
+    ``doc_id, span_start, span_end (exclusive)`` — the shape
+    ``cut_spans_from_text`` consumes."""
+    cuts = runs.select(
+        F.col("id_b").alias("doc_id"),
+        F.col("b_start").alias("s"),
+        F.col("b_end").alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = cuts.withColumn(
+        "__new",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    grp = F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        marked.withColumn("__g", grp)
+        .groupBy("doc_id", "__g")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .drop("__g")
+    )
+
+
 def source_overlap(
     df: DataFrame,
     text_col: str = "text",

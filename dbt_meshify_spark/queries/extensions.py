@@ -6876,3 +6876,73 @@ SELECT user_id, conv_event_id, touch_event_id, touch_type, touch_rank,
 FROM r
 ORDER BY user_id NULLS FIRST, touch_rank NULLS FIRST
 """
+
+
+def ext_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N2] cross-document EXACT duplicated substring runs — the
+    suffix-array dedup tier (Lee et al.) the cascade lacked: anchor
+    8-gram hash join + per-diagonal sorted-interval run merge recovers
+    maximal aligned (doc_a, doc_b, span) extents, the unit surgical
+    removal cuts (operators/dedup.py::substring_run_pairs). Caps (gram
+    df <= 1000, <= 8 occurrences per doc) are deterministic and mirrored
+    in the oracle."""
+    from dbt_meshify_spark.operators.dedup import substring_run_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_run_pairs(
+        docs, k=8, min_run_tokens=12, max_gram_df=1000, max_occ_per_doc=8
+    ).orderBy(_asc("id_a"), _asc("id_b"), _asc("a_start"), _asc("b_start"))
+
+
+QUERIES["ext_substring_dedup"] = ext_substring_dedup
+
+# anchor positions (1-based) -> occurrence cap -> stop-gram df cap ->
+# hash-equality pair join -> per-(pair, diagonal) sorted-interval run merge;
+# a new run starts exactly when pa > lag(pa) + k (k = 8)
+ORACLES["ext_substring_dedup"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+pos0 AS (
+  SELECT doc_id, i AS st, list_aggregate(l[i:i+7], 'string_agg', ' ') AS gram
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS i FROM toks)
+),
+occ AS (
+  SELECT doc_id, st, gram,
+         row_number() OVER (PARTITION BY doc_id, gram ORDER BY st) AS rn
+  FROM pos0
+),
+pos AS (SELECT doc_id, st, gram FROM occ WHERE rn <= 8),
+keep AS (
+  SELECT gram FROM pos GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1000
+),
+pk AS (SELECT p.doc_id, p.st, p.gram FROM pos p JOIN keep k ON p.gram = k.gram),
+anch AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.st AS pa, b.st AS pb
+  FROM pk a JOIN pk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+marked AS (
+  SELECT id_a, id_b, pa, pb, pb - pa AS d,
+         CASE WHEN lag(pa) OVER w IS NULL OR pa > lag(pa) OVER w + 8
+              THEN 1 ELSE 0 END AS new
+  FROM anch WINDOW w AS (PARTITION BY id_a, id_b, pb - pa ORDER BY pa)
+),
+grp AS (
+  SELECT *, SUM(new) OVER (PARTITION BY id_a, id_b, d ORDER BY pa
+                           ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+),
+runs AS (
+  SELECT id_a, id_b,
+         MIN(pa) AS a_start, MAX(pa) + 8 AS a_end,
+         MIN(pb) AS b_start, MAX(pb) + 8 AS b_end,
+         CAST(MAX(pa) + 8 - MIN(pa) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_anchors
+  FROM grp GROUP BY id_a, id_b, d, g
+)
+SELECT id_a, id_b, a_start, a_end, b_start, b_end, n_tokens, n_anchors
+FROM runs WHERE n_tokens >= 12
+ORDER BY id_a NULLS FIRST, id_b NULLS FIRST,
+         a_start NULLS FIRST, b_start NULLS FIRST
+"""

@@ -3902,3 +3902,100 @@ def test_ensure_ivf_index_cache_key_includes_columns(spark, tmp_path):
     )
     dirs = sorted(os.listdir(base))
     assert len(dirs) == 2, f"column configs collided: {dirs}"
+
+
+def test_substring_run_pairs_recovers_planted_spans(spark):
+    """Planted 20-token shared passage at different offsets in two docs:
+    the run merge must recover the exact aligned extents (1-based starts,
+    exclusive ends) and anchor count; an unrelated doc contributes
+    nothing; two shared passages at DIFFERENT relative offsets come back
+    as two separate diagonal runs."""
+    from dbt_meshify_spark.operators.dedup import (
+        substring_run_pairs,
+        substring_runs_to_spans,
+    )
+
+    shared = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliett kilo lima mike november oscar papa quebec romeo "
+              "sierra tango")            # 20 tokens
+    shared2 = ("uno dos tres cuatro cinco seis siete ocho nueve diez "
+               "once doce")              # 12 tokens
+    rows = [
+        (1, f"p1 p2 p3 p4 p5 {shared} s1 s2"),
+        (2, f"q1 q2 {shared} t1"),
+        (3, "zulu yankee xray whiskey victor uniform " * 6),
+        (5, f"{shared2} u1 {shared2}x"),       # second copy altered -> 1 run
+        (6, f"{shared2} v1 v2 {shared2}x"),    # different gap -> diag shifts
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    runs = {
+        (r.id_a, r.id_b): r
+        for r in substring_run_pairs(df, k=8).filter(
+            F.col("id_a").isin(1) | F.col("id_b").isin(2)
+        ).collect()
+    }
+    r12 = runs[(1, 2)]
+    assert (r12.a_start, r12.a_end) == (6, 26)
+    assert (r12.b_start, r12.b_end) == (3, 23)
+    assert r12.n_tokens == 20 and r12.n_anchors == 13
+    # docs 5/6 each carry shared2 twice (second copies tail-altered): every
+    # copy-to-copy alignment is its own diagonal -> FOUR runs, never one
+    # merged blob; same-position alignments match all 12 tokens, cross
+    # alignments stop at the altered tail (11)
+    four = substring_run_pairs(df, k=8).filter(
+        (F.col("id_a") == 5) & (F.col("id_b") == 6)
+    ).collect()
+    assert len(four) == 4
+    assert sorted(r.n_tokens for r in four) == [11, 11, 12, 12]
+    # keep-one-copy surgery: doc 2 (higher id of the (1,2) pair) gets the
+    # cut span, doc 1 keeps its copy
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in substring_runs_to_spans(
+            substring_run_pairs(df, k=8).filter(
+                (F.col("id_a") == 1) & (F.col("id_b") == 2)
+            )
+        ).collect()
+    }
+    assert spans == {2: (3, 23)}
+
+
+def test_substring_run_pairs_caps_are_enforced(spark):
+    """Stop-gram df cap drops boilerplate grams entirely (a gram in more
+    docs than max_gram_df produces NO runs); the per-(doc, gram)
+    occurrence cap bounds anchors on pathological repeated-token docs."""
+    from dbt_meshify_spark.operators.dedup import substring_run_pairs
+
+    boiler = "one two three four five six seven eight"
+    many = [(i, f"pre{i} {boiler} post{i}") for i in range(1, 5)]
+    df = spark.createDataFrame(many, "doc_id long, text string")
+    assert substring_run_pairs(df, k=8, max_gram_df=3).count() == 0
+    assert substring_run_pairs(df, k=8, max_gram_df=10).count() == 6  # C(4,2)
+    # pathological doc: one token repeated; every anchor is the same gram
+    patho = spark.createDataFrame(
+        [(1, "w " * 40), (2, "w " * 40)], "doc_id long, text string"
+    )
+    out = substring_run_pairs(patho, k=8, max_occ_per_doc=8).collect()
+    assert out and all(r.n_anchors <= 8 * 8 for r in out)
+
+
+def test_substring_runs_to_spans_merges_overlaps(spark):
+    """Overlapping and abutting cut spans per doc must merge; disjoint
+    spans must not."""
+    from dbt_meshify_spark.operators.dedup import substring_runs_to_spans
+
+    runs = spark.createDataFrame(
+        [
+            (1, 2, 1, 9, 5, 13),    # doc 2: [5,13)
+            (1, 2, 20, 28, 10, 18), # doc 2: [10,18) overlaps -> [5,18)
+            (1, 2, 40, 48, 18, 26), # doc 2: [18,26) abuts    -> [5,26)
+            (1, 2, 60, 68, 40, 48), # doc 2: [40,48) disjoint
+            (3, 4, 1, 9, 2, 10),    # doc 4: [2,10)
+        ],
+        "id_a long, id_b long, a_start long, a_end long, b_start long, b_end long",
+    )
+    out = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in substring_runs_to_spans(runs).collect()
+    )
+    assert out == [(2, 5, 26), (2, 40, 48), (4, 2, 10)]

@@ -527,3 +527,18 @@ def test_turn_echo_shuffles_grams_not_conversations(spark):
         assert "conversation" not in line and "content" not in line, (
             f"turn text in a shuffle: {line.strip()}"
         )
+
+
+def test_substring_dedup_shuffles_hashes_never_text_or_grams(spark):
+    """substring_run_pairs' wide dependencies key on the 8-byte gram hash
+    and (pair, diagonal) ids: no Exchange may carry the text column or the
+    gram string (anchors are (hash, id, pos) rows), and the pair join is
+    an equi-join — no CartesianProduct / BroadcastNestedLoopJoin."""
+    plan = _physical(QUERIES["ext_substring_dedup"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert ex_lines, "expected hash/pair exchanges"
+    for line in ex_lines:
+        assert "text" not in line, f"text column in a shuffle: {line.strip()}"
+        assert "__gram" not in line, f"gram string in a shuffle: {line.strip()}"
