@@ -235,3 +235,69 @@ def apply_bpe(
     return df.withColumn(out_col, encode(F.col(text_col))).withColumn(
         "n_bpe_tokens", F.size(out_col).cast("long")
     )
+
+
+def apply_bpe_delimited(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode with :func:`train_bpe_distributed`'s merge table using the
+    SAME boundary-delimited single-pass replace semantics — the
+    hash-checkable encode twin of :func:`apply_bpe` (whose greedy
+    rank-priority scan has no SQL form).
+
+    Each merge (lhs, rhs) is ONE plain left-to-right non-overlapping
+    replace of ``' lhs rhs '`` with ``' lhsrhs '`` over the guard-spaced
+    symbol sequence, applied in merge_rank order — identical in Spark,
+    DuckDB, and the trainer itself, so an oracle can replay encoding
+    bit-exactly by unrolling the merge chain. Shares the trainer's
+    documented deviation: runs of >= 3 identical symbols under-merge per
+    pass relative to reference BPE's leftmost-greedy scan (deterministic,
+    engine-identical; see ``train_bpe_distributed``).
+
+    Scale shape: occurrences reduce ONCE to the Zipf-bounded DISTINCT
+    word-type table; the merge chain is pure codegen string replace over
+    types (no UDF, no per-occurrence work); occurrences re-join on the
+    word and per-doc token arrays rebuild with one aggregation — two
+    keys-only shuffles total, corpus text never carries through the merge
+    chain. Adds ``out_col`` (array<string>) and ``n_bpe_tokens``; docs
+    with no words are absent (no-token docs have no BPE rows to emit).
+    """
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    types = occ.select("w").distinct().withColumn(
+        "__seq",
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+            F.lit(f" {EOW} "),
+        ),
+    )
+    for lhs, rhs in merges:
+        types = types.withColumn(
+            "__seq",
+            F.replace(
+                F.col("__seq"),
+                F.lit(f" {lhs} {rhs} "),
+                F.lit(f" {lhs}{rhs} "),
+            ),
+        )
+    types = types.select(
+        "w", F.split(F.trim(F.col("__seq")), " ").alias("__wtoks")
+    )
+    return (
+        occ.join(types, "w")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "__wtoks"))).alias("__o")
+        )
+        .select(F.col(id_col), F.flatten("__o.__wtoks").alias(out_col))
+        .withColumn("n_bpe_tokens", F.size(out_col).cast("long"))
+    )

@@ -6946,3 +6946,74 @@ FROM runs WHERE n_tokens >= 12
 ORDER BY id_a NULLS FIRST, id_b NULLS FIRST,
          a_start NULLS FIRST, b_start NULLS FIRST
 """
+
+
+def ext_bpe_encode_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9-scale] hash-checked BPE ENCODING with the distributed
+    trainer's merges (operators/bpe.py::apply_bpe_delimited): the merge
+    chain applies over the distinct word-type table as pure codegen
+    boundary-delimited replaces (train_bpe_distributed's exact
+    semantics), then occurrences re-join and per-doc token arrays
+    rebuild. Oracle replays training AND encoding via unrolled merge
+    CTEs, so the full train->encode pipeline is hash-checked end-to-end
+    (the greedy rank-scan apply_bpe tier stays rows-only by design)."""
+    from dbt_meshify_spark.operators.bpe import (
+        apply_bpe_delimited,
+        train_bpe_distributed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mrows = train_bpe_distributed(docs, n_merges=3).orderBy("merge_rank").collect()
+    merges = [(r.lhs, r.rhs) for r in mrows]
+    enc = apply_bpe_delimited(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 5)).alias("bpe_head"),
+    ).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_bpe_encode_dist"] = ext_bpe_encode_dist
+
+# encode chain: the same boundary-delimited replace as training, applied to
+# the DISTINCT word-type table in merge_rank order (b1..b3 come from the
+# training rounds _BPE_ROUNDS unrolls)
+_BPE_ENC_ROUNDS = "".join(
+    f"""
+enc{r} AS (
+  SELECT w, replace(seq,
+    ' ' || (SELECT lhs FROM b{r}) || ' ' || (SELECT rhs FROM b{r}) || ' ',
+    ' ' || (SELECT lhs FROM b{r}) || (SELECT rhs FROM b{r}) || ' ') AS seq
+  FROM enc{r - 1}
+),"""
+    for r in (1, 2, 3)
+)
+
+ORACLES["ext_bpe_encode_dist"] = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+occ AS (
+  SELECT doc_id, i AS pos, l[i] AS w
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM toks)
+  WHERE l[i] <> ''
+),
+words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM occ GROUP BY w),
+seq0 AS (
+  SELECT freq, ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' </w> ' AS seq
+  FROM words
+),{_BPE_ROUNDS}
+enc0 AS (
+  SELECT w, ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' </w> ' AS seq
+  FROM (SELECT DISTINCT w FROM occ)
+),{_BPE_ENC_ROUNDS}
+enc AS (SELECT w, string_split(trim(seq), ' ') AS wtoks FROM enc3),
+docs_enc AS (
+  SELECT o.doc_id, flatten(list(e.wtoks ORDER BY o.pos)) AS fl
+  FROM occ o JOIN enc e ON o.w = e.w GROUP BY o.doc_id
+)
+SELECT doc_id, CAST(len(fl) AS BIGINT) AS n_bpe_tokens,
+       array_to_string(fl[1:5], ' ') AS bpe_head
+FROM docs_enc
+ORDER BY doc_id NULLS FIRST
+"""

@@ -3999,3 +3999,55 @@ def test_substring_runs_to_spans_merges_overlaps(spark):
         for r in substring_runs_to_spans(runs).collect()
     )
     assert out == [(2, 5, 26), (2, 40, 48), (4, 2, 10)]
+
+
+def test_apply_bpe_delimited_matches_trainer_and_python_replay(spark):
+    """The delimited encoder must (a) reproduce a hand-replayed Python
+    application of the same boundary-delimited replaces, including the
+    documented >=3-identical-symbol under-merge, and (b) agree with the
+    greedy apply_bpe on clean no-run words (where both semantics
+    coincide)."""
+    from dbt_meshify_spark.operators.bpe import (
+        EOW,
+        apply_bpe,
+        apply_bpe_delimited,
+        train_bpe_distributed,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox naps under the warm sun",
+        "aaaa banana the fox",          # 'aaaa' exercises the run semantics
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r.lhs, r.rhs)
+        for r in train_bpe_distributed(df, n_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+    def replay(word: str) -> list[str]:
+        seq = " " + " ".join(word) + f" {EOW} "
+        for lhs, rhs in merges:
+            seq = seq.replace(f" {lhs} {rhs} ", f" {lhs}{rhs} ")
+        return seq.split()
+
+    got = {
+        r.doc_id: r.bpe_tokens
+        for r in apply_bpe_delimited(df, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = [tok for w in t.lower().split() for tok in replay(w)]
+        assert got[i] == expect, f"doc {i}: {got[i]} != {expect}"
+
+    # greedy-vs-delimited agreement on run-free words
+    clean = df.filter(F.col("doc_id") < 2)
+    greedy = {r.doc_id: r.bpe_tokens for r in apply_bpe(clean, merges).collect()}
+    delim = {
+        r.doc_id: r.bpe_tokens for r in apply_bpe_delimited(clean, merges).collect()
+    }
+    if all(len(set(w)) == len(w) or "aa" not in w for t in texts[:2] for w in t.split()):
+        assert greedy == delim
