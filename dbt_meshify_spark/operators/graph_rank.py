@@ -325,6 +325,114 @@ def kcore(
     )
 
 
+def core_numbers(
+    edges: DataFrame,
+    k_max: int = 4,
+    iters_per_k: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Per-node CORE NUMBERS (graph degeneracy decomposition) — the
+    standard output the single-k :func:`kcore` membership can't give: a
+    node's core number is the largest k whose k-core contains it, the
+    canonical engagement/robustness ordinal (spam-ring density tiers,
+    coordinated-cluster triage).
+
+    Iterated peel over nested cores: the k-core is a subset of the
+    (k-1)-core, so level k peels the PREVIOUS level's surviving edge set
+    — each level starts from an already-reduced graph, and total work
+    across levels is bounded by the (small) degeneracy, not k_max x
+    corpus. Every level runs :func:`kcore`'s exact per-round plan (one
+    map-side-combinable degree aggregate + two left-semi joins, nothing
+    wider than (node, deg)/(lo, hi) in any shuffle, localCheckpoint
+    lineage pinning) for at most ``iters_per_k`` rounds with the
+    constant-size signature early-stop; the per-round signature doubles
+    as the empty-graph check, so exhausted levels cost no extra jobs.
+
+    Fixed ``(k_max, iters_per_k)`` make the result exactly reproducible
+    by an unrolled-CTE oracle (the ``kcore`` discipline: the early-stop
+    only skips provably no-op rounds, so truncated-budget semantics are
+    deterministic and engine-identical). Every endpoint of the canonical
+    edge set gets ``core >= 1``; isolated input nodes never appear.
+    ``stats``: ``levels`` (deepest k that kept nodes), ``rounds`` (total
+    peel rounds executed).
+
+    Returns ``id, core`` (core = max k in 1..k_max whose peel kept the
+    node).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .filter(
+            F.col("lo").isNotNull()
+            & F.col("hi").isNotNull()
+            & (F.col("lo") < F.col("hi"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _und(frame: DataFrame) -> DataFrame:
+        return frame.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            frame.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+
+    def _sig(frame: DataFrame):
+        row = frame.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    levels = [
+        _und(e).select(F.col("u").alias("id")).distinct().withColumn(
+            "core", F.lit(1)
+        )
+    ]
+    total_rounds = 0
+    deepest = 1
+    sig = _sig(e)
+    for k in range(2, int(k_max) + 1):
+        if sig[0] == 0:
+            break
+        for _r in range(int(iters_per_k)):
+            keep = (
+                _und(e)
+                .groupBy("u")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select(F.col("u").alias("id"))
+            )
+            e = (
+                e.join(keep.withColumnRenamed("id", "lo"), "lo", "left_semi")
+                .join(keep.withColumnRenamed("id", "hi"), "hi", "left_semi")
+                .localCheckpoint(eager=False)
+            )
+            total_rounds += 1
+            new_sig = _sig(e)
+            if new_sig == sig:
+                break  # fixpoint for this k: nothing more drops
+            sig = new_sig
+        if sig[0] == 0:
+            break
+        deepest = k
+        levels.append(
+            _und(e).select(F.col("u").alias("id")).distinct().withColumn(
+                "core", F.lit(k)
+            )
+        )
+    if stats is not None:
+        stats["levels"] = deepest
+        stats["rounds"] = total_rounds
+    out = levels[0]
+    for frame in levels[1:]:
+        out = out.unionByName(frame)
+    return out.groupBy("id").agg(F.max("core").cast("int").alias("core"))
+
+
 def label_propagation(
     edges: DataFrame,
     iters: int = 5,

@@ -7017,3 +7017,85 @@ SELECT doc_id, CAST(len(fl) AS BIGINT) AS n_bpe_tokens,
 FROM docs_enc
 ORDER BY doc_id NULLS FIRST
 """
+
+
+def ext_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[G-scale] full per-node core-number decomposition (k_max=4, 3
+    rounds/level) over the minute-grain SAME-EVENT-TYPE user co-activity
+    graph — operators/graph_rank.py::core_numbers: iterated min-degree
+    peel where level k starts from level k-1's surviving edge set
+    (nested cores), each level kcore's exact per-round plan with the
+    signature early-stop. Oracle: every level's 3 peel rounds unrolled
+    as MATERIALIZED CTEs (each round references its predecessor three
+    times — without materialization DuckDB inlines the chain
+    exponentially), max-k membership per node."""
+    from dbt_meshify_spark.operators.graph_rank import core_numbers
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    active = events.select(
+        F.date_trunc("minute", F.col("ts")).alias("m"), "event_type", "user_id"
+    ).distinct()
+    a = active.select("m", "event_type", F.col("user_id").alias("src"))
+    b = active.select("m", "event_type", F.col("user_id").alias("dst"))
+    edges = (
+        a.join(b, ["m", "event_type"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return core_numbers(edges, k_max=4, iters_per_k=3).orderBy(_asc("id"))
+
+
+QUERIES["ext_core_numbers"] = ext_core_numbers
+
+# per-level unrolled peel rounds, mirroring core_numbers(k_max=4,
+# iters_per_k=3): level k peels level k-1's survivor edge set; MATERIALIZED
+# pins each round (3 predecessor references -> exponential inlining without)
+_CORE_PARTS = ["e_2_0 AS MATERIALIZED (SELECT lo, hi FROM e0)"]
+for _k in (2, 3, 4):
+    if _k > 2:
+        _CORE_PARTS.append(
+            f"e_{_k}_0 AS MATERIALIZED (SELECT lo, hi FROM e_{_k - 1}_3)"
+        )
+    for _r in range(3):
+        _CORE_PARTS.append(
+            f"und_{_k}_{_r} AS (SELECT lo AS u FROM e_{_k}_{_r} "
+            f"UNION ALL SELECT hi FROM e_{_k}_{_r})"
+        )
+        _CORE_PARTS.append(
+            f"keep_{_k}_{_r} AS (SELECT u FROM und_{_k}_{_r} "
+            f"GROUP BY u HAVING COUNT(*) >= {_k})"
+        )
+        _CORE_PARTS.append(
+            f"e_{_k}_{_r + 1} AS MATERIALIZED (SELECT e.lo, e.hi "
+            f"FROM e_{_k}_{_r} e JOIN keep_{_k}_{_r} a ON e.lo = a.u "
+            f"JOIN keep_{_k}_{_r} b ON e.hi = b.u)"
+        )
+_CORE_PARTS.append(
+    "lvl1 AS (SELECT DISTINCT u AS id, 1 AS core FROM "
+    "(SELECT lo AS u FROM e_2_0 UNION ALL SELECT hi FROM e_2_0))"
+)
+for _k in (2, 3, 4):
+    _CORE_PARTS.append(
+        f"lvl{_k} AS (SELECT DISTINCT u AS id, {_k} AS core FROM "
+        f"(SELECT lo AS u FROM e_{_k}_3 UNION ALL SELECT hi FROM e_{_k}_3))"
+    )
+_CORE_BODY = ",\n".join(_CORE_PARTS)
+
+ORACLES["ext_core_numbers"] = f"""
+WITH am AS (
+  SELECT DISTINCT date_trunc('minute', ts) AS m, event_type, user_id
+  FROM events WHERE user_id < 200
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.user_id AS lo, b.user_id AS hi
+  FROM am a JOIN am b
+    ON a.m = b.m AND a.event_type = b.event_type AND a.user_id < b.user_id
+),
+{_CORE_BODY}
+SELECT id, CAST(MAX(core) AS INT) AS core
+FROM (SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2
+      UNION ALL SELECT * FROM lvl3 UNION ALL SELECT * FROM lvl4)
+GROUP BY id
+ORDER BY id NULLS FIRST
+"""

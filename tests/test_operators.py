@@ -4051,3 +4051,33 @@ def test_apply_bpe_delimited_matches_trainer_and_python_replay(spark):
     }
     if all(len(set(w)) == len(w) or "aa" not in w for t in texts[:2] for w in t.split()):
         assert greedy == delim
+
+
+def test_core_numbers_nested_decomposition(spark):
+    """Planted degeneracy ladder: a 4-clique (core 3) joined to a 4-cycle
+    (core 2) with a pendant 2-chain (core 1). core_numbers must assign
+    the max-k membership per node, and the iterated peel must stop early
+    both per level (fixpoint) and globally (empty graph)."""
+    from itertools import combinations
+
+    from dbt_meshify_spark.operators.graph_rank import core_numbers
+
+    clique = list(combinations([1, 2, 3, 4], 2))
+    cycle = [(5, 6), (6, 7), (7, 8), (8, 5), (4, 5)]   # bridged at 4-5
+    chain = [(8, 9), (9, 10)]
+    noise = [(3, 3), (None, 7), (2, 1)]                # self-loop/NULL/dupe
+    df = spark.createDataFrame(
+        clique + cycle + chain + noise, "src int, dst int"
+    )
+    stats: dict = {}
+    out = {
+        r.id: r.core
+        for r in core_numbers(df, k_max=4, iters_per_k=10, stats=stats).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 2, 6: 2, 7: 2, 8: 2, 9: 1, 10: 1}
+    assert stats["levels"] == 3
+    # k_max smaller than the degeneracy truncates the ladder, determinately
+    capped = {
+        r.id: r.core for r in core_numbers(df, k_max=2, iters_per_k=10).collect()
+    }
+    assert capped == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 2, 8: 2, 9: 1, 10: 1}

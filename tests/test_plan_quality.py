@@ -508,7 +508,7 @@ def test_graph_loops_shuffle_ids_only_no_nested_loops(spark):
     the final-round plan, and the LPA argmax is an aggregate, not a
     per-node sort window (the struct-min rewrite; a sorted window over u
     would reintroduce a per-partition sort each round)."""
-    for name in ("ext_kcore", "ext_label_propagation"):
+    for name in ("ext_kcore", "ext_label_propagation", "ext_core_numbers"):
         plan = _physical(QUERIES[name](spark, SF_ORACLE))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
