@@ -226,6 +226,19 @@ def main() -> None:
             flush=True,
         )
 
+    # simhash64-only extension to 16x (VERDICT r6 ask #6): the pair-curve
+    # tail — wall should stay flat (caps bound the join) while verified
+    # pairs grow with the chance <=3-bit collision term (see SCALE.md)
+    docs16 = scaled_corpus(base, 16).localCheckpoint()
+    n16 = docs16.count()
+    t0 = time.time()
+    n_sh16 = simhash_md5_candidate_pairs(docs16).count()
+    print(
+        f"scale=16x docs={n16}: simhash64={time.time() - t0:.2f}s "
+        f"(pairs {n_sh16})",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()
