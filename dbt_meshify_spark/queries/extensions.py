@@ -7099,3 +7099,112 @@ FROM (SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2
 GROUP BY id
 ORDER BY id NULLS FIRST
 """
+
+
+def ext_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N1/N2] END-TO-END surgical substring dedup: the detected
+    cross-document duplicated runs (ext_substring_dedup's exact
+    (doc_a, doc_b, span) extents) become per-doc cut lists under the
+    keep-one-copy policy (lower doc id keeps its copy) and the covered
+    tokens are cut and the text rebuilt — detection
+    (dedup.substring_run_pairs) -> surgery spans
+    (dedup.substring_runs_to_spans) -> removal (dedup.cut_spans_from_text)
+    in one declared pipeline, the Lee-et-al. ExactSubstr removal pass.
+    The corpus never shuffles on text: spans aggregate per doc and join
+    back on the doc key."""
+    from dbt_meshify_spark.operators.dedup import (
+        cut_spans_from_text,
+        substring_run_pairs,
+        substring_runs_to_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    runs = substring_run_pairs(
+        docs, k=8, min_run_tokens=12, max_gram_df=1000, max_occ_per_doc=8
+    )
+    spans = substring_runs_to_spans(runs)
+    return cut_spans_from_text(docs, spans).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_substring_removal"] = ext_substring_removal
+
+# detection chain identical to ext_substring_dedup, then: keep-one-copy cut
+# list (id_b side), running-max interval merge, covered-token cut + rebuild
+ORACLES["ext_substring_removal"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+pos0 AS (
+  SELECT doc_id, i AS st, list_aggregate(l[i:i+7], 'string_agg', ' ') AS gram
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS i FROM toks)
+),
+occ AS (
+  SELECT doc_id, st, gram,
+         row_number() OVER (PARTITION BY doc_id, gram ORDER BY st) AS rn
+  FROM pos0
+),
+pos AS (SELECT doc_id, st, gram FROM occ WHERE rn <= 8),
+keep AS (
+  SELECT gram FROM pos GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1000
+),
+pk AS (SELECT p.doc_id, p.st, p.gram FROM pos p JOIN keep k ON p.gram = k.gram),
+anch AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.st AS pa, b.st AS pb
+  FROM pk a JOIN pk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+marked AS (
+  SELECT id_a, id_b, pa, pb, pb - pa AS d,
+         CASE WHEN lag(pa) OVER w IS NULL OR pa > lag(pa) OVER w + 8
+              THEN 1 ELSE 0 END AS new
+  FROM anch WINDOW w AS (PARTITION BY id_a, id_b, pb - pa ORDER BY pa)
+),
+grp AS (
+  SELECT *, SUM(new) OVER (PARTITION BY id_a, id_b, d ORDER BY pa
+                           ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+),
+runs AS (
+  SELECT id_a, id_b, MIN(pb) AS b_start, MAX(pb) + 8 AS b_end,
+         CAST(MAX(pa) + 8 - MIN(pa) AS BIGINT) AS n_tokens
+  FROM grp GROUP BY id_a, id_b, d, g
+),
+cuts AS (SELECT id_b AS doc_id, b_start AS s, b_end AS e FROM runs
+         WHERE n_tokens >= 12),
+cmk AS (
+  SELECT doc_id, s, e,
+         CASE WHEN MAX(e) OVER wp IS NULL OR s > MAX(e) OVER wp
+              THEN 1 ELSE 0 END AS new_grp
+  FROM cuts
+  WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+cgp AS (
+  SELECT doc_id, s, e,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM cmk
+),
+spans AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM cgp GROUP BY doc_id, grp),
+cov AS (SELECT DISTINCT doc_id, unnest(range(s, e)) AS idx FROM spans),
+tokpos AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS idx FROM toks
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.term
+  FROM tokpos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = t.idx
+  WHERE c.idx IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY idx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+orig AS (SELECT doc_id, COALESCE(len(l), 0) AS n FROM toks)
+SELECT o.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(o.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM orig o LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id NULLS FIRST
+"""
