@@ -263,6 +263,170 @@ def _decode_aiff(payload: bytes):
     return arr.reshape(-1, nch), rate
 
 
+#: IMA/DVI ADPCM step-size table (89 entries) and index-adjust table —
+#: the published constants of the IMA reference algorithm.
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(nibble: int, predictor: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: (nibble, state) -> new state.
+    Shared verbatim by decode and the encoder's predictor tracking — the
+    encoder MUST update through the same quantized path or the states
+    drift and the stream decodes to noise."""
+    step = _IMA_STEP_TABLE[index]
+    vpdiff = step >> 3
+    if nibble & 4:
+        vpdiff += step
+    if nibble & 2:
+        vpdiff += step >> 1
+    if nibble & 1:
+        vpdiff += step >> 2
+    predictor = predictor - vpdiff if nibble & 8 else predictor + vpdiff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble]))
+    return predictor, index
+
+
+def _riff_chunks(payload: bytes):
+    """Iterate (chunk_id, chunk_bytes) of a RIFF/WAVE payload."""
+    import struct
+
+    pos = 12  # past RIFF....WAVE
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        yield cid, payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def _decode_ima_adpcm_wav(payload: bytes):
+    """RIFF/WAVE IMA ADPCM (format tag 0x11, mono) -> (int16 [n, 1], rate).
+
+    Pure-Python block decode, NO stdlib-codec gate (``audioop.adpcm2lin``
+    is Intel/DVI ADPCM with continuous state — it ignores WAV IMA's
+    per-block (predictor, index) headers and decodes block boundaries to
+    noise, so it is the wrong tool here). Each block: 4-byte header
+    (int16 predictor = sample 0, step index, reserved) then two samples
+    per byte, low nibble first; a ``fact`` chunk truncates the final
+    block's padding."""
+    import struct
+
+    import numpy as np
+
+    fmt = data = None
+    n_total = None
+    for cid, body in _riff_chunks(payload):
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact" and len(body) >= 4:
+            (n_total,) = struct.unpack_from("<I", body, 0)
+    if fmt is None or data is None:
+        raise NotImplementedError("malformed ADPCM WAV (missing fmt/data)")
+    tag, nch, rate, _br, block_align, _bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if tag != 0x11:
+        raise NotImplementedError(f"not IMA ADPCM (fmt tag {tag})")
+    if nch != 1:
+        raise NotImplementedError("multi-channel IMA ADPCM not supported")
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 4:
+            break
+        predictor = struct.unpack_from("<h", block, 0)[0]
+        index = max(0, min(88, block[2]))
+        out.append(predictor)
+        for byte in block[4:]:
+            for nibble in (byte & 0x0F, byte >> 4):
+                predictor, index = _ima_step(nibble, predictor, index)
+                out.append(predictor)
+    if n_total is not None:
+        out = out[:n_total]
+    return np.asarray(out, dtype=np.int16).reshape(-1, 1), rate
+
+
+def encode_ima_adpcm(
+    samples, sample_rate: int = 8000, block_samples: int = 505
+) -> bytes:
+    """Mono int16 ndarray -> IMA ADPCM WAV bytes (fmt tag 0x11) — the
+    encode twin of :func:`_decode_ima_adpcm_wav` for round-trip tests and
+    mixed-codec corpora. ``block_samples`` must be odd (header sample +
+    an even nibble count); the step index carries across blocks like
+    reference encoders, and a ``fact`` chunk records the true sample
+    count so decode drops final-block padding."""
+    import struct
+
+    import numpy as np
+
+    assert block_samples % 2 == 1, "block_samples must be odd"
+    s = np.asarray(samples, dtype=np.int16)
+    n = len(s)
+    block_align = 4 + (block_samples - 1) // 2
+    index = 0
+    blocks = []
+    for b0 in range(0, max(n, 1), block_samples):
+        chunk = s[b0 : b0 + block_samples]
+        if not len(chunk):
+            break
+        predictor = int(chunk[0])
+        head = struct.pack("<hBB", predictor, index, 0)
+        nibbles: list[int] = []
+        for sample in chunk[1:]:
+            step = _IMA_STEP_TABLE[index]
+            diff = int(sample) - predictor
+            nibble = 8 if diff < 0 else 0
+            diff = abs(diff)
+            tmp = step
+            for bit in (4, 2, 1):
+                if diff >= tmp:
+                    nibble |= bit
+                    diff -= tmp
+                tmp >>= 1
+            predictor, index = _ima_step(nibble, predictor, index)
+            nibbles.append(nibble)
+        nibbles += [0] * ((block_samples - 1) - len(nibbles))  # pad final
+        body = bytes(
+            (nibbles[i] & 0x0F) | (nibbles[i + 1] << 4)
+            for i in range(0, len(nibbles), 2)
+        )
+        blocks.append(head + body)
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate,
+        sample_rate * block_align // block_samples,  # nominal byte rate
+        block_align, 4, 2, block_samples,
+    )
+    fact = struct.pack("<I", n)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _wav_format_tag(payload: bytes) -> int | None:
+    import struct
+
+    for cid, body in _riff_chunks(payload):
+        if cid == b"fmt " and len(body) >= 2:
+            return struct.unpack_from("<H", body, 0)[0]
+    return None
+
+
 def decode_audio(payload: bytes):
     """Audio payload -> (samples int16 ndarray [n, channels], sample_rate).
 
@@ -270,6 +434,8 @@ def decode_audio(payload: bytes):
     - RIFF/WAVE 16-bit PCM: ``wave`` alone, no gate (the baseline tier).
     - RIFF/WAVE 8-bit (unsigned, re-biased) / 24-bit / 32-bit PCM: width
       conversion through the ``audioop`` gate (``lin2lin``).
+    - RIFF/WAVE IMA ADPCM (fmt tag 0x11, mono): pure-Python block decode,
+      no gate (:func:`_decode_ima_adpcm_wav`).
     - FORM/AIFF and AIFF-C ulaw/alaw: the ``aifc`` gate
       (:func:`_decode_aiff`).
     Anything else — and every gated path when the stdlib codec modules are
@@ -283,11 +449,17 @@ def decode_audio(payload: bytes):
 
     if payload[:4] == b"FORM":
         return _decode_aiff(payload)
-    with wave.open(io.BytesIO(payload)) as wf:
-        width = wf.getsampwidth()
-        nch = wf.getnchannels()
-        rate = wf.getframerate()
-        frames = wf.readframes(wf.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            width = wf.getsampwidth()
+            nch = wf.getnchannels()
+            rate = wf.getframerate()
+            frames = wf.readframes(wf.getnframes())
+    except wave.Error:
+        # stdlib wave only reads PCM; route compressed RIFF by fmt tag
+        if payload[:4] == b"RIFF" and _wav_format_tag(payload) == 0x11:
+            return _decode_ima_adpcm_wav(payload)
+        raise
     if width != 2:
         audioop = _try_import_audioop()
         if audioop is None:

@@ -116,6 +116,7 @@ def main() -> None:
         exact_dedup,
         minhash_candidate_pairs,
         simhash_md5_candidate_pairs,
+        substring_run_pairs,
         winnow_overlap_pairs,
     )
     from dbt_meshify_spark.operators.dsir import dsir_log_weights
@@ -182,6 +183,7 @@ def main() -> None:
 
     front_door(warm).write.format("noop").mode("overwrite").save()
     echo(warm).count()
+    substring_run_pairs(warm, k=8, min_run_tokens=12).count()
 
     for k in (1, 2, 4, 8):
         docs = scaled_corpus(base, k).localCheckpoint()  # pin: exclude synth cost
@@ -213,6 +215,9 @@ def main() -> None:
         t0 = time.time()
         n_echo = echo(docs).count()
         t_echo = time.time() - t0
+        t0 = time.time()
+        n_runs = substring_run_pairs(docs, k=8, min_run_tokens=12).count()
+        t_runs = time.time() - t0
         print(
             f"scale={k}x docs={n}: quality={t_quality:.2f}s "
             f"dedup={t_dedup:.2f}s (kept {n_dedup}) "
@@ -222,7 +227,8 @@ def main() -> None:
             f"simhash64={t_sh:.2f}s (pairs {n_sh}) "
             f"winnow={t_wn:.2f}s (pairs {n_wn}) "
             f"frontdoor={t_fd:.2f}s "
-            f"echo={t_echo:.2f}s (n {n_echo})",
+            f"echo={t_echo:.2f}s (n {n_echo}) "
+            f"substr_runs={t_runs:.2f}s (runs {n_runs})",
             flush=True,
         )
 

@@ -373,6 +373,8 @@ def test_audio_features_mixed_codec_corpus(spark):
     s = (12000 * np.sin(2 * np.pi * 440.0 * t / rate)).astype(np.int16)
     meta = {"kind": "audio", "format": None, "width": None, "height": None,
             "duration_ms": None}
+    from dbt_meshify_spark.operators.multimodal import encode_ima_adpcm
+
     media = spark.createDataFrame(
         [
             (1, bytearray(encode_wav(s, rate, sampwidth=1)), meta),
@@ -380,18 +382,77 @@ def test_audio_features_mixed_codec_corpus(spark):
             (3, bytearray(encode_aiff(s, rate)), meta),
             (4, bytearray(encode_aiff(s, rate, comptype=b"ulaw")), meta),
             (5, bytearray(b"\x00\x01junk"), meta),
+            (6, bytearray(encode_ima_adpcm(s, rate)), meta),
         ],
         MEDIA_SCHEMA,
     )
     rows = {r.media_id: r for r in audio_features(media).collect()}
     expected_rms = 12000 / np.sqrt(2)
-    for mid in (1, 2, 3, 4):
+    for mid in (1, 2, 3, 4, 6):
         assert rows[mid].sample_rate == rate
         assert rows[mid].duration_ms == 1000
-        # 8-bit and ulaw are lossy tiers; all stay within a few percent
+        # 8-bit, ulaw, and ADPCM are lossy tiers; all stay within a few %
         assert abs(rows[mid].rms - expected_rms) / expected_rms < 0.05
         assert abs(rows[mid].zero_cross_rate - 2 * 440.0 / rate) < 0.01
     assert rows[5].sample_rate is None and rows[5].rms is None
+
+
+def test_ima_adpcm_round_trip_exact_state_machine():
+    """The decoder must reproduce the encoder's quantized predictor track
+    EXACTLY (both sides step through _ima_step), drop final-block padding
+    via the fact chunk, carry the step index across blocks, and refuse
+    stereo; audioop.adpcm2lin is deliberately NOT used (continuous-state
+    DVI ADPCM would decode WAV block headers as noise)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dbt_meshify_spark.operators.multimodal import (
+        _IMA_STEP_TABLE,
+        _ima_step,
+        decode_audio,
+        encode_ima_adpcm,
+    )
+
+    rate = 8000
+    t = np.arange(rate + 123)  # deliberately not a block multiple
+    s = (9000 * np.sin(2 * np.pi * 330.0 * t / rate)).astype(np.int16)
+    payload = encode_ima_adpcm(s, rate, block_samples=505)
+    decoded, got_rate = decode_audio(payload)
+    assert got_rate == rate
+    assert decoded.shape == (len(s), 1)  # fact chunk dropped the padding
+    mono = decoded[:, 0].astype(np.float64)
+    # replay the encoder's state machine: its quantized predictor IS the
+    # decoded sample, so the round trip is bit-exact, not just correlated
+    index, out = 0, []
+    for b0 in range(0, len(s), 505):
+        chunk = s[b0 : b0 + 505]
+        predictor = int(chunk[0])
+        out.append(predictor)
+        for sample in chunk[1:]:
+            step_sz = _IMA_STEP_TABLE[index]
+            diff = int(sample) - predictor
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            tmp = step_sz
+            for bit in (4, 2, 1):
+                if diff >= tmp:
+                    nib |= bit
+                    diff -= tmp
+                tmp >>= 1
+            predictor, index = _ima_step(nib, predictor, index)
+            out.append(predictor)
+    assert np.array_equal(mono, np.asarray(out, dtype=np.float64))
+    # lossy but faithful: high correlation with the source
+    corr = np.corrcoef(mono, s.astype(np.float64))[0, 1]
+    assert corr > 0.99
+    # stereo ADPCM is out of scope and must say so
+    import struct
+
+    stereo = bytearray(payload)
+    fmt_at = payload.index(b"fmt ") + 8
+    struct.pack_into("<H", stereo, fmt_at + 2, 2)  # nChannels = 2
+    with _pytest.raises(Exception):
+        decode_audio(bytes(stereo))
 
 
 def test_date_spine_bounds(spark):
