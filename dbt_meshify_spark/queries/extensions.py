@@ -7208,3 +7208,70 @@ SELECT o.doc_id,
 FROM orig o LEFT JOIN agg a USING (doc_id)
 ORDER BY doc_id NULLS FIRST
 """
+
+
+def ext_pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9] Luhn-validated credit-card PII audit
+    (operators/text.py::luhn_card_hits) — the checksum tier above
+    redact_pii's pattern masking: per doc, how many 13-19-digit runs
+    appear and how many are checksum-valid actual card shapes (~10% of
+    arbitrary runs pass Luhn, so validation is what keeps order ids
+    from mass-redacting). Digit runs are synthesized deterministically
+    from doc_id on BOTH engines (the web-front-door synthesis pattern):
+    one 16-digit run plus one 12-14-digit run whose length varies so
+    the candidate filter is exercised."""
+    from dbt_meshify_spark.operators.text import luhn_card_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('pay ', lpad(CAST((doc_id * doc_id * 7919 + 12345) "
+            "% 10000000000000000 AS STRING), 16, '0'), ' ref ', "
+            "lpad(CAST((doc_id * 31 + 7) % 1000000000000 AS STRING), "
+            "CAST(12 + doc_id % 3 AS INT), '0'), ' end')"
+        ).alias("text"),
+    )
+    return luhn_card_hits(synth).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_pii_luhn_audit"] = ext_pii_luhn_audit
+
+ORACLES["ext_pii_luhn_audit"] = r"""
+WITH synth AS (
+  SELECT doc_id,
+         'pay ' || lpad(CAST((doc_id * doc_id * 7919 + 12345)
+                             % 10000000000000000 AS STRING), 16, '0')
+         || ' ref ' || lpad(CAST((doc_id * 31 + 7) % 1000000000000 AS STRING),
+                            CAST(12 + doc_id % 3 AS INT), '0')
+         || ' end' AS text
+  FROM documents
+),
+cands AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\d+')) AS run FROM synth
+),
+sized AS (
+  SELECT doc_id, run, reverse(run) AS rev
+  FROM cands WHERE len(run) BETWEEN 13 AND 19
+),
+summed AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(1, len(rev) + 1), i ->
+           CASE WHEN i % 2 = 0
+             THEN CASE WHEN 2 * CAST(substring(rev, i, 1) AS INT) > 9
+                       THEN 2 * CAST(substring(rev, i, 1) AS INT) - 9
+                       ELSE 2 * CAST(substring(rev, i, 1) AS INT) END
+             ELSE CAST(substring(rev, i, 1) AS INT) END)) AS s
+  FROM sized
+),
+counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+  FROM summed GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(c.n_valid, 0) AS BIGINT) AS n_valid
+FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id NULLS FIRST
+"""

@@ -4142,3 +4142,35 @@ def test_core_numbers_nested_decomposition(spark):
         r.id: r.core for r in core_numbers(df, k_max=2, iters_per_k=10).collect()
     }
     assert capped == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 2, 8: 2, 9: 1, 10: 1}
+
+
+def test_luhn_card_hits_validates_checksums(spark):
+    """Known-valid card test numbers pass, off-by-one corruptions fail,
+    short/long digit runs never become candidates, digit-free docs come
+    back with zero counts."""
+    from dbt_meshify_spark.operators.text import luhn_card_hits
+
+    def luhn_ok(s: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(s), 1):
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    valid = "4539148803436467"          # Luhn-valid Visa test number
+    assert luhn_ok(valid)
+    corrupt = valid[:-1] + str((int(valid[-1]) + 1) % 10)
+    assert not luhn_ok(corrupt)
+    rows = [
+        (1, f"order 123456789012 card {valid} ok"),      # 12-digit run: not a candidate
+        (2, f"pay {corrupt} and {valid}"),
+        (3, "no digits here at all"),
+        (4, "a 99999999999999999999 run too long"),      # 20 digits: filtered
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_candidates, r.n_valid) for r in luhn_card_hits(df).collect()}
+    assert out == {1: (1, 1), 2: (2, 1), 3: (0, 0), 4: (0, 0)}
