@@ -92,3 +92,122 @@ def bigram_perplexity(
         F.round(avg_nll, 4).alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).alias("ppl"),
     )
+
+
+def trigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+) -> DataFrame:
+    """Per-document NLL/perplexity under a Jelinek-Mercer INTERPOLATED
+    trigram LM trained on ``df`` itself — the depth tier above
+    :func:`bigram_perplexity` (CCNet's 5-gram KenLM posture, re-expressed
+    relationally at order 3):
+
+    ``P(w3|w1 w2) = l3*C(w1w2w3)/C(w1w2 .) + l2*C(w2w3)/C(w2 .)
+    + l1*(C(w3)+1)/(N+V)``
+
+    where each ML term's context count is "occurrences with a following
+    token" (derived from the next-order count table, the
+    bigram_perplexity convention) and the unigram floor is add-one
+    smoothed, so every scored trigram has strictly positive probability
+    and no 0/0 appears (a scored trigram's own counts are >= 1 by
+    construction).
+
+    Scale shape (the bigram tier's, one order deeper): ONE tokenize pass;
+    per-doc trigram tf is the base relation for the count tables AND
+    scoring; every scoring join is equi-keyed (trigram, leading bigram,
+    trailing bigram, middle word, last word), so all sides co-partition —
+    no broadcast hints, AQE may still pick one when the model is small;
+    (N, V) ride a 1-row broadcast. Returns ``id_col, n_trigrams,
+    avg_nll, ppl`` (docs with < 3 tokens are excluded).
+    """
+    l3, l2, l1 = (float(x) for x in lambdas)
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
+    ).filter(F.size("__t") >= 3)
+
+    t = F.col("__t")
+    n3 = F.size(t) - 2
+    trigrams = F.zip_with(
+        F.zip_with(
+            F.slice(t, 1, n3), F.slice(t, 2, n3),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice(t, 3, n3),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    tf = (
+        toks.select(F.col(id_col), F.explode(trigrams).alias("tri"))
+        .groupBy(id_col, "tri")
+        .agg(F.count("*").alias("tf"))
+    )
+    tri_counts = tf.groupBy("tri").agg(F.sum("tf").alias("c_tri"))
+    ctx12 = (
+        tri_counts.withColumn("w12", F.substring_index("tri", " ", 2))
+        .groupBy("w12")
+        .agg(F.sum("c_tri").alias("c_w12"))
+    )
+    # bigram table from its own projection (NOT the trigram tails — the
+    # bigram model must count doc-initial bigrams too)
+    n2 = F.size(t) - 1
+    bigrams = F.zip_with(
+        F.slice(t, 1, n2), F.slice(t, 2, n2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bigram_counts = (
+        toks.select(F.explode(bigrams).alias("w23"))
+        .groupBy("w23")
+        .agg(F.count("*").alias("c_w23"))
+    )
+    ctx2 = (
+        bigram_counts.withColumn("w2", F.substring_index("w23", " ", 1))
+        .groupBy("w2")
+        .agg(F.sum("c_w23").alias("c_w2"))
+    )
+    uni_counts = (
+        toks.select(F.explode("__t").alias("w3"))
+        .groupBy("w3")
+        .agg(F.count("*").alias("c_w3"))
+    )
+    totals = toks.select(F.explode("__t").alias("term")).agg(
+        F.countDistinct("term").cast("double").alias("__v"),
+        F.count("*").cast("double").alias("__n"),
+    )
+
+    keyed = (
+        tf.withColumn("w12", F.substring_index("tri", " ", 2))
+        .withColumn("w23", F.substring_index("tri", " ", -2))
+        .withColumn("w2", F.substring_index(F.col("w23"), " ", 1))
+        .withColumn("w3", F.substring_index("tri", " ", -1))
+    )
+    scored = (
+        keyed.join(tri_counts, "tri")
+        .join(ctx12, "w12")
+        .join(bigram_counts, "w23")
+        .join(ctx2, "w2")
+        .join(uni_counts, "w3")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "nll",
+            -F.log(
+                F.lit(l3)
+                * (F.col("c_tri").cast("double") / F.col("c_w12").cast("double"))
+                + F.lit(l2)
+                * (F.col("c_w23").cast("double") / F.col("c_w2").cast("double"))
+                + F.lit(l1)
+                * (
+                    (F.col("c_w3").cast("double") + F.lit(1.0))
+                    / (F.col("__n") + F.col("__v"))
+                ),
+            ),
+        )
+    )
+    avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_trigrams"),
+        F.round(avg_nll, 4).alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).alias("ppl"),
+    )

@@ -7275,3 +7275,75 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
 ORDER BY d.doc_id NULLS FIRST
 """
+
+
+def ext_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] Jelinek-Mercer interpolated TRIGRAM LM perplexity
+    (operators/lm.py::trigram_perplexity) — the depth tier above the
+    bigram CCNet proxy: l3*ML3 + l2*ML2 + l1*add-one-unigram, every
+    scoring join equi-keyed on the trigram/bigram/word keys. Oracle
+    replays all five count tables and the identical float expression
+    order."""
+    from dbt_meshify_spark.operators.lm import trigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_perplexity(docs).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_trigram_perplexity"] = ext_trigram_perplexity
+
+ORACLES["ext_trigram_perplexity"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+t3 AS MATERIALIZED (SELECT doc_id, l FROM toks WHERE len(l) >= 3),
+pos3 AS (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM t3),
+tf AS MATERIALIZED (
+  SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tri, COUNT(*) AS tf
+  FROM pos3 GROUP BY doc_id, tri
+),
+ct AS MATERIALIZED (SELECT tri, SUM(tf) AS c_tri FROM tf GROUP BY tri),
+ctx12 AS MATERIALIZED (
+  SELECT split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2) AS w12,
+         SUM(c_tri) AS c_w12
+  FROM ct GROUP BY 1
+),
+pos2 AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t3),
+cb AS MATERIALIZED (
+  SELECT l[i] || ' ' || l[i+1] AS w23, COUNT(*) AS c_w23
+  FROM pos2 GROUP BY 1
+),
+ctx2 AS MATERIALIZED (
+  SELECT split_part(w23, ' ', 1) AS w2, SUM(c_w23) AS c_w2 FROM cb GROUP BY 1
+),
+cu AS MATERIALIZED (
+  SELECT term AS w3, COUNT(*) AS c_w3
+  FROM (SELECT unnest(l) AS term FROM t3) GROUP BY 1
+),
+tot AS MATERIALIZED (
+  SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vs,
+         CAST(COUNT(*) AS DOUBLE) AS ns
+  FROM (SELECT unnest(l) AS term FROM t3)
+),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+         -ln(0.6 * (CAST(ct.c_tri AS DOUBLE) / CAST(ctx12.c_w12 AS DOUBLE))
+           + 0.3 * (CAST(cb.c_w23 AS DOUBLE) / CAST(ctx2.c_w2 AS DOUBLE))
+           + 0.1 * ((CAST(cu.c_w3 AS DOUBLE) + 1.0) / (tot.ns + tot.vs))) AS nll
+  FROM tf
+  JOIN ct USING (tri)
+  JOIN ctx12 ON split_part(tf.tri, ' ', 1) || ' ' || split_part(tf.tri, ' ', 2)
+             = ctx12.w12
+  JOIN cb ON split_part(tf.tri, ' ', 2) || ' ' || split_part(tf.tri, ' ', 3)
+          = cb.w23
+  JOIN ctx2 ON split_part(tf.tri, ' ', 2) = ctx2.w2
+  JOIN cu ON split_part(tf.tri, ' ', 3) = cu.w3
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+       ROUND(SUM(tf * nll) / SUM(tf), 4) AS avg_nll,
+       ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
+FROM scored GROUP BY doc_id
+ORDER BY doc_id NULLS FIRST
+"""

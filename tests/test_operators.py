@@ -4174,3 +4174,50 @@ def test_luhn_card_hits_validates_checksums(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: (r.n_candidates, r.n_valid) for r in luhn_card_hits(df).collect()}
     assert out == {1: (1, 1), 2: (2, 1), 3: (0, 0), 4: (0, 0)}
+
+
+def test_trigram_perplexity_interpolation_and_ranking(spark):
+    """The interpolated trigram LM must rank formulaic docs below a
+    scramble of the same words, exclude docs with <3 tokens, score
+    identical docs identically, and agree with a driver-side Python
+    replay of the interpolation formula (exact floats)."""
+    import math
+    from collections import Counter
+
+    from dbt_meshify_spark.operators.lm import trigram_perplexity
+
+    typical = "the cat sat on the mat"
+    atypical = "mat the on sat cat the"
+    rows = [(i, typical) for i in range(10)] + [(99, atypical), (100, "one two")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in trigram_perplexity(df).collect()}
+    assert 100 not in out  # <3 tokens => no trigrams => excluded
+    assert out[0].n_trigrams == 4
+    assert out[0].ppl < out[99].ppl
+    assert out[0].ppl == out[5].ppl
+
+    # Python replay on the same corpus
+    docs = {i: typical.split() for i in range(10)}
+    docs[99] = atypical.split()
+    tri, big, uni, ctx12, ctx2 = Counter(), Counter(), Counter(), Counter(), Counter()
+    for toks in docs.values():
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            tri[(a, b, c)] += 1
+            ctx12[(a, b)] += 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+        for a in toks[:-1]:
+            ctx2[a] += 1
+        uni.update(toks)
+    n = sum(uni.values())
+    v = len(uni)
+    def ppl(toks):
+        s = m = 0
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            p = (0.6 * (tri[(a, b, c)] / ctx12[(a, b)])
+                 + 0.3 * (big[(b, c)] / ctx2[b])
+                 + 0.1 * ((uni[c] + 1.0) / (n + v)))
+            s += -math.log(p); m += 1
+        return round(math.exp(s / m), 4)
+    assert out[0].ppl == ppl(docs[0])
+    assert out[99].ppl == ppl(docs[99])
