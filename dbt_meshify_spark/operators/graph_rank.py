@@ -213,6 +213,42 @@ def triangle_counts(
     return corners
 
 
+def _canonical_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Undirected canonical form shared by the peel family: (lo < hi),
+    NULL endpoints and self-loops dropped, duplicates and reversals
+    collapsed by the distinct."""
+    return (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .filter(
+            F.col("lo").isNotNull()
+            & F.col("hi").isNotNull()
+            & (F.col("lo") < F.col("hi"))
+        )
+        .distinct()
+    )
+
+
+def _und_edges(frame: DataFrame) -> DataFrame:
+    """Both directions of a canonical (lo, hi) edge frame as (u, v)."""
+    return frame.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+        frame.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+
+
+def _edge_sig(frame: DataFrame) -> tuple:
+    """Constant-size (count, decimal hash-sum) edge-set signature — the
+    peel loops' convergence check. Decimal sum: a BIGINT sum of
+    full-range xxhash64 values overflows under ANSI mode."""
+    row = frame.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
 def kcore(
     edges: DataFrame,
     k: int = 2,
@@ -243,39 +279,19 @@ def kcore(
     ``stats["converged"]`` whether the peel reached the fixpoint inside
     the budget: when False the result is a SUPERSET of the k-core (nodes
     with deg < k can remain — e.g. a pendant chain deeper than ``iters``),
-    so callers that need a true k-core must check it (passing ``stats``
-    costs one extra 1-row signature job on the full-budget exit path).
+    so callers that need a true k-core must check it. Cost of passing
+    ``stats``: one extra 1-row signature job on the full-budget exit
+    path when ``iters >= 3``; for ``iters <= 2`` (where the early-stop
+    is disabled) one per round — at most two — because convergence needs
+    consecutive-round signatures, not just the final one.
 
     Returns ``id, deg``: the endpoints of the surviving edge set with
     their degree inside it (at the fixpoint this IS the k-core, and every
     ``deg >= k``; isolated input nodes never appear — a 0-degree node is
     in no k-core for k >= 1).
     """
-    e = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
-        )
-        .filter(
-            F.col("lo").isNotNull()
-            & F.col("hi").isNotNull()
-            & (F.col("lo") < F.col("hi"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-
-    def _und(frame: DataFrame) -> DataFrame:
-        return frame.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
-            frame.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
-        )
-
-    def _sig(frame: DataFrame):
-        row = frame.agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+    e = _canonical_edges(edges, src_col, dst_col).localCheckpoint(eager=False)
+    _und, _sig = _und_edges, _edge_sig
 
     n_rounds = int(iters)
     # signature checks only when the budget leaves rounds to skip (the
@@ -356,36 +372,15 @@ def core_numbers(
     deterministic and engine-identical). Every endpoint of the canonical
     edge set gets ``core >= 1``; isolated input nodes never appear.
     ``stats``: ``levels`` (deepest k that kept nodes), ``rounds`` (total
-    peel rounds executed).
+    peel rounds executed), ``converged`` (False when ANY level exhausted
+    ``iters_per_k`` before its fixpoint — the assigned core numbers are
+    then an UPPER BOUND, the kcore truncation contract).
 
     Returns ``id, core`` (core = max k in 1..k_max whose peel kept the
     node).
     """
-    e = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
-        )
-        .filter(
-            F.col("lo").isNotNull()
-            & F.col("hi").isNotNull()
-            & (F.col("lo") < F.col("hi"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-
-    def _und(frame: DataFrame) -> DataFrame:
-        return frame.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
-            frame.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
-        )
-
-    def _sig(frame: DataFrame):
-        row = frame.agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+    e = _canonical_edges(edges, src_col, dst_col).localCheckpoint(eager=False)
+    _und, _sig = _und_edges, _edge_sig
 
     levels = [
         _und(e).select(F.col("u").alias("id")).distinct().withColumn(
@@ -394,10 +389,12 @@ def core_numbers(
     ]
     total_rounds = 0
     deepest = 1
+    all_converged = True
     sig = _sig(e)
     for k in range(2, int(k_max) + 1):
         if sig[0] == 0:
             break
+        level_converged = False
         for _r in range(int(iters_per_k)):
             keep = (
                 _und(e)
@@ -414,10 +411,18 @@ def core_numbers(
             total_rounds += 1
             new_sig = _sig(e)
             if new_sig == sig:
+                level_converged = True
                 break  # fixpoint for this k: nothing more drops
             sig = new_sig
+            if sig[0] == 0:
+                level_converged = True  # empty IS a fixpoint
+                break
         if sig[0] == 0:
-            break
+            break  # emptied: a fixpoint for this and every higher k
+        # a level that exhausted its budget mid-peel kept sub-k nodes: the
+        # assigned core numbers are an UPPER BOUND, and the caller can tell
+        # (the same contract as kcore's stats["converged"])
+        all_converged = all_converged and level_converged
         deepest = k
         levels.append(
             _und(e).select(F.col("u").alias("id")).distinct().withColumn(
@@ -427,6 +432,7 @@ def core_numbers(
     if stats is not None:
         stats["levels"] = deepest
         stats["rounds"] = total_rounds
+        stats["converged"] = all_converged
     out = levels[0]
     for frame in levels[1:]:
         out = out.unionByName(frame)

@@ -370,7 +370,10 @@ def encode_ima_adpcm(
 
     import numpy as np
 
-    assert block_samples % 2 == 1, "block_samples must be odd"
+    if block_samples % 2 != 1:
+        # a plain assert would vanish under python -O and surface as an
+        # IndexError deep in the nibble packing instead
+        raise ValueError("block_samples must be odd (header sample + pairs)")
     s = np.asarray(samples, dtype=np.int16)
     n = len(s)
     block_align = 4 + (block_samples - 1) // 2

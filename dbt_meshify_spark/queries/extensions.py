@@ -7223,12 +7223,15 @@ def ext_pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_meshify_spark.operators.text import luhn_card_hits
 
     docs = load_table(spark, sf_dir, "documents")
+    # modulo BEFORE the product: (doc_id %% 1e5)^2 * 7919 tops out ~8e13,
+    # safely inside int64 for ANY doc_id (a bare doc_id^2 overflows ANSI
+    # arithmetic at doc_id ~3.4e7 — a hidden scale ceiling)
     synth = docs.select(
         "doc_id",
         F.expr(
-            "concat('pay ', lpad(CAST((doc_id * doc_id * 7919 + 12345) "
-            "% 10000000000000000 AS STRING), 16, '0'), ' ref ', "
-            "lpad(CAST((doc_id * 31 + 7) % 1000000000000 AS STRING), "
+            "concat('pay ', lpad(CAST(((doc_id % 100000) * (doc_id % 99991) "
+            "* 7919 + 12345) % 10000000000000000 AS STRING), 16, '0'), "
+            "' ref ', lpad(CAST((doc_id * 31 + 7) % 1000000000000 AS STRING), "
             "CAST(12 + doc_id % 3 AS INT), '0'), ' end')"
         ).alias("text"),
     )
@@ -7240,8 +7243,8 @@ QUERIES["ext_pii_luhn_audit"] = ext_pii_luhn_audit
 ORACLES["ext_pii_luhn_audit"] = r"""
 WITH synth AS (
   SELECT doc_id,
-         'pay ' || lpad(CAST((doc_id * doc_id * 7919 + 12345)
-                             % 10000000000000000 AS STRING), 16, '0')
+         'pay ' || lpad(CAST(((doc_id % 100000) * (doc_id % 99991) * 7919
+                              + 12345) % 10000000000000000 AS STRING), 16, '0')
          || ' ref ' || lpad(CAST((doc_id * 31 + 7) % 1000000000000 AS STRING),
                             CAST(12 + doc_id % 3 AS INT), '0')
          || ' end' AS text

@@ -4136,12 +4136,21 @@ def test_core_numbers_nested_decomposition(spark):
         for r in core_numbers(df, k_max=4, iters_per_k=10, stats=stats).collect()
     }
     assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 2, 6: 2, 7: 2, 8: 2, 9: 1, 10: 1}
-    assert stats["levels"] == 3
+    assert stats["levels"] == 3 and stats["converged"] is True
     # k_max smaller than the degeneracy truncates the ladder, determinately
     capped = {
         r.id: r.core for r in core_numbers(df, k_max=2, iters_per_k=10).collect()
     }
     assert capped == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 2, 8: 2, 9: 1, 10: 1}
+    # an iters_per_k budget too small for the pendant cascade must SAY so:
+    # cores become an upper bound and stats['converged'] flips False
+    trunc: dict = {}
+    up = {
+        r.id: r.core
+        for r in core_numbers(df, k_max=2, iters_per_k=1, stats=trunc).collect()
+    }
+    assert trunc["converged"] is False
+    assert up[9] == 2  # 9 survived the single k=2 round (true core is 1)
 
 
 def test_luhn_card_hits_validates_checksums(spark):
