@@ -479,7 +479,10 @@ def label_propagation(
     The signature is a 1-row aggregate over the frame the next round
     would materialize anyway, so stable graphs stop paying join rounds the
     moment communities settle. ``stats["rounds"]`` records the executed
-    count when a dict is passed.
+    count when a dict is passed, and ``stats["converged"]`` whether the
+    final label frame is a fixpoint (the kcore truncation contract: when
+    False the labels are a mid-propagation snapshot — exact for the
+    fixed ``iters``, but not the settled communities).
 
     Returns ``id, community`` (community = the adopted label).
     """
@@ -520,8 +523,10 @@ def label_propagation(
     # after round 1, and real graphs are never settled that early — the
     # two collects would be pure overhead on every call
     check = n_rounds >= 3
-    sig = _sig(labels) if check else None
+    track = check or stats is not None
+    sig = _sig(labels) if track else None
     rounds = 0
+    converged = False
     for r in range(n_rounds):
         nbr = und.join(labels, und["v"] == labels["id"]).select(
             F.col("u"), F.col("community")
@@ -556,8 +561,17 @@ def label_propagation(
         if check and r < n_rounds - 1:
             new_sig = _sig(labels)
             if new_sig == sig:
+                converged = True
                 break  # fixpoint: every remaining round would be a no-op
+            sig = new_sig
+        elif stats is not None:
+            # full-budget exit (or iters <= 2) with a caller watching:
+            # consecutive-round signatures decide whether the final round
+            # was already a no-op (the kcore truncation contract)
+            new_sig = _sig(labels)
+            converged = new_sig == sig
             sig = new_sig
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels

@@ -3847,11 +3847,20 @@ def test_label_propagation_early_stops_at_convergence(spark):
         r.id: r.community for r in label_propagation(df, iters=4).collect()
     }
     assert out_long == out_fixed
+    assert stats["converged"] is True
     # an edgeless graph converges on the very first round
     lone = spark.createDataFrame([(1, 1), (2, 2)], "src int, dst int")
     s2: dict = {}
     label_propagation(lone, iters=10, stats=s2).collect()
     assert s2["rounds"] == 1
+    # a budget too small for the propagation depth must SAY so: a 7-chain
+    # with iters=1 is mid-propagation, not settled
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "src int, dst int"
+    )
+    s3: dict = {}
+    label_propagation(chain, iters=1, stats=s3).collect()
+    assert s3["converged"] is False and s3["rounds"] == 1
 
 
 def test_attribution_models_credit_correctly(spark):
