@@ -387,3 +387,66 @@ def test_web_front_door_survives_nasty_input(spark, nasty):
     cmp_ = {r.doc_id: r for r in code_markup_profile(nasty).collect()}
     assert len(cmp_) == len(NASTY)
     assert cmp_[7].n_lines == 1 and cmp_[7].sym_density == 0.0  # 5k-char token
+
+
+def test_substring_runs_survive_nasty_input(spark, nasty):
+    """substring_run_pairs + the spans/cut composition over nulls, empty
+    strings, unicode, giant docs: no crash; the repeated-token doc pair
+    (5, 12) — identical 5-token unicode docs — is the only cross-doc
+    >=5-token run; cut_spans_from_text keeps every input row."""
+    from dbt_meshify_spark.operators.dedup import (
+        cut_spans_from_text,
+        substring_run_pairs,
+        substring_runs_to_spans,
+    )
+
+    runs = substring_run_pairs(nasty, k=5, min_run_tokens=5).collect()
+    assert {(r.id_a, r.id_b) for r in runs} == {(5, 12)}
+    r = runs[0]
+    assert (r.a_start, r.a_end, r.b_start, r.b_end) == (1, 6, 1, 6)
+    spans = substring_runs_to_spans(
+        substring_run_pairs(nasty, k=5, min_run_tokens=5)
+    )
+    out = cut_spans_from_text(nasty, spans)
+    rows = {x.doc_id: x for x in out.collect()}
+    assert len(rows) == len(NASTY)          # removal pass is total
+    assert rows[12].n_tokens_removed == 5   # doc 12 loses its copy
+    assert rows[5].n_tokens_removed == 0    # canonical keeps its copy
+    assert rows[3].clean_text == "" and rows[3].n_tokens_kept == 0
+
+
+def test_bpe_delimited_and_luhn_survive_nasty_input(spark, nasty):
+    """apply_bpe_delimited drops only no-token docs (documented); Luhn
+    audit zero-fills docs without digit runs and never crashes on
+    nulls/unicode/control chars."""
+    from dbt_meshify_spark.operators.bpe import (
+        apply_bpe_delimited,
+        train_bpe_distributed,
+    )
+    from dbt_meshify_spark.operators.text import luhn_card_hits
+
+    merges = [
+        (r.lhs, r.rhs)
+        for r in train_bpe_distributed(nasty, n_merges=3).collect()
+    ]
+    enc = {r.doc_id: r for r in apply_bpe_delimited(nasty, merges).collect()}
+    # docs 2 (empty), 3 (null), 4 (whitespace) have no words -> absent
+    assert set(enc) == {1, 5, 6, 7, 8, 9, 10, 11, 12}
+    assert enc[7].n_bpe_tokens >= 1
+    luhn = {r.doc_id: (r.n_candidates, r.n_valid) for r in luhn_card_hits(nasty).collect()}
+    assert len(luhn) == len(NASTY)
+    assert all(v == (0, 0) for k, v in luhn.items())  # no 13-19 digit runs
+
+
+def test_trigram_perplexity_survives_nasty_input(spark, nasty):
+    """Docs with <3 tokens drop (documented); everything else scores a
+    finite positive ppl, including unicode and the 3000-token doc."""
+    import math
+
+    from dbt_meshify_spark.operators.lm import trigram_perplexity
+
+    out = {r.doc_id: r for r in trigram_perplexity(nasty).collect()}
+    # 1,5..12 have >=3 tokens except 7 (one giant token) and 11 (one token)
+    assert set(out) == {1, 5, 6, 8, 9, 10, 12}
+    for r in out.values():
+        assert r.ppl > 0 and math.isfinite(r.ppl)
