@@ -395,6 +395,102 @@ def temperature_weights_from_counts(
     return {s: (n**alpha) / z * n_total / n for s, n in sorted(counts.items())}
 
 
+def epoch_budget_plan(
+    df: DataFrame,
+    group_cols: list[str],
+    token_budget: int,
+    max_epochs: int = 4,
+    token_col: str = "n_chars",
+    rounds: int = 3,
+) -> DataFrame:
+    """Epoch-aware token-budget allocation under a repetition cap — the
+    data-constrained mixing planner (Muennighoff et al., "Scaling
+    Data-Constrained Language Models"): each group targets an EQUAL share
+    of ``token_budget`` (the equal-representation posture that up-samples
+    small high-quality sources), but no group may exceed ``max_epochs``
+    passes over its own data; the share a capped group cannot absorb
+    water-fills into the still-uncapped groups over ``rounds`` fixed
+    redistribution rounds.
+
+    Everything is INTEGER arithmetic (BIGINT sums, integer-division
+    shares, LEAST caps), so the plan is bit-identical across engines and
+    the oracle replays the rounds as unrolled CTEs — no float in the
+    allocation path; the per-round flooring residue (< |pool| tokens per
+    round) is deliberate and deterministic. Scale shape: one
+    group-cardinality aggregate, then per round one 1-row totals
+    aggregate broadcast back — the allocation frame never exceeds group
+    cardinality, and nothing shuffles the corpus again.
+
+    Returns one row per group: ``*group_cols, n_tokens, cap_tokens,
+    alloc_tokens, epochs (alloc/n, 4dp), budget_frac (alloc/budget,
+    4dp)``; groups with ``n_tokens = 0`` allocate 0.
+    """
+    if int(max_epochs) < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    sizes = df.groupBy(*group_cols).agg(
+        F.sum(F.col(token_col)).cast("bigint").alias("n_tokens")
+    )
+    alloc = sizes.select(
+        *group_cols,
+        "n_tokens",
+        (F.col("n_tokens") * F.lit(int(max_epochs))).alias("cap_tokens"),
+        F.lit(0).cast("bigint").alias("alloc_tokens"),
+    )
+    for _ in range(int(rounds)):
+        totals = alloc.agg(
+            F.coalesce(F.sum("alloc_tokens"), F.lit(0)).alias("__used"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("alloc_tokens") < F.col("cap_tokens"), 1)
+                ),
+                F.lit(0),
+            ).alias("__pool"),
+        )
+        rem = F.greatest(F.lit(int(token_budget)) - F.col("__used"), F.lit(0))
+        share = F.when(
+            (F.col("__pool") > 0) & (F.col("alloc_tokens") < F.col("cap_tokens")),
+            # greatest() keeps the DIV total under ANSI even though the
+            # pool>0 guard means the branch is never taken at pool=0
+            F.expr(f"({int(token_budget)} - __used) DIV greatest(__pool, 1)"),
+        ).otherwise(F.lit(0))
+        # guard: a negative remainder (over-budget cap sums cannot happen,
+        # but keep the algebra total) shares 0
+        share = F.when(rem > 0, share).otherwise(F.lit(0))
+        alloc = alloc.crossJoin(F.broadcast(totals)).select(
+            *group_cols,
+            "n_tokens",
+            "cap_tokens",
+            F.least(
+                F.col("alloc_tokens") + F.coalesce(share, F.lit(0)),
+                F.col("cap_tokens"),
+            ).alias("alloc_tokens"),
+        )
+    return alloc.select(
+        *group_cols,
+        "n_tokens",
+        "cap_tokens",
+        "alloc_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("alloc_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                4,
+            )
+            + F.lit(0.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("epochs"),
+        (
+            F.round(
+                F.col("alloc_tokens").cast("double") / F.lit(float(token_budget)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("budget_frac"),
+    )
+
+
 def cap_per_key(
     df: DataFrame,
     key_col: str,

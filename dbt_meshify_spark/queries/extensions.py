@@ -7350,3 +7350,64 @@ SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
 FROM scored GROUP BY doc_id
 ORDER BY doc_id NULLS FIRST
 """
+
+
+def ext_epoch_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N9] data-constrained mixing plan (Muennighoff et al. posture):
+    equal-share token allocation across (lang, source) cells under a
+    4-epoch repetition cap, overflow water-filled over 3 fixed rounds
+    (operators/sampling.py::epoch_budget_plan). Pure INTEGER allocation
+    arithmetic — BIGINT sums, integer-division shares, LEAST caps — so
+    the oracle replays the rounds bit-exactly as unrolled CTEs."""
+    from dbt_meshify_spark.operators.sampling import epoch_budget_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_budget_plan(
+        docs, ["lang", "source"], token_budget=450_000, max_epochs=4
+    ).orderBy(_asc("lang"), _asc("source"))
+
+
+QUERIES["ext_epoch_budget_plan"] = ext_epoch_budget_plan
+
+# one water-fill round: 1-row (used, pool) totals, uniform integer share to
+# uncapped groups, LEAST cap. MATERIALIZED: a{r} is referenced by t{r+1} AND
+# a{r+1} (the trigram lesson — DuckDB inlines multiply-referenced CTEs)
+_EPOCH_ROUNDS = "".join(
+    f"""
+t{r} AS (
+  SELECT COALESCE(SUM(alloc), 0) AS used,
+         COALESCE(SUM(CASE WHEN alloc < cap_tokens THEN 1 END), 0) AS pool
+  FROM a{r - 1}
+),
+a{r} AS MATERIALIZED (
+  SELECT lang, source, n_tokens, cap_tokens,
+         CAST(LEAST(alloc + CASE WHEN t{r}.pool > 0 AND alloc < cap_tokens
+                             AND 450000 - t{r}.used > 0
+                            THEN (450000 - t{r}.used) // greatest(t{r}.pool, 1)
+                            ELSE 0 END,
+               cap_tokens) AS BIGINT) AS alloc
+  FROM a{r - 1}, t{r}
+),"""
+    for r in (1, 2, 3)
+)
+
+ORACLES["ext_epoch_budget_plan"] = f"""
+WITH sizes AS MATERIALIZED (
+  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+a0 AS MATERIALIZED (
+  SELECT lang, source, n_tokens, n_tokens * 4 AS cap_tokens,
+         CAST(0 AS BIGINT) AS alloc
+  FROM sizes
+),{_EPOCH_ROUNDS}
+fin AS (SELECT * FROM a3)
+SELECT lang, source, n_tokens, cap_tokens, alloc AS alloc_tokens,
+       CASE WHEN n_tokens > 0
+            THEN ROUND(CAST(alloc AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+                 + 0.0
+            ELSE 0.0 END AS epochs,
+       ROUND(CAST(alloc AS DOUBLE) / 450000.0, 4) + 0.0 AS budget_frac
+FROM fin
+ORDER BY lang NULLS FIRST, source NULLS FIRST
+"""

@@ -4239,3 +4239,42 @@ def test_trigram_perplexity_interpolation_and_ranking(spark):
         return round(math.exp(s / m), 4)
     assert out[0].ppl == ppl(docs[0])
     assert out[99].ppl == ppl(docs[99])
+
+
+def test_epoch_budget_plan_water_fills_with_caps(spark):
+    """Hand-computed 3-round fill: budget 1000, max_epochs 4, groups of
+    100/10/1000 tokens. Equal shares cap the small groups at 4 epochs and
+    the overflow water-fills into the big one; all arithmetic integral."""
+    from dbt_meshify_spark.operators.sampling import epoch_budget_plan
+
+    rows = (
+        [("A", 50), ("A", 50)]
+        + [("B", 10)]
+        + [("C", 400), ("C", 600)]
+    )
+    df = spark.createDataFrame(rows, "src string, n_chars long")
+    out = {
+        r.src: r
+        for r in epoch_budget_plan(
+            df, ["src"], token_budget=1000, max_epochs=4
+        ).collect()
+    }
+    # r1: share 333 -> A 333, B capped 40, C 333 (used 706)
+    # r2: pool {A, C}, share 147 -> A capped 400, C 480 (used 920)
+    # r3: pool {C}, share 80 -> C 560
+    assert (out["A"].alloc_tokens, out["B"].alloc_tokens, out["C"].alloc_tokens) == (400, 40, 560)
+    assert out["A"].epochs == 4.0 and out["B"].epochs == 4.0
+    assert out["C"].epochs == 0.56
+    assert abs(sum(r.budget_frac for r in out.values()) - 1.0) < 1e-9
+    # budget below every cap: one uniform share each, no redistribution
+    small = {
+        r.src: r.alloc_tokens
+        for r in epoch_budget_plan(
+            df, ["src"], token_budget=90, max_epochs=4
+        ).collect()
+    }
+    assert small == {"A": 30, "B": 30, "C": 30}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        epoch_budget_plan(df, ["src"], token_budget=10, max_epochs=0)
