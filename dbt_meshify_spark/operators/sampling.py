@@ -430,12 +430,18 @@ def epoch_budget_plan(
     sizes = df.groupBy(*group_cols).agg(
         F.sum(F.col(token_col)).cast("bigint").alias("n_tokens")
     )
+    # localCheckpoint pins the corpus aggregate AND each round's frame:
+    # every round references its predecessor TWICE (totals + projection),
+    # so unpinned lineage doubles per round — 2^rounds corpus scans, and
+    # Spark's ReuseExchange does NOT dedup them (alias renumbering defeats
+    # subplan equality; measured 8 FileScans at rounds=3). With the pins
+    # the corpus aggregates exactly once (the graph-loop discipline).
     alloc = sizes.select(
         *group_cols,
         "n_tokens",
         (F.col("n_tokens") * F.lit(int(max_epochs))).alias("cap_tokens"),
         F.lit(0).cast("bigint").alias("alloc_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(int(rounds)):
         totals = alloc.agg(
             F.coalesce(F.sum("alloc_tokens"), F.lit(0)).alias("__used"),
@@ -446,24 +452,26 @@ def epoch_budget_plan(
                 F.lit(0),
             ).alias("__pool"),
         )
-        rem = F.greatest(F.lit(int(token_budget)) - F.col("__used"), F.lit(0))
+        # the oracle's CASE WHEN, verbatim: pool open, group uncapped,
+        # budget remaining; greatest() keeps the DIV total under ANSI even
+        # though the pool>0 guard means the branch is never taken at pool=0
         share = F.when(
-            (F.col("__pool") > 0) & (F.col("alloc_tokens") < F.col("cap_tokens")),
-            # greatest() keeps the DIV total under ANSI even though the
-            # pool>0 guard means the branch is never taken at pool=0
+            (F.col("__pool") > 0)
+            & (F.col("alloc_tokens") < F.col("cap_tokens"))
+            & (F.lit(int(token_budget)) - F.col("__used") > 0),
             F.expr(f"({int(token_budget)} - __used) DIV greatest(__pool, 1)"),
         ).otherwise(F.lit(0))
-        # guard: a negative remainder (over-budget cap sums cannot happen,
-        # but keep the algebra total) shares 0
-        share = F.when(rem > 0, share).otherwise(F.lit(0))
-        alloc = alloc.crossJoin(F.broadcast(totals)).select(
-            *group_cols,
-            "n_tokens",
-            "cap_tokens",
-            F.least(
-                F.col("alloc_tokens") + F.coalesce(share, F.lit(0)),
-                F.col("cap_tokens"),
-            ).alias("alloc_tokens"),
+        alloc = (
+            alloc.crossJoin(F.broadcast(totals))
+            .select(
+                *group_cols,
+                "n_tokens",
+                "cap_tokens",
+                F.least(
+                    F.col("alloc_tokens") + share, F.col("cap_tokens")
+                ).alias("alloc_tokens"),
+            )
+            .localCheckpoint(eager=False)
         )
     return alloc.select(
         *group_cols,

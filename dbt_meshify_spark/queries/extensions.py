@@ -7362,8 +7362,10 @@ def ext_epoch_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_meshify_spark.operators.sampling import epoch_budget_plan
 
     docs = load_table(spark, sf_dir, "documents")
+    # rounds pinned explicitly: the oracle unrolls EXACTLY 3 water-fill
+    # rounds, so a future default change must not silently desync them
     return epoch_budget_plan(
-        docs, ["lang", "source"], token_budget=450_000, max_epochs=4
+        docs, ["lang", "source"], token_budget=450_000, max_epochs=4, rounds=3
     ).orderBy(_asc("lang"), _asc("source"))
 
 

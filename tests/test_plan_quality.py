@@ -542,3 +542,16 @@ def test_substring_dedup_shuffles_hashes_never_text_or_grams(spark):
     for line in ex_lines:
         assert "text" not in line, f"text column in a shuffle: {line.strip()}"
         assert "__gram" not in line, f"gram string in a shuffle: {line.strip()}"
+
+
+def test_epoch_budget_plan_aggregates_corpus_once(spark):
+    """epoch_budget_plan's water-fill rounds run on the PINNED
+    group-cardinality frame: every round references its predecessor twice
+    (totals + projection), so unpinned lineage doubles per round and
+    ReuseExchange does NOT dedup the renamed subplans — measured 2^rounds
+    FileScans before the checkpoint fix. The final plan must contain no
+    parquet scan at all (the one corpus aggregate lives inside the
+    checkpoint lineage and runs once)."""
+    plan = _physical(QUERIES["ext_epoch_budget_plan"](spark, SF_ORACLE))
+    assert plan.count("Scan parquet") == 0, "round lineage re-scans the corpus"
+    assert "ExistingRDD" in plan
