@@ -1160,6 +1160,7 @@ def substring_run_pairs(
     min_run_tokens: int | None = None,
     max_gram_df: int = 1_000,
     max_occ_per_doc: int = 8,
+    min_anchors: int = 1,
 ) -> DataFrame:
     """Cross-document EXACT duplicated substring runs with span extents —
     the distributed analog of suffix-array dedup (Lee et al.,
@@ -1182,7 +1183,13 @@ def substring_run_pairs(
        same df-cap discipline as the containment/winnowing tiers; both
        caps are deterministic, so oracles mirror them);
     3. anchors equi-join on the 8-byte hash (``id_a < id_b``) — never the
-       gram text — so the shuffle carries (hash, id, pos) rows only;
+       gram text — so the shuffle carries (hash, id, pos) rows only; each
+       matched pair is then RE-VERIFIED against a second, independently
+       seeded 64-bit gram hash, so a single xxhash64 collision (expected
+       at the ~5e9-gram birthday bound of a 100 TB corpus) can no longer
+       fabricate an "exact" duplicate — a pair survives only at ~2^-128,
+       which keeps the downstream ``cut_spans_from_text`` surgery
+       non-lossy without ever shuffling gram text;
     4. matches on one DIAGONAL (``pb - pa`` constant) merge into runs via
        the sorted-interval walk per ``(id_a, id_b, diag)``: a new run
        starts exactly when ``pa > lag(pa) + k``. Two aligned k-gram
@@ -1199,7 +1206,9 @@ def substring_run_pairs(
 
     Returns ``id_a, id_b, a_start, a_end, b_start, b_end (ends
     exclusive), n_tokens, n_anchors`` for runs of >= ``min_run_tokens``
-    (default ``k``) tokens.
+    (default ``k``) tokens and >= ``min_anchors`` anchors (default 1;
+    raise it to demand multi-anchor corroboration on top of the
+    double-hash verification).
     """
     min_run = int(min_run_tokens) if min_run_tokens is not None else int(k)
     pos = (
@@ -1212,6 +1221,10 @@ def substring_run_pairs(
             F.col(id_col),
             (F.col("__p") + 1).cast("bigint").alias("st"),
             F.xxhash64("__gram").alias("__gh"),
+            # independently seeded verification hash: the seed literal makes
+            # xxhash64((42, gram)) a different function of gram than
+            # xxhash64((gram,)) — 8 extra bytes per anchor row
+            F.xxhash64(F.lit(42), "__gram").alias("__gh2"),
         )
     )
     wocc = Window.partitionBy(id_col, "__gh").orderBy("st")
@@ -1227,11 +1240,23 @@ def substring_run_pairs(
         .select("__gh")
     )
     pk = pos.join(keep, "__gh")
-    a = pk.select("__gh", F.col(id_col).alias("id_a"), F.col("st").alias("pa"))
-    b = pk.select("__gh", F.col(id_col).alias("id_b"), F.col("st").alias("pb"))
+    a = pk.select(
+        "__gh",
+        F.col("__gh2").alias("__gh2a"),
+        F.col(id_col).alias("id_a"),
+        F.col("st").alias("pa"),
+    )
+    b = pk.select(
+        "__gh",
+        F.col("__gh2").alias("__gh2b"),
+        F.col(id_col).alias("id_b"),
+        F.col("st").alias("pb"),
+    )
     anch = (
         a.join(b, "__gh")
         .filter(F.col("id_a") < F.col("id_b"))
+        # double-hash verification: drop primary-hash collisions
+        .filter(F.col("__gh2a") == F.col("__gh2b"))
         .select("id_a", "id_b", "pa", "pb", (F.col("pb") - F.col("pa")).alias("__d"))
     )
     w = Window.partitionBy("id_a", "id_b", "__d").orderBy("pa")
@@ -1255,7 +1280,10 @@ def substring_run_pairs(
             F.count("*").cast("bigint").alias("n_anchors"),
         )
         .withColumn("n_tokens", (F.col("a_end") - F.col("a_start")).cast("bigint"))
-        .filter(F.col("n_tokens") >= min_run)
+        .filter(
+            (F.col("n_tokens") >= min_run)
+            & (F.col("n_anchors") >= int(min_anchors))
+        )
         .select(
             "id_a", "id_b", "a_start", "a_end", "b_start", "b_end",
             "n_tokens", "n_anchors",

@@ -379,6 +379,12 @@ def core_numbers(
     Returns ``id, core`` (core = max k in 1..k_max whose peel kept the
     node).
     """
+    if int(k_max) < 1:
+        raise ValueError(f"k_max must be >= 1, got {k_max}")
+    if int(iters_per_k) < 1:
+        # 0 would silently skip every peel and assign core=k_max to all
+        # endpoints (the epoch_budget_plan max_epochs guard discipline)
+        raise ValueError(f"iters_per_k must be >= 1, got {iters_per_k}")
     e = _canonical_edges(edges, src_col, dst_col).localCheckpoint(eager=False)
     _und, _sig = _und_edges, _edge_sig
 

@@ -405,23 +405,32 @@ def embedding_neardup_exact(
     thresholded survivors out, ~60x less traffic, same einsum kernel and
     therefore bit-identical scores. The closure matrix is bounded IN CODE:
     this tier is the named VERIFICATION baseline, only ever run on slices,
-    and inputs over ``max_rows`` raise ``ValueError`` BEFORE the collect
-    instead of becoming a silent driver-memory bottleneck — the blocked-GEMM
-    twin `embedding_neardup_gemm` is the no-collect exact form, and LSH/IVF
-    are the scale paths. Both join sides spread so the O(n^2) enumeration
-    parallelizes regardless of which side the planner streams."""
+    and inputs over ``max_rows`` raise ``ValueError`` instead of becoming a
+    silent driver-memory bottleneck. The guard is a single bounded job: the
+    matrix collect itself runs under ``limit(max_rows + 1)`` and the length
+    check follows — no separate count pre-job, no check-then-collect window
+    for a shifting source (a source that still mutates between this collect
+    and the pair enumeration is caught by the NaN-id guard in the scoring
+    UDF). The blocked-GEMM twin `embedding_neardup_gemm` is the no-collect
+    exact form, and LSH/IVF are the scale paths. Both join sides spread so
+    the O(n^2) enumeration parallelizes regardless of which side the
+    planner streams."""
     src = df.filter(F.col(vec_col).isNotNull())
     # the slice-only contract, enforced: limit(max_rows + 1) bounds the
-    # pre-check itself (a plain count() would scan the full 100 TB corpus
-    # this guard exists to reject)
-    if src.limit(max_rows + 1).count() > max_rows:
+    # collect itself (a plain count() pre-check would both scan the full
+    # 100 TB corpus this guard exists to reject AND race the collect)
+    rows = (
+        src.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
         raise ValueError(
             f"embedding_neardup_exact is the O(n^2) verification baseline "
             f"and collects the (id, vector) matrix driver-side; input "
             f"exceeds max_rows={max_rows}. Use embedding_neardup_gemm "
             f"(exact, no collect) or the LSH/IVF paths at corpus scale."
         )
-    rows = src.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).collect()
     ids = [r[0] for r in rows]
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     norms = (

@@ -123,20 +123,71 @@ PII_PATTERNS: list[tuple[str, str]] = [
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
 ]
 
+# Separator-tolerant card-number candidate: 13-19 digits in one run, any two
+# adjacent digits optionally split by ONE space or dash — covers
+# '4111111111111111', '4111 1111 1111 1111', '4111-1111-1111-1111', and
+# mixed forms. The \b anchors make a 20+-digit (grouped or contiguous) run
+# yield its longest <=19-digit boundary-aligned prefix or nothing, never a
+# silent mid-run slice; both Java regex and RE2 resolve this identically
+# (verified engine-side by the ext_pii_luhn_audit oracle). RE2-compatible:
+# \b, (?:), bounded repeat — no lookaround.
+CARD_CANDIDATE_PATTERN = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def _luhn_sum(rev: Column) -> Column:
+    """Luhn checksum of a reversed digit string (bounded <=19-element HOF
+    fold — per-candidate, not corpus-sized, so interpreted eval is fine)."""
+    digit = lambda i: F.substring(rev, i, F.lit(1)).cast("int")  # noqa: E731
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(rev)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 0,
+            F.when(digit(i) * 2 > 9, digit(i) * 2 - 9).otherwise(digit(i) * 2),
+        ).otherwise(digit(i)),
+    )
+
+
+def mask_luhn_cards(col: Column, token: str = "[CARD]") -> Column:
+    """Replace Luhn-VALID card-shaped runs (contiguous or space/dash
+    grouped) with ``token``; checksum-invalid lookalikes (order ids,
+    tracking numbers) are left untouched — the recall fix that pure-regex
+    masking can't express. Per row: extract candidates
+    (:data:`CARD_CANDIDATE_PATTERN`), keep those whose separator-stripped
+    digits pass Luhn, fold ``replace`` over the survivors. All built-in
+    expressions over a <=few-element candidate list, fused into the scan.
+    """
+    cands = F.regexp_extract_all(col, F.lit(CARD_CANDIDATE_PATTERN), F.lit(0))
+    valid = F.filter(
+        cands,
+        lambda c: _luhn_sum(F.reverse(F.regexp_replace(c, "[ -]", ""))) % 10 == 0,
+    )
+    return F.aggregate(valid, col, lambda acc, c: F.replace(acc, c, F.lit(token)))
+
 
 def redact_pii(
-    df: DataFrame, cols: list[str], patterns: list[tuple[str, str]] | None = None
+    df: DataFrame,
+    cols: list[str],
+    patterns: list[tuple[str, str]] | None = None,
+    luhn_cards: bool = True,
 ) -> DataFrame:
-    """Mask emails / SSNs / phone numbers / IPs in the given string columns.
+    """Mask cards / emails / SSNs / phone numbers / IPs in the given string
+    columns.
 
-    A chain of ``regexp_replace`` projections — JVM-side, codegen'd, no
-    shuffle; at 100 TB this runs at scan speed fused into whatever stage
-    reads the text. Extend/replace ``patterns`` for locale-specific formats.
+    Card masking runs FIRST and is Luhn-GATED (:func:`mask_luhn_cards`):
+    only checksum-valid candidates become ``[CARD]``, so 16-digit order ids
+    — even separator-grouped ones — never mass-redact. The remaining
+    families are a chain of ``regexp_replace`` projections. Everything is
+    JVM-side, codegen'd or bounded-HOF, no shuffle; at 100 TB this runs at
+    scan speed fused into whatever stage reads the text. Extend/replace
+    ``patterns`` for locale-specific formats; ``luhn_cards=False`` restores
+    the pattern-only chain.
     """
     pats = PII_PATTERNS if patterns is None else patterns
     out = {}
     for c in cols:
-        col = F.col(c)
+        col = mask_luhn_cards(F.col(c)) if luhn_cards else F.col(c)
         for pattern, token in pats:
             col = F.regexp_replace(col, pattern, token)
         out[c + "_redacted"] = col
@@ -147,10 +198,13 @@ def luhn_card_hits(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Credit-card PII detection with Luhn checksum VALIDATION — the
-    precision tier above :func:`redact_pii`'s pattern masking: 13-19
-    digit runs are extracted and only checksum-valid candidates count,
-    so order ids / tracking numbers / phone-ish digit runs don't read as
-    card hits (~90% of arbitrary digit runs fail Luhn).
+    precision tier above pattern masking: separator-tolerant candidates
+    (:data:`CARD_CANDIDATE_PATTERN` — contiguous '4111111111111111' AND
+    grouped '4111 1111 1111 1111' / '4111-1111-1111-1111' / mixed, the
+    dominant real-world card formats) are extracted, separator-stripped
+    to 13-19 digits, and only checksum-valid candidates count, so order
+    ids / tracking numbers / phone-ish digit runs don't read as card
+    hits (~90% of arbitrary digit runs fail Luhn).
 
     Scale shape: extraction is a codegen regexp over the scan; the Luhn
     sum is a higher-order aggregate over a <=19-element sequence per
@@ -165,24 +219,17 @@ def luhn_card_hits(
         df.select(
             F.col(id_col),
             F.explode(
-                F.expr(f"regexp_extract_all({text_col}, '\\\\d+', 0)")
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(CARD_CANDIDATE_PATTERN), F.lit(0)
+                )
             ).alias("__run"),
         )
-        .filter(F.length("__run").between(13, 19))
-        .withColumn("__rev", F.reverse(F.col("__run")))
-    )
-    luhn_sum = F.expr(
-        """
-        aggregate(sequence(1, length(__rev)), 0,
-          (acc, i) -> acc + (CASE WHEN i % 2 = 0
-            THEN IF(2 * CAST(substring(__rev, i, 1) AS INT) > 9,
-                    2 * CAST(substring(__rev, i, 1) AS INT) - 9,
-                    2 * CAST(substring(__rev, i, 1) AS INT))
-            ELSE CAST(substring(__rev, i, 1) AS INT) END))
-        """
+        .withColumn("__digits", F.regexp_replace("__run", "[ -]", ""))
+        .filter(F.length("__digits").between(13, 19))
+        .withColumn("__rev", F.reverse(F.col("__digits")))
     )
     counts = (
-        runs.withColumn("__luhn", luhn_sum)
+        runs.withColumn("__luhn", _luhn_sum(F.col("__rev")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_candidates"),

@@ -1051,13 +1051,34 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[N9] PII redaction: chained RE2-safe regexp_replace (email/SSN/
-    phone/IP -> tokens), codegen'd at scan speed. The corpus has no real
-    PII, so the query synthesizes a contact note per customer from stable
-    keys, then redacts it — the oracle replays both halves."""
+    """[N9] PII redaction: Luhn-GATED card masking (valid cards — even
+    separator-grouped — become [CARD]; checksum-invalid order ids stay)
+    then chained RE2-safe regexp_replace (email/SSN/phone/IP -> tokens),
+    codegen'd at scan speed. The corpus has no real PII, so the query
+    synthesizes a contact note per customer from stable keys — a phone,
+    an email, a known-Luhn-valid card formatted contiguous/spaced/dashed
+    by key % 3, and a dash-grouped key-derived order id (almost always
+    Luhn-invalid, so it must survive) — then redacts it; the oracle
+    replays both halves including the Luhn gate."""
     from dbt_meshify_spark.operators.text import redact_pii
 
     cust = load_table(spark, sf_dir, "customer")
+    # 4539148803436467 is a Luhn-valid test number; format varies by key
+    card = (
+        F.when(F.col("c_custkey") % 3 == 1, F.lit("4539 1488 0343 6467"))
+        .when(F.col("c_custkey") % 3 == 2, F.lit("4539-1488-0343-6467"))
+        .otherwise(F.lit("4539148803436467"))
+    )
+    # modulo BEFORE the product keeps the order id inside int64 at any key
+    oid = F.lpad(
+        (((F.col("c_custkey") % 1000000000000) * 31 + 11) % F.lit(10000000000000000))
+        .cast("string"),
+        16,
+        "0",
+    )
+    order_id = F.concat_ws(
+        "-", oid.substr(1, 4), oid.substr(5, 4), oid.substr(9, 4), oid.substr(13, 4)
+    )
     note = F.concat(
         F.lit("call ("),
         F.lpad((F.col("c_custkey") % 800 + 200).cast("string"), 3, "0"),
@@ -1067,7 +1088,10 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(((F.col("c_custkey") * 7919) % 10000).cast("string"), 4, "0"),
         F.lit(" or mail "),
         F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
-        F.lit("@example.com"),
+        F.lit("@example.com card "),
+        card,
+        F.lit(" order "),
+        order_id,
     )
     return (
         redact_pii(cust.withColumn("note", note), ["note"])
@@ -1863,26 +1887,58 @@ FROM s GROUP BY shard_id
 ORDER BY shard_id NULLS FIRST
 """,
     "ext_pii_redact": """
-WITH c AS (
+WITH oid AS (
   SELECT c_custkey,
-         'call (' || lpad(CAST(c_custkey % 800 + 200 AS VARCHAR), 3, '0')
-         || ') ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
-         || '-' || lpad(CAST((c_custkey * 7919) % 10000 AS VARCHAR), 4, '0')
-         || ' or mail ' || lower(replace(c_name, '#', '.')) || '@example.com'
-         AS note
+         lpad(CAST(((c_custkey % 1000000000000) * 31 + 11)
+                   % 10000000000000000 AS VARCHAR), 16, '0') AS o
   FROM customer
+),
+c AS (
+  SELECT c.c_custkey,
+         'call (' || lpad(CAST(c.c_custkey % 800 + 200 AS VARCHAR), 3, '0')
+         || ') ' || lpad(CAST(c.c_custkey % 1000 AS VARCHAR), 3, '0')
+         || '-' || lpad(CAST((c.c_custkey * 7919) % 10000 AS VARCHAR), 4, '0')
+         || ' or mail ' || lower(replace(c.c_name, '#', '.'))
+         || '@example.com card '
+         || CASE CAST(c.c_custkey % 3 AS INT)
+              WHEN 1 THEN '4539 1488 0343 6467'
+              WHEN 2 THEN '4539-1488-0343-6467'
+              ELSE '4539148803436467' END
+         || ' order ' || substr(o.o, 1, 4) || '-' || substr(o.o, 5, 4)
+         || '-' || substr(o.o, 9, 4) || '-' || substr(o.o, 13, 4)
+         AS note
+  FROM customer c JOIN oid o ON c.c_custkey = o.c_custkey
+),
+carded AS (
+  SELECT c_custkey, note,
+         list_reduce(
+           [note] || list_filter(
+             regexp_extract_all(note, '\\b\\d(?:[ -]?\\d){12,18}\\b'),
+             cand -> list_sum(list_transform(
+               range(1, len(replace(replace(cand, ' ', ''), '-', '')) + 1),
+               i -> CASE WHEN i % 2 = 0
+                 THEN CASE WHEN 2 * CAST(substring(reverse(replace(replace(
+                               cand, ' ', ''), '-', '')), i, 1) AS INT) > 9
+                           THEN 2 * CAST(substring(reverse(replace(replace(
+                               cand, ' ', ''), '-', '')), i, 1) AS INT) - 9
+                           ELSE 2 * CAST(substring(reverse(replace(replace(
+                               cand, ' ', ''), '-', '')), i, 1) AS INT) END
+                 ELSE CAST(substring(reverse(replace(replace(
+                     cand, ' ', ''), '-', '')), i, 1) AS INT) END)) % 10 = 0),
+           (acc, x) -> replace(acc, x, '[CARD]')) AS masked
+  FROM c
 )
 SELECT c_custkey, note,
        regexp_replace(
          regexp_replace(
            regexp_replace(
-             regexp_replace(note,
+             regexp_replace(masked,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
              '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
            '(?:\\+?\\d{1,3}[-. ])?(?:\\(\\d{3}\\) ?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b',
            '[PHONE]', 'g'),
          '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS note_redacted
-FROM c
+FROM carded
 ORDER BY c_custkey NULLS FIRST
 """,
     "ext_topk_per_key": """
@@ -7213,27 +7269,48 @@ ORDER BY doc_id NULLS FIRST
 def ext_pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N9] Luhn-validated credit-card PII audit
     (operators/text.py::luhn_card_hits) — the checksum tier above
-    redact_pii's pattern masking: per doc, how many 13-19-digit runs
+    redact_pii's pattern masking: per doc, how many card-shaped runs
     appear and how many are checksum-valid actual card shapes (~10% of
     arbitrary runs pass Luhn, so validation is what keeps order ids
     from mass-redacting). Digit runs are synthesized deterministically
     from doc_id on BOTH engines (the web-front-door synthesis pattern):
-    one 16-digit run plus one 12-14-digit run whose length varies so
-    the candidate filter is exercised."""
+    one 16-digit run formatted by doc_id % 3 as contiguous / space- /
+    dash-grouped (so the separator-tolerant extraction is exercised on
+    every real-world form) plus one 12-14-digit contiguous run whose
+    length varies so the candidate filter is exercised."""
     from dbt_meshify_spark.operators.text import luhn_card_hits
 
     docs = load_table(spark, sf_dir, "documents")
-    # modulo BEFORE the product: (doc_id %% 1e5)^2 * 7919 tops out ~8e13,
-    # safely inside int64 for ANY doc_id (a bare doc_id^2 overflows ANSI
-    # arithmetic at doc_id ~3.4e7 — a hidden scale ceiling)
+    # modulo BEFORE the product: (doc_id %% 1e5)^2 * 7919 tops out ~8e13 and
+    # (doc_id %% 1e12) * 31 tops out ~3.1e13, both safely inside int64 for
+    # ANY doc_id (a bare doc_id^2 overflows ANSI arithmetic at doc_id
+    # ~3.4e7, a bare doc_id * 31 at ~3e17 — hidden scale ceilings)
+    b = F.lpad(
+        (
+            ((F.col("doc_id") % 100000) * (F.col("doc_id") % 99991) * 7919 + 12345)
+            % F.lit(10000000000000000)
+        ).cast("string"),
+        16,
+        "0",
+    )
+    card = (
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat_ws(" ", b.substr(1, 4), b.substr(5, 4), b.substr(9, 4), b.substr(13, 4)),
+        )
+        .when(
+            F.col("doc_id") % 3 == 2,
+            F.concat_ws("-", b.substr(1, 4), b.substr(5, 4), b.substr(9, 4), b.substr(13, 4)),
+        )
+        .otherwise(b)
+    )
+    ref = F.expr(
+        "lpad(CAST(((doc_id % 1000000000000) * 31 + 7) % 1000000000000 AS STRING), "
+        "CAST(12 + doc_id % 3 AS INT), '0')"
+    )
     synth = docs.select(
         "doc_id",
-        F.expr(
-            "concat('pay ', lpad(CAST(((doc_id % 100000) * (doc_id % 99991) "
-            "* 7919 + 12345) % 10000000000000000 AS STRING), 16, '0'), "
-            "' ref ', lpad(CAST((doc_id * 31 + 7) % 1000000000000 AS STRING), "
-            "CAST(12 + doc_id % 3 AS INT), '0'), ' end')"
-        ).alias("text"),
+        F.concat(F.lit("pay "), card, F.lit(" ref "), ref, F.lit(" end")).alias("text"),
     )
     return luhn_card_hits(synth).orderBy(_asc("doc_id"))
 
@@ -7241,21 +7318,37 @@ def ext_pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ext_pii_luhn_audit"] = ext_pii_luhn_audit
 
 ORACLES["ext_pii_luhn_audit"] = r"""
-WITH synth AS (
+WITH base AS (
   SELECT doc_id,
-         'pay ' || lpad(CAST(((doc_id % 100000) * (doc_id % 99991) * 7919
-                              + 12345) % 10000000000000000 AS STRING), 16, '0')
-         || ' ref ' || lpad(CAST((doc_id * 31 + 7) % 1000000000000 AS STRING),
-                            CAST(12 + doc_id % 3 AS INT), '0')
-         || ' end' AS text
+         lpad(CAST(((doc_id % 100000) * (doc_id % 99991) * 7919
+                    + 12345) % 10000000000000000 AS STRING), 16, '0') AS b
   FROM documents
 ),
+synth AS (
+  SELECT doc_id,
+         'pay ' ||
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 1 THEN substr(b, 1, 4) || ' ' || substr(b, 5, 4) || ' '
+                       || substr(b, 9, 4) || ' ' || substr(b, 13, 4)
+           WHEN 2 THEN substr(b, 1, 4) || '-' || substr(b, 5, 4) || '-'
+                       || substr(b, 9, 4) || '-' || substr(b, 13, 4)
+           ELSE b END
+         || ' ref ' || lpad(CAST(((doc_id % 1000000000000) * 31 + 7)
+                                 % 1000000000000 AS STRING),
+                            CAST(12 + doc_id % 3 AS INT), '0')
+         || ' end' AS text
+  FROM base
+),
 cands AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '\d+')) AS run FROM synth
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b')) AS run
+  FROM synth
 ),
 sized AS (
-  SELECT doc_id, run, reverse(run) AS rev
-  FROM cands WHERE len(run) BETWEEN 13 AND 19
+  SELECT doc_id, run,
+         reverse(replace(replace(run, ' ', ''), '-', '')) AS rev
+  FROM cands
+  WHERE len(replace(replace(run, ' ', ''), '-', '')) BETWEEN 13 AND 19
 ),
 summed AS (
   SELECT doc_id,

@@ -4041,6 +4041,8 @@ def test_substring_run_pairs_caps_are_enforced(spark):
     df = spark.createDataFrame(many, "doc_id long, text string")
     assert substring_run_pairs(df, k=8, max_gram_df=3).count() == 0
     assert substring_run_pairs(df, k=8, max_gram_df=10).count() == 6  # C(4,2)
+    # single-anchor runs (exactly one shared 8-gram) drop under min_anchors=2
+    assert substring_run_pairs(df, k=8, max_gram_df=10, min_anchors=2).count() == 0
     # pathological doc: one token repeated; every anchor is the same gram
     patho = spark.createDataFrame(
         [(1, "w " * 40), (2, "w " * 40)], "doc_id long, text string"
@@ -4160,12 +4162,17 @@ def test_core_numbers_nested_decomposition(spark):
     }
     assert trunc["converged"] is False
     assert up[9] == 2  # 9 survived the single k=2 round (true core is 1)
+    # degenerate budgets raise instead of silently assigning core=k_max
+    for bad in ({"iters_per_k": 0}, {"iters_per_k": -1}, {"k_max": 0}):
+        with pytest.raises(ValueError):
+            core_numbers(df, **bad)
 
 
 def test_luhn_card_hits_validates_checksums(spark):
-    """Known-valid card test numbers pass, off-by-one corruptions fail,
-    short/long digit runs never become candidates, digit-free docs come
-    back with zero counts."""
+    """Known-valid card test numbers pass — contiguous AND space-/dash-/
+    mixed-grouped (the dominant real-world formats) — off-by-one
+    corruptions fail, short/long digit runs never become candidates,
+    digit-free docs come back with zero counts."""
     from dbt_meshify_spark.operators.text import luhn_card_hits
 
     def luhn_ok(s: str) -> bool:
@@ -4183,15 +4190,57 @@ def test_luhn_card_hits_validates_checksums(spark):
     assert luhn_ok(valid)
     corrupt = valid[:-1] + str((int(valid[-1]) + 1) % 10)
     assert not luhn_ok(corrupt)
+    spaced = "4539 1488 0343 6467"
+    dashed = "4539-1488-0343-6467"
+    mixed = "4539-1488 0343-6467"
     rows = [
         (1, f"order 123456789012 card {valid} ok"),      # 12-digit run: not a candidate
         (2, f"pay {corrupt} and {valid}"),
         (3, "no digits here at all"),
-        (4, "a 99999999999999999999 run too long"),      # 20 digits: filtered
+        (4, "a 99999999999999999999 run too long"),      # 20 digits contiguous: no candidate
+        (5, f"pay {spaced} thanks"),                     # space-grouped valid card
+        (6, f"pay {dashed} thanks"),                     # dash-grouped valid card
+        (7, f"pay {mixed} thanks"),                      # mixed separators, still valid
+        (8, "order 4539-1488-0343-6468 shipped"),        # grouped but Luhn-INVALID order id
+        (9, "ref 1234 5678 9012 3456 7890 over"),        # 20 digits grouped: 16-digit
+                                                         # boundary prefix, Luhn-invalid
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: (r.n_candidates, r.n_valid) for r in luhn_card_hits(df).collect()}
-    assert out == {1: (1, 1), 2: (2, 1), 3: (0, 0), 4: (0, 0)}
+    assert out == {
+        1: (1, 1), 2: (2, 1), 3: (0, 0), 4: (0, 0),
+        5: (1, 1), 6: (1, 1), 7: (1, 1),
+        8: (1, 0),  # candidate, but checksum says not a card
+        9: (1, 0),
+    }
+
+
+def test_redact_pii_luhn_gated_card_masking(spark):
+    """redact_pii masks Luhn-valid cards in every separator form but
+    leaves checksum-invalid 16-digit order ids (grouped or not) intact;
+    luhn_cards=False restores the pattern-only chain."""
+    from dbt_meshify_spark.operators.text import redact_pii
+
+    rows = [
+        ("pay 4539148803436467 now", "pay [CARD] now"),
+        ("pay 4539 1488 0343 6467 now", "pay [CARD] now"),
+        ("pay 4539-1488-0343-6467 now", "pay [CARD] now"),
+        ("pay 4539-1488 0343-6467 now", "pay [CARD] now"),
+        # Luhn-invalid 16-digit order ids with separators: NOT masked
+        ("order 4539-1488-0343-6468 shipped", "order 4539-1488-0343-6468 shipped"),
+        ("order 1234 5678 9012 3456 shipped", "order 1234 5678 9012 3456 shipped"),
+        # card + email in one note: both masked, independently
+        (
+            "card 4111 1111 1111 1111 mail a@b.io",
+            "card [CARD] mail [EMAIL]",
+        ),
+    ]
+    df = spark.createDataFrame(rows, "txt string, want string")
+    for r in redact_pii(df, ["txt"]).collect():
+        assert r.txt_redacted == r.want, (r.txt, r.txt_redacted, r.want)
+    # opt-out restores the pattern-only behavior (no [CARD] ever)
+    off = redact_pii(df, ["txt"], luhn_cards=False).collect()
+    assert not any("[CARD]" in r.txt_redacted for r in off)
 
 
 def test_trigram_perplexity_interpolation_and_ranking(spark):
