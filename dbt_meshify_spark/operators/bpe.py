@@ -179,6 +179,59 @@ def train_bpe_distributed(
     )
 
 
+#: Scratch root for persisted BPE merge tables (the tokenizer analog of
+#: ``similarity.DEFAULT_IVF_DIR``).
+DEFAULT_BPE_DIR = "/tmp/dbt_meshify_spark_bpe"
+
+
+def ensure_bpe_merges(
+    spark,
+    df: DataFrame,
+    cache_key: str,
+    n_merges: int = 8,
+    text_col: str = "text",
+    source_path: str | None = None,
+    base_dir: str = DEFAULT_BPE_DIR,
+) -> list[tuple[str, str]]:
+    """Persisted :func:`train_bpe_distributed` keyed on ``cache_key``:
+    train ONCE, parquet round-trip, reuse across sessions — so
+    encode-shaped queries serve warm instead of paying the fixed
+    training cost in-query every run (the `ensure_ivf_index` deployment
+    shape for the tokenizer tier; training dominated the
+    `ext_bpe_encode_dist` wall time before this cache existed).
+
+    Reuse is gated on the ``_SUCCESS`` marker AND the source fingerprint
+    (``sources.bucketing`` discipline): a corpus parquet regenerated in
+    place retrains instead of silently serving stale merges. The cache
+    identity folds in ``n_merges`` and ``text_col`` — two configs
+    training different tables off the same corpus never collide on a
+    slug. Returns the merges as an ordered ``[(lhs, rhs), ...]`` list
+    (the form every encoder takes); the collect is bounded by
+    ``n_merges`` rows — planning output, never corpus data. Training is
+    deterministic (ties break (freq, lhs, rhs) DESC), so a warm merge
+    table is bit-identical to a cold retrain and downstream encodes stay
+    oracle-checkable.
+    """
+    import os
+    import re as _re
+
+    from dbt_meshify_spark.sources.bucketing import (
+        fingerprint_matches,
+        write_fingerprint,
+    )
+
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", f"{cache_key.strip('/')}_{text_col}")
+    d = os.path.join(base_dir, f"bpe{int(n_merges)}_{slug}")
+    mpath = os.path.join(d, "merges")
+    complete = os.path.exists(os.path.join(mpath, "_SUCCESS"))
+    if not (complete and fingerprint_matches(d, source_path)):
+        merges = train_bpe_distributed(df, n_merges=n_merges, text_col=text_col)
+        merges.coalesce(1).write.mode("overwrite").parquet(mpath)
+        write_fingerprint(d, source_path)
+    rows = spark.read.parquet(mpath).orderBy("merge_rank").collect()
+    return [(r.lhs, r.rhs) for r in rows]
+
+
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     sym = list(word) + [EOW]
     while len(sym) > 1:

@@ -211,3 +211,139 @@ def trigram_perplexity(
         F.round(avg_nll, 4).alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).alias("ppl"),
     )
+
+
+def kn_trigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document NLL/perplexity under an interpolated KNESER-NEY
+    trigram LM trained on ``df`` itself — the published CCNet smoothing
+    family (KenLM is modified KN; this is the single-discount
+    interpolated form at order 3), the depth step above
+    :func:`trigram_perplexity`'s Jelinek-Mercer tier:
+
+    ``P(w3|w1 w2) = max(C(w1w2w3)-D, 0)/C(w1w2.)
+    + (D * N1+(w1w2.)/C(w1w2.)) * P(w3|w2)``
+
+    ``P(w3|w2) = max(N1+(.w2w3)-D, 0)/N1+(.w2.)
+    + (D * N1+(w2.)/N1+(.w2.)) * Pcont(w3)``
+
+    ``Pcont(w3) = N1+(.w3) / N1+(..)``
+
+    where N1+ counts DISTINCT TYPES: N1+(w1w2.) = distinct continuations
+    of the bigram context, N1+(.w2w3) = distinct left-extensions of the
+    (w2, w3) bigram (trigram-type table), N1+(w2.) = distinct (w2 w3)
+    types with middle w2 (so the middle level normalizes), and
+    N1+(.w3)/N1+(..) are continuation-unigram counts over the full
+    bigram-TYPE table (doc-initial bigrams included). Because the model
+    trains on the scored corpus, every scored trigram exists, so every
+    numerator/denominator above is >= 1 and no zero/backoff-miss branch
+    is needed — the truncation-free property that makes the whole
+    pipeline a fixed float expression both engines evaluate identically.
+
+    Scale shape (the JM trigram tier's, one derivation deeper): ONE
+    tokenize pass; the trigram TYPE table (not occurrences) feeds every
+    N1+ aggregate, each a map-side-combinable count over an
+    already-deduplicated frame; every scoring join is equi-keyed (tri,
+    w12, w23, w2, w3) so all sides co-partition; N1+(..) rides a 1-row
+    broadcast. Returns ``id_col, n_trigrams, avg_nll, ppl`` (docs with
+    < 3 tokens are excluded).
+    """
+    d = float(discount)
+    if not (0.0 < d < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
+    ).filter(F.size("__t") >= 3)
+
+    t = F.col("__t")
+    n3 = F.size(t) - 2
+    trigrams = F.zip_with(
+        F.zip_with(
+            F.slice(t, 1, n3), F.slice(t, 2, n3),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice(t, 3, n3),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    tf = (
+        toks.select(F.col(id_col), F.explode(trigrams).alias("tri"))
+        .groupBy(id_col, "tri")
+        .agg(F.count("*").alias("tf"))
+    )
+    # trigram TYPE table with every split key staged once — the base
+    # relation for all higher-order N1+ aggregates
+    keys = (
+        tf.groupBy("tri")
+        .agg(F.sum("tf").alias("c_tri"))
+        .withColumn("w12", F.substring_index("tri", " ", 2))
+        .withColumn("w23", F.substring_index("tri", " ", -2))
+        .withColumn("w2", F.substring_index(F.substring_index("tri", " ", -2), " ", 1))
+        .withColumn("w3", F.substring_index("tri", " ", -1))
+    )
+    cw12 = keys.groupBy("w12").agg(
+        F.sum("c_tri").alias("c_w12"),           # C(w1w2.)
+        F.count("*").alias("n1p_w12"),           # N1+(w1w2.)
+    )
+    cw23 = keys.groupBy("w23").agg(
+        F.count("*").alias("n_dot_w23"),         # N1+(.w2w3)
+    )
+    cw2 = keys.groupBy("w2").agg(
+        F.count("*").alias("n_dot_w2"),          # N1+(.w2.)
+        F.countDistinct("w23").alias("n_w2_dot"),  # N1+(w2.)
+    )
+    # continuation-unigram tables over the full bigram TYPE projection
+    n2 = F.size(t) - 1
+    bigrams = F.zip_with(
+        F.slice(t, 1, n2), F.slice(t, 2, n2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    btypes = toks.select(F.explode(bigrams).alias("bg")).distinct()
+    cw3 = (
+        btypes.withColumn("w3", F.substring_index("bg", " ", -1))
+        .groupBy("w3")
+        .agg(F.count("*").alias("n_dot_w3"))     # N1+(.w3)
+    )
+    tot = btypes.agg(
+        F.count("*").cast("double").alias("__nbt")  # N1+(..)
+    )
+
+    scored_keys = (
+        tf.withColumn("w12", F.substring_index("tri", " ", 2))
+        .withColumn("w23", F.substring_index("tri", " ", -2))
+        .withColumn("w2", F.substring_index(F.substring_index("tri", " ", -2), " ", 1))
+        .withColumn("w3", F.substring_index("tri", " ", -1))
+    )
+    dd = F.lit(d)
+    p_cont = F.col("n_dot_w3").cast("double") / F.col("__nbt")
+    p2 = (
+        F.greatest(F.col("n_dot_w23").cast("double") - dd, F.lit(0.0))
+        / F.col("n_dot_w2").cast("double")
+        + (dd * F.col("n_w2_dot").cast("double") / F.col("n_dot_w2").cast("double"))
+        * p_cont
+    )
+    p3 = (
+        F.greatest(F.col("c_tri").cast("double") - dd, F.lit(0.0))
+        / F.col("c_w12").cast("double")
+        + (dd * F.col("n1p_w12").cast("double") / F.col("c_w12").cast("double"))
+        * p2
+    )
+    scored = (
+        scored_keys.join(keys.select("tri", "c_tri"), "tri")
+        .join(cw12, "w12")
+        .join(cw23, "w23")
+        .join(cw2, "w2")
+        .join(cw3, "w3")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("nll", -F.log(p3))
+    )
+    avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_trigrams"),
+        F.round(avg_nll, 4).alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).alias("ppl"),
+    )

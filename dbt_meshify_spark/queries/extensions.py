@@ -7012,15 +7012,25 @@ def ext_bpe_encode_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics), then occurrences re-join and per-doc token arrays
     rebuild. Oracle replays training AND encoding via unrolled merge
     CTEs, so the full train->encode pipeline is hash-checked end-to-end
-    (the greedy rank-scan apply_bpe tier stays rows-only by design)."""
+    (the greedy rank-scan apply_bpe tier stays rows-only by design).
+    Merges serve from the cross-session ensure_bpe_merges cache
+    (fingerprint-gated on the documents parquet): warm encodes skip the
+    fixed training cost; the cold path the oracle replays is what the
+    cache runs on a miss, and training determinism keeps warm == cold
+    bit-exactly."""
     from dbt_meshify_spark.operators.bpe import (
         apply_bpe_delimited,
-        train_bpe_distributed,
+        ensure_bpe_merges,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    mrows = train_bpe_distributed(docs, n_merges=3).orderBy("merge_rank").collect()
-    merges = [(r.lhs, r.rhs) for r in mrows]
+    merges = ensure_bpe_merges(
+        spark,
+        docs,
+        cache_key=f"docs_{sf_dir}",
+        n_merges=3,
+        source_path=f"{sf_dir.rstrip('/')}/documents.parquet",
+    )
     enc = apply_bpe_delimited(docs, merges)
     return enc.select(
         "doc_id",
@@ -7435,6 +7445,87 @@ scored AS (
           = cb.w23
   JOIN ctx2 ON split_part(tf.tri, ' ', 2) = ctx2.w2
   JOIN cu ON split_part(tf.tri, ' ', 3) = cu.w3
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+       ROUND(SUM(tf * nll) / SUM(tf), 4) AS avg_nll,
+       ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
+FROM scored GROUP BY doc_id
+ORDER BY doc_id NULLS FIRST
+"""
+
+
+def ext_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] interpolated KNESER-NEY trigram LM perplexity
+    (operators/lm.py::kn_trigram_perplexity) — the published CCNet
+    smoothing family (KenLM = modified KN) above the Jelinek-Mercer
+    tier: discounted trigram ML backs off through continuation-count
+    bigram and unigram levels, all N1+ quantities distinct-TYPE
+    aggregates over the trigram/bigram type tables, every scoring join
+    equi-keyed. Oracle replays all six count tables and the identical
+    float expression order (D = 0.75)."""
+    from dbt_meshify_spark.operators.lm import kn_trigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kn_trigram_perplexity(docs).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_kn_perplexity"] = ext_kn_perplexity
+
+# MATERIALIZED per the trigram lesson: keys is referenced by 3 downstream
+# count CTEs that the scored join re-references — unmaterialized, DuckDB
+# re-inlines the tokenize+aggregate pyramid multiplicatively
+ORACLES["ext_kn_perplexity"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+t3 AS MATERIALIZED (SELECT doc_id, l FROM toks WHERE len(l) >= 3),
+pos3 AS (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM t3),
+tf AS MATERIALIZED (
+  SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tri, COUNT(*) AS tf
+  FROM pos3 GROUP BY doc_id, tri
+),
+keys AS MATERIALIZED (
+  SELECT tri, SUM(tf) AS c_tri,
+         split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2) AS w12,
+         split_part(tri, ' ', 2) || ' ' || split_part(tri, ' ', 3) AS w23,
+         split_part(tri, ' ', 2) AS w2,
+         split_part(tri, ' ', 3) AS w3
+  FROM tf GROUP BY tri
+),
+cw12 AS MATERIALIZED (
+  SELECT w12, SUM(c_tri) AS c_w12, COUNT(*) AS n1p_w12 FROM keys GROUP BY w12
+),
+cw23 AS MATERIALIZED (
+  SELECT w23, COUNT(*) AS n_dot_w23 FROM keys GROUP BY w23
+),
+cw2 AS MATERIALIZED (
+  SELECT w2, COUNT(*) AS n_dot_w2, COUNT(DISTINCT w23) AS n_w2_dot
+  FROM keys GROUP BY w2
+),
+pos2 AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t3),
+bt AS MATERIALIZED (SELECT DISTINCT l[i] || ' ' || l[i+1] AS bg FROM pos2),
+cw3 AS MATERIALIZED (
+  SELECT split_part(bg, ' ', 2) AS w3, COUNT(*) AS n_dot_w3 FROM bt GROUP BY 1
+),
+tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nbt FROM bt),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+    -ln(
+      greatest(CAST(k.c_tri AS DOUBLE) - 0.75, 0.0) / CAST(cw12.c_w12 AS DOUBLE)
+      + (0.75 * CAST(cw12.n1p_w12 AS DOUBLE) / CAST(cw12.c_w12 AS DOUBLE))
+      * (greatest(CAST(cw23.n_dot_w23 AS DOUBLE) - 0.75, 0.0)
+           / CAST(cw2.n_dot_w2 AS DOUBLE)
+         + (0.75 * CAST(cw2.n_w2_dot AS DOUBLE) / CAST(cw2.n_dot_w2 AS DOUBLE))
+         * (CAST(cw3.n_dot_w3 AS DOUBLE) / tot.nbt))
+    ) AS nll
+  FROM tf
+  JOIN keys k USING (tri)
+  JOIN cw12 ON k.w12 = cw12.w12
+  JOIN cw23 ON k.w23 = cw23.w23
+  JOIN cw2 ON k.w2 = cw2.w2
+  JOIN cw3 ON k.w3 = cw3.w3
   CROSS JOIN tot
 )
 SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,

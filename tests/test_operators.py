@@ -2494,6 +2494,61 @@ def test_ensure_ivf_index_caches_and_invalidates(spark, tmp_path):
     assert a3.count() == emb2.count()
 
 
+def test_ensure_bpe_merges_caches_and_invalidates(spark, tmp_path):
+    """The persisted BPE merge table must (a) train once and serve from
+    parquet on repeat calls — proven by handing the warm call a DIFFERENT
+    corpus and still getting the cached merges back, (b) be bit-identical
+    to a cold train (deterministic trainer), and (c) retrain when the
+    source corpus is regenerated in place (fingerprint gate)."""
+    import os
+
+    from dbt_meshify_spark.operators.bpe import (
+        ensure_bpe_merges,
+        train_bpe_distributed,
+    )
+
+    corpus = [(i, "low lower lowest newer newest") for i in range(6)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(corpus, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src)
+    base = str(tmp_path / "bpe")
+    docs = spark.read.parquet(src)
+
+    m1 = ensure_bpe_merges(
+        spark, docs, cache_key="t", n_merges=3, source_path=src, base_dir=base
+    )
+    cold = train_bpe_distributed(docs, n_merges=3).orderBy("merge_rank").collect()
+    assert m1 == [(r.lhs, r.rhs) for r in cold]
+    d = os.path.join(base, "bpe3_t_text")
+    stamp = os.path.getmtime(os.path.join(d, "merges", "_SUCCESS"))
+
+    # warm call with a DIFFERENT corpus: cache wins => no retrain happened
+    other = spark.createDataFrame(
+        [(1, "zz zz zz zz qq qq")], "doc_id long, text string"
+    )
+    m2 = ensure_bpe_merges(
+        spark, other, cache_key="t", n_merges=3, source_path=src, base_dir=base
+    )
+    assert m2 == m1
+    assert os.path.getmtime(os.path.join(d, "merges", "_SUCCESS")) == stamp
+
+    # regenerate the source in place -> fingerprint mismatch -> retrain
+    import shutil
+
+    shutil.rmtree(src)
+    spark.createDataFrame(
+        [(1, "aa aa bb bb cc cc dd dd")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    docs2 = spark.read.parquet(src)
+    m3 = ensure_bpe_merges(
+        spark, docs2, cache_key="t", n_merges=3, source_path=src, base_dir=base
+    )
+    cold2 = train_bpe_distributed(docs2, n_merges=3).orderBy("merge_rank").collect()
+    assert m3 == [(r.lhs, r.rhs) for r in cold2]
+    assert m3 != m1
+
+
 def test_self_repetition_keeps_first_occurrence(spark):
     from dbt_meshify_spark.operators.dedup import (
         remove_self_repetition,
@@ -4286,6 +4341,73 @@ def test_trigram_perplexity_interpolation_and_ranking(spark):
                  + 0.1 * ((uni[c] + 1.0) / (n + v)))
             s += -math.log(p); m += 1
         return round(math.exp(s / m), 4)
+    assert out[0].ppl == ppl(docs[0])
+    assert out[99].ppl == ppl(docs[99])
+
+
+def test_kn_trigram_perplexity_continuation_counts_and_ranking(spark):
+    """The interpolated Kneser-Ney LM must rank formulaic docs below a
+    scramble of the same words, exclude <3-token docs, score identical
+    docs identically, reject out-of-range discounts, and agree with a
+    driver-side Python replay of the full continuation-count recursion
+    (exact floats, D = 0.75)."""
+    import math
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from dbt_meshify_spark.operators.lm import kn_trigram_perplexity
+
+    typical = "the cat sat on the mat"
+    atypical = "mat the on sat cat the"
+    rows = [(i, typical) for i in range(10)] + [(99, atypical), (100, "one two")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in kn_trigram_perplexity(df).collect()}
+    assert 100 not in out  # <3 tokens => no trigrams => excluded
+    assert out[0].n_trigrams == 4
+    assert out[0].ppl < out[99].ppl
+    assert out[0].ppl == out[5].ppl
+    with _pytest.raises(ValueError):
+        kn_trigram_perplexity(df, discount=1.5)
+
+    # Python replay: trigram/bigram TYPE tables -> N1+ continuation counts
+    docs = {i: typical.split() for i in range(10)}
+    docs[99] = atypical.split()
+    tri_c = Counter()
+    btypes = set()
+    for toks in docs.values():
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            tri_c[(a, b, c)] += 1
+        for a, b in zip(toks, toks[1:]):
+            btypes.add((a, b))
+    tri_types = set(tri_c)
+    c_w12 = Counter()       # C(w1w2.)
+    n1p_w12 = Counter()     # N1+(w1w2.)
+    n_dot_w23 = Counter()   # N1+(.w2w3)
+    n_dot_w2 = Counter()    # N1+(.w2.)
+    w2_conts = {}           # w2 -> distinct (w2, w3) types
+    for (a, b, c), n in tri_c.items():
+        c_w12[(a, b)] += n
+        n1p_w12[(a, b)] += 1
+        n_dot_w23[(b, c)] += 1
+        n_dot_w2[b] += 1
+        w2_conts.setdefault(b, set()).add((b, c))
+    n_dot_w3 = Counter(b for _a, b in btypes)  # N1+(.w3)
+    nbt = float(len(btypes))                   # N1+(..)
+    D = 0.75
+
+    def ppl(toks):
+        s = m = 0
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            p_cont = n_dot_w3[c] / nbt
+            p2 = (max(n_dot_w23[(b, c)] - D, 0.0) / n_dot_w2[b]
+                  + (D * len(w2_conts[b]) / n_dot_w2[b]) * p_cont)
+            p3 = (max(tri_c[(a, b, c)] - D, 0.0) / c_w12[(a, b)]
+                  + (D * n1p_w12[(a, b)] / c_w12[(a, b)]) * p2)
+            s += -math.log(p3)
+            m += 1
+        return round(math.exp(s / m), 4)
+
     assert out[0].ppl == ppl(docs[0])
     assert out[99].ppl == ppl(docs[99])
 
