@@ -276,7 +276,11 @@ def kn_trigram_perplexity(
         .agg(F.count("*").alias("tf"))
     )
     # trigram TYPE table with every split key staged once — the base
-    # relation for all higher-order N1+ aggregates
+    # relation for all higher-order N1+ aggregates. PINNED: it is
+    # referenced by three count tables plus the scoring join, and an
+    # unpinned lineage re-runs the type aggregate (and its corpus scan)
+    # once per reference; the pinned state is model-sized (distinct
+    # grams — Zipf-sublinear in corpus tokens), never corpus-sized
     keys = (
         tf.groupBy("tri")
         .agg(F.sum("tf").alias("c_tri"))
@@ -284,6 +288,7 @@ def kn_trigram_perplexity(
         .withColumn("w23", F.substring_index("tri", " ", -2))
         .withColumn("w2", F.substring_index(F.substring_index("tri", " ", -2), " ", 1))
         .withColumn("w3", F.substring_index("tri", " ", -1))
+        .localCheckpoint(eager=False)
     )
     cw12 = keys.groupBy("w12").agg(
         F.sum("c_tri").alias("c_w12"),           # C(w1w2.)
@@ -302,7 +307,13 @@ def kn_trigram_perplexity(
         F.slice(t, 1, n2), F.slice(t, 2, n2),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    btypes = toks.select(F.explode(bigrams).alias("bg")).distinct()
+    # bigram TYPE table, pinned for the same reason (two references:
+    # continuation counts + the 1-row total)
+    btypes = (
+        toks.select(F.explode(bigrams).alias("bg"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     cw3 = (
         btypes.withColumn("w3", F.substring_index("bg", " ", -1))
         .groupBy("w3")
@@ -344,6 +355,171 @@ def kn_trigram_perplexity(
     avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
     return scored.groupBy(id_col).agg(
         F.sum("tf").cast("bigint").alias("n_trigrams"),
+        F.round(avg_nll, 4).alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).alias("ppl"),
+    )
+
+
+def _ngrams(t: "F.Column", n: int):
+    """``array<string>`` of space-joined n-grams over a staged token array
+    column (zip_with over n slices — pure projection, no shuffle)."""
+    size = F.size(t) - (n - 1)
+    out = F.slice(t, 1, size)
+    for j in range(2, n + 1):
+        out = F.zip_with(
+            out, F.slice(t, j, size), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return out
+
+
+def kn_fourgram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document NLL/perplexity under an interpolated KNESER-NEY
+    4-GRAM LM trained on ``df`` itself — the "one more order" depth step
+    above :func:`kn_trigram_perplexity` toward CCNet's 5-gram KenLM:
+
+    ``P(w4|w1w2w3) = max(C(g4)-D,0)/C(w123.)
+    + (D * N1+(w123.)/C(w123.)) * P3``
+
+    ``P3 = max(N1+(.w234)-D,0)/N1+(.w23.)
+    + (D * Nmid(w23)/N1+(.w23.)) * P2``
+
+    ``P2 = max(N1+(.w34)-D,0)/N1+(.w3.)
+    + (D * Nmid(w3)/N1+(.w3.)) * Pcont(w4)``
+
+    ``Pcont(w4) = N1+(.w4) / N1+(..)``
+
+    Level-3 continuation counts derive from the 4-GRAM type table
+    (distinct left-extensions of (w2,w3,w4)); level-2 from the FULL
+    trigram type projection (distinct w2 preceding (w3,w4)); the unigram
+    floor from the full bigram type projection — each level's N1+ comes
+    from the (n+1)-gram types, the textbook KN construction. Trained on
+    the scored corpus, every quantity is >= 1, so scoring stays one fixed
+    codegen float expression (no backoff-miss branch).
+
+    Scale shape: ONE tokenize pass; three type tables (4-gram, trigram,
+    bigram — all deduplicated before any N1+ aggregate, each aggregate
+    map-side-combinable); seven equi-keyed scoring joins (g4, w123, w234,
+    w23, w34, w3, w4) that co-partition; N1+(..) rides a 1-row broadcast.
+    Returns ``id_col, n_fourgrams, avg_nll, ppl`` (docs with < 4 tokens
+    are excluded).
+    """
+    d = float(discount)
+    if not (0.0 < d < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
+    ).filter(F.size("__t") >= 4)
+    t = F.col("__t")
+
+    tf = (
+        toks.select(F.col(id_col), F.explode(_ngrams(t, 4)).alias("g4"))
+        .groupBy(id_col, "g4")
+        .agg(F.count("*").alias("tf"))
+    )
+    # 4-gram TYPE table with every split key staged once. PINNED (type
+    # tables are model-sized under Zipf; unpinned, each of the three
+    # count tables plus the scoring join replays the aggregate and its
+    # corpus scan — measured 9 FileScans across the plan before pinning)
+    w234_of = F.substring_index("g4", " ", -3)
+    keys = (
+        tf.groupBy("g4")
+        .agg(F.sum("tf").alias("c_g4"))
+        .withColumn("w123", F.substring_index("g4", " ", 3))
+        .withColumn("w234", w234_of)
+        .withColumn("w23", F.substring_index(w234_of, " ", 2))
+        .withColumn("w4", F.substring_index("g4", " ", -1))
+        .localCheckpoint(eager=False)
+    )
+    cw123 = keys.groupBy("w123").agg(
+        F.sum("c_g4").alias("c_w123"),          # C(w1w2w3.)
+        F.count("*").alias("n1p_w123"),         # N1+(w1w2w3.)
+    )
+    cw234 = keys.groupBy("w234").agg(
+        F.count("*").alias("n_dot_w234"),       # N1+(.w2w3w4)
+    )
+    cw23 = keys.groupBy("w23").agg(
+        F.count("*").alias("n_dot_w23"),        # N1+(.w2w3.)
+        F.countDistinct("w234").alias("n_w23_dot"),  # Nmid(w2w3)
+    )
+    # level-2 continuation tables from the FULL trigram type projection
+    # (pinned: two count tables reference it)
+    ttypes = toks.select(F.explode(_ngrams(t, 3)).alias("tg")).distinct()
+    t34_of = F.substring_index("tg", " ", -2)
+    tkeys = (
+        ttypes.withColumn("w34", t34_of)
+        .withColumn("w3", F.substring_index(t34_of, " ", 1))
+        .localCheckpoint(eager=False)
+    )
+    cw34 = tkeys.groupBy("w34").agg(
+        F.count("*").alias("n_dot_w34"),        # N1+(.w3w4)
+    )
+    cw3 = tkeys.groupBy("w3").agg(
+        F.count("*").alias("n_dot_w3"),         # N1+(.w3.)
+        F.countDistinct("w34").alias("n_w3_dot"),  # Nmid(w3)
+    )
+    # unigram floor from the full bigram type projection (pinned: two
+    # references — continuation counts + the 1-row total)
+    btypes = (
+        toks.select(F.explode(_ngrams(t, 2)).alias("bg"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cw4 = (
+        btypes.withColumn("w4", F.substring_index("bg", " ", -1))
+        .groupBy("w4")
+        .agg(F.count("*").alias("n_dot_w4"))    # N1+(.w4)
+    )
+    tot = btypes.agg(F.count("*").cast("double").alias("__nbt"))  # N1+(..)
+
+    sk_w234 = F.substring_index("g4", " ", -3)
+    scored_keys = (
+        tf.withColumn("w123", F.substring_index("g4", " ", 3))
+        .withColumn("w234", sk_w234)
+        .withColumn("w23", F.substring_index(sk_w234, " ", 2))
+        .withColumn("w34", F.substring_index("g4", " ", -2))
+        .withColumn("w3", F.substring_index(F.substring_index("g4", " ", -2), " ", 1))
+        .withColumn("w4", F.substring_index("g4", " ", -1))
+    )
+    dd = F.lit(d)
+    p_cont = F.col("n_dot_w4").cast("double") / F.col("__nbt")
+    p2 = (
+        F.greatest(F.col("n_dot_w34").cast("double") - dd, F.lit(0.0))
+        / F.col("n_dot_w3").cast("double")
+        + (dd * F.col("n_w3_dot").cast("double") / F.col("n_dot_w3").cast("double"))
+        * p_cont
+    )
+    p3 = (
+        F.greatest(F.col("n_dot_w234").cast("double") - dd, F.lit(0.0))
+        / F.col("n_dot_w23").cast("double")
+        + (dd * F.col("n_w23_dot").cast("double") / F.col("n_dot_w23").cast("double"))
+        * p2
+    )
+    p4 = (
+        F.greatest(F.col("c_g4").cast("double") - dd, F.lit(0.0))
+        / F.col("c_w123").cast("double")
+        + (dd * F.col("n1p_w123").cast("double") / F.col("c_w123").cast("double"))
+        * p3
+    )
+    scored = (
+        scored_keys.join(keys.select("g4", "c_g4"), "g4")
+        .join(cw123, "w123")
+        .join(cw234, "w234")
+        .join(cw23, "w23")
+        .join(cw34, "w34")
+        .join(cw3, "w3")
+        .join(cw4, "w4")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("nll", -F.log(p4))
+    )
+    avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_fourgrams"),
         F.round(avg_nll, 4).alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).alias("ppl"),
     )

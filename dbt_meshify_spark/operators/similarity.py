@@ -1059,6 +1059,159 @@ def ivf_probe_index(
     )
 
 
+def _cos_pairs_q8_udf():
+    """Arrow-batched cosine where the NEIGHBOR side arrives int8-quantized:
+    dequantize-in-UDF (``q * scale`` row-wise) then the same einsum kernel
+    as :func:`_cos_pairs_udf`. The join and Arrow batches move
+    ``array<tinyint>`` + one double — 4x (fp32) / 8x (fp64) less traffic
+    than raw vectors, the bandwidth half of the quantized-index story; the
+    fp64 widening and GEMM cost are unchanged."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, q: pd.Series, scale: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(q.to_numpy()).astype(np.float64)
+        mb *= scale.to_numpy(dtype=np.float64)[:, None]
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1) + 1e-12
+        return pd.Series(num / den)
+
+    return cos
+
+
+def ivf_quantize_cells(
+    cells: DataFrame, id_col: str = "vec_id", vec_col: str = "vec"
+) -> DataFrame:
+    """Int8-quantize an :func:`ivf_index` ``cells`` frame in place:
+    ``(id, cell, vec)`` becomes ``(id, cell, scale, q)`` with ``q`` an
+    ``array<tinyint>`` (:func:`quantize_embeddings` per-vector symmetric
+    scheme). Pure projection — the cell assignment is untouched, so the
+    quantized index probes identically to the fp index modulo the bounded
+    per-element reconstruction error."""
+    v = _as_double(F.col(vec_col))
+    staged = cells.select(F.col(id_col), F.col("cell"), v.alias("__v")).withColumn(
+        "scale",
+        F.greatest(
+            F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x))),
+            F.lit(1e-12),
+        )
+        / F.lit(127.0),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.col("scale"),
+        F.transform(
+            F.col("__v"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("byte"),
+        ).alias("q"),
+    )
+
+
+def ivf_probe_index_q8(
+    queries: DataFrame,
+    centroids: DataFrame,
+    qcells: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_probe_index` against an INT8-QUANTIZED cells table
+    (:func:`ivf_quantize_cells` / :func:`ensure_ivf_index_q8`) — the
+    memory half of the 100 TB ANN story: the stored index is 4x (fp32) /
+    8x (fp64) smaller, the probe join and Arrow batches move int8 arrays,
+    and dequantization happens inside the scoring UDF right before the
+    einsum. Same probe plan as the fp path (centroids in the UDF closure,
+    explode to nprobe cells, DPP-pruned equi-join on the cell id,
+    windowed top-k); scores differ from fp32 only by the bounded
+    quantization error (recall-vs-fp32 asserted in tests).
+    """
+    cent_rows = centroids.orderBy("cell").collect()
+    cm = [list(map(float, r["centroid"])) for r in cent_rows]
+    cell_ids = F.array(*[F.lit(int(r["cell"])) for r in cent_rows])
+    probe = _probe_udf(cm, nprobe)
+    qf = spread(queries).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("__pos", F.explode(probe(F.col("qv")))).withColumn(
+        "cell", F.element_at(cell_ids, F.col("__pos") + 1)
+    ).drop("__pos")
+    sims = (
+        qf.join(
+            qcells.select(
+                F.col(id_col).alias("neighbor_id"), "cell", "scale", "q"
+            ),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            _cos_pairs_q8_udf()(F.col("qv"), F.col("q"), F.col("scale")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cos_sim", 4).alias("cos_sim"), "rank",
+        )
+    )
+
+
+def ensure_ivf_index_q8(
+    spark,
+    corpus: DataFrame,
+    cache_key: str,
+    nlist: int = 16,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    source_path: str | None = None,
+    base_dir: str = DEFAULT_IVF_DIR,
+) -> tuple[DataFrame, DataFrame]:
+    """Persisted QUANTIZED :func:`ivf_index`: train + assign + int8-quantize
+    ONCE, parquet round-trip, reuse across sessions. Identical staleness
+    discipline to :func:`ensure_ivf_index` (``_SUCCESS`` markers + source
+    fingerprint; id/vec columns folded into the slug); the stored ``cells``
+    half carries ``(id, cell, scale, q:array<tinyint>)`` — the on-disk
+    index is 4-8x smaller than the fp twin, which at 100 TB is the
+    difference between an index that serves from page cache and one that
+    doesn't. Returns ``(centroids, qcells)`` for
+    :func:`ivf_probe_index_q8`."""
+    import os
+    import re as _re
+
+    from dbt_meshify_spark.sources.bucketing import (
+        fingerprint_matches,
+        write_fingerprint,
+    )
+
+    slug = _re.sub(
+        r"[^A-Za-z0-9]+", "_", f"{cache_key.strip('/')}_{id_col}_{vec_col}"
+    )
+    d = os.path.join(base_dir, f"ivfq8_{nlist}_i{iters}_{slug}")
+    cpath = os.path.join(d, "centroids")
+    apath = os.path.join(d, "cells")
+    complete = os.path.exists(os.path.join(cpath, "_SUCCESS")) and os.path.exists(
+        os.path.join(apath, "_SUCCESS")
+    )
+    if not (complete and fingerprint_matches(d, source_path)):
+        centroids, cells = ivf_index(
+            corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        qcells = ivf_quantize_cells(cells, id_col=id_col, vec_col="vec")
+        centroids.write.mode("overwrite").parquet(cpath)
+        qcells.write.mode("overwrite").partitionBy("cell").parquet(apath)
+        write_fingerprint(d, source_path)
+    return spark.read.parquet(cpath), spark.read.parquet(apath)
+
+
 def hard_negatives_lsh(
     queries: DataFrame,
     corpus: DataFrame,

@@ -2999,6 +2999,92 @@ def ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] the published C4 line-level cleaning rules
+    (operators/heuristics.py::c4_line_clean): keep a line iff it has >= 5
+    words, ends in terminal punctuation, and contains no banned phrase; a
+    doc survives iff >= 1 line survives. The corpus is single-line word
+    soup, so each doc is synthesized into a 5-line page exercising every
+    rule — a kept prose line, a too-short line, a no-terminal-punct line,
+    a banned-phrase ('javascript') line, and a constant kept line — with
+    chr(10) joins identical on both engines (SURVEY §2.7 escape rule).
+    One array pass per doc, zero shuffles; kept lines re-join with ' | '
+    so the checked output stays newline-free scalars."""
+    from dbt_meshify_spark.operators.heuristics import c4_line_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__l")
+    )
+    line1 = F.concat(
+        F.concat_ws(" ", F.slice("__l", 1, 6)), F.lit(" stays and ends fine.")
+    )
+    line2 = F.concat_ws(" ", F.slice("__l", 1, 3))
+    line3 = F.concat(
+        F.concat_ws(" ", F.slice("__l", 7, 6)), F.lit(" no terminal punct")
+    )
+    line4 = F.concat(
+        F.lit("please enable javascript to view "),
+        F.concat_ws(" ", F.slice("__l", 4, 3)),
+        F.lit(" properly."),
+    )
+    line5 = F.lit("Another good sentence follows the rules and stays here!")
+    synth = staged.select(
+        "doc_id",
+        F.concat_ws("\n", line1, line2, line3, line4, line5).alias("text"),
+    )
+    return (
+        c4_line_clean(synth)
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_lines_kept",
+            F.replace(F.col("text_clean"), F.lit("\n"), F.lit(" | ")).alias(
+                "clean_joined"
+            ),
+            "c4_keep",
+        )
+        .orderBy(_asc("doc_id"))
+    )
+
+
+QUERIES["ext_c4_line_clean"] = ext_c4_line_clean
+
+ORACLES["ext_c4_line_clean"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+),
+synth AS (
+  SELECT doc_id,
+    array_to_string(l[1:6], ' ') || ' stays and ends fine.' || chr(10) ||
+    array_to_string(l[1:3], ' ') || chr(10) ||
+    array_to_string(l[7:12], ' ') || ' no terminal punct' || chr(10) ||
+    'please enable javascript to view ' || array_to_string(l[4:6], ' ')
+      || ' properly.' || chr(10) ||
+    'Another good sentence follows the rules and stays here!' AS text
+  FROM toks
+),
+kept AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls,
+         list_filter(string_split(text, chr(10)), ln ->
+           len(string_split_regex(trim(ln), '\s+')) >= 5
+           AND regexp_matches(trim(ln), '[.!?"'']$')
+           AND NOT contains(lower(trim(ln)), 'javascript')
+           AND NOT contains(lower(trim(ln)), 'lorem ipsum')
+           AND NOT contains(lower(trim(ln)), '{')
+         ) AS keptl
+  FROM synth
+)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(keptl) AS BIGINT) AS n_lines_kept,
+       array_to_string(keptl, ' | ') AS clean_joined,
+       len(keptl) >= 1 AS c4_keep
+FROM kept
+ORDER BY doc_id NULLS FIRST
+"""
+
+
 def ext_stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N6/N4] STREAMING rule-based curation: the Gopher filter applied to a
     document file stream and drained availableNow — stateless projection per
@@ -3963,6 +4049,45 @@ def ext_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ext_ann_ivf_probe"] = ext_ann_ivf_probe
+
+
+def ext_ann_ivf_probe_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N3] quantized-index similarity serving: probe a PERSISTED
+    int8-QUANTIZED IVF index (operators/similarity.py::ensure_ivf_index_q8
+    / ivf_probe_index_q8) — the memory half of the 100 TB ANN story: the
+    stored cells carry (id, cell, scale, q:array<tinyint>), 4-8x smaller
+    than the fp twin, and the probe join + Arrow batches move int8 arrays
+    with dequantization inside the scoring UDF. Rows-only check (k-means
+    cells); recall-vs-fp32 and cache invariants in tests."""
+    import os
+
+    from dbt_meshify_spark.operators.similarity import (
+        ensure_ivf_index_q8,
+        ivf_probe_index_q8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, qcells = ensure_ivf_index_q8(
+        spark,
+        emb,
+        cache_key=sf_dir,
+        nlist=16,
+        source_path=os.path.join(sf_dir, "embeddings.parquet"),
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return (
+        ivf_probe_index_q8(q, centroids, qcells, k=3, nprobe=4)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy(_asc("query_id"), _asc("rank"))
+    )
+
+
+QUERIES["ext_ann_ivf_probe_q8"] = ext_ann_ivf_probe_q8
 
 
 def ext_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7529,6 +7654,109 @@ scored AS (
   CROSS JOIN tot
 )
 SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+       ROUND(SUM(tf * nll) / SUM(tf), 4) AS avg_nll,
+       ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
+FROM scored GROUP BY doc_id
+ORDER BY doc_id NULLS FIRST
+"""
+
+
+def ext_kn4_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] interpolated Kneser-Ney 4-GRAM LM perplexity
+    (operators/lm.py::kn_fourgram_perplexity) — the "one more order"
+    depth step toward CCNet's 5-gram KenLM: discounted 4-gram ML backs
+    off through 4-gram-type, trigram-type, and bigram-type continuation
+    levels; seven equi-keyed scoring joins, every N1+ a distinct-type
+    aggregate. Oracle replays all eight count tables and the identical
+    float expression order (D = 0.75)."""
+    from dbt_meshify_spark.operators.lm import kn_fourgram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kn_fourgram_perplexity(docs).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_kn4_perplexity"] = ext_kn4_perplexity
+
+ORACLES["ext_kn4_perplexity"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+t4 AS MATERIALIZED (SELECT doc_id, l FROM toks WHERE len(l) >= 4),
+pos4 AS (SELECT doc_id, l, unnest(range(1, len(l) - 2)) AS i FROM t4),
+tf AS MATERIALIZED (
+  SELECT doc_id,
+         l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] AS g4,
+         COUNT(*) AS tf
+  FROM pos4 GROUP BY doc_id, g4
+),
+keys AS MATERIALIZED (
+  SELECT g4, SUM(tf) AS c_g4,
+         split_part(g4, ' ', 1) || ' ' || split_part(g4, ' ', 2) || ' '
+           || split_part(g4, ' ', 3) AS w123,
+         split_part(g4, ' ', 2) || ' ' || split_part(g4, ' ', 3) || ' '
+           || split_part(g4, ' ', 4) AS w234,
+         split_part(g4, ' ', 2) || ' ' || split_part(g4, ' ', 3) AS w23,
+         split_part(g4, ' ', 3) || ' ' || split_part(g4, ' ', 4) AS w34,
+         split_part(g4, ' ', 3) AS w3,
+         split_part(g4, ' ', 4) AS w4
+  FROM tf GROUP BY g4
+),
+cw123 AS MATERIALIZED (
+  SELECT w123, SUM(c_g4) AS c_w123, COUNT(*) AS n1p_w123 FROM keys GROUP BY w123
+),
+cw234 AS MATERIALIZED (
+  SELECT w234, COUNT(*) AS n_dot_w234 FROM keys GROUP BY w234
+),
+cw23 AS MATERIALIZED (
+  SELECT w23, COUNT(*) AS n_dot_w23, COUNT(DISTINCT w234) AS n_w23_dot
+  FROM keys GROUP BY w23
+),
+pos3 AS (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM t4),
+tt AS MATERIALIZED (
+  SELECT DISTINCT l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tg FROM pos3
+),
+tk AS MATERIALIZED (
+  SELECT tg,
+         split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3) AS w34,
+         split_part(tg, ' ', 2) AS w3
+  FROM tt
+),
+cw34 AS MATERIALIZED (SELECT w34, COUNT(*) AS n_dot_w34 FROM tk GROUP BY w34),
+cw3 AS MATERIALIZED (
+  SELECT w3, COUNT(*) AS n_dot_w3, COUNT(DISTINCT w34) AS n_w3_dot
+  FROM tk GROUP BY w3
+),
+pos2 AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t4),
+bt AS MATERIALIZED (SELECT DISTINCT l[i] || ' ' || l[i+1] AS bg FROM pos2),
+cw4 AS MATERIALIZED (
+  SELECT split_part(bg, ' ', 2) AS w4, COUNT(*) AS n_dot_w4 FROM bt GROUP BY 1
+),
+tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nbt FROM bt),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+    -ln(
+      greatest(CAST(k.c_g4 AS DOUBLE) - 0.75, 0.0) / CAST(cw123.c_w123 AS DOUBLE)
+      + (0.75 * CAST(cw123.n1p_w123 AS DOUBLE) / CAST(cw123.c_w123 AS DOUBLE))
+      * (greatest(CAST(cw234.n_dot_w234 AS DOUBLE) - 0.75, 0.0)
+           / CAST(cw23.n_dot_w23 AS DOUBLE)
+         + (0.75 * CAST(cw23.n_w23_dot AS DOUBLE) / CAST(cw23.n_dot_w23 AS DOUBLE))
+         * (greatest(CAST(cw34.n_dot_w34 AS DOUBLE) - 0.75, 0.0)
+              / CAST(cw3.n_dot_w3 AS DOUBLE)
+            + (0.75 * CAST(cw3.n_w3_dot AS DOUBLE) / CAST(cw3.n_dot_w3 AS DOUBLE))
+            * (CAST(cw4.n_dot_w4 AS DOUBLE) / tot.nbt)))
+    ) AS nll
+  FROM tf
+  JOIN keys k USING (g4)
+  JOIN cw123 ON k.w123 = cw123.w123
+  JOIN cw234 ON k.w234 = cw234.w234
+  JOIN cw23 ON k.w23 = cw23.w23
+  JOIN cw34 ON k.w34 = cw34.w34
+  JOIN cw3 ON k.w3 = cw3.w3
+  JOIN cw4 ON k.w4 = cw4.w4
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_fourgrams,
        ROUND(SUM(tf * nll) / SUM(tf), 4) AS avg_nll,
        ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
 FROM scored GROUP BY doc_id

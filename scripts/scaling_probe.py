@@ -69,6 +69,7 @@ def graph_family_probe(spark) -> None:
     and aggregates keyed on node ids, expected to scale linearly in edge
     count (VERDICT r5 ask #8)."""
     from dbt_meshify_spark.operators.graph_rank import (
+        core_numbers,
         kcore,
         label_propagation,
         pagerank,
@@ -81,6 +82,7 @@ def graph_family_probe(spark) -> None:
     label_propagation(warm, iters=2).count()
     triangle_counts(warm, orient="degree").count()
     kcore(warm, k=3, iters=4).count()
+    core_numbers(warm, k_max=4, iters_per_k=2).count()
 
     for k in (1, 2, 4):
         edges = planted_community_graph(spark, 200 * k).localCheckpoint()
@@ -101,11 +103,22 @@ def graph_family_probe(spark) -> None:
         t0 = time.time()
         n_core = kcore(edges, k=6, iters=8, stats=kc_stats).count()
         t_kc = time.time() - t0
+        # full decomposition: levels 2..11 mostly fixpoint after one round
+        # (the circulant communities are 10-regular), level 11 peels the
+        # graph — per-level work is edge-proportional, rounds constant
+        cn_stats: dict = {}
+        t0 = time.time()
+        n_cn = core_numbers(
+            edges, k_max=11, iters_per_k=4, stats=cn_stats
+        ).count()
+        t_cn = time.time() - t0
         print(
             f"graph scale={k}x edges={n_edges}: pagerank3={t_pr:.2f}s "
             f"lpa={t_lpa:.2f}s (rounds {lpa_stats.get('rounds')}) "
             f"triangles={t_tri:.2f}s (nodes {n_tri}) "
-            f"kcore6={t_kc:.2f}s (core {n_core}, rounds {kc_stats.get('rounds')})",
+            f"kcore6={t_kc:.2f}s (core {n_core}, rounds {kc_stats.get('rounds')}) "
+            f"coren={t_cn:.2f}s (nodes {n_cn}, rounds {cn_stats.get('rounds')}, "
+            f"levels {cn_stats.get('levels')})",
             flush=True,
         )
 
@@ -232,16 +245,19 @@ def main() -> None:
             flush=True,
         )
 
-    # simhash64-only extension to 16x (VERDICT r6 ask #6): the pair-curve
-    # tail — wall should stay flat (caps bound the join) while verified
-    # pairs grow with the chance <=3-bit collision term (see SCALE.md)
+    # 16x tail extensions: simhash64 (VERDICT r6 ask #6 — wall should stay
+    # flat, caps bound the join) and substring runs (VERDICT r7 ask #6 —
+    # run count exactly linear, wall bounded by the anchor-join fanout caps)
     docs16 = scaled_corpus(base, 16).localCheckpoint()
     n16 = docs16.count()
     t0 = time.time()
     n_sh16 = simhash_md5_candidate_pairs(docs16).count()
+    t_sh16 = time.time() - t0
+    t0 = time.time()
+    n_runs16 = substring_run_pairs(docs16, k=8, min_run_tokens=12).count()
     print(
-        f"scale=16x docs={n16}: simhash64={time.time() - t0:.2f}s "
-        f"(pairs {n_sh16})",
+        f"scale=16x docs={n16}: simhash64={t_sh16:.2f}s (pairs {n_sh16}) "
+        f"substr_runs={time.time() - t0:.2f}s (runs {n_runs16})",
         flush=True,
     )
 

@@ -2549,6 +2549,66 @@ def test_ensure_bpe_merges_caches_and_invalidates(spark, tmp_path):
     assert m3 != m1
 
 
+def test_ivf_probe_q8_recall_tracks_fp32(spark, tmp_path):
+    """The int8-quantized IVF probe must (a) return near-identical
+    neighbor sets to the fp32 probe on the same index (recall@k >= 0.9
+    averaged over queries — cell assignment is shared, only scores
+    quantize), (b) keep per-pair cosine within the symmetric-quantization
+    error bound, and (c) serve from the persisted q8 cache without
+    rebuilding."""
+    import os
+
+    from dbt_meshify_spark.operators.similarity import (
+        ensure_ivf_index_q8,
+        ivf_index,
+        ivf_probe_index,
+        ivf_probe_index_q8,
+        ivf_quantize_cells,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 8)
+    centroids, cells = ivf_index(emb, nlist=8)
+    qcells = ivf_quantize_cells(cells)
+
+    fp = ivf_probe_index(q, centroids, cells, k=3, nprobe=4).collect()
+    q8 = ivf_probe_index_q8(q, centroids, qcells, k=3, nprobe=4).collect()
+    fp_n = {}
+    q8_n = {}
+    for r in fp:
+        fp_n.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in q8:
+        q8_n.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(fp_n) == set(q8_n)  # same queries answered
+    recalls = [
+        len(fp_n[k_] & q8_n[k_]) / len(fp_n[k_]) for k_ in fp_n
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    # per-pair score error bounded by quantization (loose envelope)
+    fp_s = {(r.query_id, r.neighbor_id): r.cos_sim for r in fp}
+    for r in q8:
+        key = (r.query_id, r.neighbor_id)
+        if key in fp_s:
+            assert abs(r.cos_sim - fp_s[key]) < 0.02, (key, r.cos_sim, fp_s[key])
+
+    # persisted q8 cache: build once, warm call doesn't rewrite
+    src = os.path.join(SF_SMOKE, "embeddings.parquet")
+    base = str(tmp_path / "ivfq8")
+    c1, a1 = ensure_ivf_index_q8(
+        spark, emb, cache_key="t", nlist=8, source_path=src, base_dir=base
+    )
+    assert dict(a1.dtypes)["q"] == "array<tinyint>"
+    d = os.path.join(base, "ivfq8_8_i8_t_vec_id_embedding")
+    stamp = os.path.getmtime(os.path.join(d, "cells", "_SUCCESS"))
+    c2, a2 = ensure_ivf_index_q8(
+        spark, emb, cache_key="t", nlist=8, source_path=src, base_dir=base
+    )
+    assert os.path.getmtime(os.path.join(d, "cells", "_SUCCESS")) == stamp
+    assert a2.count() == emb.count()
+
+
 def test_self_repetition_keeps_first_occurrence(spark):
     from dbt_meshify_spark.operators.dedup import (
         remove_self_repetition,
@@ -4405,6 +4465,77 @@ def test_kn_trigram_perplexity_continuation_counts_and_ranking(spark):
             p3 = (max(tri_c[(a, b, c)] - D, 0.0) / c_w12[(a, b)]
                   + (D * n1p_w12[(a, b)] / c_w12[(a, b)]) * p2)
             s += -math.log(p3)
+            m += 1
+        return round(math.exp(s / m), 4)
+
+    assert out[0].ppl == ppl(docs[0])
+    assert out[99].ppl == ppl(docs[99])
+
+
+def test_kn_fourgram_perplexity_order4_recursion(spark):
+    """The 4-gram KN LM must exclude <4-token docs, rank formulaic docs
+    below a scramble, and agree with a driver-side Python replay of the
+    full three-level continuation recursion (exact floats, D = 0.75)."""
+    import math
+    from collections import Counter
+
+    from dbt_meshify_spark.operators.lm import kn_fourgram_perplexity
+
+    typical = "the cat sat on the mat today"
+    atypical = "mat the today on sat cat the"
+    rows = [(i, typical) for i in range(10)] + [(99, atypical), (100, "one two three")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in kn_fourgram_perplexity(df).collect()}
+    assert 100 not in out  # <4 tokens => no 4-grams => excluded
+    assert out[0].n_fourgrams == 4
+    assert out[0].ppl < out[99].ppl
+    assert out[0].ppl == out[5].ppl
+
+    docs = {i: typical.split() for i in range(10)}
+    docs[99] = atypical.split()
+    g4_c = Counter()
+    ttypes = set()
+    btypes = set()
+    for toks in docs.values():
+        for tup in zip(toks, toks[1:], toks[2:], toks[3:]):
+            g4_c[tup] += 1
+        for tup in zip(toks, toks[1:], toks[2:]):
+            ttypes.add(tup)
+        for tup in zip(toks, toks[1:]):
+            btypes.add(tup)
+    c_w123 = Counter()
+    n1p_w123 = Counter()
+    n_dot_w234 = Counter()
+    n_dot_w23 = Counter()
+    w23_conts = {}
+    for (a, b, c, e), n in g4_c.items():
+        c_w123[(a, b, c)] += n
+        n1p_w123[(a, b, c)] += 1
+        n_dot_w234[(b, c, e)] += 1
+        n_dot_w23[(b, c)] += 1
+        w23_conts.setdefault((b, c), set()).add((b, c, e))
+    n_dot_w34 = Counter()
+    n_dot_w3 = Counter()
+    w3_conts = {}
+    for (a, b, c) in ttypes:
+        n_dot_w34[(b, c)] += 1
+        n_dot_w3[b] += 1
+        w3_conts.setdefault(b, set()).add((b, c))
+    n_dot_w4 = Counter(b for _a, b in btypes)
+    nbt = float(len(btypes))
+    D = 0.75
+
+    def ppl(toks):
+        s = m = 0
+        for a, b, c, e in zip(toks, toks[1:], toks[2:], toks[3:]):
+            p_cont = n_dot_w4[e] / nbt
+            p2 = (max(n_dot_w34[(c, e)] - D, 0.0) / n_dot_w3[c]
+                  + (D * len(w3_conts[c]) / n_dot_w3[c]) * p_cont)
+            p3 = (max(n_dot_w234[(b, c, e)] - D, 0.0) / n_dot_w23[(b, c)]
+                  + (D * len(w23_conts[(b, c)]) / n_dot_w23[(b, c)]) * p2)
+            p4 = (max(g4_c[(a, b, c, e)] - D, 0.0) / c_w123[(a, b, c)]
+                  + (D * n1p_w123[(a, b, c)] / c_w123[(a, b, c)]) * p3)
+            s += -math.log(p4)
             m += 1
         return round(math.exp(s / m), 4)
 

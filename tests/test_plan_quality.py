@@ -329,6 +329,43 @@ def test_ivf_probe_never_rereads_or_retrains(spark, tmp_path):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_probe_q8_prunes_and_scans_int8(spark, tmp_path):
+    """The quantized probe must keep the fp path's plan shape — stored
+    cells scan DPP-pruned to the probed cells, no corpus re-read, no
+    cartesian — AND the pruned scan must read the int8 'q' column, never
+    a re-materialized double vector (the memory win would silently vanish
+    if a dequantized copy were stored or scanned)."""
+    from dbt_meshify_spark.operators.similarity import (
+        ivf_index,
+        ivf_probe_index_q8,
+        ivf_quantize_cells,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    centroids, cells = ivf_index(emb.filter(F.col("vec_id") % 5 != 0), nlist=8)
+    centroids.write.parquet(str(tmp_path / "cent"))
+    ivf_quantize_cells(cells).write.partitionBy("cell").parquet(
+        str(tmp_path / "cells")
+    )
+
+    probe = ivf_probe_index_q8(
+        load_table(spark, SF_ORACLE, "embeddings").filter(F.col("vec_id") < 5),
+        spark.read.parquet(str(tmp_path / "cent")),
+        spark.read.parquet(str(tmp_path / "cells")),
+        k=3,
+        nprobe=2,
+    )
+    plan = _physical(probe)
+    assert "dynamicpruningexpression(cell" in plan, "q8 cells scan not DPP-pruned"
+    assert plan.count("embeddings.parquet") <= 2
+    assert "CartesianProduct" not in plan
+    # the stored-index scan reads the quantized column
+    assert "q:array<tinyint>" in plan.replace(" ", "").replace("\n", ""), (
+        "q8 index scan does not read array<tinyint>"
+    )
+
+
 def test_media_neardup_payloads_never_shuffle(spark):
     """The perceptual near-dup family's only shuffles are over (id, 8-byte
     fingerprint / band-key) rows — no Exchange may carry the binary
@@ -542,6 +579,24 @@ def test_substring_dedup_shuffles_hashes_never_text_or_grams(spark):
     for line in ex_lines:
         assert "text" not in line, f"text column in a shuffle: {line.strip()}"
         assert "__gram" not in line, f"gram string in a shuffle: {line.strip()}"
+
+
+def test_kn_lm_family_scans_corpus_once_and_stays_jvm_side(spark):
+    """The Kneser-Ney LM tiers pin their TYPE tables (model-sized under
+    Zipf), so the corpus parquet is scanned ONCE in the final plan
+    (measured 7/9 FileScans before pinning — one per count-table branch,
+    a 100 TB re-read multiplier); scoring must stay pure codegen (no
+    Python row UDFs) and the only nested-loop join is the 1-row totals
+    broadcast."""
+    for name in ("ext_kn_perplexity", "ext_kn4_perplexity"):
+        plan = _physical(QUERIES[name](spark, SF_ORACLE))
+        assert plan.count("Scan parquet") <= 1, f"{name} re-scans the corpus"
+        assert "ExistingRDD" in plan, f"{name} lost its type-table pins"
+        assert "BatchEvalPython" not in plan, f"{name} fell off codegen"
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, (
+            f"{name}: only the 1-row totals broadcast may nest"
+        )
 
 
 def test_epoch_budget_plan_aggregates_corpus_once(spark):
