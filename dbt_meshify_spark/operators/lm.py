@@ -360,6 +360,196 @@ def kn_trigram_perplexity(
     )
 
 
+def _mkn_discounts(frame: DataFrame, count_col: str, prefix: str) -> DataFrame:
+    """Chen-Goodman count-of-count discounts as a 1-row frame:
+    ``Y = n1/(n1 + 2*n2)``, ``D1 = 1 - 2Y*n2/n1``, ``D2 = 2 - 3Y*n3/n2``,
+    ``D3 = 3 - 4Y*n4/n3`` — each clamped to >= 0 and guarded to its
+    integer base when the next count-of-count is empty (deterministic on
+    degenerate corpora; identical CASE structure in the oracle). All
+    inputs are integer counts, so the derived doubles are bit-identical
+    across engines given the same expression order."""
+    c = F.col(count_col)
+    hist = frame.agg(
+        F.sum(F.when(c == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(c == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(c == 3, 1).otherwise(0)).alias("n3"),
+        F.sum(F.when(c == 4, 1).otherwise(0)).alias("n4"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    n3, n4 = F.col("n3").cast("double"), F.col("n4").cast("double")
+    y = F.when(F.col("n1") + 2 * F.col("n2") > 0, n1 / (n1 + 2.0 * n2)).otherwise(
+        F.lit(0.5)
+    )
+    return hist.select(
+        F.greatest(
+            F.when(F.col("n1") > 0, F.lit(1.0) - 2.0 * y * n2 / n1).otherwise(
+                F.lit(1.0)
+            ),
+            F.lit(0.0),
+        ).alias(f"{prefix}1"),
+        F.greatest(
+            F.when(F.col("n2") > 0, F.lit(2.0) - 3.0 * y * n3 / n2).otherwise(
+                F.lit(2.0)
+            ),
+            F.lit(0.0),
+        ).alias(f"{prefix}2"),
+        F.greatest(
+            F.when(F.col("n3") > 0, F.lit(3.0) - 4.0 * y * n4 / n3).otherwise(
+                F.lit(3.0)
+            ),
+            F.lit(0.0),
+        ).alias(f"{prefix}3"),
+    )
+
+
+def mkn_trigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document NLL/perplexity under a MODIFIED KNESER-NEY trigram LM
+    trained on ``df`` itself — the exact smoothing family of CCNet's
+    published KenLM filter (Chen & Goodman's three-discount scheme), the
+    depth step above :func:`kn_trigram_perplexity`'s single-D form:
+
+    ``P(w3|w1w2) = max(c - D(c), 0)/C(w12.) + gamma(w12) * P2`` with
+    ``D(c) = D1/D2/D3+`` chosen by the trigram's own count and
+    ``gamma(w12) = (D1*B1(w12) + D2*B2(w12) + D3*B3+(w12)) / C(w12.)``
+    (Bk = distinct continuations of w12 whose count is exactly k / >= 3
+    — the mass each discount tier released). The middle level applies
+    the same scheme to the CONTINUATION counts ``N1+(.w2w3)`` with its
+    own count-of-count discounts; the floor is the continuation unigram.
+    Discounts derive from the count-of-counts ``n1..n4`` of each level's
+    count table (Y = n1/(n1+2n2) etc.), clamped >= 0 and CASE-guarded on
+    degenerate corpora — two 1-row broadcast frames, like (N, V) in the
+    JM tier.
+
+    Trained-on-self keeps every count >= 1, so no backoff-miss branch
+    exists and scoring is one fixed codegen float expression — the whole
+    pipeline stays hash-checkable. Scale shape identical to
+    :func:`kn_trigram_perplexity`: pinned model-sized type tables, ONE
+    corpus scan, equi-keyed scoring joins, 1-row broadcasts for the
+    discount/total scalars. Returns ``id_col, n_trigrams, avg_nll, ppl``
+    (docs with < 3 tokens are excluded).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
+    ).filter(F.size("__t") >= 3)
+
+    t = F.col("__t")
+    tf = (
+        toks.select(F.col(id_col), F.explode(_ngrams(t, 3)).alias("tri"))
+        .groupBy(id_col, "tri")
+        .agg(F.count("*").alias("tf"))
+    )
+    keys = (
+        tf.groupBy("tri")
+        .agg(F.sum("tf").alias("c_tri"))
+        .withColumn("w12", F.substring_index("tri", " ", 2))
+        .withColumn("w23", F.substring_index("tri", " ", -2))
+        .withColumn("w2", F.substring_index(F.substring_index("tri", " ", -2), " ", 1))
+        .withColumn("w3", F.substring_index("tri", " ", -1))
+        .localCheckpoint(eager=False)
+    )
+    # top-level discounts from the trigram count-of-counts
+    dtri = _mkn_discounts(keys, "c_tri", "dt")
+    # per-context released-mass buckets + denominator
+    ct = F.col("c_tri")
+    cw12 = keys.groupBy("w12").agg(
+        F.sum("c_tri").alias("c_w12"),
+        F.sum(F.when(ct == 1, 1).otherwise(0)).alias("b1"),
+        F.sum(F.when(ct == 2, 1).otherwise(0)).alias("b2"),
+        F.sum(F.when(ct >= 3, 1).otherwise(0)).alias("b3p"),
+    )
+    # middle level: continuation counts + their own discounts/buckets
+    cw23 = keys.groupBy("w23").agg(F.count("*").alias("cc"))
+    dmid = _mkn_discounts(cw23, "cc", "dm")
+    cc = F.col("cc")
+    cw2 = (
+        cw23.withColumn("w2", F.substring_index("w23", " ", 1))
+        .groupBy("w2")
+        .agg(
+            F.sum("cc").alias("n_dot_w2"),
+            F.sum(F.when(cc == 1, 1).otherwise(0)).alias("m1"),
+            F.sum(F.when(cc == 2, 1).otherwise(0)).alias("m2"),
+            F.sum(F.when(cc >= 3, 1).otherwise(0)).alias("m3p"),
+        )
+    )
+    n2b = F.size(t) - 1
+    bigrams = F.zip_with(
+        F.slice(t, 1, n2b), F.slice(t, 2, n2b),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    btypes = (
+        toks.select(F.explode(bigrams).alias("bg"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cw3 = (
+        btypes.withColumn("w3", F.substring_index("bg", " ", -1))
+        .groupBy("w3")
+        .agg(F.count("*").alias("n_dot_w3"))
+    )
+    tot = btypes.agg(F.count("*").cast("double").alias("__nbt"))
+
+    scored_keys = (
+        tf.withColumn("w12", F.substring_index("tri", " ", 2))
+        .withColumn("w23", F.substring_index("tri", " ", -2))
+        .withColumn("w2", F.substring_index(F.substring_index("tri", " ", -2), " ", 1))
+        .withColumn("w3", F.substring_index("tri", " ", -1))
+    )
+
+    def disc(count, d1, d2, d3):
+        return (
+            F.when(count == 1, F.col(d1))
+            .when(count == 2, F.col(d2))
+            .otherwise(F.col(d3))
+        )
+
+    c_trid = F.col("c_tri").cast("double")
+    c_w12d = F.col("c_w12").cast("double")
+    gamma3 = (
+        F.col("dt1") * F.col("b1").cast("double")
+        + F.col("dt2") * F.col("b2").cast("double")
+        + F.col("dt3") * F.col("b3p").cast("double")
+    ) / c_w12d
+    ccd = F.col("cc").cast("double")
+    n_w2d = F.col("n_dot_w2").cast("double")
+    gamma2 = (
+        F.col("dm1") * F.col("m1").cast("double")
+        + F.col("dm2") * F.col("m2").cast("double")
+        + F.col("dm3") * F.col("m3p").cast("double")
+    ) / n_w2d
+    p_cont = F.col("n_dot_w3").cast("double") / F.col("__nbt")
+    p2 = (
+        F.greatest(ccd - disc(F.col("cc"), "dm1", "dm2", "dm3"), F.lit(0.0)) / n_w2d
+        + gamma2 * p_cont
+    )
+    p3 = (
+        F.greatest(c_trid - disc(F.col("c_tri"), "dt1", "dt2", "dt3"), F.lit(0.0))
+        / c_w12d
+        + gamma3 * p2
+    )
+    scored = (
+        scored_keys.join(keys.select("tri", "c_tri"), "tri")
+        .join(cw12, "w12")
+        .join(cw23, "w23")
+        .join(cw2, "w2")
+        .join(cw3, "w3")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dtri))
+        .crossJoin(F.broadcast(dmid))
+        .withColumn("nll", -F.log(p3))
+    )
+    avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_trigrams"),
+        F.round(avg_nll, 4).alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).alias("ppl"),
+    )
+
+
 def _ngrams(t: "F.Column", n: int):
     """``array<string>`` of space-joined n-grams over a staged token array
     column (zip_with over n slices — pure projection, no shuffle)."""

@@ -7661,6 +7661,154 @@ ORDER BY doc_id NULLS FIRST
 """
 
 
+def ext_mkn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] MODIFIED Kneser-Ney trigram LM perplexity
+    (operators/lm.py::mkn_trigram_perplexity) — the exact Chen-Goodman
+    three-discount scheme of CCNet's published KenLM filter: D1/D2/D3+
+    derive from each level's count-of-counts (Y = n1/(n1+2n2) etc.,
+    clamped and CASE-guarded), per-context released mass buckets feed
+    gamma, the middle level applies the same scheme to continuation
+    counts. Oracle replays the count-of-count histograms, the discount
+    scalars, and the identical float expression order."""
+    from dbt_meshify_spark.operators.lm import mkn_trigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mkn_trigram_perplexity(docs).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_mkn_perplexity"] = ext_mkn_perplexity
+
+ORACLES["ext_mkn_perplexity"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+t3 AS MATERIALIZED (SELECT doc_id, l FROM toks WHERE len(l) >= 3),
+pos3 AS (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM t3),
+tf AS MATERIALIZED (
+  SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tri, COUNT(*) AS tf
+  FROM pos3 GROUP BY doc_id, tri
+),
+keys AS MATERIALIZED (
+  SELECT tri, SUM(tf) AS c_tri,
+         split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2) AS w12,
+         split_part(tri, ' ', 2) || ' ' || split_part(tri, ' ', 3) AS w23,
+         split_part(tri, ' ', 2) AS w2,
+         split_part(tri, ' ', 3) AS w3
+  FROM tf GROUP BY tri
+),
+hist_t AS (
+  SELECT SUM(CASE WHEN c_tri = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN c_tri = 2 THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN c_tri = 3 THEN 1 ELSE 0 END) AS n3,
+         SUM(CASE WHEN c_tri = 4 THEN 1 ELSE 0 END) AS n4
+  FROM keys
+),
+dt AS MATERIALIZED (
+  SELECT
+    greatest(CASE WHEN n1 > 0 THEN 1.0 - 2.0 * y * CAST(n2 AS DOUBLE)
+                                      / CAST(n1 AS DOUBLE) ELSE 1.0 END,
+             0.0) AS dt1,
+    greatest(CASE WHEN n2 > 0 THEN 2.0 - 3.0 * y * CAST(n3 AS DOUBLE)
+                                      / CAST(n2 AS DOUBLE) ELSE 2.0 END,
+             0.0) AS dt2,
+    greatest(CASE WHEN n3 > 0 THEN 3.0 - 4.0 * y * CAST(n4 AS DOUBLE)
+                                      / CAST(n3 AS DOUBLE) ELSE 3.0 END,
+             0.0) AS dt3
+  FROM (
+    SELECT n1, n2, n3, n4,
+           CASE WHEN n1 + 2 * n2 > 0
+                THEN CAST(n1 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE))
+                ELSE 0.5 END AS y
+    FROM hist_t
+  )
+),
+cw12 AS MATERIALIZED (
+  SELECT w12, SUM(c_tri) AS c_w12,
+         SUM(CASE WHEN c_tri = 1 THEN 1 ELSE 0 END) AS b1,
+         SUM(CASE WHEN c_tri = 2 THEN 1 ELSE 0 END) AS b2,
+         SUM(CASE WHEN c_tri >= 3 THEN 1 ELSE 0 END) AS b3p
+  FROM keys GROUP BY w12
+),
+cw23 AS MATERIALIZED (SELECT w23, COUNT(*) AS cc FROM keys GROUP BY w23),
+hist_m AS (
+  SELECT SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN cc = 3 THEN 1 ELSE 0 END) AS n3,
+         SUM(CASE WHEN cc = 4 THEN 1 ELSE 0 END) AS n4
+  FROM cw23
+),
+dm AS MATERIALIZED (
+  SELECT
+    greatest(CASE WHEN n1 > 0 THEN 1.0 - 2.0 * y * CAST(n2 AS DOUBLE)
+                                      / CAST(n1 AS DOUBLE) ELSE 1.0 END,
+             0.0) AS dm1,
+    greatest(CASE WHEN n2 > 0 THEN 2.0 - 3.0 * y * CAST(n3 AS DOUBLE)
+                                      / CAST(n2 AS DOUBLE) ELSE 2.0 END,
+             0.0) AS dm2,
+    greatest(CASE WHEN n3 > 0 THEN 3.0 - 4.0 * y * CAST(n4 AS DOUBLE)
+                                      / CAST(n3 AS DOUBLE) ELSE 3.0 END,
+             0.0) AS dm3
+  FROM (
+    SELECT n1, n2, n3, n4,
+           CASE WHEN n1 + 2 * n2 > 0
+                THEN CAST(n1 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE))
+                ELSE 0.5 END AS y
+    FROM hist_m
+  )
+),
+cw2 AS MATERIALIZED (
+  SELECT split_part(w23, ' ', 1) AS w2, SUM(cc) AS n_dot_w2,
+         SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS m1,
+         SUM(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS m2,
+         SUM(CASE WHEN cc >= 3 THEN 1 ELSE 0 END) AS m3p
+  FROM cw23 GROUP BY 1
+),
+pos2 AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t3),
+bt AS MATERIALIZED (SELECT DISTINCT l[i] || ' ' || l[i+1] AS bg FROM pos2),
+cw3 AS MATERIALIZED (
+  SELECT split_part(bg, ' ', 2) AS w3, COUNT(*) AS n_dot_w3 FROM bt GROUP BY 1
+),
+tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nbt FROM bt),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+    -ln(
+      greatest(CAST(k.c_tri AS DOUBLE)
+                 - (CASE WHEN k.c_tri = 1 THEN dt.dt1
+                         WHEN k.c_tri = 2 THEN dt.dt2
+                         ELSE dt.dt3 END),
+               0.0) / CAST(cw12.c_w12 AS DOUBLE)
+      + ((dt.dt1 * CAST(cw12.b1 AS DOUBLE)
+          + dt.dt2 * CAST(cw12.b2 AS DOUBLE)
+          + dt.dt3 * CAST(cw12.b3p AS DOUBLE)) / CAST(cw12.c_w12 AS DOUBLE))
+      * (greatest(CAST(cw23.cc AS DOUBLE)
+                    - (CASE WHEN cw23.cc = 1 THEN dm.dm1
+                            WHEN cw23.cc = 2 THEN dm.dm2
+                            ELSE dm.dm3 END),
+                  0.0) / CAST(cw2.n_dot_w2 AS DOUBLE)
+         + ((dm.dm1 * CAST(cw2.m1 AS DOUBLE)
+             + dm.dm2 * CAST(cw2.m2 AS DOUBLE)
+             + dm.dm3 * CAST(cw2.m3p AS DOUBLE)) / CAST(cw2.n_dot_w2 AS DOUBLE))
+         * (CAST(cw3.n_dot_w3 AS DOUBLE) / tot.nbt))
+    ) AS nll
+  FROM tf
+  JOIN keys k USING (tri)
+  JOIN cw12 ON k.w12 = cw12.w12
+  JOIN cw23 ON k.w23 = cw23.w23
+  JOIN cw2 ON k.w2 = cw2.w2
+  JOIN cw3 ON k.w3 = cw3.w3
+  CROSS JOIN tot CROSS JOIN dt CROSS JOIN dm
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+       ROUND(SUM(tf * nll) / SUM(tf), 4) AS avg_nll,
+       ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
+FROM scored GROUP BY doc_id
+ORDER BY doc_id NULLS FIRST
+"""
+
+
 def ext_kn4_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N4] interpolated Kneser-Ney 4-GRAM LM perplexity
     (operators/lm.py::kn_fourgram_perplexity) — the "one more order"

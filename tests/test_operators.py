@@ -4543,6 +4543,97 @@ def test_kn_fourgram_perplexity_order4_recursion(spark):
     assert out[99].ppl == ppl(docs[99])
 
 
+def test_mkn_trigram_perplexity_three_discount_scheme(spark):
+    """Modified KN must reproduce a driver-side Python replay of the full
+    Chen-Goodman scheme — count-of-count discounts (Y, D1/D2/D3+ with the
+    clamp/guard CASEs), per-context released-mass gammas, continuation
+    middle level — exactly (same float op order); plus the standard
+    ranking/exclusion/identical-doc invariants."""
+    import math
+    from collections import Counter
+
+    from dbt_meshify_spark.operators.lm import mkn_trigram_perplexity
+
+    typical = "the cat sat on the mat"
+    atypical = "mat the on sat cat the"
+    extra = "the cat sat on a rug"  # overlapping counts -> varied c buckets
+    rows = (
+        [(i, typical) for i in range(10)]
+        + [(50 + i, extra) for i in range(3)]
+        + [(99, atypical), (100, "one two")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in mkn_trigram_perplexity(df).collect()}
+    assert 100 not in out
+    assert out[0].ppl < out[99].ppl
+    assert out[0].ppl == out[5].ppl
+
+    docs = {i: typical.split() for i in range(10)}
+    for i in range(3):
+        docs[50 + i] = extra.split()
+    docs[99] = atypical.split()
+    tri_c = Counter()
+    btypes = set()
+    for toks in docs.values():
+        for tup in zip(toks, toks[1:], toks[2:]):
+            tri_c[tup] += 1
+        for tup in zip(toks, toks[1:]):
+            btypes.add(tup)
+
+    def discounts(counts):
+        n1 = sum(1 for c in counts if c == 1)
+        n2 = sum(1 for c in counts if c == 2)
+        n3 = sum(1 for c in counts if c == 3)
+        n4 = sum(1 for c in counts if c == 4)
+        y = n1 / (n1 + 2.0 * n2) if n1 + 2 * n2 > 0 else 0.5
+        d1 = max(1.0 - 2.0 * y * n2 / n1 if n1 > 0 else 1.0, 0.0)
+        d2 = max(2.0 - 3.0 * y * n3 / n2 if n2 > 0 else 2.0, 0.0)
+        d3 = max(3.0 - 4.0 * y * n4 / n3 if n3 > 0 else 3.0, 0.0)
+        return d1, d2, d3
+
+    dt = discounts(list(tri_c.values()))
+    c_w12 = Counter()
+    bucket = {}
+    cc = Counter()  # N1+(.w2w3)
+    for (a, b, c), n in tri_c.items():
+        c_w12[(a, b)] += n
+        k = 0 if n == 1 else (1 if n == 2 else 2)
+        bucket.setdefault((a, b), [0, 0, 0])[k] += 1
+        cc[(b, c)] += 1
+    dm = discounts(list(cc.values()))
+    n_dot_w2 = Counter()
+    mbucket = {}
+    for (b, c), n in cc.items():
+        n_dot_w2[b] += n
+        k = 0 if n == 1 else (1 if n == 2 else 2)
+        mbucket.setdefault(b, [0, 0, 0])[k] += 1
+    n_dot_w3 = Counter(b for _a, b in btypes)
+    nbt = float(len(btypes))
+
+    def d_of(c, d):
+        return d[0] if c == 1 else (d[1] if c == 2 else d[2])
+
+    def ppl(toks):
+        s = m = 0
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            p_cont = n_dot_w3[c] / nbt
+            g2 = (dm[0] * mbucket[b][0] + dm[1] * mbucket[b][1]
+                  + dm[2] * mbucket[b][2]) / n_dot_w2[b]
+            p2 = (max(cc[(b, c)] - d_of(cc[(b, c)], dm), 0.0) / n_dot_w2[b]
+                  + g2 * p_cont)
+            g3 = (dt[0] * bucket[(a, b)][0] + dt[1] * bucket[(a, b)][1]
+                  + dt[2] * bucket[(a, b)][2]) / c_w12[(a, b)]
+            p3 = (max(tri_c[(a, b, c)] - d_of(tri_c[(a, b, c)], dt), 0.0)
+                  / c_w12[(a, b)] + g3 * p2)
+            s += -math.log(p3)
+            m += 1
+        return round(math.exp(s / m), 4)
+
+    assert out[0].ppl == ppl(docs[0])
+    assert out[50].ppl == ppl(docs[50])
+    assert out[99].ppl == ppl(docs[99])
+
+
 def test_epoch_budget_plan_water_fills_with_caps(spark):
     """Hand-computed 3-round fill: budget 1000, max_epochs 4, groups of
     100/10/1000 tokens. Equal shares cap the small groups at 4 epochs and

@@ -588,14 +588,15 @@ def test_kn_lm_family_scans_corpus_once_and_stays_jvm_side(spark):
     a 100 TB re-read multiplier); scoring must stay pure codegen (no
     Python row UDFs) and the only nested-loop join is the 1-row totals
     broadcast."""
-    for name in ("ext_kn_perplexity", "ext_kn4_perplexity"):
+    for name in ("ext_kn_perplexity", "ext_kn4_perplexity", "ext_mkn_perplexity"):
         plan = _physical(QUERIES[name](spark, SF_ORACLE))
         assert plan.count("Scan parquet") <= 1, f"{name} re-scans the corpus"
         assert "ExistingRDD" in plan, f"{name} lost its type-table pins"
         assert "BatchEvalPython" not in plan, f"{name} fell off codegen"
         assert "CartesianProduct" not in plan
-        assert plan.count("BroadcastNestedLoopJoin") <= 1, (
-            f"{name}: only the 1-row totals broadcast may nest"
+        # 1-row totals + (for modified KN) two 1-row discount frames
+        assert plan.count("BroadcastNestedLoopJoin") <= 3, (
+            f"{name}: only 1-row scalar broadcasts may nest"
         )
 
 
