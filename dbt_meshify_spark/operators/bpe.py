@@ -201,34 +201,32 @@ def ensure_bpe_merges(
     `ext_bpe_encode_dist` wall time before this cache existed).
 
     Reuse is gated on the ``_SUCCESS`` marker AND the source fingerprint
-    (``sources.bucketing`` discipline): a corpus parquet regenerated in
-    place retrains instead of silently serving stale merges. The cache
-    identity folds in ``n_merges`` and ``text_col`` — two configs
-    training different tables off the same corpus never collide on a
-    slug. Returns the merges as an ordered ``[(lhs, rhs), ...]`` list
-    (the form every encoder takes); the collect is bounded by
-    ``n_merges`` rows — planning output, never corpus data. Training is
-    deterministic (ties break (freq, lhs, rhs) DESC), so a warm merge
-    table is bit-identical to a cold retrain and downstream encodes stay
-    oracle-checkable.
+    (the shared ``ensure_cached_layout`` gate): a corpus parquet
+    regenerated in place retrains instead of silently serving stale
+    merges. The cache identity folds in ``n_merges`` and ``text_col``
+    via the length-prefixed ``cache_slug``, so two configs training
+    different tables off the same corpus cannot collide. Returns the
+    merges as an ordered ``[(lhs, rhs), ...]`` list (the form every
+    encoder takes); the collect is bounded by ``n_merges`` rows —
+    planning output, never corpus data. Training is deterministic (ties
+    break (freq, lhs, rhs) DESC), so a warm merge table is bit-identical
+    to a cold retrain and downstream encodes stay oracle-checkable.
     """
     import os
-    import re as _re
 
-    from dbt_meshify_spark.sources.bucketing import (
-        fingerprint_matches,
-        write_fingerprint,
-    )
+    from dbt_meshify_spark.sources.bucketing import cache_slug, ensure_cached_layout
 
-    slug = _re.sub(r"[^A-Za-z0-9]+", "_", f"{cache_key.strip('/')}_{text_col}")
+    slug = cache_slug(cache_key.strip("/"), text_col)
     d = os.path.join(base_dir, f"bpe{int(n_merges)}_{slug}")
-    mpath = os.path.join(d, "merges")
-    complete = os.path.exists(os.path.join(mpath, "_SUCCESS"))
-    if not (complete and fingerprint_matches(d, source_path)):
+
+    def build(layout_dir: str) -> None:
         merges = train_bpe_distributed(df, n_merges=n_merges, text_col=text_col)
-        merges.coalesce(1).write.mode("overwrite").parquet(mpath)
-        write_fingerprint(d, source_path)
-    rows = spark.read.parquet(mpath).orderBy("merge_rank").collect()
+        merges.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(layout_dir, "merges")
+        )
+
+    ensure_cached_layout(d, source_path, ["merges"], build)
+    rows = spark.read.parquet(os.path.join(d, "merges")).orderBy("merge_rank").collect()
     return [(r.lhs, r.rhs) for r in rows]
 
 

@@ -130,17 +130,8 @@ def trigram_perplexity(
     ).filter(F.size("__t") >= 3)
 
     t = F.col("__t")
-    n3 = F.size(t) - 2
-    trigrams = F.zip_with(
-        F.zip_with(
-            F.slice(t, 1, n3), F.slice(t, 2, n3),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-        F.slice(t, 3, n3),
-        lambda ab, c: F.concat_ws(" ", ab, c),
-    )
     tf = (
-        toks.select(F.col(id_col), F.explode(trigrams).alias("tri"))
+        toks.select(F.col(id_col), F.explode(_ngrams(t, 3)).alias("tri"))
         .groupBy(id_col, "tri")
         .agg(F.count("*").alias("tf"))
     )
@@ -213,6 +204,17 @@ def trigram_perplexity(
     )
 
 
+def _tri_key_cols(frame: DataFrame) -> DataFrame:
+    """Stage the w12/w23/w2/w3 split keys off a 'tri' column once (used by
+    both KN tiers' type tables AND scoring frames)."""
+    return (
+        frame.withColumn("w12", F.substring_index("tri", " ", 2))
+        .withColumn("w23", F.substring_index("tri", " ", -2))
+        .withColumn("w2", F.substring_index(F.substring_index("tri", " ", -2), " ", 1))
+        .withColumn("w3", F.substring_index("tri", " ", -1))
+    )
+
+
 def kn_trigram_perplexity(
     df: DataFrame,
     text_col: str = "text",
@@ -261,17 +263,8 @@ def kn_trigram_perplexity(
     ).filter(F.size("__t") >= 3)
 
     t = F.col("__t")
-    n3 = F.size(t) - 2
-    trigrams = F.zip_with(
-        F.zip_with(
-            F.slice(t, 1, n3), F.slice(t, 2, n3),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-        F.slice(t, 3, n3),
-        lambda ab, c: F.concat_ws(" ", ab, c),
-    )
     tf = (
-        toks.select(F.col(id_col), F.explode(trigrams).alias("tri"))
+        toks.select(F.col(id_col), F.explode(_ngrams(t, 3)).alias("tri"))
         .groupBy(id_col, "tri")
         .agg(F.count("*").alias("tf"))
     )
@@ -281,15 +274,9 @@ def kn_trigram_perplexity(
     # unpinned lineage re-runs the type aggregate (and its corpus scan)
     # once per reference; the pinned state is model-sized (distinct
     # grams — Zipf-sublinear in corpus tokens), never corpus-sized
-    keys = (
-        tf.groupBy("tri")
-        .agg(F.sum("tf").alias("c_tri"))
-        .withColumn("w12", F.substring_index("tri", " ", 2))
-        .withColumn("w23", F.substring_index("tri", " ", -2))
-        .withColumn("w2", F.substring_index(F.substring_index("tri", " ", -2), " ", 1))
-        .withColumn("w3", F.substring_index("tri", " ", -1))
-        .localCheckpoint(eager=False)
-    )
+    keys = _tri_key_cols(
+        tf.groupBy("tri").agg(F.sum("tf").alias("c_tri"))
+    ).localCheckpoint(eager=False)
     cw12 = keys.groupBy("w12").agg(
         F.sum("c_tri").alias("c_w12"),           # C(w1w2.)
         F.count("*").alias("n1p_w12"),           # N1+(w1w2.)
@@ -301,16 +288,11 @@ def kn_trigram_perplexity(
         F.count("*").alias("n_dot_w2"),          # N1+(.w2.)
         F.countDistinct("w23").alias("n_w2_dot"),  # N1+(w2.)
     )
-    # continuation-unigram tables over the full bigram TYPE projection
-    n2 = F.size(t) - 1
-    bigrams = F.zip_with(
-        F.slice(t, 1, n2), F.slice(t, 2, n2),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    # bigram TYPE table, pinned for the same reason (two references:
-    # continuation counts + the 1-row total)
+    # continuation-unigram tables over the full bigram TYPE projection,
+    # pinned for the same reason (two references: continuation counts +
+    # the 1-row total)
     btypes = (
-        toks.select(F.explode(bigrams).alias("bg"))
+        toks.select(F.explode(_ngrams(t, 2)).alias("bg"))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -323,12 +305,7 @@ def kn_trigram_perplexity(
         F.count("*").cast("double").alias("__nbt")  # N1+(..)
     )
 
-    scored_keys = (
-        tf.withColumn("w12", F.substring_index("tri", " ", 2))
-        .withColumn("w23", F.substring_index("tri", " ", -2))
-        .withColumn("w2", F.substring_index(F.substring_index("tri", " ", -2), " ", 1))
-        .withColumn("w3", F.substring_index("tri", " ", -1))
-    )
+    scored_keys = _tri_key_cols(tf)
     dd = F.lit(d)
     p_cont = F.col("n_dot_w3").cast("double") / F.col("__nbt")
     p2 = (
@@ -443,15 +420,9 @@ def mkn_trigram_perplexity(
         .groupBy(id_col, "tri")
         .agg(F.count("*").alias("tf"))
     )
-    keys = (
-        tf.groupBy("tri")
-        .agg(F.sum("tf").alias("c_tri"))
-        .withColumn("w12", F.substring_index("tri", " ", 2))
-        .withColumn("w23", F.substring_index("tri", " ", -2))
-        .withColumn("w2", F.substring_index(F.substring_index("tri", " ", -2), " ", 1))
-        .withColumn("w3", F.substring_index("tri", " ", -1))
-        .localCheckpoint(eager=False)
-    )
+    keys = _tri_key_cols(
+        tf.groupBy("tri").agg(F.sum("tf").alias("c_tri"))
+    ).localCheckpoint(eager=False)
     # top-level discounts from the trigram count-of-counts
     dtri = _mkn_discounts(keys, "c_tri", "dt")
     # per-context released-mass buckets + denominator
@@ -476,13 +447,8 @@ def mkn_trigram_perplexity(
             F.sum(F.when(cc >= 3, 1).otherwise(0)).alias("m3p"),
         )
     )
-    n2b = F.size(t) - 1
-    bigrams = F.zip_with(
-        F.slice(t, 1, n2b), F.slice(t, 2, n2b),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
     btypes = (
-        toks.select(F.explode(bigrams).alias("bg"))
+        toks.select(F.explode(_ngrams(t, 2)).alias("bg"))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -493,12 +459,7 @@ def mkn_trigram_perplexity(
     )
     tot = btypes.agg(F.count("*").cast("double").alias("__nbt"))
 
-    scored_keys = (
-        tf.withColumn("w12", F.substring_index("tri", " ", 2))
-        .withColumn("w23", F.substring_index("tri", " ", -2))
-        .withColumn("w2", F.substring_index(F.substring_index("tri", " ", -2), " ", 1))
-        .withColumn("w3", F.substring_index("tri", " ", -1))
-    )
+    scored_keys = _tri_key_cols(tf)
 
     def disc(count, d1, d2, d3):
         return (

@@ -976,37 +976,35 @@ def ensure_ivf_index(
     the scan to the probed cells (DPP; plan-guarded).
 
     Reuse is gated on BOTH halves' ``_SUCCESS`` markers AND the source
-    fingerprint (same staleness discipline as
-    ``sources.bucketing.ensure_bucketed``): a corpus parquet regenerated in
-    place rebuilds the index instead of silently serving stale cells.
+    fingerprint (the shared ``ensure_cached_layout`` gate): a corpus
+    parquet regenerated in place rebuilds the index instead of silently
+    serving stale cells. id_col/vec_col are part of the cache identity
+    via the length-prefixed ``cache_slug`` — two configs reading
+    different columns off the same corpus cannot collide.
     """
     import os
-    import re as _re
 
-    from dbt_meshify_spark.sources.bucketing import (
-        fingerprint_matches,
-        write_fingerprint,
-    )
+    from dbt_meshify_spark.sources.bucketing import cache_slug, ensure_cached_layout
 
-    # id_col/vec_col are part of the cache identity: two configs reading
-    # different columns off the same corpus must not collide on a slug
-    slug = _re.sub(
-        r"[^A-Za-z0-9]+", "_", f"{cache_key.strip('/')}_{id_col}_{vec_col}"
-    )
+    slug = cache_slug(cache_key.strip("/"), id_col, vec_col)
     d = os.path.join(base_dir, f"ivf{nlist}_i{iters}_{slug}")
-    cpath = os.path.join(d, "centroids")
-    apath = os.path.join(d, "cells")
-    complete = os.path.exists(os.path.join(cpath, "_SUCCESS")) and os.path.exists(
-        os.path.join(apath, "_SUCCESS")
-    )
-    if not (complete and fingerprint_matches(d, source_path)):
+
+    def build(layout_dir: str) -> None:
         centroids, cells = ivf_index(
             corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
         )
-        centroids.write.mode("overwrite").parquet(cpath)
-        cells.write.mode("overwrite").partitionBy("cell").parquet(apath)
-        write_fingerprint(d, source_path)
-    return spark.read.parquet(cpath), spark.read.parquet(apath)
+        centroids.write.mode("overwrite").parquet(
+            os.path.join(layout_dir, "centroids")
+        )
+        cells.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(layout_dir, "cells")
+        )
+
+    ensure_cached_layout(d, source_path, ["centroids", "cells"], build)
+    return (
+        spark.read.parquet(os.path.join(d, "centroids")),
+        spark.read.parquet(os.path.join(d, "cells")),
+    )
 
 
 def ivf_probe_index(
@@ -1028,24 +1026,38 @@ def ivf_probe_index(
     index. Per-batch cost is O(batch x probed-cell volume); the index
     build never re-runs (plan-guarded by the probe test).
     """
-    cent_rows = centroids.orderBy("cell").collect()
-    cm = [list(map(float, r["centroid"])) for r in cent_rows]
-    # _probe_udf returns POSITIONS into cm; map them through the stored
-    # cell ids so a pruned/filtered centroid table (non-contiguous ids)
-    # still joins the right cells
-    cell_ids = F.array(*[F.lit(int(r["cell"])) for r in cent_rows])
-    probe = _probe_udf(cm, nprobe)
-    q = spread(queries).select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("__pos", F.explode(probe(F.col("qv")))).withColumn(
-        "cell", F.element_at(cell_ids, F.col("__pos") + 1)
-    ).drop("__pos")
+    q = _probe_exploded(queries, centroids, nprobe, id_col, vec_col)
     sims = (
         q.join(cells.select(F.col(id_col).alias("neighbor_id"), "vec", "cell"), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", _cos_pairs_udf()(F.col("qv"), F.col("vec")))
     )
+    return _probe_topk(sims, k)
+
+
+def _probe_exploded(
+    queries: DataFrame, centroids: DataFrame, nprobe: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Shared probe front half: collect the bounded centroid table into
+    the probe UDF's closure and explode each query to its ``nprobe``
+    nearest cell IDS. ``_probe_udf`` returns POSITIONS into the matrix;
+    they map through the stored cell ids so a pruned/filtered centroid
+    table (non-contiguous ids) still joins the right cells."""
+    cent_rows = centroids.orderBy("cell").collect()
+    cm = [list(map(float, r["centroid"])) for r in cent_rows]
+    cell_ids = F.array(*[F.lit(int(r["cell"])) for r in cent_rows])
+    probe = _probe_udf(cm, nprobe)
+    return spread(queries).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("__pos", F.explode(probe(F.col("qv")))).withColumn(
+        "cell", F.element_at(cell_ids, F.col("__pos") + 1)
+    ).drop("__pos")
+
+
+def _probe_topk(sims: DataFrame, k: int) -> DataFrame:
+    """Shared probe back half: per-query windowed top-k with the
+    deterministic (cos_sim DESC, neighbor_id ASC) tiebreak."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -1126,18 +1138,11 @@ def ivf_probe_index_q8(
     einsum. Same probe plan as the fp path (centroids in the UDF closure,
     explode to nprobe cells, DPP-pruned equi-join on the cell id,
     windowed top-k); scores differ from fp32 only by the bounded
-    quantization error (recall-vs-fp32 asserted in tests).
+    quantization error (recall-vs-fp32 asserted in tests). Shares
+    :func:`_probe_exploded` / :func:`_probe_topk` with the fp path, so
+    the two plans stay identical by construction.
     """
-    cent_rows = centroids.orderBy("cell").collect()
-    cm = [list(map(float, r["centroid"])) for r in cent_rows]
-    cell_ids = F.array(*[F.lit(int(r["cell"])) for r in cent_rows])
-    probe = _probe_udf(cm, nprobe)
-    qf = spread(queries).select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("__pos", F.explode(probe(F.col("qv")))).withColumn(
-        "cell", F.element_at(cell_ids, F.col("__pos") + 1)
-    ).drop("__pos")
+    qf = _probe_exploded(queries, centroids, nprobe, id_col, vec_col)
     sims = (
         qf.join(
             qcells.select(
@@ -1151,17 +1156,7 @@ def ivf_probe_index_q8(
             _cos_pairs_q8_udf()(F.col("qv"), F.col("q"), F.col("scale")),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id",
-            F.round("cos_sim", 4).alias("cos_sim"), "rank",
-        )
-    )
+    return _probe_topk(sims, k)
 
 
 def ensure_ivf_index_q8(
@@ -1185,31 +1180,29 @@ def ensure_ivf_index_q8(
     doesn't. Returns ``(centroids, qcells)`` for
     :func:`ivf_probe_index_q8`."""
     import os
-    import re as _re
 
-    from dbt_meshify_spark.sources.bucketing import (
-        fingerprint_matches,
-        write_fingerprint,
-    )
+    from dbt_meshify_spark.sources.bucketing import cache_slug, ensure_cached_layout
 
-    slug = _re.sub(
-        r"[^A-Za-z0-9]+", "_", f"{cache_key.strip('/')}_{id_col}_{vec_col}"
-    )
+    slug = cache_slug(cache_key.strip("/"), id_col, vec_col)
     d = os.path.join(base_dir, f"ivfq8_{nlist}_i{iters}_{slug}")
-    cpath = os.path.join(d, "centroids")
-    apath = os.path.join(d, "cells")
-    complete = os.path.exists(os.path.join(cpath, "_SUCCESS")) and os.path.exists(
-        os.path.join(apath, "_SUCCESS")
-    )
-    if not (complete and fingerprint_matches(d, source_path)):
+
+    def build(layout_dir: str) -> None:
         centroids, cells = ivf_index(
             corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
         )
         qcells = ivf_quantize_cells(cells, id_col=id_col, vec_col="vec")
-        centroids.write.mode("overwrite").parquet(cpath)
-        qcells.write.mode("overwrite").partitionBy("cell").parquet(apath)
-        write_fingerprint(d, source_path)
-    return spark.read.parquet(cpath), spark.read.parquet(apath)
+        centroids.write.mode("overwrite").parquet(
+            os.path.join(layout_dir, "centroids")
+        )
+        qcells.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(layout_dir, "cells")
+        )
+
+    ensure_cached_layout(d, source_path, ["centroids", "cells"], build)
+    return (
+        spark.read.parquet(os.path.join(d, "centroids")),
+        spark.read.parquet(os.path.join(d, "cells")),
+    )
 
 
 def hard_negatives_lsh(

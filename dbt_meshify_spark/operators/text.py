@@ -125,13 +125,39 @@ PII_PATTERNS: list[tuple[str, str]] = [
 
 # Separator-tolerant card-number candidate: 13-19 digits in one run, any two
 # adjacent digits optionally split by ONE space or dash — covers
-# '4111111111111111', '4111 1111 1111 1111', '4111-1111-1111-1111', and
-# mixed forms. The \b anchors make a 20+-digit (grouped or contiguous) run
-# yield its longest <=19-digit boundary-aligned prefix or nothing, never a
-# silent mid-run slice; both Java regex and RE2 resolve this identically
-# (verified engine-side by the ext_pii_luhn_audit oracle). RE2-compatible:
-# \b, (?:), bounded repeat — no lookaround.
+# '4111 1111 1111 1111', '4111-1111-1111-1111', and mixed forms. The \b
+# anchors make a 20+-digit (grouped or contiguous) run yield its longest
+# <=19-digit boundary-aligned prefix or nothing, never a silent mid-run
+# slice; both Java regex and RE2 resolve this identically (verified
+# engine-side by the ext_pii_luhn_audit oracle). RE2-compatible: \b, (?:),
+# bounded repeat — no lookaround. Letter-glued contiguous cards
+# ('ID4539...') have no \b, so candidate extraction UNIONS this with
+# maximal \d+ runs length-filtered to 13-19 (the round-7 tier).
 CARD_CANDIDATE_PATTERN = r"\b\d(?:[ -]?\d){12,18}\b"
+
+# A grouped candidate with any SINGLE-digit group ('0 0 0 0 ...') is a
+# bridge across unrelated adjacent numbers, not a card grouping (real card
+# formats group by >= 2 digits: 4-4-4-4, 4-6-5, 4-4-4-4-3); candidates
+# matching this are rejected before the Luhn fold. RE2-safe (no lookaround).
+_SINGLETON_GROUP_PATTERN = r"(^|[ -])\d($|[ -])"
+
+
+def _card_candidates(col: Column) -> Column:
+    """Deduplicated card candidates of ``col``: \\b-bounded
+    separator-grouped runs (:data:`CARD_CANDIDATE_PATTERN`, minus
+    singleton-group bridges) UNION maximal contiguous digit runs of 13-19
+    digits (catches letter-glued cards like 'ID4539...' that have no word
+    boundary). Both extractions and the filters are engine-identical
+    (Java regex / RE2)."""
+    grouped = F.filter(
+        F.regexp_extract_all(col, F.lit(CARD_CANDIDATE_PATTERN), F.lit(0)),
+        lambda c: ~c.rlike(_SINGLETON_GROUP_PATTERN),
+    )
+    contiguous = F.filter(
+        F.regexp_extract_all(col, F.lit(r"\d+"), F.lit(0)),
+        lambda c: F.length(c).between(13, 19),
+    )
+    return F.array_distinct(F.concat(grouped, contiguous))
 
 
 def _luhn_sum(rev: Column) -> Column:
@@ -150,20 +176,35 @@ def _luhn_sum(rev: Column) -> Column:
 
 
 def mask_luhn_cards(col: Column, token: str = "[CARD]") -> Column:
-    """Replace Luhn-VALID card-shaped runs (contiguous or space/dash
-    grouped) with ``token``; checksum-invalid lookalikes (order ids,
-    tracking numbers) are left untouched — the recall fix that pure-regex
-    masking can't express. Per row: extract candidates
-    (:data:`CARD_CANDIDATE_PATTERN`), keep those whose separator-stripped
-    digits pass Luhn, fold ``replace`` over the survivors. All built-in
-    expressions over a <=few-element candidate list, fused into the scan.
+    """Replace Luhn-VALID card-shaped runs (contiguous — even letter-glued
+    — or space/dash grouped) with ``token``; checksum-invalid lookalikes
+    (order ids, tracking numbers) are left untouched — the recall fix
+    that pure-regex masking can't express. Per row: extract candidates
+    (:func:`_card_candidates`), keep those whose separator-stripped
+    digits pass Luhn, fold a DIGIT-BOUNDARY-anchored ``regexp_replace``
+    over the survivors — ``(^|[^0-9])cand([^0-9]|$)`` — so a valid card's
+    digits are never rewritten INSIDE a longer digit run that merely
+    contains them (a literal replace would corrupt e.g. a 17-digit
+    tracking number containing a 16-digit valid card as a substring).
+    Candidates contain only digits/space/dash, so embedding them in the
+    anchor pattern needs no regex escaping. All built-in expressions over
+    a <=few-element candidate list, fused into the scan.
     """
-    cands = F.regexp_extract_all(col, F.lit(CARD_CANDIDATE_PATTERN), F.lit(0))
     valid = F.filter(
-        cands,
+        _card_candidates(col),
         lambda c: _luhn_sum(F.reverse(F.regexp_replace(c, "[ -]", ""))) % 10 == 0,
     )
-    return F.aggregate(valid, col, lambda acc, c: F.replace(acc, c, F.lit(token)))
+
+    # applied twice: the non-overlapping global scan consumes the boundary
+    # char, so back-to-back occurrences separated by one char alternate-miss
+    # on a single pass (identical consumed-boundary semantics in RE2, so the
+    # oracle mirrors the double pass)
+    def _mask(acc: Column, c: Column) -> Column:
+        pat = F.concat(F.lit("(^|[^0-9])"), c, F.lit("([^0-9]|$)"))
+        rep = F.lit(f"$1{token}$2")
+        return F.regexp_replace(F.regexp_replace(acc, pat, rep), pat, rep)
+
+    return F.aggregate(valid, col, _mask)
 
 
 def redact_pii(
@@ -198,13 +239,16 @@ def luhn_card_hits(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Credit-card PII detection with Luhn checksum VALIDATION — the
-    precision tier above pattern masking: separator-tolerant candidates
-    (:data:`CARD_CANDIDATE_PATTERN` — contiguous '4111111111111111' AND
-    grouped '4111 1111 1111 1111' / '4111-1111-1111-1111' / mixed, the
-    dominant real-world card formats) are extracted, separator-stripped
-    to 13-19 digits, and only checksum-valid candidates count, so order
-    ids / tracking numbers / phone-ish digit runs don't read as card
-    hits (~90% of arbitrary digit runs fail Luhn).
+    precision tier above pattern masking: candidates are the UNION of
+    \\b-bounded separator-grouped runs ('4111 1111 1111 1111' /
+    '4111-1111-1111-1111' / mixed — the dominant real formats; grouped
+    runs with single-digit groups are rejected as bridges across
+    unrelated adjacent numbers) and maximal contiguous 13-19-digit runs
+    (any surrounding context, so letter-glued 'ID4539...' still counts —
+    the round-7 tier). Candidates are separator-stripped and only
+    checksum-valid ones count, so order ids / tracking numbers /
+    phone-ish digit runs don't read as card hits (~90% of arbitrary
+    digit runs fail Luhn).
 
     Scale shape: extraction is a codegen regexp over the scan; the Luhn
     sum is a higher-order aggregate over a <=19-element sequence per
@@ -218,11 +262,7 @@ def luhn_card_hits(
     runs = (
         df.select(
             F.col(id_col),
-            F.explode(
-                F.regexp_extract_all(
-                    F.col(text_col), F.lit(CARD_CANDIDATE_PATTERN), F.lit(0)
-                )
-            ).alias("__run"),
+            F.explode(_card_candidates(F.col(text_col))).alias("__run"),
         )
         .withColumn("__digits", F.regexp_replace("__run", "[ -]", ""))
         .filter(F.length("__digits").between(13, 19))

@@ -1910,10 +1910,19 @@ c AS (
   FROM customer c JOIN oid o ON c.c_custkey = o.c_custkey
 ),
 carded AS (
+  -- mirrors mask_luhn_cards: union candidates (grouped-minus-singleton +
+  -- contiguous 13-19), Luhn filter, then a DOUBLE digit-boundary-anchored
+  -- regexp_replace per survivor (double: the global scan consumes the
+  -- boundary char, so adjacent occurrences alternate-miss on one pass)
   SELECT c_custkey, note,
          list_reduce(
            [note] || list_filter(
-             regexp_extract_all(note, '\\b\\d(?:[ -]?\\d){12,18}\\b'),
+             list_distinct(
+               list_filter(
+                 regexp_extract_all(note, '\\b\\d(?:[ -]?\\d){12,18}\\b'),
+                 c -> NOT regexp_matches(c, '(^|[ -])\\d($|[ -])'))
+               || list_filter(regexp_extract_all(note, '\\d+'),
+                              c -> len(c) BETWEEN 13 AND 19)),
              cand -> list_sum(list_transform(
                range(1, len(replace(replace(cand, ' ', ''), '-', '')) + 1),
                i -> CASE WHEN i % 2 = 0
@@ -1925,7 +1934,10 @@ carded AS (
                                cand, ' ', ''), '-', '')), i, 1) AS INT) END
                  ELSE CAST(substring(reverse(replace(replace(
                      cand, ' ', ''), '-', '')), i, 1) AS INT) END)) % 10 = 0),
-           (acc, x) -> replace(acc, x, '[CARD]')) AS masked
+           (acc, x) -> regexp_replace(
+             regexp_replace(acc, '(^|[^0-9])' || x || '([^0-9]|$)',
+                            '\\1[CARD]\\2', 'g'),
+             '(^|[^0-9])' || x || '([^0-9]|$)', '\\1[CARD]\\2', 'g')) AS masked
   FROM c
 )
 SELECT c_custkey, note,
@@ -7475,8 +7487,16 @@ synth AS (
   FROM base
 ),
 cands AS (
+  -- union of \b-bounded grouped runs (minus singleton-group bridges) and
+  -- maximal contiguous 13-19-digit runs, DISTINCT per doc (a contiguous
+  -- \b-bounded run matches both patterns) — mirrors _card_candidates
   SELECT doc_id,
-         unnest(regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b')) AS run
+         unnest(list_distinct(
+           list_filter(regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b'),
+                       c -> NOT regexp_matches(c, '(^|[ -])\d($|[ -])'))
+           || list_filter(regexp_extract_all(text, '\d+'),
+                          c -> len(c) BETWEEN 13 AND 19)
+         )) AS run
   FROM synth
 ),
 sized AS (

@@ -88,6 +88,44 @@ def fingerprint_matches(layout_dir: str, source_path: str | None) -> bool:
         return fh.read().strip() == current
 
 
+def cache_slug(*fields) -> str:
+    """Collision-proof slug for cached-layout directory names: each field
+    sanitizes ``[^A-Za-z0-9]+ -> '_'`` and is LENGTH-PREFIXED before
+    joining, so the field boundary stays decodable — ``('k_a', 'b')``
+    gives ``3k_a_1b`` while ``('k', 'a_b')`` gives ``1k_3a_b`` (a plain
+    '_'-join would collide both onto ``k_a_b`` and silently serve one
+    config's cache to the other). Within-field sanitize collisions
+    ('a.b' vs 'a_b') remain — separator choice inside one field is not
+    cache identity."""
+    return "_".join(
+        f"{len(s)}{s}"
+        for s in (re.sub(r"[^A-Za-z0-9]+", "_", str(f)) for f in fields)
+    )
+
+
+def ensure_cached_layout(
+    layout_dir: str,
+    source_path: str | None,
+    subdirs: list[str],
+    build_and_write,
+) -> bool:
+    """The shared cross-session cache gate (ensure_ivf_index /
+    ensure_ivf_index_q8 / ensure_bpe_merges discipline, extracted):
+    reuse iff every ``subdirs`` half has its ``_SUCCESS`` marker AND the
+    stored source fingerprint matches the source NOW; otherwise call
+    ``build_and_write(layout_dir)`` (which must write every subdir) and
+    stamp the fingerprint. Returns True when a (re)build happened."""
+    complete = all(
+        os.path.exists(os.path.join(layout_dir, sub, "_SUCCESS"))
+        for sub in subdirs
+    )
+    if complete and fingerprint_matches(layout_dir, source_path):
+        return False
+    build_and_write(layout_dir)
+    write_fingerprint(layout_dir, source_path)
+    return True
+
+
 def bucketed_table_name(table: str, sf_dir: str, num_buckets: int) -> str:
     slug = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
     return f"bkt{num_buckets}_{table}_{slug}"

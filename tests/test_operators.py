@@ -2462,7 +2462,7 @@ def test_ensure_ivf_index_caches_and_invalidates(spark, tmp_path):
     c1, a1 = ensure_ivf_index(
         spark, emb, cache_key="t", nlist=8, source_path=src, base_dir=base
     )
-    d = os.path.join(base, "ivf8_i8_t_vec_id_embedding")
+    d = os.path.join(base, "ivf8_i8_1t_6vec_id_9embedding")
     stamp = os.path.getmtime(os.path.join(d, "centroids", "_SUCCESS"))
 
     # warm call: served from parquet, no retrain (mtime unchanged)
@@ -2494,6 +2494,19 @@ def test_ensure_ivf_index_caches_and_invalidates(spark, tmp_path):
     assert a3.count() == emb2.count()
 
 
+def test_cache_slug_is_collision_proof_across_fields():
+    """Length-prefixed segments keep the field boundary decodable: configs
+    that a plain '_'-join would collide onto one cache dir must slug
+    differently (the silent-stale-cache hazard)."""
+    from dbt_meshify_spark.sources.bucketing import cache_slug
+
+    assert cache_slug("k_a", "b") != cache_slug("k", "a_b")
+    assert cache_slug("vec", "id_embedding") != cache_slug("vec_id", "embedding")
+    assert cache_slug("t", "vec_id", "embedding") == "1t_6vec_id_9embedding"
+    # sanitization still applies within a field
+    assert cache_slug("a/b", "c") == cache_slug("a_b", "c")
+
+
 def test_ensure_bpe_merges_caches_and_invalidates(spark, tmp_path):
     """The persisted BPE merge table must (a) train once and serve from
     parquet on repeat calls — proven by handing the warm call a DIFFERENT
@@ -2520,7 +2533,7 @@ def test_ensure_bpe_merges_caches_and_invalidates(spark, tmp_path):
     )
     cold = train_bpe_distributed(docs, n_merges=3).orderBy("merge_rank").collect()
     assert m1 == [(r.lhs, r.rhs) for r in cold]
-    d = os.path.join(base, "bpe3_t_text")
+    d = os.path.join(base, "bpe3_1t_4text")
     stamp = os.path.getmtime(os.path.join(d, "merges", "_SUCCESS"))
 
     # warm call with a DIFFERENT corpus: cache wins => no retrain happened
@@ -2600,7 +2613,7 @@ def test_ivf_probe_q8_recall_tracks_fp32(spark, tmp_path):
         spark, emb, cache_key="t", nlist=8, source_path=src, base_dir=base
     )
     assert dict(a1.dtypes)["q"] == "array<tinyint>"
-    d = os.path.join(base, "ivfq8_8_i8_t_vec_id_embedding")
+    d = os.path.join(base, "ivfq8_8_i8_1t_6vec_id_9embedding")
     stamp = os.path.getmtime(os.path.join(d, "cells", "_SUCCESS"))
     c2, a2 = ensure_ivf_index_q8(
         spark, emb, cache_key="t", nlist=8, source_path=src, base_dir=base
@@ -4319,6 +4332,12 @@ def test_luhn_card_hits_validates_checksums(spark):
         (8, "order 4539-1488-0343-6468 shipped"),        # grouped but Luhn-INVALID order id
         (9, "ref 1234 5678 9012 3456 7890 over"),        # 20 digits grouped: 16-digit
                                                          # boundary prefix, Luhn-invalid
+        (10, f"ID{valid} letter-glued"),                 # no \b, caught by the \d+ tier
+        (11, "cells 0 0 0 0 0 0 0 0 0 0 0 0 0 end"),     # singleton-group bridge: rejected
+        (12, f"pay {valid} and {valid} again"),          # same string twice: ONE distinct
+                                                         # candidate per doc
+        (13, f"ref 9{valid} embedded"),                  # 17-digit run CONTAINING a valid
+                                                         # card: one candidate, not valid
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: (r.n_candidates, r.n_valid) for r in luhn_card_hits(df).collect()}
@@ -4327,7 +4346,10 @@ def test_luhn_card_hits_validates_checksums(spark):
         5: (1, 1), 6: (1, 1), 7: (1, 1),
         8: (1, 0),  # candidate, but checksum says not a card
         9: (1, 0),
+        10: (1, 1), 11: (0, 0), 12: (1, 1),
+        13: (1, 0),  # prepended 9 rides an odd position: sum shifts by 9
     }
+    assert not luhn_ok("9" + valid)
 
 
 def test_redact_pii_luhn_gated_card_masking(spark):
@@ -4348,6 +4370,27 @@ def test_redact_pii_luhn_gated_card_masking(spark):
         (
             "card 4111 1111 1111 1111 mail a@b.io",
             "card [CARD] mail [EMAIL]",
+        ),
+        # letter-glued valid card: the \d+ tier catches it, digit-boundary
+        # anchoring still masks it (letters are not digits)
+        ("ID4539148803436467 glued", "ID[CARD] glued"),
+        # a 17-digit run CONTAINING a valid card must NOT be rewritten
+        # inside (the literal-replace corruption bug)
+        (
+            "card 4539148803436467 ref 94539148803436467",
+            "card [CARD] ref 94539148803436467",
+        ),
+        # singleton-digit groups never bridge into a candidate, even though
+        # thirteen zeros pass Luhn
+        (
+            "cells 0 0 0 0 0 0 0 0 0 0 0 0 0 end",
+            "cells 0 0 0 0 0 0 0 0 0 0 0 0 0 end",
+        ),
+        # back-to-back occurrences separated by one space: both masked
+        # (the double-pass boundary replace)
+        (
+            "pay 4539148803436467 4539148803436467 ok",
+            "pay [CARD] [CARD] ok",
         ),
     ]
     df = spark.createDataFrame(rows, "txt string, want string")
