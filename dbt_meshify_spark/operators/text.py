@@ -195,14 +195,16 @@ def mask_luhn_cards(col: Column, token: str = "[CARD]") -> Column:
         lambda c: _luhn_sum(F.reverse(F.regexp_replace(c, "[ -]", ""))) % 10 == 0,
     )
 
-    # applied twice: the non-overlapping global scan consumes the boundary
-    # char, so back-to-back occurrences separated by one char alternate-miss
-    # on a single pass (identical consumed-boundary semantics in RE2, so the
-    # oracle mirrors the double pass)
+    # trailing boundary as LOOKAHEAD so it is not consumed: back-to-back
+    # occurrences separated by one char all match in a single pass (Java
+    # regex; dynamic-pattern regexp_replace compiles per row, so one pass
+    # instead of two halves the masking cost). The RE2 oracle can't use
+    # lookahead and mirrors with a consuming ([^0-9]|$) applied TWICE —
+    # pass 1 masks the odd occurrences of an adjacent chain, pass 2 the
+    # rest, so both mechanisms reach the same fixpoint on every input.
     def _mask(acc: Column, c: Column) -> Column:
-        pat = F.concat(F.lit("(^|[^0-9])"), c, F.lit("([^0-9]|$)"))
-        rep = F.lit(f"$1{token}$2")
-        return F.regexp_replace(F.regexp_replace(acc, pat, rep), pat, rep)
+        pat = F.concat(F.lit("(^|[^0-9])"), c, F.lit("(?=[^0-9]|$)"))
+        return F.regexp_replace(acc, pat, F.lit(f"$1{token}"))
 
     return F.aggregate(valid, col, _mask)
 

@@ -1093,10 +1093,17 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" order "),
         order_id,
     )
-    return (
-        redact_pii(cust.withColumn("note", note), ["note"])
-        .select("c_custkey", "note", "note_redacted")
-        .orderBy(_asc("c_custkey"))
+    # sort BEFORE the redaction projection: a global orderBy's range-
+    # partitioning sample re-executes its child plan, and with no exchange
+    # between the scan and the sort that child is the full Luhn+regex
+    # chain — measured 2x the whole query (3.2 -> 1.7 s). Sorting the
+    # cheap synthesis first leaves the sample pass nothing expensive to
+    # replay; the narrow projection afterwards preserves the order.
+    synth = cust.withColumn("note", note).select("c_custkey", "note").orderBy(
+        _asc("c_custkey")
+    )
+    return redact_pii(synth, ["note"]).select(
+        "c_custkey", "note", "note_redacted"
     )
 
 

@@ -102,6 +102,35 @@ def test_chunking_and_pii_on_nasty_input(spark, nasty):
     assert "123-45-6789" not in red[9]
 
 
+def test_kn_lm_family_survives_nasty_input(spark, nasty):
+    """All three KN tiers over nulls, empty strings, unicode, emoji, and
+    giant docs: no crash, short/null docs excluded by the order's token
+    floor, every emitted perplexity finite and positive, identical docs
+    scored identically (5 and 12 are duplicates)."""
+    import math
+
+    from dbt_meshify_spark.operators.lm import (
+        kn_fourgram_perplexity,
+        kn_trigram_perplexity,
+        mkn_trigram_perplexity,
+    )
+
+    for fn, min_toks in (
+        (kn_trigram_perplexity, 3),
+        (mkn_trigram_perplexity, 3),
+        (kn_fourgram_perplexity, 4),
+    ):
+        out = {r.doc_id: r for r in fn(nasty).collect()}
+        # null / empty / whitespace-only / 1-token docs never score
+        for short_id in (2, 3, 4, 7):
+            assert short_id not in out, (fn.__name__, short_id)
+        assert 8 in out  # the 3000-token doc scores
+        for r in out.values():
+            assert r.ppl is not None and math.isfinite(r.ppl) and r.ppl > 0
+        if 5 in out and 12 in out:
+            assert out[5].ppl == out[12].ppl
+
+
 def test_fuzzy_join_unicode_names(spark):
     from dbt_meshify_spark.operators.fuzzy import edit_distance_join
 
