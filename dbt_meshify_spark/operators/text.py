@@ -123,41 +123,47 @@ PII_PATTERNS: list[tuple[str, str]] = [
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
 ]
 
-# Separator-tolerant card-number candidate: 13-19 digits in one run, any two
-# adjacent digits optionally split by ONE space or dash — covers
-# '4111 1111 1111 1111', '4111-1111-1111-1111', and mixed forms. The \b
-# anchors make a 20+-digit (grouped or contiguous) run yield its longest
-# <=19-digit boundary-aligned prefix or nothing, never a silent mid-run
-# slice; both Java regex and RE2 resolve this identically (verified
-# engine-side by the ext_pii_luhn_audit oracle). RE2-compatible: \b, (?:),
-# bounded repeat — no lookaround. Letter-glued contiguous cards
+# Separator-tolerant card-number candidate: maximal runs of >=2-digit
+# groups split by ONE space or dash — '4111 1111 1111 1111',
+# '4111-1111-1111-1111', mixed forms, and plain contiguous runs (a single
+# group). Groups of >= 2 digits are required IN THE PATTERN, so a lone
+# digit next to a real card ('qty 7 4539 1488 0343 6467') is never
+# absorbed into (and never poisons) the candidate — real card formats
+# group by >= 2 (4-4-4-4, 4-6-5, 4-4-4-4-3), and single-digit "groups"
+# are bridges across unrelated adjacent numbers ('0 0 0 ...'). Total
+# digit count is enforced post-hoc (13-19 after separator stripping):
+# regex can't sum digits across variable groups, and the length filter
+# also drops 20+-digit grouped runs whole rather than slicing a prefix.
+# RE2-compatible: \b, (?:), unbounded repeat — no lookaround; Java regex
+# and RE2 resolve the greedy matches identically (verified engine-side by
+# the ext_pii_luhn_audit oracle). Letter-glued contiguous cards
 # ('ID4539...') have no \b, so candidate extraction UNIONS this with
 # maximal \d+ runs length-filtered to 13-19 (the round-7 tier).
-CARD_CANDIDATE_PATTERN = r"\b\d(?:[ -]?\d){12,18}\b"
-
-# A grouped candidate with any SINGLE-digit group ('0 0 0 0 ...') is a
-# bridge across unrelated adjacent numbers, not a card grouping (real card
-# formats group by >= 2 digits: 4-4-4-4, 4-6-5, 4-4-4-4-3); candidates
-# matching this are rejected before the Luhn fold. RE2-safe (no lookaround).
-_SINGLETON_GROUP_PATTERN = r"(^|[ -])\d($|[ -])"
+CARD_CANDIDATE_PATTERN = r"\b\d{2,}(?:[ -]\d{2,})*\b"
 
 
 def _card_candidates(col: Column) -> Column:
-    """Deduplicated card candidates of ``col``: \\b-bounded
-    separator-grouped runs (:data:`CARD_CANDIDATE_PATTERN`, minus
-    singleton-group bridges) UNION maximal contiguous digit runs of 13-19
-    digits (catches letter-glued cards like 'ID4539...' that have no word
-    boundary). Both extractions and the filters are engine-identical
-    (Java regex / RE2)."""
+    """Deduplicated, SORTED card candidates of ``col``: \\b-bounded
+    separator-grouped runs (:data:`CARD_CANDIDATE_PATTERN`, 13-19 digits
+    after separator stripping) UNION maximal contiguous digit runs of
+    13-19 digits (catches letter-glued cards like 'ID4539...' that have
+    no word boundary). Sorted because downstream folds
+    (:func:`mask_luhn_cards`) apply candidates in list order — the sort
+    pins one deterministic order that the DuckDB oracle can mirror
+    (list_distinct does NOT preserve order while array_distinct does, so
+    an unsorted union would let the two engines fold in different
+    orders). Extractions and filters are engine-identical (Java regex /
+    RE2); candidates are ASCII digits/space/dash, where both engines'
+    default string orders agree."""
     grouped = F.filter(
         F.regexp_extract_all(col, F.lit(CARD_CANDIDATE_PATTERN), F.lit(0)),
-        lambda c: ~c.rlike(_SINGLETON_GROUP_PATTERN),
+        lambda c: F.length(F.regexp_replace(c, "[ -]", "")).between(13, 19),
     )
     contiguous = F.filter(
         F.regexp_extract_all(col, F.lit(r"\d+"), F.lit(0)),
         lambda c: F.length(c).between(13, 19),
     )
-    return F.array_distinct(F.concat(grouped, contiguous))
+    return F.array_sort(F.array_distinct(F.concat(grouped, contiguous)))
 
 
 def _luhn_sum(rev: Column) -> Column:
@@ -195,6 +201,11 @@ def mask_luhn_cards(col: Column, token: str = "[CARD]") -> Column:
         lambda c: _luhn_sum(F.reverse(F.regexp_replace(c, "[ -]", ""))) % 10 == 0,
     )
 
+    # the token goes into a Java REPLACEMENT string, where '\' and '$'
+    # are group-reference syntax — escape them so a caller's 'US$' token
+    # can't throw IllegalArgumentException (or silently re-insert groups)
+    escaped = token.replace("\\", "\\\\").replace("$", "\\$")
+
     # trailing boundary as LOOKAHEAD so it is not consumed: back-to-back
     # occurrences separated by one char all match in a single pass (Java
     # regex; dynamic-pattern regexp_replace compiles per row, so one pass
@@ -204,7 +215,7 @@ def mask_luhn_cards(col: Column, token: str = "[CARD]") -> Column:
     # rest, so both mechanisms reach the same fixpoint on every input.
     def _mask(acc: Column, c: Column) -> Column:
         pat = F.concat(F.lit("(^|[^0-9])"), c, F.lit("(?=[^0-9]|$)"))
-        return F.regexp_replace(acc, pat, F.lit(f"$1{token}"))
+        return F.regexp_replace(acc, pat, F.lit(f"$1{escaped}"))
 
     return F.aggregate(valid, col, _mask)
 
@@ -266,8 +277,9 @@ def luhn_card_hits(
             F.col(id_col),
             F.explode(_card_candidates(F.col(text_col))).alias("__run"),
         )
+        # 13-19 digit bound already enforced inside _card_candidates on
+        # both tiers — no re-filter needed here
         .withColumn("__digits", F.regexp_replace("__run", "[ -]", ""))
-        .filter(F.length("__digits").between(13, 19))
         .withColumn("__rev", F.reverse(F.col("__digits")))
     )
     counts = (

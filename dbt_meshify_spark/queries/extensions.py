@@ -1917,19 +1917,23 @@ c AS (
   FROM customer c JOIN oid o ON c.c_custkey = o.c_custkey
 ),
 carded AS (
-  -- mirrors mask_luhn_cards: union candidates (grouped-minus-singleton +
-  -- contiguous 13-19), Luhn filter, then a DOUBLE digit-boundary-anchored
-  -- regexp_replace per survivor (double: the global scan consumes the
-  -- boundary char, so adjacent occurrences alternate-miss on one pass)
+  -- mirrors mask_luhn_cards: union candidates (>=2-digit-group runs at
+  -- 13-19 stripped digits + contiguous 13-19), distinct + SORTED (the
+  -- fold applies candidates in list order — must match array_sort), Luhn
+  -- filter, then a DOUBLE digit-boundary-anchored regexp_replace per
+  -- survivor (double: the consuming global scan alternate-misses
+  -- adjacent occurrences on one pass; Spark uses a lookahead single
+  -- pass — same fixpoint)
   SELECT c_custkey, note,
          list_reduce(
            [note] || list_filter(
-             list_distinct(
+             list_sort(list_distinct(
                list_filter(
-                 regexp_extract_all(note, '\\b\\d(?:[ -]?\\d){12,18}\\b'),
-                 c -> NOT regexp_matches(c, '(^|[ -])\\d($|[ -])'))
+                 regexp_extract_all(note, '\\b\\d{2,}(?:[ -]\\d{2,})*\\b'),
+                 c -> len(replace(replace(c, ' ', ''), '-', ''))
+                      BETWEEN 13 AND 19)
                || list_filter(regexp_extract_all(note, '\\d+'),
-                              c -> len(c) BETWEEN 13 AND 19)),
+                              c -> len(c) BETWEEN 13 AND 19))),
              cand -> list_sum(list_transform(
                range(1, len(replace(replace(cand, ' ', ''), '-', '')) + 1),
                i -> CASE WHEN i % 2 = 0
@@ -7494,23 +7498,24 @@ synth AS (
   FROM base
 ),
 cands AS (
-  -- union of \b-bounded grouped runs (minus singleton-group bridges) and
-  -- maximal contiguous 13-19-digit runs, DISTINCT per doc (a contiguous
-  -- \b-bounded run matches both patterns) — mirrors _card_candidates
+  -- union of \b-bounded >=2-digit-group runs (13-19 stripped digits) and
+  -- maximal contiguous 13-19-digit runs, DISTINCT + SORTED per doc —
+  -- mirrors _card_candidates (sorted: list_distinct does not preserve
+  -- order, array_distinct does; the sort pins one shared order)
   SELECT doc_id,
-         unnest(list_distinct(
-           list_filter(regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b'),
-                       c -> NOT regexp_matches(c, '(^|[ -])\d($|[ -])'))
+         unnest(list_sort(list_distinct(
+           list_filter(regexp_extract_all(text, '\b\d{2,}(?:[ -]\d{2,})*\b'),
+                       c -> len(replace(replace(c, ' ', ''), '-', ''))
+                            BETWEEN 13 AND 19)
            || list_filter(regexp_extract_all(text, '\d+'),
                           c -> len(c) BETWEEN 13 AND 19)
-         )) AS run
+         ))) AS run
   FROM synth
 ),
 sized AS (
   SELECT doc_id, run,
          reverse(replace(replace(run, ' ', ''), '-', '')) AS rev
   FROM cands
-  WHERE len(replace(replace(run, ' ', ''), '-', '')) BETWEEN 13 AND 19
 ),
 summed AS (
   SELECT doc_id,

@@ -90,15 +90,20 @@ def fingerprint_matches(layout_dir: str, source_path: str | None) -> bool:
 
 def cache_slug(*fields) -> str:
     """Collision-proof slug for cached-layout directory names: each field
-    sanitizes ``[^A-Za-z0-9]+ -> '_'`` and is LENGTH-PREFIXED before
-    joining, so the field boundary stays decodable — ``('k_a', 'b')``
-    gives ``3k_a_1b`` while ``('k', 'a_b')`` gives ``1k_3a_b`` (a plain
-    '_'-join would collide both onto ``k_a_b`` and silently serve one
-    config's cache to the other). Within-field sanitize collisions
-    ('a.b' vs 'a_b') remain — separator choice inside one field is not
-    cache identity."""
+    sanitizes ``[^A-Za-z0-9]+ -> '_'`` and gets a ``<len>-`` prefix
+    before joining, so the concatenation is uniquely decodable —
+    ``('k_a', 'b')`` gives ``3-k_a_1-b`` while ``('k', 'a_b')`` gives
+    ``1-k_3-a_b`` (a plain '_'-join would collide both onto ``k_a_b``
+    and silently serve one config's cache to the other). The ``-`` after
+    the length is load-bearing: sanitized segments are ``[0-9A-Za-z_]*``
+    and can START with digits, so a bare decimal prefix glued to a
+    digit-leading segment would be ambiguous ('25z...' = len 2, '5z...'
+    or len 25?); '-' never appears in a segment, so the length always
+    ends at the first '-' and decoding is injective on sanitized
+    segments. Within-field sanitize collisions ('a.b' vs 'a_b') remain —
+    separator choice inside one field is not cache identity."""
     return "_".join(
-        f"{len(s)}{s}"
+        f"{len(s)}-{s}"
         for s in (re.sub(r"[^A-Za-z0-9]+", "_", str(f)) for f in fields)
     )
 

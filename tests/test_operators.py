@@ -2462,7 +2462,7 @@ def test_ensure_ivf_index_caches_and_invalidates(spark, tmp_path):
     c1, a1 = ensure_ivf_index(
         spark, emb, cache_key="t", nlist=8, source_path=src, base_dir=base
     )
-    d = os.path.join(base, "ivf8_i8_1t_6vec_id_9embedding")
+    d = os.path.join(base, "ivf8_i8_1-t_6-vec_id_9-embedding")
     stamp = os.path.getmtime(os.path.join(d, "centroids", "_SUCCESS"))
 
     # warm call: served from parquet, no retrain (mtime unchanged)
@@ -2502,9 +2502,13 @@ def test_cache_slug_is_collision_proof_across_fields():
 
     assert cache_slug("k_a", "b") != cache_slug("k", "a_b")
     assert cache_slug("vec", "id_embedding") != cache_slug("vec_id", "embedding")
-    assert cache_slug("t", "vec_id", "embedding") == "1t_6vec_id_9embedding"
+    assert cache_slug("t", "vec_id", "embedding") == "1-t_6-vec_id_9-embedding"
     # sanitization still applies within a field
     assert cache_slug("a/b", "c") == cache_slug("a_b", "c")
+    # digit-leading segments can't forge the length prefix (the '-' rule)
+    a = cache_slug("5z", "a" * 21, "w_21" + "a" * 21)
+    b = cache_slug("z_21" + "a" * 21, "5w", "a" * 21)
+    assert a != b
 
 
 def test_ensure_bpe_merges_caches_and_invalidates(spark, tmp_path):
@@ -2533,7 +2537,7 @@ def test_ensure_bpe_merges_caches_and_invalidates(spark, tmp_path):
     )
     cold = train_bpe_distributed(docs, n_merges=3).orderBy("merge_rank").collect()
     assert m1 == [(r.lhs, r.rhs) for r in cold]
-    d = os.path.join(base, "bpe3_1t_4text")
+    d = os.path.join(base, "bpe3_1-t_4-text")
     stamp = os.path.getmtime(os.path.join(d, "merges", "_SUCCESS"))
 
     # warm call with a DIFFERENT corpus: cache wins => no retrain happened
@@ -2613,7 +2617,7 @@ def test_ivf_probe_q8_recall_tracks_fp32(spark, tmp_path):
         spark, emb, cache_key="t", nlist=8, source_path=src, base_dir=base
     )
     assert dict(a1.dtypes)["q"] == "array<tinyint>"
-    d = os.path.join(base, "ivfq8_8_i8_1t_6vec_id_9embedding")
+    d = os.path.join(base, "ivfq8_8_i8_1-t_6-vec_id_9-embedding")
     stamp = os.path.getmtime(os.path.join(d, "cells", "_SUCCESS"))
     c2, a2 = ensure_ivf_index_q8(
         spark, emb, cache_key="t", nlist=8, source_path=src, base_dir=base
@@ -4330,14 +4334,18 @@ def test_luhn_card_hits_validates_checksums(spark):
         (6, f"pay {dashed} thanks"),                     # dash-grouped valid card
         (7, f"pay {mixed} thanks"),                      # mixed separators, still valid
         (8, "order 4539-1488-0343-6468 shipped"),        # grouped but Luhn-INVALID order id
-        (9, "ref 1234 5678 9012 3456 7890 over"),        # 20 digits grouped: 16-digit
-                                                         # boundary prefix, Luhn-invalid
+        (9, "ref 1234 5678 9012 3456 7890 over"),        # 20 digits grouped: whole run
+                                                         # over length, NO candidate
+                                                         # (consistent with case 4)
         (10, f"ID{valid} letter-glued"),                 # no \b, caught by the \d+ tier
         (11, "cells 0 0 0 0 0 0 0 0 0 0 0 0 0 end"),     # singleton-group bridge: rejected
         (12, f"pay {valid} and {valid} again"),          # same string twice: ONE distinct
                                                          # candidate per doc
         (13, f"ref 9{valid} embedded"),                  # 17-digit run CONTAINING a valid
                                                          # card: one candidate, not valid
+        (14, "qty 7 4539 1488 0343 6467 shipped"),       # lone digit beside a grouped
+                                                         # card: >=2-digit groups keep the
+                                                         # card intact
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: (r.n_candidates, r.n_valid) for r in luhn_card_hits(df).collect()}
@@ -4345,9 +4353,10 @@ def test_luhn_card_hits_validates_checksums(spark):
         1: (1, 1), 2: (2, 1), 3: (0, 0), 4: (0, 0),
         5: (1, 1), 6: (1, 1), 7: (1, 1),
         8: (1, 0),  # candidate, but checksum says not a card
-        9: (1, 0),
+        9: (0, 0),
         10: (1, 1), 11: (0, 0), 12: (1, 1),
         13: (1, 0),  # prepended 9 rides an odd position: sum shifts by 9
+        14: (1, 1),  # lone digit next to the card is NOT absorbed
     }
     assert not luhn_ok("9" + valid)
 
@@ -4392,6 +4401,12 @@ def test_redact_pii_luhn_gated_card_masking(spark):
             "pay 4539148803436467 4539148803436467 ok",
             "pay [CARD] [CARD] ok",
         ),
+        # a lone digit beside the grouped card never poisons it (>=2-digit
+        # groups are required in the candidate pattern)
+        (
+            "qty 7 4539 1488 0343 6467 shipped",
+            "qty 7 [CARD] shipped",
+        ),
     ]
     df = spark.createDataFrame(rows, "txt string, want string")
     for r in redact_pii(df, ["txt"]).collect():
@@ -4399,6 +4414,15 @@ def test_redact_pii_luhn_gated_card_masking(spark):
     # opt-out restores the pattern-only behavior (no [CARD] ever)
     off = redact_pii(df, ["txt"], luhn_cards=False).collect()
     assert not any("[CARD]" in r.txt_redacted for r in off)
+    # tokens containing Java replacement metachars ($, \) are escaped, not
+    # group references / runtime errors
+    from dbt_meshify_spark.operators.text import mask_luhn_cards
+
+    tok_df = spark.createDataFrame([("pay 4539148803436467 now",)], ["txt"])
+    m = tok_df.select(
+        mask_luhn_cards(F.col("txt"), token="US$0\\x").alias("m")
+    ).collect()[0].m
+    assert m == "pay US$0\\x now"
 
 
 def test_trigram_perplexity_interpolation_and_ranking(spark):

@@ -581,6 +581,20 @@ def test_substring_dedup_shuffles_hashes_never_text_or_grams(spark):
         assert "__gram" not in line, f"gram string in a shuffle: {line.strip()}"
 
 
+def test_pii_redact_sorts_below_the_expensive_projection(spark):
+    """ext_pii_redact's global orderBy must sit BELOW the Luhn+regex
+    projection: a Sort directly over the projection chain makes the
+    range-partitioning sample re-execute the whole chain (measured 2x
+    the query). In the printed plan the masking projection (contains the
+    [CARD] literal) must appear ABOVE (before) the Sort node."""
+    plan = _physical(QUERIES["ext_pii_redact"](spark, SF_ORACLE))
+    assert "[CARD]" in plan and "Sort " in plan
+    assert plan.index("[CARD]") < plan.index("Sort "), (
+        "redaction projection is below the Sort — the range sample "
+        "re-executes the Luhn chain"
+    )
+
+
 def test_kn_lm_family_scans_corpus_once_and_stays_jvm_side(spark):
     """The Kneser-Ney LM tiers pin their TYPE tables (model-sized under
     Zipf), so the corpus parquet is scanned ONCE in the final plan
