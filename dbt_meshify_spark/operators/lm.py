@@ -674,3 +674,140 @@ def kn_fourgram_perplexity(
         F.round(avg_nll, 4).alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).alias("ppl"),
     )
+
+
+def kn_ngram_perplexity(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document NLL/perplexity under an interpolated KNESER-NEY LM of
+    ARBITRARY order ``n >= 2`` trained on ``df`` itself — the
+    order-generic form of :func:`kn_trigram_perplexity` /
+    :func:`kn_fourgram_perplexity` (for ``n=4`` it reproduces the
+    hardcoded tier's output exactly — asserted in tests). At ``n=5``
+    this is the full published CCNet filter depth (5-gram KenLM's
+    interpolated-KN recursion, single discount).
+
+    Construction (the textbook KN ladder): the top level discounts raw
+    n-gram counts against the (n-1)-word prefix; each backoff level
+    ``k = n-1 .. 2`` uses CONTINUATION counts from the (k+1)-gram TYPE
+    table (``N1+(. suffix_k)`` over ``N1+(. mid_k .)`` with the released
+    mass ``D * Nmid(mid_k)``); the floor is the continuation unigram
+    over bigram types. Trained-on-self keeps every count >= 1 — no
+    backoff-miss branch, one fixed codegen float expression, fully
+    oracle-checkable at any order.
+
+    Scale shape: ONE tokenize pass; n-1 type tables (orders 2..n, each
+    deduplicated before any N1+ aggregate and localCheckpoint-pinned —
+    model-sized under Zipf, and the final plan scans the corpus once);
+    2(n-2) + 3 equi-keyed scoring joins that co-partition on their gram
+    keys; N1+(..) rides a 1-row broadcast. Returns ``id_col, n_ngrams,
+    avg_nll, ppl`` (docs with < n tokens are excluded).
+    """
+    n = int(n)
+    if n < 2:
+        raise ValueError(f"order must be >= 2, got {n}")
+    d = float(discount)
+    if not (0.0 < d < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
+    ).filter(F.size("__t") >= n)
+    t = F.col("__t")
+
+    tf = (
+        toks.select(F.col(id_col), F.explode(_ngrams(t, n)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("tf"))
+    )
+    # n-gram TYPE table (pinned; doubles as the k = n-1 continuation source)
+    keys = (
+        tf.groupBy("g")
+        .agg(F.sum("tf").alias("c_g"))
+        .withColumn("pre", F.substring_index("g", " ", n - 1))
+        .localCheckpoint(eager=False)
+    )
+    cpre = keys.groupBy("pre").agg(
+        F.sum("c_g").alias("c_pre"),
+        F.count("*").alias("n1p_pre"),
+    )
+
+    # backoff levels k = n-1 .. 2: suffix/mid tables off the (k+1)-gram types
+    level_tbls: dict[int, tuple[DataFrame, DataFrame]] = {}
+    for k in range(n - 1, 1, -1):
+        if k == n - 1:
+            types = keys.select(F.col("g").alias("h"))
+        else:
+            types = (
+                toks.select(F.explode(_ngrams(t, k + 1)).alias("h"))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+        staged = types.withColumn("s", F.substring_index("h", " ", -k)).withColumn(
+            "m", F.substring_index(F.substring_index("h", " ", -k), " ", k - 1)
+        )
+        tbl = staged.groupBy("s").agg(
+            F.count("*").alias(f"n_dot_s{k}")
+        ).withColumnRenamed("s", f"s{k}")
+        ctx = staged.groupBy("m").agg(
+            F.count("*").alias(f"n_dot_m{k}"),
+            F.countDistinct("s").alias(f"n_mid{k}"),
+        ).withColumnRenamed("m", f"m{k}")
+        level_tbls[k] = (tbl, ctx)
+
+    # unigram floor over the full bigram type projection (pinned: two refs)
+    btypes = (
+        toks.select(F.explode(_ngrams(t, 2)).alias("bg"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cw1 = (
+        btypes.withColumn("s1", F.substring_index("bg", " ", -1))
+        .groupBy("s1")
+        .agg(F.count("*").alias("n_dot_w"))
+    )
+    tot = btypes.agg(F.count("*").cast("double").alias("__nbt"))
+
+    scored = tf.withColumn("pre", F.substring_index("g", " ", n - 1)).withColumn(
+        "s1", F.substring_index("g", " ", -1)
+    )
+    for k in range(2, n):
+        sk = F.substring_index("g", " ", -k)
+        scored = scored.withColumn(f"s{k}", sk).withColumn(
+            f"m{k}", F.substring_index(sk, " ", k - 1)
+        )
+    scored = scored.join(keys.select("g", "c_g"), "g").join(cpre, "pre")
+    for k in range(n - 1, 1, -1):
+        tbl, ctx = level_tbls[k]
+        scored = scored.join(tbl, f"s{k}").join(ctx, f"m{k}")
+    scored = scored.join(cw1, "s1").crossJoin(F.broadcast(tot))
+
+    dd = F.lit(d)
+    p = F.col("n_dot_w").cast("double") / F.col("__nbt")
+    for k in range(2, n):
+        p = (
+            F.greatest(F.col(f"n_dot_s{k}").cast("double") - dd, F.lit(0.0))
+            / F.col(f"n_dot_m{k}").cast("double")
+            + (
+                dd
+                * F.col(f"n_mid{k}").cast("double")
+                / F.col(f"n_dot_m{k}").cast("double")
+            )
+            * p
+        )
+    p = (
+        F.greatest(F.col("c_g").cast("double") - dd, F.lit(0.0))
+        / F.col("c_pre").cast("double")
+        + (dd * F.col("n1p_pre").cast("double") / F.col("c_pre").cast("double")) * p
+    )
+    scored = scored.withColumn("nll", -F.log(p))
+    avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_ngrams"),
+        F.round(avg_nll, 4).alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).alias("ppl"),
+    )

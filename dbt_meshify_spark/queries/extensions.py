@@ -7841,6 +7841,145 @@ ORDER BY doc_id NULLS FIRST
 """
 
 
+def ext_kn5_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] interpolated Kneser-Ney 5-GRAM LM perplexity
+    (operators/lm.py::kn_ngram_perplexity at n=5) — the full published
+    CCNet filter depth (5-gram KenLM's interpolated-KN recursion):
+    discounted 5-gram ML backs off through 5-gram/4-gram/trigram-type
+    continuation levels to the bigram-type unigram floor. The operator
+    is ORDER-GENERIC (reproduces the hardcoded order-3/4 tiers exactly —
+    asserted in tests); the oracle replays all ten count tables and the
+    identical float expression order (D = 0.75)."""
+    from dbt_meshify_spark.operators.lm import kn_ngram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        kn_ngram_perplexity(docs, n=5)
+        .select(
+            "doc_id",
+            F.col("n_ngrams").alias("n_fivegrams"),
+            "avg_nll",
+            "ppl",
+        )
+        .orderBy(_asc("doc_id"))
+    )
+
+
+QUERIES["ext_kn5_perplexity"] = ext_kn5_perplexity
+
+ORACLES["ext_kn5_perplexity"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+t5 AS MATERIALIZED (SELECT doc_id, l FROM toks WHERE len(l) >= 5),
+pos5 AS (SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i FROM t5),
+tf AS MATERIALIZED (
+  SELECT doc_id,
+         l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+              || ' ' || l[i+4] AS g5,
+         COUNT(*) AS tf
+  FROM pos5 GROUP BY doc_id, g5
+),
+keys AS MATERIALIZED (
+  SELECT g5, SUM(tf) AS c_g,
+         split_part(g5, ' ', 1) || ' ' || split_part(g5, ' ', 2) || ' '
+           || split_part(g5, ' ', 3) || ' ' || split_part(g5, ' ', 4) AS pre,
+         split_part(g5, ' ', 2) || ' ' || split_part(g5, ' ', 3) || ' '
+           || split_part(g5, ' ', 4) || ' ' || split_part(g5, ' ', 5) AS s4,
+         split_part(g5, ' ', 2) || ' ' || split_part(g5, ' ', 3) || ' '
+           || split_part(g5, ' ', 4) AS m4,
+         split_part(g5, ' ', 3) || ' ' || split_part(g5, ' ', 4) || ' '
+           || split_part(g5, ' ', 5) AS s3,
+         split_part(g5, ' ', 3) || ' ' || split_part(g5, ' ', 4) AS m3,
+         split_part(g5, ' ', 4) || ' ' || split_part(g5, ' ', 5) AS s2,
+         split_part(g5, ' ', 4) AS m2,
+         split_part(g5, ' ', 5) AS s1
+  FROM tf GROUP BY g5
+),
+cpre AS MATERIALIZED (
+  SELECT pre, SUM(c_g) AS c_pre, COUNT(*) AS n1p_pre FROM keys GROUP BY pre
+),
+tb4 AS MATERIALIZED (SELECT s4, COUNT(*) AS n_dot_s4 FROM keys GROUP BY s4),
+cx4 AS MATERIALIZED (
+  SELECT m4, COUNT(*) AS n_dot_m4, COUNT(DISTINCT s4) AS n_mid4
+  FROM keys GROUP BY m4
+),
+pos4 AS (SELECT doc_id, l, unnest(range(1, len(l) - 2)) AS i FROM t5),
+t4t AS MATERIALIZED (
+  SELECT DISTINCT l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] AS h
+  FROM pos4
+),
+t4k AS MATERIALIZED (
+  SELECT h,
+         split_part(h, ' ', 2) || ' ' || split_part(h, ' ', 3) || ' '
+           || split_part(h, ' ', 4) AS s3,
+         split_part(h, ' ', 2) || ' ' || split_part(h, ' ', 3) AS m3
+  FROM t4t
+),
+tb3 AS MATERIALIZED (SELECT s3, COUNT(*) AS n_dot_s3 FROM t4k GROUP BY s3),
+cx3 AS MATERIALIZED (
+  SELECT m3, COUNT(*) AS n_dot_m3, COUNT(DISTINCT s3) AS n_mid3
+  FROM t4k GROUP BY m3
+),
+pos3 AS (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM t5),
+t3t AS MATERIALIZED (
+  SELECT DISTINCT l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS h FROM pos3
+),
+t3k AS MATERIALIZED (
+  SELECT h,
+         split_part(h, ' ', 2) || ' ' || split_part(h, ' ', 3) AS s2,
+         split_part(h, ' ', 2) AS m2
+  FROM t3t
+),
+tb2 AS MATERIALIZED (SELECT s2, COUNT(*) AS n_dot_s2 FROM t3k GROUP BY s2),
+cx2 AS MATERIALIZED (
+  SELECT m2, COUNT(*) AS n_dot_m2, COUNT(DISTINCT s2) AS n_mid2
+  FROM t3k GROUP BY m2
+),
+pos2 AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t5),
+bt AS MATERIALIZED (SELECT DISTINCT l[i] || ' ' || l[i+1] AS bg FROM pos2),
+cw1 AS MATERIALIZED (
+  SELECT split_part(bg, ' ', 2) AS s1, COUNT(*) AS n_dot_w FROM bt GROUP BY 1
+),
+tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nbt FROM bt),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+    -ln(
+      greatest(CAST(k.c_g AS DOUBLE) - 0.75, 0.0) / CAST(cpre.c_pre AS DOUBLE)
+      + (0.75 * CAST(cpre.n1p_pre AS DOUBLE) / CAST(cpre.c_pre AS DOUBLE))
+      * (greatest(CAST(tb4.n_dot_s4 AS DOUBLE) - 0.75, 0.0)
+           / CAST(cx4.n_dot_m4 AS DOUBLE)
+         + (0.75 * CAST(cx4.n_mid4 AS DOUBLE) / CAST(cx4.n_dot_m4 AS DOUBLE))
+         * (greatest(CAST(tb3.n_dot_s3 AS DOUBLE) - 0.75, 0.0)
+              / CAST(cx3.n_dot_m3 AS DOUBLE)
+            + (0.75 * CAST(cx3.n_mid3 AS DOUBLE) / CAST(cx3.n_dot_m3 AS DOUBLE))
+            * (greatest(CAST(tb2.n_dot_s2 AS DOUBLE) - 0.75, 0.0)
+                 / CAST(cx2.n_dot_m2 AS DOUBLE)
+               + (0.75 * CAST(cx2.n_mid2 AS DOUBLE)
+                    / CAST(cx2.n_dot_m2 AS DOUBLE))
+               * (CAST(cw1.n_dot_w AS DOUBLE) / tot.nbt))))
+    ) AS nll
+  FROM tf
+  JOIN keys k USING (g5)
+  JOIN cpre ON k.pre = cpre.pre
+  JOIN tb4 ON k.s4 = tb4.s4
+  JOIN cx4 ON k.m4 = cx4.m4
+  JOIN tb3 ON k.s3 = tb3.s3
+  JOIN cx3 ON k.m3 = cx3.m3
+  JOIN tb2 ON k.s2 = tb2.s2
+  JOIN cx2 ON k.m2 = cx2.m2
+  JOIN cw1 ON k.s1 = cw1.s1
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_fivegrams,
+       ROUND(SUM(tf * nll) / SUM(tf), 4) AS avg_nll,
+       ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
+FROM scored GROUP BY doc_id
+ORDER BY doc_id NULLS FIRST
+"""
+
+
 def ext_kn4_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N4] interpolated Kneser-Ney 4-GRAM LM perplexity
     (operators/lm.py::kn_fourgram_perplexity) — the "one more order"

@@ -4701,6 +4701,99 @@ def test_mkn_trigram_perplexity_three_discount_scheme(spark):
     assert out[99].ppl == ppl(docs[99])
 
 
+def test_kn_ngram_perplexity_order_generic(spark):
+    """The order-generic KN ladder must (a) reproduce the hardcoded
+    order-3/4 tiers BIT-EXACTLY, (b) reject degenerate orders/discounts,
+    and (c) agree at order 5 with a driver-side generic Python replay of
+    the full continuation recursion (exact floats, D = 0.75)."""
+    import math
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from dbt_meshify_spark.operators.lm import (
+        kn_fourgram_perplexity,
+        kn_ngram_perplexity,
+        kn_trigram_perplexity,
+    )
+
+    typical = "the cat sat on the mat again today"
+    atypical = "mat the today again on sat cat the"
+    rows = [(i, typical) for i in range(10)] + [(99, atypical), (100, "uno dos tres cuatro")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    g3 = {r.doc_id: (r.n_ngrams, r.avg_nll, r.ppl)
+          for r in kn_ngram_perplexity(df, 3).collect()}
+    h3 = {r.doc_id: (r.n_trigrams, r.avg_nll, r.ppl)
+          for r in kn_trigram_perplexity(df).collect()}
+    assert g3 == h3
+    g4 = {r.doc_id: (r.n_ngrams, r.avg_nll, r.ppl)
+          for r in kn_ngram_perplexity(df, 4).collect()}
+    h4 = {r.doc_id: (r.n_fourgrams, r.avg_nll, r.ppl)
+          for r in kn_fourgram_perplexity(df).collect()}
+    assert g4 == h4
+
+    with _pytest.raises(ValueError):
+        kn_ngram_perplexity(df, 1)
+    with _pytest.raises(ValueError):
+        kn_ngram_perplexity(df, 5, discount=0.0)
+
+    out = {r.doc_id: r for r in kn_ngram_perplexity(df, 5).collect()}
+    assert 100 not in out  # 4 tokens < order 5 => excluded
+    assert out[0].n_ngrams == 4
+    assert out[0].ppl < out[99].ppl
+
+    # generic Python replay at order 5
+    n = 5
+    docs = {i: typical.split() for i in range(10)}
+    docs[99] = atypical.split()
+    grams = {k: set() for k in range(2, n + 1)}  # type sets per order
+    top_c = Counter()
+    for toks in docs.values():
+        for k in range(2, n + 1):
+            for i in range(len(toks) - k + 1):
+                grams[k].add(tuple(toks[i:i + k]))
+        for i in range(len(toks) - n + 1):
+            top_c[tuple(toks[i:i + n])] += 1
+    D = 0.75
+    c_pre, n1p_pre = Counter(), Counter()
+    for g, c in top_c.items():
+        c_pre[g[:-1]] += c
+        n1p_pre[g[:-1]] += 1
+    # per backoff level k: suffix counts and mid contexts off (k+1)-gram types
+    tbl, ctx = {}, {}
+    for k in range(2, n):
+        nd_s, nd_m, mid_conts = Counter(), Counter(), {}
+        for h in grams[k + 1]:
+            s, m = h[1:], h[1:k]
+            nd_s[s] += 1
+            nd_m[m] += 1
+            mid_conts.setdefault(m, set()).add(s)
+        tbl[k] = nd_s
+        ctx[k] = (nd_m, mid_conts)
+    nd_w = Counter(b for _a, b in grams[2])
+    nbt = float(len(grams[2]))
+
+    def ppl(toks):
+        s_ = m_ = 0
+        for i in range(len(toks) - n + 1):
+            g = tuple(toks[i:i + n])
+            p = nd_w[g[-1]] / nbt
+            for k in range(2, n):
+                sk, mk = g[-k:], g[-k:-1]
+                nd_m, mid_conts = ctx[k]
+                p = (max(tbl[k][sk] - D, 0.0) / nd_m[mk]
+                     + (D * len(mid_conts[mk]) / nd_m[mk]) * p)
+            p = (max(top_c[g] - D, 0.0) / c_pre[g[:-1]]
+                 + (D * n1p_pre[g[:-1]] / c_pre[g[:-1]]) * p)
+            s_ += -math.log(p)
+            m_ += 1
+        return round(math.exp(s_ / m_), 4)
+
+    assert out[0].ppl == ppl(docs[0])
+    assert out[99].ppl == ppl(docs[99])
+
+
 def test_epoch_budget_plan_water_fills_with_caps(spark):
     """Hand-computed 3-round fill: budget 1000, max_epochs 4, groups of
     100/10/1000 tokens. Equal shares cap the small groups at 4 epochs and

@@ -602,7 +602,12 @@ def test_kn_lm_family_scans_corpus_once_and_stays_jvm_side(spark):
     a 100 TB re-read multiplier); scoring must stay pure codegen (no
     Python row UDFs) and the only nested-loop join is the 1-row totals
     broadcast."""
-    for name in ("ext_kn_perplexity", "ext_kn4_perplexity", "ext_mkn_perplexity"):
+    for name in (
+        "ext_kn_perplexity",
+        "ext_kn4_perplexity",
+        "ext_kn5_perplexity",
+        "ext_mkn_perplexity",
+    ):
         plan = _physical(QUERIES[name](spark, SF_ORACLE))
         assert plan.count("Scan parquet") <= 1, f"{name} re-scans the corpus"
         assert "ExistingRDD" in plan, f"{name} lost its type-table pins"
