@@ -222,119 +222,20 @@ def kn_trigram_perplexity(
     discount: float = 0.75,
 ) -> DataFrame:
     """Per-document NLL/perplexity under an interpolated KNESER-NEY
-    trigram LM trained on ``df`` itself — the published CCNet smoothing
-    family (KenLM is modified KN; this is the single-discount
-    interpolated form at order 3), the depth step above
-    :func:`trigram_perplexity`'s Jelinek-Mercer tier:
+    trigram LM trained on ``df`` itself — the single-discount KN form at
+    order 3 (the depth tier above :func:`trigram_perplexity`'s
+    Jelinek-Mercer smoothing; :func:`mkn_trigram_perplexity` is the
+    three-discount Chen-Goodman variant).
 
-    ``P(w3|w1 w2) = max(C(w1w2w3)-D, 0)/C(w1w2.)
-    + (D * N1+(w1w2.)/C(w1w2.)) * P(w3|w2)``
-
-    ``P(w3|w2) = max(N1+(.w2w3)-D, 0)/N1+(.w2.)
-    + (D * N1+(w2.)/N1+(.w2.)) * Pcont(w3)``
-
-    ``Pcont(w3) = N1+(.w3) / N1+(..)``
-
-    where N1+ counts DISTINCT TYPES: N1+(w1w2.) = distinct continuations
-    of the bigram context, N1+(.w2w3) = distinct left-extensions of the
-    (w2, w3) bigram (trigram-type table), N1+(w2.) = distinct (w2 w3)
-    types with middle w2 (so the middle level normalizes), and
-    N1+(.w3)/N1+(..) are continuation-unigram counts over the full
-    bigram-TYPE table (doc-initial bigrams included). Because the model
-    trains on the scored corpus, every scored trigram exists, so every
-    numerator/denominator above is >= 1 and no zero/backoff-miss branch
-    is needed — the truncation-free property that makes the whole
-    pipeline a fixed float expression both engines evaluate identically.
-
-    Scale shape (the JM trigram tier's, one derivation deeper): ONE
-    tokenize pass; the trigram TYPE table (not occurrences) feeds every
-    N1+ aggregate, each a map-side-combinable count over an
-    already-deduplicated frame; every scoring join is equi-keyed (tri,
-    w12, w23, w2, w3) so all sides co-partition; N1+(..) rides a 1-row
-    broadcast. Returns ``id_col, n_trigrams, avg_nll, ppl`` (docs with
-    < 3 tokens are excluded).
+    Thin wrapper over the order-generic :func:`kn_ngram_perplexity`
+    ladder at ``n=3`` (bit-exact equivalence to the former hardcoded
+    implementation is pinned by this tier's independent exact-float
+    Python-replay test and its DuckDB oracle). Returns ``id_col,
+    n_trigrams, avg_nll, ppl`` (docs with < 3 tokens are excluded).
     """
-    d = float(discount)
-    if not (0.0 < d < 1.0):
-        raise ValueError(f"discount must be in (0, 1), got {discount}")
-    toks = df.select(
-        F.col(id_col),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
-    ).filter(F.size("__t") >= 3)
-
-    t = F.col("__t")
-    tf = (
-        toks.select(F.col(id_col), F.explode(_ngrams(t, 3)).alias("tri"))
-        .groupBy(id_col, "tri")
-        .agg(F.count("*").alias("tf"))
-    )
-    # trigram TYPE table with every split key staged once — the base
-    # relation for all higher-order N1+ aggregates. PINNED: it is
-    # referenced by three count tables plus the scoring join, and an
-    # unpinned lineage re-runs the type aggregate (and its corpus scan)
-    # once per reference; the pinned state is model-sized (distinct
-    # grams — Zipf-sublinear in corpus tokens), never corpus-sized
-    keys = _tri_key_cols(
-        tf.groupBy("tri").agg(F.sum("tf").alias("c_tri"))
-    ).localCheckpoint(eager=False)
-    cw12 = keys.groupBy("w12").agg(
-        F.sum("c_tri").alias("c_w12"),           # C(w1w2.)
-        F.count("*").alias("n1p_w12"),           # N1+(w1w2.)
-    )
-    cw23 = keys.groupBy("w23").agg(
-        F.count("*").alias("n_dot_w23"),         # N1+(.w2w3)
-    )
-    cw2 = keys.groupBy("w2").agg(
-        F.count("*").alias("n_dot_w2"),          # N1+(.w2.)
-        F.countDistinct("w23").alias("n_w2_dot"),  # N1+(w2.)
-    )
-    # continuation-unigram tables over the full bigram TYPE projection,
-    # pinned for the same reason (two references: continuation counts +
-    # the 1-row total)
-    btypes = (
-        toks.select(F.explode(_ngrams(t, 2)).alias("bg"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    cw3 = (
-        btypes.withColumn("w3", F.substring_index("bg", " ", -1))
-        .groupBy("w3")
-        .agg(F.count("*").alias("n_dot_w3"))     # N1+(.w3)
-    )
-    tot = btypes.agg(
-        F.count("*").cast("double").alias("__nbt")  # N1+(..)
-    )
-
-    scored_keys = _tri_key_cols(tf)
-    dd = F.lit(d)
-    p_cont = F.col("n_dot_w3").cast("double") / F.col("__nbt")
-    p2 = (
-        F.greatest(F.col("n_dot_w23").cast("double") - dd, F.lit(0.0))
-        / F.col("n_dot_w2").cast("double")
-        + (dd * F.col("n_w2_dot").cast("double") / F.col("n_dot_w2").cast("double"))
-        * p_cont
-    )
-    p3 = (
-        F.greatest(F.col("c_tri").cast("double") - dd, F.lit(0.0))
-        / F.col("c_w12").cast("double")
-        + (dd * F.col("n1p_w12").cast("double") / F.col("c_w12").cast("double"))
-        * p2
-    )
-    scored = (
-        scored_keys.join(keys.select("tri", "c_tri"), "tri")
-        .join(cw12, "w12")
-        .join(cw23, "w23")
-        .join(cw2, "w2")
-        .join(cw3, "w3")
-        .crossJoin(F.broadcast(tot))
-        .withColumn("nll", -F.log(p3))
-    )
-    avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
-    return scored.groupBy(id_col).agg(
-        F.sum("tf").cast("bigint").alias("n_trigrams"),
-        F.round(avg_nll, 4).alias("avg_nll"),
-        F.round(F.exp(avg_nll), 4).alias("ppl"),
-    )
+    return kn_ngram_perplexity(
+        df, n=3, text_col=text_col, id_col=id_col, discount=discount
+    ).withColumnRenamed("n_ngrams", "n_trigrams")
 
 
 def _mkn_discounts(frame: DataFrame, count_col: str, prefix: str) -> DataFrame:
@@ -530,150 +431,20 @@ def kn_fourgram_perplexity(
     discount: float = 0.75,
 ) -> DataFrame:
     """Per-document NLL/perplexity under an interpolated KNESER-NEY
-    4-GRAM LM trained on ``df`` itself — the "one more order" depth step
-    above :func:`kn_trigram_perplexity` toward CCNet's 5-gram KenLM:
+    4-GRAM LM trained on ``df`` itself — the "one more order" step
+    between :func:`kn_trigram_perplexity` and the order-5
+    :func:`kn_ngram_perplexity` declaration.
 
-    ``P(w4|w1w2w3) = max(C(g4)-D,0)/C(w123.)
-    + (D * N1+(w123.)/C(w123.)) * P3``
-
-    ``P3 = max(N1+(.w234)-D,0)/N1+(.w23.)
-    + (D * Nmid(w23)/N1+(.w23.)) * P2``
-
-    ``P2 = max(N1+(.w34)-D,0)/N1+(.w3.)
-    + (D * Nmid(w3)/N1+(.w3.)) * Pcont(w4)``
-
-    ``Pcont(w4) = N1+(.w4) / N1+(..)``
-
-    Level-3 continuation counts derive from the 4-GRAM type table
-    (distinct left-extensions of (w2,w3,w4)); level-2 from the FULL
-    trigram type projection (distinct w2 preceding (w3,w4)); the unigram
-    floor from the full bigram type projection — each level's N1+ comes
-    from the (n+1)-gram types, the textbook KN construction. Trained on
-    the scored corpus, every quantity is >= 1, so scoring stays one fixed
-    codegen float expression (no backoff-miss branch).
-
-    Scale shape: ONE tokenize pass; three type tables (4-gram, trigram,
-    bigram — all deduplicated before any N1+ aggregate, each aggregate
-    map-side-combinable); seven equi-keyed scoring joins (g4, w123, w234,
-    w23, w34, w3, w4) that co-partition; N1+(..) rides a 1-row broadcast.
-    Returns ``id_col, n_fourgrams, avg_nll, ppl`` (docs with < 4 tokens
-    are excluded).
+    Thin wrapper over the order-generic :func:`kn_ngram_perplexity`
+    ladder at ``n=4`` (bit-exact equivalence to the former hardcoded
+    implementation is pinned by this tier's independent exact-float
+    Python-replay test and its DuckDB oracle). Returns ``id_col,
+    n_fourgrams, avg_nll, ppl`` (docs with < 4 tokens are excluded).
     """
-    d = float(discount)
-    if not (0.0 < d < 1.0):
-        raise ValueError(f"discount must be in (0, 1), got {discount}")
-    toks = df.select(
-        F.col(id_col),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
-    ).filter(F.size("__t") >= 4)
-    t = F.col("__t")
+    return kn_ngram_perplexity(
+        df, n=4, text_col=text_col, id_col=id_col, discount=discount
+    ).withColumnRenamed("n_ngrams", "n_fourgrams")
 
-    tf = (
-        toks.select(F.col(id_col), F.explode(_ngrams(t, 4)).alias("g4"))
-        .groupBy(id_col, "g4")
-        .agg(F.count("*").alias("tf"))
-    )
-    # 4-gram TYPE table with every split key staged once. PINNED (type
-    # tables are model-sized under Zipf; unpinned, each of the three
-    # count tables plus the scoring join replays the aggregate and its
-    # corpus scan — measured 9 FileScans across the plan before pinning)
-    w234_of = F.substring_index("g4", " ", -3)
-    keys = (
-        tf.groupBy("g4")
-        .agg(F.sum("tf").alias("c_g4"))
-        .withColumn("w123", F.substring_index("g4", " ", 3))
-        .withColumn("w234", w234_of)
-        .withColumn("w23", F.substring_index(w234_of, " ", 2))
-        .withColumn("w4", F.substring_index("g4", " ", -1))
-        .localCheckpoint(eager=False)
-    )
-    cw123 = keys.groupBy("w123").agg(
-        F.sum("c_g4").alias("c_w123"),          # C(w1w2w3.)
-        F.count("*").alias("n1p_w123"),         # N1+(w1w2w3.)
-    )
-    cw234 = keys.groupBy("w234").agg(
-        F.count("*").alias("n_dot_w234"),       # N1+(.w2w3w4)
-    )
-    cw23 = keys.groupBy("w23").agg(
-        F.count("*").alias("n_dot_w23"),        # N1+(.w2w3.)
-        F.countDistinct("w234").alias("n_w23_dot"),  # Nmid(w2w3)
-    )
-    # level-2 continuation tables from the FULL trigram type projection
-    # (pinned: two count tables reference it)
-    ttypes = toks.select(F.explode(_ngrams(t, 3)).alias("tg")).distinct()
-    t34_of = F.substring_index("tg", " ", -2)
-    tkeys = (
-        ttypes.withColumn("w34", t34_of)
-        .withColumn("w3", F.substring_index(t34_of, " ", 1))
-        .localCheckpoint(eager=False)
-    )
-    cw34 = tkeys.groupBy("w34").agg(
-        F.count("*").alias("n_dot_w34"),        # N1+(.w3w4)
-    )
-    cw3 = tkeys.groupBy("w3").agg(
-        F.count("*").alias("n_dot_w3"),         # N1+(.w3.)
-        F.countDistinct("w34").alias("n_w3_dot"),  # Nmid(w3)
-    )
-    # unigram floor from the full bigram type projection (pinned: two
-    # references — continuation counts + the 1-row total)
-    btypes = (
-        toks.select(F.explode(_ngrams(t, 2)).alias("bg"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    cw4 = (
-        btypes.withColumn("w4", F.substring_index("bg", " ", -1))
-        .groupBy("w4")
-        .agg(F.count("*").alias("n_dot_w4"))    # N1+(.w4)
-    )
-    tot = btypes.agg(F.count("*").cast("double").alias("__nbt"))  # N1+(..)
-
-    sk_w234 = F.substring_index("g4", " ", -3)
-    scored_keys = (
-        tf.withColumn("w123", F.substring_index("g4", " ", 3))
-        .withColumn("w234", sk_w234)
-        .withColumn("w23", F.substring_index(sk_w234, " ", 2))
-        .withColumn("w34", F.substring_index("g4", " ", -2))
-        .withColumn("w3", F.substring_index(F.substring_index("g4", " ", -2), " ", 1))
-        .withColumn("w4", F.substring_index("g4", " ", -1))
-    )
-    dd = F.lit(d)
-    p_cont = F.col("n_dot_w4").cast("double") / F.col("__nbt")
-    p2 = (
-        F.greatest(F.col("n_dot_w34").cast("double") - dd, F.lit(0.0))
-        / F.col("n_dot_w3").cast("double")
-        + (dd * F.col("n_w3_dot").cast("double") / F.col("n_dot_w3").cast("double"))
-        * p_cont
-    )
-    p3 = (
-        F.greatest(F.col("n_dot_w234").cast("double") - dd, F.lit(0.0))
-        / F.col("n_dot_w23").cast("double")
-        + (dd * F.col("n_w23_dot").cast("double") / F.col("n_dot_w23").cast("double"))
-        * p2
-    )
-    p4 = (
-        F.greatest(F.col("c_g4").cast("double") - dd, F.lit(0.0))
-        / F.col("c_w123").cast("double")
-        + (dd * F.col("n1p_w123").cast("double") / F.col("c_w123").cast("double"))
-        * p3
-    )
-    scored = (
-        scored_keys.join(keys.select("g4", "c_g4"), "g4")
-        .join(cw123, "w123")
-        .join(cw234, "w234")
-        .join(cw23, "w23")
-        .join(cw34, "w34")
-        .join(cw3, "w3")
-        .join(cw4, "w4")
-        .crossJoin(F.broadcast(tot))
-        .withColumn("nll", -F.log(p4))
-    )
-    avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
-    return scored.groupBy(id_col).agg(
-        F.sum("tf").cast("bigint").alias("n_fourgrams"),
-        F.round(avg_nll, 4).alias("avg_nll"),
-        F.round(F.exp(avg_nll), 4).alias("ppl"),
-    )
 
 
 def kn_ngram_perplexity(
@@ -700,11 +471,17 @@ def kn_ngram_perplexity(
     backoff-miss branch, one fixed codegen float expression, fully
     oracle-checkable at any order.
 
-    Scale shape: ONE tokenize pass; n-1 type tables (orders 2..n, each
-    deduplicated before any N1+ aggregate and localCheckpoint-pinned —
-    model-sized under Zipf, and the final plan scans the corpus once);
-    2(n-2) + 3 equi-keyed scoring joins that co-partition on their gram
-    keys; N1+(..) rides a 1-row broadcast. Returns ``id_col, n_ngrams,
+    Scale shape: the corpus is tokenized and scanned ONCE, in the n-gram
+    tf aggregate — every lower-order type table DERIVES from the pinned
+    type table one order above it (on the >= n-token corpus every k-gram
+    is the prefix or the suffix of some (k+1)-gram, so
+    ``types_k = distinct(prefix_k UNION suffix_k of types_{k+1})``
+    exactly: a k-gram at position p extends right when p+k <= doc_len,
+    else p >= 2 and it extends left). Type-table work is therefore
+    model-sized at every level (distinct grams, Zipf-sublinear), never a
+    repeated corpus explode; all n-1 tables are localCheckpoint-pinned.
+    2(n-2) + 3 equi-keyed scoring joins co-partition on their gram keys;
+    N1+(..) rides a 1-row broadcast. Returns ``id_col, n_ngrams,
     avg_nll, ppl`` (docs with < n tokens are excluded).
     """
     n = int(n)
@@ -736,18 +513,13 @@ def kn_ngram_perplexity(
         F.count("*").alias("n1p_pre"),
     )
 
-    # backoff levels k = n-1 .. 2: suffix/mid tables off the (k+1)-gram types
+    # backoff levels k = n-1 .. 2: suffix/mid tables off the (k+1)-gram
+    # types; each lower type table derives from the one above (exact on
+    # the >= n-token corpus — see docstring), so no level re-reads text
     level_tbls: dict[int, tuple[DataFrame, DataFrame]] = {}
+    cur = keys.select(F.col("g").alias("h"))  # (k+1)-gram types, k = n-1
     for k in range(n - 1, 1, -1):
-        if k == n - 1:
-            types = keys.select(F.col("g").alias("h"))
-        else:
-            types = (
-                toks.select(F.explode(_ngrams(t, k + 1)).alias("h"))
-                .distinct()
-                .localCheckpoint(eager=False)
-            )
-        staged = types.withColumn("s", F.substring_index("h", " ", -k)).withColumn(
+        staged = cur.withColumn("s", F.substring_index("h", " ", -k)).withColumn(
             "m", F.substring_index(F.substring_index("h", " ", -k), " ", k - 1)
         )
         tbl = staged.groupBy("s").agg(
@@ -758,13 +530,17 @@ def kn_ngram_perplexity(
             F.countDistinct("s").alias(f"n_mid{k}"),
         ).withColumnRenamed("m", f"m{k}")
         level_tbls[k] = (tbl, ctx)
+        # k-gram types = distinct(prefix_k UNION suffix_k) of the current
+        # (k+1)-gram types, pinned (the next level + floor reference it)
+        cur = (
+            cur.select(F.substring_index("h", " ", k).alias("h"))
+            .unionByName(cur.select(F.substring_index("h", " ", -k).alias("h")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
 
-    # unigram floor over the full bigram type projection (pinned: two refs)
-    btypes = (
-        toks.select(F.explode(_ngrams(t, 2)).alias("bg"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # unigram floor: cur is now the bigram TYPE table (pinned: two refs)
+    btypes = cur.withColumnRenamed("h", "bg")
     cw1 = (
         btypes.withColumn("s1", F.substring_index("bg", " ", -1))
         .groupBy("s1")

@@ -142,28 +142,70 @@ PII_PATTERNS: list[tuple[str, str]] = [
 CARD_CANDIDATE_PATTERN = r"\b\d{2,}(?:[ -]\d{2,})*\b"
 
 
+def _group_windows(run: Column) -> Column:
+    """All contiguous GROUP WINDOWS of a separator-grouped digit run,
+    canonical-spaced, kept when their stripped length is 13-19 — the
+    recovery tier for a valid card sharing one run with another number
+    ('4539 1488 0343 6467 90210': the 21-digit run is no candidate, but
+    its 4-group window IS the card). Bounded: windows span at most 9
+    consecutive groups (>= 2 digits each, so 9 groups already reach 18+
+    digits) — a G-group run yields <= 9G windows, a per-run constant,
+    never corpus fan-out."""
+    gr = F.split(run, "[ -]")
+    return F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(gr)),
+                lambda i: F.transform(
+                    F.sequence(i, F.least(i + 8, F.size(gr))),
+                    lambda j: F.concat_ws(" ", F.slice(gr, i, j - i + 1)),
+                ),
+            )
+        ),
+        lambda w: F.length(F.regexp_replace(w, " ", "")).between(13, 19),
+    )
+
+
 def _card_candidates(col: Column) -> Column:
-    """Deduplicated, SORTED card candidates of ``col``: \\b-bounded
-    separator-grouped runs (:data:`CARD_CANDIDATE_PATTERN`, 13-19 digits
-    after separator stripping) UNION maximal contiguous digit runs of
-    13-19 digits (catches letter-glued cards like 'ID4539...' that have
-    no word boundary). Sorted because downstream folds
-    (:func:`mask_luhn_cards`) apply candidates in list order — the sort
-    pins one deterministic order that the DuckDB oracle can mirror
-    (list_distinct does NOT preserve order while array_distinct does, so
-    an unsorted union would let the two engines fold in different
-    orders). Extractions and filters are engine-identical (Java regex /
-    RE2); candidates are ASCII digits/space/dash, where both engines'
-    default string orders agree."""
+    """Deduplicated, SORTED card candidates of ``col``, three tiers:
+
+    1. \\b-bounded separator-grouped runs (:data:`CARD_CANDIDATE_PATTERN`)
+       whose stripped length is 13-19;
+    2. maximal contiguous digit runs of 13-19 digits (catches
+       letter-glued cards like 'ID4539...' that have no word boundary);
+    3. for OVERLONG grouped runs (stripped length > 19 — a card adjacent
+       to another number in one run), every contiguous group window of
+       13-19 stripped digits, canonical-spaced (:func:`_group_windows`) —
+       downstream consumers treat candidate separators as
+       interchangeable, so the canonical form masks the original text.
+
+    Sorted because downstream folds (:func:`mask_luhn_cards`) apply
+    candidates in list order — the sort pins one deterministic order that
+    the DuckDB oracle can mirror (list_distinct does NOT preserve order
+    while array_distinct does). Extractions and filters are
+    engine-identical (Java regex / RE2); candidates are ASCII
+    digits/space/dash, where both engines' default string orders agree."""
+    runs = F.regexp_extract_all(col, F.lit(CARD_CANDIDATE_PATTERN), F.lit(0))
     grouped = F.filter(
-        F.regexp_extract_all(col, F.lit(CARD_CANDIDATE_PATTERN), F.lit(0)),
+        runs,
         lambda c: F.length(F.regexp_replace(c, "[ -]", "")).between(13, 19),
     )
     contiguous = F.filter(
         F.regexp_extract_all(col, F.lit(r"\d+"), F.lit(0)),
         lambda c: F.length(c).between(13, 19),
     )
-    return F.array_sort(F.array_distinct(F.concat(grouped, contiguous)))
+    windows = F.flatten(
+        F.transform(
+            F.filter(
+                runs,
+                lambda c: F.length(F.regexp_replace(c, "[ -]", "")) > 19,
+            ),
+            _group_windows,
+        )
+    )
+    return F.array_sort(
+        F.array_distinct(F.concat(grouped, contiguous, windows))
+    )
 
 
 def _luhn_sum(rev: Column) -> Column:
@@ -213,8 +255,15 @@ def mask_luhn_cards(col: Column, token: str = "[CARD]") -> Column:
     # lookahead and mirrors with a consuming ([^0-9]|$) applied TWICE —
     # pass 1 masks the odd occurrences of an adjacent chain, pass 2 the
     # rest, so both mechanisms reach the same fixpoint on every input.
+    # Candidate separators generalize to the [ -] class in the pattern so
+    # a canonical-spaced group-window candidate masks the dashed/mixed
+    # original text (and tier-1 candidates mask exactly as before).
     def _mask(acc: Column, c: Column) -> Column:
-        pat = F.concat(F.lit("(^|[^0-9])"), c, F.lit("(?=[^0-9]|$)"))
+        pat = F.concat(
+            F.lit("(^|[^0-9])"),
+            F.regexp_replace(c, "[ -]", "[ -]"),
+            F.lit("(?=[^0-9]|$)"),
+        )
         return F.regexp_replace(acc, pat, F.lit(f"$1{escaped}"))
 
     return F.aggregate(valid, col, _mask)

@@ -1933,7 +1933,20 @@ carded AS (
                  c -> len(replace(replace(c, ' ', ''), '-', ''))
                       BETWEEN 13 AND 19)
                || list_filter(regexp_extract_all(note, '\\d+'),
-                              c -> len(c) BETWEEN 13 AND 19))),
+                              c -> len(c) BETWEEN 13 AND 19)
+               || flatten(list_transform(
+                    list_filter(
+                      regexp_extract_all(note, '\\b\\d{2,}(?:[ -]\\d{2,})*\\b'),
+                      c -> len(replace(replace(c, ' ', ''), '-', '')) > 19),
+                    r -> list_filter(
+                      flatten(list_transform(
+                        range(1, len(string_split_regex(r, '[ -]')) + 1), i ->
+                        list_transform(
+                          range(i, least(i + 8,
+                                 len(string_split_regex(r, '[ -]'))) + 1),
+                          j -> array_to_string(
+                                 string_split_regex(r, '[ -]')[i:j], ' ')))),
+                      w -> len(replace(w, ' ', '')) BETWEEN 13 AND 19))))),
              cand -> list_sum(list_transform(
                range(1, len(replace(replace(cand, ' ', ''), '-', '')) + 1),
                i -> CASE WHEN i % 2 = 0
@@ -1946,9 +1959,13 @@ carded AS (
                  ELSE CAST(substring(reverse(replace(replace(
                      cand, ' ', ''), '-', '')), i, 1) AS INT) END)) % 10 = 0),
            (acc, x) -> regexp_replace(
-             regexp_replace(acc, '(^|[^0-9])' || x || '([^0-9]|$)',
-                            '\\1[CARD]\\2', 'g'),
-             '(^|[^0-9])' || x || '([^0-9]|$)', '\\1[CARD]\\2', 'g')) AS masked
+             regexp_replace(acc,
+               '(^|[^0-9])' || regexp_replace(x, '[ -]', '[ -]', 'g')
+                 || '([^0-9]|$)',
+               '\\1[CARD]\\2', 'g'),
+             '(^|[^0-9])' || regexp_replace(x, '[ -]', '[ -]', 'g')
+               || '([^0-9]|$)',
+             '\\1[CARD]\\2', 'g')) AS masked
   FROM c
 )
 SELECT c_custkey, note,
@@ -7498,10 +7515,10 @@ synth AS (
   FROM base
 ),
 cands AS (
-  -- union of \b-bounded >=2-digit-group runs (13-19 stripped digits) and
-  -- maximal contiguous 13-19-digit runs, DISTINCT + SORTED per doc —
-  -- mirrors _card_candidates (sorted: list_distinct does not preserve
-  -- order, array_distinct does; the sort pins one shared order)
+  -- three tiers, DISTINCT + SORTED per doc, mirroring _card_candidates:
+  -- \b-bounded >=2-digit-group runs at 13-19 stripped digits, maximal
+  -- contiguous 13-19-digit runs, and for OVERLONG grouped runs every
+  -- contiguous <=9-group window of 13-19 digits (canonical-spaced)
   SELECT doc_id,
          unnest(list_sort(list_distinct(
            list_filter(regexp_extract_all(text, '\b\d{2,}(?:[ -]\d{2,})*\b'),
@@ -7509,6 +7526,19 @@ cands AS (
                             BETWEEN 13 AND 19)
            || list_filter(regexp_extract_all(text, '\d+'),
                           c -> len(c) BETWEEN 13 AND 19)
+           || flatten(list_transform(
+                list_filter(
+                  regexp_extract_all(text, '\b\d{2,}(?:[ -]\d{2,})*\b'),
+                  c -> len(replace(replace(c, ' ', ''), '-', '')) > 19),
+                r -> list_filter(
+                  flatten(list_transform(
+                    range(1, len(string_split_regex(r, '[ -]')) + 1), i ->
+                    list_transform(
+                      range(i, least(i + 8,
+                                     len(string_split_regex(r, '[ -]'))) + 1),
+                      j -> array_to_string(
+                             string_split_regex(r, '[ -]')[i:j], ' ')))),
+                  w -> len(replace(w, ' ', '')) BETWEEN 13 AND 19)))
          ))) AS run
   FROM synth
 ),

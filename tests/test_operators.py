@@ -4334,9 +4334,9 @@ def test_luhn_card_hits_validates_checksums(spark):
         (6, f"pay {dashed} thanks"),                     # dash-grouped valid card
         (7, f"pay {mixed} thanks"),                      # mixed separators, still valid
         (8, "order 4539-1488-0343-6468 shipped"),        # grouped but Luhn-INVALID order id
-        (9, "ref 1234 5678 9012 3456 7890 over"),        # 20 digits grouped: whole run
-                                                         # over length, NO candidate
-                                                         # (consistent with case 4)
+        (9, "ref 1234 5678 9012 3456 7890 over"),        # 20 digits grouped: the run
+                                                         # itself is over length; its two
+                                                         # 4-group windows are candidates
         (10, f"ID{valid} letter-glued"),                 # no \b, caught by the \d+ tier
         (11, "cells 0 0 0 0 0 0 0 0 0 0 0 0 0 end"),     # singleton-group bridge: rejected
         (12, f"pay {valid} and {valid} again"),          # same string twice: ONE distinct
@@ -4346,6 +4346,9 @@ def test_luhn_card_hits_validates_checksums(spark):
         (14, "qty 7 4539 1488 0343 6467 shipped"),       # lone digit beside a grouped
                                                          # card: >=2-digit groups keep the
                                                          # card intact
+        (15, f"card {spaced} 90210 end"),                # valid card + zip in ONE 21-digit
+                                                         # run: the group-window tier
+                                                         # recovers the card
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: (r.n_candidates, r.n_valid) for r in luhn_card_hits(df).collect()}
@@ -4353,10 +4356,11 @@ def test_luhn_card_hits_validates_checksums(spark):
         1: (1, 1), 2: (2, 1), 3: (0, 0), 4: (0, 0),
         5: (1, 1), 6: (1, 1), 7: (1, 1),
         8: (1, 0),  # candidate, but checksum says not a card
-        9: (0, 0),
+        9: (2, 0),  # the two 16-digit 4-group windows, both Luhn-invalid
         10: (1, 1), 11: (0, 0), 12: (1, 1),
         13: (1, 0),  # prepended 9 rides an odd position: sum shifts by 9
         14: (1, 1),  # lone digit next to the card is NOT absorbed
+        15: (3, 1),  # 13/16/17-digit windows; only the card passes Luhn
     }
     assert not luhn_ok("9" + valid)
 
@@ -4406,6 +4410,18 @@ def test_redact_pii_luhn_gated_card_masking(spark):
         (
             "qty 7 4539 1488 0343 6467 shipped",
             "qty 7 [CARD] shipped",
+        ),
+        # valid card sharing one run with a zip: the group-window tier
+        # recovers and masks exactly the card's groups
+        (
+            "card 4539 1488 0343 6467 90210 end",
+            "card [CARD] 90210 end",
+        ),
+        # and the dashed form of the same adjacency (canonical-spaced
+        # window candidates mask via the [ -]-generalized pattern)
+        (
+            "card 4539-1488-0343-6467-90210 end",
+            "card [CARD]-90210 end",
         ),
     ]
     df = spark.createDataFrame(rows, "txt string, want string")
