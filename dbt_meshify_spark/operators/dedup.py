@@ -1184,12 +1184,13 @@ def substring_run_pairs(
        caps are deterministic, so oracles mirror them);
     3. anchors equi-join on the 8-byte hash (``id_a < id_b``) — never the
        gram text — so the shuffle carries (hash, id, pos) rows only; each
-       matched pair is then RE-VERIFIED against a second, independently
-       seeded 64-bit gram hash, so a single xxhash64 collision (expected
-       at the ~5e9-gram birthday bound of a 100 TB corpus) can no longer
-       fabricate an "exact" duplicate — a pair survives only at ~2^-128,
-       which keeps the downstream ``cut_spans_from_text`` surgery
-       non-lossy without ever shuffling gram text;
+       matched pair is then RE-VERIFIED against a second, seed-prefixed
+       64-bit gram hash (a different but CORRELATED function — not an
+       independent hash, so no clean 2^-128 joint bound), so a single
+       xxhash64 collision (expected at the ~5e9-gram birthday bound of a
+       100 TB corpus) no longer fabricates an "exact" duplicate in
+       practice, which keeps the downstream ``cut_spans_from_text``
+       surgery non-lossy without ever shuffling gram text;
     4. matches on one DIAGONAL (``pb - pa`` constant) merge into runs via
        the sorted-interval walk per ``(id_a, id_b, diag)``: a new run
        starts exactly when ``pa > lag(pa) + k``. Two aligned k-gram
@@ -1221,9 +1222,13 @@ def substring_run_pairs(
             F.col(id_col),
             (F.col("__p") + 1).cast("bigint").alias("st"),
             F.xxhash64("__gram").alias("__gh"),
-            # independently seeded verification hash: the seed literal makes
-            # xxhash64((42, gram)) a different function of gram than
-            # xxhash64((gram,)) — 8 extra bytes per anchor row
+            # seeded verification hash: the constant literal prepends a
+            # block to the same fixed-seed xxhash64, so xxhash64((42, gram))
+            # is a DIFFERENT but CORRELATED function of gram — not an
+            # independent hash, so the naive 2^-128 joint-collision bound
+            # does not apply; empirically it still rejects single-hash
+            # collisions (a large practical improvement) at 8 extra bytes
+            # per anchor row
             F.xxhash64(F.lit(42), "__gram").alias("__gh2"),
         )
     )

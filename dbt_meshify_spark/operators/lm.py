@@ -89,7 +89,10 @@ def bigram_perplexity(
     avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
     return scored.groupBy(id_col).agg(
         F.sum("tf").cast("bigint").alias("n_bigrams"),
-        F.round(avg_nll, 4).alias("avg_nll"),
+        # + 0.0: on a degenerate corpus p = 1.0 exactly, nll = -0.0, and the
+        # driver canonicalizer str()-sorts rows — normalize the IEEE sign
+        # (mirrored in every LM oracle)
+        (F.round(avg_nll, 4) + F.lit(0.0)).alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).alias("ppl"),
     )
 
@@ -199,7 +202,10 @@ def trigram_perplexity(
     avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
     return scored.groupBy(id_col).agg(
         F.sum("tf").cast("bigint").alias("n_trigrams"),
-        F.round(avg_nll, 4).alias("avg_nll"),
+        # + 0.0: on a degenerate corpus p = 1.0 exactly, nll = -0.0, and the
+        # driver canonicalizer str()-sorts rows — normalize the IEEE sign
+        # (mirrored in every LM oracle)
+        (F.round(avg_nll, 4) + F.lit(0.0)).alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).alias("ppl"),
     )
 
@@ -407,7 +413,10 @@ def mkn_trigram_perplexity(
     avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
     return scored.groupBy(id_col).agg(
         F.sum("tf").cast("bigint").alias("n_trigrams"),
-        F.round(avg_nll, 4).alias("avg_nll"),
+        # + 0.0: on a degenerate corpus p = 1.0 exactly, nll = -0.0, and the
+        # driver canonicalizer str()-sorts rows — normalize the IEEE sign
+        # (mirrored in every LM oracle)
+        (F.round(avg_nll, 4) + F.lit(0.0)).alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).alias("ppl"),
     )
 
@@ -584,6 +593,9 @@ def kn_ngram_perplexity(
     avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
     return scored.groupBy(id_col).agg(
         F.sum("tf").cast("bigint").alias("n_ngrams"),
-        F.round(avg_nll, 4).alias("avg_nll"),
+        # + 0.0: on a degenerate corpus p = 1.0 exactly, nll = -0.0, and the
+        # driver canonicalizer str()-sorts rows — normalize the IEEE sign
+        # (mirrored in every LM oracle)
+        (F.round(avg_nll, 4) + F.lit(0.0)).alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).alias("ppl"),
     )

@@ -319,7 +319,14 @@ def luhn_card_hits(
     One (id)-keyed count aggregate; docs without digit runs come back
     with zero counts via the left join on the id.
 
-    Returns ``id_col, n_candidates, n_valid``.
+    Returns ``id_col, n_candidates, n_valid``. DISTINCT-candidate
+    semantics: ``_card_candidates`` applies ``array_distinct``, so both
+    counts enumerate distinct card-shaped runs per doc, not occurrences —
+    a doc containing the same card number twice reports 1 hit. This is
+    the masking-tier convention (the redaction pass rewrites every
+    occurrence of each distinct candidate); an occurrence-weighted audit
+    metric would drop the dedup and is intentionally NOT what this
+    returns. The oracle mirrors the distinct semantics.
     """
     runs = (
         df.select(

@@ -2606,7 +2606,7 @@ ORDER BY doc_id NULLS FIRST
 """,
     "ext_lm_perplexity": _LM_SCORED_CTES + r"""
 SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-       ROUND(SUM(tf * nll) / SUM(tf), 4) AS avg_nll,
+       ROUND(SUM(tf * nll) / SUM(tf), 4) + 0.0 AS avg_nll,
        ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
 FROM scored GROUP BY doc_id
 ORDER BY doc_id NULLS FIRST
@@ -7635,7 +7635,7 @@ scored AS (
   CROSS JOIN tot
 )
 SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
-       ROUND(SUM(tf * nll) / SUM(tf), 4) AS avg_nll,
+       ROUND(SUM(tf * nll) / SUM(tf), 4) + 0.0 AS avg_nll,
        ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
 FROM scored GROUP BY doc_id
 ORDER BY doc_id NULLS FIRST
@@ -7716,7 +7716,7 @@ scored AS (
   CROSS JOIN tot
 )
 SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
-       ROUND(SUM(tf * nll) / SUM(tf), 4) AS avg_nll,
+       ROUND(SUM(tf * nll) / SUM(tf), 4) + 0.0 AS avg_nll,
        ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
 FROM scored GROUP BY doc_id
 ORDER BY doc_id NULLS FIRST
@@ -7864,7 +7864,7 @@ scored AS (
   CROSS JOIN tot CROSS JOIN dt CROSS JOIN dm
 )
 SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
-       ROUND(SUM(tf * nll) / SUM(tf), 4) AS avg_nll,
+       ROUND(SUM(tf * nll) / SUM(tf), 4) + 0.0 AS avg_nll,
        ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
 FROM scored GROUP BY doc_id
 ORDER BY doc_id NULLS FIRST
@@ -8003,7 +8003,7 @@ scored AS (
   CROSS JOIN tot
 )
 SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_fivegrams,
-       ROUND(SUM(tf * nll) / SUM(tf), 4) AS avg_nll,
+       ROUND(SUM(tf * nll) / SUM(tf), 4) + 0.0 AS avg_nll,
        ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
 FROM scored GROUP BY doc_id
 ORDER BY doc_id NULLS FIRST
@@ -8106,7 +8106,7 @@ scored AS (
   CROSS JOIN tot
 )
 SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_fourgrams,
-       ROUND(SUM(tf * nll) / SUM(tf), 4) AS avg_nll,
+       ROUND(SUM(tf * nll) / SUM(tf), 4) + 0.0 AS avg_nll,
        ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
 FROM scored GROUP BY doc_id
 ORDER BY doc_id NULLS FIRST
