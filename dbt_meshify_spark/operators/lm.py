@@ -210,17 +210,6 @@ def trigram_perplexity(
     )
 
 
-def _tri_key_cols(frame: DataFrame) -> DataFrame:
-    """Stage the w12/w23/w2/w3 split keys off a 'tri' column once (used by
-    both KN tiers' type tables AND scoring frames)."""
-    return (
-        frame.withColumn("w12", F.substring_index("tri", " ", 2))
-        .withColumn("w23", F.substring_index("tri", " ", -2))
-        .withColumn("w2", F.substring_index(F.substring_index("tri", " ", -2), " ", 1))
-        .withColumn("w3", F.substring_index("tri", " ", -1))
-    )
-
-
 def kn_trigram_perplexity(
     df: DataFrame,
     text_col: str = "text",
@@ -303,122 +292,16 @@ def mkn_trigram_perplexity(
     — the mass each discount tier released). The middle level applies
     the same scheme to the CONTINUATION counts ``N1+(.w2w3)`` with its
     own count-of-count discounts; the floor is the continuation unigram.
-    Discounts derive from the count-of-counts ``n1..n4`` of each level's
-    count table (Y = n1/(n1+2n2) etc.), clamped >= 0 and CASE-guarded on
-    degenerate corpora — two 1-row broadcast frames, like (N, V) in the
-    JM tier.
 
-    Trained-on-self keeps every count >= 1, so no backoff-miss branch
-    exists and scoring is one fixed codegen float expression — the whole
-    pipeline stays hash-checkable. Scale shape identical to
-    :func:`kn_trigram_perplexity`: pinned model-sized type tables, ONE
-    corpus scan, equi-keyed scoring joins, 1-row broadcasts for the
-    discount/total scalars. Returns ``id_col, n_trigrams, avg_nll, ppl``
-    (docs with < 3 tokens are excluded).
+    Thin wrapper over the order-generic :func:`mkn_ngram_perplexity`
+    ladder at ``n=3`` (bit-exact equivalence to the former hardcoded
+    implementation is pinned by this tier's independent exact-float
+    Python-replay test and its DuckDB oracle). Returns ``id_col,
+    n_trigrams, avg_nll, ppl`` (docs with < 3 tokens are excluded).
     """
-    toks = df.select(
-        F.col(id_col),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
-    ).filter(F.size("__t") >= 3)
-
-    t = F.col("__t")
-    tf = (
-        toks.select(F.col(id_col), F.explode(_ngrams(t, 3)).alias("tri"))
-        .groupBy(id_col, "tri")
-        .agg(F.count("*").alias("tf"))
-    )
-    keys = _tri_key_cols(
-        tf.groupBy("tri").agg(F.sum("tf").alias("c_tri"))
-    ).localCheckpoint(eager=False)
-    # top-level discounts from the trigram count-of-counts
-    dtri = _mkn_discounts(keys, "c_tri", "dt")
-    # per-context released-mass buckets + denominator
-    ct = F.col("c_tri")
-    cw12 = keys.groupBy("w12").agg(
-        F.sum("c_tri").alias("c_w12"),
-        F.sum(F.when(ct == 1, 1).otherwise(0)).alias("b1"),
-        F.sum(F.when(ct == 2, 1).otherwise(0)).alias("b2"),
-        F.sum(F.when(ct >= 3, 1).otherwise(0)).alias("b3p"),
-    )
-    # middle level: continuation counts + their own discounts/buckets
-    cw23 = keys.groupBy("w23").agg(F.count("*").alias("cc"))
-    dmid = _mkn_discounts(cw23, "cc", "dm")
-    cc = F.col("cc")
-    cw2 = (
-        cw23.withColumn("w2", F.substring_index("w23", " ", 1))
-        .groupBy("w2")
-        .agg(
-            F.sum("cc").alias("n_dot_w2"),
-            F.sum(F.when(cc == 1, 1).otherwise(0)).alias("m1"),
-            F.sum(F.when(cc == 2, 1).otherwise(0)).alias("m2"),
-            F.sum(F.when(cc >= 3, 1).otherwise(0)).alias("m3p"),
-        )
-    )
-    btypes = (
-        toks.select(F.explode(_ngrams(t, 2)).alias("bg"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    cw3 = (
-        btypes.withColumn("w3", F.substring_index("bg", " ", -1))
-        .groupBy("w3")
-        .agg(F.count("*").alias("n_dot_w3"))
-    )
-    tot = btypes.agg(F.count("*").cast("double").alias("__nbt"))
-
-    scored_keys = _tri_key_cols(tf)
-
-    def disc(count, d1, d2, d3):
-        return (
-            F.when(count == 1, F.col(d1))
-            .when(count == 2, F.col(d2))
-            .otherwise(F.col(d3))
-        )
-
-    c_trid = F.col("c_tri").cast("double")
-    c_w12d = F.col("c_w12").cast("double")
-    gamma3 = (
-        F.col("dt1") * F.col("b1").cast("double")
-        + F.col("dt2") * F.col("b2").cast("double")
-        + F.col("dt3") * F.col("b3p").cast("double")
-    ) / c_w12d
-    ccd = F.col("cc").cast("double")
-    n_w2d = F.col("n_dot_w2").cast("double")
-    gamma2 = (
-        F.col("dm1") * F.col("m1").cast("double")
-        + F.col("dm2") * F.col("m2").cast("double")
-        + F.col("dm3") * F.col("m3p").cast("double")
-    ) / n_w2d
-    p_cont = F.col("n_dot_w3").cast("double") / F.col("__nbt")
-    p2 = (
-        F.greatest(ccd - disc(F.col("cc"), "dm1", "dm2", "dm3"), F.lit(0.0)) / n_w2d
-        + gamma2 * p_cont
-    )
-    p3 = (
-        F.greatest(c_trid - disc(F.col("c_tri"), "dt1", "dt2", "dt3"), F.lit(0.0))
-        / c_w12d
-        + gamma3 * p2
-    )
-    scored = (
-        scored_keys.join(keys.select("tri", "c_tri"), "tri")
-        .join(cw12, "w12")
-        .join(cw23, "w23")
-        .join(cw2, "w2")
-        .join(cw3, "w3")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(dtri))
-        .crossJoin(F.broadcast(dmid))
-        .withColumn("nll", -F.log(p3))
-    )
-    avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
-    return scored.groupBy(id_col).agg(
-        F.sum("tf").cast("bigint").alias("n_trigrams"),
-        # + 0.0: on a degenerate corpus p = 1.0 exactly, nll = -0.0, and the
-        # driver canonicalizer str()-sorts rows — normalize the IEEE sign
-        # (mirrored in every LM oracle)
-        (F.round(avg_nll, 4) + F.lit(0.0)).alias("avg_nll"),
-        F.round(F.exp(avg_nll), 4).alias("ppl"),
-    )
+    return mkn_ngram_perplexity(
+        df, n=3, text_col=text_col, id_col=id_col
+    ).withColumnRenamed("n_ngrams", "n_trigrams")
 
 
 def _ngrams(t: "F.Column", n: int):
@@ -588,6 +471,181 @@ def kn_ngram_perplexity(
         F.greatest(F.col("c_g").cast("double") - dd, F.lit(0.0))
         / F.col("c_pre").cast("double")
         + (dd * F.col("n1p_pre").cast("double") / F.col("c_pre").cast("double")) * p
+    )
+    scored = scored.withColumn("nll", -F.log(p))
+    avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_ngrams"),
+        # + 0.0: on a degenerate corpus p = 1.0 exactly, nll = -0.0, and the
+        # driver canonicalizer str()-sorts rows — normalize the IEEE sign
+        # (mirrored in every LM oracle)
+        (F.round(avg_nll, 4) + F.lit(0.0)).alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).alias("ppl"),
+    )
+
+
+def mkn_ngram_perplexity(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document NLL/perplexity under a MODIFIED KNESER-NEY LM of
+    ARBITRARY order ``n >= 2`` trained on ``df`` itself — the
+    order-generic composition of :func:`mkn_trigram_perplexity`'s
+    Chen-Goodman three-discount scheme with :func:`kn_ngram_perplexity`'s
+    continuation ladder. At ``n=5`` this is the actual published CCNet
+    filter: 5-gram KenLM IS modified Kneser-Ney at order 5 (Heafield
+    2011; Chen & Goodman 1999).
+
+    Per level, the single fixed discount of the KN ladder is replaced by
+    three count-of-count discounts ``D1/D2/D3+`` derived from that
+    level's own count table (``Y = n1/(n1+2n2)`` etc., clamped >= 0 and
+    CASE-guarded on degenerate corpora — see :func:`_mkn_discounts`),
+    and the released-mass gamma becomes
+    ``(D1*B1(ctx) + D2*B2(ctx) + D3*B3+(ctx)) / denom(ctx)`` where Bk
+    counts the context's continuations with count exactly k / >= 3. The
+    top level discounts raw n-gram counts; each backoff level ``k =
+    n-1 .. 2`` applies the same scheme to CONTINUATION counts
+    ``N1+(. suffix_k)`` from the (k+1)-gram TYPE table; the floor is the
+    continuation unigram over bigram types. Trained-on-self keeps every
+    count >= 1 — no backoff-miss branch, one fixed codegen float
+    expression, fully oracle-checkable at any order.
+
+    Scale shape identical to :func:`kn_ngram_perplexity`: the corpus is
+    tokenized and scanned ONCE (the n-gram tf aggregate); every
+    lower-order type table derives from the pinned table one order above
+    (``types_k = distinct(prefix_k UNION suffix_k of types_{k+1})`` —
+    exact on the >= n-token corpus), so type-table work is model-sized
+    (Zipf-sublinear) at every level; suffix-count tables are pinned (3
+    consumers each: histogram, context aggregate, scoring join); the
+    n-1 discount triples and N1+(..) ride 1-row broadcasts; all
+    2(n-2) + 3 scoring joins are equi-keyed. At ``n=3`` this reproduces
+    :func:`mkn_trigram_perplexity` bit-exactly (asserted in tests).
+    Returns ``id_col, n_ngrams, avg_nll, ppl`` (docs with < n tokens
+    are excluded).
+    """
+    n = int(n)
+    if n < 2:
+        raise ValueError(f"order must be >= 2, got {n}")
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
+    ).filter(F.size("__t") >= n)
+    t = F.col("__t")
+
+    tf = (
+        toks.select(F.col(id_col), F.explode(_ngrams(t, n)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("tf"))
+    )
+    # n-gram TYPE table (pinned; histogram + cpre + scoring + ladder seed)
+    keys = (
+        tf.groupBy("g")
+        .agg(F.sum("tf").alias("c_g"))
+        .withColumn("pre", F.substring_index("g", " ", n - 1))
+        .localCheckpoint(eager=False)
+    )
+    d_top = _mkn_discounts(keys, "c_g", "dt")
+    cg = F.col("c_g")
+    cpre = keys.groupBy("pre").agg(
+        F.sum("c_g").alias("c_pre"),
+        F.sum(F.when(cg == 1, 1).otherwise(0)).alias("bt1"),
+        F.sum(F.when(cg == 2, 1).otherwise(0)).alias("bt2"),
+        F.sum(F.when(cg >= 3, 1).otherwise(0)).alias("bt3p"),
+    )
+
+    # backoff levels k = n-1 .. 2: continuation-count tables off the
+    # (k+1)-gram types, each with its OWN count-of-count discounts and
+    # per-context released-mass buckets (the mkn_trigram middle level,
+    # repeated down the ladder)
+    level_tbls: dict[int, tuple[DataFrame, DataFrame, DataFrame]] = {}
+    cur = keys.select(F.col("g").alias("h"))  # (k+1)-gram types, k = n-1
+    for k in range(n - 1, 1, -1):
+        tbl = (
+            cur.select(F.substring_index("h", " ", -k).alias(f"s{k}"))
+            .groupBy(f"s{k}")
+            .agg(F.count("*").alias(f"cc{k}"))
+            .localCheckpoint(eager=False)
+        )
+        dk = _mkn_discounts(tbl, f"cc{k}", f"dm{k}_")
+        cck = F.col(f"cc{k}")
+        ctx = (
+            tbl.withColumn(f"m{k}", F.substring_index(F.col(f"s{k}"), " ", k - 1))
+            .groupBy(f"m{k}")
+            .agg(
+                F.sum(f"cc{k}").alias(f"n_dot_m{k}"),
+                F.sum(F.when(cck == 1, 1).otherwise(0)).alias(f"b1_{k}"),
+                F.sum(F.when(cck == 2, 1).otherwise(0)).alias(f"b2_{k}"),
+                F.sum(F.when(cck >= 3, 1).otherwise(0)).alias(f"b3p_{k}"),
+            )
+        )
+        level_tbls[k] = (tbl, ctx, dk)
+        cur = (
+            cur.select(F.substring_index("h", " ", k).alias("h"))
+            .unionByName(cur.select(F.substring_index("h", " ", -k).alias("h")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+    btypes = cur.withColumnRenamed("h", "bg")
+    cw1 = (
+        btypes.withColumn("s1", F.substring_index("bg", " ", -1))
+        .groupBy("s1")
+        .agg(F.count("*").alias("n_dot_w"))
+    )
+    tot = btypes.agg(F.count("*").cast("double").alias("__nbt"))
+
+    scored = tf.withColumn("pre", F.substring_index("g", " ", n - 1)).withColumn(
+        "s1", F.substring_index("g", " ", -1)
+    )
+    for k in range(2, n):
+        sk = F.substring_index("g", " ", -k)
+        scored = scored.withColumn(f"s{k}", sk).withColumn(
+            f"m{k}", F.substring_index(sk, " ", k - 1)
+        )
+    scored = scored.join(keys.select("g", "c_g"), "g").join(cpre, "pre")
+    for k in range(n - 1, 1, -1):
+        tbl, ctx, dk = level_tbls[k]
+        scored = (
+            scored.join(tbl, f"s{k}").join(ctx, f"m{k}").crossJoin(F.broadcast(dk))
+        )
+    scored = (
+        scored.join(cw1, "s1")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(d_top))
+    )
+
+    def disc(count, prefix):
+        return (
+            F.when(count == 1, F.col(f"{prefix}1"))
+            .when(count == 2, F.col(f"{prefix}2"))
+            .otherwise(F.col(f"{prefix}3"))
+        )
+
+    p = F.col("n_dot_w").cast("double") / F.col("__nbt")
+    for k in range(2, n):
+        cck = F.col(f"cc{k}")
+        nmd = F.col(f"n_dot_m{k}").cast("double")
+        gamma = (
+            F.col(f"dm{k}_1") * F.col(f"b1_{k}").cast("double")
+            + F.col(f"dm{k}_2") * F.col(f"b2_{k}").cast("double")
+            + F.col(f"dm{k}_3") * F.col(f"b3p_{k}").cast("double")
+        ) / nmd
+        p = (
+            F.greatest(cck.cast("double") - disc(cck, f"dm{k}_"), F.lit(0.0)) / nmd
+            + gamma * p
+        )
+    c_gd = F.col("c_g").cast("double")
+    c_pred = F.col("c_pre").cast("double")
+    gamma_top = (
+        F.col("dt1") * F.col("bt1").cast("double")
+        + F.col("dt2") * F.col("bt2").cast("double")
+        + F.col("dt3") * F.col("bt3p").cast("double")
+    ) / c_pred
+    p = (
+        F.greatest(c_gd - disc(F.col("c_g"), "dt"), F.lit(0.0)) / c_pred
+        + gamma_top * p
     )
     scored = scored.withColumn("nll", -F.log(p))
     avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")

@@ -8174,3 +8174,310 @@ SELECT lang, source, n_tokens, cap_tokens, alloc AS alloc_tokens,
 FROM fin
 ORDER BY lang NULLS FIRST, source NULLS FIRST
 """
+
+
+def ext_mkn5_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4] MODIFIED Kneser-Ney 5-GRAM LM perplexity
+    (operators/lm.py::mkn_ngram_perplexity at n=5) — the ACTUAL published
+    CCNet/KenLM filter: 5-gram modified KN (Heafield 2011; Chen & Goodman
+    1999). Composes the three-discount count-of-count scheme (per-level
+    D1/D2/D3+ with clamp/guard CASEs, released-mass gamma buckets) with
+    the order-generic continuation ladder; the operator reproduces the
+    hardcoded MKN order-3 tier bit-exactly (asserted in tests). Oracle
+    replays all count tables, the four discount-scalar triples, and the
+    identical float expression order."""
+    from dbt_meshify_spark.operators.lm import mkn_ngram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        mkn_ngram_perplexity(docs, n=5)
+        .select(
+            "doc_id",
+            F.col("n_ngrams").alias("n_fivegrams"),
+            "avg_nll",
+            "ppl",
+        )
+        .orderBy(_asc("doc_id"))
+    )
+
+
+QUERIES["ext_mkn5_perplexity"] = ext_mkn5_perplexity
+
+
+def _mkn_disc_ctes(src: str, cnt: str, name: str) -> str:
+    """Chen-Goodman count-of-count discount CTE pair (histogram + Y/D1/D2/D3
+    with the exact clamp/guard CASE structure of operators/lm.py's
+    _mkn_discounts — same float op order, so the scalars are bit-identical
+    across engines). Emits ``hist_{name}`` and ``{name}`` (cols
+    {name}1..{name}3); MATERIALIZED: each discount frame is cross-joined
+    into the multiply-referenced scored CTE."""
+    return f"""
+hist_{name} AS (
+  SELECT SUM(CASE WHEN {cnt} = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN {cnt} = 2 THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN {cnt} = 3 THEN 1 ELSE 0 END) AS n3,
+         SUM(CASE WHEN {cnt} = 4 THEN 1 ELSE 0 END) AS n4
+  FROM {src}
+),
+{name} AS MATERIALIZED (
+  SELECT
+    greatest(CASE WHEN n1 > 0 THEN 1.0 - 2.0 * y * CAST(n2 AS DOUBLE)
+                                      / CAST(n1 AS DOUBLE) ELSE 1.0 END,
+             0.0) AS {name}1,
+    greatest(CASE WHEN n2 > 0 THEN 2.0 - 3.0 * y * CAST(n3 AS DOUBLE)
+                                      / CAST(n2 AS DOUBLE) ELSE 2.0 END,
+             0.0) AS {name}2,
+    greatest(CASE WHEN n3 > 0 THEN 3.0 - 4.0 * y * CAST(n4 AS DOUBLE)
+                                      / CAST(n3 AS DOUBLE) ELSE 3.0 END,
+             0.0) AS {name}3
+  FROM (
+    SELECT n1, n2, n3, n4,
+           CASE WHEN n1 + 2 * n2 > 0
+                THEN CAST(n1 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE))
+                ELSE 0.5 END AS y
+    FROM hist_{name}
+  )
+),"""
+
+
+ORACLES["ext_mkn5_perplexity"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+t5 AS MATERIALIZED (SELECT doc_id, l FROM toks WHERE len(l) >= 5),
+pos5 AS (SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i FROM t5),
+tf AS MATERIALIZED (
+  SELECT doc_id,
+         l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+              || ' ' || l[i+4] AS g5,
+         COUNT(*) AS tf
+  FROM pos5 GROUP BY doc_id, g5
+),
+keys AS MATERIALIZED (
+  SELECT g5, SUM(tf) AS c_g,
+         split_part(g5, ' ', 1) || ' ' || split_part(g5, ' ', 2) || ' '
+           || split_part(g5, ' ', 3) || ' ' || split_part(g5, ' ', 4) AS pre,
+         split_part(g5, ' ', 2) || ' ' || split_part(g5, ' ', 3) || ' '
+           || split_part(g5, ' ', 4) || ' ' || split_part(g5, ' ', 5) AS s4,
+         split_part(g5, ' ', 2) || ' ' || split_part(g5, ' ', 3) || ' '
+           || split_part(g5, ' ', 4) AS m4,
+         split_part(g5, ' ', 3) || ' ' || split_part(g5, ' ', 4) || ' '
+           || split_part(g5, ' ', 5) AS s3,
+         split_part(g5, ' ', 3) || ' ' || split_part(g5, ' ', 4) AS m3,
+         split_part(g5, ' ', 4) || ' ' || split_part(g5, ' ', 5) AS s2,
+         split_part(g5, ' ', 4) AS m2,
+         split_part(g5, ' ', 5) AS s1
+  FROM tf GROUP BY g5
+),""" + _mkn_disc_ctes("keys", "c_g", "dt") + r"""
+cpre AS MATERIALIZED (
+  SELECT pre, SUM(c_g) AS c_pre,
+         SUM(CASE WHEN c_g = 1 THEN 1 ELSE 0 END) AS bt1,
+         SUM(CASE WHEN c_g = 2 THEN 1 ELSE 0 END) AS bt2,
+         SUM(CASE WHEN c_g >= 3 THEN 1 ELSE 0 END) AS bt3p
+  FROM keys GROUP BY pre
+),
+tb4 AS MATERIALIZED (SELECT s4, COUNT(*) AS cc4 FROM keys GROUP BY s4),""" + _mkn_disc_ctes("tb4", "cc4", "dm4") + r"""
+cx4 AS MATERIALIZED (
+  SELECT split_part(s4, ' ', 1) || ' ' || split_part(s4, ' ', 2) || ' '
+           || split_part(s4, ' ', 3) AS m4,
+         SUM(cc4) AS n_dot_m4,
+         SUM(CASE WHEN cc4 = 1 THEN 1 ELSE 0 END) AS b1_4,
+         SUM(CASE WHEN cc4 = 2 THEN 1 ELSE 0 END) AS b2_4,
+         SUM(CASE WHEN cc4 >= 3 THEN 1 ELSE 0 END) AS b3p_4
+  FROM tb4 GROUP BY 1
+),
+pos4 AS (SELECT doc_id, l, unnest(range(1, len(l) - 2)) AS i FROM t5),
+t4t AS MATERIALIZED (
+  SELECT DISTINCT l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] AS h
+  FROM pos4
+),
+tb3 AS MATERIALIZED (
+  SELECT split_part(h, ' ', 2) || ' ' || split_part(h, ' ', 3) || ' '
+           || split_part(h, ' ', 4) AS s3,
+         COUNT(*) AS cc3
+  FROM t4t GROUP BY 1
+),""" + _mkn_disc_ctes("tb3", "cc3", "dm3") + r"""
+cx3 AS MATERIALIZED (
+  SELECT split_part(s3, ' ', 1) || ' ' || split_part(s3, ' ', 2) AS m3,
+         SUM(cc3) AS n_dot_m3,
+         SUM(CASE WHEN cc3 = 1 THEN 1 ELSE 0 END) AS b1_3,
+         SUM(CASE WHEN cc3 = 2 THEN 1 ELSE 0 END) AS b2_3,
+         SUM(CASE WHEN cc3 >= 3 THEN 1 ELSE 0 END) AS b3p_3
+  FROM tb3 GROUP BY 1
+),
+pos3 AS (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM t5),
+t3t AS MATERIALIZED (
+  SELECT DISTINCT l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS h FROM pos3
+),
+tb2 AS MATERIALIZED (
+  SELECT split_part(h, ' ', 2) || ' ' || split_part(h, ' ', 3) AS s2,
+         COUNT(*) AS cc2
+  FROM t3t GROUP BY 1
+),""" + _mkn_disc_ctes("tb2", "cc2", "dm2") + r"""
+cx2 AS MATERIALIZED (
+  SELECT split_part(s2, ' ', 1) AS m2, SUM(cc2) AS n_dot_m2,
+         SUM(CASE WHEN cc2 = 1 THEN 1 ELSE 0 END) AS b1_2,
+         SUM(CASE WHEN cc2 = 2 THEN 1 ELSE 0 END) AS b2_2,
+         SUM(CASE WHEN cc2 >= 3 THEN 1 ELSE 0 END) AS b3p_2
+  FROM tb2 GROUP BY 1
+),
+pos2 AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t5),
+bt AS MATERIALIZED (SELECT DISTINCT l[i] || ' ' || l[i+1] AS bg FROM pos2),
+cw1 AS MATERIALIZED (
+  SELECT split_part(bg, ' ', 2) AS s1, COUNT(*) AS n_dot_w FROM bt GROUP BY 1
+),
+tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nbt FROM bt),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+    -ln(
+      greatest(CAST(k.c_g AS DOUBLE)
+                 - (CASE WHEN k.c_g = 1 THEN dt.dt1
+                         WHEN k.c_g = 2 THEN dt.dt2
+                         ELSE dt.dt3 END),
+               0.0) / CAST(cpre.c_pre AS DOUBLE)
+      + ((dt.dt1 * CAST(cpre.bt1 AS DOUBLE)
+          + dt.dt2 * CAST(cpre.bt2 AS DOUBLE)
+          + dt.dt3 * CAST(cpre.bt3p AS DOUBLE)) / CAST(cpre.c_pre AS DOUBLE))
+      * (greatest(CAST(tb4.cc4 AS DOUBLE)
+                    - (CASE WHEN tb4.cc4 = 1 THEN dm4.dm41
+                            WHEN tb4.cc4 = 2 THEN dm4.dm42
+                            ELSE dm4.dm43 END),
+                  0.0) / CAST(cx4.n_dot_m4 AS DOUBLE)
+         + ((dm4.dm41 * CAST(cx4.b1_4 AS DOUBLE)
+             + dm4.dm42 * CAST(cx4.b2_4 AS DOUBLE)
+             + dm4.dm43 * CAST(cx4.b3p_4 AS DOUBLE))
+              / CAST(cx4.n_dot_m4 AS DOUBLE))
+         * (greatest(CAST(tb3.cc3 AS DOUBLE)
+                       - (CASE WHEN tb3.cc3 = 1 THEN dm3.dm31
+                               WHEN tb3.cc3 = 2 THEN dm3.dm32
+                               ELSE dm3.dm33 END),
+                     0.0) / CAST(cx3.n_dot_m3 AS DOUBLE)
+            + ((dm3.dm31 * CAST(cx3.b1_3 AS DOUBLE)
+                + dm3.dm32 * CAST(cx3.b2_3 AS DOUBLE)
+                + dm3.dm33 * CAST(cx3.b3p_3 AS DOUBLE))
+                 / CAST(cx3.n_dot_m3 AS DOUBLE))
+            * (greatest(CAST(tb2.cc2 AS DOUBLE)
+                          - (CASE WHEN tb2.cc2 = 1 THEN dm2.dm21
+                                  WHEN tb2.cc2 = 2 THEN dm2.dm22
+                                  ELSE dm2.dm23 END),
+                        0.0) / CAST(cx2.n_dot_m2 AS DOUBLE)
+               + ((dm2.dm21 * CAST(cx2.b1_2 AS DOUBLE)
+                   + dm2.dm22 * CAST(cx2.b2_2 AS DOUBLE)
+                   + dm2.dm23 * CAST(cx2.b3p_2 AS DOUBLE))
+                    / CAST(cx2.n_dot_m2 AS DOUBLE))
+               * (CAST(cw1.n_dot_w AS DOUBLE) / tot.nbt))))
+    ) AS nll
+  FROM tf
+  JOIN keys k USING (g5)
+  JOIN cpre ON k.pre = cpre.pre
+  JOIN tb4 ON k.s4 = tb4.s4
+  JOIN cx4 ON k.m4 = cx4.m4
+  JOIN tb3 ON k.s3 = tb3.s3
+  JOIN cx3 ON k.m3 = cx3.m3
+  JOIN tb2 ON k.s2 = tb2.s2
+  JOIN cx2 ON k.m2 = cx2.m2
+  JOIN cw1 ON k.s1 = cw1.s1
+  CROSS JOIN tot CROSS JOIN dt CROSS JOIN dm4 CROSS JOIN dm3 CROSS JOIN dm2
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_fivegrams,
+       ROUND(SUM(tf * nll) / SUM(tf), 4) + 0.0 AS avg_nll,
+       ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
+FROM scored GROUP BY doc_id
+ORDER BY doc_id NULLS FIRST
+"""
+
+
+def ext_stream_late_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N8] watermark LATE-DATA accounting as a checked query: the events
+    table is split into TWO on-time files (days >= min_day + 3, striped by
+    event_id parity so both span the full range) and a PLANTED-LATE file
+    (the first three calendar days), streamed with
+    ``maxFilesPerTrigger=1`` + ``availableNow`` so the on-time batches run
+    FIRST and advance the watermark to max(ts) - 1h — far past every
+    planted day's window end — before the late file arrives. The
+    streaming tumbling-day aggregation must therefore DROP every planted
+    row, so the drained result equals the batch daily counts WITHOUT the
+    planted days: the late-data policy itself is what the DuckDB oracle
+    hash-checks (numRowsDroppedByWatermark > 0 on the final batch,
+    asserted in tests with a one-file positive control).
+
+    Two on-time batches, not one: since SPARK-40925 the LATE-EVENTS
+    filter uses the watermark one batch behind the EVICTION watermark
+    (verified empirically on this engine: a 2-file layout drops nothing,
+    3 files drop all planted rows), so the second on-time batch exists
+    purely to confirm the watermark before the late file lands. Update
+    mode; each surviving window is updated in at most two batches and the
+    max-agg over the sink collapses re-emissions (a window's count only
+    grows).
+
+    Scale: the split is a one-pass partitioned write; watermark state is
+    O(open windows), the N8 contract — late data is filtered BEFORE the
+    aggregation state, so a late flood cannot grow state at 100 TB.
+    """
+    import os
+    import tempfile
+
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_window_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cut = events.agg(
+        F.date_add(F.to_date(F.date_trunc("day", F.min("ts"))), 3).alias("cut")
+    ).collect()[0]["cut"]
+
+    d = tempfile.mkdtemp(prefix="dms_late_drops_")
+    on_time = events.filter(F.to_date(F.date_trunc("day", F.col("ts"))) >= F.lit(cut))
+    late = events.filter(F.to_date(F.date_trunc("day", F.col("ts"))) < F.lit(cut))
+    on_time.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(d, "f1")
+    )
+    on_time.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(d, "f2")
+    )
+    late.coalesce(1).write.parquet(os.path.join(d, "f3"))
+    # file order = modification time (pinned explicitly), so both on-time
+    # batches always precede the late file
+    now = __import__("time").time()
+    for i, name in enumerate(("f1", "f2", "f3")):
+        p = os.path.join(d, name)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (now - 60.0 + i * 10, now - 60.0 + i * 10))
+
+    _STREAM_COUNTER[0] += 1
+    stream = read_events_stream(
+        spark, d + "/*/", nanos=False, max_files_per_trigger=1
+    )
+    agg = tumbling_window_counts(stream, window="1 day", watermark="1 hour")
+    out = run_to_memory(agg, f"stream_late_drops_{_STREAM_COUNTER[0]}", "update")
+    return (
+        out.select(
+            F.col("window_start").cast("date").alias("day"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .groupBy("day", "event_type")
+        .agg(F.max("n").alias("n"))
+        .orderBy(_asc("day"), _asc("event_type"))
+    )
+
+
+QUERIES["ext_stream_late_drops"] = ext_stream_late_drops
+
+# the oracle IS the late-drop policy: batch daily counts excluding the
+# planted (first three calendar days) late file entirely
+ORACLES["ext_stream_late_drops"] = """
+WITH cutoff AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) + 3 AS cut FROM events
+)
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events, cutoff
+WHERE CAST(date_trunc('day', ts) AS DATE) >= cut
+GROUP BY 1, 2
+ORDER BY day NULLS FIRST, event_type NULLS FIRST
+"""

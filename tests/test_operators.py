@@ -4810,6 +4810,127 @@ def test_kn_ngram_perplexity_order_generic(spark):
     assert out[99].ppl == ppl(docs[99])
 
 
+def test_mkn_ngram_perplexity_order_generic(spark):
+    """The order-generic MODIFIED-KN ladder must (a) back the order-3
+    wrapper (same rows), (b) reject degenerate orders, and (c) agree at
+    order 5 with a driver-side generic Python replay of the full
+    Chen-Goodman recursion — per-level count-of-count discounts,
+    released-mass gamma buckets, continuation ladder — with exact
+    floats."""
+    import math
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from dbt_meshify_spark.operators.lm import (
+        mkn_ngram_perplexity,
+        mkn_trigram_perplexity,
+    )
+
+    typical = "the cat sat on the mat again today"
+    extra = "the cat sat on the rug again now"  # varied count buckets
+    atypical = "mat the today again on sat cat the"
+    rows = (
+        [(i, typical) for i in range(10)]
+        + [(50 + i, extra) for i in range(3)]
+        + [(99, atypical), (100, "uno dos tres cuatro")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    g3 = {r.doc_id: (r.n_ngrams, r.avg_nll, r.ppl)
+          for r in mkn_ngram_perplexity(df, 3).collect()}
+    h3 = {r.doc_id: (r.n_trigrams, r.avg_nll, r.ppl)
+          for r in mkn_trigram_perplexity(df).collect()}
+    assert g3 == h3
+
+    with _pytest.raises(ValueError):
+        mkn_ngram_perplexity(df, 1)
+
+    out = {r.doc_id: r for r in mkn_ngram_perplexity(df, 5).collect()}
+    assert 100 not in out  # 4 tokens < order 5 => excluded
+    assert out[0].n_ngrams == 4
+    assert out[0].ppl < out[99].ppl
+    assert out[0].ppl == out[5].ppl
+
+    # generic Python replay at order 5
+    n = 5
+    docs = {i: typical.split() for i in range(10)}
+    for i in range(3):
+        docs[50 + i] = extra.split()
+    docs[99] = atypical.split()
+    grams = {k: set() for k in range(2, n + 1)}
+    top_c = Counter()
+    for toks in docs.values():
+        for k in range(2, n + 1):
+            for i in range(len(toks) - k + 1):
+                grams[k].add(tuple(toks[i:i + k]))
+        for i in range(len(toks) - n + 1):
+            top_c[tuple(toks[i:i + n])] += 1
+
+    def discounts(counts):
+        n1 = sum(1 for c in counts if c == 1)
+        n2 = sum(1 for c in counts if c == 2)
+        n3 = sum(1 for c in counts if c == 3)
+        n4 = sum(1 for c in counts if c == 4)
+        y = n1 / (n1 + 2.0 * n2) if n1 + 2 * n2 > 0 else 0.5
+        d1 = max(1.0 - 2.0 * y * n2 / n1 if n1 > 0 else 1.0, 0.0)
+        d2 = max(2.0 - 3.0 * y * n3 / n2 if n2 > 0 else 2.0, 0.0)
+        d3 = max(3.0 - 4.0 * y * n4 / n3 if n3 > 0 else 3.0, 0.0)
+        return d1, d2, d3
+
+    def d_of(c, d):
+        return d[0] if c == 1 else (d[1] if c == 2 else d[2])
+
+    dt = discounts(list(top_c.values()))
+    c_pre, tbuck = Counter(), {}
+    for g, c in top_c.items():
+        c_pre[g[:-1]] += c
+        k = 0 if c == 1 else (1 if c == 2 else 2)
+        tbuck.setdefault(g[:-1], [0, 0, 0])[k] += 1
+    # backoff level k: continuation counts off the (k+1)-gram TYPES, each
+    # level with its own discounts and per-mid released-mass buckets
+    cc, dk, nd_m, mbuck = {}, {}, {}, {}
+    for k in range(2, n):
+        cck = Counter()
+        for h in grams[k + 1]:
+            cck[h[1:]] += 1
+        cc[k] = cck
+        dk[k] = discounts(list(cck.values()))
+        ndm, mb = Counter(), {}
+        for s, c in cck.items():
+            m = s[:-1]
+            ndm[m] += c
+            j = 0 if c == 1 else (1 if c == 2 else 2)
+            mb.setdefault(m, [0, 0, 0])[j] += 1
+        nd_m[k], mbuck[k] = ndm, mb
+    nd_w = Counter(b for _a, b in grams[2])
+    nbt = float(len(grams[2]))
+
+    def ppl(toks):
+        s_ = m_ = 0
+        for i in range(len(toks) - n + 1):
+            g = tuple(toks[i:i + n])
+            p = nd_w[g[-1]] / nbt
+            for k in range(2, n):
+                sk, mk = g[-k:], g[-k:-1]
+                c = cc[k][sk]
+                gam = (dk[k][0] * mbuck[k][mk][0]
+                       + dk[k][1] * mbuck[k][mk][1]
+                       + dk[k][2] * mbuck[k][mk][2]) / nd_m[k][mk]
+                p = max(c - d_of(c, dk[k]), 0.0) / nd_m[k][mk] + gam * p
+            c = top_c[g]
+            gam = (dt[0] * tbuck[g[:-1]][0] + dt[1] * tbuck[g[:-1]][1]
+                   + dt[2] * tbuck[g[:-1]][2]) / c_pre[g[:-1]]
+            p = max(c - d_of(c, dt), 0.0) / c_pre[g[:-1]] + gam * p
+            s_ += -math.log(p)
+            m_ += 1
+        return round(math.exp(s_ / m_), 4)
+
+    assert out[0].ppl == ppl(docs[0])
+    assert out[50].ppl == ppl(docs[50])
+    assert out[99].ppl == ppl(docs[99])
+
+
 def test_epoch_budget_plan_water_fills_with_caps(spark):
     """Hand-computed 3-round fill: budget 1000, max_epochs 4, groups of
     100/10/1000 tokens. Equal shares cap the small groups at 4 epochs and

@@ -446,3 +446,36 @@ def test_stream_gram_novelty_matches_batch(spark, tmp_path_factory):
     got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
     want = sorted(tuple(r[c] for c in cols) for r in expected.collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_late_drops_accounting(spark):
+    """N8 late-data accounting as a checked query: planted late events
+    (first three calendar days, arriving in the FINAL micro-batch after
+    two on-time batches confirmed the watermark) must be dropped by the
+    tumbling aggregation, so the drained result == batch counts WITHOUT
+    the planted days — and the planted days must actually exist in the
+    input (positive control that absence is the watermark's doing)."""
+    from dbt_meshify_spark.queries.extensions import ext_stream_late_drops
+    from dbt_meshify_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = ext_stream_late_drops(spark, SF_SMOKE)
+
+    events = load_table(spark, SF_SMOKE, "events")
+    cut = events.agg(
+        F.date_add(F.to_date(F.date_trunc("day", F.min("ts"))), 3).alias("c")
+    ).collect()[0]["c"]
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    n_planted = events.filter(day < F.lit(cut)).count()
+    assert n_planted > 0  # the late file was non-empty
+    # every planted-late day is absent from the drained stream result
+    assert out.filter(F.col("day") < F.lit(cut)).count() == 0
+    # and the kept days match the batch aggregation exactly
+    batch = (
+        events.filter(day >= F.lit(cut))
+        .groupBy(day.alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    got = sorted((str(r.day), r.event_type, r.n) for r in out.collect())
+    want = sorted((str(r.day), r.event_type, r.n) for r in batch.collect())
+    assert got == want and len(got) > 0
