@@ -8481,3 +8481,145 @@ WHERE CAST(date_trunc('day', ts) AS DATE) >= cut
 GROUP BY 1, 2
 ORDER BY day NULLS FIRST, event_type NULLS FIRST
 """
+
+
+def ext_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] unigram-LM (SentencePiece-style) tokenizer training
+    (operators/unigram.py::train_unigram) — the OTHER mainstream
+    training-data tokenizer next to BPE (Kudo 2018): deterministic
+    Viterbi-EM over the Zipf-bounded word-type table, fixed piece
+    inventory (every <=4-char substring at min_count 2, chars always
+    kept), Laplace-smoothed integer-count model, TWO fixed EM rounds.
+    The output is FLOAT-FREE (rank, piece, usage count), and every DP
+    argmin ties on (cost, start_pos) over identically-built doubles, so
+    the oracle replays both EM rounds bit-exactly: per-position DP CTEs,
+    backpointer-walk CTEs, usage re-aggregation — all MATERIALIZED."""
+    from dbt_meshify_spark.operators.unigram import train_unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_unigram(
+        docs,
+        vocab_size=64,
+        n_iters=2,
+        max_piece_len=4,
+        max_word_len=12,
+        min_count=2,
+    ).orderBy(_asc("rank"))
+
+
+QUERIES["ext_unigram_train"] = ext_unigram_train
+
+_UNI_L, _UNI_M = 4, 12
+
+
+def _unigram_em_round(t: int, counts_src: str) -> str:
+    """One unrolled Viterbi-EM round: model NLLs off ``counts_src``, M
+    per-position DP CTEs (argmin via ROW_NUMBER over cost, pos — the
+    operator's tie-break), M backpointer-walk CTEs, usage re-aggregation.
+    Everything MATERIALIZED (each DP CTE feeds up to L later positions
+    plus the walk union — the exponential-inlining trap otherwise)."""
+    parts = [
+        f"""
+den{t} AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) + CAST(COUNT(*) AS DOUBLE) AS denom
+  FROM {counts_src}
+),
+m{t} AS MATERIALIZED (
+  SELECT piece, -ln((CAST(cnt AS DOUBLE) + 1.0) / d.denom) AS nll
+  FROM {counts_src}, den{t} d
+),
+d{t}_0 AS MATERIALIZED (
+  SELECT w, 0 AS pos, CAST(0.0 AS DOUBLE) AS cost, -1 AS bp, '' AS piece
+  FROM wt
+),"""
+    ]
+    for j in range(1, _UNI_M + 1):
+        src = " UNION ALL ".join(
+            f"SELECT * FROM d{t}_{k}" for k in range(max(0, j - _UNI_L), j)
+        )
+        parts.append(
+            f"""
+d{t}_{j} AS MATERIALIZED (
+  SELECT w, pos, cost, bp, piece FROM (
+    SELECT a.w, {j} AS pos, a.cost + m.nll AS cost, a.pos AS bp, m.piece,
+           ROW_NUMBER() OVER (PARTITION BY a.w
+                              ORDER BY a.cost + m.nll, a.pos) AS rn
+    FROM ({src}) a
+    JOIN m{t} m ON m.piece = substr(a.w, a.pos + 1, {j} - a.pos)
+    WHERE len(a.w) >= {j}
+  ) WHERE rn = 1
+),"""
+        )
+    du = " UNION ALL ".join(
+        f"SELECT * FROM d{t}_{j}" for j in range(1, _UNI_M + 1)
+    )
+    parts.append(f"""
+du{t} AS MATERIALIZED ({du}),
+b{t}_0 AS (SELECT w, len(w) AS pos FROM wt),""")
+    for s in range(1, _UNI_M + 1):
+        parts.append(
+            f"""
+b{t}_{s} AS MATERIALIZED (
+  SELECT b.w, d.bp AS pos, d.piece
+  FROM b{t}_{s - 1} b JOIN du{t} d ON d.w = b.w AND d.pos = b.pos
+  WHERE b.pos > 0
+),"""
+        )
+    walk = " UNION ALL ".join(
+        f"SELECT w, piece FROM b{t}_{s}" for s in range(1, _UNI_M + 1)
+    )
+    parts.append(
+        f"""
+usage{t} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM ({walk}) u JOIN wt USING (w)
+  GROUP BY piece
+),"""
+    )
+    return "".join(parts)
+
+
+ORACLES["ext_unigram_train"] = (
+    r"""
+WITH wt AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+    FROM documents
+  )
+  WHERE w <> '' AND len(w) <= """
+    + str(_UNI_M)
+    + r"""
+  GROUP BY w
+),
+p1 AS (SELECT w, freq, unnest(range(1, len(w) + 1)) AS i FROM wt),
+p2 AS (
+  SELECT w, freq, i,
+         unnest(range(1, least("""
+    + str(_UNI_L)
+    + r""", len(w) - i + 1) + 1)) AS l
+  FROM p1
+),
+pieces0 AS MATERIALIZED (
+  SELECT substr(w, i, l) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM p2 GROUP BY 1
+  HAVING SUM(freq) >= 2 OR len(substr(w, i, l)) = 1
+),"""
+    + _unigram_em_round(1, "pieces0")
+    + r"""
+counts1 AS MATERIALIZED (
+  SELECT p.piece, CAST(COALESCE(u.cnt, 0) AS BIGINT) AS cnt
+  FROM pieces0 p LEFT JOIN usage1 u USING (piece)
+),"""
+    + _unigram_em_round(2, "counts1")
+    + r"""
+fin AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS INTEGER)
+           AS rank,
+         piece, cnt AS freq
+  FROM usage2 WHERE cnt > 0
+)
+SELECT rank, piece, freq FROM fin WHERE rank <= 64
+ORDER BY rank NULLS FIRST
+"""
+)

@@ -123,6 +123,65 @@ def graph_family_probe(spark) -> None:
         )
 
 
+def lm_family_probe(spark, base) -> None:
+    """Jelinek-Mercer trigram / KN-5 / MKN-5 at 1x-8x of the documents
+    corpus (VERDICT r8 ask #5): the LM tiers' cost is count-TABLE work
+    (distinct n-gram types), not token volume — on the suffix-salted
+    copies the type count grows exactly linearly (each copy's tokens are
+    disjoint), the worst case for the family; real corpora are
+    Heaps-sublinear, so the measured curve upper-bounds the 100 TB
+    posture. Types are reported alongside wall so the cost ~ types claim
+    is checkable from the record."""
+    import time as _t
+
+    from dbt_meshify_spark.operators.lm import (
+        kn_ngram_perplexity,
+        mkn_ngram_perplexity,
+        trigram_perplexity,
+    )
+
+    warm = scaled_corpus(base, 1).localCheckpoint()
+    trigram_perplexity(warm).write.format("noop").mode("overwrite").save()
+    kn_ngram_perplexity(warm, n=5).write.format("noop").mode("overwrite").save()
+    mkn_ngram_perplexity(warm, n=5).write.format("noop").mode("overwrite").save()
+
+    for k in (1, 2, 4, 8):
+        docs = scaled_corpus(base, k).localCheckpoint()
+        toks = docs.select(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+        ).filter(F.size("t") >= 5)
+        n5types = (
+            toks.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(t, 1, size(t) - 4), (x, i) ->"
+                        " concat_ws(' ', slice(t, i + 1, 5)))"
+                    )
+                ).alias("g")
+            )
+            .distinct()
+            .count()
+        )
+        t0 = _t.time()
+        trigram_perplexity(docs).write.format("noop").mode("overwrite").save()
+        t_jm = _t.time() - t0
+        t0 = _t.time()
+        kn_ngram_perplexity(docs, n=5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_kn5 = _t.time() - t0
+        t0 = _t.time()
+        mkn_ngram_perplexity(docs, n=5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_mkn5 = _t.time() - t0
+        print(
+            f"lm scale={k}x 5gram_types={n5types}: jm3={t_jm:.2f}s "
+            f"kn5={t_kn5:.2f}s mkn5={t_mkn5:.2f}s",
+            flush=True,
+        )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from dbt_meshify_spark.operators.dedup import (
@@ -244,6 +303,8 @@ def main() -> None:
             f"substr_runs={t_runs:.2f}s (runs {n_runs})",
             flush=True,
         )
+
+    lm_family_probe(spark, base)
 
     # 16x tail extensions: simhash64 (VERDICT r6 ask #6 — wall should stay
     # flat, caps bound the join) and substring runs (VERDICT r7 ask #6 —

@@ -4968,3 +4968,99 @@ def test_epoch_budget_plan_water_fills_with_caps(spark):
 
     with _pytest.raises(ValueError):
         epoch_budget_plan(df, ["src"], token_budget=10, max_epochs=0)
+
+
+def test_unigram_train_viterbi_em_and_encode(spark):
+    """Unigram-LM trainer: frequent multi-char substrings win vocabulary
+    slots, Viterbi encode reconstructs every word exactly (coverage
+    guarantee: single chars always in the inventory), unknown chars at
+    encode time degrade to char pieces, fertility beats-or-matches chars
+    and the trainer rejects degenerate iteration counts."""
+    import pytest as _pytest
+
+    from dbt_meshify_spark.operators.unigram import (
+        apply_unigram,
+        train_unigram,
+        word_types,
+    )
+
+    rows = [(i, "the cat sat on the mat " * 3) for i in range(8)] + [
+        (100, "zq xv"),  # rare words: substrings below min_count drop out
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    vocab = train_unigram(df, vocab_size=32, n_iters=2, max_piece_len=4)
+    got = {r.piece: (r.rank, r.freq) for r in vocab.collect()}
+    assert got, "empty vocabulary"
+    # whole frequent words (<= max_piece_len) become single pieces
+    assert "the" in got and "cat" in got and "mat" in got
+    # usage counts: 'the' appears 2x per repeat x 3 repeats x 8 docs = 48
+    assert got["the"][1] == 48
+    # ranks are 1..n, unique, ordered by (freq desc, piece asc)
+    ranks = sorted(r.rank for r in vocab.collect())
+    assert ranks == list(range(1, len(ranks) + 1))
+
+    # encode with the trained counts: concatenated pieces == the word
+    counts = {r.piece: r.freq for r in vocab.collect()}
+    enc = apply_unigram(df, counts)
+    for row in enc.select("text", "unigram_tokens").collect():
+        words = row.text.strip().lower().split()
+        toks = list(row.unigram_tokens)
+        rebuilt = []
+        for w in words:
+            acc = ""
+            while len(acc) < len(w):
+                acc += toks.pop(0)
+            rebuilt.append(acc)
+        assert rebuilt == words and not toks
+    # unknown characters (absent from training) still segment
+    unk = spark.createDataFrame([(1, "qqq 999")], ["doc_id", "text"])
+    out = apply_unigram(unk, counts).collect()[0]
+    assert "".join(out.unigram_tokens) == "qqq999"
+
+    with _pytest.raises(ValueError):
+        train_unigram(df, n_iters=0)
+
+    # word-type table excludes over-length words (documented training cut)
+    long = spark.createDataFrame(
+        [(1, "short " + "x" * 40)], ["doc_id", "text"]
+    )
+    assert word_types(long, max_word_len=12).count() == 1
+
+
+def test_unigram_fertility_comparable_to_bpe(spark):
+    """The tokenizer-fit metric (fertility = subword tokens per word) for
+    the unigram model must be finite, >= 1, and in the same regime as the
+    BPE tokenizer trained on the same corpus — the cross-tokenizer audit
+    a curation pipeline runs before committing to a vocab."""
+    from dbt_meshify_spark.operators.bpe import apply_bpe, train_bpe
+    from dbt_meshify_spark.operators.unigram import apply_unigram, train_unigram
+    from dbt_meshify_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    ).limit(200)
+
+    counts = {
+        r.piece: r.freq
+        for r in train_unigram(docs, vocab_size=256, n_iters=2).collect()
+    }
+    uni = apply_unigram(docs, counts).withColumn(
+        "n_words", F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    )
+    f_uni = uni.agg(
+        (F.sum("n_unigram_tokens") / F.sum("n_words")).alias("f")
+    ).collect()[0]["f"]
+
+    merges = train_bpe(docs, n_merges=30, sample_max=2048)
+    bpe = apply_bpe(docs, merges).withColumn(
+        "n_words", F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    )
+    f_bpe = bpe.agg(
+        (F.sum("n_bpe_tokens") / F.sum("n_words")).alias("f")
+    ).collect()[0]["f"]
+
+    assert f_uni >= 1.0 and f_bpe >= 1.0
+    # same regime: neither explodes to chars-per-word while the other sits
+    # at whole words (documents words are short; keep a loose band)
+    assert f_uni < 8.0 and f_bpe < 8.0

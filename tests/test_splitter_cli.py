@@ -633,6 +633,9 @@ def test_cli_dataset_card(tmp_path):
         "quality score p10/p50/p90",
         "## Composition by language",
         "## Document length (chars), per source",
+        "## Training-data build (flagship composition) — stage timings",
+        "curate (normalize → lang-ID → quality → dedup → decontam)",
+        "budget fill (60k chars) + shard assignment",
     ]:
         assert section in card
     assert "| en |" in card  # dominant language present
