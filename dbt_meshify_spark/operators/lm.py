@@ -562,11 +562,15 @@ def mkn_ngram_perplexity(
     level_tbls: dict[int, tuple[DataFrame, DataFrame, DataFrame]] = {}
     cur = keys.select(F.col("g").alias("h"))  # (k+1)-gram types, k = n-1
     for k in range(n - 1, 1, -1):
+        # NOT pinned despite 3 consumers (discount histogram, context
+        # aggregate, scoring join): the parent type table `cur` IS pinned,
+        # so each recompute is one model-sized aggregate — no corpus
+        # lineage — while the pin's materialization + job boundaries
+        # measured 2x the whole query wall at sf0.1 (13.1 -> 6.5 s cold)
         tbl = (
             cur.select(F.substring_index("h", " ", -k).alias(f"s{k}"))
             .groupBy(f"s{k}")
             .agg(F.count("*").alias(f"cc{k}"))
-            .localCheckpoint(eager=False)
         )
         dk = _mkn_discounts(tbl, f"cc{k}", f"dm{k}_")
         cck = F.col(f"cc{k}")
