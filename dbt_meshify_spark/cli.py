@@ -974,48 +974,24 @@ def dataset_card(sf_dir, out) -> None:
         lines.append("")
 
     # flagship-composition observability: run the training-data build
-    # (ext_training_data_build's exact staging) stage by stage and record
-    # survivors + wall per stage — the release artifact should show what
-    # the curation pipeline did AND what it cost, not just the output mix
+    # stage by stage and record survivors + wall per stage — the release
+    # artifact should show what the curation pipeline did AND what it
+    # cost, not just the output mix. The staging is the SHARED
+    # training_build_frames helper (the same frames ext_training_data_build
+    # declares), so the card cannot drift from the pipeline it documents.
     import time as _time
 
-    from pyspark.sql import functions as F
-    from dbt_meshify_spark.operators.dsir import dsir_log_weights
-    from dbt_meshify_spark.operators.pipeline import curate_corpus
-    from dbt_meshify_spark.operators.sampling import (
-        select_to_token_budget,
-        shard_assignment,
-    )
+    from dbt_meshify_spark.operators.pipeline import training_build_frames
 
-    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
-    train = docs.filter(F.col("doc_id") % 20 != 0)
+    kept, scored, sharded = training_build_frames(docs)
     stages: list[tuple[str, int, float]] = []
     t0 = _time.time()
-    kept = (
-        curate_corpus(train, eval_df)
-        .select("doc_id", "text", "n_chars_norm")
-        .localCheckpoint(eager=False)
-    )
     n_kept = kept.count()
     stages.append(("curate (normalize → lang-ID → quality → dedup → decontam)", n_kept, _time.time() - t0))
     t0 = _time.time()
-    scored = dsir_log_weights(
-        kept.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
-            "is_target", F.col("lang") == "en"
-        ),
-        "is_target",
-        num_buckets=1024,
-    ).localCheckpoint(eager=False)
     n_scored = scored.count()
     stages.append(("DSIR importance weights (target: en)", n_scored, _time.time() - t0))
     t0 = _time.time()
-    picked = select_to_token_budget(
-        kept.select("doc_id", "n_chars_norm").join(scored, "doc_id"),
-        budget=60_000,
-        token_col="n_chars_norm",
-        order_by=[F.col("dsir_logw").desc(), F.col("doc_id").asc()],
-    )
-    sharded = shard_assignment(picked, ["doc_id"], n_shards=8)
     n_picked = sharded.count()
     stages.append(("budget fill (60k chars) + shard assignment", n_picked, _time.time() - t0))
 

@@ -147,3 +147,54 @@ def curation_funnel(report: DataFrame) -> DataFrame:
     return report.groupBy("drop_reason").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+def training_build_frames(docs: DataFrame):
+    """The flagship training-data build's shared staging — ONE definition
+    consumed by both ``ext_training_data_build`` (the declared query) and
+    the dataset-card stage-timing table, so the card can never drift from
+    the pipeline it documents.
+
+    Returns ``(kept, scored, sharded)``:
+
+    - ``kept``: curation survivors (normalize -> lang-ID -> quality ->
+      exact dedup -> decontaminate vs the held-out 1/20 eval slice),
+      localCheckpoint-pinned — BOTH the DSIR branch and the size join
+      consume it, and unpinned the full curation plan (dedup window +
+      decontam anti-join) would execute once per consumer;
+    - ``scored``: DSIR importance weights toward the ``en`` slice,
+      rounded to 4 dp with the ``+ 0.0`` -0.0 guard (the ordering the
+      budget fill uses — keep the round HERE so every consumer fills the
+      budget identically);
+    - ``sharded``: best-first fill to a 60k-char budget (two-phase
+      running total) + deterministic 8-way shard assignment.
+    """
+    from dbt_meshify_spark.operators.dsir import dsir_log_weights
+    from dbt_meshify_spark.operators.sampling import (
+        select_to_token_budget,
+        shard_assignment,
+    )
+
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    kept = (
+        curate_corpus(train, eval_df)
+        .select("doc_id", "text", "n_chars_norm")
+        .localCheckpoint(eager=False)
+    )
+    scored = dsir_log_weights(
+        kept.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
+            "is_target", F.col("lang") == "en"
+        ),
+        "is_target",
+        num_buckets=1024,
+    ).withColumn("dsir_logw", F.round("dsir_logw", 4) + F.lit(0.0))
+    sized = kept.select("doc_id", "n_chars_norm").join(scored, "doc_id")
+    picked = select_to_token_budget(
+        sized,
+        budget=60_000,
+        token_col="n_chars_norm",
+        order_by=[F.col("dsir_logw").desc(), F.col("doc_id").asc()],
+    )
+    sharded = shard_assignment(picked, ["doc_id"], n_shards=8)
+    return kept, scored, sharded

@@ -121,6 +121,35 @@ def _viterbi(w: str, model: dict[str, float], max_piece_len: int) -> list[str]:
     return out
 
 
+def _em_usage(types: DataFrame, model: dict[str, float], max_piece_len: int) -> DataFrame:
+    """One E-step: Viterbi-segment the (pinned) word-type table under
+    ``model`` and re-aggregate piece usage counts weighted by word freq.
+    Exposed separately so the plan guard can assert the round's shape:
+    one Arrow-batched UDF over the pinned types (ExistingRDD, zero
+    parquet scans) + one keyed aggregate — EM rounds never replay the
+    corpus tokenize."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def segment(words: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def seg(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                got = _viterbi(w, model, max_piece_len)
+                memo[w] = got
+            return got
+
+        return words.map(seg)
+
+    return (
+        types.withColumn("pieces", segment(F.col("w")))
+        .select("freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
 def _model_nll(rows: list, n_pieces: int, total: int) -> dict[str, float]:
     """Laplace-smoothed piece NLLs from integer counts — the exact float
     expression the oracle replays: ``-ln((cnt + 1.0) / (tot + np))``."""
@@ -171,27 +200,7 @@ def train_unigram(
             n_pieces,
             total,
         )
-
-        @F.pandas_udf(T.ArrayType(T.StringType()))
-        def segment(words: pd.Series) -> pd.Series:
-            memo: dict[str, list[str]] = {}
-
-            def seg(w: str) -> list[str]:
-                got = memo.get(w)
-                if got is None:
-                    got = _viterbi(w, model, L)
-                    memo[w] = got
-                return got
-
-            return words.map(seg)
-
-        used = (
-            types.withColumn("pieces", segment(F.col("w")))
-            .select("freq", F.explode("pieces").alias("piece"))
-            .groupBy("piece")
-            .agg(F.sum("freq").alias("cnt"))
-            .collect()
-        )
+        used = _em_usage(types, model, L).collect()
         usage = {r["piece"]: int(r["cnt"]) for r in used}
         # fixed inventory: unused pieces stay at count 0 (Laplace keeps
         # them alive in the next round's model)
@@ -239,9 +248,13 @@ def apply_unigram(
             got = memo.get(w)
             if got is not None:
                 return got
-            padded = dict(model)
-            for ch in set(w):
-                padded.setdefault(ch, worst)
+            unk = {ch for ch in w if ch not in model}
+            if unk:
+                padded = dict(model)
+                for ch in unk:
+                    padded[ch] = worst
+            else:
+                padded = model  # common case: no O(|model|) copy per word
             got = _viterbi(w, padded, L)
             memo[w] = got
             return got

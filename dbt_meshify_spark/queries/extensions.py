@@ -5460,41 +5460,12 @@ def ext_training_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     individually oracle-checked; the composition is rows-only (its SQL
     replay would be the concatenation of four already-verified oracles)
     with budget/leak-free/determinism invariants in tests."""
-    from dbt_meshify_spark.operators.dsir import dsir_log_weights
-    from dbt_meshify_spark.operators.pipeline import curate_corpus
-    from dbt_meshify_spark.operators.sampling import (
-        select_to_token_budget,
-        shard_assignment,
-    )
+    from dbt_meshify_spark.operators.pipeline import training_build_frames
 
     docs = load_table(spark, sf_dir, "documents")
-    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
-    train = docs.filter(F.col("doc_id") % 20 != 0)
-
-    # pin the curation survivors: BOTH the DSIR branch and the size join
-    # consume this frame, and without the pin the full curation plan
-    # (dedup window + decontam anti-join) executes once per consumer
-    kept = (
-        curate_corpus(train, eval_df)
-        .select("doc_id", "text", "n_chars_norm")
-        .localCheckpoint(eager=False)
-    )
-    scored = dsir_log_weights(
-        kept.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
-            "is_target", F.col("lang") == "en"
-        ),
-        "is_target",
-        num_buckets=1024,
-    ).withColumn("dsir_logw", F.round("dsir_logw", 4) + F.lit(0.0))
-    sized = kept.select("doc_id", "n_chars_norm").join(scored, "doc_id")
-    picked = select_to_token_budget(
-        sized,
-        budget=60_000,
-        token_col="n_chars_norm",
-        order_by=[F.col("dsir_logw").desc(), F.col("doc_id").asc()],
-    )
+    _kept, _scored, sharded = training_build_frames(docs)
     return (
-        shard_assignment(picked, ["doc_id"], n_shards=8)
+        sharded
         .select(
             "doc_id",
             "dsir_logw",

@@ -4811,12 +4811,15 @@ def test_kn_ngram_perplexity_order_generic(spark):
 
 
 def test_mkn_ngram_perplexity_order_generic(spark):
-    """The order-generic MODIFIED-KN ladder must (a) back the order-3
-    wrapper (same rows), (b) reject degenerate orders, and (c) agree at
-    order 5 with a driver-side generic Python replay of the full
-    Chen-Goodman recursion — per-level count-of-count discounts,
-    released-mass gamma buckets, continuation ladder — with exact
-    floats."""
+    """The order-generic MODIFIED-KN ladder must (a) reject degenerate
+    orders, and (b) agree at order 5 with a driver-side generic Python
+    replay of the full Chen-Goodman recursion — per-level count-of-count
+    discounts, released-mass gamma buckets, continuation ladder — with
+    exact floats. (Order-3 correctness is pinned INDEPENDENTLY by
+    test_mkn_trigram_perplexity_three_discount_scheme's Python replay,
+    which now exercises the generic ladder through the wrapper — a
+    generic-vs-wrapper comparison here would compare the ladder to
+    itself.)"""
     import math
     from collections import Counter
 
@@ -4837,11 +4840,10 @@ def test_mkn_ngram_perplexity_order_generic(spark):
     )
     df = spark.createDataFrame(rows, ["doc_id", "text"])
 
-    g3 = {r.doc_id: (r.n_ngrams, r.avg_nll, r.ppl)
-          for r in mkn_ngram_perplexity(df, 3).collect()}
-    h3 = {r.doc_id: (r.n_trigrams, r.avg_nll, r.ppl)
-          for r in mkn_trigram_perplexity(df).collect()}
-    assert g3 == h3
+    # the wrapper only renames the count column
+    assert mkn_trigram_perplexity(df).columns == [
+        "doc_id", "n_trigrams", "avg_nll", "ppl"
+    ]
 
     with _pytest.raises(ValueError):
         mkn_ngram_perplexity(df, 1)

@@ -632,3 +632,23 @@ def test_epoch_budget_plan_aggregates_corpus_once(spark):
     plan = _physical(QUERIES["ext_epoch_budget_plan"](spark, SF_ORACLE))
     assert plan.count("Scan parquet") == 0, "round lineage re-scans the corpus"
     assert "ExistingRDD" in plan
+
+
+def test_unigram_em_round_runs_on_pinned_types(spark):
+    """Each unigram-LM EM round must run over the PINNED word-type table
+    (ExistingRDD, zero parquet scans): dropping the types localCheckpoint
+    would silently replay the full corpus tokenize/explode once per EM
+    round — the 100 TB re-read multiplier the pin exists to prevent. The
+    round is one Arrow-batched segmentation UDF + one keyed aggregate."""
+    from dbt_meshify_spark.operators.unigram import _em_usage, word_types
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    types = word_types(docs).localCheckpoint(eager=False)
+    plan = _physical(_em_usage(types, {"a": 1.0}, 4))
+    assert plan.count("Scan parquet") == 0, "EM round replays the corpus"
+    assert "ExistingRDD" in plan, "EM round lost the type-table pin"
+    assert plan.count("ArrowEvalPython") == 1, (
+        "exactly one Arrow-batched segmentation pass per round"
+    )
+    assert "CartesianProduct" not in plan
