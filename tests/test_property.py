@@ -381,3 +381,122 @@ def test_winnowing_never_misses_long_shared_runs(cases):
     }
     missing = expected - got
     assert not missing, f"winnowing guarantee violated: {missing}"
+
+
+# -- Kneser-Ney ladder normalization (N4) --------------------------------------
+
+_lm_word = st.sampled_from(["a", "b", "c", "ab", "ba"])
+_lm_doc = st.lists(_lm_word, min_size=4, max_size=9)
+_lm_corpus = st.lists(_lm_doc, min_size=2, max_size=6)
+
+
+def _kn_ladder_prob(docs, n, mode, discount=0.75):
+    """Pure-Python mirror of the generic KN/MKN ladder formulas
+    (operators/lm.py::kn_ngram_perplexity / mkn_ngram_perplexity —
+    Spark equality is pinned separately by the exact-float replay tests
+    in test_operators.py). Returns (vocab, contexts, p) where
+    ``p(ctx, w)`` is the full conditional for ANY vocab word, observed
+    or not (unobserved counts enter as 0 — the clamp never bites since
+    every discount tier D_k <= k)."""
+    from collections import Counter
+
+    grams = {k: set() for k in range(2, n + 1)}
+    top_c = Counter()
+    vocab = set()
+    for toks in docs:
+        vocab.update(toks)
+        for k in range(2, n + 1):
+            for i in range(len(toks) - k + 1):
+                grams[k].add(tuple(toks[i:i + k]))
+        for i in range(len(toks) - n + 1):
+            top_c[tuple(toks[i:i + n])] += 1
+
+    def discounts(counts):
+        n1 = sum(1 for c in counts if c == 1)
+        n2 = sum(1 for c in counts if c == 2)
+        n3 = sum(1 for c in counts if c == 3)
+        n4 = sum(1 for c in counts if c == 4)
+        y = n1 / (n1 + 2.0 * n2) if n1 + 2 * n2 > 0 else 0.5
+        return (
+            max(1.0 - 2.0 * y * n2 / n1 if n1 > 0 else 1.0, 0.0),
+            max(2.0 - 3.0 * y * n3 / n2 if n2 > 0 else 2.0, 0.0),
+            max(3.0 - 4.0 * y * n4 / n3 if n3 > 0 else 3.0, 0.0),
+        )
+
+    def d_of(c, d):
+        return d[0] if c == 1 else (d[1] if c == 2 else d[2])
+
+    c_pre, tbuck, n1p_pre = Counter(), {}, Counter()
+    for g, c in top_c.items():
+        c_pre[g[:-1]] += c
+        n1p_pre[g[:-1]] += 1
+        j = 0 if c == 1 else (1 if c == 2 else 2)
+        tbuck.setdefault(g[:-1], [0, 0, 0])[j] += 1
+    dt = discounts(list(top_c.values()))
+
+    cc, dk, nd_m, mbuck, n_mid = {}, {}, {}, {}, {}
+    for k in range(2, n):
+        cck = Counter()
+        for h in grams[k + 1]:
+            cck[h[1:]] += 1
+        cc[k] = cck
+        dk[k] = discounts(list(cck.values()))
+        ndm, mb, nm = Counter(), {}, Counter()
+        for s, c in cck.items():
+            m = s[:-1]
+            ndm[m] += c
+            nm[m] += 1
+            j = 0 if c == 1 else (1 if c == 2 else 2)
+            mb.setdefault(m, [0, 0, 0])[j] += 1
+        nd_m[k], mbuck[k], n_mid[k] = ndm, mb, nm
+    nd_w = Counter(b for _a, b in grams[2])
+    nbt = float(len(grams[2]))
+
+    def p(pre, w):
+        prob = nd_w[w] / nbt
+        for k in range(2, n):
+            sk = pre[-(k - 1):] + (w,) if k > 1 else (w,)
+            mk = pre[-(k - 1):]
+            c = cc[k][sk]
+            denom = nd_m[k][mk]
+            if mode == "mkn":
+                gam = (dk[k][0] * mbuck[k][mk][0]
+                       + dk[k][1] * mbuck[k][mk][1]
+                       + dk[k][2] * mbuck[k][mk][2]) / denom
+                prob = max(c - d_of(c, dk[k]), 0.0) / denom + gam * prob
+            else:
+                gam = discount * n_mid[k][mk] / denom
+                prob = max(c - discount, 0.0) / denom + gam * prob
+        c = top_c[pre + (w,)]
+        denom = c_pre[pre]
+        if mode == "mkn":
+            gam = (dt[0] * tbuck[pre][0] + dt[1] * tbuck[pre][1]
+                   + dt[2] * tbuck[pre][2]) / denom
+            prob = max(c - d_of(c, dt), 0.0) / denom + gam * prob
+        else:
+            gam = discount * n1p_pre[pre] / denom
+            prob = max(c - discount, 0.0) / denom + gam * prob
+        return prob
+
+    return sorted(vocab), sorted(c_pre), p
+
+
+@given(_lm_corpus, st.integers(min_value=2, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_kn_and_mkn_ladders_are_true_conditional_distributions(docs, n):
+    """The interpolated-KN and modified-KN ladder formulas must form TRUE
+    probability models: for every observed context, the conditional mass
+    over the ENTIRE vocabulary (unobserved continuations included — they
+    flow through the backoff terms) sums to exactly 1. This is the
+    mathematical identity the Chen-Goodman released-mass construction
+    promises (sum of discounts == gamma mass at every level, clamps
+    never bite because D_k <= k); a wrong bucket, gamma denominator, or
+    discount branch breaks it immediately."""
+    docs = [d for d in docs if len(d) >= n]
+    if not docs:
+        return
+    for mode in ("kn", "mkn"):
+        vocab, contexts, p = _kn_ladder_prob(docs, n, mode)
+        for pre in contexts:
+            total = sum(p(pre, w) for w in vocab)
+            assert abs(total - 1.0) < 1e-9, (mode, n, pre, total)
