@@ -121,13 +121,13 @@ def _viterbi(w: str, model: dict[str, float], max_piece_len: int) -> list[str]:
     return out
 
 
-def _em_usage(types: DataFrame, model: dict[str, float], max_piece_len: int) -> DataFrame:
-    """One E-step: Viterbi-segment the (pinned) word-type table under
-    ``model`` and re-aggregate piece usage counts weighted by word freq.
-    Exposed separately so the plan guard can assert the round's shape:
-    one Arrow-batched UDF over the pinned types (ExistingRDD, zero
-    parquet scans) + one keyed aggregate — EM rounds never replay the
-    corpus tokenize."""
+def _segment_types(
+    types: DataFrame, model: dict[str, float], max_piece_len: int
+) -> DataFrame:
+    """Viterbi-segment the (pinned) word-type table under ``model``:
+    adds ``pieces`` (array<string>, forward order). One Arrow-batched
+    pass with a per-word memo; the model rides the closure (bounded by
+    the inventory)."""
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def segment(words: pd.Series) -> pd.Series:
@@ -142,8 +142,18 @@ def _em_usage(types: DataFrame, model: dict[str, float], max_piece_len: int) -> 
 
         return words.map(seg)
 
+    return types.withColumn("pieces", segment(F.col("w")))
+
+
+def _em_usage(types: DataFrame, model: dict[str, float], max_piece_len: int) -> DataFrame:
+    """One E-step: Viterbi-segment the (pinned) word-type table under
+    ``model`` and re-aggregate piece usage counts weighted by word freq.
+    Exposed separately so the plan guard can assert the round's shape:
+    one Arrow-batched UDF over the pinned types (ExistingRDD, zero
+    parquet scans) + one keyed aggregate — EM rounds never replay the
+    corpus tokenize."""
     return (
-        types.withColumn("pieces", segment(F.col("w")))
+        _segment_types(types, model, max_piece_len)
         .select("freq", F.explode("pieces").alias("piece"))
         .groupBy("piece")
         .agg(F.sum("freq").alias("cnt"))
@@ -155,6 +165,51 @@ def _model_nll(rows: list, n_pieces: int, total: int) -> dict[str, float]:
     expression the oracle replays: ``-ln((cnt + 1.0) / (tot + np))``."""
     denom = float(total) + float(n_pieces)
     return {r["piece"]: -math.log((float(r["cnt"]) + 1.0) / denom) for r in rows}
+
+
+def _fit(
+    df: DataFrame,
+    n_iters: int,
+    max_piece_len: int,
+    max_word_len: int,
+    min_count: int,
+    text_col: str,
+):
+    """Run the fixed-iteration Viterbi-EM loop; returns
+    ``(types, final_model, final_usage)`` where ``final_model`` is the
+    LAST round's Laplace-smoothed NLL table (the model that produced
+    ``final_usage`` — and therefore the model a hash-checkable encode
+    must segment under). Shared by :func:`train_unigram` and
+    :func:`unigram_encode_delimited` so the two queries can never train
+    differently."""
+    if int(n_iters) < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    types = word_types(df, text_col=text_col, max_word_len=max_word_len)
+    types = types.localCheckpoint(eager=False)  # 1 + n_iters consumers
+    seed = seed_piece_counts(
+        types, max_piece_len=max_piece_len, min_count=min_count
+    )
+    inv_rows = seed.collect()  # bounded: the piece inventory
+    n_pieces = len(inv_rows)
+    inventory = sorted(r["piece"] for r in inv_rows)
+    counts = {r["piece"]: int(r["cnt"]) for r in inv_rows}
+    L = int(max_piece_len)
+
+    usage: dict[str, int] = {}
+    model: dict[str, float] = {}
+    for _ in range(int(n_iters)):
+        total = sum(counts.values())
+        model = _model_nll(
+            [{"piece": p, "cnt": counts.get(p, 0)} for p in inventory],
+            n_pieces,
+            total,
+        )
+        used = _em_usage(types, model, L).collect()
+        usage = {r["piece"]: int(r["cnt"]) for r in used}
+        # fixed inventory: unused pieces stay at count 0 (Laplace keeps
+        # them alive in the next round's model)
+        counts = {p: usage.get(p, 0) for p in inventory}
+    return types, model, usage
 
 
 def train_unigram(
@@ -179,33 +234,9 @@ def train_unigram(
     convergence-tested — keep engine parity (truncation is a semantics,
     not an error: the fixed-iters discipline of kcore/LPA/BPE).
     """
-    if int(n_iters) < 1:
-        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
-    types = word_types(df, text_col=text_col, max_word_len=max_word_len)
-    types = types.localCheckpoint(eager=False)  # 1 + n_iters consumers
-    seed = seed_piece_counts(
-        types, max_piece_len=max_piece_len, min_count=min_count
+    _types, _model, usage = _fit(
+        df, n_iters, max_piece_len, max_word_len, min_count, text_col
     )
-    inv_rows = seed.collect()  # bounded: the piece inventory
-    n_pieces = len(inv_rows)
-    inventory = sorted(r["piece"] for r in inv_rows)
-    counts = {r["piece"]: int(r["cnt"]) for r in inv_rows}
-    L = int(max_piece_len)
-
-    usage: dict[str, int] = {}
-    for _ in range(int(n_iters)):
-        total = sum(counts.values())
-        model = _model_nll(
-            [{"piece": p, "cnt": counts.get(p, 0)} for p in inventory],
-            n_pieces,
-            total,
-        )
-        used = _em_usage(types, model, L).collect()
-        usage = {r["piece"]: int(r["cnt"]) for r in used}
-        # fixed inventory: unused pieces stay at count 0 (Laplace keeps
-        # them alive in the next round's model)
-        counts = {p: usage.get(p, 0) for p in inventory}
-
     spark = df.sparkSession
     final = [(p, c) for p, c in usage.items() if c > 0]
     final.sort(key=lambda pc: (-pc[1], pc[0]))
@@ -271,4 +302,53 @@ def apply_unigram(
 
     return df.withColumn(out_col, encode(F.col(text_col))).withColumn(
         "n_unigram_tokens", F.size(out_col).cast("long")
+    )
+
+
+def unigram_encode_delimited(
+    df: DataFrame,
+    n_iters: int = 2,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "unigram_tokens",
+) -> DataFrame:
+    """Hash-checkable train->encode twin of :func:`apply_unigram` (the
+    ``apply_bpe_delimited`` posture for the unigram family): fit the
+    model with :func:`_fit` (identical to :func:`train_unigram`), then
+    Viterbi-segment each DISTINCT word type once and rebuild per-doc
+    token arrays from occurrences. Only words inside the training domain
+    (non-empty, length <= ``max_word_len``) are encoded — mirrored in
+    the oracle, which replays the whole fit AND reads each word's final
+    segmentation straight off the last EM round's backpointer walk.
+
+    Scale shape: occurrences reduce ONCE to the word-type table; the DP
+    runs once per distinct word (Arrow-batched, model in closure);
+    occurrences re-join on the word and per-doc arrays rebuild with one
+    aggregation — two keys-only shuffles, corpus text never carries
+    through the model. Adds ``out_col`` (array<string>) and
+    ``n_unigram_tokens``; docs with no encodable words are absent.
+    """
+    types, model, _ = _fit(
+        df, n_iters, max_piece_len, max_word_len, min_count, text_col
+    )
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "w"),
+    ).filter((F.col("w") != "") & (F.length("w") <= int(max_word_len)))
+    segs = _segment_types(types, model, int(max_piece_len)).select(
+        "w", F.col("pieces").alias("__wtoks")
+    )
+    return (
+        occ.join(segs, "w")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "__wtoks"))).alias("__o")
+        )
+        .select(F.col(id_col), F.flatten("__o.__wtoks").alias(out_col))
+        .withColumn("n_unigram_tokens", F.size(out_col).cast("long"))
     )

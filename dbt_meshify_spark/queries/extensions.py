@@ -8594,3 +8594,85 @@ SELECT rank, piece, freq FROM fin WHERE rank <= 64
 ORDER BY rank NULLS FIRST
 """
 )
+
+
+def ext_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9] hash-checked unigram-LM ENCODE — the full train->encode
+    pipeline oracle-replayed end-to-end (the ext_bpe_encode_dist posture
+    for the unigram family): fit by the same fixed 2-round Viterbi-EM as
+    ext_unigram_train, segment each distinct word type once under the
+    FINAL round's model, rebuild per-doc token sequences from
+    occurrences. The oracle replays the whole fit and reads each word's
+    segmentation off the last EM round's backpointer walk (pieces in
+    forward order = walk steps DESC)."""
+    from dbt_meshify_spark.operators.unigram import unigram_encode_delimited
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = unigram_encode_delimited(
+        docs, n_iters=2, max_piece_len=4, max_word_len=12, min_count=2
+    )
+    return enc.select(
+        "doc_id",
+        "n_unigram_tokens",
+        F.concat_ws(" ", F.slice("unigram_tokens", 1, 5)).alias("unigram_head"),
+    ).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_unigram_encode"] = ext_unigram_encode
+
+ORACLES["ext_unigram_encode"] = (
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i AS pos, l[i] AS w
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM toks)
+  WHERE l[i] <> '' AND len(l[i]) <= """
+    + str(_UNI_M)
+    + r"""
+),
+wt AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM occ GROUP BY w
+),
+p1 AS (SELECT w, freq, unnest(range(1, len(w) + 1)) AS i FROM wt),
+p2 AS (
+  SELECT w, freq, i,
+         unnest(range(1, least("""
+    + str(_UNI_L)
+    + r""", len(w) - i + 1) + 1)) AS l
+  FROM p1
+),
+pieces0 AS MATERIALIZED (
+  SELECT substr(w, i, l) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM p2 GROUP BY 1
+  HAVING SUM(freq) >= 2 OR len(substr(w, i, l)) = 1
+),"""
+    + _unigram_em_round(1, "pieces0")
+    + r"""
+counts1 AS MATERIALIZED (
+  SELECT p.piece, CAST(COALESCE(u.cnt, 0) AS BIGINT) AS cnt
+  FROM pieces0 p LEFT JOIN usage1 u USING (piece)
+),"""
+    + _unigram_em_round(2, "counts1")
+    + r"""
+walko AS MATERIALIZED ("""
+    + " UNION ALL ".join(
+        f"SELECT w, piece, {s} AS s FROM b2_{s}" for s in range(1, _UNI_M + 1)
+    )
+    + r"""),
+wseg AS MATERIALIZED (
+  SELECT w, string_split(string_agg(piece, ' ' ORDER BY s DESC), ' ') AS wtoks
+  FROM walko GROUP BY w
+),
+docs_enc AS (
+  SELECT o.doc_id, flatten(list(e.wtoks ORDER BY o.pos)) AS fl
+  FROM occ o JOIN wseg e USING (w) GROUP BY o.doc_id
+)
+SELECT doc_id, CAST(len(fl) AS BIGINT) AS n_unigram_tokens,
+       array_to_string(fl[1:5], ' ') AS unigram_head
+FROM docs_enc
+ORDER BY doc_id NULLS FIRST
+"""
+)
