@@ -500,3 +500,48 @@ def test_kn_and_mkn_ladders_are_true_conditional_distributions(docs, n):
         for pre in contexts:
             total = sum(p(pre, w) for w in vocab)
             assert abs(total - 1.0) < 1e-9, (mode, n, pre, total)
+
+
+# -- unigram Viterbi optimality (N4/N9) ----------------------------------------
+
+_uni_word = st.text(alphabet="abc", min_size=1, max_size=8)
+
+
+@given(
+    _uni_word,
+    st.dictionaries(
+        st.text(alphabet="abc", min_size=2, max_size=4),
+        st.floats(min_value=0.1, max_value=10.0, allow_nan=False),
+        max_size=12,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_unigram_viterbi_is_globally_optimal(w, extra):
+    """_viterbi must return the GLOBAL min-cost segmentation: on words
+    short enough to enumerate every composition (<= 2^7), its cost equals
+    the brute-force optimum, and the pieces reconstruct the word. Chars
+    get cost 1.0; random multi-char pieces get random costs."""
+    from itertools import product as _product
+
+    from dbt_meshify_spark.operators.unigram import _viterbi
+
+    model = {ch: 1.0 for ch in "abc"}
+    model.update(extra)
+    L = 4
+    got = _viterbi(w, model, L)
+    assert "".join(got) == w
+    got_cost = sum(model[p] for p in got)
+
+    # brute force over all cut-point subsets
+    best = None
+    n = len(w)
+    for mask in _product([0, 1], repeat=max(0, n - 1)):
+        cuts = [0] + [i + 1 for i, b in enumerate(mask) if b] + [n]
+        pieces = [w[a:b] for a, b in zip(cuts, cuts[1:])]
+        if any(len(p) > L or p not in model for p in pieces):
+            continue
+        cost = sum(model[p] for p in pieces)
+        if best is None or cost < best:
+            best = cost
+    assert best is not None
+    assert abs(got_cost - best) < 1e-12

@@ -479,3 +479,39 @@ def test_trigram_perplexity_survives_nasty_input(spark, nasty):
     assert set(out) == {1, 5, 6, 8, 9, 10, 12}
     for r in out.values():
         assert r.ppl > 0 and math.isfinite(r.ppl)
+
+
+def test_lm_and_unigram_degenerate_corpora(spark):
+    """Degenerate inputs must not crash the new round-9 tiers: an empty
+    corpus, docs below the order, a single repeated token (p = 1 paths,
+    the -0.0 guard case), and non-ASCII text all produce sane (possibly
+    empty) output on the MKN ladder and the unigram trainer/encoder."""
+    from dbt_meshify_spark.operators.lm import mkn_ngram_perplexity
+    from dbt_meshify_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode_delimited,
+    )
+
+    schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
+    assert mkn_ngram_perplexity(empty, 5).count() == 0
+    assert train_unigram(empty).count() == 0
+    assert unigram_encode_delimited(empty).count() == 0
+
+    short = spark.createDataFrame([(1, "a b"), (2, "")], schema)
+    assert mkn_ngram_perplexity(short, 5).count() == 0
+
+    # single repeated token: every 5-gram identical, p == 1.0 exactly ->
+    # avg_nll must canon to +0.0 (never the IEEE '-0.0' string)
+    mono = spark.createDataFrame([(1, "a a a a a a a a")], schema)
+    row = mkn_ngram_perplexity(mono, 5).collect()[0]
+    assert str(row.avg_nll) == "0.0" and row.ppl == 1.0
+
+    uni = spark.createDataFrame(
+        [(1, "héllo wörld héllo"), (2, "日本語 テスト 日本語")], schema
+    )
+    vocab = {r.piece: r.freq for r in train_unigram(uni, min_count=1).collect()}
+    assert vocab  # non-ASCII pieces survive
+    enc = unigram_encode_delimited(uni, min_count=1)
+    got = {r.doc_id: list(r.unigram_tokens) for r in enc.collect()}
+    assert "".join(got[2]) == "日本語テスト日本語"
