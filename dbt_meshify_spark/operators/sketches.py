@@ -1,0 +1,285 @@
+"""Deterministic mergeable sketches: count-min frequency estimation and
+Bloom-filter membership (A4 approx tier / N-decontam prefilter).
+
+The existing sketch query (``ext_approx_sketches``: HLL++ +
+``percentile_approx``) is rows-only by design — those sketches' internals
+differ per engine. These two close that verification gap: the hash
+functions are the repo's md5-prefix integer form (first 8 hex digits as an
+integer — ``sampling._md5_uniform`` / ``dsir._bucket`` discipline), so every
+sketch CELL and every membership FLAG is bit-reproducible in any SQL engine
+and the DuckDB oracle replays the sketch itself, not just its contract.
+
+No reference analog (dbt-meshify has no data plane); the published recipes
+are Cormode–Muthukrishnan (count-min, 2005) and Bloom (1970) as used by
+CCNet/Dolma-style dedup+decontamination pipelines.
+
+Scale design (100 TB posture):
+
+- **Count-min**: the sketch is a ``depth × width`` counter table —
+  construction-bounded at ``depth*width`` rows (default 4×1024 = 4096)
+  REGARDLESS of corpus size or key cardinality, and mergeable by cell-wise
+  sum (streaming / per-shard build then union-groupBy). Build is one pass:
+  explode each key to ``depth`` (row, bucket) cells, partial-aggregated
+  map-side so at most ``depth*width`` rows per partition cross the wire.
+  Estimation joins the probe side against the broadcast sketch — ``depth``
+  broadcast hash joins on precomputed bucket columns, NO explode and NO
+  re-group, so probing adds zero shuffles.
+- **Bloom**: the filter is a distinct-position set bounded at ``num_bits``
+  rows (default 8192) regardless of how many grams were inserted — the
+  constant-size broadcast alternative to shipping the full eval gram set
+  (``decontam.eval_gram_set`` broadcasts O(distinct grams); this broadcasts
+  O(bits)). Membership is ``num_hashes`` broadcast left joins on the gram's
+  precomputed positions — map-side, text never shuffles; the only exchange
+  in the end-to-end audit is the final per-doc scalar aggregation. False
+  positives are deterministic given the hash seeds; the audit emits
+  ``bloom_matched - exact_matched`` per doc so the FP cost is measured, not
+  assumed (expected rate ``(1 - exp(-k*n/m))^k``). At 100 TB the intended
+  deployment is bloom-prefilter → exact-verify only the flagged docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_meshify_spark.operators.dedup import _with_tokens, shingles_of_tokens
+
+
+def _md5_mod(col: Column, salt: str, mod: int) -> Column:
+    """``int(md5(salt|value)[:8], 16) % mod`` — the engine-portable hash.
+
+    Replayable in DuckDB via the digit-arithmetic form
+    (``queries.extensions._hex8_sum``); the salt makes the ``depth`` /
+    ``num_hashes`` functions distinct.
+    """
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), col)), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(mod)
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    prefix: str = "cms",
+) -> DataFrame:
+    """Build a count-min sketch over ``df[key_col]`` occurrences.
+
+    Returns ``(r, b, c)`` — at most ``depth * width`` rows by construction
+    (mergeable across shards by ``groupBy(r, b).sum(c)``). One pass, one
+    partial-aggregated shuffle of (r, b) cells.
+    """
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("r"),
+                        _md5_mod(F.col(key_col), f"{prefix}{i}", width).alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return cells.groupBy(
+        F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
+    ).agg(F.count("*").alias("c"))
+
+
+def cms_estimate(
+    probe: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    prefix: str = "cms",
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-query the sketch for every probe row: ``min`` over the
+    ``depth`` counters (the count-min estimate — always >= true count).
+
+    ``depth`` broadcast joins against per-row slices of the bounded sketch;
+    no explode, no re-group — probing is map-side.
+    """
+    out = probe
+    ests = []
+    for i in range(depth):
+        bi, ci = f"__b{i}", f"__c{i}"
+        out = out.withColumn(bi, _md5_mod(F.col(key_col), f"{prefix}{i}", width))
+        row_i = sketch.filter(F.col("r") == i).select(
+            F.col("b").alias(bi), F.col("c").alias(ci)
+        )
+        out = out.join(F.broadcast(row_i), bi, "left")
+        ests.append(F.coalesce(F.col(ci), F.lit(0)))
+    est = F.least(*ests) if depth > 1 else ests[0]
+    return out.withColumn(out_col, est.cast("bigint")).drop(
+        *[c for i in range(depth) for c in (f"__b{i}", f"__c{i}")]
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold_frac: float = 0.005,
+    depth: int = 4,
+    width: int = 1024,
+    prefix: str = "cms",
+) -> DataFrame:
+    """Keys whose count-min estimate reaches ``threshold_frac`` of total
+    occurrences, with the exact count alongside for the audit.
+
+    Returns ``(key_col, cms_est, true_count, overcount)`` — ``overcount =
+    cms_est - true_count >= 0`` always (count-min never undercounts), and
+    ``cms_est <= true_count + e/width * N`` with probability
+    ``1 - exp(-depth)`` per the standard bound. The candidate set is the
+    distinct-key table (Heaps-sublinear for token keys — the same posture as
+    the token_stats family).
+
+    The sketch is MATERIALIZED driver-side (the IVF-centroid posture,
+    similarity.py: a construction-bounded collect of <= depth*width rows)
+    so the ``depth`` probe joins hit a local relation instead of
+    re-executing the build pipeline per slice — the corpus is scanned once
+    for the sketch and once for the exact audit, never ``depth`` times.
+    The grand total falls out of the materialized sketch for free (row 0's
+    cells sum to N), so it costs no third pass.
+    """
+    spark = df.sparkSession
+    cells = cms_sketch(df, key_col, depth, width, prefix).collect()
+    sketch = spark.createDataFrame(
+        [(r.r, r.b, r.c) for r in cells], "r int, b bigint, c bigint"
+    )
+    total = float(sum(r.c for r in cells if r.r == 0))
+    truth = df.groupBy(key_col).agg(F.count("*").cast("bigint").alias("true_count"))
+    est = cms_estimate(truth, sketch, key_col, depth, width, prefix)
+    return est.filter(
+        F.col("cms_est") >= F.lit(total * float(threshold_frac))
+    ).select(
+        key_col,
+        "cms_est",
+        "true_count",
+        (F.col("cms_est") - F.col("true_count")).cast("bigint").alias("overcount"),
+    )
+
+
+def bloom_positions(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 8192,
+    num_hashes: int = 3,
+    prefix: str = "bl",
+) -> DataFrame:
+    """Distinct set-bit positions of a Bloom filter over ``keys[key_col]``.
+
+    At most ``num_bits`` rows by construction — a constant-size relation no
+    matter how many keys were inserted; callers broadcast it. Mergeable
+    across shards by distinct-union.
+    """
+    return (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        _md5_mod(F.col(key_col), f"{prefix}{j}", num_bits)
+                        for j in range(num_hashes)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+    )
+
+
+def bloom_member(
+    df: DataFrame,
+    key_col: str,
+    positions: DataFrame,
+    num_bits: int = 8192,
+    num_hashes: int = 3,
+    prefix: str = "bl",
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Flag each row whose key's ``num_hashes`` positions are ALL set.
+
+    ``num_hashes`` broadcast left joins on precomputed position columns —
+    map-side, no explode/re-group, the key column never shuffles. No false
+    negatives; false positives deterministic given the salts.
+    """
+    out = df
+    hits = []
+    for j in range(num_hashes):
+        pj, mj = f"__p{j}", f"__m{j}"
+        out = out.withColumn(pj, _md5_mod(F.col(key_col), f"{prefix}{j}", num_bits))
+        pos_j = positions.select(F.col("p").alias(pj), F.lit(1).alias(mj))
+        out = out.join(F.broadcast(pos_j), pj, "left")
+        hits.append(F.col(mj).isNotNull())
+    flag = hits[0]
+    for h in hits[1:]:
+        flag = flag & h
+    return out.withColumn(out_col, flag).drop(
+        *[c for j in range(num_hashes) for c in (f"__p{j}", f"__m{j}")]
+    )
+
+
+def bloom_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_bits: int = 8192,
+    num_hashes: int = 3,
+    min_overlap: float = 0.2,
+) -> DataFrame:
+    """Bloom-prefiltered n-gram decontamination audit vs the exact join.
+
+    Per train document (with >= 1 distinct word ``n``-gram — the
+    ``decontam.ngram_overlap`` gram semantics): ``n_grams``,
+    ``bloom_matched`` (grams the filter flags), ``exact_matched`` (grams
+    truly in the eval set), ``false_pos = bloom_matched - exact_matched``
+    (never negative — Bloom has no false negatives), ``bloom_overlap``
+    (rounded), and ``contaminated_bloom`` on the ROUNDED overlap (the
+    CLAUDE.md flag discipline). The Bloom flag is a superset of the exact
+    flag at equal thresholds — the safe direction for decontamination.
+    """
+    from dbt_meshify_spark.operators.decontam import eval_gram_set
+
+    evals = eval_gram_set(eval_df, text_col, n)
+    # materialize the bounded position set driver-side (<= num_bits rows by
+    # construction — the IVF-centroid collect posture): the num_hashes
+    # membership joins then hit a LOCAL relation instead of re-executing
+    # the eval tokenize->distinct pipeline once per hash function
+    spark = train_df.sparkSession
+    pos_rows = bloom_positions(evals, "gram", num_bits, num_hashes).collect()
+    pos = spark.createDataFrame([(r.p,) for r in pos_rows], "p bigint")
+    grams = (
+        _with_tokens(train_df.select(id_col, text_col), text_col)
+        .withColumn("__grams", shingles_of_tokens(F.col("__toks"), n))
+        .select(F.col(id_col), F.explode("__grams").alias("gram"))
+    )
+    flagged = bloom_member(grams, "gram", pos, num_bits, num_hashes)
+    flagged = flagged.join(
+        F.broadcast(evals.withColumn("__ex", F.lit(1))), "gram", "left"
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("bigint").alias("bloom_matched"),
+        F.coalesce(F.sum("__ex"), F.lit(0)).cast("bigint").alias("exact_matched"),
+    )
+    overlap = F.round(
+        F.col("bloom_matched").cast("double") / F.col("n_grams"), 4
+    ) + F.lit(0.0)
+    return agg.select(
+        F.col(id_col),
+        "n_grams",
+        "bloom_matched",
+        "exact_matched",
+        (F.col("bloom_matched") - F.col("exact_matched"))
+        .cast("bigint")
+        .alias("false_pos"),
+        overlap.alias("bloom_overlap"),
+        (overlap >= F.lit(float(min_overlap))).alias("contaminated_bloom"),
+    )

@@ -8676,3 +8676,120 @@ FROM docs_enc
 ORDER BY doc_id NULLS FIRST
 """
 )
+
+
+def ext_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4 sketch tier, hash-checked] count-min heavy hitters over document
+    tokens (operators/sketches.py): a 4x1024 md5-salted counter sketch —
+    construction-bounded, mergeable, ONE partial-aggregated cell shuffle —
+    probed with 4 broadcast joins (no explode/re-group). Unlike
+    ext_approx_sketches (HLL/t-digest internals differ per engine), the
+    explicit hash functions make every cell bit-reproducible, so the DuckDB
+    oracle replays the sketch itself: the first hash-checked sketch query."""
+    from dbt_meshify_spark.operators.dedup import tokens_col
+    from dbt_meshify_spark.operators.sketches import cms_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    out = cms_heavy_hitters(toks, "token", threshold_frac=0.005, depth=4, width=1024)
+    return out.orderBy(_asc("token"))
+
+
+QUERIES["ext_cms_heavy_hitters"] = ext_cms_heavy_hitters
+
+ORACLES["ext_cms_heavy_hitters"] = (
+    r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents
+),
+tru AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count FROM toks GROUP BY tok),
+hs AS (
+  SELECT 0 AS r, tok, md5('cms0|' || tok) AS hx FROM toks
+  UNION ALL SELECT 1, tok, md5('cms1|' || tok) FROM toks
+  UNION ALL SELECT 2, tok, md5('cms2|' || tok) FROM toks
+  UNION ALL SELECT 3, tok, md5('cms3|' || tok) FROM toks
+),
+sk AS (
+  SELECT r, CAST(({HEX8}) AS BIGINT) % 1024 AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM hs GROUP BY 1, 2
+),
+ph AS (
+  SELECT tok, 0 AS r, md5('cms0|' || tok) AS hx FROM tru
+  UNION ALL SELECT tok, 1, md5('cms1|' || tok) FROM tru
+  UNION ALL SELECT tok, 2, md5('cms2|' || tok) FROM tru
+  UNION ALL SELECT tok, 3, md5('cms3|' || tok) FROM tru
+),
+pc AS (SELECT tok, r, CAST(({HEX8}) AS BIGINT) % 1024 AS b FROM ph),
+est AS (
+  SELECT pc.tok, MIN(COALESCE(sk.c, 0)) AS cms_est
+  FROM pc LEFT JOIN sk ON pc.r = sk.r AND pc.b = sk.b
+  GROUP BY pc.tok
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks)
+SELECT e.tok AS token, CAST(e.cms_est AS BIGINT) AS cms_est, t.true_count,
+       CAST(e.cms_est - t.true_count AS BIGINT) AS overcount
+FROM est e JOIN tru t ON e.tok = t.tok CROSS JOIN tot
+WHERE e.cms_est >= 0.005 * tot.n
+ORDER BY token NULLS FIRST
+""".replace("{HEX8}", _hex8_sum("hx"))
+)
+
+
+def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N-decontam approx tier, hash-checked] Bloom-prefiltered trigram
+    decontamination audit (operators/sketches.py::bloom_decontaminate):
+    the eval gram set is compressed to a <=8192-row distinct-position
+    relation (constant-size broadcast vs eval_gram_set's O(distinct grams)),
+    membership is 3 md5-salted broadcast joins — text never shuffles; the
+    per-doc report quantifies the deterministic false positives against the
+    exact join (bloom_matched >= exact_matched always: no false negatives).
+    Same train/eval split as ext_decontaminate."""
+    from dbt_meshify_spark.operators.sketches import bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return bloom_decontaminate(train, eval_df).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_bloom_decontaminate"] = ext_bloom_decontaminate
+
+ORACLES["ext_bloom_decontaminate"] = (
+    f"""
+WITH {_TRIGRAMS_CTE},
+"""
+    + r"""
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+evh AS (
+  SELECT md5('bl0|' || gram) AS hx FROM ev
+  UNION ALL SELECT md5('bl1|' || gram) FROM ev
+  UNION ALL SELECT md5('bl2|' || gram) FROM ev
+),
+pos AS (SELECT DISTINCT CAST(({HEX8}) AS BIGINT) % 8192 AS p FROM evh),
+tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % 20 <> 0),
+trh AS (
+  SELECT doc_id, gram, md5('bl0|' || gram) AS hx FROM tr
+  UNION ALL SELECT doc_id, gram, md5('bl1|' || gram) FROM tr
+  UNION ALL SELECT doc_id, gram, md5('bl2|' || gram) FROM tr
+),
+trp AS (SELECT doc_id, gram, CAST(({HEX8}) AS BIGINT) % 8192 AS p FROM trh),
+hit AS (
+  SELECT t.doc_id, t.gram, (COUNT(pos.p) = 3) AS bloom_hit
+  FROM trp t LEFT JOIN pos ON t.p = pos.p
+  GROUP BY t.doc_id, t.gram
+),
+agg AS (
+  SELECT h.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN h.bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_matched,
+         CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_matched
+  FROM hit h LEFT JOIN ev e ON h.gram = e.gram
+  GROUP BY h.doc_id
+)
+SELECT doc_id, n_grams, bloom_matched, exact_matched,
+       CAST(bloom_matched - exact_matched AS BIGINT) AS false_pos,
+       ROUND(CAST(bloom_matched AS DOUBLE) / n_grams, 4) + 0.0 AS bloom_overlap,
+       (ROUND(CAST(bloom_matched AS DOUBLE) / n_grams, 4) + 0.0 >= 0.2) AS contaminated_bloom
+FROM agg ORDER BY doc_id NULLS FIRST
+""".replace("{HEX8}", _hex8_sum("hx"))
+)

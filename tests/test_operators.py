@@ -5066,3 +5066,95 @@ def test_unigram_fertility_comparable_to_bpe(spark):
     # same regime: neither explodes to chars-per-word while the other sits
     # at whole words (documents words are short; keep a loose band)
     assert f_uni < 8.0 and f_bpe < 8.0
+
+
+# -------------------------------------------------------------- sketches
+
+
+def test_cms_never_undercounts_under_forced_collisions(spark):
+    """Count-min hard invariant: est >= true for EVERY key, even with a
+    tiny width (16) that forces heavy collisions; and the standard error
+    bound holds for the planted heavy hitter."""
+    from dbt_meshify_spark.operators.sketches import cms_estimate, cms_sketch
+
+    rows = [("hot",)] * 500 + [(f"k{i % 60}",) for i in range(900)]
+    df = spark.createDataFrame(rows, ["k"]).repartition(8)
+    sketch = cms_sketch(df, "k", depth=3, width=16, prefix="t")
+    truth = df.groupBy("k").agg(F.count("*").alias("true_count"))
+    est = cms_estimate(truth, sketch, "k", depth=3, width=16, prefix="t")
+    got = {r.k: (r.cms_est, r.true_count) for r in est.collect()}
+    assert len(got) == 61
+    for k, (e, t) in got.items():
+        assert e >= t, f"count-min undercounted {k}: est {e} < true {t}"
+    # the sketch is construction-bounded: at most depth*width cells
+    assert sketch.count() <= 3 * 16
+    # heavy hitter stays identifiable: est('hot') is within e/width * N
+    # of truth in expectation; assert the generous deterministic 2x bound
+    assert got["hot"][0] <= 500 + 2 * (2.718 / 16) * 1400
+
+
+def test_cms_sketch_merges_across_shards(spark):
+    """Cell-wise sum of two shard sketches equals the full-corpus sketch —
+    the mergeability that makes the sketch a streaming/multi-shard state."""
+    from dbt_meshify_spark.operators.sketches import cms_sketch
+
+    rows = [(f"k{i % 37}",) for i in range(700)]
+    df = spark.createDataFrame(rows, ["k"]).withColumn(
+        "half", (F.monotonically_increasing_id() % 2).cast("int")
+    )
+    full = cms_sketch(df, "k", depth=2, width=32, prefix="m")
+    merged = (
+        cms_sketch(df.filter(F.col("half") == 0), "k", 2, 32, "m")
+        .unionByName(cms_sketch(df.filter(F.col("half") == 1), "k", 2, 32, "m"))
+        .groupBy("r", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    f = {(r.r, r.b): r.c for r in full.collect()}
+    m = {(r.r, r.b): r.c for r in merged.collect()}
+    assert f == m
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every inserted key must test positive (no false negatives — the
+    Bloom guarantee the decontamination prefilter relies on); false
+    positives on disjoint probes stay under a generous multiple of the
+    analytic rate."""
+    from dbt_meshify_spark.operators.sketches import bloom_member, bloom_positions
+
+    inserted = spark.createDataFrame([(f"in{i}",) for i in range(800)], ["g"])
+    pos = bloom_positions(inserted, "g", num_bits=8192, num_hashes=3)
+    assert pos.count() <= 8192
+    self_probe = bloom_member(inserted, "g", pos, 8192, 3)
+    assert self_probe.filter(~F.col("bloom_hit")).count() == 0
+    outside = spark.createDataFrame([(f"out{i}",) for i in range(2000)], ["g"])
+    fp = bloom_member(outside, "g", pos, 8192, 3).filter(F.col("bloom_hit")).count()
+    # analytic rate (1 - exp(-3*800/8192))^3 ~= 1.6% -> expect ~33; allow 4x
+    assert fp <= 140, f"false-positive rate blew the bound: {fp}/2000"
+
+
+def test_bloom_decontaminate_audit_invariants(spark):
+    """End-to-end audit on real documents: bloom matches are a superset of
+    exact matches per doc (false_pos >= 0), and every exactly-contaminated
+    doc is bloom-contaminated (prefilter safety — no false negatives)."""
+    from dbt_meshify_spark.operators.sketches import bloom_decontaminate
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = bloom_decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    ).collect()
+    assert out, "no rows from the audit"
+    n_fp = 0
+    for r in out:
+        assert r.bloom_matched >= r.exact_matched, r
+        assert r.false_pos == r.bloom_matched - r.exact_matched
+        n_fp += r.false_pos
+        exact_contaminated = r.n_grams > 0 and (
+            r.exact_matched / r.n_grams >= 0.2
+        )
+        if exact_contaminated:
+            assert r.contaminated_bloom, f"bloom missed a contaminated doc: {r}"
+    # the audit exists to MEASURE the fp cost; at these parameters some
+    # collisions are expected on 16k+ grams against 8192 bits
+    assert n_fp >= 0

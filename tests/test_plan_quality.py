@@ -652,3 +652,31 @@ def test_unigram_em_round_runs_on_pinned_types(spark):
         "exactly one Arrow-batched segmentation pass per round"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_cms_probe_is_broadcast_only_no_sort_merge(spark):
+    """ext_cms_heavy_hitters: the 4 per-row sketch slices are
+    construction-bounded (<= width rows each) — every probe join must be a
+    BroadcastHashJoin; a SortMergeJoin would shuffle the probe side once
+    per hash function."""
+    plan = _physical(QUERIES["ext_cms_heavy_hitters"](spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_bloom_membership_joins_broadcast_and_text_never_shuffles(spark):
+    """ext_bloom_decontaminate: the materialized position set (<= 8192
+    rows, collected once — NOT re-derived per hash function) and the eval
+    gram set must broadcast (3 membership joins + 1 exact-audit join), no
+    Exchange may carry the document text, and at most ONE exchange may
+    carry gram strings (the bounded eval-side distinct for the exact
+    audit) — the train side shuffles per-doc scalars only."""
+    plan = _physical(QUERIES["ext_bloom_decontaminate"](spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert ex_lines, "expected the per-doc aggregation exchange"
+    for line in ex_lines:
+        assert "text" not in line, f"text in a shuffle: {line.strip()}"
+    gram_ex = [l for l in ex_lines if "gram" in l]
+    assert len(gram_ex) <= 1, f"gram pipelines re-executed: {gram_ex}"
