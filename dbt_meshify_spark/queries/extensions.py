@@ -8793,3 +8793,60 @@ SELECT doc_id, n_grams, bloom_matched, exact_matched,
 FROM agg ORDER BY doc_id NULLS FIRST
 """.replace("{HEX8}", _hex8_sum("hx"))
 )
+
+
+def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Layout tier] static-grid Z-order layout report over events on
+    (user_id, day-of-month) (sources/layout.py::zorder_file_stats): min/max
+    rank each dimension into 8 bits off a 1-row broadcast stats pass,
+    Morton-interleave as a fixed codegen integer expression, assign
+    equal-width z-range files, and report per-file span of BOTH dimensions
+    — the multi-column data-skipping guarantee (each file covers
+    ~range/sqrt(files) of EVERY dim, where a 1-d sort leaves the second
+    dim unpruned). Deterministic sibling of zorder_layout's
+    repartitionByRange writer; fully oracle-checked."""
+    from dbt_meshify_spark.sources.layout import zorder_file_stats
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day_of_month", F.dayofmonth("ts")
+    )
+    out = zorder_file_stats(
+        ev, dims=["user_id", "day_of_month"], bits=8, target_files=16
+    )
+    return out.orderBy(_asc("file_id"))
+
+
+QUERIES["ext_zorder_layout"] = ext_zorder_layout
+
+_Z_TERMS = " + ".join(
+    f"(((ub >> {i}) & 1) << {2 * i + 1}) + (((db >> {i}) & 1) << {2 * i})"
+    for i in range(8)
+)
+
+ORACLES["ext_zorder_layout"] = f"""
+WITH base AS (
+  SELECT user_id AS u, CAST(date_part('day', ts) AS BIGINT) AS d FROM events
+),
+st AS (
+  SELECT MIN(u) AS umin, MAX(u) AS umax, MIN(d) AS dmin, MAX(d) AS dmax
+  FROM base
+),
+bk AS (
+  SELECT u, d,
+    CAST(FLOOR(CAST(u - umin AS DOUBLE) * 256.0
+               / CAST(umax - umin + 1 AS DOUBLE)) AS BIGINT) AS ub,
+    CAST(FLOOR(CAST(d - dmin AS DOUBLE) * 256.0
+               / CAST(dmax - dmin + 1 AS DOUBLE)) AS BIGINT) AS db
+  FROM base CROSS JOIN st
+),
+f AS (SELECT u, d, CAST(({_Z_TERMS}) >> 12 AS INT) AS file_id FROM bk)
+SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(MIN(u) AS BIGINT) AS user_id_min,
+  CAST(MAX(u) AS BIGINT) AS user_id_max,
+  CAST(MAX(u) - MIN(u) AS BIGINT) AS user_id_span,
+  CAST(MIN(d) AS BIGINT) AS day_of_month_min,
+  CAST(MAX(d) AS BIGINT) AS day_of_month_max,
+  CAST(MAX(d) - MIN(d) AS BIGINT) AS day_of_month_span
+FROM f GROUP BY file_id
+ORDER BY file_id NULLS FIRST
+"""

@@ -72,3 +72,139 @@ def optimize_layout(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def zorder_value(bucket_cols: list[Column], bits: int = 8) -> Column:
+    """Morton (Z-order) interleave of already-bucketed dimension columns.
+
+    ``bucket_cols`` must each be integer columns in ``[0, 2**bits)`` (see
+    ``zorder_bucket``). Bit ``i`` of column ``j`` lands at position
+    ``i*k + (k-1-j)`` so earlier columns take the more significant bit of
+    each group — a fixed codegen integer expression (``2*bits*k`` shift/and
+    terms), no UDF, no shuffle.
+    """
+    k = len(bucket_cols)
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(bucket_cols):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)),
+                    i * k + (k - 1 - j),
+                )
+            )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def zorder_bucket(col: Column, vmin: Column, vmax: Column, bits: int = 8) -> Column:
+    """Rank a dimension into ``[0, 2**bits)`` by global min/max.
+
+    ``floor((v - vmin) * 2**bits / (vmax - vmin + 1))`` — engine-portable:
+    with sub-2^30 numerators the IEEE-division quotient is > 2^-31 away
+    from any integer it doesn't equal, so ``floor`` agrees bit-for-bit
+    across engines. Raw interleave without ranking is degenerate when one
+    dimension's high bits are unpopulated (e.g. day-of-month in 8 bits).
+    """
+    span = (vmax - vmin + F.lit(1)).cast("double")
+    return F.floor(
+        (col - vmin).cast("double") * F.lit(float(2**bits)) / span
+    ).cast("long")
+
+
+def zorder_file_stats(
+    df: DataFrame,
+    dims: list[str],
+    bits: int = 8,
+    target_files: int = 16,
+) -> DataFrame:
+    """Per-file min/max/span report for a STATIC-GRID Z-order layout —
+    the deterministic (oracle-checkable) sibling of ``zorder_layout``.
+
+    Files are fixed equal-width z-ranges (``file_id = z >> (k*bits -
+    log2(target_files))``) rather than ``repartitionByRange``'s sampled
+    quantiles, so the assignment is a pure projection: the plan is one
+    stats pass (single aggregate, 1-row broadcast) + one projection +
+    one ``target_files``-group aggregate. The output quantifies the
+    Z-order guarantee — EVERY dimension's per-file span is ~range /
+    target_files**(1/k), vs a 1-d sort where the second dimension spans
+    the full range in every file.
+    """
+    k = len(dims)
+    shift = k * bits - (target_files - 1).bit_length()
+    stats = df.agg(
+        *[
+            agg(dim).cast("long").alias(f"__{nm}_{dim}")
+            for dim in dims
+            for nm, agg in (("min", F.min), ("max", F.max))
+        ]
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    buckets = [
+        zorder_bucket(
+            F.col(dim).cast("long"),
+            F.col(f"__min_{dim}"),
+            F.col(f"__max_{dim}"),
+            bits,
+        )
+        for dim in dims
+    ]
+    out = out.withColumn("__fid", F.shiftright(zorder_value(buckets, bits), shift))
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for dim in dims:
+        aggs += [
+            F.min(F.col(dim).cast("long")).alias(f"{dim}_min"),
+            F.max(F.col(dim).cast("long")).alias(f"{dim}_max"),
+            (F.max(F.col(dim).cast("long")) - F.min(F.col(dim).cast("long")))
+            .cast("bigint")
+            .alias(f"{dim}_span"),
+        ]
+    return out.groupBy(F.col("__fid").cast("int").alias("file_id")).agg(*aggs)
+
+
+def zorder_layout(
+    df: DataFrame,
+    out_path: str,
+    cluster_by: list[str],
+    bits: int = 8,
+    target_files: int = 16,
+) -> None:
+    """Rewrite ``df`` Z-order-clustered on ``cluster_by`` (the multi-column
+    extension of ``optimize_layout`` — Delta ``OPTIMIZE ... ZORDER BY``):
+    every file owns a narrow range of EVERY cluster dimension, so parquet
+    min/max stats prune files for filters on any of them, not just the
+    sort prefix.
+
+    One stats pass (min/max per dimension, 1-row broadcast), then ONE
+    shuffle: ``repartitionByRange`` on the interleaved z-value (sampled
+    quantiles keep file ROW counts balanced on skewed data — the static
+    grid in ``zorder_file_stats`` is the deterministic variant) with an
+    in-file sort on z so row-group stats are tight too.
+    """
+    stats = df.agg(
+        *[
+            agg(dim).cast("long").alias(f"__{nm}_{dim}")
+            for dim in cluster_by
+            for nm, agg in (("min", F.min), ("max", F.max))
+        ]
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    buckets = [
+        zorder_bucket(
+            F.col(dim).cast("long"),
+            F.col(f"__min_{dim}"),
+            F.col(f"__max_{dim}"),
+            bits,
+        )
+        for dim in cluster_by
+    ]
+    out = out.withColumn("__z", zorder_value(buckets, bits))
+    (
+        out.repartitionByRange(target_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", *[c for d in cluster_by for c in (f"__min_{d}", f"__max_{d}")])
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

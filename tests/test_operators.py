@@ -5158,3 +5158,62 @@ def test_bloom_decontaminate_audit_invariants(spark):
     # the audit exists to MEASURE the fp cost; at these parameters some
     # collisions are expected on 16k+ grams against 8192 bits
     assert n_fp >= 0
+
+
+def test_zorder_layout_bounds_every_dimension_per_file(spark, tmp_path):
+    """Z-order writer: parquet file-level min/max stats must bound BOTH
+    cluster dimensions per file (~range/sqrt(files) each) — the property a
+    1-d sort cannot give (its second dim spans the full range in every
+    file). That's what makes filters on EITHER column skip files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.sources.layout import zorder_layout
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day_of_month", F.dayofmonth("ts")
+    )
+    out = str(tmp_path / "zordered")
+    zorder_layout(ev, out, ["user_id", "day_of_month"], bits=8, target_files=16)
+    files = [
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    assert len(files) >= 8  # range partitioner may merge near-empty tails
+    spans = {"user_id": [], "day_of_month": []}
+    glob = {
+        "user_id": (0, 0),
+        "day_of_month": (0, 0),
+    }
+    stats = ev.agg(
+        F.min("user_id"), F.max("user_id"),
+        F.min("day_of_month"), F.max("day_of_month"),
+    ).collect()[0]
+    glob["user_id"] = (stats[0], stats[1])
+    glob["day_of_month"] = (stats[2], stats[3])
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.num_columns)
+        }
+        for dim in spans:
+            i = cols[dim]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans[dim].append(max(maxs) - min(mins))
+    for dim, ss in spans.items():
+        full = glob[dim][1] - glob[dim][0]
+        # median file must cover well under the full range on EVERY dim
+        ss.sort()
+        med = ss[len(ss) // 2]
+        assert med <= 0.55 * full, (
+            f"{dim}: median per-file span {med} vs global {full} — "
+            f"Z-order clustering lost"
+        )
+    # round-trip: the clustered copy holds the same rows
+    assert spark.read.parquet(out).count() == ev.count()

@@ -680,3 +680,14 @@ def test_bloom_membership_joins_broadcast_and_text_never_shuffles(spark):
         assert "text" not in line, f"text in a shuffle: {line.strip()}"
     gram_ex = [l for l in ex_lines if "gram" in l]
     assert len(gram_ex) <= 1, f"gram pipelines re-executed: {gram_ex}"
+
+
+def test_zorder_stats_report_is_two_scans_no_window(spark):
+    """ext_zorder_layout: the static-grid file assignment must be a pure
+    projection — one stats pass (1-row broadcast) + one 16-group aggregate;
+    no Window (a global NTILE would single-partition the corpus) and no
+    SortMergeJoin."""
+    plan = _physical(QUERIES["ext_zorder_layout"](spark, SF_ORACLE))
+    assert "Window" not in plan, "global window in the z-order layout path"
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 2
