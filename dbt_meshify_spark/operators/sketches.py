@@ -147,13 +147,33 @@ def cms_heavy_hitters(
     The grand total falls out of the materialized sketch for free (row 0's
     cells sum to N), so it costs no third pass.
     """
-    spark = df.sparkSession
     cells = cms_sketch(df, key_col, depth, width, prefix).collect()
+    return heavy_hitters_from_cells(
+        cells, df, key_col, threshold_frac, depth, width, prefix
+    )
+
+
+def heavy_hitters_from_cells(
+    cells: list,
+    truth_src: DataFrame,
+    key_col: str,
+    threshold_frac: float = 0.005,
+    depth: int = 4,
+    width: int = 1024,
+    prefix: str = "cms",
+) -> DataFrame:
+    """Shared report tail for the batch and streaming CMS builds: probe the
+    materialized cell list (<= depth*width rows) against the exact counts of
+    ``truth_src[key_col]``. The grand total falls out of the cells (row 0
+    sums to N) — no extra corpus pass."""
+    spark = truth_src.sparkSession
     sketch = spark.createDataFrame(
         [(r.r, r.b, r.c) for r in cells], "r int, b bigint, c bigint"
     )
     total = float(sum(r.c for r in cells if r.r == 0))
-    truth = df.groupBy(key_col).agg(F.count("*").cast("bigint").alias("true_count"))
+    truth = truth_src.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("true_count")
+    )
     est = cms_estimate(truth, sketch, key_col, depth, width, prefix)
     return est.filter(
         F.col("cms_est") >= F.lit(total * float(threshold_frac))

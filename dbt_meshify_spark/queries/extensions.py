@@ -8850,3 +8850,31 @@ SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM f GROUP BY file_id
 ORDER BY file_id NULLS FIRST
 """
+
+
+def ext_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6 + A4 sketch tier] STREAMING count-min frequency monitor: the
+    documents corpus arrives as a file stream, each micro-batch appends its
+    own <=4096 sketch cells, and the merged state is the cell-wise sum
+    (streaming/documents.py::stream_cms_heavy_hitters) — fixed-size
+    mergeable state, the streaming twin of ext_cms_heavy_hitters. Drained
+    availableNow the merged sketch is value-equal to the batch build, so
+    it shares that oracle."""
+    import tempfile
+
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_cms_heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = read_documents_stream(
+        spark, f"{sf_dir.rstrip('/')}/documents.parquet", max_files_per_trigger=1
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_cms_")
+    out = stream_cms_heavy_hitters(feed, docs, out_dir)
+    return out.orderBy(_asc("token"))
+
+
+QUERIES["ext_stream_cms_heavy_hitters"] = ext_stream_cms_heavy_hitters
+ORACLES["ext_stream_cms_heavy_hitters"] = ORACLES["ext_cms_heavy_hitters"]

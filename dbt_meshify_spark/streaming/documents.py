@@ -411,3 +411,65 @@ def stream_conversation_filter(
         return spark.createDataFrame(
             [], "doc_id bigint, n_turns bigint, total_chars bigint"
         )
+
+
+def stream_cms_heavy_hitters(
+    stream_docs: DataFrame,
+    corpus_df: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    threshold_frac: float = 0.005,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming token-frequency monitor on count-min state: every arriving
+    micro-batch reduces to its OWN sketch cells (<= depth*width rows
+    appended per batch — operators/sketches.py::cms_sketch) and the merged
+    sketch is their cell-wise sum, the mergeability
+    test_cms_sketch_merges_across_shards proves. State on disk grows with
+    batches x depth*width, never with tokens — the fixed-memory property
+    that lets a 100 TB ingest keep a live frequency profile.
+
+    Drained availableNow the merged sketch is value-equal to the batch
+    build over the same corpus (integer cell sums are order-insensitive),
+    so the final report shares ext_cms_heavy_hitters' DuckDB oracle.
+    ``corpus_df`` is the batch view of the same data, used only for the
+    exact-count audit columns.
+    """
+    from pyspark.sql import functions as F
+
+    from dbt_meshify_spark.operators.dedup import tokens_col
+    from dbt_meshify_spark.operators.sketches import (
+        cms_sketch,
+        heavy_hitters_from_cells,
+    )
+
+    spark = stream_docs.sparkSession
+
+    def build(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(tokens_col(F.col(text_col))).alias("token")
+        )
+        cms_sketch(toks, "token", depth, width).write.mode("append").parquet(
+            f"{out_dir}/cells"
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(build)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cells = (
+        spark.read.parquet(f"{out_dir}/cells")
+        .groupBy("r", "b")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    truth = corpus_df.select(
+        F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    return heavy_hitters_from_cells(
+        cells, truth, "token", threshold_frac, depth, width
+    )

@@ -479,3 +479,36 @@ def test_stream_late_drops_accounting(spark):
     got = sorted((str(r.day), r.event_type, r.n) for r in out.collect())
     want = sorted((str(r.day), r.event_type, r.n) for r in batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_cms_matches_batch_and_state_stays_bounded(spark, tmp_path_factory):
+    """The CMS streaming monitor over two forced micro-batches must produce
+    exactly the batch heavy-hitter report (cell sums are order-insensitive),
+    and the on-disk state must be cells, not tokens: <= batches x depth x
+    width rows."""
+    from dbt_meshify_spark.operators.dedup import tokens_col
+    from dbt_meshify_spark.operators.sketches import cms_heavy_hitters
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_cms_heavy_hitters,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    d = tmp_path_factory.mktemp("cms_batches")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(d / "f1"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(d / "f2"))
+    feed = read_documents_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+
+    out_dir = str(tmp_path_factory.mktemp("cms_out"))
+    streamed = stream_cms_heavy_hitters(feed, docs, out_dir)
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    expected = cms_heavy_hitters(toks, "token")
+    cols = ["token", "cms_est", "true_count", "overcount"]
+    got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in expected.collect())
+    assert got == want and len(got) > 0
+    # state bound: two micro-batches, each appending <= depth*width cells
+    state = spark.read.parquet(f"{out_dir}/cells")
+    assert state.count() <= 2 * 4 * 1024
