@@ -183,7 +183,14 @@ def lm_family_probe(spark, base) -> None:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    if "--sketch" in sys.argv:
+        from dbt_meshify_spark.session import get_spark
+        from dbt_meshify_spark.sources import load_table
+
+        sketch_family_probe(get_spark(), load_table(get_spark(), sf_dir, "documents"))
+        return
     from dbt_meshify_spark.operators.dedup import (
         exact_dedup,
         minhash_candidate_pairs,
@@ -322,6 +329,75 @@ def main() -> None:
         flush=True,
     )
 
+
+
+
+def sketch_family_probe(spark, base) -> None:
+    """CMS / Bloom / Z-order at 1x-16x (round 9). The claims under test:
+    (a) the CMS cell table stays CONSTANT at depth*width while distinct
+    keys grow ~linearly on the salted copies (fixed-memory state), with
+    heavy-hitter wall ~ scan cost; (b) Bloom positions saturate at
+    num_bits — on a grown eval set the FP count rises exactly as the
+    analytic (1-exp(-kn/m))^k predicts, quantifying WHEN num_bits must
+    retune (the plan shape never changes); (c) the z-order grid report is
+    one stats pass + one bounded aggregate at every scale."""
+    import time as _t
+
+    from dbt_meshify_spark.operators.dedup import tokens_col
+    from dbt_meshify_spark.operators.sketches import (
+        bloom_decontaminate,
+        cms_heavy_hitters,
+        cms_sketch,
+    )
+    from dbt_meshify_spark.sources.layout import zorder_file_stats
+
+    warm = scaled_corpus(base, 1).localCheckpoint()
+    wt = warm.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    cms_heavy_hitters(wt, "token").count()
+    bloom_decontaminate(
+        warm.filter(F.col("doc_id") % 20 != 0),
+        warm.filter(F.col("doc_id") % 20 == 0),
+    ).count()
+    zorder_file_stats(warm, ["doc_id", "n_chars"]).count()
+
+    for k in (1, 4, 16):
+        docs = scaled_corpus(base, k).localCheckpoint()
+        toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        nkeys = toks.distinct().count()
+        t0 = _t.time()
+        n_cells = cms_sketch(toks, "token").count()
+        t_cells = _t.time() - t0
+        t0 = _t.time()
+        n_hh = cms_heavy_hitters(toks, "token").count()
+        t_hh = _t.time() - t0
+        tr = docs.filter(F.col("doc_id") % 20 != 0)
+        ev = docs.filter(F.col("doc_id") % 20 == 0)
+        t0 = _t.time()
+        b = bloom_decontaminate(tr, ev).agg(
+            F.sum("false_pos").alias("fp"),
+            F.sum("n_grams").alias("g"),
+            F.count("*").alias("d"),
+        ).collect()[0]
+        t_bl = _t.time() - t0
+        # the retune knob: same plan, num_bits sized ~16x the eval gram
+        # count — the broadcast grows to a still-trivial few MB and the FP
+        # rate drops back to the analytic design point
+        t0 = _t.time()
+        b2 = bloom_decontaminate(tr, ev, num_bits=1 << 21).agg(
+            F.sum("false_pos").alias("fp")
+        ).collect()[0]
+        t_bl2 = _t.time() - t0
+        t0 = _t.time()
+        n_files = zorder_file_stats(docs, ["doc_id", "n_chars"]).count()
+        t_z = _t.time() - t0
+        print(
+            f"scale={k}x keys={nkeys}: cms_cells={n_cells} ({t_cells:.2f}s) "
+            f"heavy_hitters={n_hh} ({t_hh:.2f}s) "
+            f"bloom8k fp={b['fp']} grams={b['g']} docs={b['d']} ({t_bl:.2f}s) "
+            f"bloom2M fp={b2['fp']} ({t_bl2:.2f}s) "
+            f"zorder_files={n_files} ({t_z:.2f}s)",
+            flush=True,
+        )
 
 if __name__ == "__main__":
     main()
