@@ -983,7 +983,7 @@ def dataset_card(sf_dir, out) -> None:
 
     from dbt_meshify_spark.operators.pipeline import training_build_frames
 
-    kept, scored, sharded = training_build_frames(docs)
+    kept, scored, sharded = training_build_frames(docs, pin_scored=True)
     stages: list[tuple[str, int, float]] = []
     t0 = _time.time()
     n_kept = kept.count()

@@ -149,7 +149,7 @@ def curation_funnel(report: DataFrame) -> DataFrame:
     )
 
 
-def training_build_frames(docs: DataFrame):
+def training_build_frames(docs: DataFrame, pin_scored: bool = False):
     """The flagship training-data build's shared staging — ONE definition
     consumed by both ``ext_training_data_build`` (the declared query) and
     the dataset-card stage-timing table, so the card can never drift from
@@ -189,6 +189,12 @@ def training_build_frames(docs: DataFrame):
         "is_target",
         num_buckets=1024,
     ).withColumn("dsir_logw", F.round("dsir_logw", 4) + F.lit(0.0))
+    if pin_scored:
+        # the dataset-card times each stage with a count() action; unpinned,
+        # the stage-3 count re-executes the whole DSIR lineage and folds
+        # stage 2's wall into stage 3's row. The declared query leaves this
+        # off (one action, Catalyst reuses nothing across separate runs).
+        scored = scored.localCheckpoint(eager=False)
     sized = kept.select("doc_id", "n_chars_norm").join(scored, "doc_id")
     picked = select_to_token_budget(
         sized,

@@ -272,7 +272,7 @@ def apply_unigram(
     L = int(max_piece_len)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
-    def encode(texts: pd.Series) -> pd.Series:
+    def encode(tok_arrays: pd.Series) -> pd.Series:
         memo: dict[str, list[str]] = {}
 
         def seg_word(w: str) -> list[str]:
@@ -290,18 +290,28 @@ def apply_unigram(
             memo[w] = got
             return got
 
-        def enc(text: str) -> list[str]:
-            if not text:
+        def enc(toks) -> list[str]:
+            if toks is None:
                 return []
             out: list[str] = []
-            for w in text.strip().lower().split():
-                out.extend(seg_word(w))
+            for w in toks:
+                if w:
+                    out.extend(seg_word(w))
             return out
 
-        return texts.map(enc)
+        return tok_arrays.map(enc)
 
-    return df.withColumn(out_col, encode(F.col(text_col))).withColumn(
-        "n_unigram_tokens", F.size(out_col).cast("long")
+    # tokenize JVM-side with the SAME lower/trim/\s+ expression training's
+    # word_types uses — a Python str.split() here diverges on Unicode
+    # whitespace (Java \s is ASCII-only) and would desynchronize encode
+    # fertility from the trained model on such corpora
+    return (
+        df.withColumn(
+            "__uni_toks", F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        )
+        .withColumn(out_col, encode(F.col("__uni_toks")))
+        .drop("__uni_toks")
+        .withColumn("n_unigram_tokens", F.size(out_col).cast("long"))
     )
 
 

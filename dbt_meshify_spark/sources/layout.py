@@ -22,7 +22,7 @@ write-then-swap into place is the caller's policy (see
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -114,26 +114,12 @@ def zorder_bucket(col: Column, vmin: Column, vmax: Column, bits: int = 8) -> Col
     ).cast("long")
 
 
-def zorder_file_stats(
-    df: DataFrame,
-    dims: list[str],
-    bits: int = 8,
-    target_files: int = 16,
-) -> DataFrame:
-    """Per-file min/max/span report for a STATIC-GRID Z-order layout —
-    the deterministic (oracle-checkable) sibling of ``zorder_layout``.
-
-    Files are fixed equal-width z-ranges (``file_id = z >> (k*bits -
-    log2(target_files))``) rather than ``repartitionByRange``'s sampled
-    quantiles, so the assignment is a pure projection: the plan is one
-    stats pass (single aggregate, 1-row broadcast) + one projection +
-    one ``target_files``-group aggregate. The output quantifies the
-    Z-order guarantee — EVERY dimension's per-file span is ~range /
-    target_files**(1/k), vs a 1-d sort where the second dimension spans
-    the full range in every file.
-    """
-    k = len(dims)
-    shift = k * bits - (target_files - 1).bit_length()
+def _staged_zorder_buckets(
+    df: DataFrame, dims: list[str], bits: int
+) -> tuple[DataFrame, list[Column]]:
+    """Shared staging for the z-order writer and the grid report: one
+    min/max stats pass over every dimension (single aggregate, 1-row
+    broadcast join) + the per-dimension bucket expressions."""
     stats = df.agg(
         *[
             agg(dim).cast("long").alias(f"__{nm}_{dim}")
@@ -151,6 +137,45 @@ def zorder_file_stats(
         )
         for dim in dims
     ]
+    return out, buckets
+
+
+def zorder_file_stats(
+    df: DataFrame,
+    dims: list[str],
+    bits: int = 8,
+    target_files: int = 16,
+) -> DataFrame:
+    """Per-file min/max/span report for a STATIC-GRID Z-order layout —
+    the deterministic (oracle-checkable) sibling of ``zorder_layout``.
+
+    Files are fixed equal-width z-ranges (``file_id = z >> (k*bits -
+    log2(target_files))``) rather than ``repartitionByRange``'s sampled
+    quantiles, so the assignment is a pure projection: the plan is one
+    stats pass (single aggregate, 1-row broadcast) + one projection +
+    one ``target_files``-group aggregate. The output quantifies the
+    Z-order guarantee — EVERY dimension's per-file span is ~range /
+    target_files**(1/k), vs a 1-d sort where the second dimension spans
+    the full range in every file.
+
+    ``target_files`` must be a power of two no larger than the
+    ``2**(len(dims)*bits)`` grid — the shift form cannot honor other
+    values (and a negative shift would silently collapse the layout:
+    the JVM masks shift counts to 6 bits instead of erroring).
+    """
+    k = len(dims)
+    if target_files < 2 or target_files & (target_files - 1):
+        raise ValueError(
+            f"zorder_file_stats: target_files must be a power of two >= 2, "
+            f"got {target_files}"
+        )
+    shift = k * bits - (target_files.bit_length() - 1)
+    if shift < 0:
+        raise ValueError(
+            f"zorder_file_stats: target_files {target_files} exceeds the "
+            f"2^({k}*{bits}) grid cell count"
+        )
+    out, buckets = _staged_zorder_buckets(df, dims, bits)
     out = out.withColumn("__fid", F.shiftright(zorder_value(buckets, bits), shift))
     aggs = [F.count("*").cast("bigint").alias("n_rows")]
     for dim in dims:
@@ -183,23 +208,7 @@ def zorder_layout(
     grid in ``zorder_file_stats`` is the deterministic variant) with an
     in-file sort on z so row-group stats are tight too.
     """
-    stats = df.agg(
-        *[
-            agg(dim).cast("long").alias(f"__{nm}_{dim}")
-            for dim in cluster_by
-            for nm, agg in (("min", F.min), ("max", F.max))
-        ]
-    )
-    out = df.crossJoin(F.broadcast(stats))
-    buckets = [
-        zorder_bucket(
-            F.col(dim).cast("long"),
-            F.col(f"__min_{dim}"),
-            F.col(f"__max_{dim}"),
-            bits,
-        )
-        for dim in cluster_by
-    ]
+    out, buckets = _staged_zorder_buckets(df, cluster_by, bits)
     out = out.withColumn("__z", zorder_value(buckets, bits))
     (
         out.repartitionByRange(target_files, F.col("__z"))

@@ -447,11 +447,16 @@ def stream_cms_heavy_hitters(
     spark = stream_docs.sparkSession
 
     def build(batch_df: DataFrame, batch_id: int) -> None:
+        # keyed by batch_id and OVERWRITTEN, not blind-appended: foreachBatch
+        # is at-least-once (a crash between this write and the checkpoint
+        # commit replays the batch), and the oracle equality below needs the
+        # merged cell sums exactly once per batch — a replay lands on the
+        # same directory instead of double-counting
         toks = batch_df.select(
             F.explode(tokens_col(F.col(text_col))).alias("token")
         )
-        cms_sketch(toks, "token", depth, width).write.mode("append").parquet(
-            f"{out_dir}/cells"
+        cms_sketch(toks, "token", depth, width).write.mode("overwrite").parquet(
+            f"{out_dir}/cells/batch={batch_id}"
         )
 
     q = (
