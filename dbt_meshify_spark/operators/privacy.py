@@ -1,0 +1,143 @@
+"""Privacy accounting over behavioral/event data (N10 governance tier).
+
+Two released-data primitives a training-data pipeline needs before user
+event streams can feed features or be shared:
+
+- **k-anonymity audit** (`k_anonymity_report` / `suppress_small_groups`):
+  group the release by its quasi-identifier columns and measure
+  re-identification risk — a QI group smaller than ``k`` (or backed by
+  fewer than ``k`` distinct users) pins its rows to few individuals
+  (Sweeney, 2002). The audit emits per-group sizes and flags; suppression
+  drops the at-risk groups (the standard k-anonymization release step).
+- **bounded-contribution aggregation** (`bounded_contribution_agg`): the
+  differential-privacy PREPARATION primitives — per-user contribution caps
+  (keep the first ``max_per_user`` events per user per group,
+  deterministic (ts, event_id) order) and value clamping to ``[lo, hi]``,
+  which bound the sensitivity of the released sums to
+  ``max_per_user * (hi - lo)`` per user. Noise addition is a trivial
+  scalar draw on the bounded release and deliberately out of scope (no
+  deterministic oracle exists for randomness); the HARD distributed part
+  is the capping, which is what this implements.
+
+Engine-portability: released sums are emitted as INTEGER hundredth-units
+(``floor(clamped * 100)`` — IEEE floor is bit-deterministic and integer
+sums are order-independent, so the DuckDB oracle replays exactly; a double
+SUM would land on half-ulp boundaries between engines, the CLAUDE.md
+hazard).
+
+Scale shape (100 TB posture): the audit is ONE map-side-combined groupBy
+on the QI key (distinct-user counts ride the same shuffle); suppression
+broadcasts nothing — it re-joins the at-risk keys (output-bounded) as an
+anti-join. The contribution cap is one window over (user, group) — the
+same key family the sessionize/temporal tier already shuffles on — then
+two partial aggregates ((group, user) then group). No reference analog
+(dbt-meshify has no data plane).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    user_col: str = "user_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-QI-group size/user-count audit with the at-risk flag.
+
+    ``at_risk`` is true when the group has fewer than ``k`` rows OR fewer
+    than ``k`` distinct users (a large group from one user still
+    identifies them). One partial-aggregated shuffle on the QI key.
+    """
+    return df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("bigint").alias("group_size"),
+        F.countDistinct(user_col).cast("bigint").alias("n_users"),
+        (
+            (F.count("*") < F.lit(int(k)))
+            | (F.countDistinct(user_col) < F.lit(int(k)))
+        ).alias("at_risk"),
+    )
+
+
+def suppress_small_groups(
+    df: DataFrame,
+    quasi_cols: list[str],
+    user_col: str = "user_id",
+    k: int = 5,
+) -> DataFrame:
+    """The k-anonymization release: drop every row whose QI group is
+    at-risk. The at-risk key set is output-bounded; the suppression is a
+    keys-only anti-join (rows never shuffle on anything but the QI key)."""
+    risky = (
+        k_anonymity_report(df, quasi_cols, user_col, k)
+        .filter(F.col("at_risk"))
+        .select(*quasi_cols)
+    )
+    return df.join(risky, quasi_cols, "left_anti")
+
+
+def _clamped_units(value: Column, lo: float, hi: float) -> Column:
+    """Clamp to [lo, hi] and quantize to integer hundredths via IEEE floor
+    — deterministic across engines, and integer sums are order-free."""
+    clamped = F.least(F.greatest(value, F.lit(float(lo))), F.lit(float(hi)))
+    return F.floor(clamped * F.lit(100.0)).cast("bigint")
+
+
+def bounded_contribution_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    user_col: str = "user_id",
+    value_col: str = "value",
+    order_by: list[Column] | None = None,
+    max_per_user: int = 10,
+    lo: float = 0.0,
+    hi: float = 100.0,
+) -> DataFrame:
+    """Per-group release with user-level sensitivity bounded: keep the
+    first ``max_per_user`` rows per (user, group) in ``order_by`` order,
+    clamp values to ``[lo, hi]``, and aggregate.
+
+    Returns per group: ``n_users``, ``n_kept``, ``n_capped`` (rows the cap
+    dropped), ``sum_units`` (integer hundredths of the clamped sum) and
+    ``max_user_units`` (the largest single user's contribution — by
+    construction <= ``max_per_user * (hi - lo) * 100``, the sensitivity
+    the release is certified to). One (user, group) window + two partial
+    aggregates; values never leave integer space after the clamp.
+    """
+    order = order_by or [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy(user_col, *group_cols).orderBy(*order)
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("__rn") <= int(max_per_user))
+    per_user = (
+        kept.withColumn("__units", _clamped_units(F.col(value_col), lo, hi))
+        .groupBy(user_col, *group_cols)
+        .agg(
+            F.count("*").cast("bigint").alias("__n"),
+            F.sum("__units").cast("bigint").alias("__user_units"),
+        )
+    )
+    dropped = (
+        ranked.filter(F.col("__rn") > int(max_per_user))
+        .groupBy(*group_cols)
+        .agg(F.count("*").cast("bigint").alias("n_capped"))
+    )
+    out = (
+        per_user.groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("__n").cast("bigint").alias("n_kept"),
+            F.sum("__user_units").cast("bigint").alias("sum_units"),
+            F.max("__user_units").cast("bigint").alias("max_user_units"),
+        )
+        .join(dropped, group_cols, "left")
+        .withColumn(
+            "n_capped", F.coalesce(F.col("n_capped"), F.lit(0)).cast("bigint")
+        )
+    )
+    return out.select(
+        *group_cols, "n_users", "n_kept", "n_capped", "sum_units", "max_user_units"
+    )

@@ -8878,3 +8878,93 @@ def ext_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ext_stream_cms_heavy_hitters"] = ext_stream_cms_heavy_hitters
 ORACLES["ext_stream_cms_heavy_hitters"] = ORACLES["ext_cms_heavy_hitters"]
+
+
+def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N10 privacy tier] k-anonymity audit of the events release under the
+    quasi-identifier (event_type, day, value-bucket)
+    (operators/privacy.py::k_anonymity_report): per-QI-group row and
+    distinct-user counts with the at-risk flag (size < k OR users < k) —
+    the re-identification screen run before behavioral data feeds
+    features. One partial-aggregated shuffle on the QI key."""
+    from dbt_meshify_spark.operators.privacy import k_anonymity_report
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") / F.lit(100.0)).cast("bigint").alias("vbucket"),
+        "user_id",
+    )
+    out = k_anonymity_report(ev, ["event_type", "day", "vbucket"], "user_id", k=5)
+    return out.orderBy(_asc("event_type"), _asc("day"), _asc("vbucket"))
+
+
+QUERIES["ext_k_anonymity"] = ext_k_anonymity
+
+ORACLES["ext_k_anonymity"] = """
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(FLOOR(value / 100.0) AS BIGINT) AS vbucket, user_id
+  FROM events
+)
+SELECT event_type, day, vbucket,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       (COUNT(*) < 5 OR COUNT(DISTINCT user_id) < 5) AS at_risk
+FROM g GROUP BY 1, 2, 3
+ORDER BY event_type NULLS FIRST, day NULLS FIRST, vbucket NULLS FIRST
+"""
+
+
+def ext_bounded_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N10 privacy tier] bounded-contribution release per event_type
+    (operators/privacy.py::bounded_contribution_agg): first-10 events per
+    (user, type) in (ts, event_id) order, values clamped to [0, 100] and
+    quantized to integer hundredths (IEEE floor — order-free integer sums,
+    exactly replayable), so the released sum's user-level sensitivity is
+    certified <= 10 * 100 * 100 units — the differential-privacy
+    preparation primitives (noise addition is a scalar draw on top and
+    has no deterministic oracle). max_user_units witnesses the bound."""
+    from dbt_meshify_spark.operators.privacy import bounded_contribution_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = bounded_contribution_agg(
+        ev, ["event_type"], max_per_user=10, lo=0.0, hi=100.0
+    )
+    return out.orderBy(_asc("event_type"))
+
+
+QUERIES["ext_bounded_contribution"] = ext_bounded_contribution
+
+ORACLES["ext_bounded_contribution"] = """
+WITH r AS (
+  SELECT event_type, user_id, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+),
+kept AS (
+  SELECT event_type, user_id,
+         CAST(FLOOR(LEAST(GREATEST(value, 0.0), 100.0) * 100.0) AS BIGINT)
+           AS units
+  FROM r WHERE rn <= 10
+),
+pu AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(units) AS BIGINT) AS uu
+  FROM kept GROUP BY 1, 2
+),
+dropped AS (
+  SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS n_capped
+  FROM r WHERE rn > 10 GROUP BY 1
+)
+SELECT pu.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_kept,
+       CAST(COALESCE(MAX(d.n_capped), 0) AS BIGINT) AS n_capped,
+       CAST(SUM(uu) AS BIGINT) AS sum_units,
+       CAST(MAX(uu) AS BIGINT) AS max_user_units
+FROM pu LEFT JOIN dropped d ON pu.event_type = d.et
+GROUP BY pu.event_type
+ORDER BY pu.event_type NULLS FIRST
+"""

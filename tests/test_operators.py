@@ -5217,3 +5217,64 @@ def test_zorder_layout_bounds_every_dimension_per_file(spark, tmp_path):
         )
     # round-trip: the clustered copy holds the same rows
     assert spark.read.parquet(out).count() == ev.count()
+
+
+# --------------------------------------------------------------- privacy
+
+
+def test_suppress_small_groups_releases_only_k_anonymous_rows(spark):
+    """After suppression every surviving QI group has >= k rows AND >= k
+    distinct users, and kept + suppressed partitions the input."""
+    from dbt_meshify_spark.operators.privacy import (
+        k_anonymity_report,
+        suppress_small_groups,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") / F.lit(100.0)).cast("bigint").alias("vbucket"),
+        "user_id",
+    )
+    qi = ["event_type", "day", "vbucket"]
+    total = ev.count()
+    released = suppress_small_groups(ev, qi, "user_id", k=5)
+    audit = k_anonymity_report(released, qi, "user_id", k=5)
+    assert audit.filter(F.col("at_risk")).count() == 0
+    n_risky_rows = (
+        k_anonymity_report(ev, qi, "user_id", k=5)
+        .filter(F.col("at_risk"))
+        .agg(F.sum("group_size"))
+        .collect()[0][0]
+    )
+    assert n_risky_rows and n_risky_rows > 0, "fixture must exercise suppression"
+    assert released.count() == total - n_risky_rows
+
+
+def test_bounded_contribution_certifies_sensitivity(spark):
+    """The released per-user contribution can never exceed
+    max_per_user * hi * 100 units (the certified sensitivity), the cap
+    drops exactly the rows beyond the per-(user, group) quota, and
+    integer unit sums make the release reproducible."""
+    from dbt_meshify_spark.operators.privacy import bounded_contribution_agg
+    from dbt_meshify_spark.sources import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    out = bounded_contribution_agg(
+        ev, ["event_type"], max_per_user=10, lo=0.0, hi=100.0
+    ).collect()
+    assert out
+    bound = 10 * 100 * 100
+    for r in out:
+        assert r.max_user_units <= bound, r
+        assert r.n_capped >= 0 and r.n_kept > 0
+    # cap accounting: kept + capped == group totals
+    totals = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for r in out:
+        assert r.n_kept + r.n_capped == totals[r.event_type], r
+    # a user with > max_per_user events must actually be capped somewhere
+    assert any(r.n_capped > 0 for r in out), "fixture must exercise the cap"
