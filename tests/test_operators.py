@@ -5278,3 +5278,53 @@ def test_bounded_contribution_certifies_sensitivity(spark):
         assert r.n_kept + r.n_capped == totals[r.event_type], r
     # a user with > max_per_user events must actually be capped somewhere
     assert any(r.n_capped > 0 for r in out), "fixture must exercise the cap"
+
+
+def test_zorder_value_matches_reference_interleave_exhaustively(spark):
+    """Exhaustive 3-dim check of the Morton bit layout against a Python
+    reference over the full 8x8x8 grid (bits=3), plus bijectivity — the
+    property the per-file span guarantee rests on for ANY dim count."""
+    import itertools
+
+    from dbt_meshify_spark.sources.layout import zorder_value
+
+    bits = 3
+    rows = [(a, b, c) for a, b, c in itertools.product(range(8), repeat=3)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = df.withColumn(
+        "z", zorder_value([F.col("a"), F.col("b"), F.col("c")], bits=bits)
+    ).collect()
+
+    def morton3(a: int, b: int, c: int) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (3 * i + 2)
+            z |= ((b >> i) & 1) << (3 * i + 1)
+            z |= ((c >> i) & 1) << (3 * i)
+        return z
+
+    for r in got:
+        assert r.z == morton3(r.a, r.b, r.c), r
+    assert len({r.z for r in got}) == 512  # bijective on the grid
+
+
+def test_zorder_bucket_monotone_and_in_range(spark):
+    """zorder_bucket must map [vmin, vmax] into [0, 2^bits) monotonically —
+    the ranking property that keeps interleave non-degenerate on dims whose
+    raw high bits are empty."""
+    from dbt_meshify_spark.sources.layout import zorder_bucket
+
+    df = spark.range(0, 366).select(F.col("id").alias("v"))
+    out = (
+        df.withColumn(
+            "b",
+            zorder_bucket(F.col("v"), F.lit(0).cast("long"),
+                          F.lit(365).cast("long"), bits=8),
+        )
+        .orderBy("v")
+        .collect()
+    )
+    bs = [r.b for r in out]
+    assert all(0 <= b < 256 for b in bs)
+    assert bs == sorted(bs)
+    assert bs[0] == 0 and bs[-1] == 255
