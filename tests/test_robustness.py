@@ -515,3 +515,93 @@ def test_lm_and_unigram_degenerate_corpora(spark):
     enc = unigram_encode_delimited(uni, min_count=1)
     got = {r.doc_id: list(r.unigram_tokens) for r in enc.collect()}
     assert "".join(got[2]) == "日本語テスト日本語"
+
+
+def test_sketches_survive_nasty_input(spark, nasty):
+    """CMS and Bloom over the nasty corpus: null/empty/unicode/giant docs
+    must not crash, the CMS overestimate invariant must hold on whatever
+    tokens emerge, and Bloom must keep zero false negatives."""
+    from dbt_meshify_spark.operators.dedup import tokens_col
+    from dbt_meshify_spark.operators.sketches import (
+        bloom_decontaminate,
+        cms_estimate,
+        cms_heavy_hitters,
+        cms_sketch,
+    )
+
+    toks = nasty.filter(F.col("text").isNotNull()).select(
+        F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    hh = cms_heavy_hitters(toks, "token", threshold_frac=0.0).collect()
+    assert hh, "nasty corpus still has tokens"
+    for r in hh:
+        assert r.cms_est >= r.true_count
+    sketch_rows = cms_sketch(toks, "token").collect()
+    sketch = spark.createDataFrame(
+        [(r.r, r.b, r.c) for r in sketch_rows], "r int, b bigint, c bigint"
+    )
+    truth = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("true_count"))
+    est = cms_estimate(truth, sketch, "token")
+    assert est.filter(F.col("cms_est") < F.col("true_count")).count() == 0
+
+    out = bloom_decontaminate(
+        nasty.filter(F.col("doc_id") % 2 == 1),
+        nasty.filter(F.col("doc_id") % 2 == 0),
+    ).collect()
+    for r in out:
+        assert r.bloom_matched >= r.exact_matched, r
+        assert r.false_pos >= 0
+
+
+def test_privacy_ops_survive_degenerate_groups(spark):
+    """k-anonymity with every group singleton (full suppression) and with
+    one giant group (no suppression); bounded contribution with values
+    outside [lo, hi] on both sides and one user holding everything."""
+    from dbt_meshify_spark.operators.privacy import (
+        bounded_contribution_agg,
+        k_anonymity_report,
+        suppress_small_groups,
+    )
+
+    singles = spark.createDataFrame(
+        [(i, f"qi{i}", float(i)) for i in range(20)], "user_id long, qi string, value double"
+    )
+    assert suppress_small_groups(singles, ["qi"], "user_id", k=2).count() == 0
+    one_group = singles.withColumn("qi", F.lit("same"))
+    rep = k_anonymity_report(one_group, ["qi"], "user_id", k=5).collect()
+    assert len(rep) == 1 and not rep[0].at_risk
+    assert suppress_small_groups(one_group, ["qi"], "user_id", k=5).count() == 20
+
+    import datetime
+
+    rows = [
+        (1, "t", datetime.datetime(2024, 1, 1, 0, 0, i), i, -50.0 + 40.0 * i)
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long, value double"
+    )
+    out = bounded_contribution_agg(
+        df, ["event_type"], max_per_user=10, lo=0.0, hi=100.0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_users == 1 and r.n_kept == 10 and r.n_capped == 5
+    # clamp: first 10 values are -50..310 -> clamped 0..100; units exact
+    vals = [max(0.0, min(100.0, -50.0 + 40.0 * i)) for i in range(10)]
+    assert r.sum_units == sum(int(v * 100) for v in vals)
+    assert r.max_user_units == r.sum_units <= 10 * 100 * 100
+
+
+def test_zorder_survives_constant_and_null_dims(spark):
+    """A constant dimension (span 0) must bucket to 0 everywhere and a
+    null dim value must flow to a null file_id, not crash the grid."""
+    from dbt_meshify_spark.sources.layout import zorder_file_stats
+
+    rows = [(i, 7, (i if i % 5 else None)) for i in range(50)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    out = zorder_file_stats(df, ["b", "c"], bits=4, target_files=4).collect()
+    fids = {r.file_id for r in out}
+    assert None in fids or all(r.n_rows for r in out)
+    # the non-null rows still partition into >= 2 files on the live dim
+    assert len([f for f in fids if f is not None]) >= 2
