@@ -303,3 +303,72 @@ def bloom_decontaminate(
         overlap.alias("bloom_overlap"),
         (overlap >= F.lit(float(min_overlap))).alias("contaminated_bloom"),
     )
+
+
+def _md5_hex8(col: Column, salt: str) -> Column:
+    """Full 32-bit integer value of the first 8 md5 hex digits (no mod) —
+    the uniform the KMV estimator divides by."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_cardinality(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 256,
+    prefix: str = "kmv",
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per key — the hash-checked
+    cardinality tier (the DataSketches theta/KMV family; Bar-Yossef et
+    al., 2002), completing the deterministic sketch trio with CMS
+    (frequency) and Bloom (membership). ``ext_approx_sketches``' HLL++
+    stays the production mapping note; KMV is the variant whose every
+    retained hash an independent SQL engine reproduces.
+
+    Estimator: with ``d`` distinct values hashed uniformly into (0, 1),
+    the k-th smallest hash ``u_k`` ~= k/d, so ``est = (k-1)/u_k``
+    (unbiased form); when a key holds fewer than ``k`` distinct values the
+    sketch IS the exact set and the estimate is exact. State is ``k``
+    8-byte hashes per key — mergeable by union + re-take-k-smallest.
+
+    Plan shape: one distinct (key, hash) partial-agg shuffle, then the
+    skew-safe ``topk_per_key`` combiner (each input partition contributes
+    <= k survivors per key before the per-key shuffle — a hot key moves
+    k*P rows, never its full mass). Returns per key: ``n_exact`` (audit),
+    ``n_kept``, ``kmv_est``, ``rel_err``.
+    """
+    from dbt_meshify_spark.operators.skew import topk_per_key
+
+    hv = _md5_hex8(F.col(value_col), prefix).alias("__hv")
+    dh = df.select(*key_cols, hv).distinct()
+    kept = topk_per_key(dh, key_cols, [F.col("__hv").asc()], k)
+    sk = kept.groupBy(*key_cols).agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.max("__hv").alias("__kmax"),
+    )
+    exact = df.groupBy(*key_cols).agg(
+        F.countDistinct(value_col).cast("bigint").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_kept") < F.lit(int(k)), F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / ((F.col("__kmax").cast("double") + F.lit(0.5)) / F.lit(float(16**8)))
+    )
+    est_r = F.round(est, 4) + F.lit(0.0)
+    rel = F.round(
+        F.abs(est - F.col("n_exact").cast("double"))
+        / F.col("n_exact").cast("double"),
+        4,
+    ) + F.lit(0.0)
+    return exact.join(sk, key_cols).select(
+        *key_cols,
+        "n_exact",
+        "n_kept",
+        est_r.alias("kmv_est"),
+        rel.alias("rel_err"),
+    )

@@ -8968,3 +8968,58 @@ FROM pu LEFT JOIN dropped d ON pu.event_type = d.et
 GROUP BY pu.event_type
 ORDER BY pu.event_type NULLS FIRST
 """
+
+
+def ext_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4 sketch tier, hash-checked] K-minimum-values distinct-user sketch
+    per event_type (operators/sketches.py::kmv_cardinality, k=64 so the
+    estimation branch is exercised on the 150-user corpus) — the
+    cardinality member of the deterministic sketch trio (CMS frequency,
+    Bloom membership, KMV cardinality). Unlike HLL++ (rows-only, register
+    internals differ per engine) every retained hash and the estimator
+    itself replay in the DuckDB oracle; exact counts ride along as the
+    audit."""
+    from dbt_meshify_spark.operators.sketches import kmv_cardinality
+
+    ev = load_table(spark, sf_dir, "events")
+    out = kmv_cardinality(ev, ["event_type"], "user_id", k=64)
+    return out.orderBy(_asc("event_type"))
+
+
+QUERIES["ext_kmv_distinct"] = ext_kmv_distinct
+
+ORACLES["ext_kmv_distinct"] = (
+    r"""
+WITH hx0 AS (
+  SELECT DISTINCT event_type,
+         md5('kmv|' || CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+),
+dh AS (SELECT event_type, ({HEX8}) AS hv FROM hx0),
+r AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+  FROM dh
+),
+kth AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(hv) AS kmax
+  FROM r WHERE rn <= 64 GROUP BY 1
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+),
+fin AS (
+  SELECT ex.event_type, ex.n_exact, k.n_kept,
+         CASE WHEN k.n_kept < 64 THEN CAST(k.n_kept AS DOUBLE)
+              ELSE 63.0 / ((CAST(k.kmax AS DOUBLE) + 0.5) / 4294967296.0)
+         END AS est
+  FROM ex JOIN kth k ON ex.event_type = k.event_type
+)
+SELECT event_type, n_exact, n_kept,
+       ROUND(est, 4) + 0.0 AS kmv_est,
+       ROUND(ABS(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 4)
+         + 0.0 AS rel_err
+FROM fin ORDER BY event_type NULLS FIRST
+""".replace("{HEX8}", _hex8_sum("hx"))
+)
