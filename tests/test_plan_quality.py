@@ -691,3 +691,13 @@ def test_zorder_stats_report_is_two_scans_no_window(spark):
     assert "Window" not in plan, "global window in the z-order layout path"
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") <= 2
+
+
+def test_kmv_windows_partition_on_keys_never_globally(spark):
+    """ext_kmv_distinct: both row_number windows (the local per-partition
+    prune and the per-key final) must partition on real keys — a
+    SinglePartition exchange feeding an unpartitioned window would
+    serialize the distinct-hash stream through one task."""
+    plan = _physical(QUERIES["ext_kmv_distinct"](spark, SF_ORACLE))
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
