@@ -9023,3 +9023,35 @@ SELECT event_type, n_exact, n_kept,
 FROM fin ORDER BY event_type NULLS FIRST
 """.replace("{HEX8}", _hex8_sum("hx"))
 )
+
+
+def ext_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6/N9] STREAMING weighted sampling: the documents corpus arrives as
+    a file stream and each micro-batch contributes only its own ES top-k
+    candidates (streaming/documents.py::stream_weighted_sample) — the
+    row-intrinsic u^(1/w) key makes the drained sample EXACTLY the batch
+    weighted_sample_k row set, so it shares ext_weighted_sample's oracle.
+    Fixed-memory live selection over an ingest."""
+    import tempfile
+
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_weighted_sample,
+    )
+
+    feed = read_documents_stream(
+        spark, f"{sf_dir.rstrip('/')}/documents.parquet", max_files_per_trigger=1
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_es_")
+    out = stream_weighted_sample(
+        feed, out_dir, k=50, weight_col="n_chars", key_cols=["doc_id"]
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        F.col("draw_rank").cast("bigint").alias("draw_rank"),
+    ).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_stream_weighted_sample"] = ext_stream_weighted_sample
+ORACLES["ext_stream_weighted_sample"] = ORACLES["ext_weighted_sample"]

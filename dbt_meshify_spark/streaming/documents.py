@@ -478,3 +478,60 @@ def stream_cms_heavy_hitters(
     return heavy_hitters_from_cells(
         cells, truth, "token", threshold_frac, depth, width
     )
+
+
+def stream_weighted_sample(
+    stream_docs: DataFrame,
+    out_dir: str,
+    k: int,
+    weight_col: str,
+    key_cols: list[str],
+    seed: str = "es0",
+) -> DataFrame:
+    """Live weighted sampling without replacement over an ingest: every
+    micro-batch keeps only its own Efraimidis-Spirakis top-k candidates
+    (<= k rows appended per batch, batch-keyed overwrite — idempotent
+    under foreachBatch replay like stream_cms_heavy_hitters), and the
+    final sample re-ranks the union.
+
+    Exactness, not approximation: the ES key u^(1/w) is row-INTRINSIC
+    (deterministic md5 uniform of the row key), so the global top-k is
+    always contained in the union of per-batch top-ks — drained
+    availableNow the result row set equals
+    ``sampling.weighted_sample_k`` over the same corpus exactly, which is
+    how it shares that oracle. State grows with batches x k rows, never
+    with documents — the live "which docs would tonight's mixture pick"
+    monitor at fixed memory.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dbt_meshify_spark.operators.sampling import _md5_uniform
+
+    spark = stream_docs.sparkSession
+    u = _md5_uniform(key_cols, seed)
+
+    def pick(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = (
+            batch_df.filter(F.col(weight_col) > 0)
+            .withColumn(
+                "es_key", F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+            )
+            .orderBy(F.col("es_key").desc(), *[F.col(c) for c in key_cols])
+            .limit(k)
+        )
+        keyed.write.mode("overwrite").parquet(f"{out_dir}/cands/batch={batch_id}")
+
+    q = (
+        stream_docs.writeStream.foreachBatch(pick)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cands = spark.read.parquet(f"{out_dir}/cands")
+    topk = cands.orderBy(
+        F.col("es_key").desc(), *[F.col(c) for c in key_cols]
+    ).limit(k)
+    rank_w = Window.orderBy(F.col("es_key").desc(), *[F.col(c) for c in key_cols])
+    return topk.withColumn("draw_rank", F.row_number().over(rank_w))

@@ -512,3 +512,33 @@ def test_stream_cms_matches_batch_and_state_stays_bounded(spark, tmp_path_factor
     # state bound: two micro-batches, each appending <= depth*width cells
     state = spark.read.parquet(f"{out_dir}/cells")
     assert state.count() <= 2 * 4 * 1024
+
+
+def test_stream_weighted_sample_matches_batch(spark, tmp_path_factory):
+    """The ES key is row-intrinsic, so the union of per-batch top-k
+    candidates always contains the global top-k: two forced micro-batches
+    must yield exactly the batch weighted_sample_k rows and ranks, with
+    on-disk state <= batches x k."""
+    from dbt_meshify_spark.operators.sampling import weighted_sample_k
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_weighted_sample,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    d = tmp_path_factory.mktemp("es_batches")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(d / "f1"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(d / "f2"))
+    feed = read_documents_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+
+    out_dir = str(tmp_path_factory.mktemp("es_out"))
+    streamed = stream_weighted_sample(
+        feed, out_dir, k=25, weight_col="n_chars", key_cols=["doc_id"]
+    )
+    expected = weighted_sample_k(docs, k=25, weight_col="n_chars", key_cols=["doc_id"])
+    got = sorted((r.doc_id, r.draw_rank) for r in streamed.collect())
+    want = sorted((r.doc_id, r.draw_rank) for r in expected.collect())
+    assert got == want and len(got) == 25
+    assert spark.read.parquet(f"{out_dir}/cands").count() <= 2 * 25
