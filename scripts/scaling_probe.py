@@ -191,6 +191,11 @@ def main() -> None:
 
         sketch_family_probe(get_spark(), load_table(get_spark(), sf_dir, "documents"))
         return
+    if "--privacy" in sys.argv:
+        from dbt_meshify_spark.session import get_spark
+
+        privacy_kmv_probe(get_spark(), sf_dir)
+        return
     from dbt_meshify_spark.operators.dedup import (
         exact_dedup,
         minhash_candidate_pairs,
@@ -401,3 +406,74 @@ def sketch_family_probe(spark, base) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def privacy_kmv_probe(spark, sf_dir: str) -> None:
+    """KMV + privacy tier at 1x-16x of the events corpus (round 9).
+    Scale-up = user-shifted copies (each copy's users disjoint, ts
+    shifted by copy index days): distinct users and QI groups grow
+    linearly — the worst case for both operators. Claims under test:
+    KMV state stays k hashes/key while distinct users grow 16x (and the
+    estimator error stays in the 1/sqrt(k-2) band); the k-anonymity
+    audit and the contribution cap are one/two partial-agg shuffles with
+    no superlinear term."""
+    import time as _t
+
+    from dbt_meshify_spark.operators.privacy import (
+        bounded_contribution_agg,
+        k_anonymity_report,
+    )
+    from dbt_meshify_spark.operators.sketches import kmv_cardinality
+    from dbt_meshify_spark.sources import load_table
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n_users = base.agg(F.countDistinct("user_id")).collect()[0][0]
+
+    def scaled_events(k: int):
+        parts = [base]
+        for i in range(1, k):
+            parts.append(
+                base.select(
+                    (F.col("event_id") + i * 10_000_000).alias("event_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {i} DAYS")).alias("ts"),
+                    (F.col("user_id") + i * n_users).alias("user_id"),
+                    "event_type",
+                    "value",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    warm = scaled_events(1).localCheckpoint()
+    kmv_cardinality(warm, ["event_type"], "user_id", k=64).count()
+    k_anonymity_report(
+        warm.withColumn("day", F.col("ts").cast("date")),
+        ["event_type", "day"], "user_id",
+    ).count()
+    bounded_contribution_agg(warm, ["event_type"]).count()
+
+    for k in (1, 4, 16):
+        ev = scaled_events(k).localCheckpoint()
+        t0 = _t.time()
+        rows = kmv_cardinality(ev, ["event_type"], "user_id", k=64).collect()
+        t_kmv = _t.time() - t0
+        max_err = max(r.rel_err for r in rows)
+        t0 = _t.time()
+        n_groups = k_anonymity_report(
+            ev.withColumn("day", F.col("ts").cast("date")),
+            ["event_type", "day"], "user_id",
+        ).count()
+        t_ka = _t.time() - t0
+        t0 = _t.time()
+        bounded_contribution_agg(ev, ["event_type"]).count()
+        t_bc = _t.time() - t0
+        print(
+            f"scale={k}x users={k * n_users}: kmv={t_kmv:.2f}s "
+            f"(max_rel_err {max_err}) k_anon={t_ka:.2f}s "
+            f"(groups {n_groups}) bounded_contrib={t_bc:.2f}s",
+            flush=True,
+        )

@@ -417,6 +417,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "ext_domain_quality_filter": "rank over top_k TakeOrdered survivors",
     "ext_skew_report": "rank over top-k heavy hitters per column",
     "ext_weighted_sample": "rank over k TakeOrdered sample rows",
+    "ext_stream_weighted_sample": "rank over the <= batches x k drained "
+    "candidate rows (same bounded post-top-k frame as the batch twin)",
     "ext_zipf_fit": "regression over top-500 term frequencies",
     # candidate-sized / documented small tiers
     "ext_funnel_windowed": "rates over the fixed stage-count rows",
