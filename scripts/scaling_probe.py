@@ -404,8 +404,6 @@ def sketch_family_probe(spark, base) -> None:
             flush=True,
         )
 
-if __name__ == "__main__":
-    main()
 
 
 def privacy_kmv_probe(spark, sf_dir: str) -> None:
@@ -477,3 +475,6 @@ def privacy_kmv_probe(spark, sf_dir: str) -> None:
             f"(groups {n_groups}) bounded_contrib={t_bc:.2f}s",
             flush=True,
         )
+
+if __name__ == "__main__":
+    main()
