@@ -14,7 +14,9 @@ event streams can feed features or be shared:
   (keep the first ``max_per_user`` events per user per group,
   deterministic (ts, event_id) order) and value clamping to ``[lo, hi]``,
   which bound the sensitivity of the released sums to
-  ``max_per_user * (hi - lo)`` per user. Noise addition is a trivial
+  ``max_per_user * max(|lo|, |hi|)`` per user (removing a user changes
+  the sum by at most their whole contribution — ``hi - lo`` would
+  understate it whenever ``lo > 0``). Noise addition is a trivial
   scalar draw on the bounded release and deliberately out of scope (no
   deterministic oracle exists for randomness); the HARD distributed part
   is the capping, which is what this implements.
@@ -71,13 +73,24 @@ def suppress_small_groups(
 ) -> DataFrame:
     """The k-anonymization release: drop every row whose QI group is
     at-risk. The at-risk key set is output-bounded; the suppression is a
-    keys-only anti-join (rows never shuffle on anything but the QI key)."""
-    risky = (
-        k_anonymity_report(df, quasi_cols, user_col, k)
-        .filter(F.col("at_risk"))
-        .select(*quasi_cols)
+    keys-only anti-join (rows never shuffle on anything but the QI key).
+
+    The anti-join is NULL-SAFE on every QI column: the audit groups NULL
+    QI values like any other value (a 2-row (type, day=NULL) group is
+    just as re-identifying), so a null-unsafe join would fail OPEN and
+    release exactly the rows it was told to suppress.
+    """
+    risky = k_anonymity_report(df, quasi_cols, user_col, k).filter(
+        F.col("at_risk")
     )
-    return df.join(risky, quasi_cols, "left_anti")
+    risky = risky.select(
+        *[F.col(c).alias(f"__r_{c}") for c in quasi_cols]
+    )
+    cond = None
+    for c in quasi_cols:
+        term = df[c].eqNullSafe(risky[f"__r_{c}"])
+        cond = term if cond is None else (cond & term)
+    return df.join(risky, cond, "left_anti")
 
 
 def _clamped_units(value: Column, lo: float, hi: float) -> Column:
@@ -104,40 +117,35 @@ def bounded_contribution_agg(
     Returns per group: ``n_users``, ``n_kept``, ``n_capped`` (rows the cap
     dropped), ``sum_units`` (integer hundredths of the clamped sum) and
     ``max_user_units`` (the largest single user's contribution — by
-    construction <= ``max_per_user * (hi - lo) * 100``, the sensitivity
-    the release is certified to). One (user, group) window + two partial
-    aggregates; values never leave integer space after the clamp.
+    construction <= ``max_per_user * max(|lo|, |hi|) * 100``, the
+    user-level sensitivity the release is certified to; note ``hi - lo``
+    would UNDERSTATE it whenever ``lo > 0``). ONE (user, group) window
+    feeding two partial aggregates — kept and capped counts ride the same
+    pass (a second window execution would double the dominant shuffle at
+    corpus scale); values never leave integer space after the clamp.
     """
     order = order_by or [F.col("ts").asc(), F.col("event_id").asc()]
     w = Window.partitionBy(user_col, *group_cols).orderBy(*order)
+    cap = int(max_per_user)
     ranked = df.withColumn("__rn", F.row_number().over(w))
-    kept = ranked.filter(F.col("__rn") <= int(max_per_user))
+    keep = F.col("__rn") <= cap
     per_user = (
-        kept.withColumn("__units", _clamped_units(F.col(value_col), lo, hi))
+        ranked.withColumn(
+            "__units", F.when(keep, _clamped_units(F.col(value_col), lo, hi))
+        )
         .groupBy(user_col, *group_cols)
         .agg(
-            F.count("*").cast("bigint").alias("__n"),
-            F.sum("__units").cast("bigint").alias("__user_units"),
+            F.sum(keep.cast("int")).cast("bigint").alias("__n"),
+            F.sum((~keep).cast("int")).cast("bigint").alias("__n_over"),
+            F.coalesce(F.sum("__units"), F.lit(0))
+            .cast("bigint")
+            .alias("__user_units"),
         )
     )
-    dropped = (
-        ranked.filter(F.col("__rn") > int(max_per_user))
-        .groupBy(*group_cols)
-        .agg(F.count("*").cast("bigint").alias("n_capped"))
-    )
-    out = (
-        per_user.groupBy(*group_cols)
-        .agg(
-            F.count("*").cast("bigint").alias("n_users"),
-            F.sum("__n").cast("bigint").alias("n_kept"),
-            F.sum("__user_units").cast("bigint").alias("sum_units"),
-            F.max("__user_units").cast("bigint").alias("max_user_units"),
-        )
-        .join(dropped, group_cols, "left")
-        .withColumn(
-            "n_capped", F.coalesce(F.col("n_capped"), F.lit(0)).cast("bigint")
-        )
-    )
-    return out.select(
-        *group_cols, "n_users", "n_kept", "n_capped", "sum_units", "max_user_units"
+    return per_user.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("__n").cast("bigint").alias("n_kept"),
+        F.sum("__n_over").cast("bigint").alias("n_capped"),
+        F.sum("__user_units").cast("bigint").alias("sum_units"),
+        F.max("__user_units").cast("bigint").alias("max_user_units"),
     )

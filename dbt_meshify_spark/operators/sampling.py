@@ -42,6 +42,16 @@ def _sample_key(key_cols: list[str], seed: str) -> Column:
     return F.md5(F.concat_ws("", *parts))
 
 
+def hex8_int(md5_col: Column) -> Column:
+    """Integer value of the first 8 hex digits of an md5 column — the ONE
+    hash core shared by the sampling uniforms and the sketch tier
+    (operators/sketches.py); a SQL oracle replays it digit-by-digit via
+    ``queries.extensions._hex8_sum``. Null md5 input yields null — callers
+    own their null policy (``_sample_key`` maps null keys to the bare-seed
+    hash via concat_ws; the sketches' salted concat keeps nulls null)."""
+    return F.conv(F.substring(md5_col, 1, 8), 16, 10).cast("long")
+
+
 def deterministic_sample(
     df: DataFrame, key_cols: list[str], rate: float, seed: str = "s0"
 ) -> DataFrame:
@@ -671,9 +681,7 @@ def _md5_uniform(key_cols: list[str], seed: str) -> Column:
     md5(seed|key) — digit-arithmetic form (no engine-specific hex parsing,
     so a SQL oracle can replay it verbatim)."""
     h = _sample_key(key_cols, seed)
-    # conv parses the 8-hex-digit prefix JVM-side; a SQL engine without conv
-    # replays it as Σ (strpos('0123456789abcdef', digit) - 1) * 16^(7-p)
-    acc = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    acc = hex8_int(h).cast("double")
     return (acc + F.lit(0.5)) / F.lit(float(16**8))
 
 

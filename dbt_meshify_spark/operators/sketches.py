@@ -43,20 +43,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dbt_meshify_spark.operators.dedup import _with_tokens, shingles_of_tokens
+from dbt_meshify_spark.operators.sampling import hex8_int
 
 
 def _md5_mod(col: Column, salt: str, mod: int) -> Column:
-    """``int(md5(salt|value)[:8], 16) % mod`` — the engine-portable hash.
-
-    Replayable in DuckDB via the digit-arithmetic form
-    (``queries.extensions._hex8_sum``); the salt makes the ``depth`` /
-    ``num_hashes`` functions distinct.
+    """``int(md5(salt|value)[:8], 16) % mod`` — the engine-portable hash
+    (``sampling.hex8_int`` core; replayable in DuckDB via
+    ``queries.extensions._hex8_sum``). The salt makes the ``depth`` /
+    ``num_hashes`` functions distinct; a null value hashes to null
+    (F.concat, not concat_ws — sketch callers filter or group nulls
+    explicitly).
     """
-    return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), col)), 1, 8), 16, 10)
-        .cast("long")
-        % F.lit(mod)
-    )
+    return hex8_int(F.md5(F.concat(F.lit(salt + "|"), col))) % F.lit(mod)
 
 
 def cms_sketch(
@@ -307,12 +305,9 @@ def bloom_decontaminate(
 
 def _md5_hex8(col: Column, salt: str) -> Column:
     """Full 32-bit integer value of the first 8 md5 hex digits (no mod) —
-    the uniform the KMV estimator divides by."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    the uniform the KMV estimator divides by (``sampling.hex8_int`` core;
+    null values hash to null and KMV filters them up front)."""
+    return hex8_int(F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))))
 
 
 def kmv_cardinality(
@@ -343,8 +338,12 @@ def kmv_cardinality(
     """
     from dbt_meshify_spark.operators.skew import topk_per_key
 
+    # NULL values are excluded up front, matching COUNT(DISTINCT) semantics
+    # on the audit side — and keeping the retained-hash ordering total (a
+    # null hash would also rank nulls-first in Spark but nulls-last in an
+    # ASC SQL replay)
     hv = _md5_hex8(F.col(value_col), prefix).alias("__hv")
-    dh = df.select(*key_cols, hv).distinct()
+    dh = df.filter(F.col(value_col).isNotNull()).select(*key_cols, hv).distinct()
     kept = topk_per_key(dh, key_cols, [F.col("__hv").asc()], k)
     sk = kept.groupBy(*key_cols).agg(
         F.count("*").cast("bigint").alias("n_kept"),

@@ -8991,11 +8991,10 @@ QUERIES["ext_kmv_distinct"] = ext_kmv_distinct
 ORACLES["ext_kmv_distinct"] = (
     r"""
 WITH hx0 AS (
-  SELECT DISTINCT event_type,
-         md5('kmv|' || CAST(user_id AS VARCHAR)) AS hx
-  FROM events
+  SELECT event_type, md5('kmv|' || CAST(user_id AS VARCHAR)) AS hx
+  FROM events WHERE user_id IS NOT NULL
 ),
-dh AS (SELECT event_type, ({HEX8}) AS hv FROM hx0),
+dh AS (SELECT DISTINCT event_type, ({HEX8}) AS hv FROM hx0),
 r AS (
   SELECT event_type, hv,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn

@@ -428,6 +428,10 @@ def privacy_kmv_probe(spark, sf_dir: str) -> None:
         "event_id", "ts", "user_id", "event_type", "value"
     )
     n_users = base.agg(F.countDistinct("user_id")).collect()[0][0]
+    # shift by max_id + 1, NOT the distinct count: sparse ids would make
+    # count-shifted copies overlap and silently shrink the claimed
+    # linear-user growth
+    uid_shift = base.agg(F.max("user_id")).collect()[0][0] + 1
 
     def scaled_events(k: int):
         parts = [base]
@@ -436,7 +440,7 @@ def privacy_kmv_probe(spark, sf_dir: str) -> None:
                 base.select(
                     (F.col("event_id") + i * 10_000_000).alias("event_id"),
                     (F.col("ts") + F.expr(f"INTERVAL {i} DAYS")).alias("ts"),
-                    (F.col("user_id") + i * n_users).alias("user_id"),
+                    (F.col("user_id") + i * uid_shift).alias("user_id"),
                     "event_type",
                     "value",
                 )

@@ -601,7 +601,28 @@ def test_zorder_survives_constant_and_null_dims(spark):
     rows = [(i, 7, (i if i % 5 else None)) for i in range(50)]
     df = spark.createDataFrame(rows, "a long, b long, c long")
     out = zorder_file_stats(df, ["b", "c"], bits=4, target_files=4).collect()
-    fids = {r.file_id for r in out}
-    assert None in fids or all(r.n_rows for r in out)
+    by_fid = {r.file_id: r for r in out}
+    # the 10 null-c rows must land in the null file_id group — present and
+    # fully accounted for, not silently dropped
+    assert None in by_fid and by_fid[None].n_rows == 10
+    assert sum(r.n_rows for r in out) == 50
     # the non-null rows still partition into >= 2 files on the live dim
-    assert len([f for f in fids if f is not None]) >= 2
+    assert len([f for f in by_fid if f is not None]) >= 2
+
+
+def test_suppression_is_null_safe_on_qi_columns(spark):
+    """A small group whose QI contains NULL must still be suppressed — a
+    null-unsafe anti-join fails OPEN and releases exactly the rows it was
+    told to drop (review finding, round 9)."""
+    from dbt_meshify_spark.operators.privacy import suppress_small_groups
+
+    rows = [
+        (1, "click", None),
+        (2, "click", None),           # 2-row NULL-day group: at risk
+        *[(10 + i, "view", "d1") for i in range(8)],  # safe group
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, day string")
+    released = suppress_small_groups(df, ["event_type", "day"], "user_id", k=5)
+    got = released.collect()
+    assert all(r.day == "d1" for r in got), got
+    assert len(got) == 8
