@@ -703,3 +703,14 @@ def test_kmv_windows_partition_on_keys_never_globally(spark):
     plan = _physical(QUERIES["ext_kmv_distinct"](spark, SF_ORACLE))
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_bounded_contribution_runs_one_keyed_window(spark):
+    """ext_bounded_contribution: the (user, group) contribution cap must
+    execute as exactly ONE keyed window — the review-fixed regression was
+    two executions of the dominant corpus shuffle (kept and capped counts
+    must ride the same pass); and no SinglePartition exchange anywhere."""
+    plan = _physical(QUERIES["ext_bounded_contribution"](spark, SF_ORACLE))
+    assert plan.count("Window ") == 1, "cap window re-executed"
+    assert "Exchange SinglePartition" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
