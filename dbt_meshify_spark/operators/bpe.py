@@ -25,6 +25,33 @@ from pyspark.sql import types as T
 EOW = "</w>"
 
 
+def _symbol_seq(col, alphabet: str):
+    """Initial guard-spaced symbol sequence for a word, per alphabet.
+
+    - ``"char"``: one symbol per character (the classic BPE base alphabet).
+    - ``"byte"``: one symbol per UTF-8 BYTE, written as its lowercase
+      two-hex-digit value — the GPT-2-style byte-level tier. GPT-2's
+      bytes_to_unicode table exists only to make byte symbols printable
+      single characters; merge semantics depend solely on the alphabet
+      being a bijection on bytes, and a hex-pair alphabet is that bijection
+      in a form BOTH engines produce identically (``lower(hex(encode(w)))``
+      in Spark and DuckDB), so byte-level training/encoding stays
+      hash-checkable. Tokens decode by unhexing the concatenated symbols
+      (round-trips any non-ASCII/emoji input byte-exactly).
+    """
+    if alphabet == "char":
+        body = F.trim(F.regexp_replace(col, "(.)", "$1 "))
+    elif alphabet == "byte":
+        body = F.trim(
+            F.regexp_replace(
+                F.lower(F.hex(F.encode(col, "UTF-8"))), "(..)", "$1 "
+            )
+        )
+    else:
+        raise ValueError(f"unknown BPE alphabet: {alphabet!r}")
+    return F.concat(F.lit(" "), body, F.lit(f" {EOW} "))
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int = 50,
@@ -94,6 +121,7 @@ def train_bpe_distributed(
     df: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    alphabet: str = "char",
 ) -> DataFrame:
     """Learn BPE merges over the FULL corpus vocabulary, distributed — the
     no-sample-cap twin of :func:`train_bpe`.
@@ -134,12 +162,7 @@ def train_bpe_distributed(
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     seq = words.select(
-        "freq",
-        F.concat(
-            F.lit(" "),
-            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
-            F.lit(f" {EOW} "),
-        ).alias("seq"),
+        "freq", _symbol_seq(F.col("w"), alphabet).alias("seq")
     ).localCheckpoint(eager=False)
 
     rows = []
@@ -192,6 +215,7 @@ def ensure_bpe_merges(
     text_col: str = "text",
     source_path: str | None = None,
     base_dir: str = DEFAULT_BPE_DIR,
+    alphabet: str = "char",
 ) -> list[tuple[str, str]]:
     """Persisted :func:`train_bpe_distributed` keyed on ``cache_key``:
     train ONCE, parquet round-trip, reuse across sessions — so
@@ -216,11 +240,13 @@ def ensure_bpe_merges(
 
     from dbt_meshify_spark.sources.bucketing import cache_slug, ensure_cached_layout
 
-    slug = cache_slug(cache_key.strip("/"), text_col)
+    slug = cache_slug(cache_key.strip("/"), text_col, alphabet)
     d = os.path.join(base_dir, f"bpe{int(n_merges)}_{slug}")
 
     def build(layout_dir: str) -> None:
-        merges = train_bpe_distributed(df, n_merges=n_merges, text_col=text_col)
+        merges = train_bpe_distributed(
+            df, n_merges=n_merges, text_col=text_col, alphabet=alphabet
+        )
         merges.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(layout_dir, "merges")
         )
@@ -294,6 +320,7 @@ def apply_bpe_delimited(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "bpe_tokens",
+    alphabet: str = "char",
 ) -> DataFrame:
     """Encode with :func:`train_bpe_distributed`'s merge table using the
     SAME boundary-delimited single-pass replace semantics — the
@@ -324,12 +351,7 @@ def apply_bpe_delimited(
         ).alias("pos", "w"),
     ).filter(F.col("w") != "")
     types = occ.select("w").distinct().withColumn(
-        "__seq",
-        F.concat(
-            F.lit(" "),
-            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
-            F.lit(f" {EOW} "),
-        ),
+        "__seq", _symbol_seq(F.col("w"), alphabet)
     )
     for lhs, rhs in merges:
         types = types.withColumn(

@@ -24,7 +24,7 @@ event streams can feed features or be shared:
 Engine-portability: released sums are emitted as INTEGER hundredth-units
 (``floor(clamped * 100)`` — IEEE floor is bit-deterministic and integer
 sums are order-independent, so the DuckDB oracle replays exactly; a double
-SUM would land on half-ulp boundaries between engines, the CLAUDE.md
+SUM would land on half-ulp boundaries between engines, the SURVEY §2.7
 hazard).
 
 Scale shape (100 TB posture): the audit is ONE map-side-combined groupBy
@@ -80,17 +80,8 @@ def suppress_small_groups(
     just as re-identifying), so a null-unsafe join would fail OPEN and
     release exactly the rows it was told to suppress.
     """
-    risky = k_anonymity_report(df, quasi_cols, user_col, k).filter(
-        F.col("at_risk")
-    )
-    risky = risky.select(
-        *[F.col(c).alias(f"__r_{c}") for c in quasi_cols]
-    )
-    cond = None
-    for c in quasi_cols:
-        term = df[c].eqNullSafe(risky[f"__r_{c}"])
-        cond = term if cond is None else (cond & term)
-    return df.join(risky, cond, "left_anti")
+    report = k_anonymity_report(df, quasi_cols, user_col, k)
+    return suppress_flagged(df, quasi_cols, report, "at_risk")
 
 
 def _clamped_units(value: Column, lo: float, hi: float) -> Column:
@@ -124,9 +115,21 @@ def bounded_contribution_agg(
     pass (a second window execution would double the dominant shuffle at
     corpus scale); values never leave integer space after the clamp.
     """
-    order = order_by or [F.col("ts").asc(), F.col("event_id").asc()]
-    w = Window.partitionBy(user_col, *group_cols).orderBy(*order)
     cap = int(max_per_user)
+    if cap < 1:
+        raise ValueError(f"max_per_user must be >= 1, got {max_per_user}")
+    # Pin NULLS FIRST explicitly (Spark's bare asc() default) so the oracle's
+    # ROW_NUMBER ORDER BY (DuckDB defaults NULLS LAST) is written to match —
+    # a nullable ts/event_id must not silently flip which rows the cap keeps.
+    order = order_by or [
+        F.col("ts").asc_nulls_first(),
+        F.col("event_id").asc_nulls_first(),
+    ]
+    w = Window.partitionBy(user_col, *group_cols).orderBy(*order)
+    # NULL measurements are EXCLUDED from the release, stated rather than
+    # incidental: least/greatest skip NULLs on both engines, so an unfiltered
+    # NULL value would silently clamp to `lo` and contribute lo*100 units.
+    df = df.filter(F.col(value_col).isNotNull())
     ranked = df.withColumn("__rn", F.row_number().over(w))
     keep = F.col("__rn") <= cap
     per_user = (
@@ -149,3 +152,104 @@ def bounded_contribution_agg(
         F.sum("__user_units").cast("bigint").alias("sum_units"),
         F.max("__user_units").cast("bigint").alias("max_user_units"),
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    c: int = 2,
+) -> DataFrame:
+    """l-diversity audit per QI group (Machanavajjhala et al., 2007) — the
+    standard next screen after k-anonymity: a group can be large yet still
+    leak its members' sensitive attribute if that attribute is (nearly)
+    constant within the group.
+
+    Emits, per QI group:
+
+    - ``group_size`` / ``n_sensitive`` — rows and DISTINCT sensitive
+      values (distinct l-diversity: at risk when ``n_sensitive < l``);
+    - ``top_count`` / ``max_share`` — the modal sensitive value's count and
+      share (an attacker's posterior if they guess the mode);
+    - ``entropy`` — Shannon entropy of the sensitive distribution (entropy
+      l-diversity wants ``>= ln(l)``). AUDIT-ONLY column: a sum of
+      ``c*ln(c)`` doubles is partial-aggregation-order-dependent at the
+      last ulp, so oracle-checked queries must select the integer-exact
+      columns and leave this one out (SURVEY §2.7 float-sum hazard);
+    - ``at_risk_distinct`` — ``n_sensitive < l``;
+    - ``at_risk_recursive`` — recursive (c,l)-diversity in its
+      INTEGER-EXACT form: at risk when ``n_sensitive < l`` or the top
+      count ``r1 >= c * (r_l + ... + r_m)`` (tail = group_size minus the
+      top ``l-1`` counts; count ties at the head boundary cannot change
+      the head sum, so the flag is deterministic on any engine).
+
+    Scale shape (100 TB posture): one (QI, sensitive) partial-aggregated
+    shuffle to the per-value count table — Zipf-bounded like a token
+    table, far smaller than the corpus — then one bounded-partition window
+    (rows per QI group = distinct sensitive values) and one QI aggregate.
+    Rows never shuffle on anything but the QI key family.
+    """
+    sv = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count("*").cast("bigint").alias("__cnt")
+    )
+    w = Window.partitionBy(*quasi_cols).orderBy(
+        F.col("__cnt").desc(), F.col(sensitive_col).asc_nulls_first()
+    )
+    r = sv.withColumn("__rk", F.row_number().over(w))
+    lcnt = F.col("__cnt").cast("double")
+    agg = r.groupBy(*quasi_cols).agg(
+        F.sum("__cnt").cast("bigint").alias("group_size"),
+        F.count("*").cast("bigint").alias("n_sensitive"),
+        F.max("__cnt").cast("bigint").alias("top_count"),
+        F.sum(
+            F.when(F.col("__rk") <= F.lit(int(l) - 1), F.col("__cnt")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("__head"),
+        F.sum(lcnt * F.log(lcnt)).alias("__clogc"),
+    )
+    n_d = F.col("group_size").cast("double")
+    return agg.select(
+        *quasi_cols,
+        "group_size",
+        "n_sensitive",
+        "top_count",
+        (
+            F.round(F.col("top_count").cast("double") / n_d, 4) + F.lit(0.0)
+        ).alias("max_share"),
+        (F.log(n_d) - F.col("__clogc") / n_d).alias("entropy"),
+        (F.col("n_sensitive") < F.lit(int(l))).alias("at_risk_distinct"),
+        (
+            (F.col("n_sensitive") < F.lit(int(l)))
+            | (
+                F.col("top_count")
+                >= F.lit(int(c)) * (F.col("group_size") - F.col("__head"))
+            )
+        ).alias("at_risk_recursive"),
+    )
+
+
+def suppress_flagged(
+    df: DataFrame,
+    quasi_cols: list[str],
+    report: DataFrame,
+    flag_col: str = "at_risk",
+) -> DataFrame:
+    """Drop every row whose QI group is flagged in ``report[flag_col]`` —
+    the shared release step behind k-anonymity AND l-diversity suppression
+    (pass ``k_anonymity_report``'s or ``l_diversity_report``'s output and
+    name the flag). NULL-SAFE anti-join on every QI column, same rationale
+    as :func:`suppress_small_groups`: a null-unsafe join fails OPEN and
+    releases exactly the at-risk rows.
+    """
+    risky = report.filter(F.col(flag_col)).select(
+        *[F.col(c).alias(f"__r_{c}") for c in quasi_cols]
+    )
+    cond = None
+    for c in quasi_cols:
+        term = df[c].eqNullSafe(risky[f"__r_{c}"])
+        cond = term if cond is None else (cond & term)
+    return df.join(risky, cond, "left_anti")

@@ -260,7 +260,7 @@ def bloom_decontaminate(
     truly in the eval set), ``false_pos = bloom_matched - exact_matched``
     (never negative — Bloom has no false negatives), ``bloom_overlap``
     (rounded), and ``contaminated_bloom`` on the ROUNDED overlap (the
-    CLAUDE.md flag discipline). The Bloom flag is a superset of the exact
+    SURVEY §2.7 flag discipline). The Bloom flag is a superset of the exact
     flag at equal thresholds — the safe direction for decontamination.
     """
     from dbt_meshify_spark.operators.decontam import eval_gram_set
@@ -370,4 +370,125 @@ def kmv_cardinality(
         "n_kept",
         est_r.alias("kmv_est"),
         rel.alias("rel_err"),
+    )
+
+
+def quantile_sketch_cells(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    width: int = 128,
+) -> DataFrame:
+    """Fixed-grid quantile sketch per key: bucket counts over a ``width``-
+    cell uniform grid spanning ``[lo, hi)`` — the quantile member of the
+    deterministic sketch family (CMS frequency, Bloom membership, KMV
+    cardinality). Unlike t-digest / ``percentile_approx`` (rows-only —
+    centroid internals differ per engine) the state is pure integer
+    arithmetic, so every CELL and the interpolated estimate itself replay
+    in an independent SQL engine.
+
+    Returns ``(key_cols..., b, c)`` — at most ``width`` cells per key BY
+    CONSTRUCTION regardless of row count, mergeable across shards /
+    micro-batches by ``groupBy(key, b).sum(c)`` (integer cell sums are
+    order-free). Out-of-range values clamp into the edge buckets (the
+    estimate then saturates at the grid edge — callers choose the grid
+    from domain knowledge, the same contract as bounded_contribution's
+    ``[lo, hi]``). NULL values are excluded, matching the rank audit.
+
+    Scale shape (100 TB posture): ONE partial-aggregated shuffle of
+    (key, bucket) cells — at most ``width`` rows per key per input
+    partition cross the wire, never the value mass. Accuracy is a grid
+    resolution of ``(hi - lo) / width`` worst-case per estimate — rank
+    error <= the largest single-bucket mass, the classic fixed-histogram
+    bound; widen ``width`` (state is O(width), not O(n)) to tighten.
+    """
+    span = float(hi) - float(lo)
+    b = F.least(
+        F.lit(int(width) - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col(value_col) - F.lit(float(lo)))
+                / F.lit(span)
+                * F.lit(int(width))
+            ).cast("int"),
+        ),
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, b.alias("b"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def quantile_sketch_report(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    width: int = 128,
+) -> DataFrame:
+    """Per-(key, q) quantile estimates from the fixed-grid sketch, with the
+    EXACT rank-``ceil(q*n)`` value alongside as the audit (a discrete
+    quantile is an actual data value — no interpolation, so it is
+    engine-exact where interpolated exact quantiles sit on half-ulp
+    boundaries, the SURVEY §2.7 hazard).
+
+    Estimator: target rank ``r = ceil(q * n)``; the estimate walks the
+    cumulative cell counts to the bucket holding rank ``r`` and linearly
+    interpolates within it:
+    ``est = lo + (b + (r - cum_before) / c) * span / width``
+    (every operation in this exact order on both engines — IEEE doubles
+    are then bit-identical). The cumulative walk is a window over <= width
+    cells per key (bounded partitions, never a data-sized sort); the audit
+    rank-select is ONE value-ordered window per key joined against the
+    (key, q, r) targets — the only data-sized shuffle, and it exists only
+    for the audit columns, not the sketch path.
+
+    Returns ``(key_cols..., q, n, est_q, true_q, abs_err)``.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    span = float(hi) - float(lo)
+    data = df.filter(F.col(value_col).isNotNull())
+    cells = quantile_sketch_cells(data, key_cols, value_col, lo, hi, width)
+    wcum = Window.partitionBy(*key_cols).orderBy("b")
+    cum = cells.withColumn("cum", F.sum("c").over(wcum))
+    tot = cells.groupBy(*key_cols).agg(F.sum("c").cast("bigint").alias("n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    targets = tot.crossJoin(F.broadcast(qdf)).withColumn(
+        "r", F.ceil(F.col("q") * F.col("n")).cast("bigint")
+    )
+    hit = cum.join(targets, key_cols).filter(
+        (F.col("cum") >= F.col("r")) & ((F.col("cum") - F.col("c")) < F.col("r"))
+    )
+    frac = (F.col("r") - (F.col("cum") - F.col("c"))).cast("double") / F.col(
+        "c"
+    ).cast("double")
+    est = (
+        F.lit(float(lo))
+        + (F.col("b").cast("double") + frac) * F.lit(span) / F.lit(int(width))
+    )
+    est_df = hit.select(*key_cols, "q", "n", "r", est.alias("__est"))
+    # exact audit: the value at rank r per key (ties in the value order
+    # cannot change the emitted VALUE, so row_number is deterministic here)
+    wv = Window.partitionBy(*key_cols).orderBy(F.col("__v").asc())
+    ranked = data.select(*key_cols, F.col(value_col).alias("__v")).withColumn(
+        "r", F.row_number().over(wv).cast("bigint")
+    )
+    out = est_df.join(ranked, [*key_cols, "r"])
+    est_r = F.round(F.col("__est"), 4) + F.lit(0.0)
+    err_r = F.round(F.abs(F.col("__est") - F.col("__v")), 4) + F.lit(0.0)
+    return out.select(
+        *key_cols,
+        "q",
+        "n",
+        est_r.alias("est_q"),
+        (F.round(F.col("__v"), 4) + F.lit(0.0)).alias("true_q"),
+        err_r.alias("abs_err"),
     )

@@ -17,6 +17,8 @@ Cross-engine parity rules used throughout (beyond SURVEY §2.7's):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -57,6 +59,37 @@ from dbt_meshify_spark.sources import load_table
 
 def _asc(c: str):
     return F.col(c).asc_nulls_first()
+
+
+def _stream_scratch(prefix: str) -> str:
+    """Scratch dir for a streaming query's state/checkpoint/output.
+
+    Each invocation creates a fresh dir (Structured Streaming checkpoints
+    are single-use here — drained availableNow runs must not resume a prior
+    run's offsets), but first prunes stale dirs from PREVIOUS invocations
+    so repeated driver/bench runs don't accumulate temp directories. Only
+    dirs older than 30 minutes are pruned — a live concurrent run's
+    checkpoint is never touched.
+    """
+    import shutil
+    import tempfile
+    import time
+
+    root = tempfile.gettempdir()
+    cutoff = time.time() - 1800
+    try:
+        for name in os.listdir(root):
+            if not name.startswith(prefix):
+                continue
+            path = os.path.join(root, name)
+            try:
+                if os.path.isdir(path) and os.path.getmtime(path) < cutoff:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                pass
+    except OSError:
+        pass
+    return tempfile.mkdtemp(prefix=prefix)
 
 
 # --------------------------------------------------------------------------
@@ -257,7 +290,6 @@ def ext_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     continuous curation. Drained availableNow, the emitted relation equals
     the batch probe's, so it shares ext_incremental_neardup's oracle
     (streaming/documents.py::stream_neardup_against_index)."""
-    import tempfile
 
     from dbt_meshify_spark.operators.dedup import minhash_index
     from dbt_meshify_spark.streaming.documents import (
@@ -271,7 +303,7 @@ def ext_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     feed = read_documents_stream(
         spark, f"{sf_dir.rstrip('/')}/documents.parquet"
     ).filter(F.col("doc_id") % 5 == 0)
-    out_dir = tempfile.mkdtemp(prefix="stream_inc_neardup_")
+    out_dir = _stream_scratch("stream_inc_neardup_")
     hits = stream_neardup_against_index(
         feed, bands, sigs, out_dir, num_hashes=16, bands=8, hash_fn="md5",
         min_jaccard_est=0.5,
@@ -3130,7 +3162,6 @@ def ext_stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     document file stream and drained availableNow — stateless projection per
     micro-batch, shares the batch operator's oracle
     (streaming/documents.py::stream_gopher_filter)."""
-    import tempfile
 
     from dbt_meshify_spark.streaming.documents import (
         read_documents_stream,
@@ -3138,7 +3169,7 @@ def ext_stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     feed = read_documents_stream(spark, f"{sf_dir.rstrip('/')}/documents.parquet")
-    out_dir = tempfile.mkdtemp(prefix="stream_gopher_")
+    out_dir = _stream_scratch("stream_gopher_")
     drained = stream_gopher_filter(feed, out_dir, min_words=30)
     return drained.orderBy(_asc("doc_id"))
 
@@ -4429,32 +4460,56 @@ ORDER BY source_a NULLS FIRST, source_b NULLS FIRST
 
 
 def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[N4/N9] tokenizer fertility audit: per-language subword fertility
-    (BPE tokens per whitespace word) and compression (chars per BPE token)
-    for the corpus-trained BPE tokenizer — the standard tokenizer-fit
-    metric a multilingual curation pipeline tracks (high fertility on a
-    language = that language is under-served by the vocab). One encode
-    pass (Arrow-batched, merge table in closure) + one per-lang aggregate.
-    Rows-only by design (greedy BPE); invariants in unit tests."""
-    from dbt_meshify_spark.operators.bpe import apply_bpe, train_bpe
-
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    """[N4/N9, hash-checked] tokenizer fertility audit: per-language
+    subword fertility (BPE tokens per whitespace word) and compression
+    (chars per BPE token) for the corpus-trained BPE tokenizer — the
+    standard tokenizer-fit metric a multilingual curation pipeline tracks
+    (high fertility on a language = that language is under-served by the
+    vocab). Rides the DELIMITED encoder (apply_bpe_delimited — the same
+    merge chain ext_bpe_encode_dist's oracle unrolls bit-exactly), so the
+    per-lang aggregates are pure sums over a replayable segmentation and
+    the query is oracle-checked, not rows-only. Docs with no words are
+    absent on both engines (inner join on the occurrence table)."""
+    from dbt_meshify_spark.operators.bpe import (
+        apply_bpe_delimited,
+        ensure_bpe_merges,
     )
-    merges = train_bpe(docs, n_merges=30, sample_max=2048)
-    enc = apply_bpe(docs, merges).withColumn(
-        "n_words", F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = ensure_bpe_merges(
+        spark,
+        docs,
+        cache_key=f"docs_{sf_dir}",
+        n_merges=3,
+        source_path=f"{sf_dir.rstrip('/')}/documents.parquet",
+    )
+    enc = apply_bpe_delimited(docs, merges)
+    # n_words = whitespace tokens; text is trimmed so the split emits no
+    # empty segments for any doc that survives the encode's inner join
+    # (no-word docs have no occurrence rows and drop out on both engines)
+    meta = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n_words"),
     )
     return (
-        enc.groupBy("lang")
+        enc.join(meta, "doc_id")
+        .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
             F.round(
-                F.sum("n_bpe_tokens") / F.sum("n_words").cast("double"), 4
+                F.sum("n_bpe_tokens").cast("double")
+                / F.sum("n_words").cast("double"),
+                4,
             ).alias("fertility"),
             F.round(
-                F.sum(F.length("text")) / F.sum("n_bpe_tokens").cast("double"), 4
+                F.sum("n_chars").cast("double")
+                / F.sum("n_bpe_tokens").cast("double"),
+                4,
             ).alias("chars_per_token"),
         )
         .orderBy(_asc("lang"))
@@ -4472,7 +4527,6 @@ def ext_stream_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/documents.py::stream_quality_psi). Drained availableNow the
     relation equals the batch score_psi exactly, so it shares
     ext_quality_psi's oracle."""
-    import tempfile
 
     from dbt_meshify_spark.operators.text import quality_score
     from dbt_meshify_spark.streaming.documents import (
@@ -4487,7 +4541,7 @@ def ext_stream_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = read_documents_stream(
         spark, f"{sf_dir.rstrip('/')}/documents.parquet"
     ).filter(F.col("doc_id") % 2 == 1)
-    out_dir = tempfile.mkdtemp(prefix="stream_psi_")
+    out_dir = _stream_scratch("stream_psi_")
     out = stream_quality_psi(feed, baseline, out_dir)
     return out.select(
         F.col("bucket").cast("bigint").alias("bucket"),
@@ -4510,7 +4564,6 @@ def ext_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast eval gram set (streaming/documents.py::
     stream_decontaminate) — stateless, per-batch cost O(batch). Shares the
     batch ext_decontaminate oracle (drained == batch)."""
-    import tempfile
 
     from dbt_meshify_spark.streaming.documents import (
         read_documents_stream,
@@ -4522,7 +4575,7 @@ def ext_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = read_documents_stream(
         spark, f"{sf_dir.rstrip('/')}/documents.parquet"
     ).filter(F.col("doc_id") % 20 != 0)
-    out_dir = tempfile.mkdtemp(prefix="stream_decontam_")
+    out_dir = _stream_scratch("stream_decontam_")
     return stream_decontaminate(feed, eval_df, out_dir).orderBy(_asc("doc_id"))
 
 
@@ -4841,7 +4894,6 @@ def ext_stream_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/documents.py::stream_self_repetition) — verdicts are
     per-doc, so the drained relation equals the batch operator and shares
     ext_self_repetition's oracle."""
-    import tempfile
 
     from dbt_meshify_spark.streaming.documents import (
         read_documents_stream,
@@ -4849,7 +4901,7 @@ def ext_stream_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     feed = read_documents_stream(spark, f"{sf_dir.rstrip('/')}/documents.parquet")
-    out_dir = tempfile.mkdtemp(prefix="stream_selfrep_")
+    out_dir = _stream_scratch("stream_selfrep_")
     return stream_self_repetition(feed, out_dir).orderBy(_asc("doc_id"))
 
 
@@ -5646,6 +5698,51 @@ ORDER BY merge_rank NULLS FIRST
 """
 
 
+def ext_bpe_byte_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9-scale] BYTE-LEVEL BPE merge learning (GPT-2-style tier) over
+    the full corpus vocabulary — operators/bpe.py::train_bpe_distributed
+    with alphabet="byte": each word-type expands to its UTF-8 bytes as
+    lowercase hex-pair symbols (a bijective unicode-safe alphabet — the
+    engine-portable stand-in for GPT-2's bytes_to_unicode printable table,
+    which is cosmetic to merge semantics), then the IDENTICAL merge
+    machinery runs. Handles any script/emoji with a fixed 256-symbol base
+    alphabet — the property byte-level BPE exists for. Oracle: same
+    unrolled merge rounds as ext_bpe_train over the byte-symbol seq0.
+    Round-trip on non-ASCII input is pytest-verified (unhex of
+    concatenated symbols restores the word byte-exactly)."""
+    from dbt_meshify_spark.operators.bpe import train_bpe_distributed
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_bpe_distributed(docs, n_merges=3, alphabet="byte").orderBy(
+        _asc("merge_rank")
+    )
+
+
+QUERIES["ext_bpe_byte_train"] = ext_bpe_byte_train
+
+ORACLES["ext_bpe_byte_train"] = rf"""
+WITH words AS (
+  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t FROM documents
+  ) WHERE t <> '' GROUP BY t
+),
+seq0 AS (
+  SELECT freq,
+         ' ' || trim(regexp_replace(lower(hex(encode(w))), '(..)', '\1 ', 'g'))
+           || ' </w> ' AS seq
+  FROM words
+),{_BPE_ROUNDS}
+ranked AS (
+  SELECT CAST(1 AS INT) AS merge_rank, lhs, rhs, f FROM b1
+  UNION ALL SELECT CAST(2 AS INT), lhs, rhs, f FROM b2
+  UNION ALL SELECT CAST(3 AS INT), lhs, rhs, f FROM b3
+)
+SELECT merge_rank, lhs, rhs, lhs || rhs AS merged, CAST(f AS BIGINT) AS freq
+FROM ranked
+ORDER BY merge_rank NULLS FIRST
+"""
+
+
 def ext_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[W3/N7 companion] per-session rollup of the 30-minute gap
     sessionization: start, duration, depth, and value total for every
@@ -6066,7 +6163,6 @@ def ext_stream_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/documents.py::stream_gram_novelty). Stateless per-doc
     verdicts, so it shares the batch ext_gram_novelty oracle (drained ==
     batch)."""
-    import tempfile
 
     from dbt_meshify_spark.streaming.documents import (
         read_documents_stream,
@@ -6078,7 +6174,7 @@ def ext_stream_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = read_documents_stream(
         spark, f"{sf_dir.rstrip('/')}/documents.parquet"
     ).filter(F.col("doc_id") % 2 == 1)
-    out_dir = tempfile.mkdtemp(prefix="stream_novelty_")
+    out_dir = _stream_scratch("stream_novelty_")
     return stream_gram_novelty(feed, reference, out_dir).orderBy(_asc("doc_id"))
 
 
@@ -6699,7 +6795,6 @@ def ext_stream_conversation_filter(spark: SparkSession, sf_dir: str) -> DataFram
     stateless projection per micro-batch, shares ext_conversation_stats'
     synth + verdict logic filtered to keepers
     (streaming/documents.py::stream_conversation_filter)."""
-    import tempfile
 
     from dbt_meshify_spark.streaming.documents import (
         read_documents_stream,
@@ -6711,7 +6806,7 @@ def ext_stream_conversation_filter(spark: SparkSession, sf_dir: str) -> DataFram
         .filter((F.col("doc_id") < 500) & F.col("text").isNotNull())
         .withColumn("conversation", F.expr(_CONV_SYNTH))
     )
-    out_dir = tempfile.mkdtemp(prefix="stream_conv_")
+    out_dir = _stream_scratch("stream_conv_")
     drained = stream_conversation_filter(feed, out_dir)
     return drained.orderBy(_asc("doc_id"))
 
@@ -7218,6 +7313,47 @@ SELECT doc_id, CAST(len(fl) AS BIGINT) AS n_bpe_tokens,
        array_to_string(fl[1:5], ' ') AS bpe_head
 FROM docs_enc
 ORDER BY doc_id NULLS FIRST
+"""
+
+# fertility audit: the same train + encode CTE chain, aggregated per lang
+# (occ COUNT(*) == Spark's whitespace-split size for every doc that has
+# words; no-word docs drop out of the inner join on both engines)
+ORACLES["ext_tokenizer_fertility"] = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+occ AS (
+  SELECT doc_id, i AS pos, l[i] AS w
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM toks)
+  WHERE l[i] <> ''
+),
+words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM occ GROUP BY w),
+seq0 AS (
+  SELECT freq, ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' </w> ' AS seq
+  FROM words
+),{_BPE_ROUNDS}
+enc0 AS (
+  SELECT w, ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' </w> ' AS seq
+  FROM (SELECT DISTINCT w FROM occ)
+),{_BPE_ENC_ROUNDS}
+enc AS (SELECT w, string_split(trim(seq), ' ') AS wtoks FROM enc3),
+docs_enc AS (
+  SELECT o.doc_id, CAST(SUM(len(e.wtoks)) AS BIGINT) AS n_bpe,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM occ o JOIN enc e ON o.w = e.w GROUP BY o.doc_id
+),
+meta AS (
+  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars FROM documents
+)
+SELECT m.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(d.n_bpe) AS DOUBLE) / CAST(SUM(d.n_words) AS DOUBLE), 4)
+         AS fertility,
+       ROUND(CAST(SUM(m.n_chars) AS DOUBLE) / CAST(SUM(d.n_bpe) AS DOUBLE), 4)
+         AS chars_per_token
+FROM docs_enc d JOIN meta m ON d.doc_id = m.doc_id
+GROUP BY m.lang
+ORDER BY lang NULLS FIRST
 """
 
 
@@ -8388,7 +8524,6 @@ def ext_stream_late_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation state, so a late flood cannot grow state at 100 TB.
     """
     import os
-    import tempfile
 
     from dbt_meshify_spark.streaming.events import (
         read_events_stream,
@@ -8401,7 +8536,7 @@ def ext_stream_late_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(F.to_date(F.date_trunc("day", F.min("ts"))), 3).alias("cut")
     ).collect()[0]["cut"]
 
-    d = tempfile.mkdtemp(prefix="dms_late_drops_")
+    d = _stream_scratch("dms_late_drops_")
     on_time = events.filter(F.to_date(F.date_trunc("day", F.col("ts"))) >= F.lit(cut))
     late = events.filter(F.to_date(F.date_trunc("day", F.col("ts"))) < F.lit(cut))
     on_time.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
@@ -8860,7 +8995,6 @@ def ext_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable state, the streaming twin of ext_cms_heavy_hitters. Drained
     availableNow the merged sketch is value-equal to the batch build, so
     it shares that oracle."""
-    import tempfile
 
     from dbt_meshify_spark.streaming.documents import (
         read_documents_stream,
@@ -8871,7 +9005,7 @@ def ext_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = read_documents_stream(
         spark, f"{sf_dir.rstrip('/')}/documents.parquet", max_files_per_trigger=1
     )
-    out_dir = tempfile.mkdtemp(prefix="stream_cms_")
+    out_dir = _stream_scratch("stream_cms_")
     out = stream_cms_heavy_hitters(feed, docs, out_dir)
     return out.orderBy(_asc("token"))
 
@@ -8940,8 +9074,9 @@ ORACLES["ext_bounded_contribution"] = """
 WITH r AS (
   SELECT event_type, user_id, value,
          ROW_NUMBER() OVER (
-           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
-  FROM events
+           PARTITION BY user_id, event_type
+           ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn
+  FROM events WHERE value IS NOT NULL
 ),
 kept AS (
   SELECT event_type, user_id,
@@ -8967,6 +9102,65 @@ SELECT pu.event_type,
 FROM pu LEFT JOIN dropped d ON pu.event_type = d.et
 GROUP BY pu.event_type
 ORDER BY pu.event_type NULLS FIRST
+"""
+
+
+def ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N10 privacy tier] l-diversity audit of the events release
+    (operators/privacy.py::l_diversity_report): per QI group (event_type,
+    day), distinct-count and recursive (c,l)-diversity of the sensitive
+    value bucket — the standard screen AFTER k-anonymity (a big group
+    whose sensitive attribute is near-constant still leaks it;
+    Machanavajjhala 2007). l=3, c=2; all checked columns are integer
+    counts, integer-comparison flags, or a single integer ratio — the
+    Shannon-entropy audit column stays out of the hash-checked output by
+    design (double-sum order hazard, SURVEY §2.7)."""
+    from dbt_meshify_spark.operators.privacy import l_diversity_report
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") / F.lit(100.0)).cast("bigint").alias("vbucket"),
+    )
+    out = l_diversity_report(ev, ["event_type", "day"], "vbucket", l=3, c=2)
+    return out.drop("entropy").orderBy(_asc("event_type"), _asc("day"))
+
+
+QUERIES["ext_l_diversity"] = ext_l_diversity
+
+ORACLES["ext_l_diversity"] = """
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(FLOOR(value / 100.0) AS BIGINT) AS vbucket
+  FROM events
+),
+sv AS (
+  SELECT event_type, day, vbucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM g GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT event_type, day, vbucket, cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, day
+           ORDER BY cnt DESC, vbucket ASC NULLS FIRST) AS rk
+  FROM sv
+),
+agg AS (
+  SELECT event_type, day,
+         CAST(SUM(cnt) AS BIGINT) AS group_size,
+         CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+         CAST(MAX(cnt) AS BIGINT) AS top_count,
+         CAST(SUM(CASE WHEN rk <= 2 THEN cnt ELSE 0 END) AS BIGINT) AS head_sum
+  FROM r GROUP BY 1, 2
+)
+SELECT event_type, day, group_size, n_sensitive, top_count,
+       ROUND(CAST(top_count AS DOUBLE) / CAST(group_size AS DOUBLE), 4) + 0.0
+         AS max_share,
+       (n_sensitive < 3) AS at_risk_distinct,
+       (n_sensitive < 3 OR top_count >= 2 * (group_size - head_sum))
+         AS at_risk_recursive
+FROM agg
+ORDER BY event_type NULLS FIRST, day NULLS FIRST
 """
 
 
@@ -9024,6 +9218,79 @@ FROM fin ORDER BY event_type NULLS FIRST
 )
 
 
+def ext_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4 sketch tier, hash-checked] fixed-grid quantile sketch of event
+    values per event_type (operators/sketches.py::quantile_sketch_report,
+    128 cells over [0, 512)) — the quantile member completing the
+    deterministic sketch family (CMS frequency, Bloom membership, KMV
+    cardinality). Unlike percentile_approx/t-digest (rows-only in
+    ext_approx_sketches — centroid internals differ per engine) every grid
+    CELL and the rank interpolation replay in the DuckDB oracle; the exact
+    rank-ceil(q*n) value rides along as the audit (a discrete quantile is
+    an actual data value, so it is engine-exact where interpolated exact
+    quantiles sit on half-ulp boundaries)."""
+    from dbt_meshify_spark.operators.sketches import quantile_sketch_report
+
+    ev = load_table(spark, sf_dir, "events")
+    out = quantile_sketch_report(
+        ev,
+        ["event_type"],
+        "value",
+        qs=[0.25, 0.5, 0.75, 0.9, 0.99],
+        lo=0.0,
+        hi=512.0,
+        width=128,
+    )
+    return out.orderBy(_asc("event_type"), _asc("q"))
+
+
+QUERIES["ext_quantile_sketch"] = ext_quantile_sketch
+
+ORACLES["ext_quantile_sketch"] = """
+WITH data AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+cells AS (
+  SELECT event_type,
+         LEAST(127, GREATEST(0,
+           CAST(FLOOR((value - 0.0) / 512.0 * 128) AS INT))) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM data GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, b, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cum
+  FROM cells
+),
+tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+targets AS (
+  SELECT t.event_type, q.q, t.n, CAST(CEIL(q.q * t.n) AS BIGINT) AS r
+  FROM tot t CROSS JOIN qs q
+),
+hit AS (
+  SELECT g.event_type, g.q, g.n, g.r,
+         0.0 + (CAST(c.b AS DOUBLE)
+                + CAST(g.r - (c.cum - c.c) AS DOUBLE) / CAST(c.c AS DOUBLE))
+               * 512.0 / 128 AS est
+  FROM targets g JOIN cum c ON g.event_type = c.event_type
+  WHERE c.cum >= g.r AND (c.cum - c.c) < g.r
+),
+ranked AS (
+  SELECT event_type, value AS v,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY value) AS BIGINT) AS r
+  FROM data
+)
+SELECT h.event_type AS event_type, h.q AS q, h.n AS n,
+       ROUND(h.est, 4) + 0.0 AS est_q,
+       ROUND(rk.v, 4) + 0.0 AS true_q,
+       ROUND(ABS(h.est - rk.v), 4) + 0.0 AS abs_err
+FROM hit h JOIN ranked rk ON h.event_type = rk.event_type AND h.r = rk.r
+ORDER BY h.event_type NULLS FIRST, h.q NULLS FIRST
+"""
+
+
 def ext_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N6/N9] STREAMING weighted sampling: the documents corpus arrives as
     a file stream and each micro-batch contributes only its own ES top-k
@@ -9031,7 +9298,6 @@ def ext_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-intrinsic u^(1/w) key makes the drained sample EXACTLY the batch
     weighted_sample_k row set, so it shares ext_weighted_sample's oracle.
     Fixed-memory live selection over an ingest."""
-    import tempfile
 
     from dbt_meshify_spark.streaming.documents import (
         read_documents_stream,
@@ -9041,7 +9307,7 @@ def ext_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = read_documents_stream(
         spark, f"{sf_dir.rstrip('/')}/documents.parquet", max_files_per_trigger=1
     )
-    out_dir = tempfile.mkdtemp(prefix="stream_es_")
+    out_dir = _stream_scratch("stream_es_")
     out = stream_weighted_sample(
         feed, out_dir, k=50, weight_col="n_chars", key_cols=["doc_id"]
     )

@@ -466,12 +466,19 @@ def stream_cms_heavy_hitters(
         .start()
     )
     q.awaitTermination()
-    cells = (
-        spark.read.parquet(f"{out_dir}/cells")
-        .groupBy("r", "b")
-        .agg(F.sum("c").alias("c"))
-        .collect()
-    )
+    # Zero micro-batches => out_dir/cells was never written; an empty cell
+    # list is the correct merged state (stream_conversation_filter pattern).
+    import os
+
+    if not os.path.isdir(f"{out_dir}/cells"):
+        cells = []
+    else:
+        cells = (
+            spark.read.parquet(f"{out_dir}/cells")
+            .groupBy("r", "b")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
     truth = corpus_df.select(
         F.explode(tokens_col(F.col(text_col))).alias("token")
     )
@@ -529,6 +536,15 @@ def stream_weighted_sample(
         .start()
     )
     q.awaitTermination()
+    # Zero micro-batches => out_dir/cands was never written; return an empty
+    # typed frame with the output schema instead of letting the read raise.
+    import os
+
+    if not os.path.isdir(f"{out_dir}/cands"):
+        empty = spark.createDataFrame([], stream_docs.schema)
+        return empty.withColumn("es_key", F.lit(None).cast("double")).withColumn(
+            "draw_rank", F.lit(None).cast("int")
+        )
     cands = spark.read.parquet(f"{out_dir}/cands")
     topk = cands.orderBy(
         F.col("es_key").desc(), *[F.col(c) for c in key_cols]
