@@ -5381,3 +5381,182 @@ def test_kmv_state_merges_across_shards(spark):
         ).collect()
     }
     assert merged == full and len(full) == 64
+
+
+def test_quantile_sketch_cells_bounded_and_mergeable(spark):
+    """Fixed-grid quantile sketch state invariants: at most ``width`` cells
+    per key regardless of row count, and the cell-wise sum of two shard
+    sketches equals the full-corpus sketch (the mergeability that makes it
+    a streaming/multi-shard state, like the CMS twin)."""
+    from dbt_meshify_spark.operators.sketches import quantile_sketch_cells
+
+    rows = [("a", float(i % 97)) for i in range(3000)] + [
+        ("b", float(i % 13) * 31.0) for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    full = quantile_sketch_cells(df, ["g"], "v", lo=0.0, hi=512.0, width=64)
+    per_key = {r.g: r.n for r in full.groupBy("g").count().withColumnRenamed("count", "n").collect()}
+    assert all(n <= 64 for n in per_key.values()), per_key
+    half = df.withColumn("h", (F.col("v").cast("int") % 2))
+    merged = (
+        quantile_sketch_cells(half.filter(F.col("h") == 0), ["g"], "v", 0.0, 512.0, 64)
+        .unionByName(
+            quantile_sketch_cells(half.filter(F.col("h") == 1), ["g"], "v", 0.0, 512.0, 64)
+        )
+        .groupBy("g", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    f = {(r.g, r.b): r.c for r in full.collect()}
+    m = {(r.g, r.b): r.c for r in merged.collect()}
+    assert f == m
+
+
+def test_quantile_sketch_estimate_within_grid_resolution(spark):
+    """Hard error band vs the exact rank statistic: the interpolated
+    estimate and the true rank-ceil(q*n) value land in the SAME grid
+    bucket by construction, so abs_err <= (hi-lo)/width always — and the
+    estimate also tracks the continuous exact percentile (q23's truth
+    family) to within a bucket plus the local order-statistic gap."""
+    from dbt_meshify_spark.operators.sketches import quantile_sketch_report
+    from dbt_meshify_spark.sources import load_table
+
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    ev = load_table(spark, SF_ORACLE, "events")
+    out = quantile_sketch_report(
+        ev, ["event_type"], "value", qs, lo=0.0, hi=512.0, width=128
+    ).collect()
+    span = 512.0 / 128
+    n_types = ev.select("event_type").distinct().count()
+    assert len(out) == n_types * len(qs)
+    for r in out:
+        assert 0.0 <= r.est_q <= 512.0, r
+        assert r.abs_err <= span + 1e-9, f"grid bound violated: {r}"
+    exact = {
+        (r.event_type, q): p
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.25, 0.5, 0.75, 0.9, 0.99))"
+            ).alias("p")
+        )
+        .collect()
+        for q, p in zip(qs, r.p)
+    }
+    for r in out:
+        assert abs(r.est_q - exact[(r.event_type, r.q)]) <= span + 1.0, (
+            r,
+            exact[(r.event_type, r.q)],
+        )
+
+
+def test_l_diversity_flags_and_flagged_release(spark):
+    """Distinct and recursive (c,l) flags fire on planted homogeneous /
+    skewed groups and stay quiet on an even group; entropy audit respects
+    its analytic bounds; and suppress_flagged releases only groups that
+    re-audit clean (the k-anonymity release-test mirror)."""
+    import math
+
+    from dbt_meshify_spark.operators.privacy import (
+        l_diversity_report,
+        suppress_flagged,
+    )
+
+    rows = (
+        [("homog", "x")] * 10
+        + [("skew", "s0")] * 8
+        + [("skew", "s1"), ("skew", "s2")]
+        + [("even", f"s{i % 5}") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "g string, s string")
+    rep = l_diversity_report(df, ["g"], "s", l=3, c=2)
+    by_g = {r.g: r for r in rep.collect()}
+    assert by_g["homog"].n_sensitive == 1
+    assert by_g["homog"].at_risk_distinct and by_g["homog"].at_risk_recursive
+    assert by_g["homog"].entropy == pytest.approx(0.0, abs=1e-12)
+    # skew: 3 distinct (passes distinct-l) but top 8 >= 2 * tail 1
+    assert by_g["skew"].n_sensitive == 3 and not by_g["skew"].at_risk_distinct
+    assert by_g["skew"].at_risk_recursive
+    assert by_g["skew"].max_share == pytest.approx(0.8)
+    # even: 5 distinct, top 2 < 2 * (10 - 4) = 12
+    assert not by_g["even"].at_risk_distinct
+    assert not by_g["even"].at_risk_recursive
+    for r in by_g.values():
+        assert -1e-9 <= r.entropy <= math.log(r.n_sensitive) + 1e-9, r
+    released = suppress_flagged(df, ["g"], rep, "at_risk_recursive")
+    assert {r.g for r in released.collect()} == {"even"}
+    re_audit = l_diversity_report(released, ["g"], "s", l=3, c=2)
+    assert re_audit.filter(F.col("at_risk_recursive")).count() == 0
+
+
+def test_l_diversity_groups_null_sensitive_values(spark):
+    """A NULL sensitive value is a value like any other (a group whose
+    sensitive attribute is always missing is still homogeneous): it counts
+    toward n_sensitive and the modal share."""
+    from dbt_meshify_spark.operators.privacy import l_diversity_report
+
+    rows = [("g1", None)] * 6 + [("g1", "a")] * 2
+    df = spark.createDataFrame(rows, "g string, s string")
+    r = l_diversity_report(df, ["g"], "s", l=3, c=2).collect()[0]
+    assert r.n_sensitive == 2 and r.top_count == 6
+    assert r.at_risk_distinct and r.at_risk_recursive
+
+
+def test_byte_bpe_round_trips_non_ascii_and_emoji(spark):
+    """Byte-level BPE existence property: ANY input — accents, CJK, emoji —
+    decodes back byte-exactly by unhexing the concatenated symbols of each
+    word (split on the </w> marker), after real merges have applied."""
+    rows = [
+        (1, "héllo wörld 👋 héllo héllo"),
+        (2, "naïve café 日本語 👋👋"),
+        (3, "héllo naïve wörld café"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from dbt_meshify_spark.operators.bpe import (
+        apply_bpe_delimited,
+        train_bpe_distributed,
+    )
+
+    merges_df = train_bpe_distributed(df, n_merges=5, alphabet="byte")
+    merges = [
+        (r.lhs, r.rhs) for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    assert len(merges) == 5
+    enc = {r.doc_id: r for r in apply_bpe_delimited(df, merges, alphabet="byte").collect()}
+    for doc_id, text in rows:
+        words = text.lower().split()
+        toks = enc[doc_id].bpe_tokens
+        # merges must have actually compressed below the raw byte count
+        raw_syms = sum(len(w.encode("utf-8")) + 1 for w in words)
+        assert enc[doc_id].n_bpe_tokens < raw_syms
+        segs = "".join(toks).split("</w>")
+        assert segs[-1] == ""
+        decoded = [bytes.fromhex(s).decode("utf-8") for s in segs[:-1]]
+        assert decoded == words, (doc_id, decoded, words)
+
+
+def test_bounded_contribution_excludes_null_values_and_validates_cap(spark):
+    """NULL measurements must not leak lo*100 units into the release (they
+    are excluded, stated semantics), and a non-positive cap is a config
+    error, not a silent empty release."""
+    from dbt_meshify_spark.operators.privacy import bounded_contribution_agg
+
+    rows = [
+        (1, "t", 1, 10.0),
+        (1, "t", 2, None),
+        (1, "t", 3, 20.0),
+        (2, "t", 4, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, value double"
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    out = bounded_contribution_agg(
+        df, ["event_type"], max_per_user=10, lo=0.0, hi=100.0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # user 2 contributed only a NULL -> not in the release at all
+    assert r.n_users == 1
+    assert r.n_kept == 2 and r.n_capped == 0
+    assert r.sum_units == 1000 + 2000
+    with pytest.raises(ValueError):
+        bounded_contribution_agg(df, ["event_type"], max_per_user=0)

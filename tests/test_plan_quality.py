@@ -714,3 +714,23 @@ def test_bounded_contribution_runs_one_keyed_window(spark):
     assert plan.count("Window ") == 1, "cap window re-executed"
     assert "Exchange SinglePartition" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_quantile_sketch_windows_stay_keyed_and_targets_broadcast(spark):
+    """ext_quantile_sketch: the cumulative walk and the rank-select audit
+    both window on the key (a SinglePartition exchange would serialize the
+    corpus through one task), and the (key, q, r) target frame reaches the
+    cells/audit sides as a broadcast, never a shuffled join."""
+    plan = _physical(QUERIES["ext_quantile_sketch"](spark, SF_ORACLE))
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_l_diversity_single_scan_keyed_aggregates(spark):
+    """ext_l_diversity: one corpus scan feeds the (QI, sensitive) count
+    table; the head-sum window partitions on the QI key (bounded
+    partitions = distinct sensitive values per group), never globally."""
+    plan = _physical(QUERIES["ext_l_diversity"](spark, SF_ORACLE))
+    assert plan.count("Scan parquet") == 1, "l-diversity re-read the corpus"
+    assert "Exchange SinglePartition" not in plan
