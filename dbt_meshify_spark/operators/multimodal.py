@@ -1201,7 +1201,17 @@ def video_neardup_pairs(
         id_col="__vid",
         payload_col="payload",
     )
-    fset = hashed.filter(F.col("dhash").isNotNull()).distinct()
+    # PIN the (video, frame-hash) table: it fans out to the df-cap count,
+    # the per-video totals, and BOTH sides of the pair join — without a
+    # checkpoint each consumer re-executes the synth/decode/dHash Python
+    # chain (8 scans, 24 MapInPandas nodes observed), i.e. the corpus
+    # would be re-decoded per branch at 100 TB. The pinned frame is tiny:
+    # (id, 8-byte hash) distinct rows, frames-per-video bounded.
+    fset = (
+        hashed.filter(F.col("dhash").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if max_frame_df is not None:
         frame_df = fset.groupBy("dhash").agg(F.count("*").alias("__df"))
         fset = (
