@@ -193,6 +193,21 @@ def l_diversity_report(
     sv = df.groupBy(*quasi_cols, sensitive_col).agg(
         F.count("*").cast("bigint").alias("__cnt")
     )
+    return l_diversity_from_counts(sv, quasi_cols, sensitive_col, l, c)
+
+
+def l_diversity_from_counts(
+    sv: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    c: int = 2,
+) -> DataFrame:
+    """Shared report tail over an already-built (QI, sensitive, __cnt)
+    count table — the batch wrapper aggregates the corpus once; the
+    streaming twin merges per-micro-batch count cells (integer cell sums
+    are order-free, the CMS-state discipline) and hands the merged table
+    here, so both paths share one oracle."""
     w = Window.partitionBy(*quasi_cols).orderBy(
         F.col("__cnt").desc(), F.col(sensitive_col).asc_nulls_first()
     )

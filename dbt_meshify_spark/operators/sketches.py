@@ -451,12 +451,32 @@ def quantile_sketch_report(
 
     Returns ``(key_cols..., q, n, est_q, true_q, abs_err)``.
     """
-    from pyspark.sql.window import Window
-
-    spark = df.sparkSession
-    span = float(hi) - float(lo)
     data = df.filter(F.col(value_col).isNotNull())
     cells = quantile_sketch_cells(data, key_cols, value_col, lo, hi, width)
+    return quantile_report_from_cells(
+        cells, data, key_cols, value_col, qs, lo, hi, width
+    )
+
+
+def quantile_report_from_cells(
+    cells: DataFrame,
+    data: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    width: int = 128,
+) -> DataFrame:
+    """Shared report tail for the batch and streaming quantile-sketch
+    builds (the ``heavy_hitters_from_cells`` discipline): estimate from an
+    already-materialized/merged cell table, exact rank audit from
+    ``data``. ``data`` must be pre-filtered to non-null values (the batch
+    wrapper and the streaming twin's corpus view both are)."""
+    from pyspark.sql.window import Window
+
+    spark = data.sparkSession
+    span = float(hi) - float(lo)
     wcum = Window.partitionBy(*key_cols).orderBy("b")
     cum = cells.withColumn("cum", F.sum("c").over(wcum))
     tot = cells.groupBy(*key_cols).agg(F.sum("c").cast("bigint").alias("n"))

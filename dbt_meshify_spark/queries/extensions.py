@@ -5743,6 +5743,38 @@ ORDER BY merge_rank NULLS FIRST
 """
 
 
+def ext_bpe_byte_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9-scale] hash-checked BYTE-LEVEL BPE encoding: the delimited
+    encoder over the hex-pair byte alphabet with the byte-trained merges
+    (operators/bpe.py::apply_bpe_delimited(alphabet="byte") — identical
+    replace semantics to the char tier, so the oracle unrolls the same
+    merge chain over the byte-symbol seq0 and the FULL byte train->encode
+    pipeline is hash-checked end-to-end, mirroring ext_bpe_encode_dist).
+    Merges serve from the alphabet-keyed ensure_bpe_merges cache."""
+    from dbt_meshify_spark.operators.bpe import (
+        apply_bpe_delimited,
+        ensure_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = ensure_bpe_merges(
+        spark,
+        docs,
+        cache_key=f"docs_{sf_dir}",
+        n_merges=3,
+        source_path=f"{sf_dir.rstrip('/')}/documents.parquet",
+        alphabet="byte",
+    )
+    enc = apply_bpe_delimited(docs, merges, alphabet="byte")
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 5)).alias("bpe_head"),
+    ).orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_bpe_byte_encode"] = ext_bpe_byte_encode
+
 def ext_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[W3/N7 companion] per-session rollup of the 30-minute gap
     sessionization: start, duration, depth, and value total for every
@@ -7302,6 +7334,40 @@ seq0 AS (
 ),{_BPE_ROUNDS}
 enc0 AS (
   SELECT w, ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' </w> ' AS seq
+  FROM (SELECT DISTINCT w FROM occ)
+),{_BPE_ENC_ROUNDS}
+enc AS (SELECT w, string_split(trim(seq), ' ') AS wtoks FROM enc3),
+docs_enc AS (
+  SELECT o.doc_id, flatten(list(e.wtoks ORDER BY o.pos)) AS fl
+  FROM occ o JOIN enc e ON o.w = e.w GROUP BY o.doc_id
+)
+SELECT doc_id, CAST(len(fl) AS BIGINT) AS n_bpe_tokens,
+       array_to_string(fl[1:5], ' ') AS bpe_head
+FROM docs_enc
+ORDER BY doc_id NULLS FIRST
+"""
+
+# byte-level twin: same unrolled train+encode chain over the hex byte seq0
+ORACLES["ext_bpe_byte_encode"] = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+occ AS (
+  SELECT doc_id, i AS pos, l[i] AS w
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM toks)
+  WHERE l[i] <> ''
+),
+words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM occ GROUP BY w),
+seq0 AS (
+  SELECT freq,
+         ' ' || trim(regexp_replace(lower(hex(encode(w))), '(..)', '\1 ', 'g'))
+           || ' </w> ' AS seq
+  FROM words
+),{_BPE_ROUNDS}
+enc0 AS (
+  SELECT w,
+         ' ' || trim(regexp_replace(lower(hex(encode(w))), '(..)', '\1 ', 'g'))
+           || ' </w> ' AS seq
   FROM (SELECT DISTINCT w FROM occ)
 ),{_BPE_ENC_ROUNDS}
 enc AS (SELECT w, string_split(trim(seq), ' ') AS wtoks FROM enc3),
@@ -9164,6 +9230,35 @@ ORDER BY event_type NULLS FIRST, day NULLS FIRST
 """
 
 
+def ext_stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6/N10 privacy tier] STREAMING l-diversity monitor: the events feed
+    arrives as a file stream, each micro-batch reduces to its own
+    (QI, sensitive) count cells, and the merged count table feeds the SAME
+    report tail as the batch audit
+    (streaming/events.py::stream_l_diversity) — live release-risk flags at
+    Zipf-bounded state. Drained availableNow it equals the batch audit and
+    shares ext_l_diversity's oracle."""
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        stream_l_diversity,
+    )
+
+    feed = read_events_stream(
+        spark, f"{sf_dir.rstrip('/')}/events.parquet"
+    ).select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") / F.lit(100.0)).cast("bigint").alias("vbucket"),
+    )
+    out_dir = _stream_scratch("stream_ldiv_")
+    out = stream_l_diversity(feed, out_dir, ["event_type", "day"], "vbucket", l=3, c=2)
+    return out.drop("entropy").orderBy(_asc("event_type"), _asc("day"))
+
+
+QUERIES["ext_stream_l_diversity"] = ext_stream_l_diversity
+ORACLES["ext_stream_l_diversity"] = ORACLES["ext_l_diversity"]
+
+
 def ext_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[A4 sketch tier, hash-checked] K-minimum-values distinct-user sketch
     per event_type (operators/sketches.py::kmv_cardinality, k=64 so the
@@ -9289,6 +9384,40 @@ SELECT h.event_type AS event_type, h.q AS q, h.n AS n,
 FROM hit h JOIN ranked rk ON h.event_type = rk.event_type AND h.r = rk.r
 ORDER BY h.event_type NULLS FIRST, h.q NULLS FIRST
 """
+
+
+def ext_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6 + A4 sketch tier] STREAMING quantile monitor: the events feed
+    arrives as a file stream, each micro-batch appends its own <=128 grid
+    cells per event_type, and the merged state is the cell-wise sum
+    (streaming/events.py::stream_quantile_sketch) — fixed-size mergeable
+    percentile state on a live ingest, the streaming twin of
+    ext_quantile_sketch. Drained availableNow the merged cells equal the
+    batch build, so it shares that oracle."""
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        stream_quantile_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    feed = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    out_dir = _stream_scratch("stream_qsk_")
+    out = stream_quantile_sketch(
+        feed,
+        ev,
+        out_dir,
+        ["event_type"],
+        "value",
+        qs=[0.25, 0.5, 0.75, 0.9, 0.99],
+        lo=0.0,
+        hi=512.0,
+        width=128,
+    )
+    return out.orderBy(_asc("event_type"), _asc("q"))
+
+
+QUERIES["ext_stream_quantile_sketch"] = ext_stream_quantile_sketch
+ORACLES["ext_stream_quantile_sketch"] = ORACLES["ext_quantile_sketch"]
 
 
 def ext_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -446,3 +446,117 @@ def read_events_kafka(
         F.from_json(F.col("value").cast("string"), EVENT_SCHEMA_NANOS).alias("e")
     ).select("e.*")
     return parsed.withColumn("ts", F.timestamp_micros(F.col("ts")))
+
+
+def stream_quantile_sketch(
+    stream_events: DataFrame,
+    corpus_df: DataFrame,
+    out_dir: str,
+    key_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    width: int = 128,
+) -> DataFrame:
+    """Streaming value-distribution monitor on fixed-grid quantile state:
+    every micro-batch reduces to its OWN grid cells (<= width rows per key
+    appended per batch — operators/sketches.py::quantile_sketch_cells,
+    batch-keyed OVERWRITE so an at-least-once foreachBatch replay lands on
+    the same directory instead of double-counting) and the merged sketch is
+    the cell-wise sum. State on disk grows with batches x width cells,
+    never with rows — a live ingest keeps running percentiles at fixed
+    memory, the same property as the CMS twin.
+
+    Drained availableNow the merged cells equal the batch build over the
+    same corpus (integer cell sums are order-insensitive), so the final
+    report shares ext_quantile_sketch's DuckDB oracle. ``corpus_df`` is the
+    batch view of the same data, used only for the exact rank-select audit
+    columns.
+    """
+    import os
+
+    from dbt_meshify_spark.operators.sketches import (
+        quantile_report_from_cells,
+        quantile_sketch_cells,
+    )
+
+    spark = stream_events.sparkSession
+
+    def build(batch_df: DataFrame, batch_id: int) -> None:
+        quantile_sketch_cells(
+            batch_df, key_cols, value_col, lo, hi, width
+        ).write.mode("overwrite").parquet(f"{out_dir}/cells/batch={batch_id}")
+
+    q = (
+        stream_events.writeStream.foreachBatch(build)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data = corpus_df.filter(F.col(value_col).isNotNull())
+    if not os.path.isdir(f"{out_dir}/cells"):
+        cells = spark.createDataFrame(
+            [], data.select(*key_cols).schema
+        ).withColumns(
+            {"b": F.lit(None).cast("int"), "c": F.lit(None).cast("bigint")}
+        )
+    else:
+        cells = (
+            spark.read.parquet(f"{out_dir}/cells")
+            .groupBy(*key_cols, "b")
+            .agg(F.sum("c").alias("c"))
+        )
+    return quantile_report_from_cells(
+        cells, data, key_cols, value_col, qs, lo, hi, width
+    )
+
+
+def stream_l_diversity(
+    stream_df: DataFrame,
+    out_dir: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    c: int = 2,
+) -> DataFrame:
+    """Streaming privacy monitor: per-micro-batch (QI, sensitive) count
+    cells (batch-keyed overwrite — idempotent under foreachBatch replay),
+    merged by integer cell sum, then the SAME l-diversity report tail as
+    the batch audit (operators/privacy.py::l_diversity_from_counts) — so a
+    live ingest can watch release-risk flags without a second corpus pass,
+    and the drained result shares ext_l_diversity's DuckDB oracle exactly.
+
+    State grows with batches x distinct (QI, sensitive) pairs touched per
+    batch — Zipf-bounded like a token table, never the row count.
+    """
+    import os
+
+    from dbt_meshify_spark.operators.privacy import l_diversity_from_counts
+
+    spark = stream_df.sparkSession
+
+    def build(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.groupBy(*quasi_cols, sensitive_col).agg(
+            F.count("*").cast("bigint").alias("__cnt")
+        ).write.mode("overwrite").parquet(f"{out_dir}/cells/batch={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(build)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(f"{out_dir}/cells"):
+        sv = spark.createDataFrame(
+            [], stream_df.select(*quasi_cols, sensitive_col).schema
+        ).withColumn("__cnt", F.lit(None).cast("bigint"))
+    else:
+        sv = (
+            spark.read.parquet(f"{out_dir}/cells")
+            .groupBy(*quasi_cols, sensitive_col)
+            .agg(F.sum("__cnt").cast("bigint").alias("__cnt"))
+        )
+    return l_diversity_from_counts(sv, quasi_cols, sensitive_col, l, c)

@@ -2537,7 +2537,7 @@ def test_ensure_bpe_merges_caches_and_invalidates(spark, tmp_path):
     )
     cold = train_bpe_distributed(docs, n_merges=3).orderBy("merge_rank").collect()
     assert m1 == [(r.lhs, r.rhs) for r in cold]
-    d = os.path.join(base, "bpe3_1-t_4-text")
+    d = os.path.join(base, "bpe3_1-t_4-text_4-char")  # slug folds in the alphabet
     stamp = os.path.getmtime(os.path.join(d, "merges", "_SUCCESS"))
 
     # warm call with a DIFFERENT corpus: cache wins => no retrain happened

@@ -542,3 +542,89 @@ def test_stream_weighted_sample_matches_batch(spark, tmp_path_factory):
     want = sorted((r.doc_id, r.draw_rank) for r in expected.collect())
     assert got == want and len(got) == 25
     assert spark.read.parquet(f"{out_dir}/cands").count() <= 2 * 25
+
+
+def test_stream_quantile_sketch_multibatch_equals_batch(spark, tmp_path_factory):
+    """The quantile-grid streaming monitor over two forced micro-batches
+    must produce exactly the batch report (integer cell sums are
+    order-insensitive), with on-disk state <= batches x width cells per
+    key — percentile state that never grows with rows."""
+    from dbt_meshify_spark.operators.sketches import quantile_sketch_report
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        stream_quantile_sketch,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path_factory.mktemp("qsk_batches")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(d / "f1"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(d / "f2"))
+    feed = read_events_stream(
+        spark, str(d) + "/*/", nanos=False, max_files_per_trigger=1
+    )
+    out_dir = str(tmp_path_factory.mktemp("qsk_out"))
+    qs = [0.25, 0.5, 0.9]
+    streamed = stream_quantile_sketch(
+        feed, ev, out_dir, ["event_type"], "value", qs, lo=0.0, hi=512.0, width=128
+    )
+    expected = quantile_sketch_report(
+        ev, ["event_type"], "value", qs, lo=0.0, hi=512.0, width=128
+    )
+    cols = ["event_type", "q", "n", "est_q", "true_q", "abs_err"]
+    got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in expected.collect())
+    assert got == want and len(got) > 0
+    n_keys = ev.select("event_type").distinct().count()
+    assert spark.read.parquet(f"{out_dir}/cells").count() <= 2 * 128 * n_keys
+
+
+def test_stream_l_diversity_multibatch_equals_batch(spark, tmp_path_factory):
+    """The l-diversity streaming monitor over two forced micro-batches must
+    equal the batch audit exactly — per-batch (QI, sensitive) count cells
+    merge by integer sum, and the shared report tail sees the same table
+    either way."""
+    from dbt_meshify_spark.operators.privacy import l_diversity_report
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        stream_l_diversity,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path_factory.mktemp("ldiv_batches")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(d / "f1"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(d / "f2"))
+
+    def proj(df):
+        return df.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") / F.lit(100.0)).cast("bigint").alias("vbucket"),
+        )
+
+    feed = proj(
+        read_events_stream(
+            spark, str(d) + "/*/", nanos=False, max_files_per_trigger=1
+        )
+    )
+    out_dir = str(tmp_path_factory.mktemp("ldiv_out"))
+    streamed = stream_l_diversity(
+        feed, out_dir, ["event_type", "day"], "vbucket", l=3, c=2
+    )
+    expected = l_diversity_report(
+        proj(ev), ["event_type", "day"], "vbucket", l=3, c=2
+    )
+    cols = [
+        "event_type", "day", "group_size", "n_sensitive", "top_count",
+        "max_share", "at_risk_distinct", "at_risk_recursive",
+    ]
+    got = sorted(
+        tuple(str(r[c]) for c in cols) for r in streamed.drop("entropy").collect()
+    )
+    want = sorted(
+        tuple(str(r[c]) for c in cols) for r in expected.drop("entropy").collect()
+    )
+    assert got == want and len(got) > 0
