@@ -512,3 +512,109 @@ def quantile_report_from_cells(
         (F.round(F.col("__v"), 4) + F.lit(0.0)).alias("true_q"),
         err_r.alias("abs_err"),
     )
+
+
+def weighted_quantile_report(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    width: int = 128,
+) -> DataFrame:
+    """WEIGHTED fixed-grid quantiles: "below which value does fraction q of
+    the total WEIGHT sit" — the token-mass question a budget planner asks
+    (e.g. the document length under which half the corpus's tokens live,
+    which the unweighted row percentile badly misstates when long docs
+    carry most of the mass). Same grid state as the count sketch, cells
+    summing INTEGER weights instead of rows, so everything stays
+    engine-exact: rank ``r = ceil(q * W)`` over the bigint weight total,
+    the same pinned-order interpolation, and the exact audit = the first
+    value whose cumulative weight reaches ``r`` (an actual data value).
+
+    Plan shape matches :func:`quantile_sketch_report`: one (key, bucket)
+    partial-agg shuffle of <= width integer cells per key (mergeable by
+    cell sum), bounded cumulative window, broadcast (q, r) targets; the
+    exact audit is the only data-sized window and rides the same key
+    family. Rows with NULL or non-positive weight are excluded (zero
+    weight cannot hold a quantile; negative weight breaks monotonicity).
+
+    Returns ``(key_cols..., q, total_w, est_q, true_q, abs_err)``.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    span = float(hi) - float(lo)
+    data = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    ).select(
+        *key_cols,
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(weight_col).cast("bigint").alias("__w"),
+    )
+    b = F.least(
+        F.lit(int(width) - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col("__v") - F.lit(float(lo))) / F.lit(span) * F.lit(int(width))
+            ).cast("int"),
+        ),
+    )
+    cells = data.groupBy(*key_cols, b.alias("b")).agg(
+        F.sum("__w").cast("bigint").alias("c")
+    )
+    wcum = Window.partitionBy(*key_cols).orderBy("b")
+    cum = cells.withColumn("cum", F.sum("c").over(wcum))
+    tot = cells.groupBy(*key_cols).agg(
+        F.sum("c").cast("bigint").alias("total_w")
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    targets = tot.crossJoin(F.broadcast(qdf)).withColumn(
+        "r", F.ceil(F.col("q") * F.col("total_w")).cast("bigint")
+    )
+    hit = cum.join(targets, key_cols).filter(
+        (F.col("cum") >= F.col("r")) & ((F.col("cum") - F.col("c")) < F.col("r"))
+    )
+    frac = (F.col("r") - (F.col("cum") - F.col("c"))).cast("double") / F.col(
+        "c"
+    ).cast("double")
+    est = (
+        F.lit(float(lo))
+        + (F.col("b").cast("double") + frac) * F.lit(span) / F.lit(int(width))
+    )
+    est_df = hit.select(*key_cols, "q", "total_w", "r", est.alias("__est"))
+    # exact audit: the first value (in value order) whose cumulative weight
+    # reaches rank r. Tie values: the cumulative weight at the LAST row of
+    # a tie run is order-independent, and any row of the run yields the
+    # same __v, so a (value, weight-irrelevant) tie cannot flip the audit —
+    # but the within-run cum is order-sensitive, so the window orders by
+    # (__v, __w) and the pick takes MIN(__v) over qualifying rows instead
+    # of trusting a row_number.
+    wv = Window.partitionBy(*key_cols).orderBy(
+        F.col("__v").asc(), F.col("__w").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = data.withColumn("cw", F.sum("__w").over(wv))
+    picked = (
+        ranked.join(
+            est_df.select(*key_cols, "q", "r"), key_cols
+        )
+        .filter(F.col("cw") >= F.col("r"))
+        .groupBy(*key_cols, "q")
+        .agg(F.min("__v").alias("__tv"))
+    )
+    out = est_df.join(picked, [*key_cols, "q"])
+    est_r = F.round(F.col("__est"), 4) + F.lit(0.0)
+    err_r = F.round(F.abs(F.col("__est") - F.col("__tv")), 4) + F.lit(0.0)
+    return out.select(
+        *key_cols,
+        "q",
+        "total_w",
+        est_r.alias("est_q"),
+        (F.round(F.col("__tv"), 4) + F.lit(0.0)).alias("true_q"),
+        err_r.alias("abs_err"),
+    )

@@ -9469,6 +9469,86 @@ QUERIES["ext_stream_quantile_sketch"] = ext_stream_quantile_sketch
 ORACLES["ext_stream_quantile_sketch"] = ORACLES["ext_quantile_sketch"]
 
 
+def ext_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4 sketch tier / N9, hash-checked] WEIGHTED quantiles of document
+    length per language, weighted by character mass
+    (operators/sketches.py::weighted_quantile_report, grid [0, 1024) x
+    128): "under which doc length does fraction q of the corpus's
+    characters sit" — the token-budget planner's question, which the
+    unweighted row percentile misstates whenever long docs carry most of
+    the mass. Integer weight sums keep every cell, the rank r = ceil(q*W),
+    and the exact crossing-value audit engine-exact."""
+    from dbt_meshify_spark.operators.sketches import weighted_quantile_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_quantile_report(
+        docs,
+        ["lang"],
+        "n_chars",
+        "n_chars",
+        qs=[0.25, 0.5, 0.75, 0.9],
+        lo=0.0,
+        hi=1024.0,
+        width=128,
+    )
+    return out.orderBy(_asc("lang"), _asc("q"))
+
+
+QUERIES["ext_weighted_quantile"] = ext_weighted_quantile
+
+ORACLES["ext_weighted_quantile"] = """
+WITH data AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS v, CAST(n_chars AS BIGINT) AS w
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+cells AS (
+  SELECT lang,
+         LEAST(127, GREATEST(0,
+           CAST(FLOOR((v - 0.0) / 1024.0 * 128) AS INT))) AS b,
+         CAST(SUM(w) AS BIGINT) AS c
+  FROM data GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, b, c, SUM(c) OVER (PARTITION BY lang ORDER BY b) AS cum
+  FROM cells
+),
+tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS total_w FROM cells GROUP BY 1),
+qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q),
+targets AS (
+  SELECT t.lang, q.q, t.total_w, CAST(CEIL(q.q * t.total_w) AS BIGINT) AS r
+  FROM tot t CROSS JOIN qs q
+),
+hit AS (
+  SELECT g.lang, g.q, g.total_w, g.r,
+         0.0 + (CAST(c.b AS DOUBLE)
+                + CAST(g.r - (c.cum - c.c) AS DOUBLE) / CAST(c.c AS DOUBLE))
+               * 1024.0 / 128 AS est
+  FROM targets g JOIN cum c ON g.lang = c.lang
+  WHERE c.cum >= g.r AND (c.cum - c.c) < g.r
+),
+ranked AS (
+  SELECT lang, v,
+         SUM(w) OVER (PARTITION BY lang ORDER BY v, w
+                      ROWS UNBOUNDED PRECEDING) AS cw
+  FROM data
+),
+picked AS (
+  SELECT rk.lang, h2.q, MIN(rk.v) AS tv
+  FROM ranked rk JOIN (SELECT DISTINCT lang, q, r FROM hit) h2
+    ON rk.lang = h2.lang
+  WHERE rk.cw >= h2.r
+  GROUP BY rk.lang, h2.q
+)
+SELECT h.lang AS lang, h.q AS q, h.total_w AS total_w,
+       ROUND(h.est, 4) + 0.0 AS est_q,
+       ROUND(p.tv, 4) + 0.0 AS true_q,
+       ROUND(ABS(h.est - p.tv), 4) + 0.0 AS abs_err
+FROM hit h JOIN picked p ON h.lang = p.lang AND h.q = p.q
+ORDER BY h.lang NULLS FIRST, h.q NULLS FIRST
+"""
+
+
 def ext_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N6/N9] STREAMING weighted sampling: the documents corpus arrives as
     a file stream and each micro-batch contributes only its own ES top-k

@@ -5623,3 +5623,44 @@ def test_dp_noisy_counts_replay_and_clamp(spark):
     assert abs(sum(noises) / len(noises)) < 1.0  # geometric sd ~= 3.2 at eps=0.5
     assert sum(1 for z in noises if z == 0) > len(noises) * 0.1
     assert any(r.n_released == 0 and r.n_true + r.noise < 0 for r in out.values()) or True
+
+
+def test_weighted_quantile_matches_hand_computation_and_mass_property(spark):
+    """Weighted median on a hand-checkable fixture: one heavy value holds
+    most of the mass, so the weighted quantiles sit ON it while the
+    unweighted median would not; and on real documents the mass below the
+    reported true_q must reach q within the last crossing row's weight."""
+    from dbt_meshify_spark.operators.sketches import weighted_quantile_report
+    from dbt_meshify_spark.sources import load_table
+
+    rows = [("a", 10.0, 1), ("a", 20.0, 1), ("a", 100.0, 98)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    out = {
+        r.q: r
+        for r in weighted_quantile_report(
+            df, ["g"], "v", "w", qs=[0.5, 0.9], lo=0.0, hi=128.0, width=64
+        ).collect()
+    }
+    # W=100, r(0.5)=50, r(0.9)=90: both land inside the heavy value's mass
+    assert out[0.5].true_q == 100.0 and out[0.9].true_q == 100.0
+    assert out[0.5].total_w == 100
+    # grid hard bound, same as the count sketch
+    for r in out.values():
+        assert r.abs_err <= 128.0 / 64 + 1e-9
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    rep = weighted_quantile_report(
+        docs, ["lang"], "n_chars", "n_chars",
+        qs=[0.25, 0.5, 0.9], lo=0.0, hi=1024.0, width=128,
+    ).collect()
+    assert rep
+    for r in rep:
+        below = docs.filter(
+            (F.col("lang") == r.lang) & (F.col("n_chars") <= r.true_q)
+        ).agg(F.sum("n_chars")).collect()[0][0]
+        strictly_below = docs.filter(
+            (F.col("lang") == r.lang) & (F.col("n_chars") < r.true_q)
+        ).agg(F.coalesce(F.sum("n_chars"), F.lit(0))).collect()[0][0]
+        need = r.q * r.total_w
+        assert below >= need - 1e-6, (r, below)
+        assert strictly_below < need, (r, strictly_below)
