@@ -373,6 +373,38 @@ def kmv_cardinality(
     )
 
 
+def _grid_bucket(col: Column, lo: float, hi: float, width: int) -> Column:
+    """Canonical grid-bucket expression — ONE copy because the operation
+    order is load-bearing for cross-engine IEEE parity (oracles write
+    ``LEAST(width-1, GREATEST(0, CAST(FLOOR((v - lo) / span * width) AS
+    INT)))`` with identical order)."""
+    span = float(hi) - float(lo)
+    return F.least(
+        F.lit(int(width) - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (col - F.lit(float(lo))) / F.lit(span) * F.lit(int(width))
+            ).cast("int"),
+        ),
+    )
+
+
+def _grid_estimate(lo: float, hi: float, width: int) -> Column:
+    """Canonical rank-interpolation expression over (b, c, cum, r) columns
+    — ``lo + (b + (r - cum_before)/c) * span / width`` in this exact order
+    on both engines (the weighted and unweighted tiers and both oracles
+    share it)."""
+    span = float(hi) - float(lo)
+    frac = (F.col("r") - (F.col("cum") - F.col("c"))).cast("double") / F.col(
+        "c"
+    ).cast("double")
+    return (
+        F.lit(float(lo))
+        + (F.col("b").cast("double") + frac) * F.lit(span) / F.lit(int(width))
+    )
+
+
 def quantile_sketch_cells(
     df: DataFrame,
     key_cols: list[str],
@@ -395,7 +427,9 @@ def quantile_sketch_cells(
     order-free). Out-of-range values clamp into the edge buckets (the
     estimate then saturates at the grid edge — callers choose the grid
     from domain knowledge, the same contract as bounded_contribution's
-    ``[lo, hi]``). NULL values are excluded, matching the rank audit.
+    ``[lo, hi]``). NULL and NaN values are excluded (Spark's non-ANSI
+    CAST(floor(NaN)) would bucket silently while an ANSI oracle raises —
+    oracles must mirror the NaN exclusion).
 
     Scale shape (100 TB posture): ONE partial-aggregated shuffle of
     (key, bucket) cells — at most ``width`` rows per key per input
@@ -404,20 +438,12 @@ def quantile_sketch_cells(
     error <= the largest single-bucket mass, the classic fixed-histogram
     bound; widen ``width`` (state is O(width), not O(n)) to tighten.
     """
-    span = float(hi) - float(lo)
-    b = F.least(
-        F.lit(int(width) - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor(
-                (F.col(value_col) - F.lit(float(lo)))
-                / F.lit(span)
-                * F.lit(int(width))
-            ).cast("int"),
-        ),
-    )
+    b = _grid_bucket(F.col(value_col), lo, hi, width)
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
         .groupBy(*key_cols, b.alias("b"))
         .agg(F.count("*").cast("bigint").alias("c"))
     )
@@ -451,7 +477,10 @@ def quantile_sketch_report(
 
     Returns ``(key_cols..., q, n, est_q, true_q, abs_err)``.
     """
-    data = df.filter(F.col(value_col).isNotNull())
+    data = df.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
     cells = quantile_sketch_cells(data, key_cols, value_col, lo, hi, width)
     return quantile_report_from_cells(
         cells, data, key_cols, value_col, qs, lo, hi, width
@@ -476,7 +505,6 @@ def quantile_report_from_cells(
     from pyspark.sql.window import Window
 
     spark = data.sparkSession
-    span = float(hi) - float(lo)
     wcum = Window.partitionBy(*key_cols).orderBy("b")
     cum = cells.withColumn("cum", F.sum("c").over(wcum))
     tot = cells.groupBy(*key_cols).agg(F.sum("c").cast("bigint").alias("n"))
@@ -487,13 +515,7 @@ def quantile_report_from_cells(
     hit = cum.join(targets, key_cols).filter(
         (F.col("cum") >= F.col("r")) & ((F.col("cum") - F.col("c")) < F.col("r"))
     )
-    frac = (F.col("r") - (F.col("cum") - F.col("c"))).cast("double") / F.col(
-        "c"
-    ).cast("double")
-    est = (
-        F.lit(float(lo))
-        + (F.col("b").cast("double") + frac) * F.lit(span) / F.lit(int(width))
-    )
+    est = _grid_estimate(lo, hi, width)
     est_df = hit.select(*key_cols, "q", "n", "r", est.alias("__est"))
     # exact audit: the value at rank r per key (ties in the value order
     # cannot change the emitted VALUE, so row_number is deterministic here)
@@ -546,9 +568,9 @@ def weighted_quantile_report(
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
-    span = float(hi) - float(lo)
     data = df.filter(
         F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
         & F.col(weight_col).isNotNull()
         & (F.col(weight_col) > 0)
     ).select(
@@ -556,15 +578,7 @@ def weighted_quantile_report(
         F.col(value_col).cast("double").alias("__v"),
         F.col(weight_col).cast("bigint").alias("__w"),
     )
-    b = F.least(
-        F.lit(int(width) - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor(
-                (F.col("__v") - F.lit(float(lo))) / F.lit(span) * F.lit(int(width))
-            ).cast("int"),
-        ),
-    )
+    b = _grid_bucket(F.col("__v"), lo, hi, width)
     cells = data.groupBy(*key_cols, b.alias("b")).agg(
         F.sum("__w").cast("bigint").alias("c")
     )
@@ -580,13 +594,7 @@ def weighted_quantile_report(
     hit = cum.join(targets, key_cols).filter(
         (F.col("cum") >= F.col("r")) & ((F.col("cum") - F.col("c")) < F.col("r"))
     )
-    frac = (F.col("r") - (F.col("cum") - F.col("c"))).cast("double") / F.col(
-        "c"
-    ).cast("double")
-    est = (
-        F.lit(float(lo))
-        + (F.col("b").cast("double") + frac) * F.lit(span) / F.lit(int(width))
-    )
+    est = _grid_estimate(lo, hi, width)
     est_df = hit.select(*key_cols, "q", "total_w", "r", est.alias("__est"))
     # exact audit: the first value (in value order) whose cumulative weight
     # reaches rank r. Tie values: the cumulative weight at the LAST row of

@@ -29,10 +29,11 @@ QUERIES = {**_REL_QUERIES, **_EXT_QUERIES}
 # to the round-9/10 flagships — modified-KN order-5, unigram-LM encode, KMV
 # cardinality, Z-order layout, bounded-contribution privacy, late-drop
 # accounting, plus (round 10) the quantile sketch, l-diversity, and
-# byte-level BPE. One dedup representative stays (minhash md5 tier). To make
-# room, three round-2 projection/filter trivia (q01–q03, green externally
-# since round 1 and replayed in every local pytest run) move to the
-# local-gate tail. Every window slot must be hash-checkable — rows-only
+# byte-level BPE, the ε-DP noisy-count release, and the oracle-promoted
+# fertility audit. One dedup representative stays (minhash md5 tier). To
+# make room, FOUR round-2 trivia (q01–q03 projection/filter, q09 top-k —
+# green externally since round 1 and replayed in every local pytest run)
+# move to the local-gate tail: 38 relational + 12 extension = 50 slots. Every window slot must be hash-checkable — rows-only
 # tiers (e.g. ext_minhash_neardup, which errs `no_oracle` by design) go
 # after 50.
 _WINDOW_EXT = [

@@ -68,15 +68,18 @@ def _stream_scratch(prefix: str) -> str:
     are single-use here — drained availableNow runs must not resume a prior
     run's offsets), but first prunes stale dirs from PREVIOUS invocations
     so repeated driver/bench runs don't accumulate temp directories. Only
-    dirs older than 30 minutes are pruned — a live concurrent run's
-    checkpoint is never touched.
+    dirs older than 6 HOURS are pruned: nested batch writes do not refresh
+    the top-level dir's mtime, so the cutoff must exceed any plausible
+    drain/bench/driver session length — a 30-minute cutoff could rmtree a
+    live long session's checkpoint (or ext_stream_late_drops' staged
+    INPUT) out from under it.
     """
     import shutil
     import tempfile
     import time
 
     root = tempfile.gettempdir()
-    cutoff = time.time() - 1800
+    cutoff = time.time() - 6 * 3600
     try:
         for name in os.listdir(root):
             if not name.startswith(prefix):
@@ -4484,14 +4487,15 @@ def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_path=f"{sf_dir.rstrip('/')}/documents.parquet",
     )
     enc = apply_bpe_delimited(docs, merges)
-    # n_words = whitespace tokens; text is trimmed so the split emits no
-    # empty segments for any doc that survives the encode's inner join
-    # (no-word docs have no occurrence rows and drop out on both engines)
+    # n_words counts NON-SPACE RUNS (regexp_count of \S+) — exactly the
+    # oracle's occ COUNT(*) of non-empty split segments. A size(split(...))
+    # would over-count by one on texts edged with \t/\n (F.trim strips
+    # only spaces, leaving an empty segment the oracle excludes).
     meta = docs.select(
         "doc_id",
         "lang",
         F.length("text").cast("bigint").alias("n_chars"),
-        F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+        F.regexp_count(F.col("text"), F.lit(r"\S+"))
         .cast("bigint")
         .alias("n_words"),
     )
@@ -9089,10 +9093,16 @@ def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     features. One partial-aggregated shuffle on the QI key."""
     from dbt_meshify_spark.operators.privacy import k_anonymity_report
 
+    # NaN pin: Spark's non-ANSI CAST(floor(NaN)) lands in a bucket while
+    # DuckDB's CAST raises — a NaN measurement maps to a NULL bucket on
+    # BOTH engines instead (grouped like any other value by the audit)
+    vb = F.when(
+        F.isnan(F.col("value")), F.lit(None).cast("bigint")
+    ).otherwise(F.floor(F.col("value") / F.lit(100.0)).cast("bigint"))
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.col("ts").cast("date").alias("day"),
-        F.floor(F.col("value") / F.lit(100.0)).cast("bigint").alias("vbucket"),
+        vb.alias("vbucket"),
         "user_id",
     )
     out = k_anonymity_report(ev, ["event_type", "day", "vbucket"], "user_id", k=5)
@@ -9104,7 +9114,8 @@ QUERIES["ext_k_anonymity"] = ext_k_anonymity
 ORACLES["ext_k_anonymity"] = """
 WITH g AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(FLOOR(value / 100.0) AS BIGINT) AS vbucket, user_id
+         CASE WHEN isnan(value) THEN NULL
+              ELSE CAST(FLOOR(value / 100.0) AS BIGINT) END AS vbucket, user_id
   FROM events
 )
 SELECT event_type, day, vbucket,
@@ -9183,10 +9194,11 @@ def ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     design (double-sum order hazard, SURVEY §2.7)."""
     from dbt_meshify_spark.operators.privacy import l_diversity_report
 
+    vb = F.when(
+        F.isnan(F.col("value")), F.lit(None).cast("bigint")
+    ).otherwise(F.floor(F.col("value") / F.lit(100.0)).cast("bigint"))
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.col("ts").cast("date").alias("day"),
-        F.floor(F.col("value") / F.lit(100.0)).cast("bigint").alias("vbucket"),
+        "event_type", F.col("ts").cast("date").alias("day"), vb.alias("vbucket")
     )
     out = l_diversity_report(ev, ["event_type", "day"], "vbucket", l=3, c=2)
     return out.drop("entropy").orderBy(_asc("event_type"), _asc("day"))
@@ -9197,7 +9209,8 @@ QUERIES["ext_l_diversity"] = ext_l_diversity
 ORACLES["ext_l_diversity"] = """
 WITH g AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(FLOOR(value / 100.0) AS BIGINT) AS vbucket
+         CASE WHEN isnan(value) THEN NULL
+              ELSE CAST(FLOOR(value / 100.0) AS BIGINT) END AS vbucket
   FROM events
 ),
 sv AS (
@@ -9248,7 +9261,9 @@ def ext_stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type",
         F.col("ts").cast("date").alias("day"),
-        F.floor(F.col("value") / F.lit(100.0)).cast("bigint").alias("vbucket"),
+        F.when(F.isnan(F.col("value")), F.lit(None).cast("bigint"))
+        .otherwise(F.floor(F.col("value") / F.lit(100.0)).cast("bigint"))
+        .alias("vbucket"),
     )
     out_dir = _stream_scratch("stream_ldiv_")
     out = stream_l_diversity(feed, out_dir, ["event_type", "day"], "vbucket", l=3, c=2)
@@ -9392,7 +9407,8 @@ QUERIES["ext_quantile_sketch"] = ext_quantile_sketch
 
 ORACLES["ext_quantile_sketch"] = """
 WITH data AS (
-  SELECT event_type, value FROM events WHERE value IS NOT NULL
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
 ),
 cells AS (
   SELECT event_type,

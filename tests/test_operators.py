@@ -5622,7 +5622,12 @@ def test_dp_noisy_counts_replay_and_clamp(spark):
     noises = [r.noise for r in out.values()]
     assert abs(sum(noises) / len(noises)) < 1.0  # geometric sd ~= 3.2 at eps=0.5
     assert sum(1 for z in noises if z == 0) > len(noises) * 0.1
-    assert any(r.n_released == 0 and r.n_true + r.noise < 0 for r in out.values()) or True
+    # the clamp-at-zero branch must actually be exercised: with n_true in
+    # {1,2,3} and geometric sd ~3.2, many of the 400 groups draw noise
+    # below -n_true
+    assert any(
+        r.n_released == 0 and r.n_true + r.noise < 0 for r in out.values()
+    )
 
 
 def test_weighted_quantile_matches_hand_computation_and_mass_property(spark):
@@ -5664,3 +5669,23 @@ def test_weighted_quantile_matches_hand_computation_and_mass_property(spark):
         need = r.q * r.total_w
         assert below >= need - 1e-6, (r, below)
         assert strictly_below < need, (r, strictly_below)
+
+
+def test_quantile_sketch_excludes_nan_like_null(spark):
+    """A NaN measurement must be EXCLUDED, not silently bucketed: Spark's
+    non-ANSI CAST(floor(NaN) AS INT) lands in bucket 0 while an ANSI SQL
+    oracle raises — the pinned behavior is NULL-like exclusion on both
+    engines (cells, totals, and ranks all ignore the row)."""
+    from dbt_meshify_spark.operators.sketches import (
+        quantile_sketch_cells,
+        quantile_sketch_report,
+    )
+
+    rows = [("a", 1.0), ("a", float("nan")), ("a", 3.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    cells = quantile_sketch_cells(df, ["g"], "v", lo=0.0, hi=4.0, width=4)
+    assert cells.agg(F.sum("c")).collect()[0][0] == 2
+    rep = quantile_sketch_report(
+        df, ["g"], "v", qs=[0.5], lo=0.0, hi=4.0, width=4
+    ).collect()
+    assert len(rep) == 1 and rep[0].n == 2 and rep[0].true_q == 1.0
