@@ -400,12 +400,27 @@ def sketch_family_probe(spark, base) -> None:
         t0 = _t.time()
         n_files = zorder_file_stats(docs, ["doc_id", "n_chars"]).count()
         t_z = _t.time() - t0
+        from dbt_meshify_spark.operators.sketches import (
+            quantile_sketch_cells,
+            quantile_sketch_report,
+        )
+
+        t0 = _t.time()
+        n_qcells = quantile_sketch_cells(
+            docs, ["lang"], "n_chars", 0.0, 1024.0, 128
+        ).count()
+        qrep = quantile_sketch_report(
+            docs, ["lang"], "n_chars", [0.5, 0.9, 0.99], 0.0, 1024.0, 128
+        ).collect()
+        t_q = _t.time() - t0
+        q_maxerr = max(r.abs_err for r in qrep)
         print(
             f"scale={k}x keys={nkeys}: cms_cells={n_cells} ({t_cells:.2f}s) "
             f"heavy_hitters={n_hh} ({t_hh:.2f}s) "
             f"bloom8k fp={b['fp']} grams={b['g']} docs={b['d']} ({t_bl:.2f}s) "
             f"bloom2M fp={b2['fp']} ({t_bl2:.2f}s) "
-            f"zorder_files={n_files} ({t_z:.2f}s)",
+            f"zorder_files={n_files} ({t_z:.2f}s) "
+            f"quantile_cells={n_qcells} max_abs_err={q_maxerr} ({t_q:.2f}s)",
             flush=True,
         )
 
@@ -478,10 +493,32 @@ def privacy_kmv_probe(spark, sf_dir: str) -> None:
         t0 = _t.time()
         bounded_contribution_agg(ev, ["event_type"]).count()
         t_bc = _t.time() - t0
+        from dbt_meshify_spark.operators.privacy import (
+            dp_noisy_user_counts,
+            l_diversity_report,
+        )
+
+        evd = ev.withColumn("day", F.col("ts").cast("date"))
+        t0 = _t.time()
+        n_ld = l_diversity_report(
+            evd.withColumn(
+                "vb", F.floor(F.col("value") / F.lit(100.0)).cast("bigint")
+            ),
+            ["event_type", "day"],
+            "vb",
+        ).count()
+        t_ld = _t.time() - t0
+        t0 = _t.time()
+        dp = dp_noisy_user_counts(evd, ["event_type", "day"]).agg(
+            F.count("*").alias("g"), F.sum(F.abs("noise")).alias("tn")
+        ).collect()[0]
+        t_dp = _t.time() - t0
         print(
             f"scale={k}x users={k * n_users}: kmv={t_kmv:.2f}s "
             f"(max_rel_err {max_err}) k_anon={t_ka:.2f}s "
-            f"(groups {n_groups}) bounded_contrib={t_bc:.2f}s",
+            f"(groups {n_groups}) bounded_contrib={t_bc:.2f}s "
+            f"l_div={t_ld:.2f}s (groups {n_ld}) dp_release={t_dp:.2f}s "
+            f"(groups {dp['g']} sum|z| {dp['tn']})",
             flush=True,
         )
 
