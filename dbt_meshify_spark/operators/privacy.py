@@ -355,3 +355,88 @@ def dp_noisy_user_counts(
         .cast("bigint")
         .alias("n_released"),
     )
+
+
+def dp_release(
+    df: DataFrame,
+    group_cols: list[str],
+    user_col: str = "user_id",
+    value_col: str = "value",
+    max_per_user: int = 10,
+    lo: float = 0.0,
+    hi: float = 100.0,
+    eps_count: float = 0.5,
+    eps_sum: float = 0.5,
+    bound: int = 40,
+    salt: str = "dp0",
+) -> DataFrame:
+    """The FULL ε-DP release pipeline over event data: cap → clamp →
+    quantize → geometric noise, composing the tier's primitives into the
+    one query a release pipeline actually runs.
+
+    - **Counts**: per-group kept-row counts have user-removal sensitivity
+      ``max_per_user`` after the cap; release ``floor(n_kept /
+      max_per_user)`` (sensitivity 1 — a user's removal moves the floor by
+      at most one step) plus geometric noise, rescaled back. The same
+      discretize-then-geometric recipe handles the sums:
+    - **Sums**: ``bounded_contribution_agg`` certifies per-user sum
+      sensitivity ``S = max_per_user * max(|lo|, |hi|) * 100`` integer
+      units; ``floor(sum_units / S)`` then has sensitivity 1, geometric
+      noise makes it ε-DP, and the release rescales to units. The
+      quantization costs accuracy S (the price of an integer-exact,
+      oracle-replayable mechanism — a continuous Laplace draw has no
+      deterministic oracle and is documented out of scope).
+
+    Per-group total privacy cost is ``eps_count + eps_sum`` by sequential
+    composition (two lattice releases of the same group), each drawn from
+    an independently salted u32 of the group key. Derandomization /
+    production-nonce caveats as :func:`dp_noisy_user_counts`; ``n_kept`` /
+    ``sum_units`` audit columns emitted for verification only.
+
+    Plan shape: the bounded-contribution window + two aggregates, then TWO
+    broadcast range joins against the (2*bound+1)-row noise tables —
+    nothing else touches the corpus.
+    """
+    spark = df.sparkSession
+    S = int(max_per_user) * int(max(abs(float(lo)), abs(float(hi))) * 100)
+    base = bounded_contribution_agg(
+        df,
+        group_cols,
+        user_col=user_col,
+        value_col=value_col,
+        max_per_user=max_per_user,
+        lo=lo,
+        hi=hi,
+    )
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+
+    def noised(frame, q_col, eps, noise_salt, out_prefix):
+        t = spark.createDataFrame(
+            geometric_noise_thresholds(eps, bound),
+            f"{out_prefix}_z int, {out_prefix}_lo bigint, {out_prefix}_hi bigint",
+        )
+        u32 = hex8_int(F.md5(F.concat(F.lit(noise_salt + "|"), key_str)))
+        keyed = frame.withColumn(f"__u_{out_prefix}", u32)
+        return keyed.join(
+            F.broadcast(t),
+            (F.col(f"__u_{out_prefix}") >= F.col(f"{out_prefix}_lo"))
+            & (F.col(f"__u_{out_prefix}") < F.col(f"{out_prefix}_hi")),
+        ).drop(f"__u_{out_prefix}", f"{out_prefix}_lo", f"{out_prefix}_hi")
+    cnt_step = F.lit(int(max_per_user))
+    out = noised(base, "n_kept", eps_count, salt + "|cnt", "zc")
+    out = noised(out, "sum_units", eps_sum, salt + "|sum", "zs")
+    q_cnt = F.floor(F.col("n_kept") / cnt_step).cast("bigint")
+    q_sum = F.floor(F.col("sum_units") / F.lit(S)).cast("bigint")
+    return out.select(
+        *group_cols,
+        "n_kept",
+        "sum_units",
+        F.col("zc_z").cast("bigint").alias("noise_count"),
+        F.col("zs_z").cast("bigint").alias("noise_sum"),
+        F.greatest(F.lit(0), (q_cnt + F.col("zc_z")) * cnt_step)
+        .cast("bigint")
+        .alias("released_count"),
+        F.greatest(F.lit(0), (q_sum + F.col("zs_z")) * F.lit(S))
+        .cast("bigint")
+        .alias("released_sum_units"),
+    )

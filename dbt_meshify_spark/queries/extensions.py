@@ -9323,6 +9323,75 @@ ORDER BY u.event_type NULLS FIRST, u.day NULLS FIRST
 """).replace("{HEX8}", _hex8_sum("hx"))
 
 
+def ext_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N10 privacy tier, hash-checked] the FULL ε-DP release pipeline per
+    event_type (operators/privacy.py::dp_release): contribution cap →
+    value clamp → sensitivity-1 quantization (floor(n_kept/cap),
+    floor(sum_units/S)) → geometric noise on each lattice → rescale +
+    clamp-at-0. Total per-group cost eps_count + eps_sum = 1.0 by
+    sequential composition. Everything integer: the oracle replays the cap
+    window, the unit sums, both independently-salted noise draws, and the
+    released values exactly — the deterministic-verification property no
+    draw-at-release Laplace design can offer."""
+    from dbt_meshify_spark.operators.privacy import dp_release
+
+    ev = load_table(spark, sf_dir, "events")
+    out = dp_release(ev, ["event_type"], max_per_user=10, lo=0.0, hi=100.0)
+    return out.orderBy(_asc("event_type"))
+
+
+QUERIES["ext_dp_release"] = ext_dp_release
+
+_DP_VALUES_C = ", ".join(f"({z}, {lo}, {hi})" for z, lo, hi in _gnt(0.5, 40))
+
+ORACLES["ext_dp_release"] = ("""
+WITH r AS (
+  SELECT event_type, user_id, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+kept AS (
+  SELECT event_type, user_id,
+         CAST(FLOOR(LEAST(GREATEST(value, 0.0), 100.0) * 100.0) AS BIGINT)
+           AS units
+  FROM r WHERE rn <= 10
+),
+base AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(units) AS BIGINT) AS sum_units
+  FROM kept GROUP BY 1
+),
+hc AS (
+  SELECT *, md5('dp0|cnt|' || concat_ws('|', CAST(event_type AS VARCHAR)))
+           AS hxc,
+         md5('dp0|sum|' || concat_ws('|', CAST(event_type AS VARCHAR)))
+           AS hxs
+  FROM base
+),
+u AS (
+  SELECT event_type, n_kept, sum_units,
+         CAST(({HEXC}) AS BIGINT) AS uc, CAST(({HEXS}) AS BIGINT) AS us
+  FROM hc
+),
+t(z, t_lo, t_hi) AS (VALUES """ + _DP_VALUES_C + """)
+SELECT u.event_type AS event_type, u.n_kept AS n_kept,
+       u.sum_units AS sum_units,
+       CAST(tc.z AS BIGINT) AS noise_count,
+       CAST(ts2.z AS BIGINT) AS noise_sum,
+       CAST(GREATEST(0, (CAST(FLOOR(u.n_kept / 10) AS BIGINT) + tc.z) * 10)
+         AS BIGINT) AS released_count,
+       CAST(GREATEST(0,
+         (CAST(FLOOR(u.sum_units / 100000) AS BIGINT) + ts2.z) * 100000)
+         AS BIGINT) AS released_sum_units
+FROM u
+JOIN t tc ON u.uc >= tc.t_lo AND u.uc < tc.t_hi
+JOIN t ts2 ON u.us >= ts2.t_lo AND u.us < ts2.t_hi
+ORDER BY u.event_type NULLS FIRST
+""").replace("{HEXC}", _hex8_sum("hxc")).replace("{HEXS}", _hex8_sum("hxs"))
+
+
 def ext_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[A4 sketch tier, hash-checked] K-minimum-values distinct-user sketch
     per event_type (operators/sketches.py::kmv_cardinality, k=64 so the

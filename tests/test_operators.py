@@ -5689,3 +5689,40 @@ def test_quantile_sketch_excludes_nan_like_null(spark):
         df, ["g"], "v", qs=[0.5], lo=0.0, hi=4.0, width=4
     ).collect()
     assert len(rep) == 1 and rep[0].n == 2 and rep[0].true_q == 1.0
+
+
+def test_dp_release_lattice_replay_and_error_bounds(spark):
+    """Both released values live on their sensitivity lattices (multiples
+    of the count step / sum sensitivity), each noise draw replays the
+    independently-salted md5 -> threshold walk, and the pre-clamp release
+    error is bounded by (|z| + 1) lattice steps (one step of quantization
+    loss plus the noise)."""
+    import hashlib
+
+    from dbt_meshify_spark.operators.privacy import (
+        dp_release,
+        geometric_noise_thresholds,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    out = dp_release(ev, ["event_type"], max_per_user=10, lo=0.0, hi=100.0).collect()
+    assert out
+    t = geometric_noise_thresholds(0.5, 40)
+
+    def replay(salt: str, key: str) -> int:
+        u32 = int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:8], 16)
+        return next(z for z, lo, hi in t if lo <= u32 < hi)
+
+    S = 10 * 100 * 100
+    for r in out:
+        assert r.noise_count == replay("dp0|cnt", r.event_type), r
+        assert r.noise_sum == replay("dp0|sum", r.event_type), r
+        assert r.released_count % 10 == 0 and r.released_count >= 0
+        assert r.released_sum_units % S == 0 and r.released_sum_units >= 0
+        raw_cnt = (r.n_kept // 10 + r.noise_count) * 10
+        raw_sum = (r.sum_units // S + r.noise_sum) * S
+        assert r.released_count == max(0, raw_cnt)
+        assert r.released_sum_units == max(0, raw_sum)
+        assert abs(raw_cnt - r.n_kept) <= (abs(r.noise_count) + 1) * 10
+        assert abs(raw_sum - r.sum_units) <= (abs(r.noise_sum) + 1) * S
