@@ -29,7 +29,7 @@ QUERIES = {**_REL_QUERIES, **_EXT_QUERIES}
 # to the round-9/10 flagships — modified-KN order-5, unigram-LM encode, KMV
 # cardinality, Z-order layout, bounded-contribution privacy, late-drop
 # accounting, plus (round 10) the quantile sketch, l-diversity, and
-# byte-level BPE, the ε-DP noisy-count release, and the oracle-promoted
+# byte-level BPE, the full ε-DP release pipeline, and the oracle-promoted
 # fertility audit. One dedup representative stays (minhash md5 tier). To
 # make room, FOUR round-2 trivia (q01–q03 projection/filter, q09 top-k —
 # green externally since round 1 and replayed in every local pytest run)
@@ -48,7 +48,7 @@ _WINDOW_EXT = [
     "ext_l_diversity",
     "ext_bpe_byte_train",
     "ext_tokenizer_fertility",
-    "ext_dp_noisy_counts",
+    "ext_dp_release",
 ]
 _REL_TAIL = [
     "q01_projection_cast",
