@@ -626,3 +626,87 @@ def test_suppression_is_null_safe_on_qi_columns(spark):
     got = released.collect()
     assert all(r.day == "d1" for r in got), got
     assert len(got) == 8
+
+
+def test_byte_bpe_survives_nasty_input(spark, nasty):
+    """Byte-level train + encode over the nasty corpus: nulls/empties drop
+    (no words), every surviving doc round-trips byte-exactly through
+    unhex — control chars, emoji, CJK, and the 5000-char monster included."""
+    from dbt_meshify_spark.operators.bpe import (
+        apply_bpe_delimited,
+        train_bpe_distributed,
+    )
+
+    merges_df = train_bpe_distributed(nasty, n_merges=3, alphabet="byte")
+    merges = [(r.lhs, r.rhs) for r in merges_df.orderBy("merge_rank").collect()]
+    enc = apply_bpe_delimited(nasty, merges, alphabet="byte").collect()
+    texts = {r.doc_id: r.text for r in nasty.collect()}
+    seen = set()
+    for r in enc:
+        seen.add(r.doc_id)
+        words = texts[r.doc_id].lower().split()
+        segs = "".join(r.bpe_tokens).split("</w>")
+        decoded = [bytes.fromhex(x).decode("utf-8") for x in segs[:-1]]
+        assert decoded == words, r.doc_id
+    # only the no-word docs (empty/null/whitespace) are absent
+    assert seen == {1, 5, 6, 7, 8, 9, 10, 11, 12}
+
+
+def test_quantile_and_weighted_quantile_degenerate_inputs(spark):
+    """Empty frames, single values, all-out-of-range values, and constant
+    weights must produce sane reports (edge-bucket saturation, exact
+    single-value quantiles) rather than crashes or empty-on-nonempty."""
+    from dbt_meshify_spark.operators.sketches import (
+        quantile_sketch_report,
+        weighted_quantile_report,
+    )
+
+    empty = spark.createDataFrame([], "g string, v double")
+    assert (
+        quantile_sketch_report(empty, ["g"], "v", [0.5], 0.0, 8.0, 8).count()
+        == 0
+    )
+    one = spark.createDataFrame([("a", 3.0)], "g string, v double")
+    r = quantile_sketch_report(one, ["g"], "v", [0.5, 0.99], 0.0, 8.0, 8).collect()
+    assert len(r) == 2 and all(x.true_q == 3.0 for x in r)
+    # out-of-range values clamp into the edge buckets; the estimate
+    # saturates at the grid edge but the exact audit is untouched
+    oor = spark.createDataFrame(
+        [("a", -5.0), ("a", 100.0), ("a", 200.0)], "g string, v double"
+    )
+    rr = quantile_sketch_report(oor, ["g"], "v", [0.5], 0.0, 8.0, 8).collect()[0]
+    assert rr.true_q == 100.0 and 0.0 <= rr.est_q <= 8.0
+    wempty = spark.createDataFrame([], "g string, v double, w long")
+    assert (
+        weighted_quantile_report(
+            wempty, ["g"], "v", "w", [0.5], 0.0, 8.0, 8
+        ).count()
+        == 0
+    )
+    wz = spark.createDataFrame(
+        [("a", 1.0, 0), ("a", 2.0, -3), ("a", 5.0, 7)], "g string, v double, w long"
+    )
+    wr = weighted_quantile_report(wz, ["g"], "v", "w", [0.5], 0.0, 8.0, 8).collect()
+    assert len(wr) == 1 and wr[0].total_w == 7 and wr[0].true_q == 5.0
+
+
+def test_dp_release_degenerate_groups(spark):
+    """Single-event groups, all-null values, and a group whose key is NULL:
+    the release never crashes, null-valued groups vanish (no rows survive
+    the measurement filter), and a NULL group key still draws noise (its
+    key string hashes via the empty concat_ws)."""
+    from dbt_meshify_spark.operators.privacy import dp_release
+
+    rows = [
+        (1, "a", 1, 10.0),
+        (2, "b", 2, None),
+        (3, None, 3, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, value double"
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    out = {r.event_type: r for r in dp_release(df, ["event_type"]).collect()}
+    assert set(out) == {"a", None}  # the all-null-value group b vanished
+    for r in out.values():
+        assert r.released_count >= 0 and r.released_sum_units >= 0
+        assert r.released_count % 10 == 0
