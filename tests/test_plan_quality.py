@@ -734,3 +734,25 @@ def test_l_diversity_single_scan_keyed_aggregates(spark):
     plan = _physical(QUERIES["ext_l_diversity"](spark, SF_ORACLE))
     assert plan.count("Scan parquet") == 1, "l-diversity re-read the corpus"
     assert "Exchange SinglePartition" not in plan
+
+
+def test_dp_release_single_cap_window_and_broadcast_noise(spark):
+    """ext_dp_release: the ONLY corpus-sized operation is the contribution
+    cap window (one keyed execution — the bounded-contribution guard's
+    invariant must survive the composition); both noise tables must arrive
+    as broadcasts, never shuffled joins; no SinglePartition exchange."""
+    plan = _physical(QUERIES["ext_dp_release"](spark, SF_ORACLE))
+    assert plan.count("Window ") == 1, "cap window re-executed"
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 2, "noise-table joins not broadcast"
+
+
+def test_weighted_quantile_windows_stay_keyed(spark):
+    """ext_weighted_quantile: the cumulative cell walk and the crossing
+    audit both partition on the key; the (q, r) targets broadcast."""
+    plan = _physical(QUERIES["ext_weighted_quantile"](spark, SF_ORACLE))
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
