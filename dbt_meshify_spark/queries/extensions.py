@@ -7836,6 +7836,129 @@ def ext_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ext_kn_perplexity"] = ext_kn_perplexity
 
+
+def ext_ccnet_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9 composition] CCNet perplexity-bucketed corpus split: per
+    language, rank documents by interpolated-KN trigram perplexity and
+    label head/middle/tail terciles (Wenzek et al. 2020 — CCNet routes the
+    head to training and drops or reweights the tail). The LM here is
+    self-trained on the corpus (CCNet trains on a clean reference corpus;
+    swapping the training frame changes nothing structural). Tercile
+    boundaries are INTEGER comparisons on the per-lang rank (3r <= n /
+    3r <= 2n), ranking on the ROUNDED ppl with doc_id tiebreak — so the
+    split is engine-exact given the base query's established rounding
+    discipline. Per-lang keyed windows — never a global sort."""
+    from dbt_meshify_spark.operators.lm import kn_trigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    ppl = kn_trigram_perplexity(docs).select("doc_id", "ppl")
+    j = ppl.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("ppl").asc_nulls_first(), F.col("doc_id").asc_nulls_first()
+    )
+    wn = Window.partitionBy("lang")
+    lab = j.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    bucket = (
+        F.when(3 * F.col("r") <= F.col("n"), F.lit("head"))
+        .when(3 * F.col("r") <= 2 * F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        lab.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.min("ppl") + F.lit(0.0)).alias("min_ppl"),
+            (F.max("ppl") + F.lit(0.0)).alias("max_ppl"),
+        )
+        .orderBy(_asc("lang"), _asc("bucket"))
+    )
+
+
+QUERIES["ext_ccnet_bucket_split"] = ext_ccnet_bucket_split
+
+# shares the full KN CTE chain; only the report tail differs (ranked
+# terciles instead of per-doc rows)
+ORACLES["ext_ccnet_bucket_split"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+t3 AS MATERIALIZED (SELECT doc_id, l FROM toks WHERE len(l) >= 3),
+pos3 AS (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM t3),
+tf AS MATERIALIZED (
+  SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tri, COUNT(*) AS tf
+  FROM pos3 GROUP BY doc_id, tri
+),
+keys AS MATERIALIZED (
+  SELECT tri, SUM(tf) AS c_tri,
+         split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2) AS w12,
+         split_part(tri, ' ', 2) || ' ' || split_part(tri, ' ', 3) AS w23,
+         split_part(tri, ' ', 2) AS w2,
+         split_part(tri, ' ', 3) AS w3
+  FROM tf GROUP BY tri
+),
+cw12 AS MATERIALIZED (
+  SELECT w12, SUM(c_tri) AS c_w12, COUNT(*) AS n1p_w12 FROM keys GROUP BY w12
+),
+cw23 AS MATERIALIZED (
+  SELECT w23, COUNT(*) AS n_dot_w23 FROM keys GROUP BY w23
+),
+cw2 AS MATERIALIZED (
+  SELECT w2, COUNT(*) AS n_dot_w2, COUNT(DISTINCT w23) AS n_w2_dot
+  FROM keys GROUP BY w2
+),
+pos2 AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t3),
+bt AS MATERIALIZED (SELECT DISTINCT l[i] || ' ' || l[i+1] AS bg FROM pos2),
+cw3 AS MATERIALIZED (
+  SELECT split_part(bg, ' ', 2) AS w3, COUNT(*) AS n_dot_w3 FROM bt GROUP BY 1
+),
+tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nbt FROM bt),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+    -ln(
+      greatest(CAST(k.c_tri AS DOUBLE) - 0.75, 0.0) / CAST(cw12.c_w12 AS DOUBLE)
+      + (0.75 * CAST(cw12.n1p_w12 AS DOUBLE) / CAST(cw12.c_w12 AS DOUBLE))
+      * (greatest(CAST(cw23.n_dot_w23 AS DOUBLE) - 0.75, 0.0)
+           / CAST(cw2.n_dot_w2 AS DOUBLE)
+         + (0.75 * CAST(cw2.n_w2_dot AS DOUBLE) / CAST(cw2.n_dot_w2 AS DOUBLE))
+         * (CAST(cw3.n_dot_w3 AS DOUBLE) / tot.nbt))
+    ) AS nll
+  FROM tf
+  JOIN keys k USING (tri)
+  JOIN cw12 ON k.w12 = cw12.w12
+  JOIN cw23 ON k.w23 = cw23.w23
+  JOIN cw2 ON k.w2 = cw2.w2
+  JOIN cw3 ON k.w3 = cw3.w3
+  CROSS JOIN tot
+),
+ppl AS (
+  SELECT doc_id, ROUND(exp(SUM(tf * nll) / SUM(tf)), 4) AS ppl
+  FROM scored GROUP BY doc_id
+),
+lp AS (
+  SELECT d.lang, p.doc_id, p.ppl,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.lang
+           ORDER BY p.ppl NULLS FIRST, p.doc_id NULLS FIRST) AS r,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n
+  FROM ppl p JOIN documents d ON p.doc_id = d.doc_id
+),
+lab AS (
+  SELECT lang, ppl,
+         CASE WHEN 3 * r <= n THEN 'head'
+              WHEN 3 * r <= 2 * n THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM lp
+)
+SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(ppl) + 0.0 AS min_ppl, MAX(ppl) + 0.0 AS max_ppl
+FROM lab GROUP BY lang, bucket
+ORDER BY lang NULLS FIRST, bucket NULLS FIRST
+"""
+
 # MATERIALIZED per the trigram lesson: keys is referenced by 3 downstream
 # count CTEs that the scored join re-references — unmaterialized, DuckDB
 # re-inlines the tokenize+aggregate pyramid multiplicatively

@@ -5726,3 +5726,26 @@ def test_dp_release_lattice_replay_and_error_bounds(spark):
         assert r.released_sum_units == max(0, raw_sum)
         assert abs(raw_cnt - r.n_kept) <= (abs(r.noise_count) + 1) * 10
         assert abs(raw_sum - r.sum_units) <= (abs(r.noise_sum) + 1) * S
+
+
+def test_ccnet_bucket_split_terciles_ordered_and_balanced(spark):
+    """Per language: tercile sizes differ by at most 1, bucket ppl ranges
+    are ordered head <= middle <= tail (allowing equality at tie
+    boundaries), and counts cover exactly the scored (>= 3 token) docs."""
+    from dbt_meshify_spark.operators.lm import kn_trigram_perplexity
+    from dbt_meshify_spark.queries.extensions import ext_ccnet_bucket_split
+    from dbt_meshify_spark.sources import load_table
+
+    out = ext_ccnet_bucket_split(spark, SF_ORACLE).collect()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    scored = kn_trigram_perplexity(docs).count()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    assert sum(r.n_docs for r in out) == scored
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, lang
+        sizes = [b[x].n_docs for x in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert b["head"].max_ppl <= b["middle"].min_ppl + 1e-9, lang
+        assert b["middle"].max_ppl <= b["tail"].min_ppl + 1e-9, lang
