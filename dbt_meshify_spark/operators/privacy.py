@@ -304,6 +304,33 @@ def geometric_noise_thresholds(eps: float, bound: int) -> list[tuple[int, int, i
     return out
 
 
+def _noise_join(
+    frame: DataFrame,
+    key_str: Column,
+    eps: float,
+    bound: int,
+    noise_salt: str,
+    out_prefix: str,
+) -> DataFrame:
+    """Attach a derandomized geometric noise draw: the md5-u32 of the
+    salted group key indexes the broadcast inverse-CDF table; adds column
+    ``{out_prefix}_z``. ONE copy of the range-join wiring — the count and
+    sum releases (and any future lattice release) must share it so the
+    join condition cannot desynchronize."""
+    spark = frame.sparkSession
+    t = spark.createDataFrame(
+        geometric_noise_thresholds(eps, bound),
+        f"{out_prefix}_z int, {out_prefix}_lo bigint, {out_prefix}_hi bigint",
+    )
+    u32 = hex8_int(F.md5(F.concat(F.lit(noise_salt + "|"), key_str)))
+    keyed = frame.withColumn(f"__u_{out_prefix}", u32)
+    return keyed.join(
+        F.broadcast(t),
+        (F.col(f"__u_{out_prefix}") >= F.col(f"{out_prefix}_lo"))
+        & (F.col(f"__u_{out_prefix}") < F.col(f"{out_prefix}_hi")),
+    ).drop(f"__u_{out_prefix}", f"{out_prefix}_lo", f"{out_prefix}_hi")
+
+
 def dp_noisy_user_counts(
     df: DataFrame,
     group_cols: list[str],
@@ -334,24 +361,15 @@ def dp_noisy_user_counts(
     else touches the corpus.
     """
     key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
-    u32 = hex8_int(F.md5(F.concat(F.lit(salt + "|"), key_str)))
     g = df.groupBy(*group_cols).agg(
         F.countDistinct(user_col).cast("bigint").alias("n_true")
     )
-    spark = df.sparkSession
-    t = spark.createDataFrame(
-        geometric_noise_thresholds(eps, bound), "z int, t_lo bigint, t_hi bigint"
-    )
-    keyed = g.withColumn("__u32", u32)
-    hit = keyed.join(
-        F.broadcast(t),
-        (F.col("__u32") >= F.col("t_lo")) & (F.col("__u32") < F.col("t_hi")),
-    )
+    hit = _noise_join(g, key_str, eps, bound, salt, "z")
     return hit.select(
         *group_cols,
         "n_true",
-        F.col("z").cast("bigint").alias("noise"),
-        F.greatest(F.lit(0), F.col("n_true") + F.col("z"))
+        F.col("z_z").cast("bigint").alias("noise"),
+        F.greatest(F.lit(0), F.col("n_true") + F.col("z_z"))
         .cast("bigint")
         .alias("n_released"),
     )
@@ -397,8 +415,24 @@ def dp_release(
     broadcast range joins against the (2*bound+1)-row noise tables —
     nothing else touches the corpus.
     """
+    import math
+
     spark = df.sparkSession
-    S = int(max_per_user) * int(max(abs(float(lo)), abs(float(hi))) * 100)
+    # The certified per-user sensitivity in INTEGER units must bound the
+    # worst-case row contribution AS QUANTIZED: per-row units lie in
+    # [floor(lo*100), floor(hi*100)], so the per-row magnitude bound is
+    # max(|floor(lo*100)|, |floor(hi*100)|) — NOT int(max(|lo|,|hi|)*100),
+    # which truncates toward zero and UNDERSTATES S for fractional negative
+    # bounds (floor(-33.5) = -34: a row can contribute 34 units while the
+    # truncated bound claims 33, doubling the effective epsilon).
+    S = int(max_per_user) * max(
+        abs(math.floor(float(lo) * 100.0)), abs(math.floor(float(hi) * 100.0))
+    )
+    if S < 1:
+        raise ValueError(
+            f"bounds [{lo}, {hi}] quantize to zero sensitivity units; "
+            "widen the bounds or rescale the measurements"
+        )
     base = bounded_contribution_agg(
         df,
         group_cols,
@@ -410,21 +444,9 @@ def dp_release(
     )
     key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
 
-    def noised(frame, q_col, eps, noise_salt, out_prefix):
-        t = spark.createDataFrame(
-            geometric_noise_thresholds(eps, bound),
-            f"{out_prefix}_z int, {out_prefix}_lo bigint, {out_prefix}_hi bigint",
-        )
-        u32 = hex8_int(F.md5(F.concat(F.lit(noise_salt + "|"), key_str)))
-        keyed = frame.withColumn(f"__u_{out_prefix}", u32)
-        return keyed.join(
-            F.broadcast(t),
-            (F.col(f"__u_{out_prefix}") >= F.col(f"{out_prefix}_lo"))
-            & (F.col(f"__u_{out_prefix}") < F.col(f"{out_prefix}_hi")),
-        ).drop(f"__u_{out_prefix}", f"{out_prefix}_lo", f"{out_prefix}_hi")
     cnt_step = F.lit(int(max_per_user))
-    out = noised(base, "n_kept", eps_count, salt + "|cnt", "zc")
-    out = noised(out, "sum_units", eps_sum, salt + "|sum", "zs")
+    out = _noise_join(base, key_str, eps_count, bound, salt + "|cnt", "zc")
+    out = _noise_join(out, key_str, eps_sum, bound, salt + "|sum", "zs")
     q_cnt = F.floor(F.col("n_kept") / cnt_step).cast("bigint")
     q_sum = F.floor(F.col("sum_units") / F.lit(S)).cast("bigint")
     return out.select(

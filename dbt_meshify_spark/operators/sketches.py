@@ -561,7 +561,10 @@ def weighted_quantile_report(
     cell sum), bounded cumulative window, broadcast (q, r) targets; the
     exact audit is the only data-sized window and rides the same key
     family. Rows with NULL or non-positive weight are excluded (zero
-    weight cannot hold a quantile; negative weight breaks monotonicity).
+    weight cannot hold a quantile; negative weight breaks monotonicity);
+    fractional weights quantize by CEIL into integer units — exact for
+    integer weights, and every positive weight counts at least 1 (a bare
+    cast would silently truncate sub-1 weights to nothing).
 
     Returns ``(key_cols..., q, total_w, est_q, true_q, abs_err)``.
     """
@@ -576,7 +579,7 @@ def weighted_quantile_report(
     ).select(
         *key_cols,
         F.col(value_col).cast("double").alias("__v"),
-        F.col(weight_col).cast("bigint").alias("__w"),
+        F.ceil(F.col(weight_col)).cast("bigint").alias("__w"),
     )
     b = _grid_bucket(F.col("__v"), lo, hi, width)
     cells = data.groupBy(*key_cols, b.alias("b")).agg(

@@ -7386,8 +7386,9 @@ ORDER BY doc_id NULLS FIRST
 """
 
 # fertility audit: the same train + encode CTE chain, aggregated per lang
-# (occ COUNT(*) == Spark's whitespace-split size for every doc that has
-# words; no-word docs drop out of the inner join on both engines)
+# (occ COUNT(*) == Spark's regexp_count(\S+) for every doc that has words
+# — NOT split-size, which over-counts on \t/\n-edged texts; no-word docs
+# drop out of the inner join on both engines)
 ORACLES["ext_tokenizer_fertility"] = rf"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
@@ -9207,6 +9208,24 @@ QUERIES["ext_stream_cms_heavy_hitters"] = ext_stream_cms_heavy_hitters
 ORACLES["ext_stream_cms_heavy_hitters"] = ORACLES["ext_cms_heavy_hitters"]
 
 
+
+def _vbucket_nan_pinned():
+    """NaN-pinned sensitive value bucket ``floor(value / 100)`` — ONE copy
+    (plus the `_VBUCKET_SQL` twin below) because the NaN policy is
+    load-bearing cross-engine: Spark's non-ANSI CAST(floor(NaN)) buckets
+    silently while DuckDB's CAST raises, so NaN maps to a NULL bucket on
+    BOTH engines (grouped like any other value by the privacy audits)."""
+    return F.when(
+        F.isnan(F.col("value")), F.lit(None).cast("bigint")
+    ).otherwise(F.floor(F.col("value") / F.lit(100.0)).cast("bigint"))
+
+
+_VBUCKET_SQL = (
+    "CASE WHEN isnan(value) THEN NULL "
+    "ELSE CAST(FLOOR(value / 100.0) AS BIGINT) END"
+)
+
+
 def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N10 privacy tier] k-anonymity audit of the events release under the
     quasi-identifier (event_type, day, value-bucket)
@@ -9216,16 +9235,10 @@ def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     features. One partial-aggregated shuffle on the QI key."""
     from dbt_meshify_spark.operators.privacy import k_anonymity_report
 
-    # NaN pin: Spark's non-ANSI CAST(floor(NaN)) lands in a bucket while
-    # DuckDB's CAST raises — a NaN measurement maps to a NULL bucket on
-    # BOTH engines instead (grouped like any other value by the audit)
-    vb = F.when(
-        F.isnan(F.col("value")), F.lit(None).cast("bigint")
-    ).otherwise(F.floor(F.col("value") / F.lit(100.0)).cast("bigint"))
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.col("ts").cast("date").alias("day"),
-        vb.alias("vbucket"),
+        _vbucket_nan_pinned().alias("vbucket"),
         "user_id",
     )
     out = k_anonymity_report(ev, ["event_type", "day", "vbucket"], "user_id", k=5)
@@ -9234,11 +9247,10 @@ def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ext_k_anonymity"] = ext_k_anonymity
 
-ORACLES["ext_k_anonymity"] = """
+ORACLES["ext_k_anonymity"] = f"""
 WITH g AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CASE WHEN isnan(value) THEN NULL
-              ELSE CAST(FLOOR(value / 100.0) AS BIGINT) END AS vbucket, user_id
+         {_VBUCKET_SQL} AS vbucket, user_id
   FROM events
 )
 SELECT event_type, day, vbucket,
@@ -9317,11 +9329,10 @@ def ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     design (double-sum order hazard, SURVEY §2.7)."""
     from dbt_meshify_spark.operators.privacy import l_diversity_report
 
-    vb = F.when(
-        F.isnan(F.col("value")), F.lit(None).cast("bigint")
-    ).otherwise(F.floor(F.col("value") / F.lit(100.0)).cast("bigint"))
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.col("ts").cast("date").alias("day"), vb.alias("vbucket")
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        _vbucket_nan_pinned().alias("vbucket"),
     )
     out = l_diversity_report(ev, ["event_type", "day"], "vbucket", l=3, c=2)
     return out.drop("entropy").orderBy(_asc("event_type"), _asc("day"))
@@ -9329,11 +9340,10 @@ def ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ext_l_diversity"] = ext_l_diversity
 
-ORACLES["ext_l_diversity"] = """
+ORACLES["ext_l_diversity"] = f"""
 WITH g AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CASE WHEN isnan(value) THEN NULL
-              ELSE CAST(FLOOR(value / 100.0) AS BIGINT) END AS vbucket
+         {_VBUCKET_SQL} AS vbucket
   FROM events
 ),
 sv AS (
@@ -9384,9 +9394,7 @@ def ext_stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type",
         F.col("ts").cast("date").alias("day"),
-        F.when(F.isnan(F.col("value")), F.lit(None).cast("bigint"))
-        .otherwise(F.floor(F.col("value") / F.lit(100.0)).cast("bigint"))
-        .alias("vbucket"),
+        _vbucket_nan_pinned().alias("vbucket"),
     )
     out_dir = _stream_scratch("stream_ldiv_")
     out = stream_l_diversity(feed, out_dir, ["event_type", "day"], "vbucket", l=3, c=2)
@@ -9465,7 +9473,8 @@ def ext_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ext_dp_release"] = ext_dp_release
 
-_DP_VALUES_C = ", ".join(f"({z}, {lo}, {hi})" for z, lo, hi in _gnt(0.5, 40))
+# the release pipeline shares the noisy-count lattice (same eps/bound)
+_DP_VALUES_C = _DP_VALUES
 
 ORACLES["ext_dp_release"] = ("""
 WITH r AS (

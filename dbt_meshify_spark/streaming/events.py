@@ -495,7 +495,13 @@ def stream_quantile_sketch(
         .start()
     )
     q.awaitTermination()
-    data = corpus_df.filter(F.col(value_col).isNotNull())
+    # same pre-filter contract as the batch wrapper: NULL AND NaN excluded
+    # (quantile_report_from_cells requires it; the per-batch cells builder
+    # already NaN-filters, so the audit frame must match)
+    data = corpus_df.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
     if not os.path.isdir(f"{out_dir}/cells"):
         cells = spark.createDataFrame(
             [], data.select(*key_cols).schema
