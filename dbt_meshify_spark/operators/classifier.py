@@ -104,3 +104,119 @@ def score_quality_classifier(
     for wi, name in zip(weights[1:], FEATURE_NAMES):
         z = z + F.lit(wi) * feats[name]
     return docs.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+# ---------------------------------------------------------------------------
+# NB-posterior tier (round 10): corpus-trained linear classifier whose
+# TRAINING and inference both replay in the DuckDB oracle. The logistic
+# tier above is the accuracy path (distilled, driver-trained, codegen
+# sigmoid scoring — rows-only); this integer tier is the hash-checked one:
+# per-term Laplace posterior P(positive | term) in integer ten-thousandths
+# (w_units = floor(10000 * (pos_c+1) / (pos_c+neg_c+2))), document score =
+# round(sum(tf*w_units) / (n_known * 10000), 4) — integer counts and ONE
+# final division, so no libm (ln/exp) cross-engine ulp drift anywhere.
+# Scale shape: training reduces the corpus to the Zipf-bounded term table
+# (top-max_vocab by occurrences); inference is one tokenize pass + a term
+# equi-join + one per-doc aggregate. Unknown terms skip (standard OOV),
+# tracked via n_known.
+# ---------------------------------------------------------------------------
+
+from dbt_meshify_spark.operators.dedup import tokens_col
+
+
+def train_nb_weights(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    max_vocab: int | None = 20_000,
+) -> DataFrame:
+    """Per-term integer posterior weights from a labeled corpus.
+
+    ``label_col`` is boolean (true = positive class). Returns
+    ``(term, pos_c, neg_c, w_units)`` — occurrence counts per class and
+    the Laplace posterior in ten-thousandths. One tokenize pass, one
+    map-side-combined (term) shuffle; ``max_vocab`` keeps the top-``n``
+    terms by total occurrences (ties broken by term — deterministic), the
+    bounded-broadcast knob.
+    """
+    toks = df.select(
+        F.col(label_col).cast("boolean").alias("__pos"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    # when/otherwise, not a bare cast: a NULL label must count NEGATIVE on
+    # both engines (SQL CASE WHEN NULL falls to ELSE; ~NULL would be a
+    # skipped NULL in Spark's sum and diverge)
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos_c"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("neg_c"),
+    )
+    if max_vocab is not None:
+        counts = (
+            counts.orderBy(
+                (F.col("pos_c") + F.col("neg_c")).desc(),
+                F.col("term").asc_nulls_first(),
+            )
+            .limit(int(max_vocab))
+        )
+    w = F.floor(
+        (F.col("pos_c") + F.lit(1))
+        * F.lit(10000)
+        / (F.col("pos_c") + F.col("neg_c") + F.lit(2))
+    ).cast("bigint")
+    return counts.select("term", "pos_c", "neg_c", w.alias("w_units"))
+
+
+def classify_documents(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score every document with the trained weights: tf-weighted mean
+    posterior of its KNOWN terms, integer-exact until the one final
+    division. Returns ``(id_col, n_tokens, n_known, score, label)``;
+    ``label`` derives from the ROUNDED score (the SURVEY §2.7 flag
+    discipline). Docs with no known terms score NULL and label false
+    (unscorable, surfaced not dropped).
+    """
+    occ = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = occ.groupBy(id_col, "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    joined = tf.join(weights.select("term", "w_units"), "term", "left")
+    agg = joined.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("w_units").isNotNull(), F.col("tf"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_known"),
+        F.coalesce(F.sum(F.col("tf") * F.col("w_units")), F.lit(0))
+        .cast("bigint")
+        .alias("__num"),
+    )
+    score = F.when(
+        F.col("n_known") > 0,
+        F.round(
+            F.col("__num").cast("double")
+            / (F.col("n_known").cast("double") * F.lit(10000.0)),
+            4,
+        )
+        + F.lit(0.0),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_known",
+        score.alias("score"),
+        F.coalesce(score >= F.lit(float(threshold)), F.lit(False)).alias(
+            "label"
+        ),
+    )

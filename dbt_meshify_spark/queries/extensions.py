@@ -7880,6 +7880,114 @@ def ext_ccnet_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ext_ccnet_bucket_split"] = ext_ccnet_bucket_split
 
+
+def ext_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9, hash-checked] corpus-trained linear quality/language
+    classifier — TRAINING (operators/classifier.py::train_nb_weights):
+    label = (lang = 'en'), per-term Laplace posterior P(en | term) in
+    integer ten-thousandths over the top-20k-occurrence vocabulary. The
+    filter-model stage every published curation pipeline runs
+    (CCNet/GPT-3/LLaMA gate documents on a linear classifier); integer
+    counts + one floor-division make training itself oracle-replayable,
+    which a log-space fastText never is (libm ulp drift)."""
+    from dbt_meshify_spark.operators.classifier import train_nb_weights
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_en", F.col("lang") == F.lit("en")
+    )
+    w = train_nb_weights(docs, "is_en", max_vocab=20_000)
+    return w.orderBy(_asc("term"))
+
+
+QUERIES["ext_classifier_train"] = ext_classifier_train
+
+_CLS_TRAIN_CTES = r"""toks AS (
+  SELECT (lang = 'en') AS pos,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_c,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_c
+  FROM toks WHERE term <> '' GROUP BY term
+),
+top AS (
+  SELECT term, pos_c, neg_c,
+         CAST(FLOOR((pos_c + 1) * 10000 / (pos_c + neg_c + 2)) AS BIGINT)
+           AS w_units
+  FROM counts
+  ORDER BY pos_c + neg_c DESC, term ASC NULLS FIRST LIMIT 20000
+)"""
+
+ORACLES["ext_classifier_train"] = f"""
+WITH {_CLS_TRAIN_CTES}
+SELECT term, pos_c, neg_c, w_units
+FROM top ORDER BY term NULLS FIRST
+"""
+
+
+def ext_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N4/N9, hash-checked] classifier INFERENCE end-to-end
+    (operators/classifier.py::classify_documents): every document scores
+    the tf-weighted mean posterior of its known terms under the
+    ext_classifier_train model — integer-exact to the one final division,
+    label from the ROUNDED score, unscorable docs surfaced with a NULL
+    score rather than dropped. One tokenize pass + one term equi-join +
+    one per-doc aggregate; the oracle replays training AND inference."""
+    from dbt_meshify_spark.operators.classifier import (
+        classify_documents,
+        train_nb_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_en", F.col("lang") == F.lit("en")
+    )
+    w = train_nb_weights(docs, "is_en", max_vocab=20_000)
+    out = classify_documents(docs, w, threshold=0.5)
+    return out.orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_classifier_score"] = ext_classifier_score
+
+ORACLES["ext_classifier_score"] = f"""
+WITH {_CLS_TRAIN_CTES},
+occ AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+tfd AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM occ GROUP BY 1, 2
+),
+j AS (
+  SELECT t.doc_id, t.tf, w.w_units
+  FROM tfd t LEFT JOIN top w ON t.term = w.term
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN w_units IS NOT NULL THEN tf ELSE 0 END) AS BIGINT)
+           AS n_known,
+         CAST(COALESCE(SUM(tf * w_units), 0) AS BIGINT) AS num
+  FROM j GROUP BY doc_id
+),
+sc AS (
+  SELECT doc_id, n_tokens, n_known,
+         CASE WHEN n_known > 0
+              THEN ROUND(CAST(num AS DOUBLE)
+                         / (CAST(n_known AS DOUBLE) * 10000.0), 4) + 0.0
+         END AS score
+  FROM agg
+)
+SELECT doc_id, n_tokens, n_known, score,
+       COALESCE(score >= 0.5, FALSE) AS label
+FROM sc ORDER BY doc_id NULLS FIRST
+"""
+
 # shares the full KN CTE chain; only the report tail differs (ranked
 # terciles instead of per-doc rows)
 ORACLES["ext_ccnet_bucket_split"] = r"""
