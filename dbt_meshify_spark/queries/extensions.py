@@ -7988,6 +7988,35 @@ SELECT doc_id, n_tokens, n_known, score,
 FROM sc ORDER BY doc_id NULLS FIRST
 """
 
+
+def ext_stream_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6/N4] STREAMING filter-model inference: the documents corpus
+    arrives as a file stream and every micro-batch scores against the
+    standing ext_classifier_train weight table
+    (streaming/documents.py::stream_classifier_filter — train once, serve
+    every batch). Per-doc verdicts make the drained relation equal the
+    batch scorer exactly, so it shares ext_classifier_score's oracle."""
+    from dbt_meshify_spark.operators.classifier import train_nb_weights
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_classifier_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_en", F.col("lang") == F.lit("en")
+    )
+    w = train_nb_weights(docs, "is_en", max_vocab=20_000)
+    feed = read_documents_stream(
+        spark, f"{sf_dir.rstrip('/')}/documents.parquet", max_files_per_trigger=1
+    )
+    out_dir = _stream_scratch("stream_cls_")
+    out = stream_classifier_filter(feed, w, out_dir)
+    return out.orderBy(_asc("doc_id"))
+
+
+QUERIES["ext_stream_classifier_filter"] = ext_stream_classifier_filter
+ORACLES["ext_stream_classifier_filter"] = ORACLES["ext_classifier_score"]
+
 # shares the full KN CTE chain; only the report tail differs (ranked
 # terciles instead of per-doc rows)
 ORACLES["ext_ccnet_bucket_split"] = r"""

@@ -551,3 +551,43 @@ def stream_weighted_sample(
     ).limit(k)
     rank_w = Window.orderBy(F.col("es_key").desc(), *[F.col(c) for c in key_cols])
     return topk.withColumn("draw_rank", F.row_number().over(rank_w))
+
+
+def stream_classifier_filter(
+    stream_docs: DataFrame,
+    weights: DataFrame,
+    out_dir: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming filter-model inference: score each arriving micro-batch
+    against a STANDING trained weight table
+    (operators/classifier.py::classify_documents — the stored-model
+    posture: train once, serve every batch, same as the near-dup index
+    probe above). Verdicts are per-document, so the drained relation
+    equals the batch scorer's and shares ext_classifier_score's DuckDB
+    oracle. The per-doc aggregate runs batch-scoped inside foreachBatch —
+    no watermark, no state store; per-batch cost is O(batch tokens).
+    """
+    from dbt_meshify_spark.operators.classifier import classify_documents
+
+    spark = stream_docs.sparkSession
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        out = classify_documents(batch_df, weights, threshold=threshold)
+        out.write.mode("append").parquet(f"{out_dir}/scored")
+
+    q = (
+        stream_docs.writeStream.foreachBatch(score)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(f"{out_dir}/scored")
+    except Exception:
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, n_tokens bigint, n_known bigint, "
+            "score double, label boolean",
+        )
