@@ -29,13 +29,14 @@ QUERIES = {**_REL_QUERIES, **_EXT_QUERIES}
 # to the round-9/10 flagships — modified-KN order-5, unigram-LM encode, KMV
 # cardinality, Z-order layout, bounded-contribution privacy, late-drop
 # accounting, plus (round 10) the quantile sketch, l-diversity, and
-# byte-level BPE, the full ε-DP release pipeline, and the oracle-promoted
-# fertility audit. One dedup representative stays (minhash md5 tier). To
-# make room, FOUR round-2 trivia (q01–q03 projection/filter, q09 top-k —
-# green externally since round 1 and replayed in every local pytest run)
-# move to the local-gate tail: 38 relational + 12 extension = 50 slots. Every window slot must be hash-checkable — rows-only
-# tiers (e.g. ext_minhash_neardup, which errs `no_oracle` by design) go
-# after 50.
+# byte-level BPE, the full ε-DP release pipeline, the hash-checked
+# classifier inference, and the oracle-promoted fertility audit. One dedup
+# representative stays (minhash md5 tier). To make room, FIVE round-2
+# trivia (q01–q03 projection/filter, q09 top-k, q10 lag/lead — green
+# externally since round 1 and replayed in every local pytest run) move to
+# the local-gate tail: 37 relational + 13 extension = 50 slots. Every
+# window slot must be hash-checkable — rows-only tiers (e.g.
+# ext_minhash_neardup, which errs `no_oracle` by design) go after 50.
 _WINDOW_EXT = [
     "ext_minhash_neardup_md5",
     "ext_mkn5_perplexity",
@@ -49,12 +50,14 @@ _WINDOW_EXT = [
     "ext_bpe_byte_train",
     "ext_tokenizer_fertility",
     "ext_dp_release",
+    "ext_classifier_score",
 ]
 _REL_TAIL = [
     "q01_projection_cast",
     "q02_case_boolean",
     "q03_filters",
     "q09_topk",
+    "q10_lag_lead",
 ]
 _head = [n for n in _REL_QUERIES if n not in set(_REL_TAIL)] + [
     n for n in _WINDOW_EXT if n in QUERIES
