@@ -7950,7 +7950,7 @@ def ext_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ext_classifier_score"] = ext_classifier_score
 
-ORACLES["ext_classifier_score"] = f"""
+ORACLES["ext_classifier_score"] = rf"""
 WITH {_CLS_TRAIN_CTES},
 occ AS (
   SELECT doc_id, t AS term FROM (

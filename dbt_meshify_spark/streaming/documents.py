@@ -571,10 +571,18 @@ def stream_classifier_filter(
     from dbt_meshify_spark.operators.classifier import classify_documents
 
     spark = stream_docs.sparkSession
+    # train ONCE: pin the bounded weight table before the stream starts —
+    # an uncached lazy frame would re-execute the whole training job
+    # (corpus tokenize + shuffle + top-k) inside EVERY foreachBatch call
+    weights = weights.localCheckpoint()
 
     def score(batch_df: DataFrame, batch_id: int) -> None:
         out = classify_documents(batch_df, weights, threshold=threshold)
-        out.write.mode("append").parquet(f"{out_dir}/scored")
+        # batch_id-keyed OVERWRITE, not blind append: foreachBatch is
+        # at-least-once (the stream_cms_heavy_hitters discipline) — a
+        # replayed batch lands on the same directory instead of
+        # duplicating its per-doc verdicts
+        out.write.mode("overwrite").parquet(f"{out_dir}/scored/batch={batch_id}")
 
     q = (
         stream_docs.writeStream.foreachBatch(score)
@@ -584,7 +592,8 @@ def stream_classifier_filter(
     )
     q.awaitTermination()
     try:
-        return spark.read.parquet(f"{out_dir}/scored")
+        # drop the batch=N partition column the keyed layout introduces
+        return spark.read.parquet(f"{out_dir}/scored").drop("batch")
     except Exception:
         return spark.createDataFrame(
             [],

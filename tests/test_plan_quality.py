@@ -756,3 +756,16 @@ def test_weighted_quantile_windows_stay_keyed(spark):
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_classifier_score_single_scans_broadcast_weights(spark):
+    """ext_classifier_score: the corpus is scanned once for training and
+    once for scoring (never per-term or per-batch); the bounded weight
+    table reaches the tf join as a broadcast at this vocab size; no
+    SinglePartition exchange (the vocab cap compiles to
+    TakeOrderedAndProject, not a global sort)."""
+    plan = _physical(QUERIES["ext_classifier_score"](spark, SF_ORACLE))
+    assert plan.count("Scan parquet") <= 2, "corpus re-read"
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan, "weights join not broadcast"
+    assert "TakeOrderedAndProject" in plan
