@@ -628,3 +628,46 @@ def test_stream_l_diversity_multibatch_equals_batch(spark, tmp_path_factory):
         tuple(str(r[c]) for c in cols) for r in expected.drop("entropy").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_classifier_multibatch_equals_batch(spark, tmp_path_factory):
+    """Per-doc verdicts are batch-independent, so two forced micro-batches
+    scored against the standing weight table must equal the batch scorer
+    exactly — including under the batch-keyed idempotent sink layout."""
+    from dbt_meshify_spark.operators.classifier import (
+        classify_documents,
+        train_nb_weights,
+    )
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_classifier_filter,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").withColumn(
+        "is_en", F.col("lang") == F.lit("en")
+    )
+    w = train_nb_weights(docs, "is_en", max_vocab=20_000)
+    d = tmp_path_factory.mktemp("cls_batches")
+    docs.filter(F.col("doc_id") % 2 == 0).drop("is_en").coalesce(1).write.parquet(
+        str(d / "f1")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).drop("is_en").coalesce(1).write.parquet(
+        str(d / "f2")
+    )
+    feed = read_documents_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+    out_dir = str(tmp_path_factory.mktemp("cls_out"))
+    streamed = stream_classifier_filter(feed, w, out_dir)
+    expected = classify_documents(docs, w)
+    cols = ["doc_id", "n_tokens", "n_known", "score", "label"]
+    got = sorted(tuple(str(r[c]) for c in cols) for r in streamed.collect())
+    want = sorted(tuple(str(r[c]) for c in cols) for r in expected.collect())
+    assert got == want and len(got) > 0
+    # two batch=N dirs exist (the idempotent keyed layout)
+    import os
+
+    batches = [
+        x for x in os.listdir(f"{out_dir}/scored") if x.startswith("batch=")
+    ]
+    assert len(batches) == 2
