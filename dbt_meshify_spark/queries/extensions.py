@@ -9591,6 +9591,34 @@ ORDER BY u.event_type NULLS FIRST, u.day NULLS FIRST
 """).replace("{HEX8}", _hex8_sum("hx"))
 
 
+def ext_stream_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6/N10 privacy tier] STREAMING ε-DP count-release monitor: the
+    events feed arrives as a file stream, each micro-batch contributes its
+    distinct (group, user) pairs, and the drained merged state runs the
+    batch noise path (streaming/events.py::stream_dp_noisy_counts) — a
+    live noisy-release dashboard whose per-group draw is CONSTANT across
+    batches (noise is a pure function of the group key). Drained
+    availableNow it equals the batch mechanism and shares
+    ext_dp_noisy_counts' oracle."""
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        stream_dp_noisy_counts,
+    )
+
+    feed = read_events_stream(
+        spark, f"{sf_dir.rstrip('/')}/events.parquet"
+    ).select("event_type", F.col("ts").cast("date").alias("day"), "user_id")
+    out_dir = _stream_scratch("stream_dpc_")
+    out = stream_dp_noisy_counts(
+        feed, out_dir, ["event_type", "day"], "user_id", eps=0.5, bound=40
+    )
+    return out.orderBy(_asc("event_type"), _asc("day"))
+
+
+QUERIES["ext_stream_dp_noisy_counts"] = ext_stream_dp_noisy_counts
+ORACLES["ext_stream_dp_noisy_counts"] = ORACLES["ext_dp_noisy_counts"]
+
+
 def ext_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N10 privacy tier, hash-checked] the FULL ε-DP release pipeline per
     event_type (operators/privacy.py::dp_release): contribution cap →

@@ -566,3 +566,68 @@ def stream_l_diversity(
             .agg(F.sum("__cnt").cast("bigint").alias("__cnt"))
         )
     return l_diversity_from_counts(sv, quasi_cols, sensitive_col, l, c)
+
+
+def stream_dp_noisy_counts(
+    stream_df: DataFrame,
+    out_dir: str,
+    group_cols: list[str],
+    user_col: str = "user_id",
+    eps: float = 0.5,
+    bound: int = 40,
+    salt: str = "dp0",
+) -> DataFrame:
+    """Streaming ε-DP count-release monitor: every micro-batch reduces to
+    its OWN distinct (group, user) pairs (batch-keyed OVERWRITE —
+    idempotent under foreachBatch replay), the merged state is the
+    distinct union, and the drained release runs the SAME noise path as
+    the batch mechanism (privacy.py::dp_noisy_user_counts semantics on
+    the merged pairs), so it shares ext_dp_noisy_counts' DuckDB oracle.
+    The noise is a pure function of the group key, so a live monitor's
+    running release stays CONSISTENT as batches arrive — the same group
+    always carries the same draw, only n_true moves.
+
+    State on disk grows with distinct (group, user) pairs touched —
+    bounded by the release's own support, never the event count.
+    """
+    import os
+
+    from dbt_meshify_spark.operators.privacy import _noise_join
+
+    spark = stream_df.sparkSession
+
+    def build(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(*group_cols, user_col).distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/pairs/batch={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(build)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(f"{out_dir}/pairs"):
+        pairs = spark.createDataFrame(
+            [], stream_df.select(*group_cols, user_col).schema
+        )
+    else:
+        pairs = (
+            spark.read.parquet(f"{out_dir}/pairs")
+            .select(*group_cols, user_col)
+            .distinct()
+        )
+    g = pairs.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n_true")
+    )
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    hit = _noise_join(g, key_str, eps, bound, salt, "z")
+    return hit.select(
+        *group_cols,
+        "n_true",
+        F.col("z_z").cast("bigint").alias("noise"),
+        F.greatest(F.lit(0), F.col("n_true") + F.col("z_z"))
+        .cast("bigint")
+        .alias("n_released"),
+    )

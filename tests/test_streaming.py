@@ -671,3 +671,36 @@ def test_stream_classifier_multibatch_equals_batch(spark, tmp_path_factory):
         x for x in os.listdir(f"{out_dir}/scored") if x.startswith("batch=")
     ]
     assert len(batches) == 2
+
+
+def test_stream_dp_noisy_counts_multibatch_equals_batch(spark, tmp_path_factory):
+    """Two forced micro-batches with OVERLAPPING users: the merged distinct
+    (group, user) state must deduplicate across batches (a user seen in
+    both batches counts once), the per-group noise draw is constant, and
+    the drained release equals the batch mechanism exactly."""
+    from dbt_meshify_spark.operators.privacy import dp_noisy_user_counts
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        stream_dp_noisy_counts,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path_factory.mktemp("dpc_batches")
+    # split by event_id so the same user appears in BOTH batches
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(d / "f1"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(d / "f2"))
+    feed = read_events_stream(
+        spark, str(d) + "/*/", nanos=False, max_files_per_trigger=1
+    ).select("event_type", F.col("ts").cast("date").alias("day"), "user_id")
+    out_dir = str(tmp_path_factory.mktemp("dpc_out"))
+    streamed = stream_dp_noisy_counts(feed, out_dir, ["event_type", "day"])
+    expected = dp_noisy_user_counts(
+        ev.select("event_type", F.col("ts").cast("date").alias("day"), "user_id"),
+        ["event_type", "day"],
+    )
+    cols = ["event_type", "day", "n_true", "noise", "n_released"]
+    got = sorted(tuple(str(r[c]) for c in cols) for r in streamed.collect())
+    want = sorted(tuple(str(r[c]) for c in cols) for r in expected.collect())
+    assert got == want and len(got) > 0
