@@ -405,6 +405,24 @@ def sketch_family_probe(spark, base) -> None:
             quantile_sketch_report,
         )
 
+        from dbt_meshify_spark.operators.classifier import (
+            classify_documents,
+            train_nb_weights,
+        )
+
+        lbl = docs.withColumn("is_en", F.col("lang") == F.lit("en"))
+        t0 = _t.time()
+        wts = train_nb_weights(lbl, "is_en", max_vocab=20_000).localCheckpoint()
+        n_vocab = wts.count()
+        t_train = _t.time() - t0
+        t0 = _t.time()
+        n_scored = classify_documents(lbl, wts).count()
+        t_score = _t.time() - t0
+        print(
+            f"scale={k}x classifier: vocab={n_vocab} train={t_train:.2f}s "
+            f"score={t_score:.2f}s docs={n_scored}",
+            flush=True,
+        )
         t0 = _t.time()
         n_qcells = quantile_sketch_cells(
             docs, ["lang"], "n_chars", 0.0, 1024.0, 128
