@@ -545,3 +545,32 @@ def test_unigram_viterbi_is_globally_optimal(w, extra):
             best = cost
     assert best is not None
     assert abs(got_cost - best) < 1e-12
+
+
+@given(
+    eps=st.floats(min_value=0.05, max_value=4.0),
+    bound=st.integers(min_value=5, max_value=80),
+)
+@settings(max_examples=60, deadline=None)
+def test_geometric_noise_table_properties(eps, bound):
+    """For ANY (eps, bound): the inverse-CDF table partitions the 32-bit
+    space contiguously starting at 0 and ending at 2^32, bucket masses are
+    symmetric (±2 units of integer rounding), unimodal with the mode at
+    z=0, and adjacent masses respect the e^eps likelihood bound wherever
+    rounding noise is negligible."""
+    import math
+
+    from dbt_meshify_spark.operators.privacy import geometric_noise_thresholds
+
+    t = geometric_noise_thresholds(eps, bound)
+    assert len(t) == 2 * bound + 1
+    assert t[0][1] == 0 and t[-1][2] == 1 << 32
+    for (z1, _, hi1), (z2, lo2, _) in zip(t, t[1:]):
+        assert z2 == z1 + 1 and lo2 == hi1
+    w = {z: hi - lo for z, lo, hi in t}
+    for z in range(1, bound + 1):
+        assert abs(w[z] - w[-z]) <= 2
+        assert w[z] <= w[z - 1] + 2  # unimodal toward 0
+    for z in range(0, bound):
+        if w[z + 1] > 100_000:
+            assert w[z] / w[z + 1] <= math.exp(eps) * 1.001
