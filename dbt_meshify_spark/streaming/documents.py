@@ -591,12 +591,16 @@ def stream_classifier_filter(
         .start()
     )
     q.awaitTermination()
-    try:
-        # drop the batch=N partition column the keyed layout introduces
-        return spark.read.parquet(f"{out_dir}/scored").drop("batch")
-    except Exception:
+    # existence check, not a blanket except: a zero-micro-batch drain is
+    # the only legitimate empty case — a corrupted batch directory must
+    # RAISE, not masquerade as an empty corpus
+    import os
+
+    if not os.path.isdir(f"{out_dir}/scored"):
         return spark.createDataFrame(
             [],
             "doc_id bigint, n_tokens bigint, n_known bigint, "
             "score double, label boolean",
         )
+    # drop the batch=N partition column the keyed layout introduces
+    return spark.read.parquet(f"{out_dir}/scored").drop("batch")

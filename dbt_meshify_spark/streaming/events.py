@@ -592,7 +592,7 @@ def stream_dp_noisy_counts(
     """
     import os
 
-    from dbt_meshify_spark.operators.privacy import _noise_join
+    from dbt_meshify_spark.operators.privacy import dp_noisy_user_counts
 
     spark = stream_df.sparkSession
 
@@ -613,21 +613,13 @@ def stream_dp_noisy_counts(
             [], stream_df.select(*group_cols, user_col).schema
         )
     else:
-        pairs = (
-            spark.read.parquet(f"{out_dir}/pairs")
-            .select(*group_cols, user_col)
-            .distinct()
+        pairs = spark.read.parquet(f"{out_dir}/pairs").select(
+            *group_cols, user_col
         )
-    g = pairs.groupBy(*group_cols).agg(
-        F.count("*").cast("bigint").alias("n_true")
-    )
-    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
-    hit = _noise_join(g, key_str, eps, bound, salt, "z")
-    return hit.select(
-        *group_cols,
-        "n_true",
-        F.col("z_z").cast("bigint").alias("noise"),
-        F.greatest(F.lit(0), F.col("n_true") + F.col("z_z"))
-        .cast("bigint")
-        .alias("n_released"),
+    # the BATCH mechanism runs on the merged pairs — one release path, so
+    # the streaming twin cannot drift from the oracle (countDistinct over
+    # the pair union also skips NULL users exactly like the batch twin;
+    # a hand-rolled count(*) here once counted the (group, NULL) pair)
+    return dp_noisy_user_counts(
+        pairs, group_cols, user_col=user_col, eps=eps, bound=bound, salt=salt
     )
