@@ -704,3 +704,48 @@ def test_stream_dp_noisy_counts_multibatch_equals_batch(spark, tmp_path_factory)
     got = sorted(tuple(str(r[c]) for c in cols) for r in streamed.collect())
     want = sorted(tuple(str(r[c]) for c in cols) for r in expected.collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_dp_noisy_counts_skips_null_users_like_batch(spark, tmp_path_factory):
+    """A NULL user_id must not count toward the released n_true on either
+    path (COUNT(DISTINCT user) semantics): the streaming twin once
+    counted the merged (group, NULL) pair — locked here with planted
+    nulls split across batches."""
+    import datetime as dt
+
+    from dbt_meshify_spark.operators.privacy import dp_noisy_user_counts
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        stream_dp_noisy_counts,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 7, "click", 1.0, ""),
+        (2, t0, 8, "click", 1.0, ""),
+        (3, t0, None, "click", 1.0, ""),
+        (4, t0, None, "view", 1.0, ""),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    d = tmp_path_factory.mktemp("dpnull_batches")
+    spark.createDataFrame(rows[:2], schema).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(rows[2:], schema).coalesce(1).write.parquet(str(d / "f2"))
+    feed = read_events_stream(
+        spark, str(d) + "/*/", nanos=False, max_files_per_trigger=1
+    ).select("event_type", "user_id")
+    out_dir = str(tmp_path_factory.mktemp("dpnull_out"))
+    streamed = {r.event_type: r for r in
+                stream_dp_noisy_counts(feed, out_dir, ["event_type"]).collect()}
+    batch_df = spark.createDataFrame(rows, schema).select("event_type", "user_id")
+    batch = {r.event_type: r for r in
+             dp_noisy_user_counts(batch_df, ["event_type"]).collect()}
+    assert streamed.keys() == batch.keys()
+    for k in batch:
+        assert (streamed[k].n_true, streamed[k].noise, streamed[k].n_released) == (
+            batch[k].n_true, batch[k].noise, batch[k].n_released
+        ), k
+    assert streamed["click"].n_true == 2  # NULL user skipped
+    assert streamed["view"].n_true == 0  # all-null group released as zero
