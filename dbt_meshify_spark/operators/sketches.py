@@ -568,9 +568,6 @@ def weighted_quantile_report(
 
     Returns ``(key_cols..., q, total_w, est_q, true_q, abs_err)``.
     """
-    from pyspark.sql.window import Window
-
-    spark = df.sparkSession
     data = df.filter(
         F.col(value_col).isNotNull()
         & ~F.isnan(F.col(value_col).cast("double"))
@@ -585,6 +582,30 @@ def weighted_quantile_report(
     cells = data.groupBy(*key_cols, b.alias("b")).agg(
         F.sum("__w").cast("bigint").alias("c")
     )
+    return weighted_quantile_from_cells(
+        cells, data, key_cols, qs, lo, hi, width
+    )
+
+
+def weighted_quantile_from_cells(
+    cells: DataFrame,
+    data: DataFrame,
+    key_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    width: int = 128,
+) -> DataFrame:
+    """Shared report tail for the batch and streaming weighted-quantile
+    builds (the quantile_report_from_cells discipline): estimate from an
+    already-materialized/merged integer weight-cell table; the exact
+    crossing-value audit reads ``data``, which must already carry the
+    normalized ``__v`` (double value) / ``__w`` (positive bigint weight)
+    columns the batch wrapper and the streaming twin both produce."""
+    from pyspark.sql.window import Window
+
+    spark = data.sparkSession
+    span = float(hi) - float(lo)
     wcum = Window.partitionBy(*key_cols).orderBy("b")
     cum = cells.withColumn("cum", F.sum("c").over(wcum))
     tot = cells.groupBy(*key_cols).agg(

@@ -9931,6 +9931,41 @@ ORDER BY h.lang NULLS FIRST, h.q NULLS FIRST
 """
 
 
+def ext_stream_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N6 + A4/N9] STREAMING token-mass quantile monitor: the documents
+    corpus arrives as a file stream, each micro-batch appends its own
+    integer weight-sum grid cells, and the merged state feeds the SAME
+    report tail as the batch operator
+    (streaming/events.py::stream_weighted_quantile) — live mass-percentile
+    tracking at <= batches x width cells per key. Drained availableNow it
+    equals the batch build and shares ext_weighted_quantile's oracle."""
+    from dbt_meshify_spark.streaming.documents import read_documents_stream
+    from dbt_meshify_spark.streaming.events import stream_weighted_quantile
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = read_documents_stream(
+        spark, f"{sf_dir.rstrip('/')}/documents.parquet", max_files_per_trigger=1
+    )
+    out_dir = _stream_scratch("stream_wq_")
+    out = stream_weighted_quantile(
+        feed,
+        docs,
+        out_dir,
+        ["lang"],
+        "n_chars",
+        "n_chars",
+        qs=[0.25, 0.5, 0.75, 0.9],
+        lo=0.0,
+        hi=1024.0,
+        width=128,
+    )
+    return out.orderBy(_asc("lang"), _asc("q"))
+
+
+QUERIES["ext_stream_weighted_quantile"] = ext_stream_weighted_quantile
+ORACLES["ext_stream_weighted_quantile"] = ORACLES["ext_weighted_quantile"]
+
+
 def ext_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N6/N9] STREAMING weighted sampling: the documents corpus arrives as
     a file stream and each micro-batch contributes only its own ES top-k

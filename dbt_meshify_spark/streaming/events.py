@@ -623,3 +623,79 @@ def stream_dp_noisy_counts(
     return dp_noisy_user_counts(
         pairs, group_cols, user_col=user_col, eps=eps, bound=bound, salt=salt
     )
+
+
+def stream_weighted_quantile(
+    stream_df: DataFrame,
+    corpus_df: DataFrame,
+    out_dir: str,
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    width: int = 128,
+) -> DataFrame:
+    """Streaming WEIGHTED quantile monitor (the token-mass twin of
+    stream_quantile_sketch): each micro-batch appends its own integer
+    weight-sum grid cells (batch-keyed overwrite — idempotent under
+    foreachBatch replay) and the merged state is the cell-wise sum, so a
+    live ingest keeps running mass-percentiles at <= batches x width cells
+    per key. Drained availableNow the merged cells equal the batch build
+    (integer cell sums are order-insensitive) and the shared report tail
+    (sketches.weighted_quantile_from_cells) makes the result equal the
+    batch operator, sharing ext_weighted_quantile's oracle; ``corpus_df``
+    is the batch view, used only for the exact crossing-value audit.
+    """
+    import os
+
+    from dbt_meshify_spark.operators.sketches import (
+        _grid_bucket,
+        weighted_quantile_from_cells,
+    )
+
+    spark = stream_df.sparkSession
+
+    def normalized(frame: DataFrame) -> DataFrame:
+        return frame.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        ).select(
+            *key_cols,
+            F.col(value_col).cast("double").alias("__v"),
+            F.ceil(F.col(weight_col)).cast("bigint").alias("__w"),
+        )
+
+    def build(batch_df: DataFrame, batch_id: int) -> None:
+        data = normalized(batch_df)
+        b = _grid_bucket(F.col("__v"), lo, hi, width)
+        data.groupBy(*key_cols, b.alias("b")).agg(
+            F.sum("__w").cast("bigint").alias("c")
+        ).write.mode("overwrite").parquet(f"{out_dir}/cells/batch={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(build)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    audit = normalized(corpus_df)
+    if not os.path.isdir(f"{out_dir}/cells"):
+        cells = spark.createDataFrame(
+            [], audit.select(*key_cols).schema
+        ).withColumns(
+            {"b": F.lit(None).cast("int"), "c": F.lit(None).cast("bigint")}
+        )
+    else:
+        cells = (
+            spark.read.parquet(f"{out_dir}/cells")
+            .groupBy(*key_cols, "b")
+            .agg(F.sum("c").alias("c"))
+        )
+    return weighted_quantile_from_cells(
+        cells, audit, key_cols, qs, lo, hi, width
+    )

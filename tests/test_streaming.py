@@ -749,3 +749,32 @@ def test_stream_dp_noisy_counts_skips_null_users_like_batch(spark, tmp_path_fact
         ), k
     assert streamed["click"].n_true == 2  # NULL user skipped
     assert streamed["view"].n_true == 0  # all-null group released as zero
+
+
+def test_stream_weighted_quantile_multibatch_equals_batch(spark, tmp_path_factory):
+    """Two forced micro-batches of weighted grid cells must merge to the
+    batch state exactly, and the shared report tail yields the batch
+    operator's rows — including under the batch-keyed idempotent layout."""
+    from dbt_meshify_spark.operators.sketches import weighted_quantile_report
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.streaming.documents import read_documents_stream
+    from dbt_meshify_spark.streaming.events import stream_weighted_quantile
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    d = tmp_path_factory.mktemp("wq_batches")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(d / "f1"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(d / "f2"))
+    feed = read_documents_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+    out_dir = str(tmp_path_factory.mktemp("wq_out"))
+    qs = [0.25, 0.5, 0.9]
+    streamed = stream_weighted_quantile(
+        feed, docs, out_dir, ["lang"], "n_chars", "n_chars", qs, 0.0, 1024.0, 128
+    )
+    expected = weighted_quantile_report(
+        docs, ["lang"], "n_chars", "n_chars", qs, lo=0.0, hi=1024.0, width=128
+    )
+    cols = ["lang", "q", "total_w", "est_q", "true_q", "abs_err"]
+    got = sorted(tuple(str(r[c]) for c in cols) for r in streamed.collect())
+    want = sorted(tuple(str(r[c]) for c in cols) for r in expected.collect())
+    assert got == want and len(got) > 0
