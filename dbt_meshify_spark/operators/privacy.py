@@ -296,11 +296,23 @@ def geometric_noise_thresholds(eps: float, bound: int) -> list[tuple[int, int, i
     out: list[tuple[int, int, int]] = []
     acc = 0.0
     prev = 0
-    for z, w in zip(zs, weights):
+    for i, (z, w) in enumerate(zip(zs, weights)):
         acc += w / total
-        hi = (1 << 32) if z == zs[-1] else min(1 << 32, int(acc * (1 << 32)))
+        if z == zs[-1]:
+            hi = 1 << 32
+        else:
+            # every bucket keeps width >= 1: float cumulative drift near
+            # acc ~ 1.0 could otherwise truncate a tail bucket (e.g.
+            # z = +bound-1) to zero width, skewing the truncated
+            # distribution asymmetric at the tails. Lower clamp keeps hi
+            # strictly above prev; upper clamp reserves one unit of hash
+            # space for each remaining bucket so the chain can always
+            # finish at 2^32.
+            remaining = len(zs) - 1 - i
+            hi = max(prev + 1, min((1 << 32) - remaining, int(acc * (1 << 32))))
         out.append((z, prev, hi))
         prev = hi
+    assert all(t_hi > t_lo for _, t_lo, t_hi in out), "empty noise bucket"
     return out
 
 

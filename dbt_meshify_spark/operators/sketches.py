@@ -376,18 +376,24 @@ def kmv_cardinality(
 def _grid_bucket(col: Column, lo: float, hi: float, width: int) -> Column:
     """Canonical grid-bucket expression — ONE copy because the operation
     order is load-bearing for cross-engine IEEE parity (oracles write
-    ``LEAST(width-1, GREATEST(0, CAST(FLOOR((v - lo) / span * width) AS
-    INT)))`` with identical order)."""
+    ``CAST(LEAST(width-1.0, GREATEST(0.0, FLOOR((v - lo) / span * width)))
+    AS INT)`` with identical order). The clamp runs in the DOUBLE domain
+    BEFORE the INT cast: casting the unclamped value would saturate in
+    Spark's non-ANSI cast but raise in an ANSI oracle for outliers beyond
+    the int range, so neither engine may cast first. (Spark's floor(double)
+    returns LONG and saturates on extreme doubles — harmless, because the
+    clamp maps anything past the grid edge to the edge bucket either way.)
+    """
     span = float(hi) - float(lo)
     return F.least(
-        F.lit(int(width) - 1),
+        F.lit(float(int(width) - 1)),
         F.greatest(
-            F.lit(0),
+            F.lit(0.0),
             F.floor(
                 (col - F.lit(float(lo))) / F.lit(span) * F.lit(int(width))
-            ).cast("int"),
+            ).cast("double"),
         ),
-    )
+    ).cast("int")
 
 
 def _grid_estimate(lo: float, hi: float, width: int) -> Column:
@@ -509,8 +515,11 @@ def quantile_report_from_cells(
     cum = cells.withColumn("cum", F.sum("c").over(wcum))
     tot = cells.groupBy(*key_cols).agg(F.sum("c").cast("bigint").alias("n"))
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    # greatest(1, …): rank 0 (q = 0.0) must resolve to the minimum, not
+    # vanish — the hit filter (cum - c) < r matches no bucket at r = 0
     targets = tot.crossJoin(F.broadcast(qdf)).withColumn(
-        "r", F.ceil(F.col("q") * F.col("n")).cast("bigint")
+        "r",
+        F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n"))).cast("bigint"),
     )
     hit = cum.join(targets, key_cols).filter(
         (F.col("cum") >= F.col("r")) & ((F.col("cum") - F.col("c")) < F.col("r"))
@@ -612,8 +621,13 @@ def weighted_quantile_from_cells(
         F.sum("c").cast("bigint").alias("total_w")
     )
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    # greatest(1, …): the q = 0.0 rank-0 guard (quantile_report_from_cells
+    # discipline)
     targets = tot.crossJoin(F.broadcast(qdf)).withColumn(
-        "r", F.ceil(F.col("q") * F.col("total_w")).cast("bigint")
+        "r",
+        F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("total_w"))).cast(
+            "bigint"
+        ),
     )
     hit = cum.join(targets, key_cols).filter(
         (F.col("cum") >= F.col("r")) & ((F.col("cum") - F.col("c")) < F.col("r"))

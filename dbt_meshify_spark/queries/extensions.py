@@ -61,38 +61,67 @@ def _asc(c: str):
     return F.col(c).asc_nulls_first()
 
 
+_SCRATCH_ROOT: str | None = None
+
+
 def _stream_scratch(prefix: str) -> str:
     """Scratch dir for a streaming query's state/checkpoint/output.
 
     Each invocation creates a fresh dir (Structured Streaming checkpoints
     are single-use here — drained availableNow runs must not resume a prior
-    run's offsets), but first prunes stale dirs from PREVIOUS invocations
-    so repeated driver/bench runs don't accumulate temp directories. Only
-    dirs older than 6 HOURS are pruned: nested batch writes do not refresh
-    the top-level dir's mtime, so the cutoff must exceed any plausible
-    drain/bench/driver session length — a 30-minute cutoff could rmtree a
-    live long session's checkpoint (or ext_stream_late_drops' staged
-    INPUT) out from under it.
+    run's offsets). All of a process's scratch dirs live under ONE
+    per-session root (``dms_scratch_<pid>_…``) that an atexit hook deletes
+    wholesale, so normal runs leave nothing behind. Stale roots from
+    crashed/killed sessions are pruned ONCE per process, at root creation —
+    never per-query — and only when the owning PID is dead (with a 6-hour
+    mtime fallback for foreign-PID leftovers): a live session of ANY length
+    can therefore never have a checkpoint or staged stream input rmtree'd
+    out from under it by a later query invocation, which an age-only
+    per-query prune could do to a session exceeding the cutoff.
     """
+    import atexit
     import shutil
     import tempfile
     import time
 
-    root = tempfile.gettempdir()
-    cutoff = time.time() - 6 * 3600
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None or not os.path.isdir(_SCRATCH_ROOT):
+        tmp = tempfile.gettempdir()
+        cutoff = time.time() - 6 * 3600
+        try:
+            for name in os.listdir(tmp):
+                if not name.startswith("dms_scratch_"):
+                    continue
+                path = os.path.join(tmp, name)
+                parts = name.split("_")
+                try:
+                    owner = int(parts[2]) if len(parts) > 2 else -1
+                except ValueError:
+                    owner = -1
+                try:
+                    alive = owner > 0 and _pid_alive(owner)
+                    stale = os.path.getmtime(path) < cutoff
+                    if os.path.isdir(path) and not alive and (owner > 0 or stale):
+                        shutil.rmtree(path, ignore_errors=True)
+                except OSError:
+                    pass
+        except OSError:
+            pass
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix=f"dms_scratch_{os.getpid()}_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
+def _pid_alive(pid: int) -> bool:
     try:
-        for name in os.listdir(root):
-            if not name.startswith(prefix):
-                continue
-            path = os.path.join(root, name)
-            try:
-                if os.path.isdir(path) and os.path.getmtime(path) < cutoff:
-                    shutil.rmtree(path, ignore_errors=True)
-            except OSError:
-                pass
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
     except OSError:
-        pass
-    return tempfile.mkdtemp(prefix=prefix)
+        return True
 
 
 # --------------------------------------------------------------------------
@@ -9778,8 +9807,8 @@ WITH data AS (
 ),
 cells AS (
   SELECT event_type,
-         LEAST(127, GREATEST(0,
-           CAST(FLOOR((value - 0.0) / 512.0 * 128) AS INT))) AS b,
+         CAST(LEAST(127.0, GREATEST(0.0,
+           FLOOR((value - 0.0) / 512.0 * 128))) AS INT) AS b,
          CAST(COUNT(*) AS BIGINT) AS c
   FROM data GROUP BY 1, 2
 ),
@@ -9791,7 +9820,8 @@ cum AS (
 tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
 qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
 targets AS (
-  SELECT t.event_type, q.q, t.n, CAST(CEIL(q.q * t.n) AS BIGINT) AS r
+  SELECT t.event_type, q.q, t.n,
+         CAST(GREATEST(1, CEIL(q.q * t.n)) AS BIGINT) AS r
   FROM tot t CROSS JOIN qs q
 ),
 hit AS (
@@ -9886,8 +9916,8 @@ WITH data AS (
 ),
 cells AS (
   SELECT lang,
-         LEAST(127, GREATEST(0,
-           CAST(FLOOR((v - 0.0) / 1024.0 * 128) AS INT))) AS b,
+         CAST(LEAST(127.0, GREATEST(0.0,
+           FLOOR((v - 0.0) / 1024.0 * 128))) AS INT) AS b,
          CAST(SUM(w) AS BIGINT) AS c
   FROM data GROUP BY 1, 2
 ),
@@ -9898,7 +9928,8 @@ cum AS (
 tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS total_w FROM cells GROUP BY 1),
 qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q),
 targets AS (
-  SELECT t.lang, q.q, t.total_w, CAST(CEIL(q.q * t.total_w) AS BIGINT) AS r
+  SELECT t.lang, q.q, t.total_w,
+         CAST(GREATEST(1, CEIL(q.q * t.total_w)) AS BIGINT) AS r
   FROM tot t CROSS JOIN qs q
 ),
 hit AS (
