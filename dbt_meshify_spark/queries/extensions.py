@@ -1093,10 +1093,15 @@ def ext_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[N9] greedy sequence packing into 256-token training sequences
-    (operators/sampling.py::pack_sequences). Rows-only: the greedy scan is
-    order-dependent and not SQL-expressible; invariants (exactly-once,
-    budget bound, utilization, determinism) are asserted in tests."""
+    """[N9, hash-checked] greedy sequence packing into 256-token training
+    sequences (operators/sampling.py::pack_sequences). The per-shard
+    greedy scan is sequential, but it IS deterministic given the md5-key
+    order, so the oracle unrolls the bin state as a recursive CTE — one
+    recursion step per row rank, all 8 shards advancing in parallel per
+    step (the BPE-merge/unigram-EM unrolling discipline; bounded depth =
+    max shard size, ~ n/8 at sf0.01). Oracle-promoted in round 11 (was
+    rows-only); exactly-once/budget/utilization invariants stay in
+    tests."""
     from dbt_meshify_spark.operators.sampling import pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1956,6 +1961,49 @@ SELECT CAST(shard_id AS INT) AS shard_id,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM s GROUP BY shard_id
 ORDER BY shard_id NULLS FIRST
+""",
+    # greedy first-fit packing unrolled: the md5 shard fold + key order
+    # pin the scan order, then ONE recursive step per within-shard rank
+    # advances every shard's (pack_id, running tokens) bin state in
+    # parallel — same discipline as the BPE merge-round unroll
+    "ext_pack_sequences": r"""
+WITH RECURSIVE meta AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens,
+         md5('s0|' || CAST(doc_id AS VARCHAR)) AS m
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, tokens, m,
+         ((instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        + (instr('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        + (instr('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        + (instr('0123456789abcdef', substr(m, 4, 1)) - 1)) % 8 AS shard_id
+  FROM meta
+),
+ordered AS (
+  SELECT doc_id, tokens, shard_id,
+         ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY m ASC) AS rn
+  FROM sharded
+),
+rec AS (
+  SELECT shard_id, rn, tokens, CAST(0 AS BIGINT) AS pack_id, tokens AS cum
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard_id, o.rn, o.tokens,
+         CASE WHEN r.cum + o.tokens > 256 THEN r.pack_id + 1
+              ELSE r.pack_id END AS pack_id,
+         CASE WHEN r.cum + o.tokens > 256 THEN o.tokens
+              ELSE r.cum + o.tokens END AS cum
+  FROM rec r JOIN ordered o
+    ON o.shard_id = r.shard_id AND o.rn = r.rn + 1
+)
+SELECT CAST(shard_id AS INT) AS shard_id,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS pack_tokens
+FROM rec GROUP BY shard_id, pack_id
+ORDER BY shard_id NULLS FIRST, pack_id NULLS FIRST
 """,
     "ext_pii_redact": """
 WITH oid AS (
@@ -5438,27 +5486,37 @@ ORDER BY doc_a NULLS FIRST, rank NULLS FIRST
 
 
 def ext_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[N9/N10] active-learning batch selection: the 50 documents the
-    distilled quality classifier is LEAST sure about (|p - 0.5| smallest,
-    doc_id tiebreak) — the annotation-queue builder that makes human
-    labels go furthest. Scoring is the codegen'd sigmoid (no UDF); the
-    selection is TakeOrderedAndProject. Rows-only by design (the
-    classifier's trained weights have no SQL form); margin invariants in
-    tests."""
+    """[N9/N10, hash-checked] active-learning batch selection: the 50
+    documents the trained classifier is LEAST sure about (|p - 0.5|
+    smallest, doc_id tiebreak) — the annotation-queue builder that makes
+    human labels go furthest. Scores come from the NB-posterior tier
+    (operators/classifier.py::train_nb_weights + classify_documents),
+    whose training AND inference are integer-exact and oracle-replayable;
+    the margin is pure arithmetic on the ROUNDED score, so the ranking is
+    bit-stable across engines (the logistic sigmoid tier stays the
+    rows-only accuracy path — libm exp has no SQL form). Unscorable docs
+    (no known terms, NULL score) are excluded: they carry no margin
+    signal. The selection plans as TakeOrderedAndProject (per-partition
+    heap, no global sort). Oracle-promoted in round 11 (was rows-only on
+    the logistic tier)."""
     from dbt_meshify_spark.operators.classifier import (
-        score_quality_classifier,
-        train_quality_classifier,
+        classify_documents,
+        train_nb_weights,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    weights = train_quality_classifier(docs)
-    scored = score_quality_classifier(docs, weights)
-    margin = F.abs(F.col("clf_score") - F.lit(0.5))
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_en", F.col("lang") == F.lit("en")
+    )
+    w = train_nb_weights(docs, "is_en", max_vocab=20_000)
+    scored = classify_documents(docs, w, threshold=0.5).filter(
+        F.col("score").isNotNull()
+    )
+    margin = F.abs(F.col("score") - F.lit(0.5))
     return (
-        scored.withColumn("margin", F.round(margin, 4))
+        scored.withColumn("margin", F.round(margin, 4) + F.lit(0.0))
         .orderBy(margin.asc(), F.col("doc_id").asc())
         .limit(50)
-        .select("doc_id", F.round("clf_score", 4).alias("clf_score"), "margin")
+        .select("doc_id", "score", "margin")
         .orderBy(_asc("doc_id"))
     )
 
@@ -5537,14 +5595,16 @@ ORDER BY l.doc_id NULLS FIRST
 
 
 def ext_training_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[N9/N10 flagship composition] the WHOLE engine in one declarative
-    plan: curate (normalize -> lang-ID -> quality -> exact dedup ->
-    decontaminate) -> DSIR importance weights toward the en slice ->
-    best-first fill to a 60k-char training budget (per-priority two-phase
-    running total) -> deterministic shard assignment. Every stage is
-    individually oracle-checked; the composition is rows-only (its SQL
-    replay would be the concatenation of four already-verified oracles)
-    with budget/leak-free/determinism invariants in tests."""
+    """[N9/N10 flagship composition, hash-checked] the WHOLE engine in one
+    declarative plan: curate (normalize -> lang-ID -> quality -> exact
+    dedup -> decontaminate) -> DSIR importance weights toward the en slice
+    -> best-first fill to a 60k-char training budget (per-priority
+    two-phase running total) -> deterministic shard assignment. Every
+    stage is individually oracle-checked AND (round 11) the composition
+    itself replays end-to-end: the oracle chains the curation CTEs into
+    the DSIR CTEs into the running-total fill into the md5 shard fold —
+    exactly the way ext_substring_removal chains its pair/span oracles.
+    Budget/leak-free/determinism invariants stay in tests."""
     from dbt_meshify_spark.operators.pipeline import training_build_frames
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5563,6 +5623,81 @@ def ext_training_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ext_training_data_build"] = ext_training_data_build
+
+# The composed flagship oracle: curation CTEs (shared with
+# ext_curation_pipeline via _curation_sql) -> DSIR log-weights over the
+# SURVIVORS (same bucket/smoothing math as _DSIR_CTES, re-sourced) ->
+# budget running total (ext_token_budget's window form) -> md5 shard fold
+# (ext_shard_assign's digit arithmetic, n_shards=8).
+ORACLES["ext_training_data_build"] = _curation_sql(
+    final=r""",
+surv AS (
+  SELECT doc_id, text, n_chars_norm
+  FROM deduped
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+dj AS (
+  SELECT s.doc_id, s.text, s.n_chars_norm, (d.lang = 'en') AS tgt
+  FROM surv s JOIN documents d ON d.doc_id = s.doc_id
+),
+dtoks AS (
+  SELECT doc_id, tgt, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM dj
+),
+dt2 AS (SELECT * FROM dtoks WHERE len(l) >= 2),
+dpos AS (SELECT doc_id, tgt, l, unnest(range(1, len(l))) AS i FROM dt2),
+dgrams AS (SELECT doc_id, tgt, md5(l[i] || ' ' || l[i+1]) AS gx FROM dpos),
+dbk AS (
+  SELECT doc_id, tgt, CAST(({HEX8}) AS BIGINT) % 1024 AS b FROM dgrams
+),
+dtf AS (
+  SELECT doc_id, tgt, b, COUNT(*) AS tf FROM dbk GROUP BY doc_id, tgt, b
+),
+dcnt AS (
+  SELECT b, SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS ct, SUM(tf) AS cr
+  FROM dtf GROUP BY b
+),
+dtot AS (
+  SELECT CAST(SUM(ct) AS DOUBLE) AS tt, CAST(SUM(cr) AS DOUBLE) AS tr
+  FROM dcnt
+),
+dratio AS (
+  SELECT b,
+         ln((CAST(ct AS DOUBLE) + 1.0) / (tt + 1024.0))
+         - ln((CAST(cr AS DOUBLE) + 1.0) / (tr + 1024.0)) AS lr
+  FROM dcnt CROSS JOIN dtot
+),
+ddw AS (
+  SELECT dtf.doc_id, SUM(dtf.tf * dratio.lr) AS logw
+  FROM dtf JOIN dratio USING (b) GROUP BY dtf.doc_id
+),
+dscored AS (
+  SELECT s.doc_id, s.n_chars_norm,
+         ROUND(COALESCE(ddw.logw, 0.0), 4) + 0.0 AS dsir_logw
+  FROM surv s LEFT JOIN ddw ON s.doc_id = ddw.doc_id
+),
+filled AS (
+  SELECT doc_id, dsir_logw, n_chars_norm,
+         CAST(SUM(n_chars_norm)
+              OVER (ORDER BY dsir_logw DESC, doc_id ASC) AS BIGINT)
+           AS cum_tokens
+  FROM dscored
+  WHERE n_chars_norm IS NOT NULL
+),
+picked AS (SELECT * FROM filled WHERE cum_tokens <= 60000),
+sh AS (
+  SELECT doc_id, dsir_logw, n_chars_norm, cum_tokens,
+         ((instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        + (instr('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        + (instr('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        + (instr('0123456789abcdef', substr(m, 4, 1)) - 1)) % 8 AS shard_id
+  FROM (SELECT p.*, md5('s0|' || CAST(doc_id AS VARCHAR)) AS m FROM picked p)
+)
+SELECT doc_id, dsir_logw, n_chars_norm, cum_tokens,
+       CAST(shard_id AS BIGINT) AS shard_id
+FROM sh ORDER BY doc_id NULLS FIRST
+"""
+).replace("{HEX8}", _hex8_sum("gx"))
 
 
 def ext_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7979,9 +8114,10 @@ def ext_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ext_classifier_score"] = ext_classifier_score
 
-ORACLES["ext_classifier_score"] = rf"""
-WITH {_CLS_TRAIN_CTES},
-occ AS (
+# shared inference chain (train CTEs -> per-doc score): ext_classifier_score
+# and ext_uncertainty_sample replay the identical scoring, so the margin
+# ranking can never drift from the scorer it audits
+_CLS_SCORE_CTES = r"""occ AS (
   SELECT doc_id, t AS term FROM (
     SELECT doc_id,
            unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
@@ -8011,10 +8147,31 @@ sc AS (
                          / (CAST(n_known AS DOUBLE) * 10000.0), 4) + 0.0
          END AS score
   FROM agg
-)
+)"""
+
+ORACLES["ext_classifier_score"] = f"""
+WITH {_CLS_TRAIN_CTES},
+{_CLS_SCORE_CTES}
 SELECT doc_id, n_tokens, n_known, score,
        COALESCE(score >= 0.5, FALSE) AS label
 FROM sc ORDER BY doc_id NULLS FIRST
+"""
+
+ORACLES["ext_uncertainty_sample"] = f"""
+WITH {_CLS_TRAIN_CTES},
+{_CLS_SCORE_CTES},
+m AS (
+  SELECT doc_id, score, ABS(score - 0.5) AS m
+  FROM sc WHERE score IS NOT NULL
+),
+rk AS (
+  SELECT doc_id, score, m,
+         ROW_NUMBER() OVER (ORDER BY m ASC, doc_id ASC) AS rn
+  FROM m
+)
+SELECT doc_id, score, ROUND(m, 4) + 0.0 AS margin
+FROM rk WHERE rn <= 50
+ORDER BY doc_id NULLS FIRST
 """
 
 

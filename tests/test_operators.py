@@ -3099,18 +3099,22 @@ def test_uncertainty_sample_picks_boundary_docs(spark):
     margins = [r["margin"] for r in rows]
     assert all(0.0 <= m <= 0.5 for m in margins)
     # the selected max margin must not exceed the corpus-wide median margin
-    # (we picked the UNCERTAIN tail, not a random slice)
+    # (we picked the UNCERTAIN tail, not a random slice) — measured on the
+    # same NB-posterior scores the query ranks
     from dbt_meshify_spark.operators.classifier import (
-        score_quality_classifier,
-        train_quality_classifier,
+        classify_documents,
+        train_nb_weights,
     )
     from dbt_meshify_spark.sources import load_table
 
-    docs = load_table(spark, SF_ORACLE, "documents")
-    w = train_quality_classifier(docs)
+    docs = load_table(spark, SF_ORACLE, "documents").withColumn(
+        "is_en", F.col("lang") == F.lit("en")
+    )
+    w = train_nb_weights(docs, "is_en", max_vocab=20_000)
     all_m = (
-        score_quality_classifier(docs, w)
-        .selectExpr("abs(clf_score - 0.5) AS m")
+        classify_documents(docs, w)
+        .filter(F.col("score").isNotNull())
+        .selectExpr("abs(score - 0.5) AS m")
         .approxQuantile("m", [0.5], 0.01)[0]
     )
     assert max(margins) <= all_m
