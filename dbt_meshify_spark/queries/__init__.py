@@ -22,46 +22,81 @@ QUERIES = {**_REL_QUERIES, **_EXT_QUERIES}
 
 # The driver verifies the FIRST 50 queries() entries in dict insertion order
 # (CORRECTNESS_r01/r02 both cut off at 50 rows). Curate that window so the
-# EXTERNAL gate always covers the newest machinery. Rotated in round 10
-# (prior rotation: round 9): the round-7/8 flagships that went green in
-# CORRECTNESS_r09 (dedup clusters, token budget, tumbling stream, KN-3
-# perplexity, BPE train, epoch water-fill, substring dedup) hand their slots
-# to the round-9/10 flagships — modified-KN order-5, unigram-LM encode, KMV
-# cardinality, Z-order layout, bounded-contribution privacy, late-drop
-# accounting, plus (round 10) the quantile sketch, l-diversity, and
-# byte-level BPE, the full ε-DP release pipeline, the hash-checked
-# classifier inference, and the oracle-promoted fertility audit. One dedup
-# representative stays (minhash md5 tier). To make room, FIVE round-2
-# trivia (q01–q03 projection/filter, q09 top-k, q10 lag/lead — green
-# externally since round 1 and replayed in every local pytest run) move to
-# the local-gate tail: 37 relational + 13 extension = 50 slots. Every
-# window slot must be hash-checkable — rows-only tiers (e.g.
-# ext_minhash_neardup, which errs `no_oracle` by design) go after 50.
-_WINDOW_EXT = [
-    "ext_minhash_neardup_md5",
-    "ext_mkn5_perplexity",
-    "ext_unigram_encode",
-    "ext_kmv_distinct",
-    "ext_zorder_layout",
-    "ext_bounded_contribution",
-    "ext_stream_late_drops",
-    "ext_quantile_sketch",
-    "ext_l_diversity",
-    "ext_bpe_byte_train",
-    "ext_tokenizer_fertility",
-    "ext_dp_release",
-    "ext_classifier_score",
-]
-_REL_TAIL = [
+# EXTERNAL gate always covers the newest machinery. Round 11 TRIPLES the
+# rotation bandwidth (the round-10 verdict's #1 task): the persistent
+# relational block shrinks from 37 slots to 12 family representatives
+# (scan/projection, join+agg, conditional agg, window dedup, sessionize,
+# rollup, incremental watermark, test compile, EXISTS subquery, set ops,
+# graph boundary, linker detection — everything dropped has been green in
+# real CORRECTNESS files since rounds 1–2 AND replays in every local pytest
+# run), freeing 38 extension slots per round for oracles that have NEVER
+# had an external CORRECTNESS row. This round: the three round-11
+# promotions (training_data_build, uncertainty_sample, pack_sequences)
+# plus the first 35 of the never-externally-verified list in alphabetical
+# order (the rotation ledger in COVERAGE.md §rotation tracks the remaining
+# debt; next round continues from ext_gopher_rules). Every window slot must
+# be hash-checkable — rows-only tiers (e.g. ext_minhash_neardup, which errs
+# `no_oracle` by design) go after 50.
+_WINDOW_REL = [
     "q01_projection_cast",
-    "q02_case_boolean",
-    "q03_filters",
-    "q09_topk",
-    "q10_lag_lead",
+    "q04_join_agg",
+    "q05_conditional_agg",
+    "q11_dedup_rank",
+    "q12_sessionize",
+    "q13_rollup",
+    "q16_incremental_watermark",
+    "q19_expression_test",
+    "q28_exists_semijoin",
+    "q32_set_ops",
+    "q_g4_boundary_access",
+    "q_l1_dependency_detection",
 ]
-_head = [n for n in _REL_QUERIES if n not in set(_REL_TAIL)] + [
+_WINDOW_EXT = [
+    # round-11 oracle promotions (verdict tasks 2-4)
+    "ext_training_data_build",
+    "ext_uncertainty_sample",
+    "ext_pack_sequences",
+    # never-externally-verified backlog, alphabetical (COVERAGE.md ledger)
+    "ext_asof_join",
+    "ext_attribution_linear",
+    "ext_bitext_mine",
+    "ext_bloom_decontaminate",
+    "ext_bm25_retrieval",
+    "ext_bpe_byte_encode",
+    "ext_bpe_encode_dist",
+    "ext_c4_line_clean",
+    "ext_ccnet_bucket_split",
+    "ext_ccnet_buckets",
+    "ext_chunk_documents",
+    "ext_classifier_train",
+    "ext_cluster_best_keep",
+    "ext_cluster_size_stats",
+    "ext_cms_heavy_hitters",
+    "ext_cohort_retention",
+    "ext_conversation_stats",
+    "ext_core_numbers",
+    "ext_corpus_diff",
+    "ext_corpus_profile",
+    "ext_count_distinct_salted",
+    "ext_cross_source_dedup",
+    "ext_curation_pipeline",
+    "ext_curation_report",
+    "ext_dataset_mixture",
+    "ext_decontaminate_spans",
+    "ext_domain_quality_filter",
+    "ext_dsir_sample",
+    "ext_embedding_covariance",
+    "ext_embedding_drift",
+    "ext_embedding_quantize",
+    "ext_event_anomalies",
+    "ext_event_transitions",
+    "ext_funnel_conversion",
+    "ext_funnel_windowed",
+]
+_head = [n for n in _WINDOW_REL if n in QUERIES] + [
     n for n in _WINDOW_EXT if n in QUERIES
 ]
+assert len(_head) == 50, f"driver window must be exactly 50 slots, got {len(_head)}"
 QUERIES = {
     **{name: QUERIES[name] for name in _head},
     **{name: fn for name, fn in QUERIES.items() if name not in set(_head)},

@@ -778,3 +778,190 @@ def test_stream_weighted_quantile_multibatch_equals_batch(spark, tmp_path_factor
     got = sorted(tuple(str(r[c]) for c in cols) for r in streamed.collect())
     want = sorted(tuple(str(r[c]) for c in cols) for r in expected.collect())
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint restart-resume equivalence (round 11, verdict task 7): the 21
+# drained-equals-batch runs prove a SINGLE drain; these prove recovery — a
+# drain that stops mid-stream (first drain sees only part of the input),
+# then a second drain resumed from the SAME checkpoint, must (a) process
+# only the unseen files (exactly-once across the restart: one batch dir per
+# drain, never a reprocess of committed input) and (b) leave the merged
+# state equal to the batch build over the full corpus. A third drain with
+# no new input must be a no-op (idempotent resume). One test per stateful
+# monitor family: grid-cell (quantile; the weighted twin shares the tail),
+# count-cell (l-diversity), distinct-pair (ε-DP release), CMS (documents).
+# ---------------------------------------------------------------------------
+
+
+def _batch_dirs(path):
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    return sorted(x for x in os.listdir(path) if x.startswith("batch="))
+
+
+def test_stream_quantile_sketch_resumes_from_checkpoint(spark, tmp_path_factory):
+    from dbt_meshify_spark.operators.sketches import quantile_sketch_report
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        stream_quantile_sketch,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path_factory.mktemp("qsk_resume")
+    out_dir = str(tmp_path_factory.mktemp("qsk_resume_out"))
+    qs = [0.25, 0.5, 0.9]
+
+    def drain():
+        feed = read_events_stream(
+            spark, str(d) + "/*/", nanos=False, max_files_per_trigger=1
+        )
+        return stream_quantile_sketch(
+            feed, ev, out_dir, ["event_type"], "value", qs, 0.0, 512.0, 128
+        )
+
+    # drain 1 sees only half the input (the "killed mid-stream" prefix)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(d / "f1"))
+    drain().collect()
+    assert len(_batch_dirs(f"{out_dir}/cells")) == 1
+    # resume: the rest of the input lands, SAME checkpoint
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(d / "f2"))
+    resumed = drain()
+    expected = quantile_sketch_report(
+        ev, ["event_type"], "value", qs, lo=0.0, hi=512.0, width=128
+    )
+    cols = ["event_type", "q", "n", "est_q", "true_q", "abs_err"]
+    got = sorted(tuple(str(r[c]) for c in cols) for r in resumed.collect())
+    want = sorted(tuple(str(r[c]) for c in cols) for r in expected.collect())
+    assert got == want and len(got) > 0
+    # exactly-once across the restart: one new batch dir, f1 NOT reprocessed
+    assert len(_batch_dirs(f"{out_dir}/cells")) == 2
+    # idempotent no-op resume: nothing new => same report, same state
+    again = sorted(tuple(str(r[c]) for c in cols) for r in drain().collect())
+    assert again == want
+    assert len(_batch_dirs(f"{out_dir}/cells")) == 2
+
+
+def test_stream_l_diversity_resumes_from_checkpoint(spark, tmp_path_factory):
+    from dbt_meshify_spark.operators.privacy import l_diversity_report
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        stream_l_diversity,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path_factory.mktemp("ldiv_resume")
+    out_dir = str(tmp_path_factory.mktemp("ldiv_resume_out"))
+
+    def proj(df):
+        return df.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") / F.lit(100.0)).cast("bigint").alias("vbucket"),
+        )
+
+    def drain():
+        feed = proj(
+            read_events_stream(
+                spark, str(d) + "/*/", nanos=False, max_files_per_trigger=1
+            )
+        )
+        return stream_l_diversity(
+            feed, out_dir, ["event_type", "day"], "vbucket", l=3, c=2
+        )
+
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(d / "f1"))
+    drain().collect()
+    assert len(_batch_dirs(f"{out_dir}/cells")) == 1
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(d / "f2"))
+    resumed = drain()
+    expected = l_diversity_report(proj(ev), ["event_type", "day"], "vbucket", l=3, c=2)
+    cols = [
+        "event_type", "day", "group_size", "n_sensitive", "top_count",
+        "max_share", "at_risk_distinct", "at_risk_recursive",
+    ]
+    got = sorted(
+        tuple(str(r[c]) for c in cols) for r in resumed.drop("entropy").collect()
+    )
+    want = sorted(
+        tuple(str(r[c]) for c in cols) for r in expected.drop("entropy").collect()
+    )
+    assert got == want and len(got) > 0
+    assert len(_batch_dirs(f"{out_dir}/cells")) == 2
+
+
+def test_stream_dp_noisy_counts_resumes_from_checkpoint(spark, tmp_path_factory):
+    from dbt_meshify_spark.operators.privacy import dp_noisy_user_counts
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.streaming.events import (
+        read_events_stream,
+        stream_dp_noisy_counts,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path_factory.mktemp("dpc_resume")
+    out_dir = str(tmp_path_factory.mktemp("dpc_resume_out"))
+
+    def drain():
+        feed = read_events_stream(
+            spark, str(d) + "/*/", nanos=False, max_files_per_trigger=1
+        ).select("event_type", F.col("ts").cast("date").alias("day"), "user_id")
+        return stream_dp_noisy_counts(feed, out_dir, ["event_type", "day"])
+
+    # event_id split => the same user can appear on both sides of the
+    # restart; the merged distinct state must still count them once
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(d / "f1"))
+    drain().collect()
+    assert len(_batch_dirs(f"{out_dir}/pairs")) == 1
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(d / "f2"))
+    resumed = drain()
+    expected = dp_noisy_user_counts(
+        ev.select("event_type", F.col("ts").cast("date").alias("day"), "user_id"),
+        ["event_type", "day"],
+    )
+    cols = ["event_type", "day", "n_true", "noise", "n_released"]
+    got = sorted(tuple(str(r[c]) for c in cols) for r in resumed.collect())
+    want = sorted(tuple(str(r[c]) for c in cols) for r in expected.collect())
+    assert got == want and len(got) > 0
+    assert len(_batch_dirs(f"{out_dir}/pairs")) == 2
+
+
+def test_stream_cms_resumes_from_checkpoint(spark, tmp_path_factory):
+    from dbt_meshify_spark.operators.dedup import tokens_col
+    from dbt_meshify_spark.operators.sketches import cms_heavy_hitters
+    from dbt_meshify_spark.sources import load_table
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_cms_heavy_hitters,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    d = tmp_path_factory.mktemp("cms_resume")
+    out_dir = str(tmp_path_factory.mktemp("cms_resume_out"))
+
+    def drain():
+        feed = read_documents_stream(
+            spark, str(d) + "/*/", max_files_per_trigger=1
+        )
+        return stream_cms_heavy_hitters(feed, docs, out_dir)
+
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(d / "f1"))
+    drain().collect()
+    assert len(_batch_dirs(f"{out_dir}/cells")) == 1
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(d / "f2"))
+    resumed = drain()
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    expected = cms_heavy_hitters(toks, "token")
+    cols = ["token", "cms_est", "true_count", "overcount"]
+    got = sorted(tuple(str(r[c]) for c in cols) for r in resumed.collect())
+    want = sorted(tuple(str(r[c]) for c in cols) for r in expected.collect())
+    assert got == want and len(got) > 0
+    assert len(_batch_dirs(f"{out_dir}/cells")) == 2
