@@ -357,3 +357,136 @@ def attribution_credit(
             .otherwise(F.lit(0.2) / (n - 2))
         )
     return ranked.withColumn("credit", F.round(credit, 4))
+
+
+def _us(col: Column) -> Column:
+    """Microseconds since epoch; the cast tolerates TIMESTAMP_NTZ sources
+    (unix_micros rejects NTZ; the session is UTC so the cast is a no-op,
+    and any fixed offset cancels in gap DIFFERENCES anyway — buckets are
+    internal salt, not user-visible boundaries)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization, single-window form (q12's semantics as a
+    reusable operator): one window partitioned by ``user_col`` flags
+    session starts (gap > ``gap_s``), a running sum numbers them 1..n per
+    user. Correct and one-shuffle — but a HOT user funnels every one of
+    its events through ONE task, and AQE cannot split a skewed WINDOW
+    partition (its skew handling covers joins/aggregate exchanges only).
+    Use :func:`sessionize_salted` when a key can dominate (bots, service
+    accounts): the skew probe measures the difference.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = int(gap_s) * 1_000_000
+    new_s = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | (
+            _us(F.col(ts_col)) - _us(F.lag(ts_col).over(w))
+            > F.lit(gap_us)
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return events.withColumn("__new", new_s).select(
+        user_col,
+        tiebreak_col,
+        F.sum("__new").over(run).alias("session_id"),
+    )
+
+
+def sessionize_salted(
+    events: DataFrame,
+    gap_s: int = 1800,
+    bucket_s: int = 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Hot-key-immune sessionization: the salted two-phase form of
+    :func:`sessionize_events`, producing IDENTICAL ``(user, tiebreak,
+    session_id)`` output (equivalence is unit-tested and oracle-checked by
+    ext_sessionize_salted against the naive SQL window).
+
+    Phase 1 salts the window key with a coarse time bucket
+    ``floor(unix_micros(ts) / bucket_s)``: session flags and per-segment
+    running numbers compute inside ``(user, bucket)`` partitions, so a hot
+    user's events spread across as many tasks as it has active buckets —
+    the un-splittable single-task window partition is gone. Phase 2 fixes
+    the bucket boundaries on the SEGMENT table (one row per (user, active
+    bucket) — orders of magnitude smaller than the events): a session
+    spanning two buckets shows up as last_ts(b) and first_ts(b+1) within
+    ``gap_s``, merged by subtracting one from every later segment's
+    offset. Requiring ``bucket_s >= gap_s`` means ONLY adjacent buckets
+    can ever merge (any event in bucket b+2 is > bucket_s > gap_s away
+    from any event in b), so the fix-up is a lag over the per-user bucket
+    chain, never a search.
+
+    Cost: one (user, bucket) shuffle of the events + one equi-join back to
+    the tiny per-segment offset frame ON THE SAME (user, bucket) keys —
+    Catalyst reuses the window's partitioning for the join, so the event
+    side shuffles exactly once, same as the naive form. The boundary chain
+    windows run on the segment frame only.
+    """
+    if bucket_s < gap_s:
+        raise ValueError(
+            f"bucket_s ({bucket_s}) must be >= gap_s ({gap_s}): with a "
+            "bucket shorter than the gap, sessions could span NON-adjacent "
+            "buckets and the adjacent-only boundary merge would be wrong"
+        )
+    gap_us = int(gap_s) * 1_000_000
+    bucket_us = int(bucket_s) * 1_000_000
+    ev = events.withColumn(
+        "__b", F.floor(_us(F.col(ts_col)) / F.lit(bucket_us))
+    )
+    w_seg = Window.partitionBy(user_col, "__b").orderBy(ts_col, tiebreak_col)
+    run_seg = w_seg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_s = F.when(
+        F.lag(ts_col).over(w_seg).isNull()
+        | (
+            _us(F.col(ts_col))
+            - _us(F.lag(ts_col).over(w_seg))
+            > F.lit(gap_us)
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    flagged = ev.withColumn("__new", new_s).withColumn(
+        "__seg_session", F.sum("__new").over(run_seg)
+    )
+    # segment table: one row per (user, active bucket)
+    segs = flagged.groupBy(user_col, "__b").agg(
+        F.sum("__new").alias("__n_sessions"),
+        F.min(_us(F.col(ts_col))).alias("__first_us"),
+        F.max(_us(F.col(ts_col))).alias("__last_us"),
+    )
+    w_chain = Window.partitionBy(user_col).orderBy("__b")
+    merged = (
+        (F.lag("__b").over(w_chain) == F.col("__b") - 1)
+        & (F.col("__first_us") - F.lag("__last_us").over(w_chain) <= F.lit(gap_us))
+    ).cast("int")
+    prior = Window.partitionBy(user_col).orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    upto = Window.partitionBy(user_col).orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        segs.withColumn("__merge", F.coalesce(merged, F.lit(0)))
+        .withColumn(
+            "__offset",
+            F.coalesce(F.sum("__n_sessions").over(prior), F.lit(0))
+            - F.sum("__merge").over(upto),
+        )
+        .select(user_col, "__b", "__offset")
+    )
+    return flagged.join(offsets, [user_col, "__b"]).select(
+        user_col,
+        tiebreak_col,
+        (F.col("__offset") + F.col("__seg_session")).alias("session_id"),
+    )

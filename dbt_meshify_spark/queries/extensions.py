@@ -10183,3 +10183,41 @@ def ext_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ext_stream_weighted_sample"] = ext_stream_weighted_sample
 ORACLES["ext_stream_weighted_sample"] = ORACLES["ext_weighted_sample"]
+
+
+def ext_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W3/N7 + N-skew, hash-checked] hot-key-immune sessionization
+    (operators/temporal.py::sessionize_salted): the salted two-phase form
+    of q12's gap sessionize — session flags and running numbers compute
+    inside (user, hourly-bucket) window partitions (a hot user spreads
+    across its active buckets instead of funneling one task; AQE cannot
+    split a skewed WINDOW partition, so the salt is the only scale lever),
+    then the per-segment offset chain merges boundary-spanning sessions on
+    the tiny (user, bucket) frame. The oracle is the NAIVE single-window
+    SQL — the strongest equivalence statement: the salted plan must
+    reproduce the unsalted semantics bit-for-bit. Skew posture measured by
+    scripts/scaling_probe.py --skew (SCALE.md)."""
+    from dbt_meshify_spark.operators.temporal import sessionize_salted
+
+    events = load_table(spark, sf_dir, "events")
+    out = sessionize_salted(events, gap_s=1800, bucket_s=3600)
+    return out.select(
+        "user_id", "event_id", F.col("session_id").cast("bigint").alias("session_id")
+    ).orderBy(_asc("user_id"), _asc("event_id"))
+
+
+QUERIES["ext_sessionize_salted"] = ext_sessionize_salted
+
+ORACLES["ext_sessionize_salted"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM flagged ORDER BY user_id NULLS FIRST, event_id NULLS FIRST
+"""

@@ -201,6 +201,11 @@ def main() -> None:
 
         streaming_probe(get_spark(), sf_dir)
         return
+    if "--skew" in sys.argv:
+        from dbt_meshify_spark.session import get_spark
+
+        skew_probe(get_spark(), sf_dir)
+        return
     from dbt_meshify_spark.operators.dedup import (
         exact_dedup,
         minhash_candidate_pairs,
@@ -539,6 +544,142 @@ def privacy_kmv_probe(spark, sf_dir: str) -> None:
             f"(groups {dp['g']} sum|z| {dp['tn']})",
             flush=True,
         )
+
+def skew_probe(spark, sf_dir: str) -> None:
+    """Hot-key skew probe for the event/session family (round 11, verdict
+    task 6). SCALE.md asserts the user-keyed window family's posture, but
+    the volume probes only measure UNIFORM synthetic growth; this one
+    plants a bot-grade hot key — 30% of all events remapped to ONE
+    user_id — at 1x/8x and measures (a) the window-exchange partition
+    imbalance (max-partition share replicated exactly via
+    pmod(hash(user_id), shuffle_partitions) — the task-time proxy for a
+    CPU-bound window: AQE CANNOT split a skewed WINDOW partition, its
+    skew handling applies to joins/aggregates only) and (b) the measured
+    wall amplification skew/uniform for sessionize and
+    user_activity_report. If the 8x amplification is material (>2x), the
+    family needs the salted two-phase sessionize
+    (operators/temporal.py::sessionize_salted) — record the verdict in
+    SCALE.md either way."""
+    import time as _t
+
+    from pyspark.sql import Window
+
+    from dbt_meshify_spark.operators.temporal import user_activity_report
+    from dbt_meshify_spark.sources import load_table
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    uid_shift = base.agg(F.max("user_id")).collect()[0][0] + 1
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def scaled(k: int, skewed: bool):
+        parts = [base]
+        for i in range(1, k):
+            parts.append(
+                base.select(
+                    (F.col("event_id") + i * 10_000_000).alias("event_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {i} DAYS")).alias("ts"),
+                    (F.col("user_id") + i * uid_shift).alias("user_id"),
+                    "event_type",
+                    "value",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if skewed:
+            # exactly 30% of events (event_id % 10 < 3) land on one hot user
+            out = out.withColumn(
+                "user_id",
+                F.when(F.col("event_id") % 10 < 3, F.lit(0)).otherwise(
+                    F.col("user_id")
+                ),
+            )
+        return out
+
+    def sessionize(ev):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        flagged = ev.withColumn(
+            "new_session",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.col("ts")
+                    > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        return flagged.select(
+            "user_id", "event_id", F.sum("new_session").over(run).alias("session_id")
+        )
+
+    def salted(ev):
+        from dbt_meshify_spark.operators.temporal import sessionize_salted
+
+        # hourly buckets (minimum legal granularity for the 30-min gap is
+        # gap_s itself; hourly gives the hot user ~720 segments over the
+        # 30-day corpus vs 32 shuffle partitions — full spread)
+        return sessionize_salted(ev, gap_s=1800, bucket_s=3600)
+
+    # warmup compiles every plan once
+    warm = scaled(1, False).localCheckpoint()
+    sessionize(warm).write.format("noop").mode("overwrite").save()
+    salted(warm).write.format("noop").mode("overwrite").save()
+    user_activity_report(warm).write.format("noop").mode("overwrite").save()
+
+    for k in (1, 8):
+        walls = {}
+        for label, skewed in (("uniform", False), ("skew30", True)):
+            ev = scaled(k, skewed).localCheckpoint()
+            total = ev.count()
+            mx = (
+                ev.groupBy(F.pmod(F.hash("user_id"), F.lit(nparts)).alias("p"))
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+            # the salted window's exchange key is (user_id, hourly bucket)
+            salt_b = F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(3600 * 1_000_000)
+            )
+            mx_salted = (
+                ev.groupBy(
+                    F.pmod(F.hash("user_id", salt_b), F.lit(nparts)).alias("p")
+                )
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+            t0 = _t.time()
+            sessionize(ev).write.format("noop").mode("overwrite").save()
+            t_sess = _t.time() - t0
+            t0 = _t.time()
+            salted(ev).write.format("noop").mode("overwrite").save()
+            t_salt = _t.time() - t0
+            t0 = _t.time()
+            user_activity_report(ev).write.format("noop").mode("overwrite").save()
+            t_act = _t.time() - t0
+            walls[label] = (t_sess, t_salt, t_act)
+            print(
+                f"scale={k}x {label}: rows={total} "
+                f"max_window_partition_share={mx / total:.3f} "
+                f"salted_share={mx_salted / total:.3f} "
+                f"(ideal {1 / nparts:.3f}) sessionize={t_sess:.2f}s "
+                f"salted_sessionize={t_salt:.2f}s activity={t_act:.2f}s",
+                flush=True,
+            )
+        u, s = walls["uniform"], walls["skew30"]
+        print(
+            f"scale={k}x AMPLIFICATION skew/uniform: "
+            f"sessionize={s[0] / u[0]:.2f}x salted={s[1] / u[1]:.2f}x "
+            f"activity={s[2] / u[2]:.2f}x",
+            flush=True,
+        )
+
 
 def streaming_probe(spark, sf_dir: str) -> None:
     """Streaming tier at synthesized 1x-16x volume (round 10). Claims under

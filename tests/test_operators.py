@@ -5804,3 +5804,99 @@ def test_classifier_discriminates_and_handles_oov(spark):
     )
     u = classify_documents(oov, w).collect()[0]
     assert u.score is None and u.label is False and u.n_known == 0
+
+
+def test_sessionize_salted_equals_naive_on_corpus(spark):
+    """The salted two-phase sessionize must produce byte-identical
+    (user, event, session_id) labels to the naive single-window form over
+    the real events corpus — including cross-bucket session merges (hourly
+    buckets, 30-min gap => plenty of boundary-spanning sessions)."""
+    from dbt_meshify_spark.operators.temporal import (
+        sessionize_events,
+        sessionize_salted,
+    )
+    from dbt_meshify_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    naive = {
+        (r.user_id, r.event_id): r.session_id
+        for r in sessionize_events(ev, gap_s=1800).collect()
+    }
+    salted = {
+        (r.user_id, r.event_id): r.session_id
+        for r in sessionize_salted(ev, gap_s=1800, bucket_s=3600).collect()
+    }
+    assert salted == naive and len(naive) == ev.count()
+    # and sessions actually cross bucket boundaries in this corpus (the
+    # merge path is exercised, not vacuously green)
+    import datetime as dt
+
+    by_user: dict = {}
+    for r in ev.select("user_id", "ts", "event_id").collect():
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    crossings = 0
+    for rows in by_user.values():
+        rows.sort()
+        for (a, _), (b, _) in zip(rows, rows[1:]):
+            if (b - a) <= dt.timedelta(minutes=30) and (
+                int(a.timestamp() // 3600) != int(b.timestamp() // 3600)
+            ):
+                crossings += 1
+    assert crossings > 0
+
+
+def test_sessionize_salted_hot_key_and_edges(spark):
+    """Planted hot key + exact boundary edges: a user holding 50% of all
+    events must still label identically; a gap of exactly gap_s stays in
+    the session (the > test), one microsecond more splits; bucket_s <
+    gap_s raises."""
+    import datetime as dt
+
+    import pytest
+
+    from dbt_meshify_spark.operators.temporal import (
+        sessionize_events,
+        sessionize_salted,
+    )
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    # hot user 0: events every 20 min for 3 days (sessions merge across
+    # every hourly bucket boundary), then a 31-min break
+    for i in range(72 * 3):
+        rows.append((eid, t0 + dt.timedelta(minutes=20 * i), 0)); eid += 1
+    rows.append((eid, t0 + dt.timedelta(minutes=20 * 72 * 3 + 31), 0)); eid += 1
+    # boundary-exact user 1: second event exactly gap_s later (same
+    # session), third exactly gap_s + 1µs after the second (new session)
+    rows.append((eid, t0, 1)); eid += 1
+    rows.append((eid, t0 + dt.timedelta(seconds=1800), 1)); eid += 1
+    rows.append(
+        (eid, t0 + dt.timedelta(seconds=3600, microseconds=1), 1)
+    ); eid += 1
+    # background users
+    for u in range(2, 30):
+        for i in range(3):
+            rows.append((eid, t0 + dt.timedelta(hours=u, minutes=40 * i), u))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    naive = {
+        (r.user_id, r.event_id): r.session_id
+        for r in sessionize_events(ev, gap_s=1800).collect()
+    }
+    salted = {
+        (r.user_id, r.event_id): r.session_id
+        for r in sessionize_salted(ev, gap_s=1800, bucket_s=3600).collect()
+    }
+    assert salted == naive
+    # hot user: one long session then a second
+    hot = [v for (u, _), v in salted.items() if u == 0]
+    assert max(hot) == 2
+    # boundary user: events 1+2 share a session, event 3 opens session 2
+    u1 = sorted(
+        (eid2, sid) for (u, eid2), sid in salted.items() if u == 1
+    )
+    assert [s for _, s in u1] == [1, 1, 2]
+    with pytest.raises(ValueError):
+        sessionize_salted(ev, gap_s=1800, bucket_s=900)

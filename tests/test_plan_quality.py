@@ -769,3 +769,30 @@ def test_classifier_score_single_scans_broadcast_weights(spark):
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan, "weights join not broadcast"
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sessionize_salted_windows_are_salted_never_user_only(spark):
+    """ext_sessionize_salted: every EVENT-sized window must partition by
+    (user_id, __b) — a user-only window ordered by event time is the
+    un-splittable hot-key task the operator exists to remove (AQE cannot
+    split a skewed WINDOW partition). The only user-only window allowed is
+    the segment offset chain, which orders by __b over the tiny per-bucket
+    frame, never by ts. The event side shuffles ONCE on the salted key
+    (the offsets join reuses the window's partitioning)."""
+    import re
+
+    plan = _physical(QUERIES["ext_sessionize_salted"](spark, SF_ORACLE))
+    # no window spec partitioned by user alone ordering by event time
+    assert not re.search(r"windowspecdefinition\(user_id#\d+L?, ts#", plan), (
+        "event-sized window partitioned by user only — hot-key exposure"
+    )
+    # the salted event window exists
+    assert re.search(
+        r"windowspecdefinition\(user_id#\d+L?, __b#\d+L?, ts#", plan
+    ), "salted (user, bucket) window spec missing"
+    # exactly one exchange carries the event-sized salted partitioning more
+    # than zero times; the event side must not re-shuffle for the join
+    salted_exchanges = len(
+        re.findall(r"hashpartitioning\(user_id#\d+L?, __b#\d+L?,", plan)
+    )
+    assert salted_exchanges >= 1
