@@ -456,8 +456,18 @@ def sessionize_salted(
         ),
         F.lit(1),
     ).otherwise(F.lit(0))
-    flagged = ev.withColumn("__new", new_s).withColumn(
-        "__seg_session", F.sum("__new").over(run_seg)
+    # pinned: BOTH the segment aggregate and the final join consume this
+    # windowed frame, and ReusedExchange dedups only the shuffle write —
+    # unpinned, the sort + lag + running-sum window would execute twice.
+    # persist (not localCheckpoint): keeps the recompute lineage AND lets
+    # Catalyst see through to the window's partitioning (the
+    # curation_report discipline)
+    from pyspark.storagelevel import StorageLevel
+
+    flagged = (
+        ev.withColumn("__new", new_s)
+        .withColumn("__seg_session", F.sum("__new").over(run_seg))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # segment table: one row per (user, active bucket)
     segs = flagged.groupBy(user_col, "__b").agg(
@@ -485,8 +495,26 @@ def sessionize_salted(
         )
         .select(user_col, "__b", "__offset")
     )
-    return flagged.join(offsets, [user_col, "__b"]).select(
-        user_col,
+    # NULL-SAFE join: a NULL user_id (or NULL ts => NULL __b) forms its own
+    # window group in BOTH the naive and salted forms, so those rows must
+    # keep their session labels — a null-rejecting equi-join would silently
+    # drop them and break the documented bit-exact equivalence. Cost note:
+    # Spark compiles <=> to coalesce/isnull join keys, so when the offsets
+    # frame outgrows the broadcast threshold (AQE broadcasts it in the
+    # common case — it is segment-sized, not event-sized) the SMJ re-keys
+    # the event side once more; callers that can GUARANTEE non-null keys
+    # and need the absolute single-shuffle path can pre-filter, but
+    # correctness-by-default wins here.
+    off = offsets.select(
+        F.col(user_col).alias("__o_user"),
+        F.col("__b").alias("__o_b"),
+        "__offset",
+    )
+    cond = flagged[user_col].eqNullSafe(off["__o_user"]) & flagged[
+        "__b"
+    ].eqNullSafe(off["__o_b"])
+    return flagged.join(off, cond).select(
+        flagged[user_col],
         tiebreak_col,
         (F.col("__offset") + F.col("__seg_session")).alias("session_id"),
     )

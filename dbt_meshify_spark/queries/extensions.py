@@ -63,6 +63,28 @@ def _asc(c: str):
 
 _SCRATCH_ROOT: str | None = None
 
+# every prefix ever passed to _stream_scratch pre-round-11 (when scratch
+# dirs landed directly in /tmp) plus the scaling probe's — the legacy-prune
+# allowlist
+_LEGACY_SCRATCH_PREFIXES = (
+    "dms_late_drops_",
+    "stream_cls_",
+    "stream_cms_",
+    "stream_conv_",
+    "stream_decontam_",
+    "stream_dpc_",
+    "stream_es_",
+    "stream_gopher_",
+    "stream_inc_neardup_",
+    "stream_ldiv_",
+    "stream_novelty_",
+    "stream_psi_",
+    "stream_qsk_",
+    "stream_selfrep_",
+    "stream_wq_",
+    "stream_probe_",
+)
+
 
 def _stream_scratch(prefix: str) -> str:
     """Scratch dir for a streaming query's state/checkpoint/output.
@@ -87,21 +109,35 @@ def _stream_scratch(prefix: str) -> str:
     global _SCRATCH_ROOT
     if _SCRATCH_ROOT is None or not os.path.isdir(_SCRATCH_ROOT):
         tmp = tempfile.gettempdir()
-        cutoff = time.time() - 6 * 3600
+        stale_cutoff = time.time() - 6 * 3600
+        # hard ceiling: a dead session's root whose PID was recycled by an
+        # unrelated long-lived process must still be reclaimed eventually
+        ceiling_cutoff = time.time() - 7 * 24 * 3600
         try:
             for name in os.listdir(tmp):
-                if not name.startswith("dms_scratch_"):
-                    continue
                 path = os.path.join(tmp, name)
-                parts = name.split("_")
+                if not os.path.isdir(path):
+                    continue
                 try:
-                    owner = int(parts[2]) if len(parts) > 2 else -1
-                except ValueError:
-                    owner = -1
-                try:
+                    if name.startswith(_LEGACY_SCRATCH_PREFIXES):
+                        # legacy pre-session-root scratch naming (OUR
+                        # prefixes only — never rmtree another app's
+                        # /tmp/stream_* on this shared host): age-only
+                        # prune, same 6h rule the old per-query prune used
+                        if os.path.getmtime(path) < stale_cutoff:
+                            shutil.rmtree(path, ignore_errors=True)
+                        continue
+                    if not name.startswith("dms_scratch_"):
+                        continue
+                    parts = name.split("_")
+                    try:
+                        owner = int(parts[2]) if len(parts) > 2 else -1
+                    except ValueError:
+                        owner = -1
                     alive = owner > 0 and _pid_alive(owner)
-                    stale = os.path.getmtime(path) < cutoff
-                    if os.path.isdir(path) and not alive and (owner > 0 or stale):
+                    stale = os.path.getmtime(path) < stale_cutoff
+                    ancient = os.path.getmtime(path) < ceiling_cutoff
+                    if ancient or (not alive and (owner > 0 or stale)):
                         shutil.rmtree(path, ignore_errors=True)
                 except OSError:
                     pass

@@ -43,7 +43,10 @@ def main() -> None:
     run("q01_projection_cast")
 
     sent_times = {n: run(n) for n in SENTINEL_QUERIES}
-    tenancy = median_ratio(sent_times, floors, SENTINEL_QUERIES)
+    # median_ratio returns None when <5 sentinels have usable floors (e.g.
+    # a regenerated floor table) — fall back to an unanchored 1.0 like
+    # bench.compute_inflation does
+    tenancy = median_ratio(sent_times, floors, SENTINEL_QUERIES) or 1.0
     print(f"sentinel tenancy: {tenancy:.3f}", flush=True)
 
     for name in targets:

@@ -562,8 +562,6 @@ def skew_probe(spark, sf_dir: str) -> None:
     SCALE.md either way."""
     import time as _t
 
-    from pyspark.sql import Window
-
     from dbt_meshify_spark.operators.temporal import user_activity_report
     from dbt_meshify_spark.sources import load_table
 
@@ -599,22 +597,11 @@ def skew_probe(spark, sf_dir: str) -> None:
         return out
 
     def sessionize(ev):
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        flagged = ev.withColumn(
-            "new_session",
-            F.when(
-                F.lag("ts").over(w).isNull()
-                | (
-                    F.col("ts")
-                    > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")
-                ),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        return flagged.select(
-            "user_id", "event_id", F.sum("new_session").over(run).alias("session_id")
-        )
+        # the REAL naive operator, not an inline copy — the probe must
+        # measure what SCALE.md records
+        from dbt_meshify_spark.operators.temporal import sessionize_events
+
+        return sessionize_events(ev, gap_s=1800)
 
     def salted(ev):
         from dbt_meshify_spark.operators.temporal import sessionize_salted

@@ -5900,3 +5900,37 @@ def test_sessionize_salted_hot_key_and_edges(spark):
     assert [s for _, s in u1] == [1, 1, 2]
     with pytest.raises(ValueError):
         sessionize_salted(ev, gap_s=1800, bucket_s=900)
+
+
+def test_sessionize_salted_keeps_null_keys_like_naive(spark):
+    """NULL user_id (and NULL ts) rows form their own window groups in the
+    naive form — the salted form's offsets join must be null-safe or those
+    rows silently vanish (locked after a review found the inner equi-join
+    dropped them)."""
+    import datetime as dt
+
+    from dbt_meshify_spark.operators.temporal import (
+        sessionize_events,
+        sessionize_salted,
+    )
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        (1, t0, 7),
+        (2, t0 + dt.timedelta(minutes=10), 7),
+        (3, t0 + dt.timedelta(minutes=10), None),  # null user, own group
+        (4, t0 + dt.timedelta(hours=2), None),     # null user, new session
+        (5, None, 7),                              # null ts, null bucket
+        (6, None, None),                           # both null
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    naive = {
+        (r.user_id, r.event_id): r.session_id
+        for r in sessionize_events(ev, gap_s=1800).collect()
+    }
+    salted = {
+        (r.user_id, r.event_id): r.session_id
+        for r in sessionize_salted(ev, gap_s=1800, bucket_s=3600).collect()
+    }
+    assert len(salted) == len(rows), "null-key rows dropped"
+    assert salted == naive

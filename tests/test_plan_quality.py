@@ -777,8 +777,11 @@ def test_sessionize_salted_windows_are_salted_never_user_only(spark):
     un-splittable hot-key task the operator exists to remove (AQE cannot
     split a skewed WINDOW partition). The only user-only window allowed is
     the segment offset chain, which orders by __b over the tiny per-bucket
-    frame, never by ts. The event side shuffles ONCE on the salted key
-    (the offsets join reuses the window's partitioning)."""
+    frame, never by ts. The windowed event frame is persisted (both the
+    segment aggregate and the final join consume it — unpinned it would
+    compute twice), and at most TWO distinct exchanges carry the salted
+    key: the window's own shuffle plus the segs branch's partial-agged
+    (segment-sized rows only) aggregate exchange."""
     import re
 
     plan = _physical(QUERIES["ext_sessionize_salted"](spark, SF_ORACLE))
@@ -790,9 +793,15 @@ def test_sessionize_salted_windows_are_salted_never_user_only(spark):
     assert re.search(
         r"windowspecdefinition\(user_id#\d+L?, __b#\d+L?, ts#", plan
     ), "salted (user, bucket) window spec missing"
-    # exactly one exchange carries the event-sized salted partitioning more
-    # than zero times; the event side must not re-shuffle for the join
-    salted_exchanges = len(
-        re.findall(r"hashpartitioning\(user_id#\d+L?, __b#\d+L?,", plan)
+    # the shared windowed frame is pinned (one window compute, not two)
+    assert "InMemoryTableScan" in plan, "flagged frame not persisted"
+    # distinct salted-key exchanges: the window's + at most the segs
+    # partial-agg's (a third would mean the event side re-shuffles raw)
+    ids = set(
+        re.findall(
+            r"Exchange hashpartitioning\(user_id#\d+L?, __b#\d+L?,"
+            r".*?\[plan_id=(\d+)\]",
+            plan,
+        )
     )
-    assert salted_exchanges >= 1
+    assert 1 <= len(ids) <= 2, f"unexpected salted exchange count: {ids}"
