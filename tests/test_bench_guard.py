@@ -145,3 +145,27 @@ def test_sentinel_alert_fires_over_2x_and_stays_quiet_under():
     assert abs(sentinel_alert(hot, floors) - 2.4) < 1e-9
     calm = {k: f * 1.6 for k, f in floors.items()}
     assert sentinel_alert(calm, floors) is None
+
+
+def test_declared_corpus_counts_stay_synced_with_docs():
+    """README/COVERAGE quote the corpus size; the counts-sync discipline is
+    a per-round verdict ask — lock it so a new query/oracle that forgets
+    the doc bump fails CI instead of shipping a stale number."""
+    import os
+    import re
+
+    from dbt_meshify_spark.queries import ORACLES, QUERIES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(repo, "README.md")).read()
+    m = re.search(r"(\d+) queries \(relational \+ extension;\s*\n?\s*(\d+) DuckDB-oracle-checked", readme)
+    assert m, "README corpus-count sentence missing"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} queries, code has {len(QUERIES)}"
+    )
+    assert int(m.group(2)) == len(ORACLES), (
+        f"README says {m.group(2)} oracles, code has {len(ORACLES)}"
+    )
+    # the driver window is exactly 50 hash-checkable slots
+    window = list(QUERIES)[:50]
+    assert all(n in ORACLES for n in window)
