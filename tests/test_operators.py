@@ -5934,3 +5934,68 @@ def test_sessionize_salted_keeps_null_keys_like_naive(spark):
     }
     assert len(salted) == len(rows), "null-key rows dropped"
     assert salted == naive
+
+
+def test_sessionize_salted_randomized_triangulation(spark):
+    """Seeded randomized fixture engineered to live on the nasty
+    boundaries: timestamps clustered around exact gap/bucket multiples,
+    hot keys, NULL users and NULL timestamps. Triangulates THREE
+    implementations — a pure-Python reference, the naive single-window
+    operator, and the salted two-phase operator — across two
+    (gap_s, bucket_s) combos including bucket_s == gap_s (the minimum
+    legal salt granularity, where cross-bucket merges are densest)."""
+    import datetime as dt
+    import random
+
+    from dbt_meshify_spark.operators.temporal import (
+        sessionize_events,
+        sessionize_salted,
+    )
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 7, 1)
+    rows = []
+    eid = 0
+    for _ in range(600):
+        user = rng.choice([None, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7])  # 0 is hot
+        if rng.random() < 0.03:
+            ts = None
+        else:
+            # land near multiples of 900s with jitter in {-1µs, 0, +1µs}
+            base = rng.randrange(0, 4 * 86400, 900)
+            jitter = rng.choice([-1, 0, 1])
+            ts = t0 + dt.timedelta(seconds=base, microseconds=jitter)
+        rows.append((eid, ts, user))
+        eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+
+    def py_ref(gap_s):
+        by_user: dict = {}
+        for r in rows:
+            by_user.setdefault(r[2], []).append((r[1], r[0]))
+        out = {}
+        none_first = lambda t: (t[0] is not None, t[0] or dt.datetime.min, t[1])
+        for u, evs in by_user.items():
+            evs.sort(key=none_first)  # NULLS FIRST, tiebreak event_id
+            sid, prev = 0, None
+            for ts, eid2 in evs:
+                # first row: lag NULL -> new; ts None rows sort first and a
+                # NULL gap comparison also falls to "new session"
+                if prev is None or ts is None or (ts - prev) > dt.timedelta(seconds=gap_s):
+                    sid += 1
+                out[(u, eid2)] = sid
+                prev = ts
+        return out
+
+    for gap_s, bucket_s in ((1800, 3600), (900, 900)):
+        ref = py_ref(gap_s)
+        naive = {
+            (r.user_id, r.event_id): r.session_id
+            for r in sessionize_events(ev, gap_s=gap_s).collect()
+        }
+        salted = {
+            (r.user_id, r.event_id): r.session_id
+            for r in sessionize_salted(ev, gap_s=gap_s, bucket_s=bucket_s).collect()
+        }
+        assert naive == ref, f"naive != python reference at gap={gap_s}"
+        assert salted == naive, f"salted != naive at gap={gap_s} bucket={bucket_s}"
