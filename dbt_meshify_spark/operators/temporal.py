@@ -83,22 +83,28 @@ def asof_join(
     for v in carried:
         merged = merged.withColumn(v, F.last(v, ignorenulls=True).over(w))
     out = merged.filter(F.col(_SIDE) == 1).drop(_SIDE, _TS)
-    if tolerance is not None:
-        lt, mt = F.col(left_ts), F.col("_matched_ts")
-        # materialize the predicate BEFORE nulling _matched_ts — the value
-        # columns' when() must see the original matched timestamp
+    return _apply_asof_tolerance(out, left_ts, carried, tolerance)
+
+
+def _apply_asof_tolerance(
+    out: DataFrame, left_ts: str, carried: list[str], tolerance: str | None
+) -> DataFrame:
+    """Shared tolerance tail of the naive and salted as-of joins: null every
+    carried column whose match sits further than ``tolerance`` away."""
+    if tolerance is None:
+        return out
+    lt, mt = F.col(left_ts), F.col("_matched_ts")
+    # materialize the predicate BEFORE nulling _matched_ts — the value
+    # columns' when() must see the original matched timestamp
+    out = out.withColumn(
+        "_asof_far",
+        (F.greatest(lt, mt) - F.least(lt, mt)) > F.expr(f"INTERVAL {tolerance}"),
+    )
+    for v in carried:
         out = out.withColumn(
-            "_asof_far",
-            (F.greatest(lt, mt) - F.least(lt, mt)) > F.expr(
-                f"INTERVAL {tolerance}"
-            ),
+            v, F.when(F.col("_asof_far"), F.lit(None)).otherwise(F.col(v))
         )
-        for v in carried:
-            out = out.withColumn(
-                v, F.when(F.col("_asof_far"), F.lit(None)).otherwise(F.col(v))
-            )
-        out = out.drop("_asof_far")
-    return out
+    return out.drop("_asof_far")
 
 
 def range_join(
@@ -518,3 +524,131 @@ def sessionize_salted(
         tiebreak_col,
         (F.col("__offset") + F.col("__seg_session")).alias("session_id"),
     )
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance: str | None = None,
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Hot-key-immune as-of join: the salted two-phase form of
+    :func:`asof_join`, producing IDENTICAL output (oracle-checked by
+    ext_asof_join_salted against the naive union+window SQL).
+
+    The naive form's carry-forward window partitions by ``keys`` alone —
+    exactly the un-splittable hot-key task shape the skew probe measured
+    for sessionize (AQE cannot split a skewed WINDOW partition; a hot
+    instrument/user funnels every one of its rows through one task). Here
+    the carry runs in two phases, the distributed-LOCF pattern:
+
+    1. within ``(keys, time-bucket)`` window partitions, each carried
+       column fills forward independently (``last(…, ignorenulls)`` — the
+       naive semantics, bucket-local);
+    2. the SEGMENT frame (one row per (keys, active bucket), orders of
+       magnitude smaller than the data) chains per-column "last non-null
+       in this bucket" values with the same LOCF over the per-key bucket
+       sequence — unlike sessionize's adjacent-only merge, the chain is
+       unbounded-preceding because a value carries across ANY number of
+       empty buckets;
+    3. each row's final value = coalesce(bucket-local fill, its bucket's
+       chained seed), joined back null-safely on the salted key (NULL
+       keys form their own groups in both forms — the sessionize_salted
+       discipline).
+
+    ``direction='forward'`` mirrors everything (buckets chain descending).
+    Same determinism contract as the naive form: the right side must be
+    unique per ``(keys, right_ts)``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+    if bucket_s <= 0:
+        raise ValueError(f"bucket_s must be positive, got {bucket_s}")
+    from pyspark.storagelevel import StorageLevel
+
+    asc = direction == "backward"
+    bucket_us = int(bucket_s) * 1_000_000
+    l_tagged = left.withColumn(_SIDE, F.lit(1)).withColumn(_TS, F.col(left_ts))
+    r_tagged = (
+        right.select(
+            *keys, F.col(right_ts).alias(_TS), *[F.col(v) for v in value_cols]
+        )
+        .withColumn(_SIDE, F.lit(0))
+        .withColumn("_matched_ts", F.col(_TS))
+    )
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True).withColumn(
+        "__b", F.floor(_us(F.col(_TS)) / F.lit(bucket_us))
+    )
+    order = [
+        F.col(_TS).asc() if asc else F.col(_TS).desc(),
+        F.col(_SIDE).asc(),
+    ]
+    w_seg = (
+        Window.partitionBy(*keys, "__b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ["_matched_ts", *value_cols]
+    # phase 1: bucket-local forward fill, one column each (pinned — the
+    # segment aggregate and the final join both consume it)
+    filled = merged
+    for v in carried:
+        filled = filled.withColumn(
+            f"__in_{v}", F.last(v, ignorenulls=True).over(w_seg)
+        )
+    filled = filled.persist(StorageLevel.MEMORY_AND_DISK)
+    # phase 2a: per-segment last non-null value PER COLUMN (each column
+    # LOCFs independently in the naive form, so each needs its own pick;
+    # max_by/min_by ignore rows whose ordering key is null, which encodes
+    # "only rows where THIS column is non-null compete")
+    key_ts = lambda v: F.when(F.col(v).isNotNull(), F.col(_TS))  # noqa: E731
+    segs = merged.groupBy(*keys, "__b").agg(
+        *[
+            (
+                F.max_by(F.col(v), key_ts(v))
+                if asc
+                else F.min_by(F.col(v), key_ts(v))
+            ).alias(f"__last_{v}")
+            for v in carried
+        ]
+    )
+    # phase 2b: chain the per-bucket picks down the key's bucket sequence
+    w_chain = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__b").asc() if asc else F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = segs
+    for v in carried:
+        seeds = seeds.withColumn(
+            f"__seed_{v}", F.last(f"__last_{v}", ignorenulls=True).over(w_chain)
+        )
+    seeds = seeds.select(
+        *[F.col(k).alias(f"__s_{k}") for k in keys],
+        F.col("__b").alias("__s_b"),
+        *[F.col(f"__seed_{v}") for v in carried],
+    )
+    cond = filled["__b"].eqNullSafe(seeds["__s_b"])
+    for k in keys:
+        cond = cond & filled[k].eqNullSafe(seeds[f"__s_{k}"])
+    out = filled.join(seeds, cond).filter(F.col(_SIDE) == 1)
+    for v in carried:
+        out = out.withColumn(
+            v, F.coalesce(F.col(f"__in_{v}"), F.col(f"__seed_{v}"))
+        )
+    drop = (
+        [_SIDE, _TS, "__b", "__s_b"]
+        + [f"__s_{k}" for k in keys]
+        + [f"__in_{v}" for v in carried]
+        + [f"__seed_{v}" for v in carried]
+    )
+    out = out.drop(*drop)
+    return _apply_asof_tolerance(out, left_ts, carried, tolerance)

@@ -48,14 +48,20 @@ _WINDOW_REL = [
     "q19_expression_test",
     "q28_exists_semijoin",
     "q32_set_ops",
+    # ONE governance-plane representative (q_g4 covers the graph plane;
+    # q_l1_dependency_detection — green externally r01-r10 and replayed
+    # locally — hands its slot to the round's new salted-sessionize oracle
+    # so the never-verified debt stays <= 100)
     "q_g4_boundary_access",
-    "q_l1_dependency_detection",
 ]
 _WINDOW_EXT = [
-    # round-11 oracle promotions (verdict tasks 2-4)
+    # round-11 oracle promotions (verdict tasks 2-4) + the new salted
+    # sessionize (its oracle is the NAIVE single-window SQL — the
+    # equivalence statement is the thing worth external verification)
     "ext_training_data_build",
     "ext_uncertainty_sample",
     "ext_pack_sequences",
+    "ext_sessionize_salted",
     # never-externally-verified backlog, alphabetical (COVERAGE.md ledger)
     "ext_asof_join",
     "ext_attribution_linear",

@@ -10257,3 +10257,44 @@ SELECT user_id, event_id,
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM flagged ORDER BY user_id NULLS FIRST, event_id NULLS FIRST
 """
+
+
+def ext_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N-temporal + N-skew, hash-checked] hot-key-immune as-of join
+    (operators/temporal.py::asof_join_salted): the distributed-LOCF
+    two-phase form — carried columns fill forward inside (user, hourly
+    bucket) window partitions, the tiny per-segment frame chains each
+    column's last non-null pick down the bucket sequence, and each row
+    coalesces its bucket-local fill with its bucket's chained seed. Same
+    click→latest-purchase task as ext_asof_join and the SAME naive oracle:
+    the salted plan must reproduce the unsalted semantics bit-for-bit
+    (the ext_sessionize_salted discipline)."""
+    from dbt_meshify_spark.operators.temporal import asof_join_salted
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join_salted(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_id"],
+        bucket_s=3600,
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("_matched_ts").alias("last_purchase_ts"),
+        "purchase_id",
+    ).orderBy(F.asc_nulls_first("event_id"))
+
+
+QUERIES["ext_asof_join_salted"] = ext_asof_join_salted
+ORACLES["ext_asof_join_salted"] = ORACLES["ext_asof_join"]

@@ -5999,3 +5999,57 @@ def test_sessionize_salted_randomized_triangulation(spark):
         }
         assert naive == ref, f"naive != python reference at gap={gap_s}"
         assert salted == naive, f"salted != naive at gap={gap_s} bucket={bucket_s}"
+
+
+def test_asof_join_salted_equals_naive_all_modes(spark):
+    """The salted two-phase as-of join must equal the naive union+window
+    form row-for-row: backward and forward directions, with and without
+    tolerance, on a seeded fixture with a hot key (60% of left rows),
+    NULL keys, NULL right-side values (each carried column LOCFs
+    independently past them), multi-bucket gaps (the seed chain must
+    carry across EMPTY buckets, unlike sessionize's adjacent-only merge),
+    and exact-timestamp ties (backward is inclusive)."""
+    import datetime as dt
+    import random
+
+    from dbt_meshify_spark.operators.temporal import asof_join, asof_join_salted
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 8, 1)
+    lrows, rrows = [], []
+    for i in range(400):
+        user = 0 if rng.random() < 0.6 else rng.choice([None, 1, 2, 3, 4])
+        ts = t0 + dt.timedelta(seconds=rng.randrange(0, 6 * 86400, 450))
+        lrows.append((i, user, ts))
+    seen = set()
+    for j in range(120):
+        user = 0 if rng.random() < 0.5 else rng.choice([None, 1, 2, 3, 4])
+        # right unique per (user, ts): the determinism contract
+        ts = t0 + dt.timedelta(seconds=rng.randrange(0, 6 * 86400, 450))
+        if (user, ts) in seen:
+            continue
+        seen.add((user, ts))
+        price = None if rng.random() < 0.2 else round(rng.random() * 100, 2)
+        qty = None if rng.random() < 0.2 else rng.randrange(1, 9)
+        rrows.append((user, ts, price, qty))
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        rrows, "user_id long, rts timestamp, price double, qty long"
+    )
+
+    def canon(df):
+        return sorted(
+            (r.event_id, str(r.user_id), str(r._matched_ts), str(r.price), str(r.qty))
+            for r in df.collect()
+        )
+
+    for direction in ("backward", "forward"):
+        for tol in (None, "1 hour"):
+            kw = dict(
+                keys=["user_id"], left_ts="ts", right_ts="rts",
+                value_cols=["price", "qty"], direction=direction, tolerance=tol,
+            )
+            naive = canon(asof_join(left, right, **kw))
+            salted = canon(asof_join_salted(left, right, bucket_s=3600, **kw))
+            assert salted == naive, f"mismatch at {direction} tol={tol}"
+            assert len(naive) == len(lrows)
