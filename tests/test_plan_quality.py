@@ -805,3 +805,20 @@ def test_sessionize_salted_windows_are_salted_never_user_only(spark):
         )
     )
     assert 1 <= len(ids) <= 2, f"unexpected salted exchange count: {ids}"
+
+
+def test_asof_join_salted_windows_are_salted_never_key_only(spark):
+    """ext_asof_join_salted: the carry-forward windows must partition by
+    (user_id, __b) — a key-only window ordered by the merged timestamp is
+    the naive hot-key funnel. The only key-only window allowed is the
+    segment seed chain, which orders by __b over the per-bucket frame."""
+    import re
+
+    plan = _physical(QUERIES["ext_asof_join_salted"](spark, SF_ORACLE))
+    assert not re.search(
+        r"windowspecdefinition\(user_id#\d+L?, _asof_ts#", plan
+    ), "carry window partitioned by key only — hot-key exposure"
+    assert re.search(
+        r"windowspecdefinition\(user_id#\d+L?, __b#\d+L?, _asof_ts#", plan
+    ), "salted (key, bucket) carry window missing"
+    assert "InMemoryTableScan" in plan, "filled frame not persisted"
