@@ -98,15 +98,30 @@ def exact_dedup(
 
     Reference analog: dbt incremental ``unique_key`` upsert semantics
     (/root/reference/test-projects/split/split_proj/models/marts/orders.sql:4).
-    One shuffle on ``keys``; the window never materializes more than a
-    partition.
+
+    Plan (re-based round 11): a ``min_by`` AGGREGATE, not a ``row_number``
+    window. For a total ``order_by`` (the determinism contract — callers
+    pass a unique id) the two are row-identical, but the aggregate
+    PARTIAL-aggregates map-side: a hot duplicate key (one boilerplate page
+    can be 30% of a raw crawl) ships at most ONE candidate row per input
+    partition across the shuffle, where the window form funnels every copy
+    through a single un-splittable task (AQE cannot split a skewed WINDOW
+    partition — the round-11 skew-probe finding). The aggregate also skips
+    the window's per-partition sort. Ordering: ``min_by`` on a
+    ``struct(order_cols)`` key — struct comparison is field-wise with
+    nulls first, the same default as the window's ``asc_nulls_first``, and
+    a struct of columns is never itself NULL, so no row can be silently
+    ignored.
     """
     order_cols = order_by or keys
-    w = Window.partitionBy(*keys).orderBy(*order_cols)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    picked = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.min_by(
+            F.struct(*[F.col(c) for c in df.columns]),
+            F.struct(*[F.col(c) for c in order_cols]),
+        ).alias("__row")
+    )
+    return picked.select(
+        *[picked["__row"][c].alias(c) for c in df.columns]
     )
 
 

@@ -611,11 +611,38 @@ def skew_probe(spark, sf_dir: str) -> None:
         # 30-day corpus vs 32 shuffle partitions — full spread)
         return sessionize_salted(ev, gap_s=1800, bucket_s=3600)
 
+    def asof_pair(ev, use_salted: bool):
+        # the other un-splittable user-keyed window family: clicks get
+        # their latest prior purchase (the ext_asof_join task)
+        from dbt_meshify_spark.operators.temporal import (
+            asof_join,
+            asof_join_salted,
+        )
+
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("purchase_id"))
+        )
+        fn = asof_join_salted if use_salted else asof_join
+        kw = dict(
+            keys=["user_id"], left_ts="ts", right_ts="ts",
+            value_cols=["purchase_id"],
+        )
+        if use_salted:
+            kw["bucket_s"] = 3600
+        return fn(clicks, purchases, **kw)
+
     # warmup compiles every plan once
     warm = scaled(1, False).localCheckpoint()
     sessionize(warm).write.format("noop").mode("overwrite").save()
     salted(warm).write.format("noop").mode("overwrite").save()
     user_activity_report(warm).write.format("noop").mode("overwrite").save()
+    asof_pair(warm, False).write.format("noop").mode("overwrite").save()
+    asof_pair(warm, True).write.format("noop").mode("overwrite").save()
 
     for k in (1, 8):
         walls = {}
@@ -650,20 +677,28 @@ def skew_probe(spark, sf_dir: str) -> None:
             t0 = _t.time()
             user_activity_report(ev).write.format("noop").mode("overwrite").save()
             t_act = _t.time() - t0
-            walls[label] = (t_sess, t_salt, t_act)
+            t0 = _t.time()
+            asof_pair(ev, False).write.format("noop").mode("overwrite").save()
+            t_asof = _t.time() - t0
+            t0 = _t.time()
+            asof_pair(ev, True).write.format("noop").mode("overwrite").save()
+            t_asof_s = _t.time() - t0
+            walls[label] = (t_sess, t_salt, t_act, t_asof, t_asof_s)
             print(
                 f"scale={k}x {label}: rows={total} "
                 f"max_window_partition_share={mx / total:.3f} "
                 f"salted_share={mx_salted / total:.3f} "
                 f"(ideal {1 / nparts:.3f}) sessionize={t_sess:.2f}s "
-                f"salted_sessionize={t_salt:.2f}s activity={t_act:.2f}s",
+                f"salted_sessionize={t_salt:.2f}s activity={t_act:.2f}s "
+                f"asof={t_asof:.2f}s salted_asof={t_asof_s:.2f}s",
                 flush=True,
             )
         u, s = walls["uniform"], walls["skew30"]
         print(
             f"scale={k}x AMPLIFICATION skew/uniform: "
             f"sessionize={s[0] / u[0]:.2f}x salted={s[1] / u[1]:.2f}x "
-            f"activity={s[2] / u[2]:.2f}x",
+            f"activity={s[2] / u[2]:.2f}x asof={s[3] / u[3]:.2f}x "
+            f"salted_asof={s[4] / u[4]:.2f}x",
             flush=True,
         )
 

@@ -6053,3 +6053,30 @@ def test_asof_join_salted_equals_naive_all_modes(spark):
             salted = canon(asof_join_salted(left, right, bucket_s=3600, **kw))
             assert salted == naive, f"mismatch at {direction} tol={tol}"
             assert len(naive) == len(lrows)
+
+
+def test_exact_dedup_hot_key_and_null_order_fields(spark):
+    """The min_by rebase must keep exact window-form semantics: a planted
+    hot key (50% of rows sharing one text) keeps exactly its lowest-id
+    copy, groups whose order field is NULL still emit a row (struct
+    ordering treats null fields as smallest — asc_nulls_first parity),
+    and NULL dedup keys form one group."""
+    from dbt_meshify_spark.operators import exact_dedup
+
+    rows = []
+    for i in range(200):
+        text = "hot boilerplate" if i % 2 == 0 else f"unique {i}"
+        rows.append((i, text))
+    rows.append((1000, None))      # null key group
+    rows.append((1001, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.text: r.doc_id for r in exact_dedup(df, ["text"], order_by=["doc_id"]).collect()}
+    assert out["hot boilerplate"] == 0          # lowest id kept
+    assert out[None] == 1000                    # null keys deduped as one group
+    assert len(out) == 100 + 1 + 1              # 100 uniques + hot + null
+    # null ORDER field: nulls-first parity with the window form
+    df2 = spark.createDataFrame(
+        [(None, "a"), (5, "a"), (3, "b")], "rank long, k string"
+    )
+    kept = {r.k: r.rank for r in exact_dedup(df2, ["k"], order_by=["rank"]).collect()}
+    assert kept == {"a": None, "b": 3}

@@ -822,3 +822,16 @@ def test_asof_join_salted_windows_are_salted_never_key_only(spark):
         r"windowspecdefinition\(user_id#\d+L?, __b#\d+L?, _asof_ts#", plan
     ), "salted (key, bucket) carry window missing"
     assert "InMemoryTableScan" in plan, "filled frame not persisted"
+
+
+def test_exact_dedup_is_partial_aggregate_not_window(spark):
+    """exact_dedup (round-11 rebase): keep-first must compile to a
+    partial+final min_by aggregate — map-side combine ships ONE candidate
+    row per (key, input partition) across the shuffle, so a hot duplicate
+    key (30% of a crawl being one boilerplate page) cannot funnel through
+    a single un-splittable window task."""
+    plan = _physical(QUERIES["ext_dedup_exact"](spark, SF_ORACLE))
+    assert "Window" not in plan, "dedup regressed to the window form"
+    # partial + final = two HashAggregate/ObjectHashAggregate mentions
+    aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert aggs >= 2, "no partial aggregation in the dedup plan"
