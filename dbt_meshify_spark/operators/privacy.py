@@ -112,10 +112,21 @@ def bounded_contribution_agg(
     ``max_user_units`` (the largest single user's contribution — by
     construction <= ``max_per_user * max(|lo|, |hi|) * 100``, the
     user-level sensitivity the release is certified to; note ``hi - lo``
-    would UNDERSTATE it whenever ``lo > 0``). ONE (user, group) window
-    feeding two partial aggregates — kept and capped counts ride the same
-    pass (a second window execution would double the dominant shuffle at
-    corpus scale); values never leave integer space after the clamp.
+    would UNDERSTATE it whenever ``lo > 0``); values never leave integer
+    space after the clamp.
+
+    Plan (re-based round 11, skew-safe): contribution bounding EXISTS
+    because of bot-grade users, so the cap itself must survive one — a
+    bare row_number window over (user, group) funnels the hot pair's
+    every row through a single un-splittable task (AQE cannot split a
+    skewed WINDOW partition). The kept set now comes from the combiner
+    two-pass ``skew.topk_per_key`` (local first-``cap`` per input
+    partition, then global — at most cap·P rows of the hot pair cross the
+    wire), the dropped-row count from a partial-aggregated total joined
+    back (n_capped = n_rows - n_kept), both skew-immune by construction.
+    Row-identical to the single-window form for the total ``order_by``
+    the determinism contract requires; ext_bounded_contribution's oracle
+    (ROW_NUMBER replay) is unchanged.
     """
     cap = int(max_per_user)
     if cap < 1:
@@ -127,30 +138,31 @@ def bounded_contribution_agg(
         F.col("ts").asc_nulls_first(),
         F.col("event_id").asc_nulls_first(),
     ]
-    w = Window.partitionBy(user_col, *group_cols).orderBy(*order)
     # NULL measurements are EXCLUDED from the release, stated rather than
     # incidental: least/greatest skip NULLs on both engines, so an unfiltered
     # NULL value would silently clamp to `lo` and contribute lo*100 units.
     df = df.filter(F.col(value_col).isNotNull())
-    ranked = df.withColumn("__rn", F.row_number().over(w))
-    keep = F.col("__rn") <= cap
-    per_user = (
-        ranked.withColumn(
-            "__units", F.when(keep, _clamped_units(F.col(value_col), lo, hi))
-        )
-        .groupBy(user_col, *group_cols)
-        .agg(
-            F.sum(keep.cast("int")).cast("bigint").alias("__n"),
-            F.sum((~keep).cast("int")).cast("bigint").alias("__n_over"),
-            F.coalesce(F.sum("__units"), F.lit(0))
-            .cast("bigint")
-            .alias("__user_units"),
-        )
+    from dbt_meshify_spark.operators.skew import topk_per_key
+
+    totals = df.groupBy(user_col, *group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_rows")
     )
+    kept = topk_per_key(
+        df, [user_col, *group_cols], order, cap, rank_col="__rn"
+    )
+    kept_agg = kept.groupBy(user_col, *group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.coalesce(F.sum(_clamped_units(F.col(value_col), lo, hi)), F.lit(0))
+        .cast("bigint")
+        .alias("__user_units"),
+    )
+    # inner join is total: cap >= 1 keeps at least one row per pair, so
+    # every (user, group) in totals is in kept_agg
+    per_user = totals.join(kept_agg, [user_col, *group_cols])
     return per_user.groupBy(*group_cols).agg(
         F.count("*").cast("bigint").alias("n_users"),
         F.sum("__n").cast("bigint").alias("n_kept"),
-        F.sum("__n_over").cast("bigint").alias("n_capped"),
+        F.sum(F.col("__n_rows") - F.col("__n")).cast("bigint").alias("n_capped"),
         F.sum("__user_units").cast("bigint").alias("sum_units"),
         F.max("__user_units").cast("bigint").alias("max_user_units"),
     )

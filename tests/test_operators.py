@@ -6080,3 +6080,59 @@ def test_exact_dedup_hot_key_and_null_order_fields(spark):
     )
     kept = {r.k: r.rank for r in exact_dedup(df2, ["k"], order_by=["rank"]).collect()}
     assert kept == {"a": None, "b": 3}
+
+
+def test_bounded_contribution_skew_safe_equals_naive_window(spark):
+    """The r11 skew-safe cap (combiner topk + partial-agg totals) must
+    produce exactly the naive single-window release on a planted bot: one
+    user holding 70% of a group's rows, plus NULL values (excluded before
+    counting on both paths) and NULL timestamps (nulls-first cap order)."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+
+    from dbt_meshify_spark.operators.privacy import (
+        _clamped_units,
+        bounded_contribution_agg,
+    )
+
+    t0 = dt.datetime(2024, 9, 1)
+    rows = []
+    for i in range(300):
+        user = 7 if i % 10 < 7 else 100 + (i % 10)
+        ts = None if i % 37 == 0 else t0 + dt.timedelta(minutes=i)
+        val = None if i % 29 == 0 else float(i % 150)
+        rows.append((i, ts, user, "click", val))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r.event_type: (r.n_users, r.n_kept, r.n_capped, r.sum_units, r.max_user_units)
+        for r in bounded_contribution_agg(ev, ["event_type"]).collect()
+    }
+    # naive single-window reference
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
+    base = ev.filter(F.col("value").isNotNull()).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    keep = F.col("__rn") <= 10
+    per_user = base.withColumn(
+        "__u", F.when(keep, _clamped_units(F.col("value"), 0.0, 100.0))
+    ).groupBy("user_id", "event_type").agg(
+        F.sum(keep.cast("int")).alias("__n"),
+        F.sum((~keep).cast("int")).alias("__n_over"),
+        F.coalesce(F.sum("__u"), F.lit(0)).alias("__uu"),
+    )
+    want = {
+        r.event_type: (r.n_users, r.n_kept, r.n_capped, r.sum_units, r.max_user_units)
+        for r in per_user.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("__n").cast("bigint").alias("n_kept"),
+            F.sum("__n_over").cast("bigint").alias("n_capped"),
+            F.sum("__uu").cast("bigint").alias("sum_units"),
+            F.max("__uu").cast("bigint").alias("max_user_units"),
+        ).collect()
+    }
+    assert got == want and got["click"][2] > 0  # the bot actually got capped

@@ -705,13 +705,18 @@ def test_kmv_windows_partition_on_keys_never_globally(spark):
     assert "Exchange SinglePartition" not in plan
 
 
-def test_bounded_contribution_runs_one_keyed_window(spark):
-    """ext_bounded_contribution: the (user, group) contribution cap must
-    execute as exactly ONE keyed window — the review-fixed regression was
-    two executions of the dominant corpus shuffle (kept and capped counts
-    must ride the same pass); and no SinglePartition exchange anywhere."""
+def test_bounded_contribution_cap_is_skew_safe(spark):
+    """ext_bounded_contribution (r11 rebase): the contribution cap must run
+    through the combiner two-pass topk — a LOCAL window salted with
+    spark_partition_id prunes each input partition to <= cap rows per
+    (user, group) BEFORE the global keyed window, so a bot-grade hot pair
+    ships at most cap·P rows instead of funneling one task (the operator
+    exists to cap bots; it must survive one). Dropped counts come from a
+    partial-aggregated total, not a third corpus window. No
+    SinglePartition exchange anywhere."""
     plan = _physical(QUERIES["ext_bounded_contribution"](spark, SF_ORACLE))
-    assert plan.count("Window ") == 1, "cap window re-executed"
+    assert "_skew_pid" in plan, "local pid-salted prune window missing"
+    assert plan.count("Window ") == 2, "expected local + global cap windows"
     assert "Exchange SinglePartition" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
 
@@ -737,12 +742,14 @@ def test_l_diversity_single_scan_keyed_aggregates(spark):
 
 
 def test_dp_release_single_cap_window_and_broadcast_noise(spark):
-    """ext_dp_release: the ONLY corpus-sized operation is the contribution
-    cap window (one keyed execution — the bounded-contribution guard's
-    invariant must survive the composition); both noise tables must arrive
-    as broadcasts, never shuffled joins; no SinglePartition exchange."""
+    """ext_dp_release: the ONLY corpus-sized operations are the skew-safe
+    cap's two topk windows (local pid-salted prune + global — the r11
+    bounded-contribution rebase, executed once, not per consumer); both
+    noise tables must arrive as broadcasts, never shuffled joins; no
+    SinglePartition exchange."""
     plan = _physical(QUERIES["ext_dp_release"](spark, SF_ORACLE))
-    assert plan.count("Window ") == 1, "cap window re-executed"
+    assert plan.count("Window ") == 2, "cap windows re-executed"
+    assert "_skew_pid" in plan, "local pid-salted prune window missing"
     assert "Exchange SinglePartition" not in plan
     assert plan.count("BroadcastNestedLoopJoin") + plan.count(
         "BroadcastHashJoin"
