@@ -1911,15 +1911,33 @@ def keep_best_of_cluster(
     on ``id_col`` afterwards. Returns ``id_col, cluster_id, score_col,
     is_representative``.
     """
+    from dbt_meshify_spark.operators.skew import topk_per_key
+
     keys = scored.select(F.col(id_col), F.col(score_col))
-    labeled = dedup_clusters(keys, pairs, id_col=id_col).drop("is_representative")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+    labeled = (
+        dedup_clusters(keys, pairs, id_col=id_col)
+        .drop("is_representative")
+        # two consumers below (argmax + flag join) — pin so the iterative
+        # cluster labeling runs once
+        .localCheckpoint(eager=False)
     )
+    # skew-safe argmax (r11): a boilerplate mega-cluster (30% of a crawl
+    # near-duplicating one page) would funnel through a single window task
+    # in the naive per-cluster rank — the combiner two-pass prunes each
+    # input partition to its local best first, so the hot cluster ships
+    # one candidate per partition (the exact_dedup/bounded-contribution
+    # rebase discipline)
+    reps = topk_per_key(
+        labeled,
+        ["cluster_id"],
+        [F.col(score_col).desc(), F.col(id_col).asc()],
+        1,
+        rank_col="__rk",
+    ).select("cluster_id", F.col(id_col).alias("__rep_id"))
     return (
-        labeled.withColumn("__rk", F.row_number().over(w))
-        .withColumn("is_representative", F.col("__rk") == 1)
-        .drop("__rk")
+        labeled.join(reps, "cluster_id")
+        .withColumn("is_representative", F.col(id_col) == F.col("__rep_id"))
+        .drop("__rep_id")
     )
 
 
@@ -1954,16 +1972,22 @@ def dedup_against_index(
     )
     novel = fp_batch.join(fp_index, on="__fp", how="left_anti")
     # NULL-text rows all share a NULL fingerprint but are NOT duplicates of
-    # each other — rank them by a per-row unique key so the keep-first fold
+    # each other — fold on a per-row unique key for them so the keep-first
     # never collapses them (the anti-join already keeps them: NULL matches
-    # nothing).
+    # nothing). The fold is a min_by aggregate, not a window (the
+    # exact_dedup rebase): a batch where one boilerplate page dominates
+    # partial-aggregates map-side instead of funneling one task.
     fold_key = F.coalesce(F.col("__fp"), F.col(id_col).cast("string"))
-    w = Window.partitionBy(fold_key).orderBy(F.col(id_col).asc())
-    return (
-        novel.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__fp", "__rn")
+    cols = [c for c in novel.columns if c != "__fp"]
+    picked = novel.groupBy(fold_key.alias("__fold")).agg(
+        # struct-wrapped ordering: a bare NULL id would make min_by IGNORE
+        # the row entirely; a struct of columns is never itself null and
+        # orders nulls first (the exact_dedup discipline)
+        F.min_by(
+            F.struct(*[F.col(c) for c in cols]), F.struct(F.col(id_col))
+        ).alias("__row")
     )
+    return picked.select(*[picked["__row"][c].alias(c) for c in cols])
 
 
 def lsh_plan(
