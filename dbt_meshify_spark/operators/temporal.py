@@ -196,14 +196,17 @@ def resample_forward_fill(
         F.col(ts_col).alias("__ts"),
         F.col(value_col).alias("__v"),
     )
-    # latest observation within each bucket wins
-    w_in = Window.partitionBy(key_col, "__b").orderBy(
-        F.col("__ts").desc(), F.col("__v").desc()
-    )
-    obs = (
-        ev.withColumn("__rn", F.row_number().over(w_in))
-        .filter(F.col("__rn") == 1)
-        .select(key_col, "__b", "__v")
+    # latest observation within each bucket wins — a max_by AGGREGATE, not
+    # a row_number window (the r11 exact_dedup rebase): a hot sensor
+    # spamming one (key, bucket) partial-aggregates map-side instead of
+    # funneling every reading through a single window task. Struct
+    # ordering (ts, v) == the old (ts desc, v desc) top row: max over a
+    # struct compares field-wise and treats a null field as smallest,
+    # matching desc_nulls_last.
+    obs = ev.groupBy(key_col, "__b").agg(
+        F.max_by(
+            F.col("__v"), F.struct(F.col("__ts"), F.col("__v"))
+        ).alias("__v")
     )
     spine = (
         obs.groupBy(key_col)
