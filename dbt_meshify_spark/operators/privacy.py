@@ -157,8 +157,23 @@ def bounded_contribution_agg(
         .alias("__user_units"),
     )
     # inner join is total: cap >= 1 keeps at least one row per pair, so
-    # every (user, group) in totals is in kept_agg
-    per_user = totals.join(kept_agg, [user_col, *group_cols])
+    # every (user, group) in totals is in kept_agg. NULL-SAFE on every key:
+    # a NULL group key (or NULL user) is a real released group on the
+    # window form and in the oracle's GROUP BY — a null-rejecting
+    # equi-join would silently drop it (caught by
+    # test_dp_release_degenerate_groups).
+    ka = kept_agg.select(
+        F.col(user_col).alias("__ka_user"),
+        *[F.col(g).alias(f"__ka_{g}") for g in group_cols],
+        "__n",
+        "__user_units",
+    )
+    cond = totals[user_col].eqNullSafe(ka["__ka_user"])
+    for g in group_cols:
+        cond = cond & totals[g].eqNullSafe(ka[f"__ka_{g}"])
+    per_user = totals.join(ka, cond).drop(
+        "__ka_user", *[f"__ka_{g}" for g in group_cols]
+    )
     return per_user.groupBy(*group_cols).agg(
         F.count("*").cast("bigint").alias("n_users"),
         F.sum("__n").cast("bigint").alias("n_kept"),
