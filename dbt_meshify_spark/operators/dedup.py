@@ -1934,10 +1934,19 @@ def keep_best_of_cluster(
         1,
         rank_col="__rk",
     ).select("cluster_id", F.col(id_col).alias("__rep_id"))
+    # NULL-SAFE: a NULL id yields a NULL cluster_id (coalesce of two
+    # nulls); the old window form kept and flagged it, so a null-rejecting
+    # equi-join would be a silent row drop (the bounded-contribution
+    # discipline)
+    reps = reps.withColumnRenamed("cluster_id", "__rep_cluster")
     return (
-        labeled.join(reps, "cluster_id")
-        .withColumn("is_representative", F.col(id_col) == F.col("__rep_id"))
-        .drop("__rep_id")
+        labeled.join(
+            reps, labeled["cluster_id"].eqNullSafe(reps["__rep_cluster"])
+        )
+        .withColumn(
+            "is_representative", F.col(id_col).eqNullSafe(F.col("__rep_id"))
+        )
+        .drop("__rep_id", "__rep_cluster")
     )
 
 

@@ -609,11 +609,20 @@ def asof_join_salted(
         )
     filled = filled.persist(StorageLevel.MEMORY_AND_DISK)
     # phase 2a: per-segment last non-null value PER COLUMN (each column
-    # LOCFs independently in the naive form, so each needs its own pick;
-    # max_by/min_by ignore rows whose ordering key is null, which encodes
-    # "only rows where THIS column is non-null compete")
-    key_ts = lambda v: F.when(F.col(v).isNotNull(), F.col(_TS))  # noqa: E731
-    segs = merged.groupBy(*keys, "__b").agg(
+    # LOCFs independently in the naive form, so each needs its own pick).
+    # The ordering key is NULL — making max_by/min_by skip the row —
+    # exactly when THIS column's value is null; the timestamp itself is
+    # STRUCT-wrapped so a NULL right_ts row still competes (a bare NULL
+    # _TS key would silently drop its value where the naive window's
+    # nulls-first order carries it; null-ts rows are isolated in the NULL
+    # bucket, which the chain orders first (asc backward) / last (desc
+    # forward) — the naive ordering either way). Reads FILLED (the pinned
+    # frame), not merged: both phase-2a and the final join must hit the
+    # cache or the corpus-sized union computes twice.
+    key_ts = lambda v: F.when(  # noqa: E731
+        F.col(v).isNotNull(), F.struct(F.col(_TS))
+    )
+    segs = filled.groupBy(*keys, "__b").agg(
         *[
             (
                 F.max_by(F.col(v), key_ts(v))

@@ -6024,8 +6024,15 @@ def test_asof_join_salted_equals_naive_all_modes(spark):
     seen = set()
     for j in range(120):
         user = 0 if rng.random() < 0.5 else rng.choice([None, 1, 2, 3, 4])
-        # right unique per (user, ts): the determinism contract
-        ts = t0 + dt.timedelta(seconds=rng.randrange(0, 6 * 86400, 450))
+        # right unique per (user, ts): the determinism contract — which
+        # permits AT MOST ONE NULL-ts right row per user (planted below:
+        # its value must carry in backward mode exactly as the naive
+        # window's nulls-first order dictates — a review found the salted
+        # pick once ignored it entirely)
+        if rng.random() < 0.05:
+            ts = None
+        else:
+            ts = t0 + dt.timedelta(seconds=rng.randrange(0, 6 * 86400, 450))
         if (user, ts) in seen:
             continue
         seen.add((user, ts))
@@ -6136,3 +6143,21 @@ def test_bounded_contribution_skew_safe_equals_naive_window(spark):
         ).collect()
     }
     assert got == want and got["click"][2] > 0  # the bot actually got capped
+
+
+def test_keep_best_of_cluster_keeps_null_id_rows(spark):
+    """A NULL doc_id (no pairs) labels into the NULL cluster; the r11
+    argmax rebase's flag join must be null-safe or the row silently
+    vanishes (review-caught). The row is its own cluster's
+    representative."""
+    from dbt_meshify_spark.operators.dedup import keep_best_of_cluster
+
+    scored = spark.createDataFrame(
+        [(1, 0.9), (2, 0.5), (None, 0.7)], "doc_id long, quality double"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    rows = keep_best_of_cluster(scored, pairs, score_col="quality").collect()
+    assert len(rows) == 3, "NULL-id row dropped"
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[None].is_representative
+    assert by_id[1].is_representative and not by_id[2].is_representative
