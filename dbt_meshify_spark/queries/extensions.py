@@ -9574,14 +9574,24 @@ def _vbucket_nan_pinned():
     load-bearing cross-engine: Spark's non-ANSI CAST(floor(NaN)) buckets
     silently while DuckDB's CAST raises, so NaN maps to a NULL bucket on
     BOTH engines (grouped like any other value by the privacy audits)."""
-    return F.when(
-        F.isnan(F.col("value")), F.lit(None).cast("bigint")
-    ).otherwise(F.floor(F.col("value") / F.lit(100.0)).cast("bigint"))
+    # clamp in the DOUBLE domain before the BIGINT cast (the _grid_bucket
+    # discipline): an extreme outlier's floor saturates in Spark's
+    # non-ANSI cast but RAISES in DuckDB — +-2^62 is exactly double-
+    # representable and clamps identically on both engines
+    b = F.least(
+        F.lit(float(1 << 62)),
+        F.greatest(
+            F.lit(-float(1 << 62)),
+            F.floor(F.col("value") / F.lit(100.0)).cast("double"),
+        ),
+    ).cast("bigint")
+    return F.when(F.isnan(F.col("value")), F.lit(None).cast("bigint")).otherwise(b)
 
 
 _VBUCKET_SQL = (
     "CASE WHEN isnan(value) THEN NULL "
-    "ELSE CAST(FLOOR(value / 100.0) AS BIGINT) END"
+    "ELSE CAST(LEAST(4611686018427387904.0, GREATEST(-4611686018427387904.0, "
+    "FLOOR(value / 100.0))) AS BIGINT) END"
 )
 
 
