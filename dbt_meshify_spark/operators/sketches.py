@@ -383,9 +383,20 @@ def _grid_bucket(col: Column, lo: float, hi: float, width: int) -> Column:
     the int range, so neither engine may cast first. (Spark's floor(double)
     returns LONG and saturates on extreme doubles — harmless, because the
     clamp maps anything past the grid edge to the edge bucket either way.)
+
+    NaN and NULL are pinned to a NULL bucket HERE, not left to call-site
+    filters: Spark's GREATEST/LEAST ignore NULL and propagate NaN, so an
+    unfiltered NULL lands in bucket 0 and NaN in bucket 0 — while DuckDB
+    treats NaN as largest (bucket width-1) — a silent cross-engine mismatch
+    if any future caller forgets the upstream ``v IS NOT NULL AND NOT
+    isnan(v)`` filter (every current caller filters, so this branch is dead
+    today; it exists so the invariant doesn't depend on every call site).
+    The SQL twin is ``CASE WHEN v IS NULL OR isnan(v) THEN NULL ELSE
+    <grid expr> END`` — current oracles instead filter in their data CTE,
+    which is equivalent.
     """
     span = float(hi) - float(lo)
-    return F.least(
+    b = F.least(
         F.lit(float(int(width) - 1)),
         F.greatest(
             F.lit(0.0),
@@ -394,6 +405,8 @@ def _grid_bucket(col: Column, lo: float, hi: float, width: int) -> Column:
             ).cast("double"),
         ),
     ).cast("int")
+    bad = col.isNull() | F.isnan(col.cast("double"))
+    return F.when(bad, F.lit(None).cast("int")).otherwise(b)
 
 
 def _grid_estimate(lo: float, hi: float, width: int) -> Column:

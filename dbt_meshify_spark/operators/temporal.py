@@ -30,6 +30,41 @@ from pyspark.sql import functions as F
 _SIDE = "_asof_side"
 _TS = "_asof_ts"
 
+# One live pin per operator tag: the salted two-phase operators persist an
+# event-sized frame (both the segment aggregate and the final join consume
+# it — unpinned, the window would execute twice). A long-lived session that
+# invokes them repeatedly (the driver sim runs 231 queries in one session)
+# must not accumulate those cached partitions until LRU eviction, so each
+# new invocation releases the frame the SAME tag pinned previously. Blocking
+# is not needed (the old frame is never referenced again by the operator);
+# if a caller still holds the previous result unmaterialized, it merely
+# loses the pin and recomputes — correctness is unaffected.
+_PINNED: dict[str, DataFrame] = {}
+
+
+def _pin(tag: str, df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    prev = _PINNED.pop(tag, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED[tag] = out
+    return out
+
+
+def release_pinned_frames() -> None:
+    """Release every frame the salted operators still hold pinned — for
+    callers that want the cache back immediately after materializing."""
+    for tag in list(_PINNED):
+        try:
+            _PINNED.pop(tag).unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+
 
 def asof_join(
     left: DataFrame,
@@ -470,13 +505,13 @@ def sessionize_salted(
     # unpinned, the sort + lag + running-sum window would execute twice.
     # persist (not localCheckpoint): keeps the recompute lineage AND lets
     # Catalyst see through to the window's partitioning (the
-    # curation_report discipline)
-    from pyspark.storagelevel import StorageLevel
-
-    flagged = (
-        ev.withColumn("__new", new_s)
-        .withColumn("__seg_session", F.sum("__new").over(run_seg))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # curation_report discipline). _pin bounds long-session accumulation
+    # at one live frame per operator.
+    flagged = _pin(
+        "sessionize_salted",
+        ev.withColumn("__new", new_s).withColumn(
+            "__seg_session", F.sum("__new").over(run_seg)
+        ),
     )
     # segment table: one row per (user, active bucket)
     segs = flagged.groupBy(user_col, "__b").agg(
@@ -575,8 +610,6 @@ def asof_join_salted(
         raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
     if bucket_s <= 0:
         raise ValueError(f"bucket_s must be positive, got {bucket_s}")
-    from pyspark.storagelevel import StorageLevel
-
     asc = direction == "backward"
     bucket_us = int(bucket_s) * 1_000_000
     l_tagged = left.withColumn(_SIDE, F.lit(1)).withColumn(_TS, F.col(left_ts))
@@ -607,7 +640,7 @@ def asof_join_salted(
         filled = filled.withColumn(
             f"__in_{v}", F.last(v, ignorenulls=True).over(w_seg)
         )
-    filled = filled.persist(StorageLevel.MEMORY_AND_DISK)
+    filled = _pin("asof_join_salted", filled)
     # phase 2a: per-segment last non-null value PER COLUMN (each column
     # LOCFs independently in the naive form, so each needs its own pick).
     # The ordering key is NULL — making max_by/min_by skip the row —

@@ -22,21 +22,21 @@ QUERIES = {**_REL_QUERIES, **_EXT_QUERIES}
 
 # The driver verifies the FIRST 50 queries() entries in dict insertion order
 # (CORRECTNESS_r01/r02 both cut off at 50 rows). Curate that window so the
-# EXTERNAL gate always covers the newest machinery. Round 11 TRIPLES the
-# rotation bandwidth (the round-10 verdict's #1 task): the persistent
-# relational block shrinks from 37 slots to 12 family representatives
-# (scan/projection, join+agg, conditional agg, window dedup, sessionize,
-# rollup, incremental watermark, test compile, EXISTS subquery, set ops,
-# graph boundary, linker detection — everything dropped has been green in
-# real CORRECTNESS files since rounds 1–2 AND replays in every local pytest
-# run), freeing 38 extension slots per round for oracles that have NEVER
-# had an external CORRECTNESS row. This round: the three round-11
-# promotions (training_data_build, uncertainty_sample, pack_sequences)
-# plus the first 35 of the never-externally-verified list in alphabetical
-# order (the rotation ledger in COVERAGE.md §rotation tracks the remaining
-# debt; next round continues from ext_gopher_rules). Every window slot must
-# be hash-checkable — rows-only tiers (e.g. ext_minhash_neardup, which errs
-# `no_oracle` by design) go after 50.
+# EXTERNAL gate always covers the newest machinery: 11 persistent relational
+# family representatives (green in real CORRECTNESS files since rounds 1–2
+# AND replayed in every local pytest run) + 39 slots per round for oracles
+# that have NEVER had an external CORRECTNESS row, in alphabetical order
+# recomputed fresh each round (the rotation ledger in COVERAGE.md §rotation
+# tracks the remaining debt). Round 12: the fresh recompute starts at
+# ext_ann_lsh_topk — eight oracles added after round 11's window was frozen
+# (ext_ann_lsh_topk … ext_embedding_neardup_lsh) sort before the round-11
+# block and slot in by name, and ext_asof_join_salted (the round-11
+# verdict's task-7 early promotion) lands 2nd alphabetically with no queue
+# jump needed; ext_hard_negatives_lsh (this round's oracle promotion) slots
+# in at its own alphabetical spot, and the window then continues
+# ext_gopher_rules → ext_quality_psi. Debt after this round: 62 of 212.
+# Every window slot must be hash-checkable — rows-only tiers (e.g.
+# ext_minhash_neardup, which errs `no_oracle` by design) go after 50.
 _WINDOW_REL = [
     "q01_projection_cast",
     "q04_join_agg",
@@ -55,54 +55,64 @@ _WINDOW_REL = [
     "q_g4_boundary_access",
 ]
 _WINDOW_EXT = [
-    # round-11 oracle promotions (verdict tasks 2-4) + the new salted
-    # sessionize (its oracle is the NAIVE single-window SQL — the
-    # equivalence statement is the thing worth external verification)
-    "ext_training_data_build",
-    "ext_uncertainty_sample",
-    "ext_pack_sequences",
-    "ext_sessionize_salted",
-    # never-externally-verified backlog, alphabetical (COVERAGE.md ledger)
-    "ext_asof_join",
-    "ext_attribution_linear",
-    "ext_bitext_mine",
-    "ext_bloom_decontaminate",
-    "ext_bm25_retrieval",
-    "ext_bpe_byte_encode",
-    "ext_bpe_encode_dist",
-    "ext_c4_line_clean",
-    "ext_ccnet_bucket_split",
-    "ext_ccnet_buckets",
-    "ext_chunk_documents",
-    "ext_classifier_train",
-    "ext_cluster_best_keep",
-    "ext_cluster_size_stats",
-    "ext_cms_heavy_hitters",
-    "ext_cohort_retention",
-    "ext_conversation_stats",
-    "ext_core_numbers",
-    "ext_corpus_diff",
-    "ext_corpus_profile",
-    "ext_count_distinct_salted",
-    "ext_cross_source_dedup",
-    "ext_curation_pipeline",
-    "ext_curation_report",
-    "ext_dataset_mixture",
-    "ext_decontaminate_spans",
-    "ext_domain_quality_filter",
-    "ext_dsir_sample",
-    "ext_embedding_covariance",
-    "ext_embedding_drift",
-    "ext_embedding_quantize",
-    "ext_event_anomalies",
-    "ext_event_transitions",
-    "ext_funnel_conversion",
-    "ext_funnel_windowed",
+    # never-externally-verified backlog, alphabetical, recomputed fresh
+    # (COVERAGE.md ledger; ext_asof_join_salted is the round-11 verdict's
+    # early promotion — its oracle is the NAIVE correlated-subquery SQL, so
+    # the salted-equivalence statement is the thing externally verified)
+    "ext_ann_lsh_topk",
+    "ext_asof_join_salted",
+    "ext_bucketed_join",
+    "ext_code_markup_profile",
+    "ext_cosine_topk_gemm",
+    "ext_dp_noisy_counts",
+    "ext_embedding_neardup",
+    "ext_embedding_neardup_gemm",
+    "ext_embedding_neardup_lsh",
+    "ext_gopher_rules",
+    "ext_gram_novelty",
+    "ext_hard_negatives",
+    # round-12 oracle promotion (plane-literal replay) — slots in at its
+    # alphabetical spot; the displaced last slot rotates in next round
+    "ext_hard_negatives_lsh",
+    "ext_heaps_fit",
+    "ext_html_extract",
+    "ext_hybrid_retrieval",
+    "ext_incremental_exact_dedup",
+    "ext_incremental_neardup",
+    "ext_json_props",
+    "ext_k_anonymity",
+    "ext_kcore",
+    "ext_keyword_tags",
+    "ext_kn4_perplexity",
+    "ext_kn5_perplexity",
+    "ext_label_propagation",
+    "ext_lang_id",
+    "ext_lang_id_eval",
+    "ext_leakage_safe_split",
+    "ext_length_histogram",
+    "ext_lm_perplexity",
+    "ext_mixture_recipe",
+    "ext_mkn_perplexity",
+    "ext_ngram_containment",
+    "ext_pagerank",
+    "ext_pagerank_dangling",
+    "ext_pii_luhn_audit",
+    "ext_pii_redact",
+    "ext_preference_pairs",
+    "ext_quality_psi",
 ]
-_head = [n for n in _WINDOW_REL if n in QUERIES] + [
-    n for n in _WINDOW_EXT if n in QUERIES
-]
-assert len(_head) == 50, f"driver window must be exactly 50 slots, got {len(_head)}"
+_missing = [n for n in (*_WINDOW_REL, *_WINDOW_EXT) if n not in QUERIES]
+if _missing:
+    # explicit (not a bare assert: that is stripped under -O, and a silent
+    # `if n in QUERIES` filter would hide the typo'd name entirely)
+    raise RuntimeError(
+        f"driver-window names missing from QUERIES (typo?): {_missing}"
+    )
+_head = [*_WINDOW_REL, *_WINDOW_EXT]
+if len(_head) != 50:
+    raise RuntimeError(
+        f"driver window must be exactly 50 slots, got {len(_head)}"
+    )
 QUERIES = {
     **{name: QUERIES[name] for name in _head},
     **{name: fn for name, fn in QUERIES.items() if name not in set(_head)},

@@ -409,8 +409,8 @@ def ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[N3] LSH-bucketed approximate top-3 (scale path; rows-only check,
-    recall vs brute force asserted in tests)."""
+    """[N3] LSH-bucketed approximate top-3 (scale path; ORACLE-checked via
+    plane-literal replay, recall vs brute force asserted in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return (
@@ -436,8 +436,8 @@ def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[N2/N3] LSH-blocked embedding near-dup (rows-only; recall vs the
-    exact variant asserted in tests)."""
+    """[N2/N3] LSH-blocked embedding near-dup (ORACLE-checked via
+    plane-literal replay; recall vs the exact variant asserted in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(
         emb, threshold=0.4, num_planes=64, bands=16
@@ -1624,8 +1624,11 @@ def ext_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[N3/N9] LSH-blocked hard-negative mining — the scale path of
     ext_hard_negatives: banded candidates, keys-only cross-label pruning
     before vectors re-join, Arrow cosine inside candidates only
-    (operators/similarity.py::hard_negatives_lsh). Rows-only by design;
-    recall vs the exact miner asserted in tests."""
+    (operators/similarity.py::hard_negatives_lsh). ORACLE-checked since
+    round 12 via the plane-literal replay (the ext_ann_lsh_topk recipe:
+    deterministic hyperplanes as SQL literals, sign folds FP-identical by
+    left-fold order, cosine compared at 4dp where einsum-vs-fold ulp noise
+    is order-insensitive); recall vs the exact miner asserted in tests."""
     from dbt_meshify_spark.operators.similarity import hard_negatives_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2850,11 +2853,11 @@ def _planes_sql_literal(num_planes: int, dims: int, seed: int = 42) -> str:
 
 _LSH_SIG_CTES = """
 v AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ),
 sig AS (
-  SELECT vec_id, e,
+  SELECT vec_id, label, e,
          list_transform({planes}, p ->
            CASE WHEN list_reduce(
                   list_transform(range(1, {dims_plus}), i -> e[i] * p[i]),
@@ -2863,7 +2866,7 @@ sig AS (
   FROM v
 ),
 banded AS (
-  SELECT vec_id, e, i AS band_idx,
+  SELECT vec_id, label, e, i AS band_idx,
          array_to_string(s[i*{width}+1 : i*{width}+{width}], ',') AS band_key
   FROM sig, range(0, {bands}) t(i)
 )
@@ -2921,6 +2924,38 @@ ranked AS (
   FROM sims
 )
 SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= 3
+ORDER BY query_id NULLS FIRST, rank NULLS FIRST
+"""
+)
+
+ORACLES["ext_hard_negatives_lsh"] = (
+    "WITH "
+    + _LSH_SIG_CTES
+    + """,
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         q.e AS qe, c.e AS ce
+  FROM banded q JOIN banded c
+    ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+   AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 5 AND q.label != c.label
+),
+sims AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         list_dot_product(qe, ce) /
+         (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)) + 1e-12) AS cs
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id ASC) AS rk
+  FROM sims
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       ROUND(cs, 4) AS cos_sim, CAST(rk AS BIGINT) AS rank
 FROM ranked WHERE rk <= 3
 ORDER BY query_id NULLS FIRST, rank NULLS FIRST
 """

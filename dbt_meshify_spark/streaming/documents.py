@@ -76,14 +76,14 @@ def stream_neardup_against_index(
     batch plan (signature build + band equi-join + estimate), which
     Structured Streaming cannot express as a continuous stateful operator,
     but CAN run exactly per micro-batch with transactional sinks. The
-    checkpoint makes redelivery at-least-once; the parquet append sink is
-    idempotent per batch at a real deployment via batch_id-keyed output
-    (here: a fresh out_dir per run).
+    checkpoint makes redelivery at-least-once, so the sink is batch_id-KEYED
+    OVERWRITE (the stream_cms_heavy_hitters discipline; round 12 — the
+    earlier blind append would have duplicated a replayed batch's hits
+    after a crash between sink write and checkpoint commit).
     """
     from dbt_meshify_spark.operators.dedup import incremental_neardup_pairs
 
     spark = stream_docs.sparkSession
-    ran = {"any": False}
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
         hits = incremental_neardup_pairs(
@@ -98,8 +98,7 @@ def stream_neardup_against_index(
             hash_fn=hash_fn,
             min_jaccard_est=min_jaccard_est,
         )
-        hits.write.mode("append").parquet(f"{out_dir}/hits")
-        ran["any"] = True
+        hits.write.mode("overwrite").parquet(f"{out_dir}/hits/batch={batch_id}")
 
     q = (
         stream_docs.writeStream.foreachBatch(probe)
@@ -108,11 +107,14 @@ def stream_neardup_against_index(
         .start()
     )
     q.awaitTermination()
-    if not ran["any"]:
+    import os
+
+    if not os.path.isdir(f"{out_dir}/hits"):
         return spark.createDataFrame(
             [], "new_id bigint, dup_of bigint, jaccard_est double"
         )
-    return spark.read.parquet(f"{out_dir}/hits")
+    # drop the batch=N partition column the keyed layout introduces
+    return spark.read.parquet(f"{out_dir}/hits").drop("batch")
 
 
 def stream_gopher_filter(

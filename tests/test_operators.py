@@ -5453,6 +5453,54 @@ def test_quantile_sketch_estimate_within_grid_resolution(spark):
         )
 
 
+def test_grid_bucket_nan_pins_to_null(spark):
+    """NaN and NULL map to a NULL bucket INSIDE _grid_bucket (not via
+    call-site filters): Spark's GREATEST/LEAST ignore NULL and carry NaN to
+    bucket 0 where DuckDB treats NaN as largest (bucket width-1) — the
+    round-11 advice's silent cross-engine divergence. Edges clamp."""
+    from dbt_meshify_spark.operators.sketches import _grid_bucket
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, None), (3, -5.0), (4, 1e300), (5, 10.0)],
+        "id int, v double",
+    )
+    out = {
+        r.id: r.b
+        for r in df.select(
+            "id", _grid_bucket(F.col("v"), 0.0, 100.0, 10).alias("b")
+        ).collect()
+    }
+    assert out == {1: None, 2: None, 3: 0, 4: 9, 5: 1}
+
+
+def test_salted_pin_registry_releases_previous_frames(spark):
+    """Repeated salted-operator invocations in one session must not
+    accumulate persisted event-sized frames (round-11 advice): each call
+    releases the frame its tag pinned before, so at most one cached frame
+    per operator tag is live, and release_pinned_frames() clears the rest."""
+    from dbt_meshify_spark.operators import temporal as T
+
+    ev = spark.createDataFrame(
+        [("u1", i, f"e{i}") for i in range(20)],
+        "user_id string, off int, event_id string",
+    ).select(
+        "user_id",
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,off*60)").alias("ts"),
+        "event_id",
+    )
+    first = T.sessionize_salted(ev, gap_s=1800, bucket_s=3600)
+    assert first.count() == 20
+    pinned_first = T._PINNED["sessionize_salted"]
+    assert pinned_first.storageLevel.useMemory
+    second = T.sessionize_salted(ev, gap_s=900, bucket_s=3600)
+    assert second.count() == 20
+    # the first invocation's pin was released by the second
+    assert not pinned_first.storageLevel.useMemory
+    assert T._PINNED["sessionize_salted"] is not pinned_first
+    T.release_pinned_frames()
+    assert T._PINNED == {}
+
+
 def test_l_diversity_flags_and_flagged_release(spark):
     """Distinct and recursive (c,l) flags fire on planted homogeneous /
     skewed groups and stay quiet on an even group; entropy audit respects
