@@ -842,3 +842,20 @@ def test_exact_dedup_is_partial_aggregate_not_window(spark):
     # partial + final = two HashAggregate/ObjectHashAggregate mentions
     aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
     assert aggs >= 2, "no partial aggregation in the dedup plan"
+
+
+def test_video_neardup_decode_chain_is_pinned_once(spark):
+    """ext_video_neardup (round-12 verdict task 2): the synth/decode/dHash
+    Python chain must run exactly once behind the frame-print pin — the
+    round-10 defect was 8 un-pinned consumers re-executing it (24
+    MapInPandas nodes in the final plan). With the localCheckpoint pin the
+    final physical plan contains ZERO MapInPandas nodes and zero parquet
+    scans: every branch (df-cap count, per-video totals, both pair-join
+    sides) reads the pinned (video, frame-hash) ExistingRDD."""
+    plan = _physical(QUERIES["ext_video_neardup"](spark, SF_ORACLE))
+    assert plan.count("MapInPandas") == 0, (
+        "decode chain leaked past the frame-print pin (r10 regression)"
+    )
+    assert plan.count("Scan parquet") == 0, "a branch re-reads the corpus"
+    assert "ExistingRDD" in plan, "frame-print pin missing"
+    assert "CartesianProduct" not in plan
