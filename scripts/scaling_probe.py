@@ -206,6 +206,11 @@ def main() -> None:
 
         skew_probe(get_spark(), sf_dir)
         return
+    if "--pairskew" in sys.argv:
+        from dbt_meshify_spark.session import get_spark
+
+        pair_skew_probe(get_spark(), sf_dir)
+        return
     from dbt_meshify_spark.operators.dedup import (
         exact_dedup,
         minhash_candidate_pairs,
@@ -699,6 +704,162 @@ def skew_probe(spark, sf_dir: str) -> None:
             f"sessionize={s[0] / u[0]:.2f}x salted={s[1] / u[1]:.2f}x "
             f"activity={s[2] / u[2]:.2f}x asof={s[3] / u[3]:.2f}x "
             f"salted_asof={s[4] / u[4]:.2f}x",
+            flush=True,
+        )
+
+
+def pair_skew_probe(spark, sf_dir: str) -> None:
+    """Hot-BUCKET skew probe for the pair-join plane (round 12, verdict
+    task 4). The round-11 probe covered the WINDOW family; the banding and
+    fuzzy joins instead rely on deterministic hot-bucket caps
+    (minhash_candidate_pairs / hash64_candidate_pairs max_bucket_size,
+    edit_distance_join max_bucket_pairs) that were correctness-tested but
+    never probed under planted skew at volume. This plants a boilerplate
+    whale — 30% of all documents (doc_id % 10 < 3) remapped to ONE text /
+    ONE name, so every shingle band, every fingerprint chunk and every
+    fuzzy chunk key of those rows collapses onto one bucket — and
+    measures, at 1x/8x of sf0.1:
+
+    - candidate-pair counts and wall with caps ON (linearity claim: pairs
+      from the whale grow ~linearly once capped — cap^2 is constant and
+      the overflow term is linear);
+    - the same with caps OFF at 1x/2x only (the quadratic trend: the whale
+      alone contributes C(0.3N, 2) pairs, 4x per doubling — running the
+      uncapped 8x would be the very pathology the caps exist to prevent);
+    - the banding exchange's max partition share with caps on (the cap cuts
+      each whale bucket to cap rows BEFORE the self-join, so no single
+      join task inherits the whale).
+    """
+    import time as _t
+
+    from dbt_meshify_spark.operators.dedup import (
+        hash64_candidate_pairs,
+        minhash_candidate_pairs,
+        simhash,
+    )
+    from dbt_meshify_spark.operators.fuzzy import (
+        edit_distance_join,
+        fuzzy_join_capped_buckets,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    base = load_table(spark, sf_dir, "documents")
+    boiler = (
+        "subscribe to our newsletter for updates terms of service apply "
+        "all rights reserved contact us at support example com privacy "
+        "policy cookie settings do not sell my information site map help"
+    )
+
+    def planted(k: int):
+        docs = scaled_corpus(base, k)
+        return docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 10 < 3, F.lit(boiler)).otherwise(
+                F.col("text")
+            ),
+        ).withColumn(
+            "name",
+            F.when(F.col("doc_id") % 10 < 3, F.lit("boilerplate-site")).otherwise(
+                F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+            ),
+        )
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    MH = dict(num_hashes=32, bands=8, min_jaccard_est=0.5)
+
+    # warmup compiles each plan shape once
+    warm = planted(1).localCheckpoint()
+    minhash_candidate_pairs(warm, **MH).count()
+    hash64_candidate_pairs(simhash(warm), "doc_id", "simhash", max_bucket_size=500).count()
+    def name_sides(df):
+        l = df.select("doc_id", "name")
+        r = df.select(
+            F.col("doc_id").alias("rid"), F.col("name").alias("rname")
+        )
+        return l, r
+
+    wl, wr = name_sides(warm)
+    edit_distance_join(wl, wr, "doc_id", "name", "rid", "rname").count()
+
+    for k in (1, 2, 8):
+        docs = planted(k).localCheckpoint()
+        n = docs.count()
+        hot = docs.filter(F.col("doc_id") % 10 < 3).count()
+
+        # ---- minhash banding tier (shingle plane) ----
+        t0 = _t.time()
+        n_cap = minhash_candidate_pairs(docs, max_bucket_size=1000, **MH).count()
+        t_cap = _t.time() - t0
+        # banding-exchange max partition share with the cap applied: kept
+        # rows per (band_idx, band_hash) <= cap, so the whale is cut before
+        # the self-join keys ever hash to a partition
+        from dbt_meshify_spark.operators.dedup import minhash_signatures
+        from dbt_meshify_spark.operators.dedup import _band_key_array
+
+        sigged = minhash_signatures(
+            docs.select("doc_id", "text"), "text", 32, 3, 42, hash_fn="xxhash64"
+        ).select("doc_id", "minhash")
+        banded = sigged.select(
+            "doc_id", F.posexplode(_band_key_array(4, 8, "xxhash64")).alias(
+                "band_idx", "band_hash"
+            )
+        )
+        from pyspark.sql import Window as _W
+
+        capped_rows = banded.withColumn(
+            "__bn",
+            F.row_number().over(
+                _W.partitionBy("band_idx", "band_hash").orderBy("doc_id")
+            ),
+        ).filter(F.col("__bn") <= 1000)
+        share = (
+            capped_rows.groupBy(
+                F.pmod(F.hash("band_idx", "band_hash"), F.lit(nparts)).alias("p")
+            )
+            .count()
+            .agg(F.max("count") / F.sum("count"))
+            .collect()[0][0]
+        )
+        uncap = ""
+        if k <= 2:
+            t0 = _t.time()
+            n_off = minhash_candidate_pairs(
+                docs, max_bucket_size=1_000_000_000, **MH
+            ).count()
+            uncap = f" caps_OFF pairs={n_off} ({_t.time() - t0:.2f}s)"
+
+        # ---- 64-bit fingerprint banding tier (simhash/dHash plane) ----
+        fp = simhash(docs)
+        t0 = _t.time()
+        n_h64 = hash64_candidate_pairs(
+            fp, "doc_id", "simhash", max_bucket_size=500
+        ).count()
+        t_h64 = _t.time() - t0
+        h64_off = ""
+        if k <= 2:
+            t0 = _t.time()
+            n_h64_off = hash64_candidate_pairs(
+                fp, "doc_id", "simhash", max_bucket_size=1_000_000_000
+            ).count()
+            h64_off = f" caps_OFF pairs={n_h64_off} ({_t.time() - t0:.2f}s)"
+
+        # ---- fuzzy edit-distance join (chunk-key plane) ----
+        nl, nr = name_sides(docs)
+        t0 = _t.time()
+        n_fz = edit_distance_join(
+            nl, nr, "doc_id", "name", "rid", "rname"
+        ).count()
+        t_fz = _t.time() - t0
+        n_capped_buckets = fuzzy_join_capped_buckets(
+            nl, nr, "name", "rname"
+        ).count()
+
+        print(
+            f"pairskew scale={k}x docs={n} hot={hot}: "
+            f"minhash caps_ON pairs={n_cap} ({t_cap:.2f}s) "
+            f"banded_max_share={share:.3f} (ideal {1 / nparts:.3f}){uncap} | "
+            f"hash64 caps_ON pairs={n_h64} ({t_h64:.2f}s){h64_off} | "
+            f"fuzzy join={n_fz} ({t_fz:.2f}s) capped_buckets={n_capped_buckets}",
             flush=True,
         )
 
