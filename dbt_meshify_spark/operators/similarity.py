@@ -95,7 +95,7 @@ def cosine_topk(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+        .select("query_id", "neighbor_id", (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"), "rank")
     )
 
 
@@ -145,7 +145,7 @@ def hard_negatives(
             "query_label",
             "neighbor_id",
             "neighbor_label",
-            F.round("cos_sim", 4).alias("cos_sim"),
+            (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
             "rank",
         )
     )
@@ -309,7 +309,7 @@ def lsh_bucketed_topk(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+        .select("query_id", "neighbor_id", (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"), "rank")
     )
 
 
@@ -470,7 +470,7 @@ def embedding_neardup_exact(
 
     return pairs.mapInPandas(
         score, f"id_a {id_t}, id_b {id_t}, cos_sim double"
-    ).select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    ).select("id_a", "id_b", (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"))
 
 
 def _blockify(
@@ -571,7 +571,7 @@ def embedding_neardup_gemm(
 
     return pairs.mapInPandas(
         mult, "id_a long, id_b long, cos_sim double"
-    ).select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    ).select("id_a", "id_b", (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"))
 
 
 def cosine_topk_gemm(
@@ -634,7 +634,7 @@ def cosine_topk_gemm(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cos_sim", 4).alias("cos_sim"),
+            (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
             "rank",
         )
     )
@@ -751,7 +751,7 @@ def embedding_neardup_pairs(
         .select(
             F.col("query_id").alias("id_a"),
             F.col("neighbor_id").alias("id_b"),
-            F.round("cos_sim", 4).alias("cos_sim"),
+            (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
         )
     )
 
@@ -899,7 +899,7 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id",
-            F.round("cos_sim", 4).alias("cos_sim"), "rank",
+            (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"), "rank",
         )
     )
 
@@ -1066,7 +1066,7 @@ def _probe_topk(sims: DataFrame, k: int) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id",
-            F.round("cos_sim", 4).alias("cos_sim"), "rank",
+            (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"), "rank",
         )
     )
 
@@ -1240,7 +1240,7 @@ def hard_negatives_lsh(
             "query_label",
             "neighbor_id",
             "neighbor_label",
-            F.round("cos_sim", 4).alias("cos_sim"),
+            (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
             "rank",
         )
     )

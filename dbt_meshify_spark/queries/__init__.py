@@ -50,8 +50,8 @@ _WINDOW_REL = [
     "q32_set_ops",
     # ONE governance-plane representative (q_g4 covers the graph plane;
     # q_l1_dependency_detection — green externally r01-r10 and replayed
-    # locally — hands its slot to the round's new salted-sessionize oracle
-    # so the never-verified debt stays <= 100)
+    # locally — gave up its slot in r11 to keep all 39 extension slots
+    # for the never-verified backlog)
     "q_g4_boundary_access",
 ]
 _WINDOW_EXT = [

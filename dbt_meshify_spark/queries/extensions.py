@@ -2434,7 +2434,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
   FROM sims
 )
-SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, rank
+SELECT query_id, neighbor_id, ROUND(cs, 4) + 0.0 AS cos_sim, rank
 FROM ranked WHERE rank <= 3
 ORDER BY query_id NULLS FIRST, rank NULLS FIRST
 """,
@@ -2456,7 +2456,7 @@ ranked AS (
   FROM sims
 )
 SELECT query_id, query_label, neighbor_id, neighbor_label,
-       ROUND(cs, 4) AS cos_sim, rank
+       ROUND(cs, 4) + 0.0 AS cos_sim, rank
 FROM ranked WHERE rank <= 3
 ORDER BY query_id NULLS FIRST, rank NULLS FIRST
 """,
@@ -2820,7 +2820,7 @@ sims AS (
          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) + 1e-12) AS cs
   FROM v a JOIN v b ON a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, ROUND(cs, 4) AS cos_sim
+SELECT id_a, id_b, ROUND(cs, 4) + 0.0 AS cos_sim
 FROM sims WHERE cs >= 0.4
 ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
 """,
@@ -2893,7 +2893,7 @@ sims AS (
          (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)) + 1e-12) AS cs
   FROM cand
 )
-SELECT id_a, id_b, ROUND(cs, 4) AS cos_sim
+SELECT id_a, id_b, ROUND(cs, 4) + 0.0 AS cos_sim
 FROM sims WHERE cs >= 0.4
 ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
 """
@@ -2923,7 +2923,7 @@ ranked AS (
                             ORDER BY cs DESC, neighbor_id ASC) AS rk
   FROM sims
 )
-SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, CAST(rk AS BIGINT) AS rank
+SELECT query_id, neighbor_id, ROUND(cs, 4) + 0.0 AS cos_sim, CAST(rk AS BIGINT) AS rank
 FROM ranked WHERE rk <= 3
 ORDER BY query_id NULLS FIRST, rank NULLS FIRST
 """
@@ -2955,7 +2955,7 @@ ranked AS (
   FROM sims
 )
 SELECT query_id, query_label, neighbor_id, neighbor_label,
-       ROUND(cs, 4) AS cos_sim, CAST(rk AS BIGINT) AS rank
+       ROUND(cs, 4) + 0.0 AS cos_sim, CAST(rk AS BIGINT) AS rank
 FROM ranked WHERE rk <= 3
 ORDER BY query_id NULLS FIRST, rank NULLS FIRST
 """
