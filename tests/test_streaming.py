@@ -1112,3 +1112,81 @@ def test_stream_weighted_sample_resumes_from_checkpoint(spark, tmp_path_factory)
     again = sorted((r.doc_id, r.draw_rank) for r in drain().collect())
     assert again == want
     assert len(_batch_dirs(f"{out_dir}/cands")) == 2
+
+def test_stream_stream_join_resumes_from_checkpoint(spark, tmp_path_factory):
+    """Round-12 extension of the resume matrix: the seven earlier
+    kill-resume tests all cover foreachBatch batch-keyed recovery; this one
+    proves the NATIVE state-store path recovers — a click ingested before
+    the restart must join a purchase arriving after it, which only works if
+    the join's state store rows survived the checkpoint. Files split in
+    event-time order so the watermark never legitimately drops anything,
+    making drained-across-restart == batch exact."""
+    import datetime as dt
+
+    from dbt_meshify_spark.streaming import stream_stream_join_clicks_to_purchases
+
+    d = tmp_path_factory.mktemp("ssjoin_resume")
+    sink = tmp_path_factory.mktemp("ssjoin_resume_out")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    def _write(rows, name):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.parquet(str(d / name))
+
+    def drain():
+        clicks = read_events_stream(
+            spark, str(d) + "/*/", nanos=False, max_files_per_trigger=1
+        ).filter(F.col("event_type") == "click")
+        purchases = read_events_stream(
+            spark, str(d) + "/*/", nanos=False, max_files_per_trigger=1
+        ).filter(F.col("event_type") == "purchase")
+        q = (
+            stream_stream_join_clicks_to_purchases(clicks, purchases)
+            .writeStream.format("parquet")
+            .option("path", str(sink / "rows"))
+            .option("checkpointLocation", str(sink / "_checkpoint"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(str(sink / "rows"))
+        except Exception:
+            return spark.createDataFrame(
+                [], "purchase_id long, click_id long, user_id long"
+            )
+
+    # drain 1: click A joins P1 immediately; click B's state row is
+    # created but unmatched; click C waits for an out-of-horizon purchase
+    _write(
+        [
+            (1, t0 + 10 * m, 1, "click", 1.0, ""),      # A
+            (2, t0 + 20 * m, 2, "click", 1.0, ""),      # B
+            (3, t0, 3, "click", 1.0, ""),               # C
+            (4, t0 + 30 * m, 1, "purchase", 1.0, ""),   # P1 -> A
+        ],
+        "f1",
+    )
+    first = {(r.purchase_id, r.click_id) for r in drain().collect()}
+    assert first == {(4, 1)}
+    # resume from the SAME checkpoint: P2 (user 2, within 1h of B) must
+    # pair with the click ingested BEFORE the restart — state-store
+    # recovery, not reprocessing (f1 is committed); P3 is outside C's
+    # horizon and must not pair
+    _write(
+        [
+            (5, t0 + 40 * m, 2, "purchase", 1.0, ""),   # P2 -> B
+            (6, t0 + 120 * m, 3, "purchase", 1.0, ""),  # P3: C + 2h, no pair
+        ],
+        "f2",
+    )
+    resumed = {(r.purchase_id, r.click_id) for r in drain().collect()}
+    assert resumed == {(4, 1), (5, 2)}
+    # idempotent no-op resume
+    again = {(r.purchase_id, r.click_id) for r in drain().collect()}
+    assert again == resumed
