@@ -1190,3 +1190,128 @@ def test_stream_stream_join_resumes_from_checkpoint(spark, tmp_path_factory):
     # idempotent no-op resume
     again = {(r.purchase_id, r.click_id) for r in drain().collect()}
     assert again == resumed
+
+def test_stateful_totals_resume_from_checkpoint(spark, tmp_path_factory):
+    """applyInPandasWithState kill-resume: the custom state tuple (n, total)
+    must come back from the state store — the post-restart emission for a
+    user seen before the restart carries the MERGED running total, not a
+    fresh one, and committed input is not reprocessed."""
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("totals_resume")
+    sink = str(tmp_path_factory.mktemp("totals_resume_out"))
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    def _write(rows, name):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.parquet(str(d / name))
+
+    def drain():
+        feed = read_events_stream(
+            spark, str(d) + "/*/", nanos=False, max_files_per_trigger=1
+        )
+
+        def save(df, batch_id):
+            df.write.mode("overwrite").parquet(f"{sink}/totals/batch={batch_id}")
+
+        q = (
+            stateful_user_totals(feed)
+            .writeStream.foreachBatch(save)
+            .outputMode("update")
+            .option("checkpointLocation", f"{sink}/_checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(f"{sink}/totals")
+
+    _write(
+        [
+            (1, t0, 1, "click", 1.0, ""),
+            (2, t0 + m, 1, "click", 2.0, ""),
+            (3, t0, 2, "click", 5.0, ""),
+        ],
+        "f1",
+    )
+    first = {(r.user_id, r.n_events, r.total_value) for r in drain().collect()}
+    assert first == {(1, 2, 3.0), (2, 1, 5.0)}
+    _write(
+        [
+            (4, t0 + 2 * m, 1, "click", 4.0, ""),
+            (5, t0, 3, "click", 7.0, ""),
+        ],
+        "f2",
+    )
+    emitted = drain().collect()
+    # the resumed drain's user-1 emission merges the recovered (2, 3.0)
+    # state with the new event — (3, 7.0), never a fresh (1, 4.0)
+    latest = {}
+    for r in emitted:
+        if r.user_id not in latest or r.n_events > latest[r.user_id][0]:
+            latest[r.user_id] = (r.n_events, r.total_value)
+    assert latest == {1: (3, 7.0), 2: (1, 5.0), 3: (1, 7.0)}
+    assert (1, 1, 4.0) not in {
+        (r.user_id, r.n_events, r.total_value) for r in emitted
+    }
+
+
+def test_stream_dedup_resumes_from_checkpoint(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark kill-resume: a duplicate delivery
+    arriving AFTER the restart of a row first seen before it must still be
+    dropped — only possible if the dedup state store survived the
+    checkpoint."""
+    import datetime as dt
+
+    from dbt_meshify_spark.streaming.events import stream_dedup
+
+    d = tmp_path_factory.mktemp("dedup_resume")
+    sink = tmp_path_factory.mktemp("dedup_resume_out")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    def _write(rows, name):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.parquet(str(d / name))
+
+    def drain():
+        feed = read_events_stream(
+            spark, str(d) + "/*/", nanos=False, max_files_per_trigger=1
+        )
+        q = (
+            stream_dedup(feed, keys=["event_id"], watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", str(sink / "rows"))
+            .option("checkpointLocation", str(sink / "_checkpoint"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(sink / "rows"))
+
+    _write(
+        [
+            (1, t0 + 5 * m, 1, "click", 1.0, ""),
+            (2, t0 + 10 * m, 2, "click", 1.0, ""),
+        ],
+        "f1",
+    )
+    assert sorted(r.event_id for r in drain().collect()) == [1, 2]
+    # e1 redelivered after the restart (within the watermark) + a new e3
+    _write(
+        [
+            (1, t0 + 12 * m, 1, "click", 1.0, ""),
+            (3, t0 + 15 * m, 3, "click", 1.0, ""),
+        ],
+        "f2",
+    )
+    assert sorted(r.event_id for r in drain().collect()) == [1, 2, 3]
+    # idempotent no-op resume
+    assert sorted(r.event_id for r in drain().collect()) == [1, 2, 3]
