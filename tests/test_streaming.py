@@ -1315,3 +1315,80 @@ def test_stream_dedup_resumes_from_checkpoint(spark, tmp_path_factory):
     assert sorted(r.event_id for r in drain().collect()) == [1, 2, 3]
     # idempotent no-op resume
     assert sorted(r.event_id for r in drain().collect()) == [1, 2, 3]
+
+def test_tumbling_window_resumes_from_checkpoint(spark, tmp_path_factory):
+    """Native windowed-agg state kill-resume: a day window whose events
+    SPLIT across the restart must emit the merged count after resume (the
+    recovered agg state plus the new rows), never a fresh count — and the
+    committed first file is not reprocessed."""
+    import datetime as dt
+
+    from dbt_meshify_spark.streaming.events import tumbling_window_counts
+
+    d = tmp_path_factory.mktemp("tumble_resume")
+    sink = str(tmp_path_factory.mktemp("tumble_resume_out"))
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+
+    def _write(rows, name):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.parquet(str(d / name))
+
+    def drain():
+        feed = read_events_stream(
+            spark, str(d) + "/*/", nanos=False, max_files_per_trigger=1
+        )
+
+        def save(df, batch_id):
+            df.write.mode("overwrite").parquet(f"{sink}/wins/batch={batch_id}")
+
+        q = (
+            tumbling_window_counts(feed)
+            .writeStream.foreachBatch(save)
+            .outputMode("update")
+            .option("checkpointLocation", f"{sink}/_checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(f"{sink}/wins")
+
+    _write(
+        [
+            (1, t0 + 1 * h, 1, "click", 1.0, ""),
+            (2, t0 + 2 * h, 2, "click", 2.0, ""),
+        ],
+        "f1",
+    )
+    first = {
+        (str(r.window_start), r.event_type, r.n, r.total_value)
+        for r in drain().collect()
+    }
+    assert first == {("2024-01-01 00:00:00", "click", 2, 3.0)}
+    # day-1 gets one more event AFTER the restart + day-2 opens
+    _write(
+        [
+            (3, t0 + 3 * h, 3, "click", 4.0, ""),
+            (4, t0 + 25 * h, 4, "view", 9.0, ""),
+        ],
+        "f2",
+    )
+    emitted = drain().collect()
+    latest = {}
+    for r in emitted:
+        key = (str(r.window_start), r.event_type)
+        if key not in latest or r.n > latest[key][0]:
+            latest[key] = (r.n, r.total_value)
+    assert latest == {
+        ("2024-01-01 00:00:00", "click"): (3, 7.0),
+        ("2024-01-02 00:00:00", "view"): (1, 9.0),
+    }
+    # the resumed drain merged recovered state — a fresh day-1 (1, 4.0)
+    # row must never have been emitted
+    assert ("2024-01-01 00:00:00", "click", 1, 4.0) not in {
+        (str(r.window_start), r.event_type, r.n, r.total_value)
+        for r in emitted
+    }
