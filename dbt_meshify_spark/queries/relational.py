@@ -919,6 +919,46 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q40_SQL = """
+WITH RECURSIVE walk(pk, anc, hop) AS (
+  SELECT p_partkey, p_partkey, 0 FROM {tbl}
+  UNION ALL
+  SELECT pk, CAST(FLOOR(anc / 2.0) AS BIGINT), hop + 1
+  FROM walk WHERE anc > 1
+),
+depths AS (
+  SELECT pk, CAST(MAX(hop) AS BIGINT) AS depth FROM walk GROUP BY pk
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(pk) AS BIGINT) AS first_part, CAST(MAX(pk) AS BIGINT) AS last_part
+FROM depths GROUP BY depth
+ORDER BY depth NULLS FIRST
+"""
+
+
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REC1] recursive CTE hierarchy walk — Spark 4's WITH RECURSIVE
+    (SPARK-24497), the BOM-explosion / org-chart SQL shape: every part
+    climbs its synthesized binary-tree ancestor chain (parent(k) =
+    floor(k/2)) to the root, then parts are profiled by tree depth.
+    ~log2(N) recursion levels (15 at sf0.1), each level one self-join —
+    the IDENTICAL SQL string runs on both engines (the oracle is this
+    text verbatim).
+
+    Dialect note: the halving must be CAST(FLOOR(x / 2.0) AS BIGINT) —
+    bigint `/` returns DOUBLE on both engines, but a bare CAST of the
+    quotient truncates in Spark and rounds-half-even in DuckDB.
+
+    Scale posture: each recursion level is a full shuffle with no
+    localCheckpoint between levels, so the CTE tier suits bounded-depth
+    hierarchies (BOMs, org charts, category trees — depth ~log N or a
+    business constant); unbounded/graph-scale traversal stays on the
+    iterative operators (graph_rank.py, dedup.connected_components) whose
+    per-round pin keeps 100 TB lineage flat."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_q40")
+    return spark.sql(_Q40_SQL.format(tbl="part_q40"))
+
+
 QUERIES = {
     "q01_projection_cast": q01,
     "q02_case_boolean": q02,
@@ -960,12 +1000,14 @@ QUERIES = {
     "q37_hof_vector_norm": q37,
     "q38_fuzzy_match": q38,
     "q39_time_range_frame": q39,
+    "q40_recursive_hierarchy": q40,
     "q_g4_boundary_access": q_g4,
     "q_l1_dependency_detection": q_l1,
 }
 
 
 ORACLES = {
+    "q40_recursive_hierarchy": _Q40_SQL.format(tbl="part"),
     "q39_time_range_frame": """
 WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
 SELECT event_id, user_id,
