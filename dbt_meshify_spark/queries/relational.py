@@ -959,6 +959,66 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q40_SQL.format(tbl="part_q40"))
 
 
+_Q41_SQL = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+FROM {cust} c,
+LATERAL (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+         ROUND(o_totalprice, 2) AS o_totalprice
+  FROM {ord}
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 2
+) o
+WHERE c.c_custkey < 200
+ORDER BY c.c_custkey NULLS FIRST, o.o_orderkey NULLS FIRST
+"""
+
+
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J-lateral] correlated LATERAL subquery with per-row LIMIT — each
+    customer's two most recent orders, the top-k-per-group shape expressed
+    through Catalyst's lateral-join decorrelation (DecorrelateInnerQuery)
+    instead of q09's rank window. The IDENTICAL SQL text runs on both
+    engines (the oracle is this string verbatim).
+
+    Scale note: Catalyst rewrites the correlated LIMIT into a join +
+    per-key ranking — same physical family as the window form, so the
+    lateral surface adds expressiveness, not a new scale hazard; the
+    outer filter (c_custkey < 200) pushes into the customer scan."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_q41")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_q41")
+    return spark.sql(_Q41_SQL.format(cust="cust_q41", ord="ord_q41"))
+
+
+_Q42_SQL = """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+FROM {cust}
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM {ord} WHERE o_totalprice > 400000.0
+)
+ORDER BY c_custkey NULLS FIRST
+"""
+
+
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J-anti] NOT IN subquery — customers with no very-high-value order.
+    Complements q28's EXISTS semi-join with the other decorrelation family:
+    Spark plans this as a null-aware LeftAnti join (BuildRight with the
+    isNullAwareAntiJoin flag — verified in the physical plan), the operator
+    whose three-valued NOT IN semantics a plain anti join would get wrong
+    if the subquery column could be NULL. The IDENTICAL SQL text runs on
+    both engines (the oracle is this string verbatim).
+
+    Scale note: the subquery side reduces to the distinct high-value
+    custkeys BEFORE the anti join and broadcasts under the threshold; at
+    scale AQE picks the join strategy — no per-row subquery execution
+    survives decorrelation."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_q42")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_q42")
+    return spark.sql(_Q42_SQL.format(cust="cust_q42", ord="ord_q42"))
+
+
 QUERIES = {
     "q01_projection_cast": q01,
     "q02_case_boolean": q02,
@@ -1001,6 +1061,8 @@ QUERIES = {
     "q38_fuzzy_match": q38,
     "q39_time_range_frame": q39,
     "q40_recursive_hierarchy": q40,
+    "q41_lateral_topk": q41,
+    "q42_not_in_anti": q42,
     "q_g4_boundary_access": q_g4,
     "q_l1_dependency_detection": q_l1,
 }
@@ -1008,6 +1070,8 @@ QUERIES = {
 
 ORACLES = {
     "q40_recursive_hierarchy": _Q40_SQL.format(tbl="part"),
+    "q41_lateral_topk": _Q41_SQL.format(cust="customer", ord="orders"),
+    "q42_not_in_anti": _Q42_SQL.format(cust="customer", ord="orders"),
     "q39_time_range_frame": """
 WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
 SELECT event_id, user_id,

@@ -859,3 +859,21 @@ def test_video_neardup_decode_chain_is_pinned_once(spark):
     assert plan.count("Scan parquet") == 0, "a branch re-reads the corpus"
     assert "ExistingRDD" in plan, "frame-print pin missing"
     assert "CartesianProduct" not in plan
+
+
+def test_new_sql_surface_queries_plan_shapes(spark):
+    """q40/q41/q42 (round 12): the three shared-verbatim-SQL additions must
+    keep their intended physical shapes — the recursive CTE executes as the
+    recursion operator (not an unrolled cross product), the LATERAL
+    correlated LIMIT decorrelates into a keyed rank window (never a
+    nested-loop per-row subquery), and NOT IN plans the null-aware LeftAnti
+    join. None may contain a cartesian product."""
+    p40 = _physical(QUERIES["q40_recursive_hierarchy"](spark, SF_ORACLE))
+    assert "UnionLoop" in p40 or "Recursi" in p40, "recursion operator lost"
+    p41 = _physical(QUERIES["q41_lateral_topk"](spark, SF_ORACLE))
+    assert "Window" in p41, "lateral LIMIT did not decorrelate to a rank window"
+    assert "BroadcastNestedLoop" not in p41 and "CartesianProduct" not in p41
+    p42 = _physical(QUERIES["q42_not_in_anti"](spark, SF_ORACLE))
+    assert "LeftAnti" in p42, "NOT IN lost the anti-join plan"
+    for p in (p40, p41, p42):
+        assert "CartesianProduct" not in p
