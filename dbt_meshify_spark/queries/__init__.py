@@ -34,8 +34,10 @@ QUERIES = {**_REL_QUERIES, **_EXT_QUERIES}
 # verdict's task-7 early promotion) lands 2nd alphabetically with no queue
 # jump needed; ext_hard_negatives_lsh (this round's oracle promotion) slots
 # in at its own alphabetical spot, and the window then continues
-# ext_gopher_rules → ext_quality_psi. Debt after this round: 65 of 215 (q40/q41/q42, the
-# shared-verbatim-SQL additions landed after the rotation, join the backlog).
+# ext_gopher_rules → ext_quality_psi. Debt after this round: 70 of 220 (the eight
+# shared-verbatim-SQL additions — q40/q41/q42 and the five governance
+# fixtures q_g7/q_g8/q_g10/q_g12/q_v7 — landed after the rotation and
+# join the backlog).
 # Every window slot must be hash-checkable — rows-only tiers (e.g.
 # ext_minhash_neardup, which errs `no_oracle` by design) go after 50.
 _WINDOW_REL = [

@@ -486,6 +486,194 @@ def q_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q_G7_SQL = """
+WITH edges AS (
+  SELECT * FROM (VALUES ('a','b'),('b','c'),('b','d'),('d','e'),('x','d')) AS t(src, dst)
+),
+sel AS (SELECT * FROM (VALUES ('b'),('d')) AS t(id)),
+parents AS (
+  SELECT DISTINCT e.src AS unique_id, 'parent' AS relation
+  FROM edges e JOIN sel s ON e.dst = s.id
+  WHERE e.src NOT IN (SELECT id FROM sel)
+),
+children AS (
+  SELECT DISTINCT e.dst AS unique_id, 'child' AS relation
+  FROM edges e JOIN sel s ON e.src = s.id
+  WHERE e.dst NOT IN (SELECT id FROM sel)
+)
+SELECT unique_id, relation FROM parents
+UNION ALL
+SELECT unique_id, relation FROM children
+ORDER BY unique_id NULLS FIRST, relation NULLS FIRST
+"""
+
+
+def q_g7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[G7] cross-selection parents/children — the resources a subproject
+    split would leave on the other side of the boundary (reference
+    dbt_projects.py:76-90; engine twin plans/graph.py::xproj_parents/
+    xproj_children, verified by the splitter e2e tests). The golden VALUES
+    graph mirrors q_g4's; the IDENTICAL SQL text is the DuckDB oracle."""
+    return spark.sql(_Q_G7_SQL)
+
+
+_Q_G8_SQL = """
+WITH resources AS (
+  SELECT * FROM (VALUES
+    ('a','model'),('b','model'),('c','model'),('d','model'),('e','model'),
+    ('x','model'),('t1','test')) AS t(id, resource_type)
+),
+edges AS (
+  SELECT * FROM (VALUES
+    ('a','b'),('b','c'),('b','d'),('d','e'),('x','d'),('b','t1'),('t1','e')) AS t(src, dst)
+),
+sel_raw AS (
+  SELECT * FROM (VALUES
+    ('split_bd','b'),('split_bd','d'),('split_bd','t1'),
+    ('split_a','a'),
+    ('split_leaf','c'),('split_leaf','e')) AS t(sel_name, id)
+),
+sel AS (
+  SELECT s.sel_name, s.id FROM sel_raw s
+  JOIN resources rs ON rs.id = s.id AND rs.resource_type <> 'test'
+),
+xp AS (
+  SELECT s.sel_name, COUNT(DISTINCT e.src) AS n
+  FROM sel s JOIN edges e ON e.dst = s.id
+  JOIN resources r ON r.id = e.src AND r.resource_type <> 'test'
+  WHERE e.src NOT IN (SELECT id FROM sel s2 WHERE s2.sel_name = s.sel_name)
+  GROUP BY s.sel_name
+),
+xc AS (
+  SELECT s.sel_name, COUNT(DISTINCT e.dst) AS n
+  FROM sel s JOIN edges e ON e.src = s.id
+  JOIN resources r ON r.id = e.dst AND r.resource_type <> 'test'
+  WHERE e.dst NOT IN (SELECT id FROM sel s2 WHERE s2.sel_name = s.sel_name)
+  GROUP BY s.sel_name
+),
+names AS (SELECT DISTINCT sel_name FROM sel_raw)
+SELECT n.sel_name,
+       (COALESCE(xp.n, 0) > 0 AND COALESCE(xc.n, 0) > 0) AS would_cycle
+FROM names n
+LEFT JOIN xp ON xp.sel_name = n.sel_name
+LEFT JOIN xc ON xc.sel_name = n.sel_name
+ORDER BY n.sel_name NULLS FIRST
+"""
+
+
+def q_g8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[G8] project-cycle detection for three candidate splits — a split
+    creates a cycle iff the subproject is BOTH upstream and downstream of
+    the remainder, with test nodes excluded from the selection AND from
+    the cross-boundary counts (reference dbt_projects.py:97-108, enforced
+    main.py:250-255; engine twin plans/graph.py::is_project_cycle). The
+    fixture plants a test node inside the cycling selection so the
+    nontest filter is load-bearing on both engines."""
+    return spark.sql(_Q_G8_SQL)
+
+
+_Q_G10_SQL = """
+WITH depends AS (
+  SELECT * FROM (VALUES
+    ('model.proj.m1', 'macro.proj.fmt'),
+    ('model.proj.m1', 'macro.other.ext'),
+    ('model.proj.m2', 'macro.proj.helper'),
+    ('macro.proj.fmt', 'macro.proj.base'),
+    ('macro.proj.base', 'macro.proj.deepest'),
+    ('macro.proj.helper', 'macro.other.ext2')) AS t(src, dep)
+),
+sel AS (SELECT * FROM (VALUES ('model.proj.m1'),('model.proj.m2')) AS t(id)),
+owned AS (
+  SELECT src, dep FROM depends
+  WHERE dep LIKE 'macro.%' AND md5(split_part(dep, '.', 2)) = md5('proj')
+),
+level1 AS (
+  SELECT DISTINCT o.dep AS macro_id FROM owned o JOIN sel s ON o.src = s.id
+),
+level2 AS (
+  SELECT DISTINCT o.dep AS macro_id FROM owned o JOIN level1 l ON o.src = l.macro_id
+)
+SELECT macro_id FROM level1
+UNION
+SELECT macro_id FROM level2
+ORDER BY macro_id NULLS FIRST
+"""
+
+
+def q_g10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[G10] project-owned macro closure, EXACTLY two levels deep (macros
+    of selected resources, then macros of those macros — a level-3 macro
+    is deliberately excluded by the fixture, mirroring the reference's
+    fixed two-pass closure in dbt_projects.py:463-486 and its md5 project-
+    ownership test at :150-170; engine twin plans/graph.py::macro_closure).
+    md5 evaluates identically on both engines, so ownership itself is part
+    of the hash-checked replay."""
+    return spark.sql(_Q_G10_SQL)
+
+
+_Q_G12_SQL = """
+WITH resources AS (
+  SELECT * FROM (VALUES
+    ('model.p.m1', 'model', 'finance'),
+    ('model.p.m2', 'model', CAST(NULL AS STRING)),
+    ('model.p.m3', 'model', 'marketing'),
+    ('group.p.finance', 'group', 'finance'),
+    ('group.p.marketing', 'group', 'marketing'),
+    ('group.p.unused', 'group', 'unused')) AS t(unique_id, resource_type, grp)
+),
+sel AS (SELECT * FROM (VALUES ('model.p.m1'),('model.p.m2')) AS t(id))
+SELECT r.unique_id
+FROM resources r
+WHERE r.resource_type = 'group'
+  AND r.grp IN (
+    SELECT r2.grp FROM resources r2 JOIN sel s ON r2.unique_id = s.id
+    WHERE r2.grp IS NOT NULL
+  )
+ORDER BY unique_id NULLS FIRST
+"""
+
+
+def q_g12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[G12] indirect group closure — group resources referenced by the
+    selection's group attribute, NULL groups ignored (reference
+    dbt_projects.py:521-537; engine twin plans/graph.py::group_closure)."""
+    return spark.sql(_Q_G12_SQL)
+
+
+_Q_V7_SQL = """
+WITH versions AS (
+  SELECT * FROM (VALUES
+    ('dim_customers', 1, 2), ('dim_customers', 2, 2), ('dim_customers', 3, 2),
+    ('fct_orders', 1, 1)) AS t(model_name, version, latest_version)
+),
+refs AS (
+  SELECT * FROM (VALUES
+    ('r1', 'dim_customers', CAST(NULL AS INT)),
+    ('r2', 'dim_customers', 1),
+    ('r3', 'dim_customers', 3),
+    ('r4', 'fct_orders', CAST(NULL AS INT))) AS t(ref_id, model_name, requested)
+)
+SELECT r.ref_id, r.model_name,
+       CAST(COALESCE(r.requested, v.latest_version) AS BIGINT) AS resolved_version,
+       CONCAT(r.model_name, '_v', CAST(COALESCE(r.requested, v.latest_version) AS STRING)) AS relation
+FROM refs r
+JOIN versions v
+  ON v.model_name = r.model_name
+ AND v.version = COALESCE(r.requested, v.latest_version)
+ORDER BY ref_id NULLS FIRST
+"""
+
+
+def q_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[V7] versioned-ref resolution — an unpinned ref resolves to
+    latest_version, a pinned ref to its requested version (including a
+    PRERELEASE version above latest, r3), and the physical relation gets
+    the ``_v{n}`` suffix (reference versioner semantics + references.py
+    ref-rewrite rules; engine twins plans/versions.py::
+    resolve_versioned_relation and project/runner.py::_resolve_ref)."""
+    return spark.sql(_Q_V7_SQL)
+
+
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[A1 extension] exact percentiles + sample stddev per group — the
     statistical-aggregate surface a semantic layer's distribution measures
@@ -1064,6 +1252,11 @@ QUERIES = {
     "q41_lateral_topk": q41,
     "q42_not_in_anti": q42,
     "q_g4_boundary_access": q_g4,
+    "q_g7_cross_project_edges": q_g7,
+    "q_g8_project_cycle": q_g8,
+    "q_g10_macro_closure": q_g10,
+    "q_g12_group_closure": q_g12,
+    "q_v7_version_resolution": q_v7,
     "q_l1_dependency_detection": q_l1,
 }
 
@@ -1072,6 +1265,11 @@ ORACLES = {
     "q40_recursive_hierarchy": _Q40_SQL.format(tbl="part"),
     "q41_lateral_topk": _Q41_SQL.format(cust="customer", ord="orders"),
     "q42_not_in_anti": _Q42_SQL.format(cust="customer", ord="orders"),
+    "q_g7_cross_project_edges": _Q_G7_SQL,
+    "q_g8_project_cycle": _Q_G8_SQL,
+    "q_g10_macro_closure": _Q_G10_SQL,
+    "q_g12_group_closure": _Q_G12_SQL,
+    "q_v7_version_resolution": _Q_V7_SQL,
     "q39_time_range_frame": """
 WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
 SELECT event_id, user_id,

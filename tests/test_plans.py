@@ -689,3 +689,105 @@ def test_changeset_failure_wraps_cause(tmp_path):
         ChangeSetProcessor(log=lambda m: None).process([cs])
     assert exc.value.change is bad
     assert isinstance(exc.value.exception, Exception)
+
+
+def test_governance_sql_fixtures_agree_with_python_operators(spark):
+    """Round 12: q_g7/q_g8/q_g10/q_g12/q_v7 expose governance semantics as
+    shared-verbatim-SQL oracle queries. The SQL goldens must agree with the
+    Python engine operators run on the EQUIVALENT Manifest fixture — this is
+    the twin link that makes the driver's hash check meaningful for the
+    governance plane (the oracle replays the same text, this test pins the
+    text to the operators)."""
+    from dbt_meshify_spark.plans import graph as G
+    from dbt_meshify_spark.plans.manifest import Manifest, Resource
+    from dbt_meshify_spark.plans.versions import resolve_versioned_relation
+    from dbt_meshify_spark.queries.relational import QUERIES as REL
+
+    # --- G7 + G8: the q_g7/q_g8 VALUES graph as a Manifest ---
+    def model(uid, deps=()):
+        return Resource(
+            unique_id=f"model.p.{uid}", name=uid, resource_type="model",
+            depends_on=[
+                f"{'test' if d == 't1' else 'model'}.p.{d}" for d in deps
+            ],
+        )
+
+    m = Manifest([
+        model("a"), model("b", ["a"]), model("c", ["b"]),
+        model("d", ["b", "x"]), model("e", ["d"]), model("x"),
+        Resource(unique_id="test.p.t1", name="t1", resource_type="test",
+                 depends_on=["model.p.b"]),
+    ])
+    # the SQL fixture's extra edge t1 -> e (a test feeding a model) has no
+    # Manifest analog (depends_on points upstream); it exists in the SQL to
+    # prove the nontest filter and changes no expected output
+    sel = {"model.p.b", "model.p.d"}
+    g7 = {
+        (r.unique_id, r.relation)
+        for r in REL["q_g7_cross_project_edges"](spark, None).collect()
+    }
+    py_parents = {u.split(".")[-1] for u in G.xproj_parents(m, sel)}
+    py_children = {
+        u.split(".")[-1] for u in G.xproj_children(m, sel)
+        if not u.startswith("test.")
+    }
+    assert g7 == {(p, "parent") for p in py_parents} | {
+        (c, "child") for c in py_children
+    }
+
+    g8 = {r.sel_name: r.would_cycle for r in REL["q_g8_project_cycle"](spark, None).collect()}
+    assert g8 == {
+        "split_bd": G.is_project_cycle(m, sel | {"test.p.t1"}),
+        "split_a": G.is_project_cycle(m, {"model.p.a"}),
+        "split_leaf": G.is_project_cycle(m, {"model.p.c", "model.p.e"}),
+    }
+    assert g8 == {"split_bd": True, "split_a": False, "split_leaf": False}
+
+    # --- G10: two-level owned-macro closure ---
+    m2 = Manifest([
+        Resource(unique_id="model.proj.m1", name="m1", resource_type="model",
+                 depends_on=["macro.proj.fmt", "macro.other.ext"]),
+        Resource(unique_id="model.proj.m2", name="m2", resource_type="model",
+                 depends_on=["macro.proj.helper"]),
+        Resource(unique_id="macro.proj.fmt", name="fmt", resource_type="macro",
+                 depends_on=["macro.proj.base"]),
+        Resource(unique_id="macro.proj.base", name="base", resource_type="macro",
+                 depends_on=["macro.proj.deepest"]),
+        Resource(unique_id="macro.proj.helper", name="helper",
+                 resource_type="macro", depends_on=["macro.other.ext2"]),
+    ])
+    py_g10 = G.macro_closure(m2, {"model.proj.m1", "model.proj.m2"}, "proj")
+    sql_g10 = {r.macro_id for r in REL["q_g10_macro_closure"](spark, None).collect()}
+    assert sql_g10 == py_g10 == {
+        "macro.proj.fmt", "macro.proj.helper", "macro.proj.base"
+    }
+
+    # --- G12: group closure, NULL group ignored ---
+    m3 = Manifest([
+        Resource(unique_id="model.p.m1", name="m1", resource_type="model",
+                 group="finance"),
+        Resource(unique_id="model.p.m2", name="m2", resource_type="model"),
+        Resource(unique_id="model.p.m3", name="m3", resource_type="model",
+                 group="marketing"),
+        Resource(unique_id="group.p.finance", name="finance",
+                 resource_type="group"),
+        Resource(unique_id="group.p.marketing", name="marketing",
+                 resource_type="group"),
+        Resource(unique_id="group.p.unused", name="unused",
+                 resource_type="group"),
+    ])
+    py_g12 = G.group_closure(m3, {"model.p.m1", "model.p.m2"})
+    sql_g12 = {r.unique_id for r in REL["q_g12_group_closure"](spark, None).collect()}
+    assert sql_g12 == py_g12 == {"group.p.finance"}
+
+    # --- V7: versioned-ref resolution incl. prerelease pin ---
+    rows = {r.ref_id: (r.resolved_version, r.relation)
+            for r in REL["q_v7_version_resolution"](spark, None).collect()}
+    for ref_id, requested in (("r1", None), ("r2", 1), ("r3", 3)):
+        got_v, got_rel = rows[ref_id]
+        want = resolve_versioned_relation("dim_customers", requested, 2)
+        assert got_rel == want, (ref_id, got_rel, want)
+        assert got_v == (requested if requested is not None else 2)
+    assert rows["r4"] == (
+        1, resolve_versioned_relation("fct_orders", None, 1)
+    )
