@@ -30,38 +30,59 @@ from pyspark.sql import functions as F
 _SIDE = "_asof_side"
 _TS = "_asof_ts"
 
-# One live pin per operator tag: the salted two-phase operators persist an
-# event-sized frame (both the segment aggregate and the final join consume
-# it — unpinned, the window would execute twice). A long-lived session that
-# invokes them repeatedly (the driver sim runs 231 queries in one session)
-# must not accumulate those cached partitions until LRU eviction, so each
-# new invocation releases the frame the SAME tag pinned previously. Blocking
-# is not needed (the old frame is never referenced again by the operator);
-# if a caller still holds the previous result unmaterialized, it merely
-# loses the pin and recomputes — correctness is unaffected.
-_PINNED: dict[str, DataFrame] = {}
+# One live pin per (session, operator tag): the salted two-phase operators
+# persist an event-sized frame (both the segment aggregate and the final
+# join consume it — unpinned, the window would execute twice). A long-lived
+# session that invokes them repeatedly (the driver sim runs the full corpus
+# in one session) must not accumulate those cached partitions until LRU
+# eviction, so each new invocation releases the frame the SAME (session,
+# tag) pinned previously. Keying by session (r12 advice) means a restarted
+# SparkSession never inherits — or attempts to unpersist — a dead session's
+# frames; entries left behind by stopped sessions are swept on the next
+# pin. Blocking is not needed (the old frame is never referenced again by
+# the operator); if a caller still holds the previous result
+# unmaterialized, it merely loses the pin and recomputes — correctness is
+# unaffected (a debug log marks the eviction).
+_PINNED: dict[tuple[str, str], DataFrame] = {}
+
+
+def _session_key(df: DataFrame) -> str:
+    try:
+        return df.sparkSession.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — context already stopped
+        return "<stopped>"
 
 
 def _pin(tag: str, df: DataFrame) -> DataFrame:
+    import logging
+
     from pyspark.storagelevel import StorageLevel
 
-    prev = _PINNED.pop(tag, None)
+    sess = _session_key(df)
+    prev = _PINNED.pop((sess, tag), None)
     if prev is not None:
+        logging.getLogger(__name__).debug(
+            "evicting live pinned frame for %s (session %s)", tag, sess
+        )
         try:
             prev.unpersist()
         except Exception:  # noqa: BLE001 — session may already be stopped
             pass
+    # sweep entries orphaned by stopped sessions (unpersist would be a
+    # no-op there; this just bounds the registry itself)
+    for key in [k for k in _PINNED if k[0] != sess]:
+        _PINNED.pop(key, None)
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PINNED[tag] = out
+    _PINNED[(sess, tag)] = out
     return out
 
 
 def release_pinned_frames() -> None:
     """Release every frame the salted operators still hold pinned — for
     callers that want the cache back immediately after materializing."""
-    for tag in list(_PINNED):
+    for key in list(_PINNED):
         try:
-            _PINNED.pop(tag).unpersist()
+            _PINNED.pop(key).unpersist()
         except Exception:  # noqa: BLE001
             pass
 

@@ -208,31 +208,50 @@ def classify_access(manifest: Manifest, selected: set[str]) -> dict[str, str]:
 # --------------------------------------------------------------------------
 
 
+def _is_test_node(manifest: Manifest, uid: str) -> bool:
+    r = manifest.get(uid)
+    return bool(r and r.resource_type == "test")
+
+
 def xproj_children(manifest: Manifest, selected: set[str]) -> set[str]:
-    """G7: dependents outside the selection (dbt_projects.py:76-81)."""
+    """G7: dependents outside the selection (dbt_projects.py:76-81).
+
+    Test nodes are skipped as ITERATION SOURCES only — the reference's
+    ``if resource.startswith("test"): continue`` — but non-selected test
+    dependents DO count as cross-boundary children, and the FULL selection
+    (tests included) is what gets subtracted."""
     children = manifest.child_map()
-    return {c for u in selected for c in children.get(u, []) if c not in selected}
+    return {
+        c
+        for u in selected
+        if not _is_test_node(manifest, u)
+        for c in children.get(u, [])
+        if c not in selected
+    }
 
 
 def xproj_parents(manifest: Manifest, selected: set[str]) -> set[str]:
-    """G7: dependencies outside the selection (dbt_projects.py:83-90)."""
+    """G7: dependencies outside the selection (dbt_projects.py:83-90).
+    Same test-node discipline as :func:`xproj_children`: tests skipped as
+    iteration sources, kept in the result set."""
     parents = manifest.parent_map()
-    return {p for u in selected for p in parents.get(u, []) if p not in selected}
+    return {
+        p
+        for u in selected
+        if not _is_test_node(manifest, u)
+        for p in parents.get(u, [])
+        if p not in selected
+    }
 
 
 def is_project_cycle(manifest: Manifest, selected: set[str]) -> bool:
     """G8: a split creates a cycle iff the subproject is both upstream and
     downstream of the remainder (dbt_projects.py:97-108, enforced
-    main.py:250-255)."""
-    def nontest(ids: set[str]) -> set[str]:
-        return {
-            u for u in ids
-            if not (manifest.get(u) and manifest.get(u).resource_type == "test")
-        }
-
-    sel = nontest(selected)
-    return bool(nontest(xproj_children(manifest, sel))) and bool(
-        nontest(xproj_parents(manifest, sel))
+    main.py:250-255). The cross-boundary sets are NOT test-filtered — a
+    split whose only cross-boundary edge is a test node is still a cycle
+    per the reference (its is_project_cycle counts the raw xproj sets)."""
+    return bool(xproj_children(manifest, selected)) and bool(
+        xproj_parents(manifest, selected)
     )
 
 

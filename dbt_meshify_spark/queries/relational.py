@@ -521,35 +521,35 @@ _Q_G8_SQL = """
 WITH resources AS (
   SELECT * FROM (VALUES
     ('a','model'),('b','model'),('c','model'),('d','model'),('e','model'),
-    ('x','model'),('t1','test')) AS t(id, resource_type)
+    ('x','model'),('t1','test'),('t2','test')) AS t(id, resource_type)
 ),
 edges AS (
   SELECT * FROM (VALUES
-    ('a','b'),('b','c'),('b','d'),('d','e'),('x','d'),('b','t1'),('t1','e')) AS t(src, dst)
+    ('a','b'),('b','c'),('b','d'),('d','e'),('x','d'),('b','t1'),('t1','e'),
+    ('e','t2')) AS t(src, dst)
 ),
 sel_raw AS (
   SELECT * FROM (VALUES
     ('split_bd','b'),('split_bd','d'),('split_bd','t1'),
     ('split_a','a'),
-    ('split_leaf','c'),('split_leaf','e')) AS t(sel_name, id)
+    ('split_e','e'),
+    ('split_c','c')) AS t(sel_name, id)
 ),
-sel AS (
+iter AS (
   SELECT s.sel_name, s.id FROM sel_raw s
   JOIN resources rs ON rs.id = s.id AND rs.resource_type <> 'test'
 ),
 xp AS (
-  SELECT s.sel_name, COUNT(DISTINCT e.src) AS n
-  FROM sel s JOIN edges e ON e.dst = s.id
-  JOIN resources r ON r.id = e.src AND r.resource_type <> 'test'
-  WHERE e.src NOT IN (SELECT id FROM sel s2 WHERE s2.sel_name = s.sel_name)
-  GROUP BY s.sel_name
+  SELECT i.sel_name, COUNT(DISTINCT e.src) AS n
+  FROM iter i JOIN edges e ON e.dst = i.id
+  WHERE e.src NOT IN (SELECT id FROM sel_raw s2 WHERE s2.sel_name = i.sel_name)
+  GROUP BY i.sel_name
 ),
 xc AS (
-  SELECT s.sel_name, COUNT(DISTINCT e.dst) AS n
-  FROM sel s JOIN edges e ON e.src = s.id
-  JOIN resources r ON r.id = e.dst AND r.resource_type <> 'test'
-  WHERE e.dst NOT IN (SELECT id FROM sel s2 WHERE s2.sel_name = s.sel_name)
-  GROUP BY s.sel_name
+  SELECT i.sel_name, COUNT(DISTINCT e.dst) AS n
+  FROM iter i JOIN edges e ON e.src = i.id
+  WHERE e.dst NOT IN (SELECT id FROM sel_raw s2 WHERE s2.sel_name = i.sel_name)
+  GROUP BY i.sel_name
 ),
 names AS (SELECT DISTINCT sel_name FROM sel_raw)
 SELECT n.sel_name,
@@ -562,13 +562,17 @@ ORDER BY n.sel_name NULLS FIRST
 
 
 def q_g8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[G8] project-cycle detection for three candidate splits — a split
+    """[G8] project-cycle detection for four candidate splits — a split
     creates a cycle iff the subproject is BOTH upstream and downstream of
-    the remainder, with test nodes excluded from the selection AND from
-    the cross-boundary counts (reference dbt_projects.py:97-108, enforced
-    main.py:250-255; engine twin plans/graph.py::is_project_cycle). The
-    fixture plants a test node inside the cycling selection so the
-    nontest filter is load-bearing on both engines."""
+    the remainder (reference dbt_projects.py:97-108, enforced
+    main.py:250-255; engine twin plans/graph.py::is_project_cycle). Test
+    nodes are skipped as ITERATION SOURCES only (the reference's
+    ``startswith("test"): continue``) — the cross-boundary sets keep test
+    nodes, and the FULL selection (tests included) is what gets
+    subtracted. split_e pins exactly that: its only cross-boundary child
+    is the test t2, and the reference still calls it a cycle; split_bd
+    pins the selected-test subtraction (t1 is selected, so it never
+    counts as a cross-boundary child of b)."""
     return spark.sql(_Q_G8_SQL)
 
 

@@ -107,14 +107,15 @@ def stream_neardup_against_index(
         .start()
     )
     q.awaitTermination()
-    import os
+    from dbt_meshify_spark.streaming.sinks import read_sink_or_none
 
-    if not os.path.isdir(f"{out_dir}/hits"):
+    hits = read_sink_or_none(spark, f"{out_dir}/hits")
+    if hits is None:
         return spark.createDataFrame(
             [], "new_id bigint, dup_of bigint, jaccard_est double"
         )
     # drop the batch=N partition column the keyed layout introduces
-    return spark.read.parquet(f"{out_dir}/hits").drop("batch")
+    return hits.drop("batch")
 
 
 def stream_gopher_filter(
@@ -470,17 +471,13 @@ def stream_cms_heavy_hitters(
     q.awaitTermination()
     # Zero micro-batches => out_dir/cells was never written; an empty cell
     # list is the correct merged state (stream_conversation_filter pattern).
-    import os
+    from dbt_meshify_spark.streaming.sinks import read_sink_or_none
 
-    if not os.path.isdir(f"{out_dir}/cells"):
+    sink = read_sink_or_none(spark, f"{out_dir}/cells")
+    if sink is None:
         cells = []
     else:
-        cells = (
-            spark.read.parquet(f"{out_dir}/cells")
-            .groupBy("r", "b")
-            .agg(F.sum("c").alias("c"))
-            .collect()
-        )
+        cells = sink.groupBy("r", "b").agg(F.sum("c").alias("c")).collect()
     truth = corpus_df.select(
         F.explode(tokens_col(F.col(text_col))).alias("token")
     )
@@ -540,14 +537,14 @@ def stream_weighted_sample(
     q.awaitTermination()
     # Zero micro-batches => out_dir/cands was never written; return an empty
     # typed frame with the output schema instead of letting the read raise.
-    import os
+    from dbt_meshify_spark.streaming.sinks import read_sink_or_none
 
-    if not os.path.isdir(f"{out_dir}/cands"):
+    cands = read_sink_or_none(spark, f"{out_dir}/cands")
+    if cands is None:
         empty = spark.createDataFrame([], stream_docs.schema)
         return empty.withColumn("es_key", F.lit(None).cast("double")).withColumn(
             "draw_rank", F.lit(None).cast("int")
         )
-    cands = spark.read.parquet(f"{out_dir}/cands")
     topk = cands.orderBy(
         F.col("es_key").desc(), *[F.col(c) for c in key_cols]
     ).limit(k)
@@ -593,16 +590,17 @@ def stream_classifier_filter(
         .start()
     )
     q.awaitTermination()
-    # existence check, not a blanket except: a zero-micro-batch drain is
-    # the only legitimate empty case — a corrupted batch directory must
+    # PATH_NOT_FOUND check, not a blanket except: a zero-micro-batch drain
+    # is the only legitimate empty case — a corrupted batch directory must
     # RAISE, not masquerade as an empty corpus
-    import os
+    from dbt_meshify_spark.streaming.sinks import read_sink_or_none
 
-    if not os.path.isdir(f"{out_dir}/scored"):
+    scored = read_sink_or_none(spark, f"{out_dir}/scored")
+    if scored is None:
         return spark.createDataFrame(
             [],
             "doc_id bigint, n_tokens bigint, n_known bigint, "
             "score double, label boolean",
         )
     # drop the batch=N partition column the keyed layout introduces
-    return spark.read.parquet(f"{out_dir}/scored").drop("batch")
+    return scored.drop("batch")

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dbt_meshify_spark.streaming.sinks import read_sink_or_none
+
 EVENT_SCHEMA_NANOS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -474,8 +476,6 @@ def stream_quantile_sketch(
     batch view of the same data, used only for the exact rank-select audit
     columns.
     """
-    import os
-
     from dbt_meshify_spark.operators.sketches import (
         quantile_report_from_cells,
         quantile_sketch_cells,
@@ -502,18 +502,15 @@ def stream_quantile_sketch(
         F.col(value_col).isNotNull()
         & ~F.isnan(F.col(value_col).cast("double"))
     )
-    if not os.path.isdir(f"{out_dir}/cells"):
+    sink = read_sink_or_none(spark, f"{out_dir}/cells")
+    if sink is None:
         cells = spark.createDataFrame(
             [], data.select(*key_cols).schema
         ).withColumns(
             {"b": F.lit(None).cast("int"), "c": F.lit(None).cast("bigint")}
         )
     else:
-        cells = (
-            spark.read.parquet(f"{out_dir}/cells")
-            .groupBy(*key_cols, "b")
-            .agg(F.sum("c").alias("c"))
-        )
+        cells = sink.groupBy(*key_cols, "b").agg(F.sum("c").alias("c"))
     return quantile_report_from_cells(
         cells, data, key_cols, value_col, qs, lo, hi, width
     )
@@ -537,8 +534,6 @@ def stream_l_diversity(
     State grows with batches x distinct (QI, sensitive) pairs touched per
     batch — Zipf-bounded like a token table, never the row count.
     """
-    import os
-
     from dbt_meshify_spark.operators.privacy import l_diversity_from_counts
 
     spark = stream_df.sparkSession
@@ -555,15 +550,14 @@ def stream_l_diversity(
         .start()
     )
     q.awaitTermination()
-    if not os.path.isdir(f"{out_dir}/cells"):
+    sink = read_sink_or_none(spark, f"{out_dir}/cells")
+    if sink is None:
         sv = spark.createDataFrame(
             [], stream_df.select(*quasi_cols, sensitive_col).schema
         ).withColumn("__cnt", F.lit(None).cast("bigint"))
     else:
-        sv = (
-            spark.read.parquet(f"{out_dir}/cells")
-            .groupBy(*quasi_cols, sensitive_col)
-            .agg(F.sum("__cnt").cast("bigint").alias("__cnt"))
+        sv = sink.groupBy(*quasi_cols, sensitive_col).agg(
+            F.sum("__cnt").cast("bigint").alias("__cnt")
         )
     return l_diversity_from_counts(sv, quasi_cols, sensitive_col, l, c)
 
@@ -590,8 +584,6 @@ def stream_dp_noisy_counts(
     State on disk grows with distinct (group, user) pairs touched —
     bounded by the release's own support, never the event count.
     """
-    import os
-
     from dbt_meshify_spark.operators.privacy import dp_noisy_user_counts
 
     spark = stream_df.sparkSession
@@ -608,14 +600,13 @@ def stream_dp_noisy_counts(
         .start()
     )
     q.awaitTermination()
-    if not os.path.isdir(f"{out_dir}/pairs"):
+    sink = read_sink_or_none(spark, f"{out_dir}/pairs")
+    if sink is None:
         pairs = spark.createDataFrame(
             [], stream_df.select(*group_cols, user_col).schema
         )
     else:
-        pairs = spark.read.parquet(f"{out_dir}/pairs").select(
-            *group_cols, user_col
-        )
+        pairs = sink.select(*group_cols, user_col)
     # the BATCH mechanism runs on the merged pairs — one release path, so
     # the streaming twin cannot drift from the oracle (countDistinct over
     # the pair union also skips NULL users exactly like the batch twin;
@@ -648,8 +639,6 @@ def stream_weighted_quantile(
     batch operator, sharing ext_weighted_quantile's oracle; ``corpus_df``
     is the batch view, used only for the exact crossing-value audit.
     """
-    import os
-
     from dbt_meshify_spark.operators.sketches import (
         _grid_bucket,
         weighted_quantile_from_cells,
@@ -684,18 +673,15 @@ def stream_weighted_quantile(
     )
     q.awaitTermination()
     audit = normalized(corpus_df)
-    if not os.path.isdir(f"{out_dir}/cells"):
+    sink = read_sink_or_none(spark, f"{out_dir}/cells")
+    if sink is None:
         cells = spark.createDataFrame(
             [], audit.select(*key_cols).schema
         ).withColumns(
             {"b": F.lit(None).cast("int"), "c": F.lit(None).cast("bigint")}
         )
     else:
-        cells = (
-            spark.read.parquet(f"{out_dir}/cells")
-            .groupBy(*key_cols, "b")
-            .agg(F.sum("c").alias("c"))
-        )
+        cells = sink.groupBy(*key_cols, "b").agg(F.sum("c").alias("c"))
     return weighted_quantile_from_cells(
         cells, audit, key_cols, qs, lo, hi, width
     )

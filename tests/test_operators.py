@@ -5490,13 +5490,18 @@ def test_salted_pin_registry_releases_previous_frames(spark):
     )
     first = T.sessionize_salted(ev, gap_s=1800, bucket_s=3600)
     assert first.count() == 20
-    pinned_first = T._PINNED["sessionize_salted"]
+    key = (spark.sparkContext.applicationId, "sessionize_salted")
+    pinned_first = T._PINNED[key]
     assert pinned_first.storageLevel.useMemory
     second = T.sessionize_salted(ev, gap_s=900, bucket_s=3600)
     assert second.count() == 20
     # the first invocation's pin was released by the second
     assert not pinned_first.storageLevel.useMemory
-    assert T._PINNED["sessionize_salted"] is not pinned_first
+    assert T._PINNED[key] is not pinned_first
+    # entries orphaned by stopped sessions are swept on the next pin
+    T._PINNED[("app-dead-session", "sessionize_salted")] = pinned_first
+    T.sessionize_salted(ev, gap_s=1800, bucket_s=3600).count()
+    assert ("app-dead-session", "sessionize_salted") not in T._PINNED
     T.release_pinned_frames()
     assert T._PINNED == {}
 

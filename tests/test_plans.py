@@ -717,16 +717,21 @@ def test_governance_sql_fixtures_agree_with_python_operators(spark):
         model("d", ["b", "x"]), model("e", ["d"]), model("x"),
         Resource(unique_id="test.p.t1", name="t1", resource_type="test",
                  depends_on=["model.p.b"]),
+        Resource(unique_id="test.p.t2", name="t2", resource_type="test",
+                 depends_on=["model.p.e"]),
     ])
     # the SQL fixture's extra edge t1 -> e (a test feeding a model) has no
-    # Manifest analog (depends_on points upstream); it exists in the SQL to
-    # prove the nontest filter and changes no expected output
+    # Manifest analog (depends_on points upstream); it only widens split_e's
+    # xp count in the SQL and changes no would_cycle output
     sel = {"model.p.b", "model.p.d"}
     g7 = {
         (r.unique_id, r.relation)
         for r in REL["q_g7_cross_project_edges"](spark, None).collect()
     }
     py_parents = {u.split(".")[-1] for u in G.xproj_parents(m, sel)}
+    # xproj_children legitimately keeps test dependents (reference parity);
+    # the q_g7 SQL fixture is test-free, so filter them for comparison only
+    assert "test.p.t1" in G.xproj_children(m, sel)
     py_children = {
         u.split(".")[-1] for u in G.xproj_children(m, sel)
         if not u.startswith("test.")
@@ -739,9 +744,15 @@ def test_governance_sql_fixtures_agree_with_python_operators(spark):
     assert g8 == {
         "split_bd": G.is_project_cycle(m, sel | {"test.p.t1"}),
         "split_a": G.is_project_cycle(m, {"model.p.a"}),
-        "split_leaf": G.is_project_cycle(m, {"model.p.c", "model.p.e"}),
+        "split_e": G.is_project_cycle(m, {"model.p.e"}),
+        "split_c": G.is_project_cycle(m, {"model.p.c"}),
     }
-    assert g8 == {"split_bd": True, "split_a": False, "split_leaf": False}
+    # split_e: the ONLY cross-boundary child is the test t2 — a cycle per
+    # the reference (test nodes count in the xproj sets); split_bd: the
+    # SELECTED test t1 is subtracted, never a cross-boundary child
+    assert g8 == {
+        "split_bd": True, "split_a": False, "split_e": True, "split_c": False
+    }
 
     # --- G10: two-level owned-macro closure ---
     m2 = Manifest([
