@@ -58,51 +58,51 @@ _WINDOW_REL = [
     "q_g4_boundary_access",
 ]
 _WINDOW_EXT = [
-    # never-externally-verified backlog, alphabetical, recomputed fresh
-    # (COVERAGE.md ledger; ext_asof_join_salted is the round-11 verdict's
-    # early promotion — its oracle is the NAIVE correlated-subquery SQL, so
-    # the salted-equivalence statement is the thing externally verified)
-    "ext_ann_lsh_topk",
-    "ext_asof_join_salted",
-    "ext_bucketed_join",
-    "ext_code_markup_profile",
-    "ext_cosine_topk_gemm",
-    "ext_dp_noisy_counts",
-    "ext_embedding_neardup",
-    "ext_embedding_neardup_gemm",
-    "ext_embedding_neardup_lsh",
-    "ext_gopher_rules",
-    "ext_gram_novelty",
-    "ext_hard_negatives",
-    # round-12 oracle promotion (plane-literal replay) — slots in at its
-    # alphabetical spot; the displaced last slot rotates in next round
-    "ext_hard_negatives_lsh",
-    "ext_heaps_fit",
-    "ext_html_extract",
-    "ext_hybrid_retrieval",
-    "ext_incremental_exact_dedup",
-    "ext_incremental_neardup",
-    "ext_json_props",
-    "ext_k_anonymity",
-    "ext_kcore",
-    "ext_keyword_tags",
-    "ext_kn4_perplexity",
-    "ext_kn5_perplexity",
-    "ext_label_propagation",
-    "ext_lang_id",
-    "ext_lang_id_eval",
-    "ext_leakage_safe_split",
-    "ext_length_histogram",
-    "ext_lm_perplexity",
-    "ext_mixture_recipe",
-    "ext_mkn_perplexity",
-    "ext_ngram_containment",
-    "ext_pagerank",
-    "ext_pagerank_dangling",
-    "ext_pii_luhn_audit",
-    "ext_pii_redact",
-    "ext_preference_pairs",
-    "ext_quality_psi",
+    # r13 window: the eight round-12 shared-verbatim-SQL surfaces queue-jump
+    # the alphabetical backlog (r12 verdict task 1 — they sort after ext_*
+    # and would otherwise wait until r14), then the never-externally-
+    # verified backlog in alphabetical order, recomputed fresh
+    # (COVERAGE.md ledger; scripts/rotate_window.py derives this block).
+    "q40_recursive_hierarchy",
+    "q41_lateral_topk",
+    "q42_not_in_anti",
+    "q_g7_cross_project_edges",
+    "q_g8_project_cycle",
+    "q_g10_macro_closure",
+    "q_g12_group_closure",
+    "q_v7_version_resolution",
+    # alphabetical backlog resumes
+    "ext_quality_score",
+    "ext_quality_top_fraction",
+    "ext_range_join",
+    "ext_remove_source_boilerplate",
+    "ext_repetition_quality",
+    "ext_resample_locf",
+    "ext_robust_outliers",
+    "ext_rolling_anomaly",
+    "ext_sample_exact_k",
+    "ext_score_calibration",
+    "ext_script_profile",
+    "ext_self_repetition",
+    "ext_semantic_decontaminate",
+    "ext_session_stats",
+    "ext_shard_assign",
+    "ext_simhash_neardup_md5",
+    "ext_skew_report",
+    "ext_soft_dedup_weights",
+    "ext_source_boilerplate",
+    "ext_source_cap",
+    "ext_source_concentration",
+    "ext_source_overlap",
+    "ext_stratified_sample",
+    "ext_stream_classifier_filter",
+    "ext_stream_click_attribution",
+    "ext_stream_cms_heavy_hitters",
+    "ext_stream_conversation_filter",
+    "ext_stream_decontaminate",
+    "ext_stream_dedup",
+    "ext_stream_dp_noisy_counts",
+    "ext_stream_gopher_filter",
 ]
 _missing = [n for n in (*_WINDOW_REL, *_WINDOW_EXT) if n not in QUERIES]
 if _missing:

@@ -12,7 +12,16 @@ prints (a) the remaining debt, (b) the ready-to-paste ``_WINDOW_EXT``
 block for ``queries/__init__.py``, (c) a staleness check of the CURRENT
 window (slots whose oracle already has a green row are wasted bandwidth).
 
-Usage: python scripts/rotate_window.py [--slots 39]
+Steady state (post-backlog, COVERAGE.md §rotation): once every oracle has
+at least one green row, ``--oldest-green`` switches the slot-fill policy to
+a STALENESS cycle — slots go to the oracles whose most recent green
+CORRECTNESS row is oldest (ties alphabetical), so the whole corpus gets
+re-verified against the live tree roughly every ceil(oracles/slots) ≈ 6
+rounds even as plans rebase underneath. Any still-unverified oracle always
+sorts first (last_green = 0), so the mode is safe to adopt before debt
+hits zero.
+
+Usage: python scripts/rotate_window.py [--slots 39] [--oldest-green]
 """
 
 from __future__ import annotations
@@ -21,15 +30,19 @@ import argparse
 import glob
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def green_names() -> set[str]:
-    out: set[str] = set()
+def _green_rows() -> dict[str, int]:
+    """name -> latest round number with a fully-green row."""
+    out: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        rnd = int(m.group(1)) if m else 0
         for name, row in json.load(open(f)).items():
             if (
                 row.get("rows_match")
@@ -37,18 +50,29 @@ def green_names() -> set[str]:
                 and row.get("hash_match")
                 and not row.get("err")
             ):
-                out.add(name)
+                out[name] = max(out.get(name, 0), rnd)
     return out
+
+
+def green_names() -> set[str]:
+    return set(_green_rows())
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", type=int, default=39)
+    ap.add_argument(
+        "--oldest-green",
+        action="store_true",
+        help="steady-state staleness cycle: fill slots with the oracles "
+        "whose latest green row is oldest (unverified first)",
+    )
     args = ap.parse_args()
 
     from dbt_meshify_spark.queries import ORACLES, QUERIES
 
-    verified = green_names()
+    last_green = _green_rows()
+    verified = set(last_green)
     debt = sorted(n for n in ORACLES if n not in verified)
     window_now = list(QUERIES)[:50]
     stale = [
@@ -61,14 +85,26 @@ def main() -> int:
     if stale:
         print(f"\nSTALE window slots (already green — rotate these out): "
               f"{stale}")
+    if args.oldest_green:
+        by_staleness = sorted(
+            ORACLES, key=lambda n: (last_green.get(n, 0), n)
+        )
+        nxt = by_staleness[: args.slots]
+        print(f"\nnext _WINDOW_EXT ({len(nxt)} slots, staleness cycle — "
+              f"oldest green round first):")
+        for n in nxt:
+            rnd = last_green.get(n, 0)
+            tag = f"r{rnd:02d}" if rnd else "NEVER"
+            print(f'    "{n}",  # last green {tag}')
+        return 0
     nxt = debt[: args.slots]
     print(f"\nnext _WINDOW_EXT ({len(nxt)} slots; debt after: "
           f"{len(debt) - len(nxt)}):")
     for n in nxt:
         print(f'    "{n}",')
     if len(debt) <= args.slots:
-        print("\nbacklog CLEARS this round — fill remaining slots with "
-              "round promotions or rotate relational coverage.")
+        print("\nbacklog CLEARS this round — switch to --oldest-green for "
+              "the steady-state staleness cycle (COVERAGE.md §rotation).")
     return 0
 
 
