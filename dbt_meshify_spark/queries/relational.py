@@ -678,6 +678,72 @@ def q_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q_V7_SQL)
 
 
+_Q_L2_SQL = """
+WITH up_models AS (
+  SELECT * FROM (VALUES
+    ('proj_a', 'model.proj_a.shared_dim', 'db.main.shared_dim'),
+    ('proj_a', 'model.proj_a.shared_util', 'db.main.shared_util'),
+    ('proj_a', 'model.proj_a.internal', 'db.main.internal'),
+    ('proj_z', 'model.proj_z.shared_dim', 'db.main.shared_dim')
+  ) AS t(project, unique_id, relation_name)
+),
+dn_models AS (
+  SELECT * FROM (VALUES
+    ('model.proj_a.shared_dim', 'proj_a', 'DB.MAIN.SHARED_DIM'),
+    ('model.proj_a.shared_util', 'proj_a', 'db.main.shared_util'),
+    ('model.proj_c.third', 'proj_c', 'db.main.third'),
+    ('model.proj_b.orders', 'proj_b', 'db.main.orders'),
+    ('model.proj_b.revenue', 'proj_b', 'db.main.revenue')
+  ) AS t(unique_id, package, relation_name)
+),
+dn_edges AS (
+  SELECT * FROM (VALUES
+    ('model.proj_a.shared_dim', 'model.proj_b.orders'),
+    ('model.proj_b.orders', 'model.proj_b.revenue')
+  ) AS t(src, dst)
+),
+installed AS (
+  SELECT DISTINCT md5(package) AS pid FROM dn_models
+  WHERE md5(package) <> md5('proj_b')
+),
+candidates AS (SELECT * FROM (VALUES ('proj_a'), ('proj_z')) AS t(up_name)),
+gated AS (
+  SELECT c.up_name FROM candidates c JOIN installed i ON i.pid = md5(c.up_name)
+),
+shared AS (
+  SELECT g.up_name, u.unique_id AS upstream_resource, d.unique_id AS dn_copy
+  FROM gated g
+  JOIN up_models u ON u.project = g.up_name
+  JOIN dn_models d ON lower(u.relation_name) = lower(d.relation_name)
+),
+deps AS (
+  SELECT s.up_name, s.upstream_resource, e.dst AS downstream_resource
+  FROM shared s JOIN dn_edges e ON e.src = s.dn_copy
+)
+SELECT up_name AS upstream_project, upstream_resource,
+       'proj_b' AS downstream_project, downstream_resource,
+       'package' AS dep_type
+FROM deps
+ORDER BY upstream_resource NULLS FIRST, downstream_resource NULLS FIRST
+"""
+
+
+def q_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[L2] package-imported dependency detection — upstream counts as a
+    package of downstream iff its md5 project id appears among downstream's
+    installed-package ids (every md5(package_name) that is NOT downstream's
+    own — reference dbt_projects.py:150-170), shared models are the
+    case-insensitive relation-name intersection, and the dependency
+    attaches to the downstream CHILDREN of each shared model
+    (linker.py:124-198). The fixture pins each piece: proj_z shares a
+    relation name but is NOT installed (md5 gate kills it), shared_util is
+    installed+shared but childless (no row), revenue is a grandchild (no
+    row — children only), and the shared_dim match crosses case. Engine
+    twin plans/linker.py::package_dependencies, pinned by the
+    twin-agreement test."""
+    return spark.sql(_Q_L2_SQL)
+
+
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[A1 extension] exact percentiles + sample stddev per group — the
     statistical-aggregate surface a semantic layer's distribution measures
@@ -1211,6 +1277,81 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q42_SQL.format(cust="cust_q42", ord="ord_q42"))
 
 
+_Q43_SQL = """
+WITH ia AS (
+  SELECT l_suppkey FROM {li} WHERE l_returnflag = 'R'
+  INTERSECT ALL
+  SELECT l_suppkey FROM {li} WHERE l_quantity > 25.0
+),
+ea AS (
+  SELECT l_suppkey FROM {li} WHERE l_returnflag = 'R'
+  EXCEPT ALL
+  SELECT l_suppkey FROM {li} WHERE l_quantity > 25.0
+)
+SELECT 'intersect_all' AS tag, CAST(l_suppkey AS BIGINT) AS suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ia GROUP BY l_suppkey
+UNION ALL
+SELECT 'except_all' AS tag, CAST(l_suppkey AS BIGINT) AS suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ea GROUP BY l_suppkey
+ORDER BY tag NULLS FIRST, suppkey NULLS FIRST
+"""
+
+
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U2 multiset] INTERSECT ALL / EXCEPT ALL — the bag-semantics set
+    operators q32's DISTINCT variants don't exercise: per supplier,
+    INTERSECT ALL keeps min(multiplicity) of returned vs high-quantity
+    line items and EXCEPT ALL keeps the surplus, so the result depends
+    on duplicate COUNTS, not membership (SURVEY §2.3 U2; the reference
+    delegates set algebra to its SQL engine, dbt_projects.py:362-366).
+    The IDENTICAL SQL text runs on both engines (the oracle is this
+    string verbatim).
+
+    Scale posture: Spark plans both ALL-variants as a partial-aggregatable
+    count per leg + a single hash join on the key (no row-by-row bag
+    diff); the two legs and the final GROUP BY all shuffle on l_suppkey,
+    so AQE reuses one exchange footprint. The trailing per-key counts keep
+    the checked output at supplier cardinality."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q43")
+    return spark.sql(_Q43_SQL.format(li="li_q43"))
+
+
+_Q44_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000.0)
+            AS BIGINT) AS n_big_custs,
+       ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O') + 0.0, 2)
+         AS open_value,
+       ROUND(MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'P') + 0.0, 2)
+         AS max_pending
+FROM {ord}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority NULLS FIRST
+"""
+
+
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A3 standard form] aggregate FILTER clauses — the ANSI form of
+    q05's sum-of-CASE conditional aggregation, including the shape CASE
+    cannot express: COUNT(DISTINCT x) FILTER (...) needs the filter
+    BEFORE the distinct-set build, where SUM(CASE...) would count the
+    placeholder. The IDENTICAL SQL text runs on both engines (the oracle
+    is this string verbatim; ROUND(SUM(double)) follows q13's proven
+    large-group convention, with the `+ 0.0` fold since an all-NULL
+    filter leg can emit NULL and a rounded sum can emit -0.0).
+
+    Scale posture: every FILTER aggregate stays partial-aggregatable —
+    one hash aggregate, map-side combine, a single exchange on the group
+    key; the distinct-filter column rewrites to an expand + two-phase
+    aggregate exactly like a bare COUNT(DISTINCT)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_q44")
+    return spark.sql(_Q44_SQL.format(ord="ord_q44"))
+
+
 QUERIES = {
     "q01_projection_cast": q01,
     "q02_case_boolean": q02,
@@ -1255,6 +1396,8 @@ QUERIES = {
     "q40_recursive_hierarchy": q40,
     "q41_lateral_topk": q41,
     "q42_not_in_anti": q42,
+    "q43_multiset_ops": q43,
+    "q44_filtered_agg": q44,
     "q_g4_boundary_access": q_g4,
     "q_g7_cross_project_edges": q_g7,
     "q_g8_project_cycle": q_g8,
@@ -1262,6 +1405,7 @@ QUERIES = {
     "q_g12_group_closure": q_g12,
     "q_v7_version_resolution": q_v7,
     "q_l1_dependency_detection": q_l1,
+    "q_l2_package_dependencies": q_l2,
 }
 
 
@@ -1269,11 +1413,14 @@ ORACLES = {
     "q40_recursive_hierarchy": _Q40_SQL.format(tbl="part"),
     "q41_lateral_topk": _Q41_SQL.format(cust="customer", ord="orders"),
     "q42_not_in_anti": _Q42_SQL.format(cust="customer", ord="orders"),
+    "q43_multiset_ops": _Q43_SQL.format(li="lineitem"),
+    "q44_filtered_agg": _Q44_SQL.format(ord="orders"),
     "q_g7_cross_project_edges": _Q_G7_SQL,
     "q_g8_project_cycle": _Q_G8_SQL,
     "q_g10_macro_closure": _Q_G10_SQL,
     "q_g12_group_closure": _Q_G12_SQL,
     "q_v7_version_resolution": _Q_V7_SQL,
+    "q_l2_package_dependencies": _Q_L2_SQL,
     "q39_time_range_frame": """
 WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
 SELECT event_id, user_id,

@@ -877,3 +877,24 @@ def test_new_sql_surface_queries_plan_shapes(spark):
     assert "LeftAnti" in p42, "NOT IN lost the anti-join plan"
     for p in (p40, p41, p42):
         assert "CartesianProduct" not in p
+
+
+def test_multiset_and_filtered_agg_plan_shapes(spark):
+    """q43/q44 (round 13): INTERSECT ALL / EXCEPT ALL must execute via the
+    join-FREE ReplicateRows rewrite (dual-marker union -> per-key dual
+    count -> Generate replicaterows) — a per-row bag-diff join would be the
+    scale hazard — with both leg filters pushed to the parquet scans; the
+    FILTER-clause aggregates must stay one partial-aggregatable hash
+    pipeline (map-side partial_* FILTER before the single key exchange),
+    never a join of per-condition subqueries."""
+    p43 = _physical(QUERIES["q43_multiset_ops"](spark, SF_ORACLE))
+    assert "replicaterows" in p43.lower(), "multiset rewrite lost"
+    assert "Join" not in p43, "set-ALL ops should plan join-free"
+    assert "EqualTo(l_returnflag,R)" in p43, "leg filter not pushed to scan"
+    p44 = _physical(QUERIES["q44_filtered_agg"](spark, SF_ORACLE))
+    assert "Join" not in p44, "FILTER aggregates must not join subqueries"
+    assert "partial_count(1) FILTER" in p44, (
+        "filtered count lost map-side partial aggregation"
+    )
+    for p in (p43, p44):
+        assert "CartesianProduct" not in p

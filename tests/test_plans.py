@@ -791,6 +791,59 @@ def test_governance_sql_fixtures_agree_with_python_operators(spark):
     sql_g12 = {r.unique_id for r in REL["q_g12_group_closure"](spark, None).collect()}
     assert sql_g12 == py_g12 == {"group.p.finance"}
 
+    # --- L2: package-dependency detection (md5 gate + child expansion) ---
+    from dbt_meshify_spark.plans.linker import package_dependencies
+
+    dn = Manifest([
+        Resource(unique_id="model.proj_a.shared_dim", name="shared_dim",
+                 resource_type="model", package="proj_a",
+                 relation_name="DB.MAIN.SHARED_DIM"),
+        Resource(unique_id="model.proj_a.shared_util", name="shared_util",
+                 resource_type="model", package="proj_a",
+                 relation_name="db.main.shared_util"),
+        Resource(unique_id="model.proj_c.third", name="third",
+                 resource_type="model", package="proj_c",
+                 relation_name="db.main.third"),
+        Resource(unique_id="model.proj_b.orders", name="orders",
+                 resource_type="model", package="proj_b",
+                 relation_name="db.main.orders",
+                 depends_on=["model.proj_a.shared_dim"]),
+        Resource(unique_id="model.proj_b.revenue", name="revenue",
+                 resource_type="model", package="proj_b",
+                 relation_name="db.main.revenue",
+                 depends_on=["model.proj_b.orders"]),
+    ])
+    up_a = Manifest([
+        Resource(unique_id="model.proj_a.shared_dim", name="shared_dim",
+                 resource_type="model", package="proj_a",
+                 relation_name="db.main.shared_dim"),
+        Resource(unique_id="model.proj_a.shared_util", name="shared_util",
+                 resource_type="model", package="proj_a",
+                 relation_name="db.main.shared_util"),
+        Resource(unique_id="model.proj_a.internal", name="internal",
+                 resource_type="model", package="proj_a",
+                 relation_name="db.main.internal"),
+    ])
+    up_z = Manifest([
+        Resource(unique_id="model.proj_z.shared_dim", name="shared_dim",
+                 resource_type="model", package="proj_z",
+                 relation_name="db.main.shared_dim"),
+    ])
+    sql_l2 = {
+        (r.upstream_project, r.upstream_resource, r.downstream_resource)
+        for r in REL["q_l2_package_dependencies"](spark, None).collect()
+    }
+    py_a = {
+        ("proj_a", d.upstream_resource, d.downstream_resource)
+        for d in package_dependencies(up_a, "proj_a", dn, "proj_b")
+    }
+    # proj_z shares a relation name but is NOT installed downstream — the
+    # md5 gate must kill it on both engines
+    assert package_dependencies(up_z, "proj_z", dn, "proj_b") == set()
+    assert sql_l2 == py_a == {
+        ("proj_a", "model.proj_a.shared_dim", "model.proj_b.orders")
+    }
+
     # --- V7: versioned-ref resolution incl. prerelease pin ---
     rows = {r.ref_id: (r.resolved_version, r.relation)
             for r in REL["q_v7_version_resolution"](spark, None).collect()}
