@@ -169,3 +169,38 @@ def test_declared_corpus_counts_stay_synced_with_docs():
     # the driver window is exactly 50 hash-checkable slots
     window = list(QUERIES)[:50]
     assert all(n in ORACLES for n in window)
+
+
+def test_rotate_window_green_rows_and_staleness_order(tmp_path, monkeypatch):
+    """The rotation script's two policies both derive from the CORRECTNESS
+    green rows: backlog mode ignores anything ever-green, --oldest-green
+    orders by latest green round with never-verified names first (the
+    post-backlog steady state documented in COVERAGE.md §rotation)."""
+    import importlib
+    import json
+
+    import scripts.rotate_window as rw
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True, "hash_match": True,
+              "err": None},
+        "b": {"rows_match": True, "schema_match": True, "hash_match": False,
+              "err": None},  # hash fail — not green
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True, "hash_match": True,
+              "err": None},
+        "c": {"rows_match": True, "schema_match": True, "hash_match": True,
+              "err": "boom"},  # err — not green
+        "d": {"rows_match": True, "schema_match": True, "hash_match": True,
+              "err": None},
+    }))
+    monkeypatch.setattr(rw, "_REPO", str(tmp_path))
+    rows = rw._green_rows()
+    assert rows == {"a": 3, "d": 3}
+    assert rw.green_names() == {"a", "d"}
+    # staleness order over a hypothetical oracle list: never-green first
+    # (last_green=0), then oldest round, ties alphabetical
+    oracles = ["d", "b", "a", "c"]
+    ordered = sorted(oracles, key=lambda n: (rows.get(n, 0), n))
+    assert ordered == ["b", "c", "a", "d"]
