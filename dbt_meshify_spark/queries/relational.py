@@ -1352,6 +1352,40 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q44_SQL.format(ord="ord_q44"))
 
 
+_Q45_SQL = """
+SELECT o_orderpriority,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice) + 0.0, 2)
+         AS median_price,
+       ROUND(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice) + 0.0, 2)
+         AS q1_price,
+       ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice) + 0.0, 2)
+         AS p90_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM {ord}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority NULLS FIRST
+"""
+
+
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A-ordered-set] PERCENTILE_CONT / PERCENTILE_DISC WITHIN GROUP —
+    the ANSI ordered-set aggregate family (q23 covers the function-call
+    percentile surface; this is the standard inverse-distribution syntax,
+    identical text on both engines and bit-identical at this data:
+    PERCENTILE_DISC returns an actual data value and PERCENTILE_CONT's
+    linear interpolation lands on representable doubles; the `+ 0.0`
+    fold guards the -0.0 canonicalizer rule regardless). The IDENTICAL
+    SQL string runs on both engines (the oracle is this text verbatim).
+
+    Scale posture: Spark plans WITHIN GROUP percentiles as the same
+    sort-based percentile aggregate as q23 — one exchange on the group
+    key, per-group sort inside the aggregate, no window, no join; cost is
+    bounded by group size, and the skew guidance in SCALE.md's q23 row
+    (pre-aggregate or sketch for mega-groups) applies unchanged."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_q45")
+    return spark.sql(_Q45_SQL.format(ord="ord_q45"))
+
+
 QUERIES = {
     "q01_projection_cast": q01,
     "q02_case_boolean": q02,
@@ -1398,6 +1432,7 @@ QUERIES = {
     "q42_not_in_anti": q42,
     "q43_multiset_ops": q43,
     "q44_filtered_agg": q44,
+    "q45_ordered_set_agg": q45,
     "q_g4_boundary_access": q_g4,
     "q_g7_cross_project_edges": q_g7,
     "q_g8_project_cycle": q_g8,
@@ -1415,6 +1450,7 @@ ORACLES = {
     "q42_not_in_anti": _Q42_SQL.format(cust="customer", ord="orders"),
     "q43_multiset_ops": _Q43_SQL.format(li="lineitem"),
     "q44_filtered_agg": _Q44_SQL.format(ord="orders"),
+    "q45_ordered_set_agg": _Q45_SQL.format(ord="orders"),
     "q_g7_cross_project_edges": _Q_G7_SQL,
     "q_g8_project_cycle": _Q_G8_SQL,
     "q_g10_macro_closure": _Q_G10_SQL,

@@ -896,5 +896,10 @@ def test_multiset_and_filtered_agg_plan_shapes(spark):
     assert "partial_count(1) FILTER" in p44, (
         "filtered count lost map-side partial aggregation"
     )
-    for p in (p43, p44):
+    p45 = _physical(QUERIES["q45_ordered_set_agg"](spark, SF_ORACLE))
+    assert "Join" not in p45 and "Window" not in p45, (
+        "WITHIN GROUP percentiles must stay one sort-based aggregate"
+    )
+    assert "partial_" in p45, "ordered-set aggregate lost partial phase"
+    for p in (p43, p44, p45):
         assert "CartesianProduct" not in p
