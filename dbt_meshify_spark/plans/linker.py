@@ -82,28 +82,38 @@ def source_dependencies(
 def package_dependencies(
     upstream: Manifest, upstream_name: str, downstream: Manifest, downstream_name: str
 ) -> set[ProjectDependency]:
-    """L2: upstream installed as a package in downstream (same project id
-    present among downstream's packages), sharing relation names; the
-    dependency attaches to the downstream CHILDREN of the shared model."""
+    """L2: upstream installed as a package in downstream, shared models
+    found by case-insensitive relation-name intersection, the dependency
+    attaching to the downstream CHILDREN of the shared model — keyed by
+    the UPSTREAM unique_id, which is the id an installed package's nodes
+    keep in the downstream manifest (reference linker.py:124-198).
+
+    The installed-package gate mirrors dbt_projects.py:150-170 exactly:
+    the md5 of every package name appearing in the downstream manifest,
+    minus downstream's own project id, must contain upstream's project
+    id. Shared detection is the same relation-name intersection the
+    source-hack path uses (reference _find_relation_dependencies) — NOT
+    package ownership, so an aliased downstream copy still matches and a
+    non-matching relation never does. The q_l2 oracle replays these
+    semantics verbatim in SQL; the twin-agreement test pins both."""
+    down_pid = project_id(downstream_name)
     installed = {
-        r.package for r in downstream.resources.values() if r.resource_type == "model"
+        project_id(r.package)
+        for r in downstream.resources.values()
+        if r.package and project_id(r.package) != down_pid
     }
-    if upstream_name not in installed:
+    if project_id(upstream_name) not in installed:
         return set()
-    # ids of downstream copies of upstream-owned models (same package name)
-    upstream_pid = project_id(upstream_name)
-    shared = {
-        uid
-        for uid, r in downstream.models.items()
-        if project_id(r.package) == upstream_pid
-    }
+    up_rels = _relation_map(upstream.models)
+    dn_rels = _relation_map(downstream.models)
     child_map = downstream.child_map()
     deps = set()
-    for uid in shared:
-        for child in child_map.get(uid, []):
+    for rel in up_rels.keys() & dn_rels.keys():
+        up_uid = up_rels[rel]
+        for child in child_map.get(up_uid, []):
             deps.add(
                 ProjectDependency(
-                    upstream_resource=uid.replace(f".{downstream_name}.", f".{upstream_name}."),
+                    upstream_resource=up_uid,
                     upstream_project_name=upstream_name,
                     downstream_resource=child,
                     downstream_project_name=downstream_name,

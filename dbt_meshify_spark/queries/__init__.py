@@ -116,6 +116,12 @@ if len(_head) != 50:
     raise RuntimeError(
         f"driver window must be exactly 50 slots, got {len(_head)}"
     )
+if len(set(_head)) != 50:
+    # a duplicated name would survive the length check but dedup to 49
+    # curated slots in the dict rebuild below — insertion order would then
+    # pull query 51 into the externally-hashed window silently
+    _dups = sorted({n for n in _head if _head.count(n) > 1})
+    raise RuntimeError(f"driver-window names duplicated: {_dups}")
 QUERIES = {
     **{name: QUERIES[name] for name in _head},
     **{name: fn for name, fn in QUERIES.items() if name not in set(_head)},

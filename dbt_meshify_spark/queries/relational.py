@@ -711,14 +711,14 @@ gated AS (
   SELECT c.up_name FROM candidates c JOIN installed i ON i.pid = md5(c.up_name)
 ),
 shared AS (
-  SELECT g.up_name, u.unique_id AS upstream_resource, d.unique_id AS dn_copy
+  SELECT DISTINCT g.up_name, u.unique_id AS upstream_resource
   FROM gated g
   JOIN up_models u ON u.project = g.up_name
   JOIN dn_models d ON lower(u.relation_name) = lower(d.relation_name)
 ),
 deps AS (
   SELECT s.up_name, s.upstream_resource, e.dst AS downstream_resource
-  FROM shared s JOIN dn_edges e ON e.src = s.dn_copy
+  FROM shared s JOIN dn_edges e ON e.src = s.upstream_resource
 )
 SELECT up_name AS upstream_project, upstream_resource,
        'proj_b' AS downstream_project, downstream_resource,

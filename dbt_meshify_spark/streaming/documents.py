@@ -157,12 +157,14 @@ def stream_gopher_filter(
         .start()
     )
     q.awaitTermination()
-    try:
-        return spark.read.parquet(f"{out_dir}/rows")
-    except Exception:
+    from dbt_meshify_spark.streaming.sinks import read_sink_or_none
+
+    rows = read_sink_or_none(spark, f"{out_dir}/rows")
+    if rows is None:
         return spark.createDataFrame(
             [], "doc_id bigint, n_words bigint, mean_word_len double, stop_hits bigint"
         )
+    return rows
 
 
 def stream_quality_psi(
@@ -227,11 +229,13 @@ def stream_quality_psi(
         .start()
     )
     q.awaitTermination()
-    try:
-        partials = spark.read.parquet(f"{out_dir}/partials")
-        new_cnts = partials.groupBy("bucket").agg(F.sum("n").alias("n_new"))
-    except Exception:
+    from dbt_meshify_spark.streaming.sinks import read_sink_or_none
+
+    partials = read_sink_or_none(spark, f"{out_dir}/partials")
+    if partials is None:
         new_cnts = spark.createDataFrame([], "bucket int, n_new long")
+    else:
+        new_cnts = partials.groupBy("bucket").agg(F.sum("n").alias("n_new"))
     base_cnts = score_buckets(
         baseline_scored, score_col, lo, hi, n_buckets, "n_old"
     )
@@ -408,12 +412,14 @@ def stream_conversation_filter(
         .start()
     )
     q.awaitTermination()
-    try:
-        return spark.read.parquet(f"{out_dir}/rows")
-    except Exception:
+    from dbt_meshify_spark.streaming.sinks import read_sink_or_none
+
+    rows = read_sink_or_none(spark, f"{out_dir}/rows")
+    if rows is None:
         return spark.createDataFrame(
             [], "doc_id bigint, n_turns bigint, total_chars bigint"
         )
+    return rows
 
 
 def stream_cms_heavy_hitters(

@@ -86,8 +86,15 @@ def main() -> int:
         print(f"\nSTALE window slots (already green — rotate these out): "
               f"{stale}")
     if args.oldest_green:
+        # the 11 persistent representatives are verified by the window
+        # every round already — filling a rotating slot with one would
+        # both waste the slot and paste a DUPLICATE name into _WINDOW_EXT
+        # (the 50-slot list would dedup to 49 and silently shift slot 50)
+        from dbt_meshify_spark.queries import _WINDOW_REL
+
         by_staleness = sorted(
-            ORACLES, key=lambda n: (last_green.get(n, 0), n)
+            (n for n in ORACLES if n not in set(_WINDOW_REL)),
+            key=lambda n: (last_green.get(n, 0), n),
         )
         nxt = by_staleness[: args.slots]
         print(f"\nnext _WINDOW_EXT ({len(nxt)} slots, staleness cycle — "

@@ -176,7 +176,6 @@ def test_rotate_window_green_rows_and_staleness_order(tmp_path, monkeypatch):
     green rows: backlog mode ignores anything ever-green, --oldest-green
     orders by latest green round with never-verified names first (the
     post-backlog steady state documented in COVERAGE.md §rotation)."""
-    import importlib
     import json
 
     import scripts.rotate_window as rw

@@ -843,6 +843,28 @@ def test_governance_sql_fixtures_agree_with_python_operators(spark):
     assert sql_l2 == py_a == {
         ("proj_a", "model.proj_a.shared_dim", "model.proj_b.orders")
     }
+    # reference semantics pin (r13 review): shared = RELATION-NAME
+    # intersection, not package ownership — an aliased downstream copy
+    # stops matching, a cross-package relation collision starts matching,
+    # and children are keyed by the UPSTREAM uid the installed package's
+    # nodes keep in the downstream manifest (linker.py:124-198)
+    dn2 = Manifest([
+        Resource(unique_id="model.proj_a.shared_dim", name="shared_dim",
+                 resource_type="model", package="proj_a",
+                 relation_name="db.main.other_alias"),
+        Resource(unique_id="model.proj_x.mirror", name="mirror",
+                 resource_type="model", package="proj_x",
+                 relation_name="DB.MAIN.INTERNAL"),
+        Resource(unique_id="model.proj_b.rpt", name="rpt",
+                 resource_type="model", package="proj_b",
+                 relation_name="db.main.rpt",
+                 depends_on=["model.proj_a.internal"]),
+    ])
+    deps2 = {
+        (d.upstream_resource, d.downstream_resource)
+        for d in package_dependencies(up_a, "proj_a", dn2, "proj_b")
+    }
+    assert deps2 == {("model.proj_a.internal", "model.proj_b.rpt")}
 
     # --- V7: versioned-ref resolution incl. prerelease pin ---
     rows = {r.ref_id: (r.resolved_version, r.relation)
