@@ -734,8 +734,10 @@ def q_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     installed-package ids (every md5(package_name) that is NOT downstream's
     own — reference dbt_projects.py:150-170), shared models are the
     case-insensitive relation-name intersection, and the dependency
-    attaches to the downstream CHILDREN of each shared model
-    (linker.py:124-198). The fixture pins each piece: proj_z shares a
+    attaches to the downstream CHILDREN of each shared model, keyed by the
+    UPSTREAM unique_id (the id an installed package's nodes keep in the
+    downstream manifest — linker.py:124-198). The fixture pins each piece:
+    proj_z shares a
     relation name but is NOT installed (md5 gate kills it), shared_util is
     installed+shared but childless (no row), revenue is a grandchild (no
     row — children only), and the shared_dim match crosses case. Engine
