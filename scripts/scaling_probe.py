@@ -211,6 +211,11 @@ def main() -> None:
 
         pair_skew_probe(get_spark(), sf_dir)
         return
+    if "--relational" in sys.argv:
+        from dbt_meshify_spark.session import get_spark
+
+        relational_scale_probe(get_spark(), sf_dir)
+        return
     from dbt_meshify_spark.operators.dedup import (
         exact_dedup,
         minhash_candidate_pairs,
@@ -452,6 +457,70 @@ def sketch_family_probe(spark, base) -> None:
             flush=True,
         )
 
+
+
+def relational_scale_probe(spark, sf_dir: str) -> None:
+    """q43/q44/q45 families at 1x-4x (round 13): INTERSECT ALL / EXCEPT
+    ALL via the join-free ReplicateRows rewrite, FILTER-clause aggregates,
+    and WITHIN GROUP percentiles — every one a single-exchange hash/sort
+    aggregate expected to scale ~linearly in input rows.
+
+    Scale-up: lineitem copies shift l_suppkey by copy index (per-key
+    multiplicities constant, key count grows linearly — the honest test
+    for the per-key dual-count aggregate; naive duplication would double
+    multiplicities instead of keys and shrink the EXCEPT ALL surplus
+    artificially). Orders copies keep their group keys, so q44/q45 groups
+    stay at 5 while rows grow — the mega-group direction, which is the
+    documented stress case for sort-based percentile buffers."""
+    import time as _t
+
+    from dbt_meshify_spark.queries.relational import (
+        _Q43_SQL,
+        _Q44_SQL,
+        _Q45_SQL,
+    )
+    from dbt_meshify_spark.sources import load_table
+
+    li0 = load_table(spark, sf_dir, "lineitem")
+    od0 = load_table(spark, sf_dir, "orders")
+    max_supp = li0.agg(F.max("l_suppkey")).first()[0] + 1
+
+    # warmup pins codegen outside the timing loop
+    li0.limit(1000).createOrReplaceTempView("li_probe")
+    od0.limit(1000).createOrReplaceTempView("ord_probe")
+    spark.sql(_Q43_SQL.format(li="li_probe")).count()
+    spark.sql(_Q44_SQL.format(ord="ord_probe")).count()
+    spark.sql(_Q45_SQL.format(ord="ord_probe")).count()
+
+    for k in (1, 2, 4):
+        li = li0
+        od = od0
+        for i in range(1, k):
+            li = li.unionByName(
+                li0.withColumn("l_suppkey", F.col("l_suppkey") + i * max_supp)
+            )
+            od = od.unionByName(od0)
+        li = li.localCheckpoint()
+        od = od.localCheckpoint()
+        n_li, n_od = li.count(), od.count()
+        li.createOrReplaceTempView("li_probe")
+        od.createOrReplaceTempView("ord_probe")
+        t0 = _t.time()
+        n43 = spark.sql(_Q43_SQL.format(li="li_probe")).count()
+        t43 = _t.time() - t0
+        t0 = _t.time()
+        n44 = spark.sql(_Q44_SQL.format(ord="ord_probe")).count()
+        t44 = _t.time() - t0
+        t0 = _t.time()
+        n45 = spark.sql(_Q45_SQL.format(ord="ord_probe")).count()
+        t45 = _t.time() - t0
+        print(
+            f"relational scale={k}x li={n_li} ord={n_od}: "
+            f"multiset_rows={n43} ({t43:.2f}s) "
+            f"filtered_agg_rows={n44} ({t44:.2f}s) "
+            f"ordered_set_rows={n45} ({t45:.2f}s)",
+            flush=True,
+        )
 
 
 def privacy_kmv_probe(spark, sf_dir: str) -> None:
