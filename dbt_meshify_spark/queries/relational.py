@@ -1388,6 +1388,33 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q45_SQL.format(ord="ord_q45"))
 
 
+_Q46_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM {ord}
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[GS-resolution] GROUP BY ALL / ORDER BY ALL — the inferred-grouping
+    resolution rule (group on every non-aggregate select item, order on
+    every output column), supported with identical semantics by both
+    engines; the IDENTICAL SQL text runs on both (the oracle is this
+    string verbatim). The grouped columns are non-NULL so the engines'
+    differing ORDER BY null-placement defaults cannot diverge — and the
+    driver canonicalizer re-sorts rows regardless; what this query pins is
+    the RESOLUTION, that both engines infer the same grouping set.
+
+    Scale posture: resolves to exactly q13's plan family — one
+    partial-aggregatable hash aggregate, one exchange on the inferred
+    keys; sugar adds no physical operator."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_q46")
+    return spark.sql(_Q46_SQL.format(ord="ord_q46"))
+
+
 QUERIES = {
     "q01_projection_cast": q01,
     "q02_case_boolean": q02,
@@ -1435,6 +1462,7 @@ QUERIES = {
     "q43_multiset_ops": q43,
     "q44_filtered_agg": q44,
     "q45_ordered_set_agg": q45,
+    "q46_group_by_all": q46,
     "q_g4_boundary_access": q_g4,
     "q_g7_cross_project_edges": q_g7,
     "q_g8_project_cycle": q_g8,
@@ -1453,6 +1481,7 @@ ORACLES = {
     "q43_multiset_ops": _Q43_SQL.format(li="lineitem"),
     "q44_filtered_agg": _Q44_SQL.format(ord="orders"),
     "q45_ordered_set_agg": _Q45_SQL.format(ord="orders"),
+    "q46_group_by_all": _Q46_SQL.format(ord="orders"),
     "q_g7_cross_project_edges": _Q_G7_SQL,
     "q_g8_project_cycle": _Q_G8_SQL,
     "q_g10_macro_closure": _Q_G10_SQL,

@@ -901,5 +901,10 @@ def test_multiset_and_filtered_agg_plan_shapes(spark):
         "WITHIN GROUP percentiles must stay one sort-based aggregate"
     )
     assert "partial_" in p45, "ordered-set aggregate lost partial phase"
-    for p in (p43, p44, p45):
+    p46 = _physical(QUERIES["q46_group_by_all"](spark, SF_ORACLE))
+    assert "Join" not in p46 and "Expand" not in p46, (
+        "GROUP BY ALL must resolve to one plain hash aggregate"
+    )
+    assert "partial_" in p46, "inferred grouping lost partial aggregation"
+    for p in (p43, p44, p45, p46):
         assert "CartesianProduct" not in p
