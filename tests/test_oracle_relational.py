@@ -75,3 +75,40 @@ def test_oracle_checked_outputs_are_scalar_only(spark):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append((name, f.name, f.dataType.simpleString()))
     assert not bad, f"non-scalar columns in oracle-checked outputs: {bad}"
+
+
+def test_multiset_all_identity(spark):
+    """INTERSECT ALL + EXCEPT ALL must PARTITION leg1's multiset per key:
+    for every supplier, min(n1,n2) + max(n1-n2,0) == n1 — the bag-algebra
+    identity that holds only if Spark's ReplicateRows rewrite implements
+    true multiset semantics (a DISTINCT-semantics regression would break
+    it on any key with duplicates, which at sf0.01 is every key)."""
+    from pyspark.sql import functions as F
+
+    from dbt_meshify_spark.queries.relational import QUERIES as REL
+    from dbt_meshify_spark.sources import load_table
+
+    out = REL["q43_multiset_ops"](spark, SF_ORACLE)
+    got = {
+        (r.tag, r.suppkey): r.n for r in out.collect()
+    }
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    n1 = {
+        r.l_suppkey: r.n
+        for r in li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_suppkey").agg(F.count("*").alias("n")).collect()
+    }
+    assert n1, "leg1 empty — fixture data changed"
+    for k, c1 in n1.items():
+        ia = got.get(("intersect_all", k), 0)
+        ea = got.get(("except_all", k), 0)
+        assert ia + ea == c1, (k, ia, ea, c1)
+    # and the intersect side never exceeds leg2's multiplicity
+    n2 = {
+        r.l_suppkey: r.n
+        for r in li.filter(F.col("l_quantity") > 25.0)
+        .groupBy("l_suppkey").agg(F.count("*").alias("n")).collect()
+    }
+    for (tag, k), n in got.items():
+        if tag == "intersect_all":
+            assert n <= n2.get(k, 0), (k, n, n2.get(k))
