@@ -119,6 +119,37 @@ def test_exclusion_removes_exactly(manifest, idx):
     assert without <= everything
 
 
+@given(_manifests(), st.integers(min_value=0, max_value=9), st.booleans())
+@settings(max_examples=50)
+def test_xproj_reference_test_node_semantics(manifest, idx, select_test):
+    """r13 reference-parity invariants for G7/G8 (dbt_projects.py:76-108):
+    the xproj sets are disjoint from the selection; a cycle is exactly
+    both sets nonempty (no extra filtering); a test node hanging off a
+    selected model never acts as an ITERATION SOURCE (parents unchanged)
+    but DOES count as a cross-boundary child unless itself selected."""
+    names = sorted(r.name for r in manifest.resources.values())
+    seed = names[idx % len(names)]
+    sel = {f"model.p.{seed}"}
+    ch = G.xproj_children(manifest, sel)
+    pa = G.xproj_parents(manifest, sel)
+    assert not (ch & sel) and not (pa & sel)
+    assert G.is_project_cycle(manifest, sel) == (bool(ch) and bool(pa))
+    t = Resource(
+        unique_id="test.p.t_prop", name="t_prop", resource_type="test",
+        depends_on=[f"model.p.{seed}"],
+    )
+    manifest.add(t)
+    sel2 = sel | ({t.unique_id} if select_test else set())
+    assert G.xproj_parents(manifest, sel2) == pa
+    ch2 = G.xproj_children(manifest, sel2)
+    if select_test:
+        assert t.unique_id not in ch2
+        assert ch2 == ch
+    else:
+        assert t.unique_id in ch2
+        assert ch2 == ch | {t.unique_id}
+
+
 @given(_manifests())
 @settings(max_examples=50)
 def test_access_classification_total_and_valid(manifest):
