@@ -492,7 +492,7 @@ def relational_scale_probe(spark, sf_dir: str) -> None:
     spark.sql(_Q44_SQL.format(ord="ord_probe")).count()
     spark.sql(_Q45_SQL.format(ord="ord_probe")).count()
 
-    for k in (1, 2, 4):
+    for k in (1, 2, 4, 8):
         li = li0
         od = od0
         for i in range(1, k):
