@@ -94,8 +94,14 @@ def package_dependencies(
     id. Shared detection is the same relation-name intersection the
     source-hack path uses (reference _find_relation_dependencies) — NOT
     package ownership, so an aliased downstream copy still matches and a
-    non-matching relation never does. The q_l2 oracle replays these
-    semantics verbatim in SQL; the twin-agreement test pins both."""
+    non-matching relation never does. Relation names are assumed unique
+    per manifest (dbt's one-relation-one-model invariant): like the
+    reference's model_relation_names dict, _relation_map collapses any
+    duplicate case-folded relation last-wins, whereas the q_l2 SQL's join
+    would emit every match — the oracle fixture keeps relations unique so
+    the twin-agreement test pins the shared semantics, not the
+    degenerate-duplicate edge. The q_l2 oracle replays these semantics
+    verbatim in SQL; the twin-agreement test pins both."""
     down_pid = project_id(downstream_name)
     installed = {
         project_id(r.package)

@@ -159,11 +159,15 @@ def stream_gopher_filter(
     q.awaitTermination()
     from dbt_meshify_spark.streaming.sinks import read_sink_or_none
 
-    rows = read_sink_or_none(spark, f"{out_dir}/rows")
+    # FILE sink: schema passed so a zero-batch drain (dir holds only
+    # _spark_metadata) reads as the typed empty frame instead of raising
+    # UNABLE_TO_INFER (r13 review)
+    sink_schema = (
+        "doc_id bigint, n_words bigint, mean_word_len double, stop_hits bigint"
+    )
+    rows = read_sink_or_none(spark, f"{out_dir}/rows", schema=sink_schema)
     if rows is None:
-        return spark.createDataFrame(
-            [], "doc_id bigint, n_words bigint, mean_word_len double, stop_hits bigint"
-        )
+        return spark.createDataFrame([], sink_schema)
     return rows
 
 
@@ -414,11 +418,12 @@ def stream_conversation_filter(
     q.awaitTermination()
     from dbt_meshify_spark.streaming.sinks import read_sink_or_none
 
-    rows = read_sink_or_none(spark, f"{out_dir}/rows")
+    # FILE sink: explicit schema for the zero-batch _spark_metadata-only
+    # directory (r13 review; see stream_gopher_filter)
+    sink_schema = "doc_id bigint, n_turns bigint, total_chars bigint"
+    rows = read_sink_or_none(spark, f"{out_dir}/rows", schema=sink_schema)
     if rows is None:
-        return spark.createDataFrame(
-            [], "doc_id bigint, n_turns bigint, total_chars bigint"
-        )
+        return spark.createDataFrame([], sink_schema)
     return rows
 
 

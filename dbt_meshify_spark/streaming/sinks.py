@@ -18,16 +18,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_sink_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read a foreachBatch parquet sink, or None when it was never written.
+def read_sink_or_none(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame | None:
+    """Read a streaming parquet sink, or None when it was never written.
 
     Only the never-written case (PATH_NOT_FOUND) maps to None; every other
     read failure propagates.
+
+    Pass ``schema`` for STREAMING FILE sinks (``.format("parquet")``): the
+    file sink creates ``{path}/_spark_metadata`` eagerly at query start,
+    so a zero-micro-batch drain leaves a directory with the metadata log
+    and no data files — schema inference then raises UNABLE_TO_INFER
+    (verified empirically on this Spark). An explicit schema skips
+    inference and the metadata-log file index returns the correct empty
+    frame. foreachBatch ``batch=`` keyed sinks have no metadata log and
+    need no schema: either a batch committed (footers exist) or the
+    directory does not.
     """
     from pyspark.errors import AnalysisException
 
+    reader = spark.read.schema(schema) if schema else spark.read
     try:
-        return spark.read.parquet(path)
+        return reader.parquet(path)
     except AnalysisException as e:
         msg = str(e)
         if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:

@@ -460,7 +460,7 @@ def sketch_family_probe(spark, base) -> None:
 
 
 def relational_scale_probe(spark, sf_dir: str) -> None:
-    """q43/q44/q45 families at 1x-4x (round 13): INTERSECT ALL / EXCEPT
+    """q43/q44/q45 families at 1x-8x (round 13): INTERSECT ALL / EXCEPT
     ALL via the join-free ReplicateRows rewrite, FILTER-clause aggregates,
     and WITHIN GROUP percentiles — every one a single-exchange hash/sort
     aggregate expected to scale ~linearly in input rows.

@@ -1392,3 +1392,36 @@ def test_tumbling_window_resumes_from_checkpoint(spark, tmp_path_factory):
         (str(r.window_start), r.event_type, r.n, r.total_value)
         for r in emitted
     }
+
+
+def test_file_sink_zero_batch_drain_returns_typed_empty(spark, tmp_path_factory):
+    """A FILE-sink monitor drained over an EMPTY input directory must
+    return its typed empty frame, not raise: the parquet file sink creates
+    {out}/rows/_spark_metadata eagerly at query start, so the zero-batch
+    directory exists but holds no data files — the read-back must pass an
+    explicit schema to skip inference (r13 review; empirically UNABLE_TO_
+    INFER without it). Covers both file-sink monitors."""
+    import os
+
+    from dbt_meshify_spark.streaming.documents import (
+        read_documents_stream,
+        stream_conversation_filter,
+        stream_gopher_filter,
+    )
+
+    base = tmp_path_factory.mktemp("zerobatch")
+    empty_in = base / "in"
+    os.makedirs(empty_in)
+    feed = read_documents_stream(spark, str(empty_in))
+    out = stream_gopher_filter(feed, str(base / "g"))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_words", "mean_word_len", "stop_hits"]
+
+    from pyspark.sql import functions as F
+
+    feed2 = read_documents_stream(spark, str(empty_in)).withColumn(
+        "conversation", F.lit('[{"role":"user","content":"x"}]')
+    )
+    out2 = stream_conversation_filter(feed2, str(base / "c"))
+    assert out2.count() == 0
+    assert out2.columns == ["doc_id", "n_turns", "total_chars"]
