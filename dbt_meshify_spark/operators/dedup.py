@@ -786,6 +786,51 @@ def simhash_md5_candidate_pairs(
     )
 
 
+def _kept_gram_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_gram_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Stage the (id, gram) inverted index ONCE for the n-gram pair family.
+
+    Returns ``(kept, counts)``: the surviving-gram index (pinned with
+    ``localCheckpoint``) and the per-doc kept-gram counts ``(id,
+    n_grams)``. Rationale (optimization r13, guide §2.3/§2.4): the old
+    inline form re-ran the tokenize+shingle+explode pipeline once per plan
+    branch — FOUR corpus passes in the final plan (both self-join sides
+    plus both copies of the gram-df aggregate) — and re-derived per-doc
+    counts with a Window over the full index (an extra id-keyed
+    Exchange+Sort of every gram row, twice). Pinning the index makes the
+    self-join two cache scans, and the counts become a tiny per-doc
+    aggregate joined onto the PAIR frame after the intersection aggregate,
+    so no gram-sized shuffle ever carries the counts. The pinned index is
+    ids+grams only (text never staged), the same keys-only discipline as
+    the banding operators.
+    """
+    grams = (
+        _with_tokens(df.select(id_col, text_col), text_col)
+        .withColumn("__grams", shingles_of_tokens(F.col("__toks"), n))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode("__grams").alias("gram"),
+        )
+    )
+    if max_gram_df is not None:
+        grams = grams.localCheckpoint(eager=False)
+        keep = grams.groupBy("gram").agg(F.count("*").alias("gdf")).filter(
+            F.col("gdf") <= max_gram_df
+        )
+        kept = grams.join(keep.select("gram"), "gram").localCheckpoint(
+            eager=False
+        )
+    else:
+        kept = grams.localCheckpoint(eager=False)
+    counts = kept.groupBy("id").agg(F.count("*").alias("n_grams"))
+    return kept, counts
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -796,13 +841,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via an inverted-index join (N2).
 
-    Plan: one shingle pass stages the distinct gram array per doc, recording
-    its size alongside before exploding — so the per-doc gram count rides the
-    inverted-index rows and the final jaccard needs NO extra joins or
-    recomputation (the naive counts-as-separate-aggregate plan re-ran the
-    shingle pipeline three times). Shuffles: gram (index join), then
-    (id_a, id_b) (pair agg). Both keys are high-cardinality, so no skew
-    beyond stop-grams.
+    Plan (re-based r13): the (id, gram) index is staged ONCE
+    (``_kept_gram_index`` — pinned, so the self-join's two sides are cache
+    scans, not re-runs of the shingle pipeline), the intersection is one
+    (id_a, id_b) pair aggregate, and the per-doc kept-gram counts join onto
+    the PAIR frame afterwards — pairs are orders of magnitude smaller than
+    the gram index, so no gram-sized shuffle ever carries the counts (the
+    old Window-over-id re-derivation exchanged and sorted the full index a
+    second time, twice). Shuffles: gram (index join), then (id_a, id_b)
+    (pair agg), then the tiny count joins. Both heavy keys are
+    high-cardinality, so no skew beyond stop-grams.
 
     ``max_gram_df`` (default 10k — capped by default so a naive caller
     cannot detonate the index join on boilerplate) drops grams occurring in
@@ -815,35 +863,23 @@ def ngram_jaccard_pairs(
 
     Returns: id_a, id_b, jaccard (exact over the kept vocabulary, 4dp).
     """
-    grams = (
-        _with_tokens(df.select(id_col, text_col), text_col)
-        .withColumn("__grams", shingles_of_tokens(F.col("__toks"), n))
-        .select(
-            F.col(id_col).alias("id"),
-            F.size("__grams").alias("n_grams"),
-            F.explode("__grams").alias("gram"),
-        )
-    )
-    if max_gram_df is not None:
-        keep = grams.groupBy("gram").agg(F.count("*").alias("gdf")).filter(
-            F.col("gdf") <= max_gram_df
-        )
-        grams = grams.join(keep.select("gram"), "gram").withColumn(
-            "n_grams", F.count("*").over(Window.partitionBy("id"))
-        )
-    g1 = grams.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"), "gram")
-    g2 = grams.select(
-        F.col("id").alias("id_b"),
-        F.col("n_grams").alias("n_b"),
-        F.col("gram").alias("gram_b"),
-    )
+    kept, counts = _kept_gram_index(df, id_col, text_col, n, max_gram_df)
+    g1 = kept.select(F.col("id").alias("id_a"), "gram")
+    g2 = kept.select(F.col("id").alias("id_b"), F.col("gram").alias("gram_b"))
     inter = (
         g1.join(g2, (g1.gram == g2.gram_b) & (g1.id_a < g2.id_b))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
+    paired = inter.join(
+        counts.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a")),
+        "id_a",
+    ).join(
+        counts.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b")),
+        "id_b",
+    )
     return (
-        inter.withColumn(
+        paired.withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
         )
@@ -876,32 +912,21 @@ def ngram_containment_pairs(
     Returns: ``id_a, id_b, n_shared, inner_id, containment`` where
     ``inner_id`` is the contained (smaller-gram, ties -> smaller id) side.
     """
-    grams = (
-        _with_tokens(df.select(id_col, text_col), text_col)
-        .withColumn("__grams", shingles_of_tokens(F.col("__toks"), n))
-        .select(
-            F.col(id_col).alias("id"),
-            F.size("__grams").alias("n_grams"),
-            F.explode("__grams").alias("gram"),
-        )
-    )
-    if max_gram_df is not None:
-        keep = grams.groupBy("gram").agg(F.count("*").alias("gdf")).filter(
-            F.col("gdf") <= max_gram_df
-        )
-        grams = grams.join(keep.select("gram"), "gram").withColumn(
-            "n_grams", F.count("*").over(Window.partitionBy("id"))
-        )
-    g1 = grams.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"), "gram")
-    g2 = grams.select(
-        F.col("id").alias("id_b"),
-        F.col("n_grams").alias("n_b"),
-        F.col("gram").alias("gram_b"),
-    )
+    kept, counts = _kept_gram_index(df, id_col, text_col, n, max_gram_df)
+    g1 = kept.select(F.col("id").alias("id_a"), "gram")
+    g2 = kept.select(F.col("id").alias("id_b"), F.col("gram").alias("gram_b"))
     inter = (
         g1.join(g2, (g1.gram == g2.gram_b) & (g1.id_a < g2.id_b))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .join(
+            counts.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            counts.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b")),
+            "id_b",
+        )
     )
     containment = F.col("n_shared") / F.least("n_a", "n_b")
     inner_id = (
@@ -1815,32 +1840,50 @@ def connected_components(
 
     Returns: ``id, component``. Raises if not converged within max_iter.
     """
-    edges = pairs.select(
+    if variant not in ("star", "auto", "propagate"):
+        raise ValueError(f"unknown connected_components variant: {variant!r}")
+    # Pin the candidate-pair pipeline ONCE, before any direction union or
+    # canonicalization: edges arrive as the output of a whole candidate-
+    # generation job (inverted-index Jaccard, LSH banding, ...), and every
+    # derived frame below (direction union, node set, star
+    # canonicalization) would otherwise re-run that upstream pipeline once
+    # PER BRANCH — measured as two full pair-generation executions inside
+    # the old eager `undirected` union (guide §2.4: duplicated subtrees are
+    # removed shuffles waiting to happen). One pinned pass, every
+    # derivation reads the cache.
+    e0 = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     if variant == "star":
-        return _cc_star(edges, max_iter, stats)
+        return _cc_star(e0, max_iter, stats)
     if variant == "auto":
         probe_stats: dict = {}
         try:
-            out = connected_components(
-                pairs, a_col, b_col, _AUTO_PROBE_ROUNDS, "propagate", probe_stats
-            )
+            out = _cc_propagate(e0, _AUTO_PROBE_ROUNDS, probe_stats)
             if stats is not None:
                 stats.update(probe_stats)
                 stats["tier"] = "propagate"
             return out
         except RuntimeError:
-            out = _cc_star(edges, max_iter, probe_stats)
+            out = _cc_star(e0, max_iter, probe_stats)
             if stats is not None:
                 stats["rounds"] = _AUTO_PROBE_ROUNDS + probe_stats.get("rounds", 0)
                 stats["tier"] = "star"
             return out
-    if variant != "propagate":
-        raise ValueError(f"unknown connected_components variant: {variant!r}")
+    return _cc_propagate(e0, max_iter, stats)
+
+
+def _cc_propagate(
+    edges: DataFrame, max_iter: int, stats: dict | None = None
+) -> DataFrame:
+    """Min-label propagation loop over a PINNED (localCheckpoint'ed) edge
+    frame — see :func:`connected_components` for the contract. The
+    direction union is built lazily over the pinned frame (two cache scans
+    per round, no second materialization pass, no re-run of the upstream
+    candidate pipeline)."""
     undirected = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
     labels = (
         undirected.select(F.col("src").alias("id"))
         .distinct()

@@ -495,6 +495,10 @@ def label_propagation(
     # canonicalize to (lo, hi) BEFORE the distinct: the reversal union is
     # then dup-free by construction, saving a second corpus-sized distinct
     # exchange over the doubled edge list
+    # pin the canonical edge set BEFORE the direction union: materializing
+    # the union first re-ran the whole upstream edge derivation (join +
+    # distinct) once per branch — the connected_components finding. The
+    # union itself is now two cache scans per round, so no second pin.
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
@@ -506,11 +510,11 @@ def label_propagation(
             & (F.col("lo") < F.col("hi"))
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     und = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
         e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
     )
-    und = und.localCheckpoint(eager=False)
     nodes = (
         und.select(F.col("u").alias("id")).distinct().localCheckpoint(eager=False)
     )

@@ -59,14 +59,44 @@ def _events_via_arrow(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(tbl.to_pandas())
 
 
+#: Per-process parquet SCHEMA cache keyed on (path, mtime_ns, size) — the
+#: identity a metastore/catalog tracks. Schema inference on an un-pinned
+#: ``spark.read.parquet`` runs a driver-scheduled footer-read job on EVERY
+#: DataFrame build; with 244 declared queries each loading 1-3 tables per
+#: bench invocation that is ~one extra job per query (measured 40-150 ms
+#: apiece — guide §6: file listing/metadata work is driver-side overhead).
+#: Caching the *StructType* (metadata only, never data or results) and
+#: passing it via ``.schema(...)`` skips the job; the key changes whenever
+#: the file is rewritten, so stale pins are impossible.
+_SCHEMA_CACHE: dict[tuple[str, int, int], T.StructType] = {}
+
+
+def _read_parquet_pinned(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the footer schema cached per file version."""
+    import os
+
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        # directory-style or remote path: let Spark resolve it
+        return spark.read.parquet(path)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        return spark.read.schema(cached).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing the events timestamp column."""
     prepare(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name != "events":
-        return spark.read.parquet(path)
+        return _read_parquet_pinned(spark, path)
     try:
-        df = spark.read.parquet(path)
+        df = _read_parquet_pinned(spark, path)
     except Exception:
         return _events_via_arrow(spark, path)
     ts_field = df.schema["ts"]

@@ -91,6 +91,10 @@ def main() -> None:
 
     for name in args:
         jobs_before = {j["jobId"] for j in _get(f"{api}/applications/{app_id}/jobs")}
+        try:
+            sql_before = {q["id"] for q in _get(f"{api}/applications/{app_id}/sql?length=200")}
+        except Exception:  # noqa: BLE001
+            sql_before = set()
         walls = []
         t_build0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
@@ -139,10 +143,45 @@ def main() -> None:
                 f"shR={s.get('shuffleReadBytes', 0)>>10}KiB "
                 f"{(s.get('description') or s.get('name') or '')[:70]}"
             )
+        # per-operator metrics from the SQL tab (top nodes by max task dur)
+        try:
+            sqls = _get(f"{api}/applications/{app_id}/sql?details=true&planDescription=false&length=200")
+            new_sqls = [q for q in sqls if q["id"] not in sql_before]
+            import re as _re
+
+            node_rows = []
+            for q in new_sqls:
+                for nd in q.get("nodes", []):
+                    dur = 0.0
+                    rows = ""
+                    for m in nd.get("metrics", []):
+                        n, v = m.get("name", ""), str(m.get("value", ""))
+                        if n in ("time in aggregation build", "time to build hash map",
+                                 "duration", "scan time", "task total time",
+                                 "time in aggregation"):
+                            tm = _re.findall(r"([0-9.]+)\s*(ms|s|m(?!s))", v.replace(",", ""))
+                            for num, unit in tm:
+                                sec = float(num) * {"ms": 0.001, "s": 1.0, "m": 60.0}[unit]
+                                dur = max(dur, sec)
+                        if n == "number of output rows":
+                            rows = v.replace(",", "").split()[-1]
+                    if dur > 0.05:
+                        node_rows.append((dur, q["id"], nd["nodeName"], rows))
+            node_rows.sort(reverse=True)
+            print(f"  top plan nodes (total dur across {len(new_sqls)} executions):")
+            for dur, qid, nm, rows in node_rows[:12]:
+                print(f"    {dur:7.2f}s  exec{qid:>4}  {nm[:60]:<60} rows={rows}")
+        except Exception as ex:  # noqa: BLE001
+            print(f"  (sql metrics unavailable: {ex})")
         if plans_dir:
             os.makedirs(plans_dir, exist_ok=True)
             with open(os.path.join(plans_dir, f"{name}.txt"), "w") as fh:
-                fh.write(QUERIES[name](spark, sf_dir)._jdf.queryExecution().explainString("formatted"))
+                jdf = QUERIES[name](spark, sf_dir)._jdf
+                fh.write(
+                    spark.sparkContext._jvm.PythonSQLUtils.explainString(
+                        jdf.queryExecution(), "formatted"
+                    )
+                )
             print(f"  plan -> {plans_dir}/{name}.txt")
 
     spark.stop()
