@@ -51,10 +51,17 @@ def bigram_perplexity(
     bigrams and are excluded). Low-perplexity docs are LM-typical; the high
     tail is the quality-filter drop candidate.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
-    ).filter(F.size("__t") >= 2)
+    # pinned (r13): toks has two consumers (tf, vocab) and tf has two
+    # (bigram_counts, scoring) — without the pins the regex tokenize ran
+    # once per consumer branch (the _kept_gram_index finding)
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
+        )
+        .filter(F.size("__t") >= 2)
+        .localCheckpoint(eager=True)
+    )
 
     # one tokenize pass: per-doc bigram tf is the base relation for training
     # counts AND scoring
@@ -62,6 +69,7 @@ def bigram_perplexity(
         toks.select(F.col(id_col), F.explode(_bigrams("__t")).alias("bigram"))
         .groupBy(id_col, "bigram")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     bigram_counts = tf.groupBy("bigram").agg(F.sum("tf").alias("c_bi"))
     context_counts = (
@@ -127,16 +135,24 @@ def trigram_perplexity(
     avg_nll, ppl`` (docs with < 3 tokens are excluded).
     """
     l3, l2, l1 = (float(x) for x in lambdas)
-    toks = df.select(
-        F.col(id_col),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
-    ).filter(F.size("__t") >= 3)
+    # pinned (r13): toks feeds four branches (trigram tf, bigram counts,
+    # unigram counts, totals) and tf feeds two (count table, scoring) —
+    # pinning makes the corpus tokenize exactly one pass
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t"),
+        )
+        .filter(F.size("__t") >= 3)
+        .localCheckpoint(eager=True)
+    )
 
     t = F.col("__t")
     tf = (
         toks.select(F.col(id_col), F.explode(_ngrams(t, 3)).alias("tri"))
         .groupBy(id_col, "tri")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     tri_counts = tf.groupBy("tri").agg(F.sum("tf").alias("c_tri"))
     ctx12 = (
@@ -166,9 +182,12 @@ def trigram_perplexity(
         .groupBy("w3")
         .agg(F.count("*").alias("c_w3"))
     )
-    totals = toks.select(F.explode("__t").alias("term")).agg(
-        F.countDistinct("term").cast("double").alias("__v"),
-        F.count("*").cast("double").alias("__n"),
+    # (V, N) derive from the unigram count table — one fewer corpus
+    # explode; identical values (distinct terms = its row count, total
+    # occurrences = its count sum)
+    totals = uni_counts.agg(
+        F.count("*").cast("double").alias("__v"),
+        F.sum("c_w3").cast("double").alias("__n"),
     )
 
     keyed = (
@@ -388,17 +407,21 @@ def kn_ngram_perplexity(
     ).filter(F.size("__t") >= n)
     t = F.col("__t")
 
+    # pinned (r13): tf has two consumers (the type table's materialization
+    # and the scoring join) — unpinned, the corpus tokenize+explode+agg ran
+    # once per consumer execution
     tf = (
         toks.select(F.col(id_col), F.explode(_ngrams(t, n)).alias("g"))
         .groupBy(id_col, "g")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     # n-gram TYPE table (pinned; doubles as the k = n-1 continuation source)
     keys = (
         tf.groupBy("g")
         .agg(F.sum("tf").alias("c_g"))
         .withColumn("pre", F.substring_index("g", " ", n - 1))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     cpre = keys.groupBy("pre").agg(
         F.sum("c_g").alias("c_pre"),
@@ -428,7 +451,7 @@ def kn_ngram_perplexity(
             cur.select(F.substring_index("h", " ", k).alias("h"))
             .unionByName(cur.select(F.substring_index("h", " ", -k).alias("h")))
             .distinct()
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
 
     # unigram floor: cur is now the bigram TYPE table (pinned: two refs)
@@ -534,17 +557,21 @@ def mkn_ngram_perplexity(
     ).filter(F.size("__t") >= n)
     t = F.col("__t")
 
+    # pinned (r13): tf has two consumers (the type table's materialization
+    # and the scoring join) — unpinned, the corpus tokenize+explode+agg ran
+    # once per consumer execution
     tf = (
         toks.select(F.col(id_col), F.explode(_ngrams(t, n)).alias("g"))
         .groupBy(id_col, "g")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     # n-gram TYPE table (pinned; histogram + cpre + scoring + ladder seed)
     keys = (
         tf.groupBy("g")
         .agg(F.sum("tf").alias("c_g"))
         .withColumn("pre", F.substring_index("g", " ", n - 1))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     d_top = _mkn_discounts(keys, "c_g", "dt")
     cg = F.col("c_g")
@@ -589,7 +616,7 @@ def mkn_ngram_perplexity(
             cur.select(F.substring_index("h", " ", k).alias("h"))
             .unionByName(cur.select(F.substring_index("h", " ", -k).alias("h")))
             .distinct()
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
 
     btypes = cur.withColumnRenamed("h", "bg")

@@ -648,13 +648,19 @@ def ext_stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_meshify_spark.streaming.events import (
         read_events_stream,
         run_to_memory,
+        sized_state_partitions,
         tumbling_window_counts,
     )
 
     _STREAM_COUNTER[0] += 1
-    stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    stream = read_events_stream(spark, path)
     agg = tumbling_window_counts(stream, window="1 day", watermark="1 hour")
-    out = run_to_memory(agg, f"stream_tumbling_{_STREAM_COUNTER[0]}")
+    out = run_to_memory(
+        agg,
+        f"stream_tumbling_{_STREAM_COUNTER[0]}",
+        state_partitions=sized_state_partitions(spark, path),
+    )
     return out.select(
         F.col("window_start").cast("date").alias("day"),
         "event_type",
@@ -671,13 +677,19 @@ def ext_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_meshify_spark.streaming.events import (
         read_events_stream,
         run_to_memory,
+        sized_state_partitions,
         session_window_stats,
     )
 
     _STREAM_COUNTER[0] += 1
-    stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    stream = read_events_stream(spark, path)
     agg = session_window_stats(stream, gap="30 minutes", watermark="1 hour")
-    out = run_to_memory(agg, f"stream_sessions_{_STREAM_COUNTER[0]}")
+    out = run_to_memory(
+        agg,
+        f"stream_sessions_{_STREAM_COUNTER[0]}",
+        state_partitions=sized_state_partitions(spark, path),
+    )
     return out.select(
         "user_id",
         "session_start",
@@ -694,13 +706,19 @@ def ext_stream_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_meshify_spark.streaming.events import (
         read_events_stream,
         run_to_memory,
+        sized_state_partitions,
         sliding_window_counts,
     )
 
     _STREAM_COUNTER[0] += 1
-    stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    stream = read_events_stream(spark, path)
     agg = sliding_window_counts(stream, window="1 hour", slide="30 minutes")
-    out = run_to_memory(agg, f"stream_sliding_{_STREAM_COUNTER[0]}")
+    out = run_to_memory(
+        agg,
+        f"stream_sliding_{_STREAM_COUNTER[0]}",
+        state_partitions=sized_state_partitions(spark, path),
+    )
     return out.select(
         "window_start", F.col("n").cast("bigint").alias("n")
     ).orderBy(_asc("window_start"))
@@ -715,15 +733,18 @@ def ext_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_meshify_spark.streaming.events import (
         read_events_stream,
         run_to_memory,
+        sized_state_partitions,
         stateful_user_totals,
     )
 
     _STREAM_COUNTER[0] += 1
-    stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    stream = read_events_stream(spark, path)
     out = run_to_memory(
         stateful_user_totals(stream),
         f"stream_stateful_{_STREAM_COUNTER[0]}",
         output_mode="update",
+        state_partitions=sized_state_partitions(spark, path),
     )
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
@@ -747,6 +768,7 @@ def ext_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_meshify_spark.streaming.events import (
         read_events_stream,
         run_to_memory,
+        sized_state_partitions,
         stream_stream_join_clicks_to_purchases,
     )
 
@@ -758,7 +780,10 @@ def ext_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = stream_stream_join_clicks_to_purchases(clicks, purchases)
     out = run_to_memory(
-        pairs, f"stream_attrib_{_STREAM_COUNTER[0]}", output_mode="append"
+        pairs,
+        f"stream_attrib_{_STREAM_COUNTER[0]}",
+        output_mode="append",
+        state_partitions=sized_state_partitions(spark, path),
     )
     return out.orderBy(_asc("purchase_id"), _asc("click_id"))
 
@@ -777,6 +802,7 @@ def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_meshify_spark.streaming.events import (
         read_events_stream,
         run_to_memory,
+        sized_state_partitions,
         stream_dedup,
     )
 
@@ -787,7 +813,10 @@ def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = stream_dedup(doubled, keys=["event_id"], watermark="1 hour")
     out = run_to_memory(
-        deduped, f"stream_dedup_{_STREAM_COUNTER[0]}", output_mode="append"
+        deduped,
+        f"stream_dedup_{_STREAM_COUNTER[0]}",
+        output_mode="append",
+        state_partitions=sized_state_partitions(spark, path, path),
     )
     return out.select("event_id", "user_id", "event_type", "value").orderBy(
         _asc("event_id")
@@ -9116,6 +9145,7 @@ def ext_stream_late_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_meshify_spark.streaming.events import (
         read_events_stream,
         run_to_memory,
+        sized_state_partitions,
         tumbling_window_counts,
     )
 
@@ -9147,7 +9177,12 @@ def ext_stream_late_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, d + "/*/", nanos=False, max_files_per_trigger=1
     )
     agg = tumbling_window_counts(stream, window="1 day", watermark="1 hour")
-    out = run_to_memory(agg, f"stream_late_drops_{_STREAM_COUNTER[0]}", "update")
+    out = run_to_memory(
+        agg,
+        f"stream_late_drops_{_STREAM_COUNTER[0]}",
+        "update",
+        state_partitions=sized_state_partitions(spark, d),
+    )
     return (
         out.select(
             F.col("window_start").cast("date").alias("day"),
