@@ -108,7 +108,7 @@ def _stream_scratch(prefix: str) -> str:
 
     global _SCRATCH_ROOT
     if _SCRATCH_ROOT is None or not os.path.isdir(_SCRATCH_ROOT):
-        tmp = tempfile.gettempdir()
+        tmp = _scratch_base()
         stale_cutoff = time.time() - 6 * 3600
         # hard ceiling: a dead session's root whose PID was recycled by an
         # unrelated long-lived process must still be reclaimed eventually
@@ -143,9 +143,42 @@ def _stream_scratch(prefix: str) -> str:
                     pass
         except OSError:
             pass
-        _SCRATCH_ROOT = tempfile.mkdtemp(prefix=f"dms_scratch_{os.getpid()}_")
+        _SCRATCH_ROOT = tempfile.mkdtemp(
+            prefix=f"dms_scratch_{os.getpid()}_", dir=tmp
+        )
         atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
+def _scratch_base() -> str:
+    """Base dir for streaming scratch (state stores, checkpoints, staged
+    stream inputs, micro-batch sinks) — all SINGLE-USE, deleted at session
+    exit, never a cross-run cache.
+
+    Preference order (guide §6 — streaming state is scheduler-critical
+    small-file I/O, so put it on the fastest local medium): an explicit
+    ``SPARK_GRAFT_SCRATCH`` env override; a RAM-backed ``/dev/shm`` when it
+    is writable with >= 8 GiB free (the bench's whole streaming footprint
+    is a few hundred MB; a production deployment points the override at
+    local NVMe or keeps durable checkpoints on DFS — durability across
+    machine loss is NOT needed for these drained availableNow runs);
+    otherwise the process tempdir. Measured at sf0.1: /dev/shm takes the
+    foreachBatch probe/psi streams from ~4.2 s to ~3.5 s (interleaved
+    min-of-3) purely by removing sink+state fsync/IO stalls."""
+    import tempfile
+
+    override = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if override:
+        return override
+    shm = "/dev/shm"
+    try:
+        if os.path.isdir(shm) and os.access(shm, os.W_OK):
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= 8 * 1024**3:
+                return shm
+    except OSError:
+        pass
+    return tempfile.gettempdir()
 
 
 def _pid_alive(pid: int) -> bool:
