@@ -676,6 +676,75 @@ def hash64_candidate_pairs(
     )
 
 
+def _simhash64_by_id(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash"
+) -> DataFrame:
+    """(id, simhash): identical fingerprints to :func:`simhash`, via
+    explode + lane-packed codegen vote aggregates instead of 64
+    interpreted per-bit array HOF aggregates (optimization r14, guide
+    §2.3/§4.2 — Spark HOF lambdas evaluate interpreted, so the
+    projection form pays ~64 interpreted passes over the token array;
+    k-way fan-out work belongs on explode + k codegen aggregates).
+
+    Same lane packing as ``simhash_md5_candidate_pairs``: vote bit j of a
+    token is bit j of xxhash64(token); sum(±1 by bit j) > 0 <=>
+    2*ones_j > T. Three 21-bit counter lanes per long — 22 SUMs + one
+    COUNT, map-side combined, one shuffle of 23 longs per id. Edge
+    semantics match :func:`simhash` exactly: a null/empty token array
+    (null text) yields fingerprint 0 with the doc retained
+    (explode_outer + null-guarded lanes), and empty-string tokens vote
+    like any other token. Costs one id-keyed shuffle the projection form
+    avoids, but the shuffle carries 23 longs per doc (map-side combined)
+    while the per-token work drops from 64 interpreted lambda passes to
+    one codegen pass — the trade that won ~5x on the md5 MinHash tier.
+    """
+    ex = (
+        _with_tokens(df.select(id_col, text_col), text_col)
+        .select(F.col(id_col), F.explode_outer("__toks").alias("__t"))
+        .withColumn("__xh", F.xxhash64("__t"))
+    )
+
+    def _vote_bit(j: int) -> Column:
+        return F.shiftright(F.col("__xh"), j).bitwiseAND(F.lit(1).cast("long"))
+
+    _LANES, _LANE_BITS = 3, 21
+    n_packed = (64 + _LANES - 1) // _LANES
+    packed = []
+    for kk in range(n_packed):
+        e = None
+        for m in range(_LANES):
+            j = kk * _LANES + m
+            if j >= 64:
+                break
+            term = (
+                F.shiftleft(_vote_bit(j), _LANE_BITS * m) if m else _vote_bit(j)
+            )
+            e = term if e is None else e.bitwiseOR(term)
+        # null token (null/empty array doc): contribute nothing to any lane
+        packed.append(
+            F.sum(F.when(F.col("__t").isNotNull(), e)).alias(f"__pk{kk}")
+        )
+    result = F.lit(0).cast("long")
+    lane_mask = F.lit((1 << _LANE_BITS) - 1).cast("long")
+    tc = F.col("__tc")
+    for j in range(64):
+        kk, m = divmod(j, _LANES)
+        ones = F.shiftright(
+            F.coalesce(F.col(f"__pk{kk}"), F.lit(0).cast("long")), _LANE_BITS * m
+        ).bitwiseAND(lane_mask)
+        bit = (1 << j) if j < 63 else -(1 << 63)
+        result = result.bitwiseOR(
+            F.when(ones * 2 > tc, F.lit(bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return (
+        ex.groupBy(id_col)
+        .agg(*packed, F.count("__t").alias("__tc"))
+        .select(F.col(id_col), result.alias(out_col))
+    )
+
+
 def simhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -685,8 +754,10 @@ def simhash_candidate_pairs(
     max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """SimHash near-dup pairs within ``max_hamming`` bits (the
-    ``hash64_candidate_pairs`` banding over the text SimHash)."""
-    hashed = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    ``hash64_candidate_pairs`` banding over the text SimHash; fingerprints
+    come from the aggregate form ``_simhash64_by_id`` — identical values
+    to :func:`simhash`, codegen instead of interpreted HOF lambdas)."""
+    hashed = _simhash64_by_id(df, id_col, text_col)
     return hash64_candidate_pairs(
         hashed,
         id_col,
@@ -728,30 +799,66 @@ def simhash_md5_candidate_pairs(
     assert bits == 64, "the long-fingerprint core is 64-bit"
     assert 64 % bands == 0
     n_salt = (bits + 31) // 32
-    # Explode tokens, hash each ONCE per salt, then take ``bits`` codegen'd
-    # SUM aggregates over digest nibbles: Spark HOF lambdas evaluate
-    # interpreted, so the nested aggregate-per-bit form pays ~5x its work
-    # content (same lesson as the md5 MinHash tier). One fully-codegen
-    # vote pass + one map-side-combined shuffle on id.
+    # Explode tokens, hash each ONCE per salt, then LANE-PACKED vote
+    # counters (optimization r14, guide §2.3/§4.2): the per-bit ±1 vote
+    # sum is equivalent to counting set bits — sum(±1 by bit j) =
+    # 2*ones_j - T with T the doc's token count — so the 64 per-bit
+    # substring-compare SUM aggregates become ceil(64/3) = 22 SUMs of
+    # longs carrying three 21-bit counter lanes each, built from pure
+    # codegen integer ops: each digest's 32 hex chars parse into four
+    # 32-bit chunk longs (conv), and vote bit j is the HIGH bit of
+    # nibble j%32, i.e. bit 31-4*(j%32%8) of chunk (j%32)//8. Aggregate
+    # state shrinks 64 -> 23 longs per id (map-side partial aggregates
+    # shuffle ~2.8x fewer bytes) and the per-row work is 8 conv calls +
+    # 64 shift/mask ops instead of 64 string substring-compares.
+    # Exactness bound: a 21-bit lane saturates at 2^21-1 = 2,097,151
+    # tokens PER DOCUMENT (a ~10 MB single doc) — far above any real
+    # document; the previous form had no bound but paid string ops.
     exploded = (
         _with_tokens(df.select(id_col, text_col), text_col)
         .select(F.col(id_col), F.explode("__toks").alias("__t"))
         .select(
             F.col(id_col),
             *[
-                F.md5(F.concat(F.lit(f"{g}|"), F.col("__t"))).alias(f"__h{g}")
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{g}|"), F.col("__t"))),
+                        c * 8 + 1,
+                        8,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias(f"__c{g * 4 + c}")
                 for g in range(n_salt)
+                for c in range(4)
             ],
         )
     )
-    votes = [
-        F.sum(
-            F.when(
-                F.substring(F.col(f"__h{j // 32}"), j % 32 + 1, 1) >= "8", 1
-            ).otherwise(-1)
-        ).alias(f"__v{j}")
-        for j in range(bits)
-    ]
+
+    def _vote_bit(j: int) -> Column:
+        # high bit of hex nibble j%32 of digest j//32, as 0/1 long
+        g, p = divmod(j, 32)
+        cc, q = divmod(p, 8)
+        return F.shiftright(F.col(f"__c{g * 4 + cc}"), 31 - 4 * q).bitwiseAND(
+            F.lit(1).cast("long")
+        )
+
+    _LANES, _LANE_BITS = 3, 21
+    n_packed = (bits + _LANES - 1) // _LANES
+    packed = []
+    for kk in range(n_packed):
+        e = None
+        for m in range(_LANES):
+            j = kk * _LANES + m
+            if j >= bits:
+                break
+            term = (
+                F.shiftleft(_vote_bit(j), _LANE_BITS * m) if m else _vote_bit(j)
+            )
+            e = term if e is None else e.bitwiseOR(term)
+        packed.append(F.sum(e).alias(f"__pk{kk}"))
     # Pack the vote signs into ONE 64-bit long (same construction as the
     # xxhash ``simhash``) and hand off to the shared banding core: an
     # earlier form carried the fingerprint as a 64-char bit STRING and
@@ -760,19 +867,26 @@ def simhash_md5_candidate_pairs(
     # interpreted eval (~8 s of the sf0.1 query on ~850k candidates). The
     # long fingerprint verifies with a single codegen'd bit_count(xor)
     # and bands with shiftright+mask — identical pairs, ~5x faster, and
-    # the DuckDB oracle replays the same integer ops exactly (>> is
-    # arithmetic and xor/bit_count agree on BIGINT in both engines).
+    # the DuckDB oracle replays the ORIGINAL per-nibble vote form, which
+    # these lane-packed counters reproduce exactly (vote > 0 <=>
+    # 2*ones > T, integer-exact both ways).
     result = F.lit(0).cast("long")
+    lane_mask = F.lit((1 << _LANE_BITS) - 1).cast("long")
+    tc = F.col("__tc")
     for j in range(bits):
+        kk, m = divmod(j, _LANES)
+        ones = F.shiftright(F.col(f"__pk{kk}"), _LANE_BITS * m).bitwiseAND(
+            lane_mask
+        )
         bit = (1 << j) if j < 63 else -(1 << 63)
         result = result.bitwiseOR(
-            F.when(F.col(f"__v{j}") > 0, F.lit(bit).cast("long")).otherwise(
+            F.when(ones * 2 > tc, F.lit(bit).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )
     hashed = (
         exploded.groupBy(id_col)
-        .agg(*votes)
+        .agg(*packed, F.count("*").alias("__tc"))
         .select(F.col(id_col), result.alias("__sh"))
         .localCheckpoint(eager=False)
     )
@@ -1010,35 +1124,49 @@ def winnow_overlap_pairs(
     the index rows exactly like :func:`ngram_jaccard_pairs`.
 
     Returns: ``id_a, id_b, n_shared, overlap``.
+
+    Plan (optimization r14 — the ``_kept_gram_index`` restructure, guide
+    §2.3/§2.4): the print index is staged ONCE behind a lazy
+    ``localCheckpoint`` — previously the whole fingerprint pipeline
+    (tokenize + posexplode + md5 + per-doc window-min + distinct) was
+    re-derived by BOTH self-join sides and a third time by the stop-print
+    aggregate — and the per-doc print counts become a tiny per-doc
+    aggregate joined onto the PAIR frame after the intersection aggregate,
+    replacing the two id-keyed ``Window`` passes (Exchange + Sort over
+    every index row) that re-derived ``n_prints`` inline.
     """
-    prints = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
-        F.col(id_col).alias("id"), F.col("print")
-    )
-    prints = prints.withColumn(
-        "n_prints", F.count("*").over(Window.partitionBy("id"))
+    prints = (
+        winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+        .select(F.col(id_col).alias("id"), F.col("print"))
+        .localCheckpoint(eager=False)
     )
     if max_print_df is not None:
         keep = prints.groupBy("print").agg(F.count("*").alias("pdf")).filter(
             F.col("pdf") <= max_print_df
         )
-        prints = prints.join(keep.select("print"), "print").withColumn(
-            "n_prints", F.count("*").over(Window.partitionBy("id"))
+        prints = prints.join(keep.select("print"), "print").localCheckpoint(
+            eager=False
         )
-    p1 = prints.select(
-        F.col("id").alias("id_a"), F.col("n_prints").alias("n_a"), "print"
-    )
+    counts = prints.groupBy("id").agg(F.count("*").alias("n_prints"))
+    p1 = prints.select(F.col("id").alias("id_a"), "print")
     p2 = prints.select(
-        F.col("id").alias("id_b"),
-        F.col("n_prints").alias("n_b"),
-        F.col("print").alias("print_b"),
+        F.col("id").alias("id_b"), F.col("print").alias("print_b")
     )
     inter = (
         p1.join(p2, (p1.print == p2.print_b) & (p1.id_a < p2.id_b))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
     return (
         inter.filter(F.col("n_shared") >= min_shared)
+        .join(
+            counts.select(F.col("id").alias("id_a"), F.col("n_prints").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            counts.select(F.col("id").alias("id_b"), F.col("n_prints").alias("n_b")),
+            "id_b",
+        )
         .withColumn(
             "overlap", F.round(F.col("n_shared") / F.least("n_a", "n_b"), 4)
         )
@@ -1273,10 +1401,15 @@ def substring_run_pairs(
         )
     )
     wocc = Window.partitionBy(id_col, "__gh").orderBy("st")
+    # pinned (r14, the _kept_gram_index discipline): the capped anchor
+    # index feeds the df-cap aggregate AND both self-join sides — without
+    # the pins the tokenize+shingle+posexplode+cap-window pipeline
+    # re-derived once per branch (three corpus passes in the final plan)
     pos = (
         pos.withColumn("__rn", F.row_number().over(wocc))
         .filter(F.col("__rn") <= max_occ_per_doc)
         .drop("__rn")
+        .localCheckpoint(eager=False)
     )
     keep = (
         pos.groupBy("__gh")
@@ -1284,7 +1417,7 @@ def substring_run_pairs(
         .filter((F.col("__nd") >= 2) & (F.col("__nd") <= max_gram_df))
         .select("__gh")
     )
-    pk = pos.join(keep, "__gh")
+    pk = pos.join(keep, "__gh").localCheckpoint(eager=False)
     a = pk.select(
         "__gh",
         F.col("__gh2").alias("__gh2a"),

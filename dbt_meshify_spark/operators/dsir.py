@@ -78,7 +78,13 @@ def dsir_log_weights(
     ).filter(F.size("__t") >= 2)
 
     # one tokenize pass: per-(doc, bucket) tf is the base relation for BOTH
-    # distribution fitting and scoring (the lm.py discipline)
+    # distribution fitting and scoring (the lm.py discipline). PINNED
+    # (optimization r14): tf has three consuming subtrees in the final
+    # plan (the bucket histogram feeds both `tot` and `ratio`, and the
+    # scoring join reads tf again) — unpinned, the corpus
+    # tokenize+explode+bucket+aggregate executed once per subtree, the
+    # same finding the r13 LM-ladder pins fixed. Eager, matching the LM
+    # ladder's interleaved A/B (eager beat lazy on every LM tier).
     tf = (
         toks.select(
             F.col(id_col),
@@ -90,6 +96,7 @@ def dsir_log_weights(
         )
         .groupBy(id_col, "__tgt", "b")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     cnt = tf.groupBy("b").agg(
         F.sum(F.when(F.col("__tgt"), F.col("tf")).otherwise(F.lit(0))).alias("ct"),

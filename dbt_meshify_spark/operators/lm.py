@@ -81,19 +81,26 @@ def bigram_perplexity(
         F.countDistinct("term").cast("double").alias("__v")
     )
 
-    scored = (
-        tf.withColumn("w1", F.substring_index("bigram", " ", 1))
-        .join(bigram_counts, "bigram")
+    # NLL is a pure function of the GRAM (every joined statistic derives
+    # from the bigram string), so compute it on the MODEL-sized count
+    # table and attach with ONE corpus join (optimization r14, guide
+    # §2.3/§3): the corpus-sized tf frame previously rode every scoring
+    # join, re-shuffling per key at scale; now the model table does.
+    gram_nll = (
+        bigram_counts.withColumn("w1", F.substring_index("bigram", " ", 1))
         .join(context_counts, "w1")
         .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "nll",
-            -F.log(
-                (F.col("c_bi").cast("double") + F.lit(1.0))
-                / (F.col("c_w1").cast("double") + F.col("__v"))
-            ),
+        .select(
+            "bigram",
+            (
+                -F.log(
+                    (F.col("c_bi").cast("double") + F.lit(1.0))
+                    / (F.col("c_w1").cast("double") + F.col("__v"))
+                )
+            ).alias("nll"),
         )
     )
+    scored = tf.join(gram_nll, "bigram")
     avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
     return scored.groupBy(id_col).agg(
         F.sum("tf").cast("bigint").alias("n_bigrams"),
@@ -190,34 +197,41 @@ def trigram_perplexity(
         F.sum("c_w3").cast("double").alias("__n"),
     )
 
+    # NLL is a pure function of the GRAM — compute it on the MODEL-sized
+    # trigram count table and attach with ONE corpus join (optimization
+    # r14, guide §2.3/§3): the corpus-sized tf frame previously rode all
+    # five scoring joins, re-shuffling per key at scale; now the model
+    # table does, and tf pays a single equi-join on the trigram.
     keyed = (
-        tf.withColumn("w12", F.substring_index("tri", " ", 2))
+        tri_counts.withColumn("w12", F.substring_index("tri", " ", 2))
         .withColumn("w23", F.substring_index("tri", " ", -2))
         .withColumn("w2", F.substring_index(F.col("w23"), " ", 1))
         .withColumn("w3", F.substring_index("tri", " ", -1))
     )
-    scored = (
-        keyed.join(tri_counts, "tri")
-        .join(ctx12, "w12")
+    gram_nll = (
+        keyed.join(ctx12, "w12")
         .join(bigram_counts, "w23")
         .join(ctx2, "w2")
         .join(uni_counts, "w3")
         .crossJoin(F.broadcast(totals))
-        .withColumn(
-            "nll",
-            -F.log(
-                F.lit(l3)
-                * (F.col("c_tri").cast("double") / F.col("c_w12").cast("double"))
-                + F.lit(l2)
-                * (F.col("c_w23").cast("double") / F.col("c_w2").cast("double"))
-                + F.lit(l1)
-                * (
-                    (F.col("c_w3").cast("double") + F.lit(1.0))
-                    / (F.col("__n") + F.col("__v"))
-                ),
-            ),
+        .select(
+            "tri",
+            (
+                -F.log(
+                    F.lit(l3)
+                    * (F.col("c_tri").cast("double") / F.col("c_w12").cast("double"))
+                    + F.lit(l2)
+                    * (F.col("c_w23").cast("double") / F.col("c_w2").cast("double"))
+                    + F.lit(l1)
+                    * (
+                        (F.col("c_w3").cast("double") + F.lit(1.0))
+                        / (F.col("__n") + F.col("__v"))
+                    ),
+                )
+            ).alias("nll"),
         )
     )
+    scored = tf.join(gram_nll, "tri")
     avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
     return scored.groupBy(id_col).agg(
         F.sum("tf").cast("bigint").alias("n_trigrams"),
@@ -463,15 +477,19 @@ def kn_ngram_perplexity(
     )
     tot = btypes.agg(F.count("*").cast("double").alias("__nbt"))
 
-    scored = tf.withColumn("pre", F.substring_index("g", " ", n - 1)).withColumn(
-        "s1", F.substring_index("g", " ", -1)
-    )
+    # NLL is a pure function of the GRAM (every joined statistic is keyed
+    # on a substring of g), so the 2(n-2)+3 scoring joins run over the
+    # MODEL-sized type table ``keys`` and the corpus-sized tf frame pays
+    # ONE equi-join on g (optimization r14, guide §2.3/§3): previously tf
+    # itself rode the whole chain, re-shuffling the corpus per join key
+    # at model sizes past the broadcast threshold.
+    scored = keys.withColumn("s1", F.substring_index("g", " ", -1))
     for k in range(2, n):
         sk = F.substring_index("g", " ", -k)
         scored = scored.withColumn(f"s{k}", sk).withColumn(
             f"m{k}", F.substring_index(sk, " ", k - 1)
         )
-    scored = scored.join(keys.select("g", "c_g"), "g").join(cpre, "pre")
+    scored = scored.join(cpre, "pre")
     for k in range(n - 1, 1, -1):
         tbl, ctx = level_tbls[k]
         scored = scored.join(tbl, f"s{k}").join(ctx, f"m{k}")
@@ -495,7 +513,8 @@ def kn_ngram_perplexity(
         / F.col("c_pre").cast("double")
         + (dd * F.col("n1p_pre").cast("double") / F.col("c_pre").cast("double")) * p
     )
-    scored = scored.withColumn("nll", -F.log(p))
+    gram_nll = scored.select("g", (-F.log(p)).alias("nll"))
+    scored = tf.join(gram_nll, "g")
     avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
     return scored.groupBy(id_col).agg(
         F.sum("tf").cast("bigint").alias("n_ngrams"),
@@ -627,15 +646,17 @@ def mkn_ngram_perplexity(
     )
     tot = btypes.agg(F.count("*").cast("double").alias("__nbt"))
 
-    scored = tf.withColumn("pre", F.substring_index("g", " ", n - 1)).withColumn(
-        "s1", F.substring_index("g", " ", -1)
-    )
+    # NLL is a pure function of the GRAM — the 2(n-2)+3 scoring joins run
+    # over the MODEL-sized type table ``keys`` and the corpus-sized tf
+    # frame pays ONE equi-join on g (optimization r14, guide §2.3/§3 —
+    # same factoring as :func:`kn_ngram_perplexity`).
+    scored = keys.withColumn("s1", F.substring_index("g", " ", -1))
     for k in range(2, n):
         sk = F.substring_index("g", " ", -k)
         scored = scored.withColumn(f"s{k}", sk).withColumn(
             f"m{k}", F.substring_index(sk, " ", k - 1)
         )
-    scored = scored.join(keys.select("g", "c_g"), "g").join(cpre, "pre")
+    scored = scored.join(cpre, "pre")
     for k in range(n - 1, 1, -1):
         tbl, ctx, dk = level_tbls[k]
         scored = (
@@ -678,7 +699,8 @@ def mkn_ngram_perplexity(
         F.greatest(c_gd - disc(F.col("c_g"), "dt"), F.lit(0.0)) / c_pred
         + gamma_top * p
     )
-    scored = scored.withColumn("nll", -F.log(p))
+    gram_nll = scored.select("g", (-F.log(p)).alias("nll"))
+    scored = tf.join(gram_nll, "g")
     avg_nll = F.sum(F.col("tf") * F.col("nll")) / F.sum("tf")
     return scored.groupBy(id_col).agg(
         F.sum("tf").cast("bigint").alias("n_ngrams"),

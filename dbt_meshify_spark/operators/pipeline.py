@@ -105,8 +105,15 @@ def curation_report(
     )
     kept = staged.filter(~malformed & kept_cond)
     w = Window.partitionBy("text_norm").orderBy(id_col)
-    ranked = kept.select(id_col, "text_norm").withColumn(
-        "rn", F.row_number().over(w)
+    # ids-only pin (optimization r14): the dedup-rank window has TWO
+    # consumers (duplicate markers and the rn=1 survivor filter) —
+    # unpinned, the text_norm-keyed Exchange+Sort+Window executed once
+    # per branch. The pin carries (id, rn) only, never text.
+    ranked = (
+        kept.select(id_col, "text_norm")
+        .withColumn("rn", F.row_number().over(w))
+        .select(id_col, "rn")
+        .localCheckpoint(eager=False)
     )
     dup_ids = ranked.filter(F.col("rn") > 1).select(
         id_col, F.lit(True).alias("__dup")

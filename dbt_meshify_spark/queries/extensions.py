@@ -113,9 +113,18 @@ def _stream_scratch(prefix: str) -> str:
         # hard ceiling: a dead session's root whose PID was recycled by an
         # unrelated long-lived process must still be reclaimed eventually
         ceiling_cutoff = time.time() - 7 * 24 * 3600
+        # sweep the process tempdir too when the base resolves elsewhere
+        # (ADVICE r13): pre-r13 runs rooted their scratch in /tmp; once the
+        # base moved to /dev/shm those leftovers were never reclaimed
         try:
-            for name in os.listdir(tmp):
-                path = os.path.join(tmp, name)
+            entries = []
+            for d in {tmp, tempfile.gettempdir()}:
+                try:
+                    entries.extend((d, n) for n in os.listdir(d))
+                except OSError:
+                    pass
+            for d, name in entries:
+                path = os.path.join(d, name)
                 if not os.path.isdir(path):
                     continue
                 try:

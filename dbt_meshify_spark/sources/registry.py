@@ -75,11 +75,17 @@ def _read_parquet_pinned(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` with the footer schema cached per file version."""
     import os
 
+    # Single-FILE parquet only (ADVICE r13): os.stat succeeds on a local
+    # DIRECTORY too, but a directory's own (mtime, size) does not change
+    # when a same-named part file inside is rewritten in place — caching on
+    # it risks a stale pinned schema. Directory-style and remote paths fall
+    # through to plain spark.read.parquet.
+    if not os.path.isfile(path):
+        return spark.read.parquet(path)
     try:
         st = os.stat(path)
         key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     except OSError:
-        # directory-style or remote path: let Spark resolve it
         return spark.read.parquet(path)
     cached = _SCHEMA_CACHE.get(key)
     if cached is not None:

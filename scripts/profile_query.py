@@ -32,19 +32,14 @@ def _get(url: str):
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    runs = 2
-    plans_dir = None
-    argv = sys.argv[1:]
-    for i, a in enumerate(argv):
-        if a == "--runs":
-            runs = int(argv[i + 1])
-            args.remove(argv[i + 1])
-        if a == "--plans":
-            plans_dir = argv[i + 1]
-            args.remove(plans_dir)
-    if not args:
-        raise SystemExit("usage: profile_query.py <query> [...] [--runs N] [--plans DIR]")
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("queries", nargs="+", help="declared query names")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--plans", default=None, help="dir for .explain dumps")
+    ns = ap.parse_args()
+    args, runs, plans_dir = ns.queries, ns.runs, ns.plans
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -60,7 +55,8 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", "4049")
+        .config("spark.ui.port", "4049")  # auto-increments if taken; the
+        # bound port is read back from uiWebUrl below
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config(
@@ -71,7 +67,10 @@ def main() -> None:
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
     spark = prepare(builder.getOrCreate())
-    api = "http://localhost:4049/api/v1"
+    # read the ACTUAL bound UI url (Spark auto-increments the port when
+    # 4049 is taken — a hardcoded url then scrapes the wrong app)
+    ui = spark.sparkContext.uiWebUrl or "http://localhost:4049"
+    api = f"{ui}/api/v1"
     app_id = spark.sparkContext.applicationId
 
     def run(name: str) -> float:

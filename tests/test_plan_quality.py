@@ -908,3 +908,146 @@ def test_multiset_and_filtered_agg_plan_shapes(spark):
     assert "partial_" in p46, "inferred grouping lost partial aggregation"
     for p in (p43, p44, p45, p46):
         assert "CartesianProduct" not in p
+
+
+def test_ngram_pair_family_counts_join_after_pair_aggregate(spark):
+    """r13 shape (guarded r14 per the verdict): the n-gram pair family
+    stages its (id, gram) inverted index ONCE (`_kept_gram_index`) and
+    derives per-doc counts as a tiny aggregate joined onto the PAIR frame
+    after the intersection — the final plan therefore has ZERO Generate
+    (no per-branch re-explode), ZERO Window (no id-keyed count
+    re-derivation over the full index), zero parquet scans (both
+    self-join sides read the pin), and no Python nodes."""
+    for name in ("ext_ngram_jaccard", "ext_ngram_containment"):
+        plan = _physical(QUERIES[name](spark, SF_ORACLE))
+        assert plan.count("Generate") == 0, f"{name}: index re-exploded per branch"
+        assert "Window" not in plan, f"{name}: counts re-derived via Window"
+        assert "ExistingRDD" in plan, f"{name}: gram-index pin missing"
+        assert plan.count("Scan parquet") == 0, f"{name}: a branch re-reads the corpus"
+        assert "BatchEvalPython" not in plan
+
+
+def test_connected_components_materializes_pair_pipeline_once(spark):
+    """r13 shape: connected_components pins the candidate-pair frame
+    BEFORE the direction union — unpinned, the union's two branches (and
+    the star canonicalization) each re-executed the entire upstream
+    pair-generation pipeline. Guard: an accumulator-ticking UDF in the
+    pair lineage must fire exactly once per row across the whole
+    clustering run."""
+    from pyspark.sql import functions as F
+
+    from dbt_meshify_spark.operators.dedup import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def _tick(x):
+        acc.add(1)
+        return x
+
+    tick = _tick.asNondeterministic()
+    base = spark.range(0, 6, 1, 2).select(tick(F.col("id")).alias("n"))
+    pairs = base.select(
+        F.col("n").alias("id_a"), (F.col("n") + 1).alias("id_b")
+    )
+    connected_components(pairs).count()
+    assert acc.value == 6, (
+        f"pair pipeline executed {acc.value / 6:.1f}x (pin before the "
+        "direction union lost)"
+    )
+
+
+def test_lm_lower_tiers_pin_staging_and_scan_corpus_once(spark):
+    """r13 shape: the JM bigram/trigram tiers pin `toks` and `tf` — every
+    count table and the scoring path derive from the pins, so the final
+    plan reads the corpus parquet ZERO times (the one tokenize lives
+    inside the pin lineage) and stays pure codegen."""
+    for name in ("ext_lm_perplexity", "ext_trigram_perplexity"):
+        plan = _physical(QUERIES[name](spark, SF_ORACLE))
+        assert plan.count("Scan parquet") == 0, f"{name}: staging pins lost"
+        assert "ExistingRDD" in plan, f"{name}: staging pins lost"
+        assert "BatchEvalPython" not in plan, f"{name} fell off codegen"
+
+
+def test_lm_scoring_joins_run_on_model_table_not_corpus(spark):
+    """r14 shape: NLL is a pure function of the gram, so every LM tier
+    computes it on the MODEL-sized count/type table and attaches it to
+    the corpus (doc, gram, tf) relation with ONE join. Guard: the
+    projection that produces `nll` must not carry the doc id (a doc-keyed
+    nll projection means the corpus is riding the scoring-join chain
+    again — 9 corpus shuffles at order 5 once models outgrow broadcast)."""
+    for name in (
+        "ext_lm_perplexity",
+        "ext_trigram_perplexity",
+        "ext_kn_perplexity",
+        "ext_kn4_perplexity",
+        "ext_kn5_perplexity",
+        "ext_mkn_perplexity",
+        "ext_mkn5_perplexity",
+    ):
+        plan = _physical(QUERIES[name](spark, SF_ORACLE))
+        nll_lines = [l for l in plan.splitlines() if " AS nll#" in l]
+        assert nll_lines, f"{name}: nll projection not found in plan"
+        assert all("doc_id" not in l for l in nll_lines), (
+            f"{name}: nll computed on a doc-keyed (corpus-sized) frame"
+        )
+
+
+def test_winnow_overlap_counts_join_after_pair_aggregate(spark):
+    """r14 shape: winnow_overlap_pairs stages the print index once and
+    joins per-doc print counts onto the pair frame AFTER the intersection
+    aggregate — no Generate, no Window, no parquet re-scan in the final
+    plan (the fingerprint pipeline lives behind the pin)."""
+    plan = _physical(QUERIES["ext_winnow_overlap"](spark, SF_ORACLE))
+    assert plan.count("Generate") == 0, "fingerprints re-exploded per branch"
+    assert "Window" not in plan, "print counts re-derived via Window"
+    assert "ExistingRDD" in plan, "print-index pin missing"
+    assert plan.count("Scan parquet") == 0, "a branch re-reads the corpus"
+
+
+def test_substring_run_pairs_pins_anchor_index(spark):
+    """r14 shape: substring_run_pairs pins the capped anchor index (df-cap
+    aggregate + both self-join sides read the pin) — the final plan keeps
+    only the run-merge window (per-(pair, diagonal) — tiny partitions) and
+    never re-reads the corpus or re-explodes the shingles."""
+    plan = _physical(QUERIES["ext_substring_dedup"](spark, SF_ORACLE))
+    assert plan.count("Scan parquet") == 0, "anchor pipeline re-reads the corpus"
+    assert plan.count("Generate") == 0, "shingles re-exploded per branch"
+    assert "ExistingRDD" in plan, "anchor-index pin missing"
+
+
+def test_simhash_fingerprints_are_codegen_lane_packed_aggregates(spark):
+    """r14 shape: SimHash fingerprints come from explode + lane-packed
+    codegen SUM aggregates (22 packed lanes + 1 count), not 64 interpreted
+    per-bit array-HOF aggregates (Spark HOF lambdas evaluate interpreted —
+    the form measured ~5x its work content on the MinHash md5 tier)."""
+    from dbt_meshify_spark.operators.dedup import _simhash64_by_id
+    from dbt_meshify_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = _physical(_simhash64_by_id(docs, "doc_id", "text"))
+    assert plan.count("partial_sum") >= 20, "lane-packed vote SUMs missing"
+    assert "aggregate(" not in plan, "interpreted HOF vote aggregates returned"
+    assert "BatchEvalPython" not in plan
+
+
+def test_dsir_weights_pin_tf_single_tokenize(spark):
+    """r14 shape: dsir_log_weights pins the (doc, bucket) tf relation —
+    its three consuming subtrees (histogram->totals, histogram->ratio,
+    scoring join) read the pin, so the final plan has ZERO Generate (the
+    corpus tokenize+explode lives inside the pin lineage) and the ratio
+    table stays an explicit broadcast."""
+    plan = _physical(QUERIES["ext_dsir_weights"](spark, SF_ORACLE))
+    assert plan.count("Generate") == 0, "corpus explode re-derived per branch"
+    assert "ExistingRDD" in plan, "tf pin missing"
+    assert "BroadcastHashJoin" in plan, "ratio table lost its broadcast"
+
+
+def test_curation_report_ranks_dedup_window_once(spark):
+    """r14 shape: curation_report's dedup-rank window (text_norm-keyed
+    Exchange+Sort+Window) is computed once behind an ids-only pin — both
+    consumers (duplicate markers, rn=1 survivors) read the pinned
+    (id, rn) frame, so the final plan contains ZERO Window nodes."""
+    plan = _physical(QUERIES["ext_curation_report"](spark, SF_ORACLE))
+    assert "Window" not in plan, "dedup-rank window re-derived per consumer"
+    assert "ExistingRDD" in plan, "ids-only rank pin missing"
