@@ -1519,6 +1519,10 @@ def source_overlap(
     posture as ``max_gram_df``). Returns
     ``source_a, source_b, n_common, jaccard`` for every co-occurring pair.
     """
+    # pinned (r14, the _kept_gram_index discipline): the distinct
+    # (source, gram-hash) index feeds THREE subtrees (per-source totals
+    # and both self-join sides) — unpinned, the corpus
+    # tokenize+shingle+explode+distinct executed once per subtree
     grams = (
         _with_tokens(df.select(source_col, text_col), text_col)
         .withColumn(
@@ -1527,6 +1531,7 @@ def source_overlap(
         .select(F.col(source_col), F.explode("__grams").alias("__g"))
         .select(F.col(source_col), F.xxhash64("__g").alias("__gh"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     if max_sources_per_gram is not None:
         w = Window.partitionBy("__gh")
@@ -1534,6 +1539,7 @@ def source_overlap(
             grams.withColumn("__ns", F.count("*").over(w))
             .filter(F.col("__ns") <= max_sources_per_gram)
             .drop("__ns")
+            .localCheckpoint(eager=False)
         )
     per_source = grams.groupBy(source_col).agg(
         F.count("*").cast("long").alias("__n")

@@ -58,51 +58,50 @@ _WINDOW_REL = [
     "q_g4_boundary_access",
 ]
 _WINDOW_EXT = [
-    # r13 window: the eight round-12 shared-verbatim-SQL surfaces queue-jump
-    # the alphabetical backlog (r12 verdict task 1 — they sort after ext_*
-    # and would otherwise wait until r14), then the never-externally-
-    # verified backlog in alphabetical order, recomputed fresh
-    # (COVERAGE.md ledger; scripts/rotate_window.py derives this block).
-    "q40_recursive_hierarchy",
-    "q41_lateral_topk",
-    "q42_not_in_anti",
-    "q_g7_cross_project_edges",
-    "q_g8_project_cycle",
-    "q_g10_macro_closure",
-    "q_g12_group_closure",
-    "q_v7_version_resolution",
-    # alphabetical backlog resumes
-    "ext_quality_score",
-    "ext_quality_top_fraction",
-    "ext_range_join",
-    "ext_remove_source_boilerplate",
-    "ext_repetition_quality",
-    "ext_resample_locf",
-    "ext_robust_outliers",
-    "ext_rolling_anomaly",
-    "ext_sample_exact_k",
-    "ext_score_calibration",
-    "ext_script_profile",
-    "ext_self_repetition",
-    "ext_semantic_decontaminate",
-    "ext_session_stats",
-    "ext_shard_assign",
-    "ext_simhash_neardup_md5",
-    "ext_skew_report",
-    "ext_soft_dedup_weights",
-    "ext_source_boilerplate",
-    "ext_source_cap",
-    "ext_source_concentration",
-    "ext_source_overlap",
-    "ext_stratified_sample",
-    "ext_stream_classifier_filter",
-    "ext_stream_click_attribution",
-    "ext_stream_cms_heavy_hitters",
-    "ext_stream_conversation_filter",
-    "ext_stream_decontaminate",
-    "ext_stream_dedup",
-    "ext_stream_dp_noisy_counts",
-    "ext_stream_gopher_filter",
+    # r14 window (scripts/rotate_window.py --oldest-green): the LAST 36
+    # never-externally-verified oracles — the backlog CLEARS this round —
+    # plus the first 3 slots of the steady-state staleness cycle (oldest
+    # green round first, ties alphabetical; COVERAGE.md §rotation).
+    "ext_stream_gram_novelty",
+    "ext_stream_incremental_neardup",
+    "ext_stream_l_diversity",
+    "ext_stream_quality_psi",
+    "ext_stream_quantile_sketch",
+    "ext_stream_self_repetition",
+    "ext_stream_session_windows",
+    "ext_stream_sliding_halfhour",
+    "ext_stream_stateful_totals",
+    "ext_stream_weighted_quantile",
+    "ext_stream_weighted_sample",
+    "ext_substring_removal",
+    "ext_temperature_mixture",
+    "ext_text_normalize",
+    "ext_tfidf_top_terms",
+    "ext_token_entropy",
+    "ext_token_pmi",
+    "ext_token_stats",
+    "ext_topk_per_key",
+    "ext_triangle_counts",
+    "ext_triangle_counts_degree",
+    "ext_trigram_perplexity",
+    "ext_turn_echo",
+    "ext_unigram_train",
+    "ext_url_canonicalize",
+    "ext_user_activity_audit",
+    "ext_vocab_encode",
+    "ext_weighted_quantile",
+    "ext_weighted_sample",
+    "ext_winnow_overlap",
+    "ext_zipf_fit",
+    "q43_multiset_ops",
+    "q44_filtered_agg",
+    "q45_ordered_set_agg",
+    "q46_group_by_all",
+    "q_l2_package_dependencies",
+    # staleness cycle begins (last green r02)
+    "ext_dedup_exact",
+    "ext_dup_passages",
+    "ext_dup_spans",
 ]
 _missing = [n for n in (*_WINDOW_REL, *_WINDOW_EXT) if n not in QUERIES]
 if _missing:

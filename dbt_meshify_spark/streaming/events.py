@@ -180,6 +180,49 @@ def sized_state_partitions(
     return int(min(need, max(width, floor)))
 
 
+def sized_batch_width(
+    spark: SparkSession,
+    *paths: str,
+    bytes_per_task: int = 4 * 1024 * 1024,
+    floor: int = 8,
+) -> int:
+    """Shuffle width for the BATCH jobs a foreachBatch drain runs per
+    micro-batch (optimization r14): one task per ~``bytes_per_task`` of
+    source input, floored at ``floor``, capped at the session width.
+
+    Distinct trade from :func:`sized_state_partitions` (whose floor-4
+    tracks fixed PER-STORE open/commit cost): batch tasks pay only
+    scheduling overhead (~10-20 ms each), so the floor stays at 8 for
+    local parallelism and the per-task byte target is smaller. Measured
+    at sf0.1 (interleaved min-of-3, width 32 -> 8):
+    ext_stream_incremental_neardup 3.52 -> 2.34 s,
+    ext_stream_self_repetition 2.52 -> 1.82 s, cms/psi ~1.1x; width
+    sweep {4, 8, 16} put 8-16 ahead of 4 (batch plans want parallelism
+    back sooner than state stores do). A GB-per-batch topic sizes to the
+    session width with no code change. Unstattable paths fall back to
+    the session width (no pin effect).
+    """
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        width = 32
+    total = 0
+    for p in paths:
+        p = p.rstrip("/*")
+        try:
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, f)) for f in files
+                    )
+            else:
+                total += os.path.getsize(p)
+        except OSError:
+            return width
+    need = max(floor, (total + bytes_per_task - 1) // bytes_per_task)
+    return int(min(need, max(width, floor)))
+
+
 @contextmanager
 def stream_state_partitions(spark: SparkSession, n: int):
     """Pin ``spark.sql.shuffle.partitions`` while a streaming query starts

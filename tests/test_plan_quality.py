@@ -927,6 +927,20 @@ def test_ngram_pair_family_counts_join_after_pair_aggregate(spark):
         assert "BatchEvalPython" not in plan
 
 
+def test_source_overlap_pins_gram_index_once(spark):
+    """r14 shape: source_overlap stages its distinct (source, gram-hash)
+    index ONCE behind a pin — it feeds THREE subtrees (per-source totals
+    and both self-join sides), so unpinned the corpus
+    tokenize+shingle+explode+distinct ran once per subtree. Final plan:
+    ZERO Generate (the explode lives inside the pin lineage), zero
+    parquet re-scans, pin scans present, pure codegen."""
+    plan = _physical(QUERIES["ext_source_overlap"](spark, SF_ORACLE))
+    assert plan.count("Generate") == 0, "gram index re-exploded per subtree"
+    assert "ExistingRDD" in plan, "gram-index pin missing"
+    assert plan.count("Scan parquet") == 0, "a subtree re-reads the corpus"
+    assert "BatchEvalPython" not in plan
+
+
 def test_connected_components_materializes_pair_pipeline_once(spark):
     """r13 shape: connected_components pins the candidate-pair frame
     BEFORE the direction union — unpinned, the union's two branches (and

@@ -1425,3 +1425,28 @@ def test_file_sink_zero_batch_drain_returns_typed_empty(spark, tmp_path_factory)
     out2 = stream_conversation_filter(feed2, str(base / "c"))
     assert out2.count() == 0
     assert out2.columns == ["doc_id", "n_turns", "total_chars"]
+
+
+def test_sized_batch_width_tracks_volume_with_floor_and_cap(spark, tmp_path):
+    """r14: foreachBatch drains pin their batch-plan shuffle width to the
+    source volume — floor 8 (batch tasks pay only scheduling overhead, so
+    parallelism returns sooner than for state stores), one task per
+    ~bytes_per_task, capped at the session width; unstattable paths fall
+    back to the session width (no pin effect)."""
+    from dbt_meshify_spark.streaming.events import sized_batch_width
+
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    small = tmp_path / "small.bin"
+    small.write_bytes(b"x" * 1024)
+    # tiny source -> the floor
+    assert sized_batch_width(spark, str(small)) == min(8, max(width, 8))
+    # sub-floor volume still floors at 8; larger volumes scale linearly
+    # (one task per 4 MB) and cap at the session width
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"x" * (4 * 1024 * 1024 * 12))
+    assert sized_batch_width(spark, str(big)) == min(12, max(width, 8))
+    huge = tmp_path / "huge.bin"
+    huge.write_bytes(b"x" * (4 * 1024 * 1024 * 100))
+    assert sized_batch_width(spark, str(huge)) == max(width, 8)
+    # missing path -> session width (no-op pin)
+    assert sized_batch_width(spark, str(tmp_path / "nope")) == width
