@@ -521,6 +521,14 @@ def minhash_candidate_pairs(
     banded = banded.withColumn("__bn", F.row_number().over(bucket_w)).filter(
         F.col("__bn") <= max_bucket_size
     )
+    # pinned (r14, the self-LSH discipline from _lsh_scored_pairs): the
+    # capped band index feeds BOTH self-join sides — unpinned, the
+    # banding explode AND the bucket-cap window (a full shuffle+sort of
+    # the band relation) executed once per side. (id, band_idx,
+    # band_hash) only — ids and two keys per band, never signatures.
+    banded = banded.select(id_col, "band_idx", "band_hash").localCheckpoint(
+        eager=False
+    )
 
     a = banded.select(
         F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
@@ -1247,6 +1255,12 @@ def _dup_shingle_positions(
             (F.col("__p") + 1).cast("bigint").alias("start_tok"),
             F.xxhash64("__gram").alias("__gh"),
         )
+        # pinned (r14, the _kept_gram_index discipline): `pos` feeds TWO
+        # subtrees (the min-docs dup aggregate AND the position probe it
+        # joins back onto) — unpinned, the corpus tokenize + posexplode +
+        # hash pipeline executed once per consumer. The pin carries
+        # (id, start_tok, gram-hash) — 24 bytes/row, never gram text.
+        .localCheckpoint(eager=False)
     )
     dup = (
         pos.groupBy("__gh")

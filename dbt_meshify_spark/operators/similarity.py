@@ -218,7 +218,15 @@ def _cos_pairs_udf():
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1) + 1e-12
         return pd.Series(num / den)
 
-    return cos
+    # non-deterministic marking (r14, guide §4.4): the function IS
+    # deterministic, but the optimizer pushes a threshold filter that
+    # references the UDF-computed column below its Project and then
+    # re-evaluates the UDF above it for the output — two ArrowEvalPython
+    # nodes per scoring pass (every candidate pair paid the Arrow cosine
+    # twice on the near-dup path). Marking it non-deterministic forbids
+    # the duplication; every consumer applies it in a single Project and
+    # filters/ranks the materialized attribute, so results are unchanged.
+    return cos.asNondeterministic()
 
 
 def _plane_matrix(num_planes: int, dims: int, seed: int) -> list[list[float]]:
@@ -356,14 +364,35 @@ def _lsh_scored_pairs(
         )
 
     qb = banded(queries, "query")
-    cb = banded(corpus, "neighbor")
-    cand = (
-        qb.join(
-            cb,
+    if queries is corpus:
+        # self-LSH (the near-dup tier): stage the banded signature frame
+        # ONCE behind a lazy pin — unpinned, both self-join sides re-ran
+        # the full parquet scan + Arrow signature UDF + posexplode
+        # (2 corpus passes and 2 Python-boundary crossings for one
+        # signature set). The pin is (id, band_idx, band_key) — ids and
+        # two longs per band, never vectors — so it stays metadata-sized
+        # at 100 TB. The neighbor side is a rename of the pin (fresh
+        # aliases keep the self-join unambiguous).
+        qb = qb.localCheckpoint(eager=False)
+        cb = qb.select(
+            F.col("query_id").alias("neighbor_id"),
+            F.col("band_idx").alias("__nb_idx"),
+            F.col("band_key").alias("__nb_key"),
+        )
+        join_cond = (
+            (qb["band_idx"] == cb["__nb_idx"])
+            & (qb["band_key"] == cb["__nb_key"])
+            & (F.col("query_id") != F.col("neighbor_id"))
+        )
+    else:
+        cb = banded(corpus, "neighbor")
+        join_cond = (
             (qb.band_idx == cb.band_idx)
             & (qb.band_key == cb.band_key)
-            & (F.col("query_id") != F.col("neighbor_id")),
+            & (F.col("query_id") != F.col("neighbor_id"))
         )
+    cand = (
+        qb.join(cb, join_cond)
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -744,10 +773,19 @@ def embedding_neardup_pairs(
     cost plus banding overhead; the plan shape, not this SF's wall-clock, is
     the scale story."""
     sims = _lsh_scored_pairs(
-        df, df, id_col, vec_col, dims, num_planes, bands, seed
+        df, df, id_col, vec_col, dims, num_planes, bands, seed,
+        # orientation filter on the ids-only candidate frame (r14): a
+        # self-LSH emits every unordered pair in BOTH orientations, and
+        # the old post-scoring `query_id < neighbor_id` filter threw one
+        # of them away AFTER paying the vector re-join + Arrow cosine
+        # for it. Filtering candidates first halves the scored pairs;
+        # the surviving rows and their scores are byte-identical.
+        pair_filter=lambda cand: cand.filter(
+            F.col("query_id") < F.col("neighbor_id")
+        ),
     )
     return (
-        sims.filter((F.col("cos_sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
+        sims.filter(F.col("cos_sim") >= threshold)
         .select(
             F.col("query_id").alias("id_a"),
             F.col("neighbor_id").alias("id_b"),
@@ -1313,6 +1351,14 @@ def bitext_mine(
         if candidates is not None
         else cosine_topk(src, tgt, k=k, id_col=id_col, vec_col=vec_col)
     )
+    # pinned (r14): each kNN frame is consumed by TWO subtrees (the
+    # candidate union AND its endpoint's kNN-mean aggregate; three for
+    # fwd when bwd is derived from it) — unpinned, the exact cosine_topk
+    # scorer (an all-pairs broadcast join + per-pair dot) executed once
+    # PER CONSUMER (16 parquet scans / 32 Windows in the before-plan).
+    # The pins are candidate-tier: |X|*k rows of (ids, cos, rank), never
+    # vectors — metadata-sized at 100 TB.
+    fwd = fwd.localCheckpoint(eager=False)
     if candidates_bwd is not None:
         bwd = candidates_bwd
     elif candidates is not None:
@@ -1336,6 +1382,7 @@ def bitext_mine(
         )
     else:
         bwd = cosine_topk(tgt, src, k=k, id_col=id_col, vec_col=vec_col)
+    bwd = bwd.localCheckpoint(eager=False)
     c_int = F.round(F.col("cos_sim") * 10000).alias("c_int")
     fx = fwd.select(
         F.col("query_id").alias("src_id"), F.col("neighbor_id").alias("tgt_id"), c_int

@@ -145,6 +145,14 @@ def cms_heavy_hitters(
     The grand total falls out of the materialized sketch for free (row 0's
     cells sum to N), so it costs no third pass.
     """
+    # pinned (r14, the _kept_gram_index discipline): `df` feeds TWO jobs —
+    # the sketch-build collect (runs at construction) and the exact-count
+    # audit (runs at action time) — so an expensive upstream derivation
+    # (e.g. the tokenize+explode the declared query passes in) executed
+    # once per job. The sketch collect materializes the pin; the audit
+    # reads it back. Occurrence-sized (one key column), documented in
+    # SCALE.md with the LM staging pins.
+    df = df.localCheckpoint(eager=False)
     cells = cms_sketch(df, key_col, depth, width, prefix).collect()
     return heavy_hitters_from_cells(
         cells, df, key_col, threshold_frac, depth, width, prefix

@@ -1019,6 +1019,41 @@ def test_winnow_overlap_counts_join_after_pair_aggregate(spark):
     assert plan.count("Scan parquet") == 0, "a branch re-reads the corpus"
 
 
+def test_embedding_neardup_lsh_scores_each_pair_once(spark):
+    """r14 shape: the self-LSH near-dup tier (a) pins the banded signature
+    frame once (both self-join sides read the pin — one corpus pass, one
+    signature UDF crossing), (b) prunes the candidate frame to one
+    orientation (query_id < neighbor_id) BEFORE the vector re-join, and
+    (c) evaluates the Arrow cosine exactly ONCE (`_cos_pairs_udf` is
+    marked non-deterministic so the threshold filter cannot drag a second
+    evaluation below its Project). Regressing any of the three doubles
+    Python-boundary work on every candidate pair."""
+    import re
+
+    plan = _physical(QUERIES["ext_embedding_neardup_lsh"](spark, SF_ORACLE))
+    assert plan.count("ArrowEvalPython") == 1, (
+        "cosine evaluated more than once (or the signature pass escaped "
+        "the pin) — non-deterministic marking or the banded pin lost"
+    )
+    assert "ExistingRDD" in plan, "banded signature pin missing"
+    assert re.search(r"query_id#\d+L? < neighbor_id#\d+", plan), (
+        "orientation filter no longer prunes candidates before scoring"
+    )
+
+
+def test_bitext_mine_pins_knn_directions(spark):
+    """r14 shape: bitext_mine pins the fwd/bwd kNN candidate frames (each
+    is consumed by the candidate union AND its endpoint's kNN-mean
+    aggregate) — the final plan reads the exact-scorer output from the
+    pins and never re-runs the all-pairs cosine per consumer (16 parquet
+    scans / 32 Windows in the unpinned form)."""
+    plan = _physical(QUERIES["ext_bitext_mine"](spark, SF_ORACLE))
+    assert plan.count("Scan parquet") == 0, (
+        "a consumer re-executes the kNN scorer from the corpus"
+    )
+    assert "ExistingRDD" in plan, "kNN direction pins missing"
+
+
 def test_substring_run_pairs_pins_anchor_index(spark):
     """r14 shape: substring_run_pairs pins the capped anchor index (df-cap
     aggregate + both self-join sides read the pin) — the final plan keeps
@@ -1028,6 +1063,43 @@ def test_substring_run_pairs_pins_anchor_index(spark):
     assert plan.count("Scan parquet") == 0, "anchor pipeline re-reads the corpus"
     assert plan.count("Generate") == 0, "shingles re-exploded per branch"
     assert "ExistingRDD" in plan, "anchor-index pin missing"
+
+
+def test_dup_shingle_positions_pins_position_index(spark):
+    """r14 shape: `_dup_shingle_positions` pins the (id, start_tok,
+    gram-hash) position index — it feeds the min-docs dup aggregate AND
+    the position probe joined back onto it, so unpinned the corpus
+    tokenize + posexplode + hash ran once per consumer. Final plan for
+    the spans query: ZERO parquet scans / ZERO Generate (one tokenize,
+    inside the pin lineage)."""
+    plan = _physical(QUERIES["ext_dup_spans"](spark, SF_ORACLE))
+    assert plan.count("Scan parquet") == 0, "a consumer re-reads the corpus"
+    assert plan.count("Generate") == 0, "shingles re-exploded per consumer"
+    assert "ExistingRDD" in plan, "position-index pin missing"
+
+
+def test_minhash_banded_index_pinned_for_both_join_sides(spark):
+    """r14 shape: minhash_candidate_pairs pins the capped (id, band_idx,
+    band_hash) band index — it feeds BOTH self-join sides, so unpinned the
+    banding explode AND the bucket-cap window (a full shuffle+sort of the
+    band relation) executed once per side. Final plan: ZERO Generate and
+    ZERO Window (both live inside the pin lineage)."""
+    plan = _physical(QUERIES["ext_minhash_neardup"](spark, SF_ORACLE))
+    assert plan.count("Generate") == 0, "banding explode re-run per join side"
+    assert plan.count("Window") == 0, "bucket-cap window re-run per join side"
+    assert "ExistingRDD" in plan, "band-index pin missing"
+
+
+def test_cms_heavy_hitters_pins_key_relation_across_jobs(spark):
+    """r14 shape: cms_heavy_hitters pins the key relation — it feeds TWO
+    jobs (the sketch-build collect at construction time and the exact-count
+    audit at action time), so an expensive upstream derivation (the
+    tokenize+explode the declared query passes in) executed once per job.
+    Final (audit) plan: ZERO parquet scans / ZERO Generate."""
+    plan = _physical(QUERIES["ext_cms_heavy_hitters"](spark, SF_ORACLE))
+    assert plan.count("Scan parquet") == 0, "audit job re-reads the corpus"
+    assert plan.count("Generate") == 0, "audit job re-runs the tokenize"
+    assert "ExistingRDD" in plan, "key-relation pin missing"
 
 
 def test_simhash_fingerprints_are_codegen_lane_packed_aggregates(spark):
