@@ -82,7 +82,7 @@ def pagerank(
         outdeg.select(F.col("src").alias("id")), "id", "left_anti"
     ).localCheckpoint(eager=False)
 
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
             weighted.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
@@ -98,6 +98,9 @@ def pagerank(
                 + F.lit(damping)
                 * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.col("n"))
             )
+            # redistribute reads each round's ranks TWICE (dmass aggregate
+            # + contribution join): the pin is what stops the previous
+            # round's subtree re-executing once per consumer — keep it.
             ranks = (
                 nodes.join(contribs, "id", "left")
                 .crossJoin(F.broadcast(n1))
@@ -116,8 +119,15 @@ def pagerank(
                         + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
                     ).alias("rank"),
                 )
-                .localCheckpoint(eager=False)
             )
+            # teleport mode is a LINEAR chain — each round's ranks has
+            # exactly ONE consumer (the next round's join), so a per-round
+            # pin adds a materialization job without removing any re-
+            # execution (e/nodes/n1/weighted carry the pins that matter).
+            # Pin periodically only to bound lineage/planning depth on
+            # deep iteration budgets.
+            if (i + 1) % 8 == 0:
+                ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("id", F.col("rank").alias("pagerank"))
 
 
@@ -471,10 +481,13 @@ def label_propagation(
     label frame plus one (node, label) count aggregate and one per-node
     argmax — all map-side combinable, all keyed on node ids; labels are
     scalar longs/strings, so no round shuffles anything wider than
-    (node, label, count). ``localCheckpoint`` per round pins the frame
-    and truncates lineage exactly like the CC/pagerank loops. Self-loops
-    and NULL endpoints are dropped; each undirected edge votes in both
-    directions.
+    (node, label, count). The self-vote rides as a self-loop voter edge
+    (identical votes multiset: every und edge contributes its endpoint's
+    label once and the (id, id) self-loop joins the node's own label once)
+    so each round's label frame is read ONCE instead of twice.
+    ``localCheckpoint`` per round pins the frame and truncates lineage
+    exactly like the CC/pagerank loops. Self-loops and NULL endpoints are
+    dropped; each undirected edge votes in both directions.
 
     Convergence early-stop (the ``_cc_star`` discipline): after each round
     a constant-size (decimal xxhash64-sum) signature of the checkpointed
@@ -518,6 +531,14 @@ def label_propagation(
     nodes = (
         und.select(F.col("u").alias("id")).distinct().localCheckpoint(eager=False)
     )
+    # the self-vote rides as a self-loop edge (u, u) so each round's label
+    # frame is referenced exactly ONCE (the voters join) instead of twice
+    # (neighbor join + own-label union): identical votes multiset — every
+    # und edge contributes its endpoint's label once, and the (id, id)
+    # self-loop joins each node's own current label once
+    voters = und.unionByName(
+        nodes.select(F.col("id").alias("u"), F.col("id").alias("v"))
+    )
     labels = nodes.select("id", F.col("id").alias("community"))
 
     def _sig(frame: DataFrame):
@@ -538,12 +559,8 @@ def label_propagation(
     rounds = 0
     converged = False
     for r in range(n_rounds):
-        nbr = und.join(labels, und["v"] == labels["id"]).select(
-            F.col("u"), F.col("community")
-        )
-        own = labels.select(F.col("id").alias("u"), F.col("community"))
         votes = (
-            nbr.unionByName(own)
+            voters.join(labels, voters["v"] == labels["id"])
             .groupBy(F.col("u"), F.col("community"))
             .agg(F.count(F.lit(1)).alias("n"))
         )
@@ -565,6 +582,13 @@ def label_propagation(
             .select(
                 "id", F.coalesce("community", F.col("id")).alias("community")
             )
+            # keep the per-round pin even though the voters restructure
+            # made labels single-consumer: an interleaved A/B (min-of-4,
+            # one session, sf0.1) read 4.42 s pinned vs 5.21 s unpinned —
+            # the unpinned multi-round plan costs more in planning/AQE
+            # replanning than the per-round materialization job it saves
+            # (the opposite of the pagerank teleport chain, where no-pin
+            # measured neutral-to-better and was kept)
             .localCheckpoint(eager=False)
         )
         rounds += 1

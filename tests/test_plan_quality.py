@@ -1137,3 +1137,21 @@ def test_curation_report_ranks_dedup_window_once(spark):
     plan = _physical(QUERIES["ext_curation_report"](spark, SF_ORACLE))
     assert "Window" not in plan, "dedup-rank window re-derived per consumer"
     assert "ExistingRDD" in plan, "ids-only rank pin missing"
+
+
+def test_pagerank_pin_policy_teleport_unpinned_redistribute_pinned(spark):
+    """r14 pin policy: pagerank's teleport chain is LINEAR (each round's
+    ranks has exactly one consumer), so the returned frame must NOT be
+    truncated behind a per-round checkpoint — the round joins stay visible
+    in the plan (pinned e/nodes/weighted remain the only RDD leaves). The
+    redistribute tier reads each round's ranks twice (dangling-mass
+    aggregate + contribution join), so its final frame MUST stay pinned —
+    a bare RDD scan — or every consumer re-executes the previous round."""
+    plan = _physical(QUERIES["ext_pagerank"](spark, SF_ORACLE))
+    assert "Join" in plan, "teleport rounds truncated — per-round pin returned"
+    assert plan.count("Scan ExistingRDD") >= 2, "e/nodes/weighted pins missing"
+    dang = _physical(QUERIES["ext_pagerank_dangling"](spark, SF_ORACLE))
+    assert "Join" not in dang, (
+        "redistribute rounds unpinned — twice-consumed rank frames would "
+        "re-execute the previous round per consumer"
+    )
