@@ -914,8 +914,13 @@ def _kept_gram_index(
     text_col: str,
     n: int,
     max_gram_df: int | None,
+    _pin: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Stage the (id, gram) inverted index ONCE for the n-gram pair family.
+
+    ``_pin=False`` skips the localCheckpoint pins (test hook ONLY: the pins
+    truncate the lineage, so plan guards need the unpinned tree to see the
+    cap's join shape).
 
     Returns ``(kept, counts)``: the surviving-gram index (pinned with
     ``localCheckpoint``) and the per-doc kept-gram counts ``(id,
@@ -930,25 +935,51 @@ def _kept_gram_index(
     so no gram-sized shuffle ever carries the counts. The pinned index is
     ids+grams only (text never staged), the same keys-only discipline as
     the banding operators.
+
+    Optimization r14 (guide §2.3, §3.2):
+
+    - The index carries ``xxhash64(gram)`` longs, not gram strings —
+      every gram-keyed exchange (the df-cap aggregate and both pair
+      self-join sides) shuffles 8-byte keys instead of ~20-byte strings,
+      and the joins hash/sort longs. Same 64-bit fingerprint posture as
+      ``source_overlap`` / ``_dup_shingle_positions`` /
+      ``source_boilerplate_passages`` (this module's long-standing
+      discipline); intersection counts are exact modulo 64-bit
+      collisions — outputs verified identical corpus-wide at sf0.1/0.01/
+      0.001, and the 100 TB collision expectation is documented in
+      SCALE.md.
+    - The stop-gram cap is a **broadcast anti-join against the DROP
+      list** (grams with df > ``max_gram_df``) instead of a shuffle join
+      against the keep list: by Zipf the drop list is a handful of
+      boilerplate grams while the keep list is nearly the whole
+      vocabulary, so the old form paid a full-index exchange to keep
+      ~everything. Interleaved A/B (two sessions, min-of-6): 2.17-2.40 s
+      -> 1.93-1.97 s for the jaccard pair job at sf0.1.
     """
     grams = (
         _with_tokens(df.select(id_col, text_col), text_col)
         .withColumn("__grams", shingles_of_tokens(F.col("__toks"), n))
         .select(
             F.col(id_col).alias("id"),
-            F.explode("__grams").alias("gram"),
+            F.explode("__grams").alias("__g"),
         )
+        .select("id", F.xxhash64("__g").alias("gram"))
     )
     if max_gram_df is not None:
-        grams = grams.localCheckpoint(eager=False)
-        keep = grams.groupBy("gram").agg(F.count("*").alias("gdf")).filter(
-            F.col("gdf") <= max_gram_df
+        if _pin:
+            grams = grams.localCheckpoint(eager=False)
+        drop = grams.groupBy("gram").agg(F.count("*").alias("gdf")).filter(
+            F.col("gdf") > max_gram_df
         )
-        kept = grams.join(keep.select("gram"), "gram").localCheckpoint(
-            eager=False
+        kept = grams.join(
+            F.broadcast(drop.select("gram")), "gram", "left_anti"
         )
-    else:
+        if _pin:
+            kept = kept.localCheckpoint(eager=False)
+    elif _pin:
         kept = grams.localCheckpoint(eager=False)
+    else:
+        kept = grams
     counts = kept.groupBy("id").agg(F.count("*").alias("n_grams"))
     return kept, counts
 
@@ -980,8 +1011,8 @@ def ngram_jaccard_pairs(
     the join quadratically (one gram in b docs => b^2 index pairs). The
     jaccard is then computed over the surviving-gram vocabulary on BOTH
     sides (numerator and denominators), so the reported similarity stays
-    self-consistent; per-doc gram counts are re-derived post-filter with a
-    window over the already-shuffled id partitioning.
+    self-consistent; per-doc gram counts are a post-filter aggregate
+    joined onto the pair frame (see ``_kept_gram_index``).
 
     Returns: id_a, id_b, jaccard (exact over the kept vocabulary, 4dp).
     """
@@ -1122,6 +1153,7 @@ def winnow_overlap_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_print_df: int | None = 10_000,
+    _pin: bool = True,
 ) -> DataFrame:
     """Partial-overlap candidate pairs over winnowing fingerprints: docs
     sharing >= ``min_shared`` selected prints, scored by
@@ -1143,18 +1175,25 @@ def winnow_overlap_pairs(
     replacing the two id-keyed ``Window`` passes (Exchange + Sort over
     every index row) that re-derived ``n_prints`` inline.
     """
-    prints = (
-        winnow_fingerprints(df, id_col, text_col, k=k, window=window)
-        .select(F.col(id_col).alias("id"), F.col("print"))
-        .localCheckpoint(eager=False)
+    prints = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
+        F.col(id_col).alias("id"), F.col("print")
     )
+    if _pin:  # _pin=False: test hook — plan guards need the unpinned tree
+        prints = prints.localCheckpoint(eager=False)
     if max_print_df is not None:
-        keep = prints.groupBy("print").agg(F.count("*").alias("pdf")).filter(
-            F.col("pdf") <= max_print_df
+        # broadcast anti-join against the DROP list (r14, the
+        # _kept_gram_index discipline, guide §3.2): prints with
+        # df > max_print_df are a handful of boilerplate fingerprints by
+        # Zipf, while the keep list is nearly the whole index — the old
+        # keep-join paid a full print-index exchange to keep ~everything
+        drop = prints.groupBy("print").agg(F.count("*").alias("pdf")).filter(
+            F.col("pdf") > max_print_df
         )
-        prints = prints.join(keep.select("print"), "print").localCheckpoint(
-            eager=False
+        prints = prints.join(
+            F.broadcast(drop.select("print")), "print", "left_anti"
         )
+        if _pin:
+            prints = prints.localCheckpoint(eager=False)
     counts = prints.groupBy("id").agg(F.count("*").alias("n_prints"))
     p1 = prints.select(F.col("id").alias("id_a"), "print")
     p2 = prints.select(

@@ -1019,6 +1019,34 @@ def test_winnow_overlap_counts_join_after_pair_aggregate(spark):
     assert plan.count("Scan parquet") == 0, "a branch re-reads the corpus"
 
 
+def test_stop_gram_caps_are_broadcast_anti_drop_joins(spark):
+    """r14 shape (guide §2.3/§3.2): the n-gram and winnow stop-gram caps
+    anti-join against the DROP list (grams/prints with df above the cap —
+    a handful of boilerplate keys by Zipf, broadcastable at any scale)
+    instead of shuffle- or broadcast-joining the near-vocabulary-sized
+    KEEP list; and the gram index carries xxhash64 longs, never gram
+    strings, so every gram-keyed exchange moves 8-byte keys. The caps sit
+    inside the staging pins, so this guard inspects the unpinned lineage
+    (_pin=False test hook)."""
+    from dbt_meshify_spark.operators.dedup import (
+        _kept_gram_index,
+        winnow_overlap_pairs,
+    )
+    from dbt_meshify_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    kept, _ = _kept_gram_index(docs, "doc_id", "text", 3, 10_000, _pin=False)
+    plan = _physical(kept)
+    assert "LeftAnti" in plan, "gram cap regressed to a keep-list join"
+    assert "xxhash64" in plan, "gram index shuffles strings, not 8-byte keys"
+    assert "SortMergeJoin" not in plan, "drop list not broadcast"
+
+    plan = _physical(
+        winnow_overlap_pairs(docs, max_print_df=10_000, _pin=False)
+    )
+    assert "LeftAnti" in plan, "print cap regressed to a keep-list join"
+
+
 def test_embedding_neardup_lsh_scores_each_pair_once(spark):
     """r14 shape: the self-LSH near-dup tier (a) pins the banded signature
     frame once (both self-join sides read the pin — one corpus pass, one
